@@ -1,0 +1,61 @@
+"""Global engine configuration (ref: /root/reference/awswrangler/_config.py).
+
+The reference exposes ``wr.config`` with attribute-style settings that
+can also be fed from environment variables (``WR_*``). We keep the
+same pattern with a Spark flavor: settings influence how sessions are
+built and how the IO layer behaves.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+
+_CONFIG_KEYS: Dict[str, type] = {
+    "database": str,              # default catalog database
+    "max_cache_seconds": int,     # query-result cache TTL (athena analog)
+    "shuffle_partitions": int,    # default spark.sql.shuffle.partitions
+    "broadcast_threshold": int,   # autoBroadcastJoinThreshold bytes
+    "s3_endpoint_url": str,       # custom object-store endpoint (s3a)
+}
+
+_ENV_PREFIX = "WR_"
+
+
+class _Config:
+    """Attribute-style config with env-var override, mirroring wr.config."""
+
+    def __init__(self) -> None:
+        self._values: Dict[str, Any] = {}
+        for key, caster in _CONFIG_KEYS.items():
+            env = os.getenv(f"{_ENV_PREFIX}{key.upper()}")
+            if env is not None:
+                self._values[key] = caster(env)
+
+    def __getattr__(self, key: str) -> Any:
+        if key.startswith("_"):
+            raise AttributeError(key)
+        if key not in _CONFIG_KEYS:
+            raise AttributeError(f"Unknown config key: {key}")
+        return self._values.get(key)
+
+    def __setattr__(self, key: str, value: Any) -> None:
+        if key.startswith("_"):
+            super().__setattr__(key, value)
+            return
+        if key not in _CONFIG_KEYS:
+            raise AttributeError(f"Unknown config key: {key}")
+        self._values[key] = _CONFIG_KEYS[key](value)
+
+    def reset(self, item: Optional[str] = None) -> None:
+        if item is None:
+            self._values.clear()
+        else:
+            self._values.pop(item, None)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(self._values)
+
+
+config = _Config()

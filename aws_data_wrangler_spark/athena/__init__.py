@@ -1,0 +1,200 @@
+"""Athena module — SQL-as-a-service analog, with Spark SQL as the engine.
+
+Ref: /root/reference/awswrangler/athena/ (_read.py ``read_sql_query``
+``read_sql_table``; _utils.py query lifecycle, ``repair_table``,
+``show_create_table``, ``describe_table``).
+
+Athena's value is "SQL over cataloged S3 datasets"; on Spark that is
+literally ``spark.sql`` over the session catalog, with Catalyst doing
+what Presto's optimizer does for Athena (pushdown, pruning, join
+planning). The query-execution lifecycle (ids / states / wait) is
+mapped onto eager-materialized Spark queries so callers of the
+reference API keep working.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_data_wrangler_spark._data_types import spark2athena
+from aws_data_wrangler_spark.exceptions import QueryFailed
+from aws_data_wrangler_spark.s3._fs import _active_spark
+
+__all__ = [
+    "read_sql_query",
+    "read_sql_table",
+    "create_athena_bucket",
+    "describe_table",
+    "get_query_columns_types",
+    "get_query_execution",
+    "get_work_group",
+    "repair_table",
+    "show_create_table",
+    "start_query_execution",
+    "stop_query_execution",
+    "wait_query",
+]
+
+# query-execution registry (driver-side bookkeeping only; the data
+# itself stays distributed — we never collect results here)
+_EXECUTIONS: Dict[str, Dict[str, Any]] = {}
+
+
+def _apply_params(sql: str, params: Optional[Dict[str, Any]]) -> str:
+    """``:name;`` parameter substitution, matching the reference's
+    convention (/root/reference/awswrangler/athena/_read.py)."""
+    if params:
+        for key, value in params.items():
+            sql = sql.replace(f":{key};", str(value))
+    return sql
+
+
+def read_sql_query(
+    sql: str,
+    database: Optional[str] = None,
+    params: Optional[Dict[str, Any]] = None,
+    spark: Optional[SparkSession] = None,
+    **_: Any,
+) -> DataFrame:
+    """Run SQL against the catalog; returns a lazy DataFrame.
+
+    The reference's ``ctas_approach`` / ``chunksize`` knobs are
+    subsumed by Spark's execution model (distributed result, no
+    driver materialization). Ref: awswrangler/athena/_read.py:read_sql_query.
+    """
+    spark = _active_spark(spark)
+    if database:
+        spark.catalog.setCurrentDatabase(database)
+    return spark.sql(_apply_params(sql, params))
+
+
+def read_sql_table(
+    table: str,
+    database: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+    **_: Any,
+) -> DataFrame:
+    """Ref: awswrangler/athena/_read.py:read_sql_table."""
+    spark = _active_spark(spark)
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return spark.table(qualified)
+
+
+def start_query_execution(
+    sql: str,
+    database: Optional[str] = None,
+    params: Optional[Dict[str, Any]] = None,
+    spark: Optional[SparkSession] = None,
+    **_: Any,
+) -> str:
+    """Execute SQL, return a query-execution id.
+
+    Ref: awswrangler/athena/_utils.py:start_query_execution.
+    """
+    spark = _active_spark(spark)
+    query_id = str(uuid.uuid4())
+    record: Dict[str, Any] = {
+        "QueryExecutionId": query_id,
+        "Query": sql,
+        "StartTime": time.time(),
+        "State": "RUNNING",
+    }
+    _EXECUTIONS[query_id] = record
+    try:
+        df = read_sql_query(sql, database=database, params=params, spark=spark)
+        record["DataFrame"] = df
+        record["Schema"] = df.schema
+        record["State"] = "SUCCEEDED"
+    except Exception as error:  # noqa: BLE001 - surfaced via state, like Athena
+        record["State"] = "FAILED"
+        record["StateChangeReason"] = str(error)
+    record["CompletionTime"] = time.time()
+    return query_id
+
+
+def get_query_execution(query_execution_id: str, **_: Any) -> Dict[str, Any]:
+    """Ref: awswrangler/athena/_utils.py:get_query_execution."""
+    record = _EXECUTIONS[query_execution_id]
+    return {k: v for k, v in record.items() if k not in ("DataFrame",)}
+
+
+def wait_query(query_execution_id: str, **_: Any) -> Dict[str, Any]:
+    """Ref: awswrangler/athena/_utils.py:wait_query."""
+    response = get_query_execution(query_execution_id)
+    if response["State"] == "FAILED":
+        raise QueryFailed(response.get("StateChangeReason"))
+    return response
+
+
+def stop_query_execution(query_execution_id: str, **_: Any) -> None:
+    """Ref: awswrangler/athena/_utils.py:stop_query_execution."""
+    record = _EXECUTIONS.get(query_execution_id)
+    if record is not None and record["State"] == "RUNNING":
+        record["State"] = "CANCELLED"
+
+
+def get_query_results(query_execution_id: str) -> DataFrame:
+    """The (lazy, distributed) result of a started query."""
+    return _EXECUTIONS[query_execution_id]["DataFrame"]
+
+
+def get_query_columns_types(query_execution_id: str, **_: Any) -> Dict[str, str]:
+    """{column: athena_type} of a finished query.
+    Ref: awswrangler/athena/_utils.py:get_query_columns_types."""
+    schema = _EXECUTIONS[query_execution_id]["Schema"]
+    return {f.name: spark2athena(f.dataType) for f in schema.fields}
+
+
+def repair_table(
+    table: str, database: Optional[str] = None, spark: Optional[SparkSession] = None, **_: Any
+) -> str:
+    """MSCK REPAIR TABLE. Ref: awswrangler/athena/_utils.py:repair_table."""
+    spark = _active_spark(spark)
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    spark.sql(f"MSCK REPAIR TABLE {qualified}")
+    return "SUCCEEDED"
+
+
+def describe_table(
+    table: str, database: Optional[str] = None, spark: Optional[SparkSession] = None, **_: Any
+) -> DataFrame:
+    """DESCRIBE output as a DataFrame. Ref: awswrangler/athena/_utils.py:describe_table."""
+    spark = _active_spark(spark)
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}")
+
+
+def show_create_table(
+    table: str, database: Optional[str] = None, spark: Optional[SparkSession] = None, **_: Any
+) -> str:
+    """Ref: awswrangler/athena/_utils.py:show_create_table."""
+    spark = _active_spark(spark)
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    return spark.sql(f"SHOW CREATE TABLE {qualified}").collect()[0][0]
+
+
+def create_athena_bucket(spark: Optional[SparkSession] = None, **_: Any) -> str:
+    """Default results staging location analog (local tmp dir).
+    Ref: awswrangler/athena/_utils.py:create_athena_bucket."""
+    import tempfile
+
+    path = f"{tempfile.gettempdir()}/athena-results"
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    return f"file://{path}/"
+
+
+def get_work_group(workgroup: str = "primary", **_: Any) -> Dict[str, Any]:
+    """API-shaped analog. Ref: awswrangler/athena/_utils.py:get_work_group."""
+    return {
+        "WorkGroup": {
+            "Name": workgroup,
+            "State": "ENABLED",
+            "Configuration": {"ResultConfiguration": {"OutputLocation": create_athena_bucket()}},
+        }
+    }

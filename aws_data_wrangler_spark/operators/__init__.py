@@ -1,0 +1,10 @@
+"""Large-scale training-data operators (beyond the reference surface).
+
+Dedup, similarity search, text analysis, multimodal columns — the
+operations a 100 TB LLM-data pipeline runs on top of the IO/catalog
+layer.
+"""
+
+from aws_data_wrangler_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

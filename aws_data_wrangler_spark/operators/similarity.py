@@ -1,0 +1,281 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, trading recall for cost:
+
+- ``cosine_topk``: brute-force exact top-k. The query set is small and
+  broadcast; the corpus is scanned once, linearly, with all vector
+  math in JVM codegen (`zip_with`/`aggregate`) — at 100 TB this is a
+  single map stage + a top-k-per-query aggregation (no global sort).
+- ``lsh_topk``: random-hyperplane LSH — sign-bit bucket equi-join
+  prunes the corpus to same/near buckets before exact scoring.
+- ``ivf_topk``: IVF — a k-means coarse quantizer (trained
+  DataFrame-side) prunes to the ``nprobe`` nearest centroid cells.
+
+Deterministic everywhere: fixed seeds, ties broken by (score desc,
+id asc).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark.functions import trunc_digits
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    vec = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        vec.alias(f"{prefix}_vec"),
+        F.sqrt(
+            F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ).alias(f"{prefix}_norm"),
+    )
+
+
+def _cosine(a_vec: str, b_vec: str, a_norm: str, b_norm: str) -> "F.Column":
+    dot = F.aggregate(
+        F.zip_with(F.col(a_vec), F.col(b_vec), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(a_norm) * F.col(b_norm))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector:
+    (query_id, neighbor_id, rank, cosine). Excludes self-matches.
+
+    The query side is broadcast (small); per-query top-k is a window
+    over the scored scan — with AQE this is the canonical
+    "broadcast-nested-loop + partial top-k" plan.
+    """
+    q = F.broadcast(_with_norm(queries, id_col, vec_col, "q"))
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+        )
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic random hyperplanes (numpy PRNG on the driver; tiny,
+    shipped as literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: "F.Column", planes: Sequence[Sequence[float]]) -> "F.Column":
+    """Sign-bit bucket id of a vector under the given hyperplanes."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lits, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(F.when(dot >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")), i))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH:
+    (query_id, neighbor_id, rank, cosine).
+
+    ``num_tables`` independent hash tables; candidates = union of
+    same-bucket pairs (equi-join on (table, bucket)), then exact
+    cosine + top-k on candidates only. Recall grows with tables;
+    cost stays bucket-local — the 100 TB path.
+    """
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    c_buckets = []
+    q_buckets = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + t)
+        c_buckets.append(
+            c.select("c_id", "c_vec", "c_norm", F.lit(t).alias("tbl"), lsh_bucket(F.col("c_vec"), planes).alias("bucket"))
+        )
+        q_buckets.append(
+            q.select("q_id", "q_vec", "q_norm", F.lit(t).alias("tbl"), lsh_bucket(F.col("q_vec"), planes).alias("bucket"))
+        )
+    c_all = c_buckets[0]
+    for extra in c_buckets[1:]:
+        c_all = c_all.unionByName(extra)
+    q_all = q_buckets[0]
+    for extra in q_buckets[1:]:
+        q_all = q_all.unionByName(extra)
+    candidates = (
+        c_all.join(F.broadcast(q_all), ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec", "q_norm", "c_norm")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = candidates.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+    )
+    window = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means coarse quantizer trained with DataFrame ops.
+
+    Init = the ``num_centroids`` lowest-id vectors (deterministic);
+    each Lloyd iteration is one broadcast-join assignment + one
+    groupBy mean — linear scans, no driver data movement beyond the
+    centroid table itself (tiny).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    points = corpus.select(F.col(id_col).alias("pid"), vec.alias("pvec"))
+    dim = _infer_dim(corpus, vec_col)
+    centroids = (
+        points.orderBy("pid")
+        .limit(num_centroids)
+        .withColumn("cid", F.row_number().over(Window.orderBy("pid")) - 1)
+        .select("cid", F.col("pvec").alias("cvec"))
+    )
+    for _ in range(iterations):
+        dist = F.aggregate(
+            F.zip_with(F.col("pvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        assigned = (
+            points.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", dist)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("pid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        # new centroid = per-cell mean, dimension-wise (one groupBy,
+        # map-side partials; centroid table stays tiny)
+        centroids = assigned.groupBy("cid").agg(
+            F.array(
+                *[F.avg(F.element_at(F.col("pvec"), i + 1)) for i in range(dim)]
+            ).alias("cvec")
+        )
+    return centroids
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, rank, cosine).
+
+    Corpus vectors are assigned to their nearest centroid cell once
+    (broadcast join); each query probes its ``nprobe`` nearest cells,
+    so the scored set is ~``nprobe/num_centroids`` of the corpus.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, num_centroids, id_col=id_col, vec_col=vec_col)
+    centroids = F.broadcast(centroids)
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    dist_c = F.aggregate(
+        F.zip_with(F.col("c_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    c_cells = (
+        c.crossJoin(centroids)
+        .withColumn("dist", dist_c)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("c_id").orderBy(F.col("dist").asc(), F.col("cid").asc())),
+        )
+        .filter(F.col("rn") == 1)
+        .select("c_id", "c_vec", "c_norm", "cid")
+    )
+    dist_q = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    q_cells = (
+        q.crossJoin(centroids)
+        .withColumn("dist", dist_q)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cid").asc())),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", "cid")
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cid")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    window = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

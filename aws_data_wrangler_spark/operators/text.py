@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+Every operator here is pure ``pyspark.sql.functions`` — no Python
+UDFs — so the whole computation stays inside whole-stage codegen and
+scales linearly with executors. Each has an exact DuckDB-SQL oracle
+(see plans/oracles.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark.functions import trunc_digits
+
+# word-boundary marker regexes per language (heuristic lang-id);
+# deterministic and cheap — at 100 TB this is a single codegen'd
+# projection over the scan, no shuffle.
+LANG_MARKERS: List[Tuple[str, List[str]]] = [
+    ("de", ["der", "die", "das", "und", "ist", "nicht"]),
+    ("en", ["the", "and", "of", "to", "is", "that"]),
+    ("es", ["el", "la", "los", "las", "es", "que"]),
+    ("fr", ["le", "la", "les", "et", "est", "que"]),
+    ("zh", ["的", "是", "了", "在", "我"]),
+]
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# BPE-ish pre-tokenizer: letter runs | single digits | punctuation runs
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def _ws_token_count(text: Column) -> Column:
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document."""
+    text = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": _ws_token_count(text).cast("bigint"),
+            "bpe_tokens": F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("bigint"),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and
+    a composite score in [0, 1]. All arithmetic in double so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    tokens = _ws_token_count(text).cast("double")
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    stops = F.size(F.regexp_extract_all(F.lower(text), F.lit(stop_pattern), 0)).cast("double")
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(tokens > 0, stops / tokens).otherwise(F.lit(0.0))
+    mean_word_len = F.when(tokens > 0, n_chars / tokens).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = trunc_digits(
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0)))
+    )
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars.cast("bigint"),
+            "ws_tokens": tokens.cast("bigint"),
+            "punct_ratio": trunc_digits(punct_ratio),
+            "stopword_ratio": trunc_digits(stop_ratio),
+            "mean_word_len": trunc_digits(mean_word_len),
+            "quality_score": score,
+        }
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword-profile language guess.
+
+    Ties break to the alphabetically-first language, so the result is
+    deterministic and SQL-reproducible. Real deployments would swap in
+    a fastText-style model via a pandas UDF; the plumbing is identical.
+    """
+    lowered = F.lower(F.col(text_col))
+    score_cols = []
+    for lang, markers in LANG_MARKERS:
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        score_cols.append(
+            F.size(F.regexp_extract_all(lowered, F.lit(pattern), 0)).alias(f"score_{lang}")
+        )
+    scored = df.select("*", *score_cols)
+    # argmax with alphabetical tie-break: greatest(structs) would use
+    # struct ordering; an explicit fold keeps semantics obvious + portable.
+    best = F.col(f"score_{LANG_MARKERS[0][0]}")
+    best_lang = F.lit(LANG_MARKERS[0][0])
+    for lang, _ in LANG_MARKERS[1:]:
+        better = F.col(f"score_{lang}") > best
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best = F.when(better, F.col(f"score_{lang}")).otherwise(best)
+    return scored.withColumn("lang_pred", best_lang).withColumn("lang_score", best.cast("bigint"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint (md5 over lowercased alnum-only
+    text) — the document-identity key used by exact dedup."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.withColumn("fingerprint", F.md5(normalized))

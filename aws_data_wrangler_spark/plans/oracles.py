@@ -1,0 +1,250 @@
+"""DuckDB oracle SQL for every oracle-checkable query.
+
+Analytics queries reuse the exact SQL string the Spark engine runs
+(ANSI-compatible subset). Operator queries get independent DuckDB
+re-implementations — same semantics, DuckDB builtins — so the Spark
+DataFrame plans are checked against a second engine, not themselves.
+
+Conventions shared with the Spark side (see plans/queries.py):
+- every float aggregate is rounded (2dp money, 4–6dp ratios);
+- per-row float math mirrors the Spark expression tree exactly
+  (sequential left-to-right double sums ⇒ bit-identical);
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  replace-all; ``row_number()``/``sum(int)`` are cast to match Spark
+  output types.
+
+Approximate operators (simhash, LSH/IVF ANN, multimodal stub) are
+deliberately absent → driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from aws_data_wrangler_spark.plans.queries import ANALYTICS_SQL
+
+# floor-truncation at 6dp (not round): identical doubles floor identically
+# in every engine, while round-half behavior differs (see functions.trunc_digits)
+_COSINE = (
+    "floor((list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])))) * 1000000.0) / 1000000.0"
+)
+
+_NGRAM_JACCARD = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT id_a, id_b,
+               floor((common / (sa.set_size + sb.set_size - common)) * 1000000.0) / 1000000.0 AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    ORDER BY id_a, id_b
+"""
+
+_QUALITY_EXPRS = """
+        length(text)::DOUBLE AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::DOUBLE AS tokens,
+        (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS punct,
+        len(regexp_extract_all(lower(text),
+            '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE AS stops
+"""
+
+_LANG_SCORES = """
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS score_de,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that)\\b')) AS score_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|que)\\b')) AS score_es,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|que)\\b')) AS score_fr,
+        len(regexp_extract_all(lower(text), '\\b(的|是|了|在|我)\\b')) AS score_zh
+"""
+
+ORACLES: Dict[str, str] = {
+    # ---- analytics: identical SQL, second engine -----------------------
+    **ANALYTICS_SQL,
+    "events_json_extract": """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+               round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS sum_k,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, sess_id,
+               count(*) AS n_events,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us
+        FROM numbered
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id
+    """,
+    # ---- IO round-trips: expected == direct SQL on the source ----------
+    "io_parquet_roundtrip": """
+        SELECT l_returnflag, count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "io_overwrite_partitions": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity * 2
+                              ELSE l_quantity END), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "io_csv_roundtrip": """
+        SELECT o_orderstatus, count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_total,
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "io_json_roundtrip": """
+        SELECT n_regionkey, count(*) AS n_nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    "catalog_table_roundtrip": """
+        SELECT s_nationkey, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS sum_bal
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    "logs_insights_stats": """
+        SELECT user_id, count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id ORDER BY user_id
+    """,
+    # ---- dedup ---------------------------------------------------------
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS dup_cnt
+        FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+    "dedup_normalized": """
+        SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS dup_cnt
+        FROM documents
+        GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+        ORDER BY content_hash
+    """,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD.format(threshold=0.5),
+    # MinHash-LSH verifies candidates with exact Jaccard; at 32 bands /
+    # 2 rows the miss probability at j≥0.8 is (1-0.64)^32 ≈ 1e-14, so
+    # the output equals the exact-Jaccard miner at the same threshold.
+    "dedup_minhash_lsh": _NGRAM_JACCARD.format(threshold=0.8),
+    "dedup_embedding_cosine": f"""
+        WITH scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COSINE.format(a='a', b='b')} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    # ---- similarity ----------------------------------------------------
+    "ann_cosine_topk": f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COSINE.format(a='q', b='c')} AS cosine
+            FROM q, embeddings c
+            WHERE c.vec_id <> q.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # ---- text ----------------------------------------------------------
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        WITH feats AS (
+            SELECT doc_id, {_QUALITY_EXPRS}
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, n_chars, tokens,
+                   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio_raw,
+                   CASE WHEN tokens > 0 THEN stops / tokens ELSE 0.0 END AS stop_ratio_raw,
+                   CASE WHEN tokens > 0 THEN n_chars / tokens ELSE 0.0 END AS mwl_raw
+            FROM feats
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars_q,
+               CAST(tokens AS BIGINT) AS ws_tokens,
+               floor(punct_ratio_raw * 1000000.0) / 1000000.0 AS punct_ratio,
+               floor(stop_ratio_raw * 1000000.0) / 1000000.0 AS stopword_ratio,
+               floor(mwl_raw * 1000000.0) / 1000000.0 AS mean_word_len,
+               floor((0.4 * least(n_chars / 500.0, 1.0)
+                      + 0.3 * least(stop_ratio_raw * 5.0, 1.0)
+                      + 0.3 * (1.0 - least(punct_ratio_raw * 10.0, 1.0))) * 1000000.0) / 1000000.0 AS quality_score
+        FROM ratios ORDER BY doc_id
+    """,
+    "text_lang_id": f"""
+        WITH scores AS (
+            SELECT doc_id, lang, {_LANG_SCORES}
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN score_de >= score_en AND score_de >= score_es
+                         AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+                    WHEN score_en >= score_es AND score_en >= score_fr
+                         AND score_en >= score_zh THEN 'en'
+                    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                    WHEN score_fr >= score_zh THEN 'fr'
+                    ELSE 'zh' END AS lang_pred,
+               CAST(greatest(score_de, score_en, score_es, score_fr, score_zh) AS BIGINT) AS lang_score
+        FROM scores ORDER BY doc_id
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    # ---- streaming (single-batch availableNow replay == batch SQL) -----
+    "streaming_hourly_rollup": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY window_start, event_type
+    """,
+}

@@ -1,0 +1,526 @@
+"""Headline queries over the test tables.
+
+Each entry is ``(spark, sf_dir) -> DataFrame``. Analytics queries run
+through ``athena.read_sql_query`` (the engine's SQL front door) with
+SQL written in the ANSI subset both Spark and DuckDB accept, so the
+same string doubles as the oracle — the correctness gate then
+validates the whole SQL path, not a hand-matched pair of programs.
+
+Operator queries (dedup / similarity / text / multimodal / streaming /
+IO round-trips) exercise the DataFrame-level APIs; their oracles are
+independent DuckDB re-implementations in plans/oracles.py.
+
+Float discipline: every aggregate is ``round()``-ed (2dp for money
+sums, 4–6dp for ratios) because distributed summation order differs
+between engines; per-row arithmetic is left exact (both engines are
+IEEE-754 sequential).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from aws_data_wrangler_spark import s3
+
+    df = s3.read_parquet(f"{sf_dir}/{name}.parquet", spark=spark)
+    # ns-precision parquet timestamps surface as long (nanosAsLong);
+    # normalize to Spark timestamps (µs) at the load boundary
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div — float division loses µs precision at ns magnitudes
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the test tables to the SQL engine as temp views."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# Analytics SQL — shared verbatim with the DuckDB oracle.
+# --------------------------------------------------------------------------
+
+ANALYTICS_SQL: Dict[str, str] = {
+    # TPC-H Q1 (pricing summary), adapted to the test schema
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    # TPC-H Q3 (shipping priority)
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    # TPC-H Q4 (order priority); EXISTS adapted to available columns
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # TPC-H Q5 (local supplier volume)
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    # TPC-H Q6 (forecasting revenue change)
+    "q6_revenue_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    # TPC-H Q10 (returned items)
+    "q10_returned_items": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # TPC-H Q14 (promotion effect)
+    "q14_promo_effect": """
+        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    # TPC-H Q18 (large-volume customers); threshold tuned to the data
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    # TPC-H Q19 (discounted revenue), OR-of-ANDs predicate
+    "q19_discount_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30))
+    """,
+    # top-3 spenders per nation — rank window over a join+agg
+    "topk_customers_window": """
+        SELECT n_name, c_custkey, c_name, total_spend, rnk
+        FROM (
+            SELECT n_name, c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS total_spend,
+                   CAST(row_number() OVER (PARTITION BY n_name
+                                           ORDER BY round(sum(o_totalprice), 2) DESC, c_custkey)
+                        AS INTEGER) AS rnk
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_custkey, c_name
+        ) ranked
+        WHERE rnk <= 3
+        ORDER BY n_name, rnk
+    """,
+    # hypertable-style time-bucket rollup
+    "events_hourly_rollup": """
+        SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour_ts, event_type
+    """,
+}
+
+
+def _analytics_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_data_wrangler_spark import athena
+
+        register_tables(spark, sf_dir)
+        return athena.read_sql_query(sql, spark=spark)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Engine-specific SQL (same semantics, different builtins per engine)
+# --------------------------------------------------------------------------
+
+EVENTS_JSON_SQL_SPARK = """
+    SELECT event_type,
+           round(avg(CAST(get_json_object(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+           round(sum(CAST(get_json_object(props, '$.k') AS DOUBLE)), 4) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+EVENTS_SESSIONIZE_SQL_SPARK = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR unix_timestamp(ts) - unix_timestamp(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, sess_id,
+           count(*) AS n_events,
+           unix_micros(min(ts)) AS session_start_us,
+           unix_micros(max(ts)) AS session_end_us
+    FROM numbered
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Operator queries (DataFrame-level APIs)
+# --------------------------------------------------------------------------
+
+def _io_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned dataset write → read-back → aggregate."""
+    from aws_data_wrangler_spark import s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/lineitem_ds"
+    s3.to_parquet(
+        load(spark, sf_dir, "lineitem"), out,
+        dataset=True, partition_cols=["l_returnflag"], mode="overwrite", spark=spark,
+    )
+    back = s3.read_parquet(out, dataset=True, spark=spark)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _io_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """overwrite_partitions semantics: rewrite only the 'R' partition
+    (quantities doubled), others untouched."""
+    from aws_data_wrangler_spark import s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/lineitem_ow"
+    li = load(spark, sf_dir, "lineitem")
+    s3.to_parquet(li, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite", spark=spark)
+    patch = li.filter(F.col("l_returnflag") == "R").withColumn(
+        "l_quantity", F.col("l_quantity") * 2
+    )
+    s3.to_parquet(patch, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite_partitions", spark=spark)
+    back = s3.read_parquet(out, dataset=True, spark=spark)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dataset write → schema-full read-back → aggregate."""
+    from aws_data_wrangler_spark import s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/orders_csv"
+    orders = load(spark, sf_dir, "orders")
+    s3.to_csv(orders, out, dataset=True, mode="overwrite", spark=spark)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    back = s3.read_csv(out, dataset=True, schema=schema, spark=spark)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines dataset write → read-back → aggregate."""
+    from aws_data_wrangler_spark import s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/nation_json"
+    s3.to_json(load(spark, sf_dir, "nation"), out, dataset=True, mode="overwrite", spark=spark)
+    back = s3.read_json(out, dataset=True, spark=spark)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("n_regionkey")
+        .select(F.col("n_regionkey").cast("int").alias("n_regionkey"), "n_nations")
+    )
+
+
+def _catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset write → catalog registration (store_parquet_metadata) →
+    athena.read_sql_table → aggregate."""
+    from aws_data_wrangler_spark import athena, s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/supplier_tbl"
+    s3.to_parquet(load(spark, sf_dir, "supplier"), out, dataset=True, mode="overwrite", spark=spark)
+    s3.store_parquet_metadata(out, database="sg_test", table="supplier_reg", spark=spark)
+    back = athena.read_sql_table("supplier_reg", database="sg_test", spark=spark)
+    result = (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+        .orderBy("s_nationkey")
+        .select(F.col("s_nationkey").cast("int").alias("s_nationkey"), "n_suppliers", "sum_bal")
+    )
+    # materialization happens driver-side later; current database must revert
+    spark.catalog.setCurrentDatabase("default")
+    return result
+
+
+def _logs_insights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudWatch Logs-Insights DSL compiled onto the events table."""
+    from aws_data_wrangler_spark import cloudwatch
+
+    register_tables(spark, sf_dir)
+    return cloudwatch.run_query(
+        "filter event_type = 'click' "
+        "| stats count(*) AS n, round(avg(value), 6) AS avg_value by user_id "
+        "| sort user_id asc",
+        "events",
+        spark=spark,
+    )
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import dedup
+
+    return dedup.exact_duplicates(load(spark, sf_dir, "documents")).orderBy("content_hash")
+
+
+def _dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import dedup
+
+    return dedup.exact_duplicates(load(spark, sf_dir, "documents"), normalize=True).orderBy(
+        "content_hash"
+    )
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=32, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import dedup
+
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import dedup
+
+    return dedup.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, nprobe=4, num_centroids=16).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import text
+
+    return text.with_token_counts(load(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    ).orderBy("doc_id")
+
+
+def _text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import text
+
+    return text.with_quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_q", "ws_tokens", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality_score",
+    ).orderBy("doc_id")
+
+
+def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import text
+
+    return text.with_lang_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred", "lang_score"
+    ).orderBy("doc_id")
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import text
+
+    return text.with_fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    ).orderBy("doc_id")
+
+
+def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    decoded = multimodal.decode_media(media)
+    return multimodal.resize_stub(decoded).select(
+        "doc_id", "media_type", "size_bytes", "width", "height",
+        "resized_width", "resized_height",
+    ).orderBy("doc_id")
+
+
+def _streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark import streaming
+
+    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+    rollup = streaming.windowed_rollup(stream, "1 hour", "2 hours")
+    return streaming.run_available_now(rollup).orderBy("window_start", "event_type")
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
+    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
+    "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
+    "io_parquet_roundtrip": _io_parquet_roundtrip,
+    "io_overwrite_partitions": _io_overwrite_partitions,
+    "io_csv_roundtrip": _io_csv_roundtrip,
+    "io_json_roundtrip": _io_json_roundtrip,
+    "catalog_table_roundtrip": _catalog_table_roundtrip,
+    "logs_insights_stats": _logs_insights_stats,
+    "dedup_exact": _dedup_exact,
+    "dedup_normalized": _dedup_normalized,
+    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+    "dedup_minhash_lsh": _dedup_minhash_lsh,
+    "dedup_simhash": _dedup_simhash,
+    "dedup_embedding_cosine": _dedup_embedding_cosine,
+    "ann_cosine_topk": _ann_cosine_topk,
+    "ann_lsh_topk": _ann_lsh_topk,
+    "ann_ivf_topk": _ann_ivf_topk,
+    "text_token_count": _text_token_count,
+    "text_quality_score": _text_quality_score,
+    "text_lang_id": _text_lang_id,
+    "text_fingerprint": _text_fingerprint,
+    "multimodal_decode_stub": _multimodal_decode_stub,
+    "streaming_hourly_rollup": _streaming_hourly_rollup,
+}

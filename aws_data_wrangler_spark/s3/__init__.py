@@ -1,0 +1,65 @@
+"""Dataset IO module (ref: /root/reference/awswrangler/s3/__init__.py).
+
+Path-based object IO over any Hadoop filesystem URI — ``file://`` in
+tests, ``s3a://`` (S3), ``hdfs://``, ``abfs://`` on a cluster.
+"""
+
+from aws_data_wrangler_spark.s3._fs import (  # noqa: F401
+    copy_objects,
+    delete_objects,
+    describe_objects,
+    does_object_exist,
+    list_directories,
+    list_objects,
+    merge_datasets,
+    size_objects,
+    wait_objects_exist,
+    wait_objects_not_exist,
+)
+from aws_data_wrangler_spark.s3._read import (  # noqa: F401
+    read_csv,
+    read_fwf,
+    read_json,
+    read_parquet,
+    read_parquet_metadata,
+    read_parquet_table,
+)
+from aws_data_wrangler_spark.s3._write import (  # noqa: F401
+    store_parquet_metadata,
+    to_csv,
+    to_json,
+    to_parquet,
+)
+
+
+def get_bucket_region(bucket: str, **_: object) -> str:
+    """Region of a bucket. Local/file-based deployments have none; on a
+    real cluster this is carried by the s3a client config.
+    Ref: /root/reference/awswrangler/s3/_list.py ``get_bucket_region``.
+    """
+    return "local"
+
+
+__all__ = [
+    "copy_objects",
+    "merge_datasets",
+    "delete_objects",
+    "describe_objects",
+    "get_bucket_region",
+    "size_objects",
+    "does_object_exist",
+    "list_directories",
+    "list_objects",
+    "read_parquet",
+    "read_parquet_metadata",
+    "read_parquet_table",
+    "read_csv",
+    "read_fwf",
+    "read_json",
+    "wait_objects_exist",
+    "wait_objects_not_exist",
+    "store_parquet_metadata",
+    "to_parquet",
+    "to_csv",
+    "to_json",
+]

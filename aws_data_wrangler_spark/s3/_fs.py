@@ -1,0 +1,258 @@
+"""Object-store operations via the Hadoop FileSystem API.
+
+The reference implements these with boto3 against S3
+(/root/reference/awswrangler/s3/_list.py, _delete.py, _copy.py,
+_describe.py, _wait.py). We go through Hadoop's FileSystem instead:
+JVM-side, URI-scheme-agnostic — ``file://`` in tests, ``s3a://`` /
+``hdfs://`` / ``abfs://`` on a cluster — and it inherits the
+committer/credential config of the Spark session, so there is no
+second credential path to manage.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import SparkSession
+
+from aws_data_wrangler_spark.exceptions import InvalidArgument
+
+
+def _active_spark(spark: Optional[SparkSession] = None) -> SparkSession:
+    if spark is not None:
+        return spark
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from aws_data_wrangler_spark._session import get_spark
+
+    return get_spark()
+
+
+def normalize_path(path: str) -> str:
+    """Qualify a bare local path with file:// so URIs are unambiguous."""
+    if "://" not in path:
+        return f"file://{posixpath.abspath(path)}"
+    return path
+
+
+def _fs_for(spark: SparkSession, path: str) -> Tuple[Any, Any]:
+    """(FileSystem, jvm) for a URI, via the session's Hadoop conf."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    uri = jvm.java.net.URI.create(normalize_path(path))
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, hconf)
+    return fs, jvm
+
+
+def _hpath(jvm: Any, path: str) -> Any:
+    return jvm.org.apache.hadoop.fs.Path(normalize_path(path))
+
+
+def _strip_scheme(uri: str) -> str:
+    return uri.split("://", 1)[-1] if "://" in uri else uri
+
+
+def list_objects(
+    path: str,
+    suffix: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+) -> List[str]:
+    """List file URIs under a prefix, recursively.
+
+    Ref: /root/reference/awswrangler/s3/_list.py ``list_objects``.
+    """
+    spark = _active_spark(spark)
+    fs, jvm = _fs_for(spark, path)
+    hpath = _hpath(jvm, path)
+    if not fs.exists(hpath):
+        return []
+    out: List[str] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        uri = status.getPath().toString()
+        name = posixpath.basename(uri)
+        if name.startswith("_") or name.startswith("."):
+            continue  # Spark/Hadoop markers (_SUCCESS, .crc) are not data objects
+        if suffix is not None and not uri.endswith(suffix):
+            continue
+        out.append(uri)
+    return sorted(out)
+
+
+def list_directories(path: str, spark: Optional[SparkSession] = None) -> List[str]:
+    """List immediate child directories (partition dirs) of a prefix.
+
+    Ref: /root/reference/awswrangler/s3/_list.py ``list_directories``.
+    """
+    spark = _active_spark(spark)
+    fs, jvm = _fs_for(spark, path)
+    hpath = _hpath(jvm, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        if status.isDirectory():
+            out.append(status.getPath().toString() + "/")
+    return sorted(out)
+
+
+def does_object_exist(path: str, spark: Optional[SparkSession] = None) -> bool:
+    """Ref: /root/reference/awswrangler/s3/_list.py ``does_object_exist``."""
+    spark = _active_spark(spark)
+    fs, jvm = _fs_for(spark, path)
+    return bool(fs.exists(_hpath(jvm, path)))
+
+
+def size_objects(
+    path: Any, spark: Optional[SparkSession] = None
+) -> Dict[str, Optional[int]]:
+    """Sizes in bytes, keyed by URI; prefix or explicit list.
+
+    Ref: /root/reference/awswrangler/s3/_describe.py ``size_objects``.
+    """
+    return {
+        uri: desc.get("ContentLength")
+        for uri, desc in describe_objects(path, spark=spark).items()
+    }
+
+
+def describe_objects(
+    path: Any, spark: Optional[SparkSession] = None
+) -> Dict[str, Dict[str, Any]]:
+    """Per-object metadata (size, mtime), keyed by URI.
+
+    Ref: /root/reference/awswrangler/s3/_describe.py ``describe_objects``.
+    """
+    spark = _active_spark(spark)
+    paths = [path] if isinstance(path, str) else list(path)
+    expanded: List[str] = []
+    for p in paths:
+        if isinstance(path, str):
+            expanded.extend(list_objects(p, spark=spark) or ([p] if does_object_exist(p, spark=spark) else []))
+        else:
+            expanded.append(p)
+    out: Dict[str, Dict[str, Any]] = {}
+    for p in expanded:
+        fs, jvm = _fs_for(spark, p)
+        hp = _hpath(jvm, p)
+        if not fs.exists(hp):
+            continue
+        status = fs.getFileStatus(hp)
+        out[status.getPath().toString()] = {
+            "ContentLength": status.getLen(),
+            "LastModified": status.getModificationTime() / 1000.0,
+            "IsDirectory": status.isDirectory(),
+        }
+    return out
+
+
+def delete_objects(path: Any, spark: Optional[SparkSession] = None) -> None:
+    """Delete a prefix (recursive) or an explicit list of URIs.
+
+    Ref: /root/reference/awswrangler/s3/_delete.py ``delete_objects``.
+    """
+    spark = _active_spark(spark)
+    paths = [path] if isinstance(path, str) else list(path)
+    for p in paths:
+        fs, jvm = _fs_for(spark, p)
+        hp = _hpath(jvm, p)
+        if fs.exists(hp):
+            fs.delete(hp, True)
+
+
+def copy_objects(
+    paths: List[str],
+    source_path: str,
+    target_path: str,
+    spark: Optional[SparkSession] = None,
+) -> List[str]:
+    """Copy objects under source_path to target_path, preserving suffixes.
+
+    Ref: /root/reference/awswrangler/s3/_copy.py ``copy_objects``.
+    """
+    spark = _active_spark(spark)
+    source_path = normalize_path(source_path).rstrip("/")
+    target_path = normalize_path(target_path).rstrip("/")
+    out: List[str] = []
+    for p in paths:
+        p_norm = normalize_path(p)
+        rel = _strip_scheme(p_norm)[len(_strip_scheme(source_path)):].lstrip("/")
+        if not _strip_scheme(p_norm).startswith(_strip_scheme(source_path)):
+            raise InvalidArgument(f"{p} is not under {source_path}")
+        target = f"{target_path}/{rel}"
+        fs_src, jvm = _fs_for(spark, p_norm)
+        fs_dst, _ = _fs_for(spark, target)
+        util = jvm.org.apache.hadoop.fs.FileUtil
+        fs_dst.mkdirs(_hpath(jvm, posixpath.dirname(target)))
+        util.copy(fs_src, _hpath(jvm, p_norm), fs_dst, _hpath(jvm, target), False, True, spark._jsc.hadoopConfiguration())
+        out.append(target)
+    return out
+
+
+def merge_datasets(
+    source_path: str,
+    target_path: str,
+    mode: str = "append",
+    spark: Optional[SparkSession] = None,
+) -> List[str]:
+    """Merge one dataset prefix into another (append / overwrite /
+    overwrite_partitions), preserving partition directory structure.
+
+    Ref: /root/reference/awswrangler/s3/_copy.py ``merge_datasets``.
+    """
+    spark = _active_spark(spark)
+    if mode not in ("append", "overwrite", "overwrite_partitions"):
+        raise InvalidArgument(f"invalid mode {mode}")
+    source_objects = list_objects(source_path, spark=spark)
+    if mode == "overwrite":
+        delete_objects(target_path, spark=spark)
+    elif mode == "overwrite_partitions":
+        src_root = _strip_scheme(normalize_path(source_path)).rstrip("/")
+        partition_rels = {
+            posixpath.dirname(_strip_scheme(normalize_path(p))[len(src_root):].lstrip("/"))
+            for p in source_objects
+        }
+        for rel in partition_rels:
+            if rel:
+                delete_objects(f"{target_path.rstrip('/')}/{rel}", spark=spark)
+    return copy_objects(source_objects, source_path, target_path, spark=spark)
+
+
+def wait_objects_exist(
+    paths: List[str],
+    delay: float = 0.1,
+    max_attempts: int = 10,
+    spark: Optional[SparkSession] = None,
+) -> None:
+    """Ref: /root/reference/awswrangler/s3/_wait.py ``wait_objects_exist``."""
+    _wait(paths, True, delay, max_attempts, spark)
+
+
+def wait_objects_not_exist(
+    paths: List[str],
+    delay: float = 0.1,
+    max_attempts: int = 10,
+    spark: Optional[SparkSession] = None,
+) -> None:
+    """Ref: /root/reference/awswrangler/s3/_wait.py ``wait_objects_not_exist``."""
+    _wait(paths, False, delay, max_attempts, spark)
+
+
+def _wait(
+    paths: List[str],
+    want_exist: bool,
+    delay: float,
+    max_attempts: int,
+    spark: Optional[SparkSession],
+) -> None:
+    spark = _active_spark(spark)
+    for _ in range(max_attempts):
+        states = [does_object_exist(p, spark=spark) for p in paths]
+        if all(s == want_exist for s in states):
+            return
+        time.sleep(delay)
+    raise TimeoutError(f"objects did not reach exist={want_exist}: {paths}")

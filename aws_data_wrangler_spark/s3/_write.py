@@ -1,0 +1,263 @@
+"""Dataset writers (parquet/csv/json) with Glue-style dataset semantics.
+
+Ref: /root/reference/awswrangler/s3/_write_parquet.py (``to_parquet``,
+``store_parquet_metadata``), _write_text.py (``to_csv``, ``to_json``),
+_write_dataset.py (mode handling: append | overwrite |
+overwrite_partitions).
+
+Spark-first: dataset mode maps onto ``DataFrameWriter.partitionBy`` —
+the write itself is the shuffle-free path (each task writes its own
+partition files), and ``overwrite_partitions`` is Spark's *dynamic
+partition overwrite*, which is exactly Glue/Athena partition
+replacement. Single-file (non-dataset) writes exist for API parity
+but are a driver-side convenience — the dataset path is the one that
+scales.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_data_wrangler_spark._data_types import athena2spark, athena_types_from_spark
+from aws_data_wrangler_spark.exceptions import (
+    EmptyDataFrame,
+    InvalidArgumentCombination,
+    InvalidArgumentValue,
+)
+from aws_data_wrangler_spark.s3._fs import (
+    _active_spark,
+    _fs_for,
+    _hpath,
+    delete_objects,
+    list_objects,
+    normalize_path,
+)
+
+_VALID_MODES = ("append", "overwrite", "overwrite_partitions")
+
+
+def _cast_dtype(df: DataFrame, dtype: Optional[Dict[str, str]]) -> DataFrame:
+    if not dtype:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumns({col: F.col(col).cast(athena2spark(t)) for col, t in dtype.items()})
+
+
+def _partitions_values(
+    path: str, partition_cols: List[str], spark: SparkSession
+) -> Dict[str, List[str]]:
+    """{partition_dir_uri: [values...]} for the written dataset, mirroring
+    the reference's to_parquet return payload."""
+    out: Dict[str, List[str]] = {}
+    root = normalize_path(path).rstrip("/")
+    root_schemeless = root.split("://", 1)[-1]
+    for obj in list_objects(path, spark=spark):
+        # Hadoop renders file:/x, we normalize file:///x — compare scheme-less
+        obj_schemeless = obj.split(":", 1)[-1].lstrip("/")
+        rel = obj_schemeless[len(root_schemeless.lstrip("/")):].lstrip("/")
+        parts = rel.split("/")[:-1]
+        values = [p.split("=", 1)[1] for p in parts if "=" in p]
+        if len(values) == len(partition_cols) and values:
+            out[f"{root}/{'/'.join(parts)}/"] = values
+    return out
+
+
+def _write_single_file(df: DataFrame, path: str, fmt: str, spark: SparkSession, **options: Any) -> None:
+    """Write exactly one object at ``path`` (coalesce→temp dir→rename).
+
+    Driver-side convenience for small exports, matching the reference's
+    non-dataset mode; dataset mode is the 100 TB path.
+    """
+    path = normalize_path(path)
+    tmp = f"{posixpath.dirname(path)}/.sg_tmp_{uuid.uuid4().hex}"
+    writer = df.coalesce(1).write.mode("overwrite")
+    for key, value in options.items():
+        writer = writer.option(key, value)
+    getattr(writer.format(fmt), "save")(tmp)
+    fs, jvm = _fs_for(spark, path)
+    part_files = [p for p in list_objects(tmp, spark=spark)]
+    if len(part_files) != 1:
+        raise InvalidArgumentValue(f"expected exactly one part file, got {part_files}")
+    fs.delete(_hpath(jvm, path), False)
+    fs.rename(_hpath(jvm, part_files[0]), _hpath(jvm, path))
+    delete_objects(tmp, spark=spark)
+
+
+def _write(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    dataset: bool,
+    partition_cols: Optional[List[str]],
+    mode: str,
+    database: Optional[str],
+    table: Optional[str],
+    dtype: Optional[Dict[str, str]],
+    spark: Optional[SparkSession],
+    single_file_ok: bool = True,
+    **options: Any,
+) -> Dict[str, Any]:
+    spark = _active_spark(spark)
+    if len(df.columns) == 0:
+        raise EmptyDataFrame("DataFrame has no columns")
+    if mode not in _VALID_MODES:
+        raise InvalidArgumentValue(
+            f"{mode} is an invalid mode, use append, overwrite or overwrite_partitions."
+        )
+    if not dataset and (partition_cols or database or table or mode != "append"):
+        if partition_cols or database or table:
+            raise InvalidArgumentCombination(
+                "partition_cols / database / table require dataset=True"
+            )
+    df = _cast_dtype(df, dtype)
+    path = normalize_path(path)
+
+    if not dataset:
+        _write_single_file(df, path, fmt, spark, **options)
+        return {"paths": [path], "partitions_values": {}}
+
+    partition_cols = partition_cols or []
+    writer = df.write.format(fmt)
+    for key, value in options.items():
+        writer = writer.option(key, value)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if mode == "append":
+        writer = writer.mode("append")
+    elif mode == "overwrite":
+        # full-prefix replacement: static overwrite semantics
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        writer = writer.mode("overwrite")
+    else:  # overwrite_partitions
+        # Glue-style partition replacement == Spark dynamic partition overwrite.
+        # Without partition_cols the reference degrades to full overwrite
+        # (/root/reference/awswrangler/s3/_write_dataset.py:68).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.mode("overwrite")
+    try:
+        writer.save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    paths = list_objects(path, spark=spark, suffix=None)
+    result: Dict[str, Any] = {
+        "paths": paths,
+        "partitions_values": _partitions_values(path, partition_cols, spark) if partition_cols else {},
+    }
+    if database and table:
+        from aws_data_wrangler_spark import catalog
+
+        columns_types, partitions_types = athena_types_from_spark(df, partition_cols)
+        catalog.create_table(
+            database=database,
+            table=table,
+            path=path,
+            columns_types=columns_types,
+            partitions_types=partitions_types,
+            table_format=fmt,
+            mode="overwrite" if mode == "overwrite" else "append",
+            spark=spark,
+        )
+        if partition_cols:
+            catalog.repair_table_partitions(database=database, table=table, spark=spark)
+    return result
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    dataset: bool = False,
+    partition_cols: Optional[List[str]] = None,
+    mode: str = "append",
+    database: Optional[str] = None,
+    table: Optional[str] = None,
+    dtype: Optional[Dict[str, str]] = None,
+    compression: Optional[str] = "snappy",
+    spark: Optional[SparkSession] = None,
+    **options: Any,
+) -> Dict[str, Any]:
+    """Write parquet file or partitioned dataset (+ optional catalog
+    registration). Ref: /root/reference/awswrangler/s3/_write_parquet.py
+    ``to_parquet``.
+    """
+    options.setdefault("compression", compression or "none")
+    return _write(
+        df, path, "parquet", dataset, partition_cols, mode, database, table, dtype, spark, **options
+    )
+
+
+def to_csv(
+    df: DataFrame,
+    path: str,
+    dataset: bool = False,
+    partition_cols: Optional[List[str]] = None,
+    mode: str = "append",
+    database: Optional[str] = None,
+    table: Optional[str] = None,
+    dtype: Optional[Dict[str, str]] = None,
+    sep: str = ",",
+    header: bool = True,
+    spark: Optional[SparkSession] = None,
+    **options: Any,
+) -> Dict[str, Any]:
+    """Ref: /root/reference/awswrangler/s3/_write_text.py ``to_csv``."""
+    options.setdefault("sep", sep)
+    options.setdefault("header", str(header).lower())
+    options.setdefault("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    options.setdefault("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+    return _write(
+        df, path, "csv", dataset, partition_cols, mode, database, table, dtype, spark, **options
+    )
+
+
+def to_json(
+    df: DataFrame,
+    path: str,
+    dataset: bool = False,
+    partition_cols: Optional[List[str]] = None,
+    mode: str = "append",
+    database: Optional[str] = None,
+    table: Optional[str] = None,
+    dtype: Optional[Dict[str, str]] = None,
+    spark: Optional[SparkSession] = None,
+    **options: Any,
+) -> Dict[str, Any]:
+    """Ref: /root/reference/awswrangler/s3/_write_text.py ``to_json``."""
+    return _write(
+        df, path, "json", dataset, partition_cols, mode, database, table, dtype, spark, **options
+    )
+
+
+def store_parquet_metadata(
+    path: str,
+    database: str,
+    table: str,
+    dataset: bool = True,
+    spark: Optional[SparkSession] = None,
+) -> Dict[str, Any]:
+    """Infer a parquet dataset's schema and register it in the catalog
+    (crawler-lite). Ref: /root/reference/awswrangler/s3/_write_parquet.py
+    ``store_parquet_metadata``.
+    """
+    from aws_data_wrangler_spark import catalog
+    from aws_data_wrangler_spark.s3._read import read_parquet_metadata
+
+    spark = _active_spark(spark)
+    columns_types, partitions_types = read_parquet_metadata(path, dataset=dataset, spark=spark)
+    catalog.create_parquet_table(
+        database=database,
+        table=table,
+        path=path,
+        columns_types=columns_types,
+        partitions_types=partitions_types or {},
+        mode="overwrite",
+        spark=spark,
+    )
+    if partitions_types:
+        catalog.repair_table_partitions(database=database, table=table, spark=spark)
+    return {"columns_types": columns_types, "partitions_types": partitions_types}

@@ -1,0 +1,191 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (Athena/Glue are batch); this
+module is the engine's stream-ingestion path: ``readStream`` over a
+dataset prefix (the same parquet layout the batch side writes),
+watermarked window aggregation, and stateful sessionization via
+``applyInPandasWithState``. ``availableNow`` replays the backlog as a
+bounded stream — the pattern for backfill-then-tail pipelines.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from aws_data_wrangler_spark.s3._fs import _active_spark, normalize_path
+
+
+def read_event_stream(
+    path: str,
+    schema: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+) -> DataFrame:
+    """File-source stream over a dataset prefix (new files = new data).
+
+    Schema is required by Structured Streaming; when omitted it is
+    inferred from the existing files via a one-off batch read.
+    """
+    spark = _active_spark(spark)
+    path = normalize_path(path)
+    if schema is None:
+        inferred = spark.read.parquet(path).schema
+    else:
+        inferred = schema  # DDL string accepted by .schema()
+    # FileStreamSource requires a directory: stream the parent dir with a
+    # glob filter when handed a single file
+    reader = spark.readStream.schema(inferred)
+    if path.endswith(".parquet"):
+        import posixpath
+
+        reader = reader.option("pathGlobFilter", posixpath.basename(path))
+        path = posixpath.dirname(path)
+    stream = reader.parquet(path)
+    # ns-precision parquet timestamps surface as long (nanosAsLong conf);
+    # convert so watermarks/windows see a real timestamp (integer div —
+    # float division loses µs precision at ns magnitudes)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming hypertable.
+
+    The watermark bounds state: at 100 TB/day the state store holds
+    only windows newer than (max event time − watermark); late rows
+    beyond it are dropped deterministically.
+    """
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window_duration).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            # string-typed window bound: engine-portable representation
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: Optional[str] = None, timeout_s: int = 300) -> DataFrame:
+    """Execute a streaming plan over the existing backlog
+    (``trigger(availableNow=True)``) into an in-memory sink and return
+    the materialized table. Complete-mode so windowed aggs emit
+    without waiting for watermark closure — single-batch replay
+    therefore equals the batch SQL result."""
+    spark = result.sparkSession
+    name = query_name or f"sg_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ts", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("count", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    stream: DataFrame,
+    gap_seconds: float = 1800.0,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Per-user state carries the open session; a processing-time timeout
+    flushes idle sessions. This is the template for stateful operators
+    Spark lacks natively — Arrow-batched, state bounded per key.
+    """
+
+    def fn(
+        key: Tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            start_ts, last_ts, count = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start_ts, unit="s")],
+                    "session_end": [pd.Timestamp(last_ts, unit="s")],
+                    "n_events": [count],
+                }
+            )
+            return
+        rows = pd.concat(list(batches)).sort_values(time_col)
+        ts = rows[time_col].astype("int64") / 1e9
+        if state.exists:
+            start_ts, last_ts, count = state.get
+        else:
+            start_ts, last_ts, count = float(ts.iloc[0]), float(ts.iloc[0]), 0
+        sessions = []
+        for t in ts:
+            if t - last_ts > gap_seconds:
+                sessions.append((user, start_ts, last_ts, count))
+                start_ts, count = float(t), 0
+            last_ts = float(t)
+            count += 1
+        state.update((start_ts, last_ts, count))
+        state.setTimeoutDuration(int(gap_seconds * 1000))
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [s[0] for s in sessions],
+                    "session_start": [pd.Timestamp(s[1], unit="s") for s in sessions],
+                    "session_end": [pd.Timestamp(s[2], unit="s") for s in sessions],
+                    "n_events": [s[3] for s in sessions],
+                }
+            )
+
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
