@@ -407,14 +407,17 @@ def sanitize_dataframe_columns_names(df: DataFrame) -> DataFrame:
 def drop_duplicated_columns(df: DataFrame) -> DataFrame:
     """Keep first occurrence of duplicate column names.
     Ref: /root/reference/awswrangler/catalog/_utils.py ``drop_duplicated_columns``."""
+    from pyspark.sql import functions as F
+
+    # duplicate names make name-based selection ambiguous: rename
+    # positionally first, then select + restore the first occurrence
+    tmp = df.toDF(*[f"__sg_c{i}" for i in range(len(df.columns))])
     seen: Dict[str, int] = {}
-    keep_idx = []
     for i, name in enumerate(df.columns):
-        if name not in seen:
-            seen[name] = i
-            keep_idx.append(i)
-    cols = [df[i] for i in keep_idx]
-    return df.select(*cols)
+        seen.setdefault(name, i)
+    return tmp.select(
+        *[F.col(f"__sg_c{i}").alias(name) for name, i in seen.items()]
+    )
 
 
 def extract_athena_types(df: DataFrame, partition_cols: Optional[List[str]] = None):

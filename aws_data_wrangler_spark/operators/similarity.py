@@ -107,8 +107,8 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
-    num_tables: int = 4,
+    num_planes: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:

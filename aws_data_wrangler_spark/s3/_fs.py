@@ -12,6 +12,7 @@ second credential path to manage.
 from __future__ import annotations
 
 import posixpath
+import re
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -31,9 +32,16 @@ def _active_spark(spark: Optional[SparkSession] = None) -> SparkSession:
     return get_spark()
 
 
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/")
+
+
 def normalize_path(path: str) -> str:
-    """Qualify a bare local path with file:// so URIs are unambiguous."""
-    if "://" not in path:
+    """Qualify a bare local path with file:// so URIs are unambiguous.
+
+    Accepts both URI spellings Hadoop produces (``file:/x`` and
+    ``file:///x``) untouched.
+    """
+    if not _SCHEME_RE.match(path):
         return f"file://{posixpath.abspath(path)}"
     return path
 
@@ -52,7 +60,8 @@ def _hpath(jvm: Any, path: str) -> Any:
 
 
 def _strip_scheme(uri: str) -> str:
-    return uri.split("://", 1)[-1] if "://" in uri else uri
+    """Drop the scheme, tolerating both ``file:/x`` and ``file:///x``."""
+    return re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", uri)
 
 
 def list_objects(

@@ -1,0 +1,73 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect) — the number measures the distributed plan, not
+pandas conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q18_large_orders",
+    "topk_customers_window",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from aws_data_wrangler_spark import get_spark
+    from aws_data_wrangler_spark.plans import QUERIES
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths so per-query numbers measure the plans
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        start = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.time() - start, 3)
+        timings[name] = elapsed
+        total += elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

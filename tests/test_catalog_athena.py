@@ -1,0 +1,108 @@
+"""catalog + athena modules — modeled on /root/reference/tests/test_athena*.py
+(register dataset → SQL read-back → partition ops)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_data_wrangler_spark import athena, catalog, s3
+from aws_data_wrangler_spark.exceptions import QueryFailed
+
+
+@pytest.fixture()
+def registered_table(spark, lineitem, tmp_prefix):
+    db, tbl = "sg_cat_test", "li"
+    out = f"{tmp_prefix}/li"
+    s3.to_parquet(
+        lineitem, out, dataset=True, partition_cols=["l_returnflag"],
+        mode="overwrite", database=db, table=tbl,
+    )
+    yield db, tbl, out
+    catalog.delete_database(db)
+
+
+class TestCatalog:
+    def test_create_and_read_back(self, spark, registered_table, lineitem):
+        db, tbl, _ = registered_table
+        assert catalog.does_table_exist(db, tbl)
+        back = athena.read_sql_table(tbl, db)
+        assert back.count() == lineitem.count()
+
+    def test_partitions(self, spark, registered_table):
+        db, tbl, _ = registered_table
+        parts = catalog.get_partitions(db, tbl)
+        values = sorted(v[0] for v in parts.values())
+        assert values == ["A", "N", "R"]
+
+    def test_delete_partitions(self, spark, registered_table):
+        db, tbl, _ = registered_table
+        catalog.delete_partitions(db, tbl, [["A"]])
+        assert sorted(v[0] for v in catalog.get_partitions(db, tbl).values()) == ["N", "R"]
+        deleted = catalog.delete_all_partitions(db, tbl)
+        assert len(deleted) == 2
+        assert catalog.get_partitions(db, tbl) == {}
+        # MSCK re-discovers the directory layout
+        catalog.repair_table_partitions(db, tbl)
+        assert len(catalog.get_partitions(db, tbl)) == 3
+
+    def test_table_metadata(self, spark, registered_table):
+        db, tbl, out = registered_table
+        types = catalog.get_table_types(db, tbl)
+        assert types["l_orderkey"] == "bigint"
+        assert types["l_returnflag"] == "string"
+        location = catalog.get_table_location(db, tbl)
+        assert location.rstrip("/").endswith(out.split("/")[-1])
+        desc = catalog.table(db, tbl)
+        assert desc.filter("partition = true").count() == 1
+
+    def test_table_parameters(self, spark, registered_table):
+        db, tbl, _ = registered_table
+        # note: "owner"/"location"/"provider" are reserved in Spark DDL
+        catalog.upsert_table_parameters({"team": "graft", "stage": "raw"}, db, tbl)
+        params = catalog.get_table_parameters(db, tbl)
+        assert params["team"] == "graft"
+        catalog.overwrite_table_parameters({"team": "other"}, db, tbl)
+        params = catalog.get_table_parameters(db, tbl)
+        assert params["team"] == "other" and "stage" not in params
+
+    def test_databases_tables_search(self, spark, registered_table):
+        db, tbl, _ = registered_table
+        assert db in catalog.get_databases()
+        assert tbl in catalog.get_tables(db)
+        assert f"{db}.{tbl}" in catalog.search_tables("li")
+
+    def test_sanitize(self):
+        assert catalog.sanitize_column_name("My Col-Name!") == "my_col_name"
+        assert catalog.sanitize_table_name("CamelCase") == "camel_case"
+
+    def test_drop_duplicated_columns(self, spark):
+        df = spark.createDataFrame([(1, 2)], ["a", "b"]).toDF("a", "a")
+        assert catalog.drop_duplicated_columns(df).columns == ["a"]
+
+
+class TestAthena:
+    def test_read_sql_query(self, spark, registered_table):
+        db, tbl, _ = registered_table
+        out = athena.read_sql_query(f"SELECT count(*) AS n FROM {tbl}", database=db)
+        assert out.collect()[0]["n"] > 0
+        spark.catalog.setCurrentDatabase("default")
+
+    def test_query_lifecycle_failure(self, spark):
+        qid = athena.start_query_execution("SELECT * FROM definitely_missing_xyz")
+        assert athena.get_query_execution(qid)["State"] == "FAILED"
+        with pytest.raises(QueryFailed):
+            athena.wait_query(qid)
+
+    def test_show_create_and_describe(self, spark, registered_table):
+        db, tbl, _ = registered_table
+        ddl = athena.show_create_table(tbl, db)
+        assert "CREATE TABLE" in ddl
+        assert athena.describe_table(tbl, db).count() > 0
+
+    def test_store_parquet_metadata(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/meta"
+        s3.to_parquet(lineitem, out, dataset=True, partition_cols=["l_linestatus"], mode="overwrite")
+        res = s3.store_parquet_metadata(out, database="sg_cat_test2", table="li2")
+        assert res["partitions_types"] == {"l_linestatus": "string"}
+        assert athena.read_sql_table("li2", "sg_cat_test2").count() == lineitem.count()
+        catalog.delete_database("sg_cat_test2")

@@ -1,0 +1,158 @@
+"""Operator semantics + recall tests for approximate variants —
+SURVEY.md §5 items 2–3."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark.operators import dedup, multimodal, similarity, text
+
+
+class TestDedup:
+    def test_exact_dedup_with_planted_duplicates(self, spark, documents):
+        # plant duplicates: append copies of 5 docs with new ids
+        copies = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+        corpus = documents.unionByName(copies)
+        groups = dedup.exact_duplicates(corpus)
+        dup_groups = groups.filter("dup_cnt > 1")
+        assert dup_groups.count() == 5
+        # representative = min id = the original
+        assert dup_groups.filter("keep_id >= 100000").count() == 0
+        kept = dedup.dedup_exact(corpus)
+        assert kept.count() == documents.count()
+
+    def test_ngram_jaccard_identical_docs_score_one(self, spark, documents):
+        copies = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+        corpus = documents.limit(3).unionByName(copies)
+        pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.99)
+        rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        for (a, b), j in rows.items():
+            assert b == a + 100000
+            assert j == 1.0
+        assert len(rows) == 3
+
+    def test_minhash_lsh_recall_vs_exact(self, spark, documents):
+        exact = dedup.ngram_jaccard_pairs(documents, threshold=0.8)
+        lsh = dedup.minhash_lsh_pairs(documents, num_hashes=64, bands=32, threshold=0.8)
+        exact_set = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        lsh_set = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+        assert lsh_set <= exact_set or lsh_set == exact_set  # precision 1.0 (verified)
+        if exact_set:
+            recall = len(lsh_set & exact_set) / len(exact_set)
+            assert recall >= 0.95
+
+    def test_simhash_finds_identical_docs(self, spark, documents):
+        copies = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+        corpus = documents.limit(50).unionByName(copies)
+        pairs = dedup.simhash_pairs(corpus, max_hamming=3)
+        found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        for i in range(3):
+            assert any(a == i and b == i + 100000 for a, b in found)
+
+    def test_embedding_near_dup_planted(self, spark, embeddings):
+        twin = embeddings.limit(2).withColumn("vec_id", F.col("vec_id") + 100000)
+        corpus = embeddings.unionByName(twin)
+        pairs = dedup.embedding_near_dup_pairs(corpus, threshold=0.999)
+        found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 100000) in found and (1, 100001) in found
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_shape_and_determinism(self, spark, embeddings):
+        queries = embeddings.filter("vec_id < 5")
+        a = similarity.cosine_topk(embeddings, queries, k=3).collect()
+        b = similarity.cosine_topk(embeddings, queries, k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        per_query = {}
+        for row in a:
+            per_query.setdefault(row["query_id"], []).append(row["rank"])
+        assert all(sorted(v) == [1, 2, 3] for v in per_query.values())
+
+    def test_planted_twin_is_top1(self, spark, embeddings):
+        twin = embeddings.filter("vec_id = 7").withColumn("vec_id", F.lit(999999).cast("bigint"))
+        corpus = embeddings.unionByName(twin)
+        queries = embeddings.filter("vec_id = 7")
+        top = similarity.cosine_topk(corpus, queries, k=1).collect()[0]
+        assert top["neighbor_id"] == 999999
+        assert top["cosine"] >= 0.999999
+
+    def test_lsh_recall(self, spark, embeddings):
+        queries = embeddings.filter("vec_id < 10")
+        exact = similarity.cosine_topk(embeddings, queries, k=5)
+        approx = similarity.lsh_topk(embeddings, queries, k=5, num_tables=8, num_planes=4)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        # random 64-dim data: neighbors sit at cosine ~0.3-0.5, the hard
+        # regime for hyperplane LSH; 8x4-bit tables ⇒ modest recall
+        assert len(a & e) / len(e) >= 0.4
+
+    def test_ivf_recall(self, spark, embeddings):
+        queries = embeddings.filter("vec_id < 10")
+        exact = similarity.cosine_topk(embeddings, queries, k=5)
+        approx = similarity.ivf_topk(embeddings, queries, k=5, nprobe=8, num_centroids=16)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        assert len(a & e) / len(e) >= 0.6
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, "  a  b  "), (4, "x1, y2!")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in text.with_token_counts(df).collect()}
+        assert rows[1] == (2, 2)
+        assert rows[2] == (0, 0)
+        assert rows[3][0] == 2
+        assert rows[4] == (2, 6)  # x,1,",",y,2,"!"
+
+    def test_quality_score_bounds(self, spark, documents):
+        scored = text.with_quality_score(documents)
+        bad = scored.filter("quality_score < 0 OR quality_score > 1").count()
+        assert bad == 0
+
+    def test_lang_id_deterministic_markers(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog is that"), (2, "el perro es que la casa los")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(df).collect()}
+        assert rows[1] == "en"
+        assert rows[2] == "es"
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "HELLO world"), (3, "different")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["fingerprint"] for r in text.with_fingerprint(df).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, spark, documents):
+        media = multimodal.attach_binary_payload(documents.limit(20))
+        decoded = multimodal.decode_media(media)
+        rows = decoded.collect()
+        assert len(rows) == 20
+        for row in rows:
+            assert 64 <= row["width"] <= 256 and 64 <= row["height"] <= 256
+            assert len(row["feature"]) == 8
+            assert row["size_bytes"] > 0
+
+    def test_decode_deterministic(self, spark, documents):
+        media = multimodal.attach_binary_payload(documents.limit(5))
+        a = sorted(map(tuple, multimodal.decode_media(media).collect()))
+        b = sorted(map(tuple, multimodal.decode_media(media).collect()))
+        assert a == b
+
+    def test_resize_and_frames(self, spark, documents):
+        media = multimodal.attach_binary_payload(documents.limit(5))
+        decoded = multimodal.resize_stub(multimodal.decode_media(media), target=224)
+        for row in decoded.collect():
+            assert min(row["resized_width"], row["resized_height"]) == 224
+        frames = multimodal.frame_sample_plan(decoded, fps=1.0)
+        assert frames.count() >= 5

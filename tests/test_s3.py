@@ -1,0 +1,132 @@
+"""s3 module round-trips — modeled on the reference's test strategy
+(/root/reference/tests/test_s3_parquet.py, test_s3_text.py, test_fs.py):
+write dataset → read back → frame equality, across modes/partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark import s3
+
+
+def _sum_qty(df):
+    return df.agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0]["s"]
+
+
+class TestParquetDataset:
+    def test_roundtrip_partitioned(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/ds"
+        res = s3.to_parquet(
+            lineitem, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite"
+        )
+        assert len(res["paths"]) >= 3
+        assert set(len(v) for v in res["partitions_values"].values()) == {1}
+        back = s3.read_parquet(out, dataset=True)
+        assert back.count() == lineitem.count()
+        assert _sum_qty(back) == _sum_qty(lineitem)
+
+    def test_append_mode(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/ds"
+        sample = lineitem.limit(100)
+        s3.to_parquet(sample, out, dataset=True, mode="overwrite")
+        s3.to_parquet(sample, out, dataset=True, mode="append")
+        assert s3.read_parquet(out, dataset=True).count() == 200
+
+    def test_overwrite_partitions_replaces_only_touched(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/ds"
+        s3.to_parquet(lineitem, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite")
+        patch = lineitem.filter(F.col("l_returnflag") == "R").limit(10)
+        s3.to_parquet(patch, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite_partitions")
+        back = s3.read_parquet(out, dataset=True)
+        n_r = back.filter(F.col("l_returnflag") == "R").count()
+        n_other = back.filter(F.col("l_returnflag") != "R").count()
+        assert n_r == 10
+        assert n_other == lineitem.filter(F.col("l_returnflag") != "R").count()
+
+    def test_invalid_mode_raises(self, spark, lineitem, tmp_prefix):
+        from aws_data_wrangler_spark.exceptions import InvalidArgumentValue
+
+        with pytest.raises(InvalidArgumentValue):
+            s3.to_parquet(lineitem, f"{tmp_prefix}/x", dataset=True, mode="bogus")
+
+    def test_single_file_write(self, spark, lineitem, tmp_prefix):
+        path = f"{tmp_prefix}/one.parquet"
+        s3.to_parquet(lineitem.limit(5), path)
+        assert s3.does_object_exist(path)
+        assert s3.read_parquet(path).count() == 5
+
+    def test_filters_pushdown_and_projection(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/ds"
+        s3.to_parquet(lineitem, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite")
+        df = s3.read_parquet(out, dataset=True, columns=["l_orderkey", "l_returnflag"], filters="l_returnflag = 'R'")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert df.columns == ["l_orderkey", "l_returnflag"]
+
+    def test_read_parquet_metadata(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/ds"
+        s3.to_parquet(lineitem, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite")
+        cols, parts = s3.read_parquet_metadata(out, dataset=True)
+        assert cols["l_orderkey"] == "bigint"
+        assert parts == {"l_returnflag": "string"}
+
+    def test_dtype_cast(self, spark, lineitem, tmp_prefix):
+        path = f"{tmp_prefix}/cast"
+        s3.to_parquet(
+            lineitem.limit(10), path, dataset=True, mode="overwrite",
+            dtype={"l_quantity": "decimal(10,2)"},
+        )
+        back = s3.read_parquet(path, dataset=True)
+        assert dict(back.dtypes)["l_quantity"] == "decimal(10,2)"
+
+
+class TestTextFormats:
+    def test_csv_roundtrip(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/csv"
+        sample = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(50)
+        s3.to_csv(sample, out, dataset=True, mode="overwrite")
+        back = s3.read_csv(out, dataset=True)
+        assert back.count() == 50
+        assert set(back.columns) == {"l_orderkey", "l_quantity", "l_returnflag"}
+
+    def test_json_roundtrip(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/json"
+        s3.to_json(lineitem.limit(20), out, dataset=True, mode="overwrite")
+        assert s3.read_json(out, dataset=True).count() == 20
+
+    def test_fwf(self, spark, tmp_prefix):
+        path = f"{tmp_prefix}/data.txt"
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write("001alpha  10\n002beta   20\n")
+        df = s3.read_fwf(path, widths=[3, 7, 3], names=["id", "name", "val"], dtype={"id": "int", "val": "int"})
+        rows = {r["id"]: (r["name"], r["val"]) for r in df.collect()}
+        assert rows == {1: ("alpha", 10), 2: ("beta", 20)}
+
+
+class TestObjectOps:
+    def test_list_delete_exist(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/objs"
+        s3.to_parquet(lineitem.limit(10), out, dataset=True, mode="overwrite")
+        objs = s3.list_objects(out)
+        assert objs and all(o.endswith(".parquet") for o in objs)
+        assert s3.does_object_exist(objs[0])
+        sizes = s3.size_objects(out)
+        assert all(v > 0 for v in sizes.values())
+        s3.delete_objects(out)
+        assert s3.list_objects(out) == []
+
+    def test_copy_and_merge(self, spark, lineitem, tmp_prefix):
+        src, dst = f"{tmp_prefix}/src", f"{tmp_prefix}/dst"
+        s3.to_parquet(lineitem.limit(10), src, dataset=True, partition_cols=["l_returnflag"], mode="overwrite")
+        copied = s3.merge_datasets(src, dst, mode="append")
+        assert len(copied) == len(s3.list_objects(src))
+        assert s3.read_parquet(dst, dataset=True).count() == 10
+
+    def test_wait_objects(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/w"
+        s3.to_parquet(lineitem.limit(1), out, dataset=True, mode="overwrite")
+        objs = s3.list_objects(out)
+        s3.wait_objects_exist(objs)
+        with pytest.raises(TimeoutError):
+            s3.wait_objects_not_exist(objs, delay=0.01, max_attempts=2)
