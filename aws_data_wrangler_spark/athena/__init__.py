@@ -28,6 +28,7 @@ __all__ = [
     "read_sql_query",
     "read_sql_table",
     "create_athena_bucket",
+    "create_ctas_table",
     "describe_table",
     "get_query_columns_types",
     "get_query_execution",
@@ -147,6 +148,30 @@ def get_query_columns_types(query_execution_id: str, **_: Any) -> Dict[str, str]
     Ref: awswrangler/athena/_utils.py:get_query_columns_types."""
     schema = _EXECUTIONS[query_execution_id]["Schema"]
     return {f.name: spark2athena(f.dataType) for f in schema.fields}
+
+
+def create_ctas_table(
+    sql: str,
+    database: str,
+    table: str,
+    path: Optional[str] = None,
+    params: Optional[Dict[str, Any]] = None,
+    spark: Optional[SparkSession] = None,
+) -> None:
+    """CREATE TABLE AS SELECT — the engine behind the reference's
+    ``ctas_approach`` (awswrangler/athena/_read.py materializes query
+    results as a parquet table). With ``path`` the table is external
+    (data at the given prefix); without, it is catalog-managed.
+    """
+    from aws_data_wrangler_spark.s3._fs import normalize_path
+
+    spark = _active_spark(spark)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
+    location = f" LOCATION '{normalize_path(path)}'" if path else ""
+    spark.sql(
+        f"CREATE TABLE `{database}`.`{table}` USING PARQUET{location} AS "
+        + _apply_params(sql, params)
+    )
 
 
 def repair_table(

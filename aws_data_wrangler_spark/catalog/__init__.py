@@ -11,7 +11,7 @@ the athena module.
 from __future__ import annotations
 
 import itertools
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional  # noqa: F401
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,7 +40,10 @@ __all__ = [
     "drop_duplicated_columns",
     "extract_athena_types",
     "get_columns_comments",
+    "get_connection",
     "get_csv_partitions",
+    "get_engine",
+    "register_connection",
     "get_databases",
     "get_parquet_partitions",
     "get_partitions",
@@ -384,6 +387,45 @@ def delete_all_partitions(database: str, table: str, spark: Optional[SparkSessio
 def repair_table_partitions(database: str, table: str, spark: Optional[SparkSession] = None) -> None:
     """MSCK REPAIR — discover hive-layout partition dirs into the catalog."""
     _active_spark(spark).sql(f"MSCK REPAIR TABLE {_qualified(database, table)}")
+
+
+# ------------------------------------------------------------- connections
+# The reference resolves named connections from the Glue catalog
+# (awswrangler/catalog/_get.py ``get_connection`` / ``get_engine``);
+# outside AWS the registry is process-local.
+
+_CONNECTIONS: Dict[str, Dict[str, Any]] = {}
+
+
+def register_connection(
+    name: str,
+    db_type: str,
+    host: str = "localhost",
+    port: Optional[int] = None,
+    database: str = "",
+    user: str = "",
+    password: str = "",
+) -> None:
+    """Store a named connection (Glue-connection analog)."""
+    _CONNECTIONS[name] = {
+        "db_type": db_type, "host": host, "port": port,
+        "database": database, "user": user, "password": password,
+    }
+
+
+def get_connection(name: str) -> Dict[str, Any]:
+    """Ref: awswrangler/catalog/_get.py ``get_connection``."""
+    if name not in _CONNECTIONS:
+        raise InvalidArgumentValue(f"unknown connection {name}")
+    return dict(_CONNECTIONS[name])
+
+
+def get_engine(connection: str, **overrides: Any):
+    """Named connection → db.Engine. Ref: awswrangler/catalog/_get.py ``get_engine``."""
+    from aws_data_wrangler_spark import db
+
+    params = {**get_connection(connection), **overrides}
+    return db.get_engine(**params)
 
 
 # ------------------------------------------------------------------- utils

@@ -155,9 +155,10 @@ ORACLES: Dict[str, str] = {
         ORDER BY content_hash
     """,
     "dedup_ngram_jaccard": _NGRAM_JACCARD.format(threshold=0.5),
-    # MinHash-LSH verifies candidates with exact Jaccard; at 32 bands /
-    # 2 rows the miss probability at j≥0.8 is (1-0.64)^32 ≈ 1e-14, so
-    # the output equals the exact-Jaccard miner at the same threshold.
+    # MinHash-LSH verifies candidates with exact Jaccard; at 16 bands /
+    # 4 rows the capture probability at j≥0.8 is 1-(1-0.41)^16 ≈ 0.9998
+    # (and 1.0 for exact duplicates), so the output equals the
+    # exact-Jaccard miner at the same threshold on this data.
     "dedup_minhash_lsh": _NGRAM_JACCARD.format(threshold=0.8),
     "dedup_embedding_cosine": f"""
         WITH scored AS (
@@ -241,7 +242,7 @@ ORACLES: Dict[str, str] = {
     "streaming_hourly_rollup": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                count(*) AS n_events,
-               round(sum(value), 6) AS sum_value,
+               round(sum(value), 2) AS sum_value,
                round(avg(value), 6) AS avg_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type

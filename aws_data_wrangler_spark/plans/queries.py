@@ -10,10 +10,14 @@ Operator queries (dedup / similarity / text / multimodal / streaming /
 IO round-trips) exercise the DataFrame-level APIs; their oracles are
 independent DuckDB re-implementations in plans/oracles.py.
 
-Float discipline: every aggregate is ``round()``-ed (2dp for money
-sums, 4–6dp for ratios) because distributed summation order differs
-between engines; per-row arithmetic is left exact (both engines are
-IEEE-754 sequential).
+Float discipline: every aggregate is ``round()``-ed AT the value's
+intrinsic decimal grid — 2dp for sums of 2dp prices, 4dp after
+``*(1-disc)``, 6dp after ``*(1+tax)`` — never below it. Distributed
+summation order differs between engines by ~1e-9; rounding at the
+grid keeps boundaries 5×10^-(d+1) away from values, while rounding
+below the grid lands exactly on round-half boundaries where engine
+implementations disagree. Per-row float outputs use floor-truncation
+(``functions.trunc_digits``) instead.
 """
 
 from __future__ import annotations
@@ -50,6 +54,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + spread over all cores.
+
+    The test tables are single-row-group parquet files, so a bare scan
+    is one task; CPU-heavy per-row operators (regex, hashing, vector
+    math) would run single-threaded. A round-robin repartition costs a
+    tiny shuffle (MBs) and buys full parallelism — the same move you'd
+    make on a cluster when the input is a few large objects.
+    """
+    return load(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Expose the test tables to the SQL engine as temp views."""
     for name in TABLES:
@@ -66,8 +82,8 @@ ANALYTICS_SQL: Dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
@@ -80,7 +96,7 @@ ANALYTICS_SQL: Dict[str, str] = {
     # TPC-H Q3 (shipping priority)
     "q3_shipping_priority": """
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
                CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -106,7 +122,7 @@ ANALYTICS_SQL: Dict[str, str] = {
     # TPC-H Q5 (local supplier volume)
     "q5_local_supplier_volume": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -122,17 +138,116 @@ ANALYTICS_SQL: Dict[str, str] = {
     """,
     # TPC-H Q6 (forecasting revenue change)
     "q6_revenue_forecast": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """,
+    # TPC-H Q7 (volume shipping between two nations)
+    "q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(extract(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey
+              AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                 AND TIMESTAMP '1996-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    # TPC-H Q8 (national market share)
+    "q8_market_share": """
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (
+            SELECT CAST(extract(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+            WHERE p_partkey = l_partkey
+              AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey
+              AND r_name = 'AMERICA'
+              AND s_nationkey = n2.n_nationkey
+              AND p_type = 'STANDARD'
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                  AND TIMESTAMP '1996-12-31 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    # TPC-H Q12 (shipping priority classes; adapted — no l_shipmode column)
+    "q12_priority_class": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    # TPC-H Q15 (top supplier by quarterly revenue)
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    # TPC-H Q17 (small-quantity-order revenue; correlated scalar subquery)
+    "q17_small_quantity": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    # TPC-H Q22 (low-activity high-balance customers; adapted — every
+    # customer in this data has orders, so "no orders" becomes a
+    # correlated order-count threshold)
+    "q22_idle_customers": """
+        SELECT n_name, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer, nation
+        WHERE c_nationkey = n_nationkey
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) <= 8
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
     # TPC-H Q10 (returned items)
     "q10_returned_items": """
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
                c_acctbal, n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey
@@ -172,7 +287,7 @@ ANALYTICS_SQL: Dict[str, str] = {
     """,
     # TPC-H Q19 (discounted revenue), OR-of-ANDs predicate
     "q19_discount_revenue": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         FROM lineitem, part
         WHERE p_partkey = l_partkey
           AND ((p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -200,7 +315,7 @@ ANALYTICS_SQL: Dict[str, str] = {
     "events_hourly_rollup": """
         SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, event_type,
                count(*) AS n_events,
-               round(sum(value), 4) AS sum_value,
+               round(sum(value), 2) AS sum_value,
                round(avg(value), 6) AS avg_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
@@ -376,13 +491,13 @@ def _logs_insights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
-    return dedup.exact_duplicates(load(spark, sf_dir, "documents")).orderBy("content_hash")
+    return dedup.exact_duplicates(load_parallel(spark, sf_dir, "documents")).orderBy("content_hash")
 
 
 def _dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
-    return dedup.exact_duplicates(load(spark, sf_dir, "documents"), normalize=True).orderBy(
+    return dedup.exact_duplicates(load_parallel(spark, sf_dir, "documents"), normalize=True).orderBy(
         "content_hash"
     )
 
@@ -391,22 +506,25 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
     return dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5
+        load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
+    # 16 bands x 4 rows: P(candidate | j=0.8) = 1-(1-0.41)^16 ≈ 0.9998,
+    # P(candidate | j=0.1) ≈ 0.0016 — keeps the verify join tiny while
+    # near-dup recall stays ~1 (exact dups are always caught)
     return dedup.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=32, threshold=0.8
+        load_parallel(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, threshold=0.8
     ).orderBy("id_a", "id_b")
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
-    return dedup.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+    return dedup.simhash_pairs(load_parallel(spark, sf_dir, "documents"), max_hamming=3).orderBy(
         "id_a", "id_b"
     )
 
@@ -415,14 +533,14 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
     return dedup.embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.4
+        load_parallel(spark, sf_dir, "embeddings"), threshold=0.4
     ).orderBy("id_a", "id_b")
 
 
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
@@ -430,7 +548,7 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
@@ -438,7 +556,7 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, nprobe=4, num_centroids=16).orderBy(
         "query_id", "rank"
@@ -448,7 +566,7 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
-    return text.with_token_counts(load(spark, sf_dir, "documents")).select(
+    return text.with_token_counts(load_parallel(spark, sf_dir, "documents")).select(
         "doc_id", "ws_tokens", "bpe_tokens"
     ).orderBy("doc_id")
 
@@ -456,7 +574,7 @@ def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
-    return text.with_quality_score(load(spark, sf_dir, "documents")).select(
+    return text.with_quality_score(load_parallel(spark, sf_dir, "documents")).select(
         "doc_id", "n_chars_q", "ws_tokens", "punct_ratio", "stopword_ratio",
         "mean_word_len", "quality_score",
     ).orderBy("doc_id")
@@ -465,7 +583,7 @@ def _text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
-    return text.with_lang_id(load(spark, sf_dir, "documents")).select(
+    return text.with_lang_id(load_parallel(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "lang_pred", "lang_score"
     ).orderBy("doc_id")
 
@@ -473,7 +591,7 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
-    return text.with_fingerprint(load(spark, sf_dir, "documents")).select(
+    return text.with_fingerprint(load_parallel(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
     ).orderBy("doc_id")
 
@@ -481,7 +599,7 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import multimodal
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs)
     decoded = multimodal.decode_media(media)
     return multimodal.resize_stub(decoded).select(

@@ -74,7 +74,7 @@ def windowed_rollup(
         .groupBy(F.window(F.col(time_col), window_duration).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
             F.round(F.avg(value_col), 6).alias("avg_value"),
         )
         .select(
@@ -138,43 +138,48 @@ def sessionize_stateful(
     Spark lacks natively — Arrow-batched, state bounded per key.
     """
 
+    gap_us = gap_seconds * 1e6
+
     def fn(
         key: Tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # timestamps handled as integer microseconds end-to-end: float
+        # *seconds* leave ns residue that overflows Arrow's us cast;
+        # µs fits exactly in the double-typed state (< 2^53)
         (user,) = key
         if state.hasTimedOut:
-            start_ts, last_ts, count = state.get
+            start_us, last_us, count = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [user],
-                    "session_start": [pd.Timestamp(start_ts, unit="s")],
-                    "session_end": [pd.Timestamp(last_ts, unit="s")],
+                    "session_start": [pd.Timestamp(int(start_us), unit="us")],
+                    "session_end": [pd.Timestamp(int(last_us), unit="us")],
                     "n_events": [count],
                 }
             )
             return
         rows = pd.concat(list(batches)).sort_values(time_col)
-        ts = rows[time_col].astype("int64") / 1e9
+        ts_us = rows[time_col].astype("int64") // 1000
         if state.exists:
-            start_ts, last_ts, count = state.get
+            start_us, last_us, count = state.get
         else:
-            start_ts, last_ts, count = float(ts.iloc[0]), float(ts.iloc[0]), 0
+            start_us, last_us, count = float(ts_us.iloc[0]), float(ts_us.iloc[0]), 0
         sessions = []
-        for t in ts:
-            if t - last_ts > gap_seconds:
-                sessions.append((user, start_ts, last_ts, count))
-                start_ts, count = float(t), 0
-            last_ts = float(t)
+        for t in ts_us:
+            if t - last_us > gap_us:
+                sessions.append((user, start_us, last_us, count))
+                start_us, count = float(t), 0
+            last_us = float(t)
             count += 1
-        state.update((start_ts, last_ts, count))
+        state.update((start_us, last_us, count))
         state.setTimeoutDuration(int(gap_seconds * 1000))
         if sessions:
             yield pd.DataFrame(
                 {
                     "user_id": [s[0] for s in sessions],
-                    "session_start": [pd.Timestamp(s[1], unit="s") for s in sessions],
-                    "session_end": [pd.Timestamp(s[2], unit="s") for s in sessions],
+                    "session_start": [pd.Timestamp(int(s[1]), unit="us") for s in sessions],
+                    "session_end": [pd.Timestamp(int(s[2]), unit="us") for s in sessions],
                     "n_events": [s[3] for s in sessions],
                 }
             )

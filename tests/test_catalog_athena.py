@@ -99,6 +99,23 @@ class TestAthena:
         assert "CREATE TABLE" in ddl
         assert athena.describe_table(tbl, db).count() > 0
 
+    def test_ctas(self, spark, registered_table, tmp_prefix):
+        db, tbl, _ = registered_table
+        athena.create_ctas_table(
+            f"SELECT l_returnflag, count(*) AS n FROM {db}.{tbl} GROUP BY l_returnflag",
+            database=db, table="ctas_out", path=f"{tmp_prefix}/ctas",
+        )
+        out = athena.read_sql_table("ctas_out", db)
+        assert out.count() == 3
+        assert set(out.columns) == {"l_returnflag", "n"}
+
+    def test_connection_registry(self):
+        catalog.register_connection("warehouse", "postgresql", host="h", database="d")
+        conn = catalog.get_connection("warehouse")
+        assert conn["db_type"] == "postgresql"
+        engine = catalog.get_engine("warehouse")
+        assert engine.url == "jdbc:postgresql://h:5432/d"
+
     def test_store_parquet_metadata(self, spark, lineitem, tmp_prefix):
         out = f"{tmp_prefix}/meta"
         s3.to_parquet(lineitem, out, dataset=True, partition_cols=["l_linestatus"], mode="overwrite")

@@ -1,0 +1,145 @@
+"""cloudwatch / emr / db / sts / config / data-types modules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from aws_data_wrangler_spark import cloudwatch, db, emr, sts
+from aws_data_wrangler_spark._config import config
+from aws_data_wrangler_spark._data_types import athena2spark, sanitize_name, spark2athena
+from aws_data_wrangler_spark.exceptions import InvalidArgument, QueryFailed
+
+
+class TestCloudwatch:
+    def test_run_query_pipeline(self, spark, events):
+        events.createOrReplaceTempView("cw_events")
+        out = cloudwatch.run_query(
+            "filter event_type = 'error' | stats count(*) AS n by user_id | sort n desc | limit 5",
+            "cw_events",
+            spark=spark,
+        )
+        rows = out.collect()
+        assert len(rows) <= 5
+        assert rows == sorted(rows, key=lambda r: -r["n"])
+
+    def test_fields_and_parse(self, spark, events):
+        events.createOrReplaceTempView("cw_events")
+        out = cloudwatch.read_logs(
+            "fields event_id, props | parse props /\"k\": (\\d+)/ as k_val | limit 3",
+            "cw_events",
+            spark=spark,
+        )
+        rows = out.collect()
+        assert len(rows) == 3
+        assert all(r["k_val"].isdigit() for r in rows)
+
+    def test_time_range_filter(self, spark, events):
+        import datetime
+
+        bounds = events.selectExpr("min(ts) AS lo", "max(ts) AS hi").collect()[0]
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+        out = cloudwatch.run_query(
+            "stats count(*) AS n", "cw_events",
+            start_time=mid, spark=spark,
+        )
+        n_after = out.collect()[0]["n"]
+        assert 0 < n_after < events.count()
+
+    def test_unknown_stage_fails(self, spark, events):
+        events.createOrReplaceTempView("cw_events")
+        qid = cloudwatch.start_query("frobnicate x", "cw_events", spark=spark)
+        with pytest.raises(QueryFailed):
+            cloudwatch.wait_query(qid)
+
+
+class TestEmr:
+    def test_cluster_and_sql_step(self, spark):
+        cid = emr.create_cluster("test-cluster", spark=spark)
+        assert emr.get_cluster_state(cid) == "WAITING"
+        sid = emr.submit_step(cid, command="SELECT 41 + 1 AS answer")
+        assert emr.get_step_state(cid, sid) == "COMPLETED"
+        sid2 = emr.submit_step(cid, command="SELECT * FROM missing_tbl_xyz")
+        assert emr.get_step_state(cid, sid2) == "FAILED"
+        emr.terminate_cluster(cid)
+        assert emr.get_cluster_state(cid) == "TERMINATED"
+        with pytest.raises(InvalidArgument):
+            emr.submit_step(cid, command="SELECT 1")
+
+    def test_pyfile_step(self, spark, tmp_prefix):
+        path = f"{tmp_prefix}/step.py"
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write("spark.sql('SELECT 1').collect()\n")
+        cid = emr.create_cluster(spark=spark)
+        sid = emr.submit_spark_step(cid, path)
+        assert emr.get_step_state(cid, sid) == "COMPLETED"
+
+
+class TestDb:
+    def test_spark_catalog_engine_roundtrip(self, spark, lineitem):
+        con = db.get_engine("spark-catalog", database="sg_db_test")
+        db.to_sql(lineitem.limit(50), con, "li_copy", if_exists="replace")
+        back = db.read_sql_table("li_copy", con)
+        assert back.count() == 50
+        out = db.read_sql_query("SELECT count(*) AS n FROM li_copy", con)
+        assert out.collect()[0]["n"] == 50
+        spark.sql("DROP DATABASE IF EXISTS sg_db_test CASCADE")
+        spark.catalog.setCurrentDatabase("default")
+
+    def test_copy_unload_warehouse(self, spark, lineitem, tmp_prefix):
+        con = db.get_engine("spark-catalog", database="sg_db_test2")
+        db.copy_to_warehouse(lineitem.limit(20), f"{tmp_prefix}/stage", con, "li_copied")
+        assert db.read_sql_table("li_copied", con).count() == 20
+        unloaded = db.unload_warehouse(
+            "SELECT l_orderkey FROM li_copied WHERE l_orderkey >= 0",
+            f"{tmp_prefix}/unload", con,
+        )
+        assert unloaded.count() == 20
+        spark.sql("DROP DATABASE IF EXISTS sg_db_test2 CASCADE")
+        spark.catalog.setCurrentDatabase("default")
+
+    def test_jdbc_engine_url(self):
+        con = db.get_engine("postgresql", host="example", database="d", user="u", password="p")
+        assert con.url == "jdbc:postgresql://example:5432/d"
+        assert con.properties["driver"] == "org.postgresql.Driver"
+        from aws_data_wrangler_spark.exceptions import InvalidConnection
+
+        with pytest.raises(InvalidConnection):
+            db.get_engine("oracle")
+
+
+class TestMisc:
+    def test_sts(self):
+        assert sts.get_account_id() == "000000000000"
+        assert sts.get_current_identity_name()
+        assert "arn:" in sts.get_current_identity_arn()
+
+    def test_config(self):
+        config.database = "mydb"
+        assert config.database == "mydb"
+        config.reset("database")
+        assert config.database is None
+        with pytest.raises(AttributeError):
+            config.not_a_key = 1
+
+    def test_type_mapping_roundtrip(self):
+        cases = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "bigint": T.LongType(),
+            "double": T.DoubleType(),
+            "decimal(10,2)": T.DecimalType(10, 2),
+            "array<int>": T.ArrayType(T.IntegerType()),
+            "map<string,double>": T.MapType(T.StringType(), T.DoubleType()),
+            "struct<a:int,b:array<string>>": T.StructType(
+                [T.StructField("a", T.IntegerType()), T.StructField("b", T.ArrayType(T.StringType()))]
+            ),
+        }
+        for ddl, spark_type in cases.items():
+            assert athena2spark(ddl) == spark_type
+            assert spark2athena(spark_type) == ddl.replace("integer", "int")
+
+    def test_sanitize(self):
+        assert sanitize_name("Hello World!") == "hello_world"
+        assert sanitize_name("snake_ok_1") == "snake_ok_1"
+        assert sanitize_name("CamelCaseCol") == "camel_case_col"

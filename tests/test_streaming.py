@@ -1,0 +1,70 @@
+"""Streaming operators — availableNow replay equality + stateful sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark import streaming
+from tests.conftest import SF_DIR
+
+
+class TestWindowedRollup:
+    def test_available_now_equals_batch(self, spark, events):
+        stream = streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark)
+        result = streaming.run_available_now(
+            streaming.windowed_rollup(stream, "1 hour", "2 hours")
+        )
+        batch = (
+            events.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+        )
+        got = {tuple(r) for r in result.collect()}
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want
+
+    def test_watermark_column_present(self, spark):
+        stream = streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark)
+        rollup = streaming.windowed_rollup(stream)
+        assert set(rollup.columns) == {"window_start", "event_type", "n_events", "sum_value", "avg_value"}
+        assert rollup.isStreaming
+
+
+class TestStatefulSessionize:
+    def test_sessions_via_stateful_operator(self, spark):
+        stream = streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark)
+        sessions = streaming.sessionize_stateful(stream, gap_seconds=1800.0)
+        # a ProcessingTimeTimeout query schedules timeout-check batches
+        # forever, so processAllAvailable/availableNow never settle —
+        # poll progress until the data batch has been processed, then stop
+        import time
+
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName("sg_sessions_test")
+            .outputMode("append")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            progress = query.lastProgress
+            if progress and progress["batchId"] >= 1:
+                break
+            time.sleep(2)
+        query.stop()
+        out = spark.table("sg_sessions_test")
+        # single-batch append emits only *closed* sessions (open ones wait
+        # on the timeout); every emitted session must respect the gap
+        rows = out.collect()
+        for row in rows:
+            assert row["session_end"] >= row["session_start"]
+            assert row["n_events"] >= 1
+        # closed sessions exist for this dataset (multi-session users)
+        assert len(rows) > 0
