@@ -42,14 +42,15 @@ _STRUCT_RE = re.compile(r"^struct\s*<(.+)>$")
 
 
 def _split_top_level(body: str) -> List[str]:
-    """Split ``a,b<c,d>,e`` on commas not nested inside <> brackets."""
+    """Split ``a,b<c,d>,e`` on commas not nested inside <> or ()
+    (decimal(p,s) carries a comma inside parens)."""
     parts: List[str] = []
     depth = 0
     current = []
     for ch in body:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(current))

@@ -27,6 +27,7 @@ from aws_data_wrangler_spark.s3._fs import _active_spark, normalize_path
 __all__ = [
     "add_csv_partitions",
     "add_parquet_partitions",
+    "create_bucketed_table",
     "create_csv_table",
     "create_database",
     "create_parquet_table",
@@ -387,6 +388,32 @@ def delete_all_partitions(database: str, table: str, spark: Optional[SparkSessio
 def repair_table_partitions(database: str, table: str, spark: Optional[SparkSession] = None) -> None:
     """MSCK REPAIR — discover hive-layout partition dirs into the catalog."""
     _active_spark(spark).sql(f"MSCK REPAIR TABLE {_qualified(database, table)}")
+
+
+def create_bucketed_table(
+    df: DataFrame,
+    database: str,
+    table: str,
+    bucket_cols: List[str],
+    num_buckets: int = 32,
+    sort_cols: Optional[List[str]] = None,
+    mode: str = "overwrite",
+    spark: Optional[SparkSession] = None,
+) -> None:
+    """Write a table bucketed (and optionally sorted) by join keys.
+
+    Bucketing pre-shuffles the data at write time: two tables bucketed
+    on the same keys with the same bucket count join WITHOUT a runtime
+    exchange — the pattern for repeatedly-joined 100 TB fact tables,
+    where one write-time shuffle amortizes across every later join.
+    (Spark bucketing ≙ Glue/Athena bucketed tables; same layout idea.)
+    """
+    spark = _active_spark(spark)
+    create_database(database, spark=spark)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(f"{database}.{table}")
 
 
 # ------------------------------------------------------------- connections

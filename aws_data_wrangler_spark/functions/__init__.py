@@ -32,6 +32,34 @@ def trunc_digits(col: ColumnOrName, digits: int = 6) -> Column:
     return F.floor(_col(col) * scale) / scale
 
 
+def salted_join(
+    left,
+    right,
+    on: str,
+    how: str = "inner",
+    salt_factor: int = 16,
+):
+    """Skew-resistant equi-join: salt the skewed (left) side, explode the
+    small/replicated (right) side across all salt values.
+
+    AQE's skew-join splitting handles most cases at runtime; explicit
+    salting is for the pathological hot-key joins (one key = 30% of a
+    100 TB fact table) where even a split partition overwhelms a task.
+    The right side is replicated ``salt_factor``× — use with dimension
+    tables, not fact-fact joins.
+    """
+    # per-row (not per-key!) salt: rows of a hot key must spread across
+    # salt buckets, so derive from the row position, never from the key
+    left_salted = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor)).cast("long")
+    )
+    right_salted = right.withColumn(
+        "__salt_arr", F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<long>")
+    ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
+    out = left_salted.join(right_salted, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def vec_dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Sequential (left-to-right) dot product of two array columns —
     same summation order as DuckDB's list_dot_product, so results are

@@ -80,6 +80,73 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k via Arrow-batched numpy matmul.
+
+    Same semantics as ``cosine_topk``; the scoring runs as a BLAS
+    matrix product per Arrow batch instead of per-element codegen.
+    For dense embedding workloads this is the rare case where the
+    pandas-UDF path beats built-in expressions — the work is a dense
+    GEMM, which BLAS does orders of magnitude better than row-wise
+    expression evaluation. The query matrix is collected once
+    (queries are small by contract) and closed over; the corpus
+    streams through mapInPandas partition-parallel. Per-batch partial
+    top-k keeps the shuffle at O(#queries × k × #batches).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            c_ids = batch[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(batch[vec_col]), dtype=np.float64)
+            if len(c_ids) == 0:
+                continue
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+            scores = np.floor(scores * 1e6) / 1e6  # trunc_digits convention
+            for qi, qid in enumerate(q_ids):
+                row = scores[qi]
+                mask = c_ids != qid
+                ids, vals = c_ids[mask], row[mask]
+                if len(ids) > k:  # partial top-k per batch
+                    part = np.argpartition(-vals, k)[: k * 2]
+                    ids, vals = ids[part], vals[part]
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": ids, "cosine": vals}
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:
     """Deterministic random hyperplanes (numpy PRNG on the driver; tiny,
     shipped as literals)."""

@@ -294,6 +294,75 @@ ANALYTICS_SQL: Dict[str, str] = {
             OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
             OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30))
     """,
+    # TPC-H Q16 (parts/supplier relationship; adapted to lineitem links)
+    "q16_parts_suppliers": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part, lineitem
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#11'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    # TPC-H Q20 (suppliers with excess shipments; nested IN + HAVING)
+    "q20_excess_suppliers": """
+        SELECT s_name, s_suppkey
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 500
+        )
+        ORDER BY s_name, s_suppkey
+    """,
+    # TPC-H Q21 (waiting suppliers; EXISTS + NOT EXISTS anti-join pair)
+    "q21_waiting_suppliers": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    # OLAP cube: ROLLUP over returnflag/linestatus (subtotals + grand total)
+    "rollup_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    # per-user moving average (bounded window frame)
+    "events_moving_avg": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    # exact distinct-cardinality rollup (the HLL sketch's exact twin —
+    # see tests for the approx_count_distinct variant)
+    "events_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     # top-3 spenders per nation — rank window over a join+agg
     "topk_customers_window": """
         SELECT n_name, c_custkey, c_name, total_spend, rnk
@@ -545,6 +614,17 @@ def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def _ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (BLAS) brute-force variant — rows-only check (matmul
+    reassociates the sums, so last-digit scores can differ from the
+    sequential oracle convention)."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_arrow(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
@@ -633,6 +713,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "ann_cosine_topk": _ann_cosine_topk,
+    "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
     "ann_lsh_topk": _ann_lsh_topk,
     "ann_ivf_topk": _ann_ivf_topk,
     "text_token_count": _text_token_count,

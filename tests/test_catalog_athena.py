@@ -109,6 +109,29 @@ class TestAthena:
         assert out.count() == 3
         assert set(out.columns) == {"l_returnflag", "n"}
 
+    def test_bucketed_join_has_no_shuffle(self, spark, lineitem):
+        db = "sg_bucket_test"
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        catalog.create_bucketed_table(
+            lineitem, db, "li_b", bucket_cols=["l_orderkey"], num_buckets=8,
+            sort_cols=["l_orderkey"],
+        )
+        catalog.create_bucketed_table(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"), db, "ord_b",
+            bucket_cols=["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(f"{db}.li_b").join(spark.table(f"{db}.ord_b"), "l_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # co-located bucketed join: no runtime exchange on either side
+            assert "Exchange" not in plan
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            catalog.delete_database(db)
+            spark.catalog.setCurrentDatabase("default")
+
     def test_connection_registry(self):
         catalog.register_connection("warehouse", "postgresql", host="h", database="d")
         conn = catalog.get_connection("warehouse")

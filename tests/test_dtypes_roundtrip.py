@@ -1,0 +1,85 @@
+"""Full-dtype round-trip matrix — modeled on the reference's
+tests/test_metadata.py + test_s3_parquet.py dtype coverage: every
+supported type must survive to_parquet → read_parquet → catalog
+registration → SQL read-back."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark import athena, catalog, s3
+
+SCHEMA = (
+    "c_bool boolean, c_byte tinyint, c_short smallint, c_int int, c_long bigint, "
+    "c_float float, c_double double, c_dec decimal(12,3), c_str string, "
+    "c_bin binary, c_date date, c_ts timestamp, "
+    "c_arr array<int>, c_map map<string,double>, "
+    "c_struct struct<x:int,y:string>"
+)
+
+ROWS = [
+    (
+        True, 1, 2, 3, 4, 1.5, 2.5, Decimal("123.456"), "hello",
+        bytearray(b"\x00\x01"), datetime.date(2020, 1, 2),
+        datetime.datetime(2020, 1, 2, 3, 4, 5), [1, 2, 3], {"a": 1.0},
+        Row(x=7, y="z"),
+    ),
+    (
+        False, None, None, None, None, None, None, None, None,
+        None, None, None, None, None, None,
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def typed_df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+class TestDtypeRoundtrip:
+    def test_parquet_roundtrip_preserves_schema(self, spark, typed_df, tmp_prefix):
+        out = f"{tmp_prefix}/typed"
+        s3.to_parquet(typed_df, out, dataset=True, mode="overwrite")
+        back = s3.read_parquet(out, dataset=True)
+        assert dict(back.dtypes) == dict(typed_df.dtypes)
+        a = typed_df.orderBy("c_bool").collect()
+        b = back.orderBy("c_bool").collect()
+        assert a == b
+
+    def test_catalog_registration_all_types(self, spark, typed_df, tmp_prefix):
+        out = f"{tmp_prefix}/typed_cat"
+        s3.to_parquet(typed_df, out, dataset=True, mode="overwrite",
+                      database="sg_dtypes", table="typed")
+        types = catalog.get_table_types("sg_dtypes", "typed")
+        assert types["c_dec"] == "decimal(12,3)"
+        assert types["c_arr"] == "array<int>"
+        assert types["c_map"] == "map<string,double>"
+        assert types["c_struct"] == "struct<x:int,y:string>"
+        back = athena.read_sql_query(
+            "SELECT c_struct.x AS x, c_arr[0] AS first, c_map['a'] AS a FROM sg_dtypes.typed WHERE c_bool"
+        )
+        row = back.collect()[0]
+        assert (row["x"], row["first"], row["a"]) == (7, 1, 1.0)
+        catalog.delete_database("sg_dtypes")
+
+    def test_json_roundtrip_complex(self, spark, typed_df, tmp_prefix):
+        out = f"{tmp_prefix}/typed_json"
+        subset = typed_df.select("c_bool", "c_int", "c_str", "c_arr", "c_struct")
+        s3.to_json(subset, out, dataset=True, mode="overwrite")
+        back = s3.read_json(out, dataset=True, schema="c_bool boolean, c_int int, c_str string, c_arr array<int>, c_struct struct<x:int,y:string>")
+        assert back.count() == 2
+        assert back.filter("c_struct.x = 7").count() == 1
+
+    def test_dtype_override_on_write(self, spark, typed_df, tmp_prefix):
+        out = f"{tmp_prefix}/typed_cast"
+        s3.to_parquet(
+            typed_df.select("c_int", "c_double"), out, dataset=True, mode="overwrite",
+            dtype={"c_int": "bigint", "c_double": "decimal(10,2)"},
+        )
+        back = s3.read_parquet(out, dataset=True)
+        assert dict(back.dtypes) == {"c_int": "bigint", "c_double": "decimal(10,2)"}

@@ -77,6 +77,21 @@ class TestSimilarity:
         assert top["neighbor_id"] == 999999
         assert top["cosine"] >= 0.999999
 
+    def test_arrow_variant_matches_jvm_pairs(self, spark, embeddings):
+        queries = embeddings.filter("vec_id < 5")
+        jvm = similarity.cosine_topk(embeddings, queries, k=5)
+        arrow = similarity.cosine_topk_arrow(embeddings, queries, k=5)
+        jvm_pairs = {(r["query_id"], r["neighbor_id"]) for r in jvm.collect()}
+        arrow_pairs = {(r["query_id"], r["neighbor_id"]) for r in arrow.collect()}
+        # matmul reassociation can flip exact ties; neighbor sets must
+        # agree on ≥96% of pairs and scores within 1e-5
+        assert len(jvm_pairs & arrow_pairs) / len(jvm_pairs) >= 0.96
+        jvm_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in jvm.collect()}
+        for row in arrow.collect():
+            key = (row["query_id"], row["neighbor_id"])
+            if key in jvm_scores:
+                assert abs(row["cosine"] - jvm_scores[key]) < 1e-5
+
     def test_lsh_recall(self, spark, embeddings):
         queries = embeddings.filter("vec_id < 10")
         exact = similarity.cosine_topk(embeddings, queries, k=5)
@@ -94,6 +109,19 @@ class TestSimilarity:
         e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
         a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
         assert len(a & e) / len(e) >= 0.6
+
+
+class TestSketches:
+    def test_hll_tracks_exact_distinct(self, spark, events):
+        """approx_count_distinct (HyperLogLog++) — the sketch path for
+        100 TB cardinalities; exact twin is the events_distinct_users
+        query. rsd=0.01 keeps error ~1% at any scale."""
+        both = events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        )
+        for row in both.collect():
+            assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"])
 
 
 class TestText:
