@@ -184,6 +184,45 @@ def unload_warehouse(
     return s3.read_parquet(path, dataset=True, spark=spark)
 
 
+# Reference-name aliases (awswrangler/db.py): the "warehouse" functions
+# implement the same COPY/UNLOAD staging patterns Redshift uses.
+copy_to_redshift = copy_to_warehouse
+unload_redshift = unload_warehouse
+
+
+def copy_files_to_redshift(
+    path: Any,
+    con: Engine,
+    table: str,
+    schema: Optional[str] = None,
+    mode: str = "append",
+    spark: Optional[SparkSession] = None,
+) -> None:
+    """Bulk-load already-staged parquet files into the warehouse.
+    Ref: awswrangler/db.py:813 ``copy_files_to_redshift``."""
+    from aws_data_wrangler_spark import s3
+
+    spark = _active_spark(spark)
+    staged = s3.read_parquet(path, dataset=not isinstance(path, list), spark=spark)
+    to_sql(staged, con, table, schema=schema,
+           if_exists="replace" if mode == "overwrite" else "append", spark=spark)
+
+
+def unload_redshift_to_files(
+    sql: str,
+    path: str,
+    con: Engine,
+    spark: Optional[SparkSession] = None,
+) -> List[str]:
+    """UNLOAD to parquet files, returning the file list.
+    Ref: awswrangler/db.py:1188 ``unload_redshift_to_files``."""
+    from aws_data_wrangler_spark import s3
+
+    spark = _active_spark(spark)
+    unload_warehouse(sql, path, con, spark=spark)
+    return s3.list_objects(path, spark=spark)
+
+
 def write_warehouse_copy_manifest(paths: List[str], manifest_path: str, spark: Optional[SparkSession] = None) -> Dict[str, Any]:
     """COPY manifest JSON for staged files. Ref: awswrangler/db.py:966."""
     import json

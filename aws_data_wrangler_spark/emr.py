@@ -138,3 +138,14 @@ def submit_spark_step(cluster_id: str, path: str, **kwargs: Any) -> str:
 def get_step_state(cluster_id: str, step_id: str, **_: Any) -> str:
     """Ref: awswrangler/emr.py:888 ``get_step_state``."""
     return _STEPS[step_id]["State"]
+
+
+def submit_ecr_credentials_refresh(cluster_id: str, path: str, **_: Any) -> str:
+    """ECR credential refresh is AWS-runtime-specific; recorded as a
+    completed no-op step. Ref: awswrangler/emr.py:920."""
+    step_id = f"s-{uuid.uuid4().hex[:12].upper()}"
+    _STEPS[step_id] = {
+        "Id": step_id, "State": "COMPLETED", "Name": "ecr-credentials-refresh",
+        "Type": "noop", "Command": path,
+    }
+    return step_id

@@ -108,6 +108,68 @@ ORACLES: Dict[str, str] = {
         GROUP BY user_id, sess_id
         ORDER BY user_id, sess_id
     """,
+    # exact interpolated percentiles: Spark percentile() and DuckDB
+    # quantile_cont() both use the R-7 definition
+    "events_value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "embedding_stats": """
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+               round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+               round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    "text_ngram_freq": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT t[i] || ' ' || t[i+1] AS bigram
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                  FROM toks WHERE len(t) >= 2)
+        )
+        SELECT bigram, count(*) AS freq
+        FROM grams
+        GROUP BY bigram
+        ORDER BY freq DESC, bigram
+        LIMIT 100
+    """,
+    # session_window gap semantics: window end is exclusive (= last event
+    # + gap), so an event exactly `gap` later starts a NEW session → the
+    # lag-based oracle flags new_sess on diff_us >= gap_us (µs-exact)
+    "events_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start_us
+    """,
     # ---- IO round-trips: expected == direct SQL on the source ----------
     "io_parquet_roundtrip": """
         SELECT l_returnflag, count(*) AS n_rows,

@@ -66,10 +66,21 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
 
 
+_REGISTERED: Dict[int, str] = {}
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Expose the test tables to the SQL engine as temp views."""
+    """Expose the test tables to the SQL engine as temp views.
+
+    Idempotent per (session, sf_dir): temp views persist in the
+    session, so repeat calls skip the 10 schema reads (~1s each call).
+    """
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[key] = sf_dir
 
 
 # --------------------------------------------------------------------------
@@ -688,6 +699,73 @@ def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+EVENTS_PERCENTILES_SQL_SPARK = """
+    SELECT event_type,
+           round(percentile(value, 0.5), 6) AS p50,
+           round(percentile(value, 0.9), 6) AS p90,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column analytics: per-label norm statistics via the
+    functions-module vector primitives (JVM codegen)."""
+    from aws_data_wrangler_spark.functions import vec_norm
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", vec_norm(F.col("embedding").cast("array<double>")).alias("norm")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+        .select(F.col("label").cast("int").alias("label"), "n_vecs", "avg_norm", "min_norm", "max_norm")
+    )
+
+
+def _text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 2-gram frequency table (language-model building
+    block): explode → count → top-100 with deterministic tie-break."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - 2, F.lit(0)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(tokens, (i + 1).cast("int")), F.element_at(tokens, (i + 2).cast("int"))
+        ),
+    )
+    return (
+        docs.filter(F.size(tokens) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(100)
+    )
+
+
+def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (F.session_window) — same semantics
+    as the lag/cumsum SQL sessionization, which serves as the oracle."""
+    from aws_data_wrangler_spark import streaming
+
+    events = load(spark, sf_dir, "events")
+    return streaming.session_window_rollup(events, gap="30 minutes").orderBy(
+        "user_id", "session_start_us"
+    )
+
+
 def _streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark import streaming
 
@@ -700,6 +778,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
     "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
     "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
+    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
+    "embedding_stats": _embedding_stats,
+    "text_ngram_freq": _text_ngram_freq,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
     "io_overwrite_partitions": _io_overwrite_partitions,
     "io_csv_roundtrip": _io_csv_roundtrip,
@@ -721,5 +802,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": _text_lang_id,
     "text_fingerprint": _text_fingerprint,
     "multimodal_decode_stub": _multimodal_decode_stub,
+    "events_session_window": _events_session_window,
     "streaming_hourly_rollup": _streaming_hourly_rollup,
 }

@@ -107,6 +107,35 @@ def run_available_now(result: DataFrame, query_name: Optional[str] = None, timeo
     return spark.table(name)
 
 
+def session_window_rollup(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` — works on
+    both batch and streaming inputs; on a stream, pair with a watermark
+    and the state store merges/expires sessions incrementally.
+
+    Gap semantics: an event extends the session if it arrives strictly
+    within ``gap`` of the previous event (window end = last_ts + gap,
+    exclusive), matching the lag/cumsum SQL formulation ``diff > gap``
+    starts a new session.
+    """
+    return (
+        df.groupBy(F.col(user_col), F.session_window(F.col(time_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max(time_col).alias("last_ts"))
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            # sw.end = last event + gap; report the LAST EVENT time so the
+            # output matches the lag-based definition (and the oracle)
+            F.unix_micros(F.col("last_ts")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

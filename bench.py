@@ -29,10 +29,13 @@ HEADLINE = [
     "topk_customers_window",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
     "text_quality_score",
+    "text_ngram_freq",
 ]
 
 
