@@ -8,7 +8,7 @@ scales linearly with executors. Each has an exact DuckDB-SQL oracle
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

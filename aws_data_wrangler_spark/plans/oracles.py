@@ -189,6 +189,18 @@ ORACLES: Dict[str, str] = {
                strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
+    "io_merge_datasets": """
+        SELECT l_linestatus, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "io_partition_pruned_read": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "io_json_roundtrip": """
         SELECT n_regionkey, count(*) AS n_nations
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
@@ -202,6 +214,54 @@ ORACLES: Dict[str, str] = {
         SELECT user_id, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events WHERE event_type = 'click'
         GROUP BY user_id ORDER BY user_id
+    """,
+    # flagship curation pipeline: quality + lang filter + normalized
+    # dedup (keep min doc_id) + per-source rollup — mirrors the Spark
+    # operator composition stage for stage
+    "corpus_curation_pipeline": f"""
+        WITH feats AS (
+            SELECT doc_id, lang, source, text, {_QUALITY_EXPRS}
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, lang, source, text,
+                   CASE WHEN tokens > 0 THEN stops / tokens ELSE 0.0 END AS stop_ratio_raw,
+                   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio_raw,
+                   n_chars, tokens
+            FROM feats
+        ), scored AS (
+            SELECT doc_id, lang, source, text,
+                   CAST(tokens AS BIGINT) AS ws_tokens,
+                   floor((0.4 * least(n_chars / 500.0, 1.0)
+                          + 0.3 * least(stop_ratio_raw * 5.0, 1.0)
+                          + 0.3 * (1.0 - least(punct_ratio_raw * 10.0, 1.0))) * 1000000.0)
+                       / 1000000.0 AS quality_score,
+                   {_LANG_SCORES}
+            FROM ratios
+        ), kept AS (
+            SELECT doc_id, source, text, ws_tokens, quality_score
+            FROM scored
+            WHERE quality_score >= 0.5
+              AND lang = CASE
+                    WHEN score_de >= score_en AND score_de >= score_es
+                         AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+                    WHEN score_en >= score_es AND score_en >= score_fr
+                         AND score_en >= score_zh THEN 'en'
+                    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                    WHEN score_fr >= score_zh THEN 'fr'
+                    ELSE 'zh' END
+        ), deduped AS (
+            SELECT *, min(doc_id) OVER (
+                PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+            ) AS keep_id
+            FROM kept
+        )
+        SELECT source, count(*) AS n_docs,
+               round(sum(quality_score), 6) AS sum_quality,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_tokens
+        FROM deduped
+        WHERE doc_id = keep_id
+        GROUP BY source
+        ORDER BY source
     """,
     # ---- dedup ---------------------------------------------------------
     "dedup_exact": """

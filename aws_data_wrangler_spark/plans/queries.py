@@ -568,6 +568,78 @@ def _logs_insights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _io_merge_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two dataset prefixes merged into one (s3.merge_datasets), then
+    aggregated — the multi-source consolidation path."""
+    from aws_data_wrangler_spark import s3
+
+    base = tempfile.mkdtemp(prefix="sgq_")
+    li = load(spark, sf_dir, "lineitem")
+    s3.to_parquet(li.filter(F.col("l_orderkey") % 2 == 0), f"{base}/src_even",
+                  dataset=True, partition_cols=["l_linestatus"], mode="overwrite", spark=spark)
+    s3.to_parquet(li.filter(F.col("l_orderkey") % 2 == 1), f"{base}/src_odd",
+                  dataset=True, partition_cols=["l_linestatus"], mode="overwrite", spark=spark)
+    s3.merge_datasets(f"{base}/src_even", f"{base}/merged", mode="append", spark=spark)
+    s3.merge_datasets(f"{base}/src_odd", f"{base}/merged", mode="append", spark=spark)
+    back = s3.read_parquet(f"{base}/merged", dataset=True, spark=spark)
+    return (
+        back.groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_linestatus")
+    )
+
+
+def _io_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write → filtered read: the filter prunes partitions
+    at plan time (PartitionFilters in the scan)."""
+    from aws_data_wrangler_spark import s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/pruned"
+    s3.to_parquet(load(spark, sf_dir, "orders"), out, dataset=True,
+                  partition_cols=["o_orderpriority"], mode="overwrite", spark=spark)
+    back = s3.read_parquet(
+        out, dataset=True, columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+        filters="o_orderpriority IN ('1-URGENT', '2-HIGH')", spark=spark,
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation pipeline: quality scoring →
+    language filter → normalized dedup → per-source stats. Composes the
+    text + dedup operators the way a 100 TB pretraining pipeline would;
+    every stage stays in one JVM plan (no materialization between)."""
+    from pyspark.sql import Window
+
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    scored = text.with_quality_score(text.with_lang_id(docs))
+    kept = scored.filter((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang")))
+    # window-based keep-min-id dedup: one shuffle, and the expensive
+    # regex features are computed once (a self-join dedup would
+    # re-evaluate the whole upstream plan on both sides)
+    fingerprint = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""))
+    keep_id = F.min("doc_id").over(Window.partitionBy(fingerprint))
+    deduped = kept.withColumn("__keep", keep_id).filter(F.col("doc_id") == F.col("__keep"))
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # sum (not avg): summed 1e-6-grid scores stay grid-aligned, so
+            # round(·, 6) is noise-stable; an avg can land exactly on a
+            # rounding boundary where engines disagree
+            F.round(F.sum("quality_score"), 6).alias("sum_quality"),
+            F.sum("ws_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
@@ -783,6 +855,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_freq": _text_ngram_freq,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
     "io_overwrite_partitions": _io_overwrite_partitions,
+    "io_merge_datasets": _io_merge_datasets,
+    "io_partition_pruned_read": _io_partition_pruned_read,
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
     "io_csv_roundtrip": _io_csv_roundtrip,
     "io_json_roundtrip": _io_json_roundtrip,
     "catalog_table_roundtrip": _catalog_table_roundtrip,

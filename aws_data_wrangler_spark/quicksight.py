@@ -10,7 +10,7 @@ return empty inventories so discovery-style code degrades gracefully.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 
 def _unavailable(name: str) -> None:

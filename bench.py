@@ -36,6 +36,7 @@ HEADLINE = [
     "ann_cosine_topk_arrow",
     "text_quality_score",
     "text_ngram_freq",
+    "corpus_curation_pipeline",
 ]
 
 
