@@ -47,8 +47,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths so per-query numbers measure the plans
+    # warm the JVM/codegen + parquet-reader paths so per-query numbers
+    # measure the plans, not first-touch initialization
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings = {}
