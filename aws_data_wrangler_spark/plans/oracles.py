@@ -282,6 +282,30 @@ ORACLES: Dict[str, str] = {
     # (and 1.0 for exact duplicates), so the output equals the
     # exact-Jaccard miner at the same threshold on this data.
     "dedup_minhash_lsh": _NGRAM_JACCARD.format(threshold=0.8),
+    # connected components over the near-dup pair graph via recursive
+    # CTE (pair sets are tiny); cluster_id = min reachable doc id
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            {_NGRAM_JACCARD.format(threshold=0.8).replace("ORDER BY id_a, id_b", "")}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+            UNION
+            SELECT id_a AS src, id_a AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_b AS dst FROM pairs
+        ), reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst
+            FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach
+        GROUP BY src
+        ORDER BY doc_id
+    """,
     "dedup_embedding_cosine": f"""
         WITH scored AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

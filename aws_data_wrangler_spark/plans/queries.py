@@ -689,6 +689,19 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact n-gram Jaccard ≥ 0.8) → connected
+    components; only docs belonging to a multi-doc cluster emitted."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    members = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    return dedup.cluster_pairs(pairs, members).orderBy("doc_id")
+
+
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
@@ -868,6 +881,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": _dedup_minhash_lsh,
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
+    "dedup_clusters": _dedup_clusters,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
     "ann_lsh_topk": _ann_lsh_topk,

@@ -178,14 +178,22 @@ def to_parquet(
     table: Optional[str] = None,
     dtype: Optional[Dict[str, str]] = None,
     compression: Optional[str] = "snappy",
+    sort_cols: Optional[List[str]] = None,
     spark: Optional[SparkSession] = None,
     **options: Any,
 ) -> Dict[str, Any]:
     """Write parquet file or partitioned dataset (+ optional catalog
     registration). Ref: /root/reference/awswrangler/s3/_write_parquet.py
     ``to_parquet``.
+
+    ``sort_cols`` sorts within each output task before writing —
+    clusters values so parquet row-group min/max statistics prune
+    effectively on those columns (the poor man's Z-order; at 100 TB
+    this is what makes point-lookup scans skip most row groups).
     """
     options.setdefault("compression", compression or "none")
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     return _write(
         df, path, "parquet", dataset, partition_cols, mode, database, table, dtype, spark, **options
     )

@@ -107,6 +107,23 @@ def run_available_now(result: DataFrame, query_name: Optional[str] = None, timeo
     return spark.table(name)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: Optional[list] = None,
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    state once the watermark passes — the streaming twin of the batch
+    exact-dedup operator (duplicate events within the watermark horizon
+    are emitted once).
+    """
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def session_window_rollup(
     df: DataFrame,
     gap: str = "30 minutes",

@@ -50,6 +50,15 @@ class TestDedup:
         for i in range(3):
             assert any(a == i and b == i + 100000 for a, b in found)
 
+    def test_cluster_pairs_transitive(self, spark):
+        # chain 1-2, 2-3 plus isolated pair 10-11 → clusters {1,2,3} and {10,11}
+        pairs = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0)], "id_a long, id_b long, jaccard double"
+        )
+        members = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11]], "doc_id long")
+        labels = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs, members).collect()}
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
     def test_embedding_near_dup_planted(self, spark, embeddings):
         twin = embeddings.limit(2).withColumn("vec_id", F.col("vec_id") + 100000)
         corpus = embeddings.unionByName(twin)

@@ -71,6 +71,19 @@ class TestParquetDataset:
         assert cols["l_orderkey"] == "bigint"
         assert parts == {"l_returnflag": "string"}
 
+    def test_sort_cols_clusters_row_groups(self, spark, lineitem, tmp_prefix):
+        import pyarrow.parquet as pq
+
+        out = f"{tmp_prefix}/sorted"
+        s3.to_parquet(
+            lineitem.repartition(1), out, dataset=True, mode="overwrite",
+            sort_cols=["l_orderkey"],
+        )
+        obj = s3.list_objects(out)[0].replace("file:", "")
+        table = pq.read_table(obj, columns=["l_orderkey"])
+        values = table["l_orderkey"].to_pylist()
+        assert values == sorted(values)  # min/max stats now prune on this col
+
     def test_dtype_cast(self, spark, lineitem, tmp_prefix):
         path = f"{tmp_prefix}/cast"
         s3.to_parquet(

@@ -37,6 +37,28 @@ class TestWindowedRollup:
         assert rollup.isStreaming
 
 
+class TestStreamingDedup:
+    def test_duplicate_events_emitted_once(self, spark, events, tmp_prefix):
+        from aws_data_wrangler_spark import s3
+
+        # duplicate the whole backlog: every event_id appears twice
+        doubled = events.unionByName(events)
+        s3.to_parquet(doubled, f"{tmp_prefix}/dups", dataset=True, mode="overwrite")
+        stream = streaming.read_event_stream(f"{tmp_prefix}/dups", spark=spark)
+        deduped = streaming.dedup_stream(stream, key_cols=["event_id"])
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName("sg_dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        out = spark.table("sg_dedup_stream")
+        assert out.count() == events.count()
+        assert out.select("event_id").distinct().count() == events.count()
+
+
 class TestStatefulSessionize:
     def test_sessions_via_stateful_operator(self, spark):
         stream = streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark)
