@@ -5,6 +5,12 @@ operations a 100 TB LLM-data pipeline runs on top of the IO/catalog
 layer.
 """
 
-from aws_data_wrangler_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from aws_data_wrangler_spark.operators import (  # noqa: F401
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "similarity", "text"]

@@ -282,6 +282,34 @@ ORACLES: Dict[str, str] = {
     # (and 1.0 for exact duplicates), so the output equals the
     # exact-Jaccard miner at the same threshold on this data.
     "dedup_minhash_lsh": _NGRAM_JACCARD.format(threshold=0.8),
+    # as-of join oracle: DuckDB's native ASOF JOIN (right.ts <= left.ts,
+    # most recent wins); right side pre-deduped per (user, ts)
+    "events_asof_signup": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), signups AS (
+            SELECT user_id, ts, max(event_id) AS signup_event_id
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id,
+               epoch_us(c.ts) AS click_ts_us,
+               epoch_us(s.ts) AS signup_ts_us,
+               s.signup_event_id
+        FROM clicks c
+        ASOF JOIN signups s
+          ON c.user_id = s.user_id AND c.ts >= s.ts
+        ORDER BY c.event_id
+    """,
+    # interval join oracle: plain inequality join (fine at oracle scale)
+    "events_error_click_window": """
+        SELECT e.event_id AS error_id, c.event_id AS click_id
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+          ON epoch_us(c.ts) >= epoch_us(e.ts)
+         AND epoch_us(c.ts) < epoch_us(e.ts) + 3600000000
+        ORDER BY error_id, click_id
+    """,
     # connected components over the near-dup pair graph via recursive
     # CTE (pair sets are tiny); cluster_id = min reachable doc id
     "dedup_clusters": f"""

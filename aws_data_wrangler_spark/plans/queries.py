@@ -689,6 +689,46 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event gets the user's most recent signup
+    at-or-before it (point-in-time correctness, feature-store style)."""
+    from aws_data_wrangler_spark.operators import joins
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id")
+        # unique (user, ts): keep max event_id so ties are deterministic
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("signup_event_id"))
+    )
+    joined = joins.asof_join(
+        clicks, signups, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["signup_event_id"], how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("ts_right")).alias("signup_ts_us"),
+        "signup_event_id",
+    ).orderBy("event_id")
+
+
+def _events_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with no equi key: clicks within 1 h after any
+    error event (bucketed equi-join, not a nested loop)."""
+    from aws_data_wrangler_spark.operators import joins
+
+    events = load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "ts")
+    pairs = joins.interval_join_bucketed(errors, clicks, "ts", "ts", window_seconds=3600.0)
+    return pairs.select(
+        F.col("l_event_id").alias("error_id"),
+        F.col("r_event_id").alias("click_id"),
+    ).orderBy("error_id", "click_id")
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (exact n-gram Jaccard ≥ 0.8) → connected
     components; only docs belonging to a multi-doc cluster emitted."""
@@ -882,6 +922,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_clusters": _dedup_clusters,
+    "events_asof_signup": _events_asof_signup,
+    "events_error_click_window": _events_error_click_window,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
     "ann_lsh_topk": _ann_lsh_topk,

@@ -1,0 +1,66 @@
+"""Temporal join operators: as-of and bucketed interval joins."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark.operators import joins
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute, 0)
+
+
+class TestAsofJoin:
+    def test_most_recent_at_or_before(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 10, _ts(1)), (4, 20, _ts(10))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(10, _ts(2), 100), (10, _ts(5), 101), (10, _ts(15), 102), (20, _ts(30), 200)],
+            "user_id long, ts timestamp, payload long",
+        )
+        out = joins.asof_join(left, right, on="user_id", right_cols=["payload"], how="inner")
+        rows = {r["event_id"]: r["payload"] for r in out.collect()}
+        # event 1 @5 → right @5 (equal time matches, <= semantics)
+        # event 2 @20 → right @15; event 3 @1 → none (dropped, inner)
+        # event 4 (user 20) @10 → right @30 is later → dropped
+        assert rows == {1: 101, 2: 102}
+
+    def test_left_keeps_unmatched(self, spark):
+        left = spark.createDataFrame([(1, 10, _ts(1))], "event_id long, user_id long, ts timestamp")
+        right = spark.createDataFrame([(10, _ts(9), 1)], "user_id long, ts timestamp, payload long")
+        out = joins.asof_join(left, right, on="user_id", right_cols=["payload"], how="left")
+        row = out.collect()[0]
+        assert row["event_id"] == 1 and row["payload"] is None
+
+
+class TestIntervalJoin:
+    def test_pairs_within_window(self, spark):
+        left = spark.createDataFrame([(1, _ts(0)), (2, _ts(40))], "id long, ts timestamp")
+        right = spark.createDataFrame(
+            [(100, _ts(5)), (101, _ts(41)), (102, _ts(59))], "id long, ts timestamp"
+        )
+        out = joins.interval_join_bucketed(left, right, "ts", "ts", window_seconds=600.0)
+        pairs = {(r["l_id"], r["r_id"]) for r in out.collect()}
+        # window = [t, t+10min): left@0 ↔ right@5; left@40 ↔ right@41
+        assert pairs == {(1, 100), (2, 101)}
+
+    def test_equals_naive_join(self, spark, events):
+        errors = events.filter("event_type = 'error'").select("event_id", "ts")
+        clicks = events.filter("event_type = 'click'").select("event_id", "ts")
+        bucketed = joins.interval_join_bucketed(errors, clicks, "ts", "ts", window_seconds=3600.0)
+        naive = (
+            errors.alias("e").join(clicks.alias("c"))
+            .filter(
+                (F.unix_micros("c.ts") >= F.unix_micros("e.ts"))
+                & (F.unix_micros("c.ts") < F.unix_micros("e.ts") + 3600 * 1_000_000)
+            )
+            .select(F.col("e.event_id").alias("l_event_id"), F.col("c.event_id").alias("r_event_id"))
+        )
+        got = {(r["l_event_id"], r["r_event_id"]) for r in bucketed.select("l_event_id", "r_event_id").collect()}
+        want = {(r["l_event_id"], r["r_event_id"]) for r in naive.collect()}
+        assert got == want
