@@ -104,6 +104,36 @@ ANALYTICS_SQL: Dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    # TPC-H Q2 (minimum-cost supplier; adapted — no partsupp table, so the
+    # part↔supplier relation and its "supply cost" come from lineitem:
+    # min observed unit price per (part, supplier)). Correlated scalar
+    # min-subquery shape preserved.
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   min(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_suppkey
+        FROM part, ps, supplier, nation, region
+        WHERE p_partkey = ps_partkey
+          AND s_suppkey = ps_suppkey
+          AND p_size = 15
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+              SELECT min(ps2.ps_supplycost)
+              FROM ps ps2, supplier s2, nation n2, region r2
+              WHERE ps2.ps_partkey = p_partkey
+                AND s2.s_suppkey = ps2.ps_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+        LIMIT 100
+    """,
     # TPC-H Q3 (shipping priority)
     "q3_shipping_priority": """
         SELECT l_orderkey,
@@ -203,6 +233,45 @@ ANALYTICS_SQL: Dict[str, str] = {
         GROUP BY o_year
         ORDER BY o_year
     """,
+    # TPC-H Q9 (product-type profit; adapted — no partsupp, so profit is
+    # discounted revenue without the ps_supplycost term). 5-way join +
+    # year extraction + grouped agg shape preserved.
+    "q9_product_profit": """
+        SELECT nation, o_year, round(sum(volume), 4) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(extract(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey
+              AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey
+              AND s_nationkey = n_nationkey
+              AND p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    # TPC-H Q11 (important stock; adapted — no partsupp, so per-part
+    # "value" is the lineitem revenue shipped by one nation's suppliers).
+    # Grouped HAVING vs uncorrelated scalar-subquery threshold preserved.
+    "q11_important_stock": """
+        SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        FROM lineitem, supplier, nation, region
+        WHERE l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice) > (
+            SELECT sum(l_extendedprice) * 0.0002
+            FROM lineitem, supplier, nation, region
+            WHERE l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE')
+        ORDER BY part_value DESC, l_partkey
+    """,
     # TPC-H Q12 (shipping priority classes; adapted — no l_shipmode column)
     "q12_priority_class": """
         SELECT l_linestatus,
@@ -270,6 +339,20 @@ ANALYTICS_SQL: Dict[str, str] = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """,
+    # TPC-H Q13 (customer order-count distribution; adapted — the order
+    # exclusion filter uses o_orderpriority since there is no o_comment).
+    # Left-outer join + double aggregation shape preserved.
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
     # TPC-H Q14 (promotion effect)
     "q14_promo_effect": """
