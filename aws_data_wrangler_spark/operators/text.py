@@ -112,3 +112,73 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text) — the document-identity key used by exact dedup."""
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Overlapping token-window chunking (context-window packing for LM
+    training). Emits one row per chunk: ``(id, chunk_idx, chunk_text,
+    n_tokens)``; consecutive chunks overlap by ``chunk_size - stride``
+    tokens.
+
+    Pure codegen path: split → ``sequence`` of window starts →
+    ``posexplode`` → ``slice`` + ``array_join``. The explode multiplies
+    rows ~``1/stride`` per token but stays shuffle-free — chunking a
+    100 TB corpus is a single map stage whose output can be written
+    partition-local.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError("require 0 < stride <= chunk_size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("_toks"))
+    )
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    return base.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(F.slice("_toks", F.col("_start") + 1, F.lit(chunk_size)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_size), F.size("_toks") - F.col("_start"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (Gopher-style): the fraction of
+    duplicated words and duplicated word-bigrams per document. High
+    values flag boilerplate/spam for corpus filtering.
+
+    Codegen-only array ops (no shuffle, no UDF); floor-truncated at
+    6 dp so the DuckDB oracle matches bit-for-bit.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_bigram = F.when(n > 1,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "dup_word_frac": trunc_digits(dup_word, 6),
+            "dup_bigram_frac": trunc_digits(dup_bigram, 6),
+        }
+    )

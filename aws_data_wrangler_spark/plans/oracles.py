@@ -369,6 +369,42 @@ ORACLES: Dict[str, str] = {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
         FROM documents ORDER BY doc_id
     """,
+    # overlapping token-window chunking: range() list + 1-based inclusive
+    # list slice reproduce Spark's sequence + posexplode + slice exactly
+    "text_chunk_tokens": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        ), s AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(start // 40 AS BIGINT) AS chunk_idx,
+               array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
+               CAST(least(50, len(toks) - start) AS BIGINT) AS n_tokens
+        FROM s ORDER BY doc_id, chunk_idx
+    """,
+    # duplicate-word / duplicate-bigram fractions; same double-division
+    # order as the Spark operator, floor-truncated at 6 dp
+    "text_repetition": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+            FROM t
+        )
+        SELECT doc_id,
+               floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / CAST(n AS DOUBLE)) * 1000000.0) / 1000000.0 AS dup_word_frac,
+               CASE WHEN n > 1 THEN
+                   floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                                / CAST(n - 1 AS DOUBLE)) * 1000000.0) / 1000000.0
+               ELSE 0.0 END AS dup_bigram_frac
+        FROM b ORDER BY doc_id
+    """,
     "text_quality_score": f"""
         WITH feats AS (
             SELECT doc_id, {_QUALITY_EXPRS}

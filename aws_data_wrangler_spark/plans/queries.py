@@ -870,6 +870,26 @@ def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token / stride-40 chunking of every document
+    (LM context-window packing)."""
+    from aws_data_wrangler_spark.operators import text
+
+    return text.chunk_tokens(
+        load_parallel(spark, sf_dir, "documents"), chunk_size=50, stride=40
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-word / duplicate-bigram fractions per document
+    (Gopher-style repetition quality filter)."""
+    from aws_data_wrangler_spark.operators import text
+
+    return text.with_repetition(load_parallel(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_word_frac", "dup_bigram_frac"
+    ).orderBy("doc_id")
+
+
 def _text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
@@ -1013,6 +1033,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _ann_ivf_topk,
     "text_token_count": _text_token_count,
     "text_quality_score": _text_quality_score,
+    "text_chunk_tokens": _text_chunk_tokens,
+    "text_repetition": _text_repetition,
     "text_lang_id": _text_lang_id,
     "text_fingerprint": _text_fingerprint,
     "multimodal_decode_stub": _multimodal_decode_stub,

@@ -159,6 +159,36 @@ class TestText:
         assert rows[1] == "en"
         assert rows[2] == "es"
 
+    def test_chunk_tokens_windows(self, spark):
+        words = " ".join(f"w{i}" for i in range(95))
+        df = spark.createDataFrame([(1, words), (2, "solo"), (3, "  ")], "doc_id long, text string")
+        chunks = text.chunk_tokens(df, chunk_size=50, stride=40).collect()
+        by_doc = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: starts at 0, 40, 80 → lengths 50, 50, 15
+        d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        assert [r["n_tokens"] for r in d1] == [50, 50, 15]
+        assert d1[0]["chunk_text"].split()[0] == "w0"
+        assert d1[1]["chunk_text"].split()[0] == "w40"
+        assert d1[2]["chunk_text"].split() == [f"w{i}" for i in range(80, 95)]
+        # consecutive chunks overlap by chunk_size - stride = 10 tokens
+        assert d1[0]["chunk_text"].split()[40:] == d1[1]["chunk_text"].split()[:10]
+        # single-token doc → one chunk; blank doc → none
+        assert [r["n_tokens"] for r in by_doc[2]] == [1]
+        assert 3 not in by_doc
+
+    def test_repetition_fractions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a a"), (2, "a b c d"), (3, "a b a b"), (4, "x")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: (r["dup_word_frac"], r["dup_bigram_frac"]) for r in text.with_repetition(df).collect()}
+        assert rows[1] == (0.75, pytest.approx(2 / 3, abs=1e-6))  # 1 uniq word/4, 1 uniq bigram/3
+        assert rows[2] == (0.0, 0.0)
+        assert rows[3] == (0.5, pytest.approx(1 / 3, abs=1e-6))  # bigrams: ab ba ab
+        assert rows[4] == (0.0, 0.0)  # single token: no bigrams
+
     def test_fingerprint_normalization(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello, World!"), (2, "HELLO world"), (3, "different")],
