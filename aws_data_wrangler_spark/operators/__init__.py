@@ -9,8 +9,9 @@ from aws_data_wrangler_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    sampling,
     similarity,
     text,
 )
 
-__all__ = ["dedup", "joins", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "sampling", "similarity", "text"]

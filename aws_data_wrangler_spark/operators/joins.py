@@ -116,9 +116,11 @@ def interval_join_bucketed(
         ),
     )
     r_bucketed = r_pref.withColumn("__bucket", (F.col("__rus") / bucket_us).cast("long"))
+    # no distinct needed: each right row lives in exactly ONE bucket, so a
+    # (left, right) pair can only meet once — adding one would be a full
+    # extra shuffle of the join output
     return (
         l_bucketed.join(r_bucketed, "__bucket")
         .filter((F.col("__rus") >= F.col("__lus")) & (F.col("__rus") < F.col("__lus") + window_us))
         .drop("__bucket", "__lus", "__rus")
-        .distinct()
     )

@@ -1,0 +1,98 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Corpus curation needs *reproducible* sampling: per-source mixture
+weights (stratified Bernoulli) and fixed-size per-stratum draws that
+give the same result on every run, every engine, any partitioning.
+``rand()`` can't do that (seed ⇒ partition-dependent), so these
+operators derive the coin flip from a content hash: a row is kept iff
+the first 8 hex chars of ``md5(id || salt)`` fall below the
+fraction-scaled threshold. md5 is identical everywhere, the comparison
+is lexicographic on lowercase hex — bit-for-bit reproducible in any
+engine, and embarrassingly parallel (a codegen'd projection over the
+scan; no shuffle, no state).
+
+At 100 TB: sampling is the cheapest stage in the pipeline — a single
+map-side filter fused into the scan, with predicate pushdown of any
+upstream stratum filters intact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16**8  # first 8 hex chars of md5 ≈ uniform over [0, 16^8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Lexicographic hex threshold such that P(prefix < t) = fraction."""
+    return format(min(int(round(fraction * _HEX_SPAN)), _HEX_SPAN - 1), "08x")
+
+
+def _keep(id_col: Column, fraction: float, salt: str) -> Column:
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
+    prefix = F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8)
+    return prefix < F.lit(_threshold_hex(fraction))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep ≈``fraction`` of rows.
+
+    ``salt`` decorrelates repeated draws over the same ids (e.g. a 10%
+    eval split after a 50% downsample uses a different salt).
+    """
+    return df.filter(_keep(F.col(id_col), fraction, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    strata_col: str = "source",
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling — the mixture-weights operator.
+
+    ``fractions`` maps stratum value → keep probability; strata absent
+    from the map use ``default_fraction``. One codegen'd CASE over the
+    hash prefix; no shuffle.
+    """
+    keep: Column = _keep(F.col(id_col), default_fraction, salt)
+    for value, fraction in sorted(fractions.items()):
+        keep = F.when(
+            F.col(strata_col) == value, _keep(F.col(id_col), fraction, salt)
+        ).otherwise(keep)
+    return df.filter(keep)
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: Optional[str] = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic fixed-size draw: exactly ``min(k, |stratum|)`` rows
+    per stratum, chosen by hash order (uniform without replacement).
+
+    The hash *is* the random order, so this is one window shuffle keyed
+    on the stratum — the distributed analog of per-group reservoir
+    sampling, without the sequential-pass constraint. With
+    ``strata_col=None`` draws k rows globally (single-partition window
+    — only for small k; use a stratified draw at scale).
+    """
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    rn = F.row_number().over(part.orderBy(order, F.col(id_col)))
+    return df.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")

@@ -156,6 +156,129 @@ def chunk_tokens(
     )
 
 
+# PII patterns (RE2/Java-compatible subset: no backrefs/lookaround, so
+# the same pattern string runs in Spark and the DuckDB oracle).
+# Replacement order matters and is fixed: email → phone → ip.
+PII_PATTERNS: List[Tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted_text") -> DataFrame:
+    """Redact emails / phone numbers / IP addresses and count each kind.
+
+    Counts are measured on the *original* text (per pattern,
+    non-overlapping leftmost matches); redaction applies the patterns
+    in a fixed order so the output is deterministic. Pure codegen'd
+    regex projection — at 100 TB this fuses into the scan with zero
+    shuffle, which is why PII scrubbing belongs in the ingest map
+    stage, not a separate pass.
+    """
+    text = F.col(text_col)
+    counts = {
+        f"n_{name}s": F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")
+        for name, pat, _ in PII_PATTERNS
+    }
+    redacted = text
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.withColumns({**counts, out_col: redacted})
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, rank, term, score).
+
+    score = tf × N / df — the un-logged tf-idf variant: both factors
+    are exact small integers in doubles, so one division produces a
+    bit-identical score in every engine (``ln``-based idf is libm-
+    dependent). Ties break by term ascending.
+
+    Shape at scale: tf is a (doc, term) groupBy with map-side combine;
+    df is a term-level agg of that (tiny — vocabulary-sized) joined
+    back broadcast; the final top-k is a window keyed by doc. Two
+    shuffles total, both on high-cardinality keys (no skew hot spot
+    unless the vocabulary is degenerate — cap with a stopword filter
+    upstream if so).
+    """
+    from pyspark.sql import Window
+
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    terms = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.explode(tokens).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.filter(F.length(F.trim(F.col(text_col))) > 0).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            trunc_digits(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_t").cast("double")
+            ).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rank", rn.cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
+    )
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-train-document n-gram overlap with an evaluation set — the
+    decontamination check run before any benchmark-adjacent training:
+    (id, n_ngrams, n_contaminated, contamination_frac).
+
+    The eval side collapses to a distinct-shingle set and is
+    *broadcast* (benchmarks are MBs; the corpus is the 100 TB side), so
+    the whole check is one map-side hash-probe over the train shingles
+    — no shuffle of the corpus, no pair materialization.
+    """
+    from aws_data_wrangler_spark.operators.dedup import word_shingles
+
+    train_sh = word_shingles(train, id_col, text_col, n)
+    eval_sh = word_shingles(eval_set, id_col, text_col, n).select("shingle").distinct()
+    hits = train_sh.join(
+        F.broadcast(eval_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_contaminated",
+            trunc_digits(
+                F.col("n_contaminated").cast("double") / F.col("n_ngrams").cast("double")
+            ).alias("contamination_frac"),
+        )
+    )
+
+
 def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition quality signals (Gopher-style): the fraction of
     duplicated words and duplicated word-bigrams per document. High

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from typing import Dict
 
-from aws_data_wrangler_spark.plans.queries import ANALYTICS_SQL
+from aws_data_wrangler_spark.operators.sampling import _threshold_hex
+from aws_data_wrangler_spark.plans.queries import (
+    ANALYTICS_SQL,
+    SAMPLE_DEFAULT,
+    SAMPLE_FRACTIONS,
+)
 
 # floor-truncation at 6dp (not round): identical doubles floor identically
 # in every engine, while round-half behavior differs (see functions.trunc_digits)
@@ -72,6 +77,49 @@ _LANG_SCORES = """
         len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|que)\\b')) AS score_es,
         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|que)\\b')) AS score_fr,
         len(regexp_extract_all(lower(text), '\\b(的|是|了|在|我)\\b')) AS score_zh
+"""
+
+# stratified sampling: same md5-prefix-vs-hex-threshold coin flip as
+# operators/sampling.py (thresholds generated from the same fractions)
+_SAMPLE_KEEP = (
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < CASE source "
+    + " ".join(
+        f"WHEN '{value}' THEN '{_threshold_hex(frac)}'"
+        for value, frac in sorted(SAMPLE_FRACTIONS.items())
+    )
+    + f" ELSE '{_threshold_hex(SAMPLE_DEFAULT)}' END"
+)
+
+# synthetic-PII planting — mirrors queries._with_planted_pii verbatim
+_PLANTED_PII = """
+    SELECT doc_id,
+           text || ' reach user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+    FROM documents
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_REDACTED = (
+    "regexp_replace(regexp_replace(regexp_replace(t, "
+    f"'{_PII_EMAIL}', '[EMAIL]', 'g'), "
+    f"'{_PII_PHONE}', '[PHONE]', 'g'), "
+    f"'{_PII_IP}', '[IP]', 'g')"
+)
+
+# 5-gram shingles (distinct per doc) — same window as dedup.word_shingles
+_SHINGLE5 = """
+    SELECT DISTINCT doc_id,
+           tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS shingle
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents {where})
+          WHERE len(tk) >= 5)
 """
 
 ORACLES: Dict[str, str] = {
@@ -448,7 +496,84 @@ ORACLES: Dict[str, str] = {
                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
         FROM documents ORDER BY doc_id
     """,
+    "text_pii_scrub": f"""
+        WITH planted AS ({_PLANTED_PII})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+               CAST(length({_PII_REDACTED}) AS BIGINT) AS n_chars_redacted,
+               md5({_PII_REDACTED}) AS redacted_fp
+        FROM planted ORDER BY doc_id
+    """,
+    # un-logged tf-idf (tf × N / df): integer-exact factors ⇒ one
+    # division ⇒ bit-identical scores; ties break on term ascending
+    "text_tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents WHERE length(trim(text)) > 0
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df_t FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   floor((CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df_t AS DOUBLE))
+                         * 1000000.0) / 1000000.0 AS score
+            FROM tf, dfreq, n WHERE tf.term = dfreq.term
+        ), ranked AS (
+            SELECT doc_id, term, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+    "benchmark_contamination": f"""
+        WITH train_sh AS (
+            {_SHINGLE5.format(where="WHERE doc_id % 50 <> 0")}
+        ), eval_sh AS (
+            SELECT DISTINCT shingle FROM ({_SHINGLE5.format(where="WHERE doc_id % 50 = 0")})
+        )
+        SELECT t.doc_id,
+               count(*) AS n_ngrams,
+               CAST(coalesce(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 END), 0) AS BIGINT)
+                   AS n_contaminated,
+               floor((CAST(coalesce(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) * 1000000.0) / 1000000.0 AS contamination_frac
+        FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    "sample_stratified": f"""
+        SELECT source, count(*) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE {_SAMPLE_KEEP}
+        GROUP BY source ORDER BY source
+    """,
+    "sample_fixed_per_source": """
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT source, doc_id FROM ranked WHERE rn <= 5
+        ORDER BY source, doc_id
+    """,
     # ---- streaming (single-batch availableNow replay == batch SQL) -----
+    # stream-stream interval join == batch inequality join on replay
+    "streaming_error_click_join": """
+        SELECT e.event_id AS error_id, c.event_id AS click_id
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+          ON epoch_us(c.ts) >= epoch_us(e.ts)
+         AND epoch_us(c.ts) < epoch_us(e.ts) + 3600000000
+        ORDER BY error_id, click_id
+    """,
     "streaming_hourly_rollup": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                count(*) AS n_events,

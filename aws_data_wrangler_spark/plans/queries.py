@@ -474,6 +474,15 @@ ANALYTICS_SQL: Dict[str, str] = {
         WHERE rnk <= 3
         ORDER BY n_name, rnk
     """,
+    # OLAP cube: all grouping sets over (event_type, day)
+    "events_cube_daily": """
+        SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS STRING))
+        ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
     # hypertable-style time-bucket rollup
     "events_hourly_rollup": """
         SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, event_type,
@@ -915,6 +924,92 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# per-source keep probabilities for the stratified-sampling query —
+# the "mixture weights" a pretraining data recipe assigns to sources
+SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.5}
+SAMPLE_DEFAULT = 0.25
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling (hash-threshold coin
+    flip) → per-source sample stats."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(
+        docs, SAMPLE_FRACTIONS, strata_col="source", default_fraction=SAMPLE_DEFAULT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def _sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-docs-per-source deterministic draw (hash-ordered
+    without-replacement) — the distributed reservoir-sample analog."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.fixed_size_sample(docs, k=5, strata_col="source").select(
+        "source", "doc_id"
+    ).orderBy("source", "doc_id")
+
+
+# synthetic-PII planting: the test corpus has no real PII, so the query
+# appends a deterministic email/phone/IP derived from doc_id, then
+# scrubs — exercising detection+redaction on every row with a
+# cross-engine-reproducible input
+def _with_planted_pii(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        ),
+    )
+
+
+def _text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import text
+
+    docs = _with_planted_pii(load_parallel(spark, sf_dir, "documents"))
+    return text.scrub_pii(docs).select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.length("redacted_text").cast("bigint").alias("n_chars_redacted"),
+        F.md5("redacted_text").alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+def _text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_data_wrangler_spark.operators import text
+
+    return text.tfidf_top_terms(load_parallel(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: every 50th doc plays the benchmark/eval
+    set; report 5-gram overlap for each remaining training doc."""
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.benchmark_contamination(train, eval_set, n=5).orderBy("doc_id")
+
+
 def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import multimodal
 
@@ -994,6 +1089,25 @@ def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (errors × clicks within 1 h),
+    replayed availableNow — single-batch replay ⇒ equals the batch
+    inequality join, so the batch oracle applies."""
+    from aws_data_wrangler_spark import streaming
+
+    errors = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "ts")
+    clicks = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "ts")
+    joined = streaming.interval_join_stream(errors, clicks, window_seconds=3600.0)
+    out = streaming.run_available_now(joined, output_mode="append")
+    return out.select(
+        F.col("l_event_id").alias("error_id"), F.col("r_event_id").alias("click_id")
+    ).orderBy("error_id", "click_id")
+
+
 def _streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark import streaming
 
@@ -1037,7 +1151,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": _text_repetition,
     "text_lang_id": _text_lang_id,
     "text_fingerprint": _text_fingerprint,
+    "text_pii_scrub": _text_pii_scrub,
+    "text_tfidf_top_terms": _text_tfidf_top_terms,
+    "benchmark_contamination": _benchmark_contamination,
+    "sample_stratified": _sample_stratified,
+    "sample_fixed_per_source": _sample_fixed_per_source,
     "multimodal_decode_stub": _multimodal_decode_stub,
     "events_session_window": _events_session_window,
     "streaming_hourly_rollup": _streaming_hourly_rollup,
+    "streaming_error_click_join": _streaming_error_click_join,
 }

@@ -88,23 +88,83 @@ def windowed_rollup(
     )
 
 
-def run_available_now(result: DataFrame, query_name: Optional[str] = None, timeout_s: int = 300) -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    query_name: Optional[str] = None,
+    timeout_s: int = 300,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Execute a streaming plan over the existing backlog
     (``trigger(availableNow=True)``) into an in-memory sink and return
     the materialized table. Complete-mode so windowed aggs emit
     without waiting for watermark closure — single-batch replay
-    therefore equals the batch SQL result."""
+    therefore equals the batch SQL result. Stream-stream joins require
+    ``output_mode="append"`` (inner-join matches emit immediately; the
+    watermark only bounds state)."""
     spark = result.sparkSession
     name = query_name or f"sg_stream_{uuid.uuid4().hex[:8]}"
     query = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    window_seconds: float = 3600.0,
+    watermark: str = "2 hours",
+    bucket_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Stream-stream interval join: all (left, right) pairs with
+    ``right.time ∈ [left.time, left.time + window_seconds)`` — the
+    streaming twin of ``operators.joins.interval_join_bucketed``.
+
+    Spark's stream-stream join needs an equi key to shuffle state by;
+    with no natural key the time bucket *is* the key: each left row is
+    replicated into every bucket its window overlaps (stateless
+    explode), the join is an equi-join on the bucket id plus the exact
+    range predicate on the watermarked event-time columns — that
+    time-range condition is what lets Spark expire join state past the
+    watermark, so state stays bounded at
+    ``O(rows within watermark horizon)``, not O(stream).
+
+    Columns come back with ``l_`` / ``r_`` prefixes.
+    """
+    bucket_seconds = bucket_seconds or window_seconds
+    bucket_us = int(bucket_seconds * 1_000_000)
+    window_us = int(window_seconds * 1_000_000)
+
+    l_pref = left.withWatermark(left_time, watermark).select(
+        [F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r_pref = right.withWatermark(right_time, watermark).select(
+        [F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    l_bucketed = l_pref.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(f"l_{left_time}")) / bucket_us).cast("long"),
+                ((F.unix_micros(F.col(f"l_{left_time}")) + window_us) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    r_bucketed = r_pref.withColumn(
+        "__bucket", (F.unix_micros(F.col(f"r_{right_time}")) / bucket_us).cast("long")
+    )
+    lt, rt = F.col(f"l_{left_time}"), F.col(f"r_{right_time}")
+    joined = l_bucketed.join(r_bucketed, ["__bucket"]).where(
+        (rt >= lt) & (rt < lt + F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
+    )
+    return joined.drop("__bucket")
 
 
 def dedup_stream(

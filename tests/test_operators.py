@@ -223,3 +223,83 @@ class TestMultimodal:
             assert min(row["resized_width"], row["resized_height"]) == 224
         frames = multimodal.frame_sample_plan(decoded, fps=1.0)
         assert frames.count() >= 5
+
+
+class TestSampling:
+    def test_hash_sample_deterministic_and_proportional(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        a = {r["doc_id"] for r in sampling.hash_sample(documents, 0.5).select("doc_id").collect()}
+        b = {r["doc_id"] for r in sampling.hash_sample(documents, 0.5).select("doc_id").collect()}
+        assert a == b  # deterministic across runs
+        n = documents.count()
+        assert 0.35 * n <= len(a) <= 0.65 * n  # md5 prefix ≈ uniform
+        # nested property: a 0.25 sample is a subset of the 0.5 sample
+        quarter = {r["doc_id"] for r in sampling.hash_sample(documents, 0.25).select("doc_id").collect()}
+        assert quarter <= a
+        # salt decorrelates
+        salted = {r["doc_id"] for r in sampling.hash_sample(documents, 0.5, salt="x").select("doc_id").collect()}
+        assert salted != a
+
+    def test_stratified_sample_rates(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        kept = sampling.stratified_sample(
+            documents, {"src0": 1.0, "src1": 0.0}, default_fraction=0.5
+        )
+        counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        full = {r["source"]: r["n"] for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts["src0"] == full["src0"]  # fraction 1.0 keeps all
+        assert "src1" not in counts  # fraction 0.0 drops all
+        for s, c in counts.items():
+            if s not in ("src0", "src1"):
+                assert c < full[s]
+
+    def test_fixed_size_sample_exact_k(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        out = sampling.fixed_size_sample(documents, k=5, strata_col="source")
+        per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        assert all(r["n"] == 5 for r in per)
+        # global draw (no strata)
+        assert sampling.fixed_size_sample(documents, k=7, strata_col=None).count() == 7
+
+
+class TestTextPipelineOps:
+    def test_scrub_pii_planted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob@corp.io or call 555-123-4567 from 192.168.0.1 ok")],
+            "doc_id long, text string",
+        )
+        row = text.scrub_pii(df).collect()[0]
+        assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (1, 1, 1)
+        assert row["redacted_text"] == "mail [EMAIL] or call [PHONE] from [IP] ok"
+
+    def test_scrub_pii_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([(1, "no pii here at all")], "doc_id long, text string")
+        row = text.scrub_pii(df).collect()[0]
+        assert row["redacted_text"] == "no pii here at all"
+        assert row["n_emails"] == row["n_phones"] == row["n_ips"] == 0
+
+    def test_tfidf_rare_term_wins(self, spark):
+        # 'zebra' appears in 1 of 3 docs → highest idf for doc 1
+        df = spark.createDataFrame(
+            [(1, "common zebra common"), (2, "common word word"), (3, "common word common")],
+            "doc_id long, text string",
+        )
+        top = text.tfidf_top_terms(df, k=1).collect()
+        by_doc = {r["doc_id"]: r["term"] for r in top}
+        assert by_doc[1] == "zebra"
+        for r in top:
+            assert r["rank"] == 1
+
+    def test_benchmark_contamination_self_overlap(self, spark, documents):
+        # eval set drawn from the corpus itself → those exact docs are
+        # 100% contaminated when left in train
+        eval_set = documents.filter(F.col("doc_id") < 5)
+        out = text.benchmark_contamination(documents, eval_set, n=5)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        for i in range(5):
+            assert rows[i]["contamination_frac"] == 1.0
+        # and docs sharing no 5-gram with the eval docs score 0
+        assert any(r["contamination_frac"] == 0.0 for r in rows.values())

@@ -90,3 +90,32 @@ class TestStatefulSessionize:
             assert row["n_events"] >= 1
         # closed sessions exist for this dataset (multi-session users)
         assert len(rows) > 0
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream bucketed interval join replayed availableNow equals
+    the batch interval join on the same data."""
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import joins
+    from aws_data_wrangler_spark.plans.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    events = load(spark, sf, "events")
+    errors_b = events.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clicks_b = events.filter(F.col("event_type") == "click").select("event_id", "ts")
+    batch = joins.interval_join_bucketed(errors_b, clicks_b, "ts", "ts", window_seconds=3600.0)
+    expected = {(r["l_event_id"], r["r_event_id"]) for r in batch.collect()}
+
+    errors_s = streaming.read_event_stream(f"{sf}/events.parquet", spark=spark).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "ts")
+    clicks_s = streaming.read_event_stream(f"{sf}/events.parquet", spark=spark).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "ts")
+    out = streaming.run_available_now(
+        streaming.interval_join_stream(errors_s, clicks_s, window_seconds=3600.0),
+        output_mode="append",
+    )
+    got = {(r["l_event_id"], r["r_event_id"]) for r in out.collect()}
+    assert got == expected
+    assert len(got) > 0
