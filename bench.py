@@ -47,10 +47,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen + parquet-reader paths so per-query numbers
-    # measure the plans, not first-touch initialization
+    # warm the JVM/codegen + parquet-reader paths and register the SQL
+    # views (10 footer reads) so per-query numbers measure the query
+    # plans, not first-touch initialization/session setup
+    from aws_data_wrangler_spark.plans.queries import register_tables
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
+    register_tables(spark, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings = {}
