@@ -493,3 +493,34 @@ def extract_athena_types(df: DataFrame, partition_cols: Optional[List[str]] = No
     """(columns_types, partitions_types) Athena DDL dicts for a DataFrame.
     Ref: /root/reference/awswrangler/catalog/_utils.py ``extract_athena_types``."""
     return athena_types_from_spark(df, partition_cols)
+
+
+def get_table_versions(
+    database: str, table: str, spark: Optional[SparkSession] = None
+) -> List[Dict[str, Any]]:
+    """Table versions, API-shaped like Glue's GetTableVersions
+    (ref: /root/reference/awswrangler/catalog/_get.py
+    ``get_table_versions``). Session/Hive catalogs don't version table
+    metadata, so an existing table reports exactly one current version;
+    a missing table reports none.
+    """
+    if not does_table_exist(database, table, spark=spark):
+        return []
+    return [
+        {
+            "VersionId": "0",
+            "Table": {
+                "DatabaseName": database,
+                "Name": table,
+                "Parameters": get_table_parameters(database, table, spark=spark),
+            },
+        }
+    ]
+
+
+def get_table_number_of_versions(
+    database: str, table: str, spark: Optional[SparkSession] = None
+) -> int:
+    """Count of stored metadata versions for a table
+    (ref: /root/reference/awswrangler/catalog/_get.py)."""
+    return len(get_table_versions(database, table, spark=spark))

@@ -12,6 +12,7 @@ from aws_data_wrangler_spark.s3._fs import (  # noqa: F401
     list_directories,
     list_objects,
     merge_datasets,
+    open_s3_object,
     size_objects,
     wait_objects_exist,
     wait_objects_not_exist,
@@ -50,6 +51,7 @@ __all__ = [
     "does_object_exist",
     "list_directories",
     "list_objects",
+    "open_s3_object",
     "read_parquet",
     "read_parquet_metadata",
     "read_parquet_table",

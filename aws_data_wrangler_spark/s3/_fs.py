@@ -265,3 +265,103 @@ def _wait(
             return
         time.sleep(delay)
     raise TimeoutError(f"objects did not reach exist={want_exist}: {paths}")
+
+
+class _HadoopFileLike:
+    """Minimal file-like over a fully-buffered Hadoop FS object.
+
+    Reads are one-shot (the reference's ``s3_block_size=-1`` mode:
+    download once, serve from memory); writes buffer locally and flush
+    to the FileSystem on close — the right unit of work for the
+    driver-side helper this is (bulk data paths go through
+    ``read_parquet``/``to_parquet``, never this).
+    """
+
+    def __init__(self, fs: Any, jvm: Any, path: str, mode: str):
+        import io
+
+        self._fs, self._jvm, self._path, self._mode = fs, jvm, path, mode
+        self.closed = False
+        if "r" in mode:
+            stream = fs.open(_hpath(jvm, path))
+            bos = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, True)
+            self._buf = io.BytesIO(bytes(bos.toByteArray()))
+        else:
+            self._buf = io.BytesIO()
+
+    def read(self, size: int = -1) -> bytes:
+        return self._buf.read(size)
+
+    def readline(self, size: int = -1) -> bytes:
+        return self._buf.readline(size)
+
+    def write(self, data: bytes) -> int:
+        return self._buf.write(data)
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        return self._buf.seek(pos, whence)
+
+    def tell(self) -> int:
+        return self._buf.tell()
+
+    def readable(self) -> bool:
+        return "r" in self._mode
+
+    def writable(self) -> bool:
+        return "w" in self._mode or "a" in self._mode
+
+    def seekable(self) -> bool:
+        return True
+
+    def flush(self) -> None:
+        pass
+
+    def __iter__(self):
+        return iter(self._buf)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self.writable():
+            out = self._fs.create(_hpath(self._jvm, self._path), True)
+            out.write(self._buf.getvalue())
+            out.close()
+        self.closed = True
+
+
+def open_s3_object(
+    path: str,
+    mode: str = "rb",
+    encoding: str = "utf-8",
+    newline: Optional[str] = "\n",
+    spark: Optional[SparkSession] = None,
+):
+    """Context manager yielding a file-like for any Hadoop-FS URI
+    (ref: ``awswrangler/s3/_fs.py:558`` ``open_s3_object``). Binary
+    modes yield the raw buffer; text modes wrap it in a TextIOWrapper.
+    """
+    import contextlib
+    import io
+
+    if not any(c in mode for c in "rwa"):
+        raise InvalidArgument(f"unsupported mode: {mode}")
+
+    @contextlib.contextmanager
+    def _cm():
+        session = _active_spark(spark)
+        fs, jvm = _fs_for(session, path)
+        raw = _HadoopFileLike(fs, jvm, path, mode)
+        text = None
+        try:
+            if "b" in mode:
+                yield raw
+            else:
+                text = io.TextIOWrapper(raw, encoding=encoding, newline=newline)
+                yield text
+        finally:
+            if text is not None:
+                text.flush()
+            raw.close()
+
+    return _cm()

@@ -143,3 +143,42 @@ class TestObjectOps:
         s3.wait_objects_exist(objs)
         with pytest.raises(TimeoutError):
             s3.wait_objects_not_exist(objs, delay=0.01, max_attempts=2)
+
+
+class TestOpenObject:
+    def test_open_write_read_binary(self, spark, tmp_prefix):
+        from aws_data_wrangler_spark import s3
+
+        path = f"{tmp_prefix}/blob.bin"
+        payload = b"\x00\x01binary payload\xff" * 100
+        with s3.open_s3_object(path, "wb", spark=spark) as f:
+            f.write(payload)
+        assert s3.does_object_exist(path, spark=spark)
+        with s3.open_s3_object(path, "rb", spark=spark) as f:
+            assert f.read() == payload
+
+    def test_open_text_lines(self, spark, tmp_prefix):
+        from aws_data_wrangler_spark import s3
+
+        path = f"{tmp_prefix}/notes.txt"
+        with s3.open_s3_object(path, "w", spark=spark) as f:
+            f.write("line one\nline two\n")
+        with s3.open_s3_object(path, "r", spark=spark) as f:
+            assert f.readlines() == ["line one\n", "line two\n"]
+
+
+class TestCatalogVersions:
+    def test_table_versions_shape(self, spark, tmp_prefix, lineitem):
+        from aws_data_wrangler_spark import catalog, s3
+
+        catalog.create_database("sg_ver")
+        s3.to_parquet(lineitem.limit(10), f"{tmp_prefix}/t", dataset=True, mode="overwrite", spark=spark)
+        catalog.create_parquet_table(
+            database="sg_ver", table="vt", path=f"{tmp_prefix}/t",
+            columns_types={"l_orderkey": "bigint"},
+        )
+        assert catalog.get_table_number_of_versions("sg_ver", "vt") == 1
+        versions = catalog.get_table_versions("sg_ver", "vt")
+        assert versions[0]["Table"]["Name"] == "vt"
+        assert catalog.get_table_number_of_versions("sg_ver", "missing") == 0
+        catalog.delete_table_if_exists("sg_ver", "vt")
