@@ -53,17 +53,13 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality features and
     a composite score in [0, 1]. All arithmetic in double so the
-    DuckDB oracle reproduces it bit-for-bit.
-
-    Stopwords are counted by token equality over one shared split
-    (~1.6× faster than a ``\\b(...)\\b`` regex alternation per row —
-    the hot-path difference when this runs over a 100 TB corpus)."""
+    DuckDB oracle reproduces it bit-for-bit."""
     text = F.col(text_col)
     n_chars = F.length(text).cast("double")
     tokens = _ws_token_count(text).cast("double")
     punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    toks_lower = F.split(F.trim(F.lower(text)), r"\s+")
-    stops = F.size(F.filter(toks_lower, lambda t: t.isin(*STOPWORDS))).cast("double")
+    stop_pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    stops = F.size(F.regexp_extract_all(F.lower(text), F.lit(stop_pattern), 0)).cast("double")
     punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(tokens > 0, stops / tokens).otherwise(F.lit(0.0))
     mean_word_len = F.when(tokens > 0, n_chars / tokens).otherwise(F.lit(0.0))
@@ -92,11 +88,13 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     deterministic and SQL-reproducible. Real deployments would swap in
     a fastText-style model via a pandas UDF; the plumbing is identical.
     """
-    toks_lower = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    score_cols = [
-        F.size(F.filter(toks_lower, lambda t: t.isin(*markers))).alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS
-    ]
+    lowered = F.lower(F.col(text_col))
+    score_cols = []
+    for lang, markers in LANG_MARKERS:
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        score_cols.append(
+            F.size(F.regexp_extract_all(lowered, F.lit(pattern), 0)).alias(f"score_{lang}")
+        )
     scored = df.select("*", *score_cols)
     # argmax with alphabetical tie-break: greatest(structs) would use
     # struct ordering; an explicit fold keeps semantics obvious + portable.

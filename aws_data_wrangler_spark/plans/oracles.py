@@ -62,30 +62,22 @@ _NGRAM_JACCARD = """
     ORDER BY id_a, id_b
 """
 
-# stopword / lang-marker counts by token equality over one split —
-# mirrors operators/text.py (lists imported from there, can't drift)
-from aws_data_wrangler_spark.operators.text import LANG_MARKERS, STOPWORDS  # noqa: E402
-
-
-def _token_count_in(words) -> str:
-    wl = ", ".join(f"'{w}'" for w in words)
-    return (
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
-        f"t -> list_contains([{wl}], t)))"
-    )
-
-
-_QUALITY_EXPRS = f"""
+_QUALITY_EXPRS = """
         length(text)::DOUBLE AS n_chars,
         CASE WHEN length(trim(text)) = 0 THEN 0
              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::DOUBLE AS tokens,
         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS punct,
-        {_token_count_in(STOPWORDS)}::DOUBLE AS stops
+        len(regexp_extract_all(lower(text),
+            '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE AS stops
 """
 
-_LANG_SCORES = ",\n        ".join(
-    f"{_token_count_in(markers)} AS score_{lang}" for lang, markers in LANG_MARKERS
-)
+_LANG_SCORES = """
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS score_de,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that)\\b')) AS score_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|que)\\b')) AS score_es,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|que)\\b')) AS score_fr,
+        len(regexp_extract_all(lower(text), '\\b(的|是|了|在|我)\\b')) AS score_zh
+"""
 
 # stratified sampling: same md5-prefix-vs-hex-threshold coin flip as
 # operators/sampling.py (thresholds generated from the same fractions)
