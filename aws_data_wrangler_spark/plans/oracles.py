@@ -565,6 +565,12 @@ ORACLES: Dict[str, str] = {
         ORDER BY source, doc_id
     """,
     # ---- streaming (single-batch availableNow replay == batch SQL) -----
+    # streaming dedup emits each key once ⇒ distinct set == batch DISTINCT
+    "streaming_content_dedup": """
+        SELECT DISTINCT md5(event_type || '|' || props) AS fingerprint
+        FROM events
+        ORDER BY fingerprint
+    """,
     # stream-stream interval join == batch inequality join on replay
     "streaming_error_click_join": """
         SELECT e.event_id AS error_id, c.event_id AS click_id

@@ -1108,6 +1108,23 @@ def _streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("error_id", "click_id")
 
 
+def _streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content dedup over the documents-as-stream: normalized
+    fingerprint key, bounded state via dropDuplicatesWithinWatermark.
+    Output is the distinct fingerprint set (deterministic regardless of
+    which duplicate arrives first), so the batch DISTINCT is the oracle."""
+    from aws_data_wrangler_spark import streaming
+
+    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+    # events as a content stream: props-payload fingerprint per event
+    keyed = stream.withColumn(
+        "fingerprint", F.md5(F.concat_ws("|", F.col("event_type"), F.col("props")))
+    )
+    deduped = streaming.dedup_stream(keyed, key_cols=["fingerprint"])
+    out = streaming.run_available_now(deduped.select("fingerprint"), output_mode="append")
+    return out.select("fingerprint").distinct().orderBy("fingerprint")
+
+
 def _streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark import streaming
 
@@ -1160,4 +1177,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window": _events_session_window,
     "streaming_hourly_rollup": _streaming_hourly_rollup,
     "streaming_error_click_join": _streaming_error_click_join,
+    "streaming_content_dedup": _streaming_content_dedup,
 }

@@ -32,3 +32,41 @@ def test_entry_module_contract():
     assert len(qs) >= 50
     assert callable(qs["q1_pricing_summary"])
     assert "SELECT" in oracles["q1_pricing_summary"].upper()
+
+
+class TestPlanAudits:
+    """Physical-plan shape assertions for the new pipeline operators —
+    scale behavior is a test subject (SURVEY §5 item 4)."""
+
+    def test_contamination_broadcasts_eval_set(self, spark):
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark.operators import text
+        from aws_data_wrangler_spark.plans.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        out = text.benchmark_contamination(
+            docs.filter(F.col("doc_id") % 50 != 0), docs.filter(F.col("doc_id") % 50 == 0), n=5
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the eval n-gram set must be the broadcast side: the corpus
+        # (100 TB side) is never shuffled for the probe
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_stratified_sample_is_shuffle_free(self, spark):
+        from aws_data_wrangler_spark.operators import sampling
+        from aws_data_wrangler_spark.plans.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        kept = sampling.stratified_sample(docs, {"src0": 0.8}, default_fraction=0.25)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        # pure scan+filter projection: no Exchange of any kind
+        assert "Exchange" not in plan
+
+    def test_pii_scrub_is_shuffle_free(self, spark):
+        from aws_data_wrangler_spark.operators import text
+        from aws_data_wrangler_spark.plans.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        plan = text.scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
