@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+Each property pits a distributed operator against an obviously-correct
+single-node reference implementation on randomized small inputs —
+the cases unit tests miss (ties, empty groups, boundary timestamps).
+Spark jobs are slow per example, so max_examples stays small; the
+strategies are chosen to hit edge cases densely (duplicate keys, equal
+timestamps, single-token docs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# timestamps as small epoch-second ints → lots of exact collisions
+ts_strategy = st.integers(min_value=0, max_value=50)
+key_strategy = st.integers(min_value=0, max_value=3)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(key_strategy, ts_strategy), min_size=1, max_size=15),
+    right=st.lists(st.tuples(key_strategy, ts_strategy), min_size=1, max_size=15),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    from aws_data_wrangler_spark.operators import joins
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    # dedup right per (k, ts): asof_join resolves equal-time ties to the
+    # max payload; pre-deduping makes the pandas comparison exact
+    rrows = {}
+    for j, (k, t) in enumerate(right):
+        rrows[(k, t)] = max(rrows.get((k, t), -1), j)
+    rdf = spark.createDataFrame(
+        [(k, t, rid) for (k, t), rid in rrows.items()], "k long, ts long, rid long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    out = joins.asof_join(ldf, rdf, on="k", right_cols=["rid"], how="left")
+    got = {
+        (r["k"], r["ts"].timestamp(), r["lid"]): r["rid"]
+        for r in out.collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), i) for i, (k, t) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    ).sort_values(["ts", "lid"])
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), rid) for (k, t), rid in rrows.items()],
+        columns=["k", "ts", "rid"],
+    ).sort_values(["ts", "rid"])
+    expected = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in expected.iterrows():
+        key = (row["k"], row["ts"].timestamp(), row["lid"])
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[key] == want, (key, got[key], want)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(ts_strategy, min_size=1, max_size=12),
+    right=st.lists(ts_strategy, min_size=1, max_size=12),
+    window=st.integers(min_value=1, max_value=20),
+)
+def test_interval_join_matches_bruteforce(spark, left, right, window):
+    from aws_data_wrangler_spark.operators import joins
+
+    ldf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(left)], "lid long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(right)], "rid long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = joins.interval_join_bucketed(ldf, rdf, "ts", "ts", window_seconds=float(window))
+    got = {(r["l_lid"], r["r_rid"]) for r in out.collect()}
+    want = {
+        (i, j)
+        for i, lt in enumerate(left)
+        for j, rt in enumerate(right)
+        if lt <= rt < lt + window
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dddd"]), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=1, max_value=6),
+)
+def test_chunk_tokens_covers_everything_in_order(spark, texts, chunk):
+    """Every token appears in some chunk; concatenating stride-aligned
+    chunks with overlap removed reconstructs the document."""
+    from aws_data_wrangler_spark.operators import text as text_ops
+
+    stride = max(1, chunk - 1)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    chunks = text_ops.chunk_tokens(df, chunk_size=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in enumerate(texts):
+        toks = text.split() if text.strip() else []
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        rows = by_doc[doc_id]
+        # stitch: first chunk whole, then drop the (chunk - stride) overlap
+        stitched = rows[0]["chunk_text"].split()
+        for r in rows[1:]:
+            stitched.extend(r["chunk_text"].split()[chunk - stride:])
+        assert stitched == toks, (doc_id, stitched, toks)
+        assert all(r["n_tokens"] == len(r["chunk_text"].split()) for r in rows)
+
+
+@settings(**SETTINGS)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True))
+def test_hash_sample_is_stable_subset_chain(spark, ids):
+    """Monotone property: fraction f1 <= f2 ⇒ sample(f1) ⊆ sample(f2);
+    and sampling is invariant to partitioning/order."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    small = {r["doc_id"] for r in sampling.hash_sample(df, 0.3).collect()}
+    big = {r["doc_id"] for r in sampling.hash_sample(df, 0.7).collect()}
+    assert small <= big
+    shuffled = df.repartition(7)
+    again = {r["doc_id"] for r in sampling.hash_sample(shuffled, 0.3).collect()}
+    assert again == small
