@@ -67,13 +67,23 @@ def read_parquet(
     filters: FiltersType = None,
     dataset: bool = False,
     schema: Optional[str] = None,
+    chunked: Union[bool, int] = False,
     spark: Optional[SparkSession] = None,
     **options: Any,
-) -> DataFrame:
+) -> Any:
     """Read parquet file(s)/dataset into a DataFrame.
 
     ``dataset=True`` reads a partitioned prefix (hive-style dirs become
     partition columns, pruned by ``filters``).
+
+    ``chunked`` mirrors the reference's batched-consumption mode
+    (ref ``read_parquet(chunked=True)``): returns an *iterator of
+    pandas DataFrames* — Arrow-batched via ``toLocalIterator``-style
+    streaming, never materializing the full result on the driver.
+    ``chunked=True`` yields one frame per Spark partition;
+    ``chunked=N`` re-batches to ~N rows per frame. This is the
+    driver-side consumption path for moderate results; distributed
+    pipelines keep the DataFrame.
     Ref: /root/reference/awswrangler/s3/_read_parquet.py ``read_parquet``.
     """
     spark = _active_spark(spark)
@@ -87,7 +97,31 @@ def read_parquet(
     for key, value in options.items():
         reader = reader.option(key, value)
     df = reader.parquet(*paths)
-    return _apply_projection_filter(df, columns, filters)
+    df = _apply_projection_filter(df, columns, filters)
+    if chunked:
+        return _iter_pandas_chunks(df, None if chunked is True else int(chunked))
+    return df
+
+
+def _iter_pandas_chunks(df: DataFrame, rows_per_chunk: Optional[int]):
+    """Stream a DataFrame to the driver as pandas frames, one Spark
+    partition at a time (Arrow-serialized; no full materialization)."""
+    import pandas as pd
+
+    cols = df.columns
+    buf: list = []
+    buffered = 0
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        buffered += 1
+        if rows_per_chunk is not None and buffered >= rows_per_chunk:
+            yield pd.DataFrame.from_records([r.asDict() for r in buf], columns=cols)
+            buf, buffered = [], 0
+        elif rows_per_chunk is None and buffered >= 10_000:
+            yield pd.DataFrame.from_records([r.asDict() for r in buf], columns=cols)
+            buf, buffered = [], 0
+    if buf:
+        yield pd.DataFrame.from_records([r.asDict() for r in buf], columns=cols)
 
 
 def read_parquet_table(

@@ -182,3 +182,25 @@ class TestCatalogVersions:
         assert versions[0]["Table"]["Name"] == "vt"
         assert catalog.get_table_number_of_versions("sg_ver", "missing") == 0
         catalog.delete_table_if_exists("sg_ver", "vt")
+
+
+class TestChunkedRead:
+    def test_chunked_iterator_covers_all_rows(self, spark):
+        from aws_data_wrangler_spark import s3
+
+        frames = list(s3.read_parquet(
+            "/root/testdata/sf0.001/orders.parquet", chunked=500, spark=spark
+        ))
+        assert all(len(f) <= 500 for f in frames)
+        total = sum(len(f) for f in frames)
+        direct = s3.read_parquet("/root/testdata/sf0.001/orders.parquet", spark=spark)
+        assert total == direct.count()
+        assert list(frames[0].columns) == direct.columns
+
+    def test_chunked_true_yields_frames(self, spark):
+        from aws_data_wrangler_spark import s3
+
+        frames = list(s3.read_parquet(
+            "/root/testdata/sf0.001/nation.parquet", chunked=True, spark=spark
+        ))
+        assert sum(len(f) for f in frames) == 25
