@@ -554,6 +554,39 @@ ORACLES: Dict[str, str] = {
         WHERE {_SAMPLE_KEEP}
         GROUP BY source ORDER BY source
     """,
+    # near-dup drop (higher id of each pair) → md5-threshold 50% sample
+    # → per-label norm stats; mirrors the Spark composition stagewise
+    "embedding_curation_pipeline": f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COSINE.format(a='a', b='b')} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ), dropped AS (
+            SELECT DISTINCT id_b FROM pairs WHERE cosine >= 0.4
+        ), kept AS (
+            SELECT * FROM embeddings
+            WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+        ), sampled AS (
+            SELECT * FROM kept
+            WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{_threshold_hex(0.5)}'
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+                   AS avg_norm
+        FROM sampled
+        GROUP BY label ORDER BY label
+    """,
+    # salted join is a physical rewrite: result == plain equi-join
+    "events_user_join_salted": """
+        WITH user_dim AS (
+            SELECT user_id, count(*) AS user_events,
+                   round(sum(value), 4) AS user_value
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.event_type, u.user_events, u.user_value
+        FROM events e JOIN user_dim u ON e.user_id = u.user_id
+        ORDER BY e.event_id
+    """,
     "sample_fixed_per_source": """
         WITH ranked AS (
             SELECT source, doc_id,

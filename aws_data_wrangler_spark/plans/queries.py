@@ -1010,6 +1010,48 @@ def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.benchmark_contamination(train, eval_set, n=5).orderBy("doc_id")
 
 
+def _embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side curation: near-dup removal (drop the higher id of
+    every near-cosine pair) → deterministic 50% downsample → per-label
+    stats. Composes dedup + sampling + vector analytics in one plan."""
+    from aws_data_wrangler_spark.functions import vec_norm
+    from aws_data_wrangler_spark.operators import dedup, sampling
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = emb.join(dropped, "vec_id", "left_anti")
+    sampled = sampling.hash_sample(kept, 0.5, id_col="vec_id")
+    return (
+        sampled.select("label", vec_norm(F.col("embedding").cast("array<double>")).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+        .select(F.col("label").cast("int").alias("label"), "n_vecs", "avg_norm")
+    )
+
+
+def _events_user_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (events fact × per-user dim): output
+    must equal the plain join — salting is a physical rewrite only."""
+    from aws_data_wrangler_spark.functions import salted_join
+
+    events = load(spark, sf_dir, "events")
+    user_dim = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.round(F.sum("value"), 4).alias("user_value"),
+    )
+    joined = salted_join(
+        events.select("event_id", "user_id", "event_type"), user_dim, on="user_id"
+    )
+    return joined.select("event_id", "user_id", "event_type", "user_events", "user_value").orderBy(
+        "event_id"
+    )
+
+
 def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import multimodal
 
@@ -1173,6 +1215,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benchmark_contamination": _benchmark_contamination,
     "sample_stratified": _sample_stratified,
     "sample_fixed_per_source": _sample_fixed_per_source,
+    "embedding_curation_pipeline": _embedding_curation_pipeline,
+    "events_user_join_salted": _events_user_join_salted,
     "multimodal_decode_stub": _multimodal_decode_stub,
     "events_session_window": _events_session_window,
     "streaming_hourly_rollup": _streaming_hourly_rollup,
