@@ -12,6 +12,7 @@ from aws_data_wrangler_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     text,
+    timeseries,
 )
 
-__all__ = ["dedup", "joins", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "sampling", "similarity", "text", "timeseries"]

@@ -597,6 +597,29 @@ ORACLES: Dict[str, str] = {
         SELECT source, doc_id FROM ranked WHERE rn <= 5
         ORDER BY source, doc_id
     """,
+    # dense hourly spine per type (generate_series == Spark sequence),
+    # zero-filled counts, locf averages via IGNORE NULLS window
+    "events_hourly_gapfill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*) AS n_events, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        )
+        SELECT s.event_type,
+               strftime(s.h, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               CAST(coalesce(hh.n_events, 0) AS BIGINT) AS n_events,
+               last_value(hh.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+        FROM spine s LEFT JOIN hourly hh
+          ON s.event_type = hh.event_type AND s.h = hh.h
+        ORDER BY s.event_type, bucket_ts
+    """,
     # ---- streaming (single-batch availableNow replay == batch SQL) -----
     # streaming dedup emits each key once ⇒ distinct set == batch DISTINCT
     "streaming_content_dedup": """

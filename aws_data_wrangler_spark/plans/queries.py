@@ -483,6 +483,17 @@ ANALYTICS_SQL: Dict[str, str] = {
         GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS STRING))
         ORDER BY event_type NULLS FIRST, day NULLS FIRST
     """,
+    # statistical aggregates (corr / stddev / variance)
+    "lineitem_stats_by_flag": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(stddev_samp(l_quantity), 6) AS qty_stddev,
+               round(var_samp(l_discount), 6) AS disc_var,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     # hypertable-style time-bucket rollup
     "events_hourly_rollup": """
         SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, event_type,
@@ -1120,6 +1131,15 @@ def _text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup: every hour in each type's range present,
+    zero-filled counts, last-value-carried-forward averages."""
+    from aws_data_wrangler_spark.operators import timeseries
+
+    events = load(spark, sf_dir, "events")
+    return timeseries.gapfill_rollup(events).orderBy("event_type", "bucket_ts")
+
+
 def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native session windows (F.session_window) — same semantics
     as the lag/cumsum SQL sessionization, which serves as the oracle."""
@@ -1217,6 +1237,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_fixed_per_source": _sample_fixed_per_source,
     "embedding_curation_pipeline": _embedding_curation_pipeline,
     "events_user_join_salted": _events_user_join_salted,
+    "events_hourly_gapfill": _events_hourly_gapfill,
     "multimodal_decode_stub": _multimodal_decode_stub,
     "events_session_window": _events_session_window,
     "streaming_hourly_rollup": _streaming_hourly_rollup,

@@ -303,3 +303,21 @@ class TestTextPipelineOps:
             assert rows[i]["contamination_frac"] == 1.0
         # and docs sharing no 5-gram with the eval docs score 0
         assert any(r["contamination_frac"] == 0.0 for r in rows.values())
+
+
+class TestTimeseries:
+    def test_gapfill_fills_missing_buckets(self, spark):
+        from aws_data_wrangler_spark.operators import timeseries
+
+        df = spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 3 * 3600, 20.0), ("b", 3600, 5.0)],
+            "event_type string, sec long, value double",
+        ).select("event_type", F.timestamp_seconds("sec").alias("ts"), "value")
+        out = timeseries.gapfill_rollup(df).orderBy("event_type", "bucket_ts").collect()
+        a_rows = [r for r in out if r["event_type"] == "a"]
+        # hours 0..3 all present, gap hours zero-count with carried avg
+        assert len(a_rows) == 4
+        assert [r["n_events"] for r in a_rows] == [1, 0, 0, 1]
+        assert [r["filled_avg"] for r in a_rows] == [10.0, 10.0, 10.0, 20.0]
+        b_rows = [r for r in out if r["event_type"] == "b"]
+        assert len(b_rows) == 1 and b_rows[0]["filled_avg"] == 5.0
