@@ -253,6 +253,10 @@ ORACLES: Dict[str, str] = {
         SELECT n_regionkey, count(*) AS n_nations
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
+    "io_fwf_roundtrip": """
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
     "catalog_table_roundtrip": """
         SELECT s_nationkey, count(*) AS n_suppliers,
                round(sum(s_acctbal), 2) AS sum_bal

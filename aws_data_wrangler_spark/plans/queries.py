@@ -637,6 +637,32 @@ def _io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _io_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-file path: format nation as fwf text (rpad columns)
+    → read_fwf (substring slicing, codegen) → aggregate."""
+    from aws_data_wrangler_spark import s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/nation_fwf"
+    nation = load(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat(
+            F.rpad(F.col("n_nationkey").cast("string"), 6, " "),
+            F.rpad(F.col("n_name"), 12, " "),
+            F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(out)
+    back = s3.read_fwf(
+        out, widths=[6, 12, 4], names=["n_nationkey", "n_name", "n_regionkey"],
+        dtype={"n_nationkey": "int", "n_regionkey": "int"}, spark=spark,
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
 def _catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset write → catalog registration (store_parquet_metadata) →
     athena.read_sql_table → aggregate."""
@@ -1209,6 +1235,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_pipeline": _corpus_curation_pipeline,
     "io_csv_roundtrip": _io_csv_roundtrip,
     "io_json_roundtrip": _io_json_roundtrip,
+    "io_fwf_roundtrip": _io_fwf_roundtrip,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "logs_insights_stats": _logs_insights_stats,
     "dedup_exact": _dedup_exact,

@@ -179,6 +179,7 @@ def to_parquet(
     dtype: Optional[Dict[str, str]] = None,
     compression: Optional[str] = "snappy",
     sort_cols: Optional[List[str]] = None,
+    max_rows_by_file: Optional[int] = None,
     spark: Optional[SparkSession] = None,
     **options: Any,
 ) -> Dict[str, Any]:
@@ -190,8 +191,15 @@ def to_parquet(
     clusters values so parquet row-group min/max statistics prune
     effectively on those columns (the poor man's Z-order; at 100 TB
     this is what makes point-lookup scans skip most row groups).
+
+    ``max_rows_by_file`` caps rows per output file (the reference's
+    file-splitting knob) via Spark's ``maxRecordsPerFile`` — tasks
+    roll over to a new file at the cap, bounding file sizes without a
+    repartition.
     """
     options.setdefault("compression", compression or "none")
+    if max_rows_by_file:
+        options.setdefault("maxRecordsPerFile", str(int(max_rows_by_file)))
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     return _write(

@@ -204,3 +204,18 @@ class TestChunkedRead:
             "/root/testdata/sf0.001/nation.parquet", chunked=True, spark=spark
         ))
         assert sum(len(f) for f in frames) == 25
+
+
+class TestMaxRowsByFile:
+    def test_file_split_at_row_cap(self, spark, tmp_prefix):
+        from aws_data_wrangler_spark import s3
+
+        df = spark.range(1000).coalesce(1).withColumnRenamed("id", "v")
+        out = f"{tmp_prefix}/capped"
+        s3.to_parquet(df, out, dataset=True, mode="overwrite",
+                      max_rows_by_file=300, spark=spark)
+        files = [p for p in s3.list_objects(f"{out}/", spark=spark) if p.endswith(".parquet")]
+        # 1000 rows / cap 300 -> 4 files from the single task
+        assert len(files) == 4
+        back = s3.read_parquet(out, dataset=True, spark=spark)
+        assert back.count() == 1000
