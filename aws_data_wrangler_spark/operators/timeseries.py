@@ -33,7 +33,9 @@ def gapfill_rollup(
     bucketed = F.date_trunc(bucket, F.col(time_col))
     rollup = df.groupBy(F.col(key_col), bucketed.alias("__bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(value_col), 6).alias("avg_value"),
+        # grid-stable avg (round the sum at the value's 2dp grid first;
+        # a bare round(avg) is boundary-unstable across engines)
+        F.round(F.round(F.sum(value_col), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
     )
     bounds = rollup.groupBy(key_col).agg(
         F.min("__bucket").alias("__mn"), F.max("__bucket").alias("__mx")

@@ -606,7 +606,8 @@ ORACLES: Dict[str, str] = {
     "events_hourly_gapfill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS h,
-                   count(*) AS n_events, round(avg(value), 6) AS avg_value
+                   count(*) AS n_events,
+                   round(round(sum(value), 2) / count(*), 6) AS avg_value
             FROM events GROUP BY 1, 2
         ), bounds AS (
             SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
@@ -644,7 +645,7 @@ ORACLES: Dict[str, str] = {
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                count(*) AS n_events,
                round(sum(value), 2) AS sum_value,
-               round(avg(value), 6) AS avg_value
+               round(round(sum(value), 2) / count(*), 6) AS avg_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY window_start, event_type

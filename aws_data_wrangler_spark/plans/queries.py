@@ -494,12 +494,16 @@ ANALYTICS_SQL: Dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
-    # hypertable-style time-bucket rollup
+    # hypertable-style time-bucket rollup. avg is expressed as
+    # round(sum@grid)/count: `value` sits on a 2dp grid, so the rounded
+    # sum is the same double in every engine and the division is then
+    # deterministic — a bare round(avg(),6) loses the boundary lottery
+    # somewhere among 18k groups at sf0.1 (measured).
     "events_hourly_rollup": """
         SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, event_type,
                count(*) AS n_events,
                round(sum(value), 2) AS sum_value,
-               round(avg(value), 6) AS avg_value
+               round(round(sum(value), 2) / count(*), 6) AS avg_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY hour_ts, event_type

@@ -75,7 +75,11 @@ def windowed_rollup(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 2).alias("sum_value"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+            # grid-stable avg: round the sum AT the value grid first so
+            # both engines divide identical doubles (see plans/queries.py)
+            F.round(
+                F.round(F.sum(value_col), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
         )
         .select(
             # string-typed window bound: engine-portable representation
