@@ -159,3 +159,22 @@ def sanitize_name(name: str) -> str:
     """
     name = re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", name.strip())
     return _SANITIZE_RE.sub("_", name.lower()).strip("_") or "_"
+
+
+def athena2quicksight(dtype: str) -> str:
+    """Athena DDL type → QuickSight logical type
+    (ref: /root/reference/awswrangler/_data_types.py:121)."""
+    dtype = dtype.lower()
+    if dtype in ("tinyint", "smallint", "int", "integer", "bigint"):
+        return "INTEGER"
+    if dtype in ("float", "real", "double") or dtype.startswith("decimal"):
+        return "DECIMAL"
+    if dtype in ("boolean", "bool"):
+        return "BOOLEAN"
+    if dtype in ("string", "char", "varchar") or dtype.startswith(("char", "varchar")):
+        return "STRING"
+    if dtype in ("timestamp", "date"):
+        return "DATETIME"
+    if dtype == "binary":
+        return "BIT"
+    raise ValueError(f"unsupported quicksight type: {dtype}")

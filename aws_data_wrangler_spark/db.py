@@ -241,3 +241,7 @@ def write_warehouse_copy_manifest(paths: List[str], manifest_path: str, spark: O
     out.write(bytearray(json.dumps(manifest).encode()))
     out.close()
     return manifest
+
+
+# reference-name alias (Redshift is "the warehouse" in awswrangler 1.x)
+write_redshift_copy_manifest = write_warehouse_copy_manifest

@@ -173,3 +173,31 @@ def get_template_id(name: str, **_: Any) -> str:  # noqa: D103
 def get_template_ids(name: str, **_: Any) -> List[str]:
     """Empty outside AWS."""
     return []
+
+
+def extract_athena_table_columns(database: str, table: str, **_: Any) -> List[Dict[str, str]]:
+    """QuickSight physical-table column list from a catalog table
+    (ref: awswrangler/quicksight/_utils.py ``extract_athena_table_columns``)
+    — functional against the session catalog."""
+    from aws_data_wrangler_spark import catalog
+    from aws_data_wrangler_spark._data_types import athena2quicksight
+    from aws_data_wrangler_spark.exceptions import InvalidArgument
+
+    dtypes = catalog.get_table_types(database=database, table=table)
+    if not dtypes:
+        raise InvalidArgument(f"{database}.{table} does not exist")
+    return [{"Name": n, "Type": athena2quicksight(t)} for n, t in dtypes.items()]
+
+
+def extract_athena_query_columns(sql: str, **_: Any) -> List[Dict[str, str]]:
+    """Column list of a SQL query via a LIMIT-0 plan (schema-only; no
+    execution) — the reference runs the wrapped query on Athena and
+    reads its metadata (ref: awswrangler/quicksight/_utils.py)."""
+    from aws_data_wrangler_spark import athena
+    from aws_data_wrangler_spark._data_types import athena2quicksight, spark2athena
+
+    df = athena.read_sql_query(f"SELECT ds.* FROM ( {sql} ) ds LIMIT 0")
+    return [
+        {"Name": f.name, "Type": athena2quicksight(spark2athena(f.dataType))}
+        for f in df.schema.fields
+    ]

@@ -143,3 +143,18 @@ class TestMisc:
         assert sanitize_name("Hello World!") == "hello_world"
         assert sanitize_name("snake_ok_1") == "snake_ok_1"
         assert sanitize_name("CamelCaseCol") == "camel_case_col"
+
+
+def test_quicksight_extract_columns(spark):
+    from aws_data_wrangler_spark import quicksight
+    from aws_data_wrangler_spark.plans.queries import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    cols = quicksight.extract_athena_query_columns(
+        "SELECT n_nationkey, n_name, CAST(n_regionkey AS DOUBLE) AS r FROM nation"
+    )
+    assert cols == [
+        {"Name": "n_nationkey", "Type": "INTEGER"},
+        {"Name": "n_name", "Type": "STRING"},
+        {"Name": "r", "Type": "DECIMAL"},
+    ]
