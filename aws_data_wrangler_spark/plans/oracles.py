@@ -267,6 +267,25 @@ ORACLES: Dict[str, str] = {
         FROM events WHERE event_type = 'click'
         GROUP BY user_id ORDER BY user_id
     """,
+    "logs_insights_parse": """
+        SELECT event_type, count(*) AS n,
+               round(sum(CAST(regexp_extract(props, '"k": ([0-9.]+)', 1) AS DOUBLE)), 4) AS sum_k
+        FROM events
+        WHERE regexp_extract(props, '"k": ([0-9.]+)', 1) <> ''
+        GROUP BY event_type ORDER BY event_type
+    """,
+    # minhash-LSH == exact-jaccard at these (bands, rows): the deduped
+    # corpus equals dropping the higher id of every exact pair ≥ 0.8
+    "dedup_lsh_corpus": f"""
+        WITH pairs AS (
+            {_NGRAM_JACCARD.format(threshold=0.8).replace("ORDER BY id_a, id_b", "")}
+        )
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        GROUP BY source ORDER BY source
+    """,
     # flagship curation pipeline: quality + lang filter + normalized
     # dedup (keep min doc_id) + per-source rollup — mirrors the Spark
     # operator composition stage for stage

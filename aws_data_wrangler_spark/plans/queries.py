@@ -701,6 +701,39 @@ def _logs_insights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logs_insights_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logs-Insights ``parse`` stage: regex-extract the numeric prop out
+    of the raw JSON payload, then stats by event_type."""
+    from aws_data_wrangler_spark import cloudwatch
+
+    register_tables(spark, sf_dir)
+    return cloudwatch.run_query(
+        'parse props /"k": ([0-9.]+)/ as k_str '
+        "| filter k_str != '' "
+        "| stats count(*) AS n, round(sum(CAST(k_str AS DOUBLE)), 4) AS sum_k by event_type "
+        "| sort event_type asc",
+        "events",
+        spark=spark,
+    )
+
+
+def _dedup_lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH near-dup pairs (j ≥ 0.8),
+    drop the higher id of each pair, report the surviving corpus per
+    source — the operator a pretraining pipeline actually runs."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.8)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 def _io_merge_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two dataset prefixes merged into one (s3.merge_datasets), then
     aggregated — the multi-source consolidation path."""
@@ -1242,7 +1275,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "logs_insights_stats": _logs_insights_stats,
+    "logs_insights_parse": _logs_insights_parse,
     "dedup_exact": _dedup_exact,
+    "dedup_lsh_corpus": _dedup_lsh_corpus,
     "dedup_normalized": _dedup_normalized,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_minhash_lsh": _dedup_minhash_lsh,
