@@ -13,11 +13,19 @@ from typing import Any, Dict, Optional
 
 
 _CONFIG_KEYS: Dict[str, type] = {
+    # reference keys (ref: awswrangler/_config.py:25 _CONFIG_ARGS)
+    "catalog_id": str,            # catalog account/id (carried, unused locally)
+    "concurrent_partitioning": bool,  # no-op: Spark writes partitions concurrently
+    "ctas_approach": bool,        # athena CTAS materialization toggle
     "database": str,              # default catalog database
+    "max_cache_query_inspections": int,
     "max_cache_seconds": int,     # query-result cache TTL (athena analog)
+    "s3_block_size": int,         # fs read block size (hadoop io buffer)
+    "workgroup": str,             # carried for API parity
+    "s3_endpoint_url": str,       # custom object-store endpoint (s3a)
+    # engine-specific keys
     "shuffle_partitions": int,    # default spark.sql.shuffle.partitions
     "broadcast_threshold": int,   # autoBroadcastJoinThreshold bytes
-    "s3_endpoint_url": str,       # custom object-store endpoint (s3a)
 }
 
 _ENV_PREFIX = "WR_"
