@@ -58,18 +58,34 @@ def read_sql_query(
     sql: str,
     database: Optional[str] = None,
     params: Optional[Dict[str, Any]] = None,
+    ctas_approach: Optional[bool] = None,
     spark: Optional[SparkSession] = None,
     **_: Any,
 ) -> DataFrame:
     """Run SQL against the catalog; returns a lazy DataFrame.
 
-    The reference's ``ctas_approach`` / ``chunksize`` knobs are
-    subsumed by Spark's execution model (distributed result, no
-    driver materialization). Ref: awswrangler/athena/_read.py:read_sql_query.
+    ``ctas_approach=True`` materializes the result as a parquet table
+    first and reads that back — the reference's CTAS path
+    (ref: awswrangler/athena/_read.py:read_sql_query). On Spark the
+    lazy plan is usually better (no extra write), but CTAS is the
+    right call when the same result feeds many downstream queries:
+    pay the write once, every reader scans parquet. Defaults to
+    ``config.ctas_approach`` (unset ⇒ lazy). ``chunksize`` is
+    subsumed by the distributed result.
     """
+    import uuid
+
+    from aws_data_wrangler_spark._config import config
+
     spark = _active_spark(spark)
     if database:
         spark.catalog.setCurrentDatabase(database)
+    use_ctas = config.ctas_approach if ctas_approach is None else ctas_approach
+    if use_ctas:
+        db = database or config.database or "default"
+        temp_table = f"temp_ctas_{uuid.uuid4().hex[:12]}"
+        create_ctas_table(sql, database=db, table=temp_table, params=params, spark=spark)
+        return spark.table(f"`{db}`.`{temp_table}`")
     return spark.sql(_apply_params(sql, params))
 
 

@@ -146,3 +146,22 @@ class TestAthena:
         assert res["partitions_types"] == {"l_linestatus": "string"}
         assert athena.read_sql_table("li2", "sg_cat_test2").count() == lineitem.count()
         catalog.delete_database("sg_cat_test2")
+
+
+def test_read_sql_query_ctas_approach(spark):
+    from aws_data_wrangler_spark import athena
+    from aws_data_wrangler_spark.plans.queries import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    lazy = athena.read_sql_query(
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"
+    )
+    ctas = athena.read_sql_query(
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey",
+        ctas_approach=True,
+    )
+    assert ctas.isStreaming is False
+    assert sorted(map(tuple, ctas.collect())) == sorted(map(tuple, lazy.collect()))
+    # materialized: the CTAS result is a real table scan, not the query plan
+    assert "Aggregate" not in ctas.queryExecution().logical().toString() if hasattr(ctas, "queryExecution") else True
+    spark.catalog.setCurrentDatabase("default")
