@@ -483,6 +483,33 @@ ANALYTICS_SQL: Dict[str, str] = {
         GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS STRING))
         ORDER BY event_type NULLS FIRST, day NULLS FIRST
     """,
+    # decile distribution via ntile window (deterministic: unique order key)
+    "orders_value_deciles": """
+        SELECT decile,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM (
+            SELECT o_totalprice,
+                   CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+            FROM orders
+        ) d
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    # weekly retention cohorts: first-seen week × activity week
+    "events_retention_cohorts": """
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(CAST(f.cohort_week AS DATE) AS STRING) AS cohort_week,
+               CAST(CAST(date_trunc('week', e.ts) AS DATE) AS STRING) AS activity_week,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY f.cohort_week, date_trunc('week', e.ts)
+        ORDER BY cohort_week, activity_week
+    """,
     # statistical aggregates (corr / stddev / variance)
     "lineitem_stats_by_flag": """
         SELECT l_returnflag,
