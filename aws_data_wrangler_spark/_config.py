@@ -8,8 +8,10 @@ built and how the IO layer behaves.
 
 from __future__ import annotations
 
+import functools
+import inspect
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 
 _CONFIG_KEYS: Dict[str, type] = {
@@ -67,3 +69,32 @@ class _Config:
 
 
 config = _Config()
+
+
+def apply_configs(function: Callable[..., Any]) -> Callable[..., Any]:
+    """Inject set config values into matching keyword arguments.
+
+    Mirrors the reference decorator (ref: awswrangler/_config.py:337
+    ``apply_configs``): for every parameter of ``function`` whose name
+    is a config key, a value the user has set on ``config`` fills the
+    argument when the caller left it unset (or passed ``None``, our
+    sentinel for "use the default").
+    """
+    signature = inspect.signature(function)
+    available = tuple(k for k in _CONFIG_KEYS if k in signature.parameters)
+
+    @functools.wraps(function)
+    def wrapper(*args: Any, **kwargs: Any) -> Any:
+        bound = signature.bind_partial(*args, **kwargs).arguments
+        for name in available:
+            if bound.get(name) is None and getattr(config, name) is not None:
+                bound[name] = getattr(config, name)
+        var_kw = next(
+            (p.name for p in signature.parameters.values() if p.kind == p.VAR_KEYWORD),
+            None,
+        )
+        if var_kw and var_kw in bound:
+            bound.update(bound.pop(var_kw))
+        return function(**bound)
+
+    return wrapper

@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_data_wrangler_spark._config import apply_configs
 from aws_data_wrangler_spark._data_types import spark2athena
 from aws_data_wrangler_spark.exceptions import QueryFailed
 from aws_data_wrangler_spark.s3._fs import _active_spark
@@ -54,6 +55,7 @@ def _apply_params(sql: str, params: Optional[Dict[str, Any]]) -> str:
     return sql
 
 
+@apply_configs
 def read_sql_query(
     sql: str,
     database: Optional[str] = None,
@@ -89,6 +91,7 @@ def read_sql_query(
     return spark.sql(_apply_params(sql, params))
 
 
+@apply_configs
 def read_sql_table(
     table: str,
     database: Optional[str] = None,

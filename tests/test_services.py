@@ -122,6 +122,26 @@ class TestMisc:
         with pytest.raises(AttributeError):
             config.not_a_key = 1
 
+    def test_apply_configs(self):
+        from aws_data_wrangler_spark._config import apply_configs
+
+        @apply_configs
+        def fn(sql, ctas_approach=None, workgroup=None, **kw):
+            return ctas_approach, workgroup, kw
+
+        try:
+            config.ctas_approach = True
+            config.workgroup = "wg"
+            # unset args take config values; explicit args win
+            assert fn("q") == (True, "wg", {})
+            assert fn("q", ctas_approach=False) == (False, "wg", {})
+            # **kwargs pass through
+            assert fn("q", extra=1)[2] == {"extra": 1}
+        finally:
+            config.reset("ctas_approach")
+            config.reset("workgroup")
+        assert fn("q") == (None, None, {})
+
     def test_type_mapping_roundtrip(self):
         cases = {
             "boolean": T.BooleanType(),
