@@ -669,4 +669,16 @@ ORACLES: Dict[str, str] = {
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY window_start, event_type
     """,
+    # foreachBatch upsert final snapshot == batch argmax per key
+    "streaming_latest_per_user": """
+        SELECT user_id, epoch_us(ts) AS last_ts_us, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
 }

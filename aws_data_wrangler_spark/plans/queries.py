@@ -1285,6 +1285,26 @@ def _streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(rollup).orderBy("window_start", "event_type")
 
 
+def _streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-INTO: foreachBatch upsert keeping the latest
+    event per user in a versioned-snapshot parquet table. Replayed
+    availableNow, the final snapshot equals the batch argmax-per-key,
+    which is the oracle."""
+    from aws_data_wrangler_spark import streaming
+
+    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+    target = f"{tempfile.mkdtemp(prefix='sgq_')}/latest_events"
+    latest = streaming.upsert_sink(
+        stream, target, key_cols=["user_id"], order_col="ts", tiebreak_cols=["event_id"]
+    )
+    return latest.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        "event_type",
+        "value",
+    ).orderBy("user_id")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
     "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
@@ -1336,4 +1356,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_rollup": _streaming_hourly_rollup,
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
+    "streaming_latest_per_user": _streaming_latest_per_user,
 }

@@ -26,11 +26,14 @@ def read_event_stream(
     path: str,
     schema: Optional[str] = None,
     spark: Optional[SparkSession] = None,
+    **options: str,
 ) -> DataFrame:
     """File-source stream over a dataset prefix (new files = new data).
 
     Schema is required by Structured Streaming; when omitted it is
     inferred from the existing files via a one-off batch read.
+    Extra ``options`` pass through to the reader (e.g.
+    ``maxFilesPerTrigger=1`` to force one micro-batch per file).
     """
     spark = _active_spark(spark)
     path = normalize_path(path)
@@ -41,6 +44,8 @@ def read_event_stream(
     # FileStreamSource requires a directory: stream the parent dir with a
     # glob filter when handed a single file
     reader = spark.readStream.schema(inferred)
+    for key, value in options.items():
+        reader = reader.option(key, value)
     if path.endswith(".parquet"):
         import posixpath
 
@@ -169,6 +174,96 @@ def interval_join_stream(
         (rt >= lt) & (rt < lt + F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
     )
     return joined.drop("__bucket")
+
+
+def _latest_snapshot_version(target_path: str, spark: SparkSession) -> int:
+    """Highest ``v=N`` snapshot under ``target_path`` (-1 if none)."""
+    from aws_data_wrangler_spark.s3 import list_directories
+
+    versions = []
+    for d in list_directories(target_path, spark=spark):
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("v="):
+            try:
+                versions.append(int(name[2:]))
+            except ValueError:
+                continue
+    return max(versions, default=-1)
+
+
+def read_upsert_table(
+    target_path: str, spark: Optional[SparkSession] = None
+) -> Optional[DataFrame]:
+    """Read the current snapshot of an ``upsert_sink`` table (None if
+    the table has no committed snapshot yet)."""
+    spark = _active_spark(spark)
+    version = _latest_snapshot_version(target_path, spark)
+    if version < 0:
+        return None
+    return spark.read.parquet(f"{normalize_path(target_path)}/v={version}")
+
+
+def upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: Optional[list] = None,
+    order_col: str = "ts",
+    tiebreak_cols: Optional[list] = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming MERGE-INTO sink via ``foreachBatch``: maintain a table
+    holding the latest row per key, and return its final snapshot.
+
+    Each micro-batch is unioned with the current snapshot and reduced
+    to the per-key argmax of ``order_col`` (ties broken by
+    ``tiebreak_cols``, descending), then written as a NEW versioned
+    snapshot directory (``v=N+1``). Readers always resolve
+    ``max(v=N)`` — a complete, immutable snapshot — so writers never
+    overwrite files a reader may be scanning: the snapshot-isolation
+    pattern of Delta/Iceberg built from plain parquet. The stream
+    operator itself is stateless (table state lives in the table), so
+    state never accumulates in the stream; per-batch cost is one
+    shuffle of (snapshot ∪ batch) on the key. At 100 TB the same merge
+    runs partition-wise when the snapshot is written partitioned by a
+    key prefix; old versions are retention-compacted out-of-band.
+    """
+    keys = key_cols or ["event_id"]
+    order_cols = [order_col, *(tiebreak_cols or [])]
+
+    from pyspark.sql.window import Window
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark_b = batch_df.sparkSession
+        version = _latest_snapshot_version(target_path, spark_b)
+        current = (
+            spark_b.read.parquet(f"{normalize_path(target_path)}/v={version}")
+            if version >= 0
+            else None
+        )
+        merged = batch_df if current is None else current.unionByName(batch_df)
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        latest.write.mode("overwrite").parquet(
+            f"{normalize_path(target_path)}/v={version + 1}"
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{normalize_path(target_path)}/_checkpoint")
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    result = read_upsert_table(target_path, stream.sparkSession)
+    if result is None:
+        raise RuntimeError(f"upsert_sink produced no snapshot under {target_path}")
+    return result
 
 
 def dedup_stream(

@@ -119,3 +119,44 @@ def test_interval_join_stream_equals_batch(spark):
     got = {(r["l_event_id"], r["r_event_id"]) for r in out.collect()}
     assert got == expected
     assert len(got) > 0
+
+
+class TestUpsertSink:
+    def test_multi_batch_merge_equals_argmax(self, spark, events, tmp_prefix):
+        from aws_data_wrangler_spark import s3, streaming
+
+        # two files split by time → maxFilesPerTrigger=1 forces two
+        # micro-batches, so the second merge must read snapshot v=0
+        median = events.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+        early = events.filter(F.unix_micros("ts") <= median).coalesce(1)
+        late = events.filter(F.unix_micros("ts") > median).coalesce(1)
+        src = f"{tmp_prefix}/upsert_src"
+        early.write.mode("overwrite").parquet(src)
+        late.write.mode("append").parquet(src)
+
+        stream = streaming.read_event_stream(src, spark=spark, maxFilesPerTrigger="1")
+        target = f"{tmp_prefix}/latest"
+        final = streaming.upsert_sink(
+            stream, target, key_cols=["user_id"], order_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        want = (
+            events.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        )
+        got = {tuple(r) for r in final.select("user_id", "event_id").collect()}
+        expect = {tuple(r) for r in want.select("user_id", "event_id").collect()}
+        assert got == expect
+
+        # snapshot-per-batch: versions v=0..N committed, reader sees max
+        versions = streaming._latest_snapshot_version(target, spark)
+        assert versions >= 1  # at least two snapshots (two batches)
+        assert streaming.read_upsert_table(target, spark).count() == len(expect)
+
+    def test_empty_target_reader_returns_none(self, spark, tmp_prefix):
+        from aws_data_wrangler_spark import streaming
+
+        assert streaming.read_upsert_table(f"{tmp_prefix}/nope", spark) is None
