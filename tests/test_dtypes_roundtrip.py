@@ -83,3 +83,52 @@ class TestDtypeRoundtrip:
         )
         back = s3.read_parquet(out, dataset=True)
         assert dict(back.dtypes) == {"c_int": "bigint", "c_double": "decimal(10,2)"}
+
+    def test_typed_partition_columns_roundtrip(self, spark, typed_df, tmp_prefix):
+        # partition values live in the PATH (strings); the read must
+        # surface them typed again (ref: test_s3_parquet partition tests)
+        out = f"{tmp_prefix}/typed_part"
+        df = typed_df.filter("c_bool").select("c_int", "c_str", "c_date", "c_long")
+        s3.to_parquet(df, out, dataset=True, mode="overwrite",
+                      partition_cols=["c_date", "c_int"])
+        back = s3.read_parquet(out, dataset=True)
+        got = dict(back.dtypes)
+        assert got["c_date"] == "date"
+        assert got["c_int"] == "int"
+        row = back.collect()[0]
+        assert row["c_date"] == datetime.date(2020, 1, 2) and row["c_int"] == 3
+
+    def test_deep_nesting_roundtrip(self, spark, tmp_prefix):
+        schema = (
+            "id int, arr_structs array<struct<k:string,v:array<int>>>, "
+            "map_arr map<string,array<double>>, "
+            "s struct<inner:struct<a:int,b:map<string,int>>>"
+        )
+        rows = [
+            (1, [Row(k="x", v=[1, 2])], {"m": [1.5, 2.5]},
+             Row(inner=Row(a=9, b={"z": 3}))),
+            (2, [], {}, None),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        out = f"{tmp_prefix}/deep"
+        s3.to_parquet(df, out, dataset=True, mode="overwrite")
+        back = s3.read_parquet(out, dataset=True)
+        assert dict(back.dtypes) == dict(df.dtypes)
+        assert back.orderBy("id").collect() == df.orderBy("id").collect()
+
+    def test_timestamp_ntz_roundtrip(self, spark, tmp_prefix):
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 6, 1, 12, 0, 0))], "id int, ts timestamp_ntz"
+        )
+        out = f"{tmp_prefix}/ntz"
+        s3.to_parquet(df, out, dataset=True, mode="overwrite")
+        back = s3.read_parquet(out, dataset=True)
+        assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+        assert back.collect() == df.collect()
+
+    def test_empty_frame_roundtrip(self, spark, typed_df, tmp_prefix):
+        out = f"{tmp_prefix}/empty"
+        s3.to_parquet(typed_df.limit(0), out, dataset=True, mode="overwrite")
+        back = s3.read_parquet(out, dataset=True)
+        assert back.count() == 0
+        assert dict(back.dtypes) == dict(typed_df.dtypes)
