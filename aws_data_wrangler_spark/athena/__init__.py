@@ -26,6 +26,7 @@ from aws_data_wrangler_spark.exceptions import QueryFailed
 from aws_data_wrangler_spark.s3._fs import _active_spark
 
 __all__ = [
+    "flush_cache",
     "read_sql_query",
     "read_sql_table",
     "create_athena_bucket",
@@ -44,6 +45,36 @@ __all__ = [
 # query-execution registry (driver-side bookkeeping only; the data
 # itself stays distributed — we never collect results here)
 _EXECUTIONS: Dict[str, Dict[str, Any]] = {}
+
+# query-result cache keyed by (database, sql): the reference reuses the
+# s3 result files of an identical query run within ``max_cache_seconds``
+# (ref: awswrangler/athena/_read.py:146 _check_for_cached_results); our
+# analog marks the result DataFrame for in-memory materialization and
+# hands the same cached plan back — like Athena's, the cached result is
+# a snapshot and does NOT see table changes made inside the TTL window.
+_RESULT_CACHE: Dict[Any, Any] = {}
+
+
+def _cached_result(key: Any, ttl: int):
+    import time as _time
+
+    entry = _RESULT_CACHE.get(key)
+    if entry is None:
+        return None
+    ts, df = entry
+    if _time.time() - ts > ttl:
+        df.unpersist()
+        del _RESULT_CACHE[key]
+        return None
+    return df
+
+
+def flush_cache() -> None:
+    """Drop all cached query results (reference: new queries simply
+    fall out of the inspection window; we expose an explicit flush)."""
+    for _, df in _RESULT_CACHE.values():
+        df.unpersist()
+    _RESULT_CACHE.clear()
 
 
 def _apply_params(sql: str, params: Optional[Dict[str, Any]]) -> str:
@@ -82,13 +113,27 @@ def read_sql_query(
     spark = _active_spark(spark)
     if database:
         spark.catalog.setCurrentDatabase(database)
+    final_sql = _apply_params(sql, params)
+    ttl = config.max_cache_seconds or 0
+    cache_key = (database or spark.catalog.currentDatabase(), final_sql)
+    if ttl > 0:
+        hit = _cached_result(cache_key, ttl)
+        if hit is not None:
+            return hit
     use_ctas = config.ctas_approach if ctas_approach is None else ctas_approach
     if use_ctas:
         db = database or config.database or "default"
         temp_table = f"temp_ctas_{uuid.uuid4().hex[:12]}"
         create_ctas_table(sql, database=db, table=temp_table, params=params, spark=spark)
-        return spark.table(f"`{db}`.`{temp_table}`")
-    return spark.sql(_apply_params(sql, params))
+        result = spark.table(f"`{db}`.`{temp_table}`")
+    else:
+        result = spark.sql(final_sql)
+    if ttl > 0:
+        import time as _time
+
+        result = result.cache()
+        _RESULT_CACHE[cache_key] = (_time.time(), result)
+    return result
 
 
 @apply_configs

@@ -1,0 +1,65 @@
+"""Programmatic physical-plan inspection.
+
+Scale behavior is a first-class, testable property of every operator
+(SURVEY §5 item 4, §6): these helpers turn ``df.explain()`` text into
+structured facts a test — or a pipeline pre-flight check on a real
+cluster — can assert on before burning 1000 executor-hours on a bad
+plan.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+from pyspark.sql import DataFrame
+
+
+def _executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_summary(df: DataFrame) -> Dict[str, Any]:
+    """Summarize the physical plan into the facts that matter at scale.
+
+    Returns counts of exchanges (shuffles), join strategies, scan
+    pushdown evidence, whole-stage-codegen spans, and whether any
+    Python evaluation (the slow path) appears in the plan.
+    """
+    plan = _executed_plan(df)
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "reused_exchanges": len(re.findall(r"\bReusedExchange\b", plan)),
+        "broadcast_hash_joins": len(re.findall(r"\bBroadcastHashJoin\b", plan)),
+        "sort_merge_joins": len(re.findall(r"\bSortMergeJoin\b", plan)),
+        "broadcast_nested_loop_joins": len(
+            re.findall(r"\bBroadcastNestedLoopJoin\b", plan)
+        ),
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "partition_filters": bool(re.search(r"PartitionFilters: \[[^\]]", plan)),
+        "wholestage_codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        "python_eval": bool(
+            re.search(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
+        "plan": plan,
+    }
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    """The plan must be a pure scan-side pipeline (no Exchange)."""
+    summary = plan_summary(df)
+    assert summary["exchanges"] == 0, f"expected shuffle-free plan:\n{summary['plan']}"
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    """At least one join must be broadcast (small side never shuffled)."""
+    summary = plan_summary(df)
+    assert (
+        summary["broadcast_hash_joins"] + summary["broadcast_nested_loop_joins"] > 0
+    ), f"expected a broadcast join:\n{summary['plan']}"
+
+
+def assert_pushdown(df: DataFrame) -> None:
+    """Filters must reach the parquet scan (PushedFilters non-empty)."""
+    summary = plan_summary(df)
+    assert summary["pushed_filters"], f"expected pushed filters:\n{summary['plan']}"

@@ -165,3 +165,68 @@ def test_read_sql_query_ctas_approach(spark):
     # materialized: the CTAS result is a real table scan, not the query plan
     assert "Aggregate" not in ctas.queryExecution().logical().toString() if hasattr(ctas, "queryExecution") else True
     spark.catalog.setCurrentDatabase("default")
+
+
+class TestQueryCache:
+    def test_cache_hit_within_ttl(self, spark, lineitem):
+        from aws_data_wrangler_spark._config import config
+
+        lineitem.limit(10).createOrReplaceTempView("qc_lineitem")
+        sql = "SELECT count(*) AS n FROM qc_lineitem"
+        try:
+            config.max_cache_seconds = 300
+            first = athena.read_sql_query(sql)
+            second = athena.read_sql_query(sql)
+            assert second is first  # same cached plan handed back
+            assert first.storageLevel.useMemory  # marked for in-memory reuse
+        finally:
+            config.reset("max_cache_seconds")
+            athena.flush_cache()
+        # with caching off, a fresh plan every time
+        third = athena.read_sql_query(sql)
+        assert third is not first
+
+    def test_cache_expiry_and_flush(self, spark, lineitem):
+        import time
+
+        from aws_data_wrangler_spark._config import config
+
+        lineitem.limit(10).createOrReplaceTempView("qc_lineitem2")
+        sql = "SELECT sum(l_quantity) AS s FROM qc_lineitem2"
+        try:
+            config.max_cache_seconds = 1
+            first = athena.read_sql_query(sql)
+            time.sleep(1.2)
+            second = athena.read_sql_query(sql)
+            assert second is not first  # TTL expired → re-planned
+        finally:
+            config.reset("max_cache_seconds")
+            athena.flush_cache()
+        assert not first.storageLevel.useMemory  # flush unpersisted it
+
+
+class TestPlanAuditApi:
+    def test_plan_summary_facts(self, spark, lineitem):
+        from aws_data_wrangler_spark.plans import audit
+
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").filter(
+            "l_quantity > 40"
+        ).select("l_orderkey", "l_quantity")
+        s = audit.plan_summary(df)
+        assert s["exchanges"] == 0 and s["pushed_filters"] and not s["python_eval"]
+        audit.assert_no_shuffle(df)
+        audit.assert_pushdown(df)
+
+    def test_broadcast_join_assert(self, spark):
+        nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        supplier = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark.plans import audit
+
+        joined = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        audit.assert_broadcast_join(joined)
+        with __import__("pytest").raises(AssertionError):
+            audit.assert_no_shuffle(
+                supplier.groupBy("s_nationkey").count()
+            )
