@@ -192,15 +192,52 @@ def _latest_snapshot_version(target_path: str, spark: SparkSession) -> int:
 
 
 def read_upsert_table(
-    target_path: str, spark: Optional[SparkSession] = None
+    target_path: str,
+    spark: Optional[SparkSession] = None,
+    version: Optional[int] = None,
 ) -> Optional[DataFrame]:
-    """Read the current snapshot of an ``upsert_sink`` table (None if
-    the table has no committed snapshot yet)."""
+    """Read a snapshot of an ``upsert_sink`` table (None if the table
+    has no committed snapshot yet). ``version`` time-travels to an
+    older retained snapshot; default is the latest."""
+    from aws_data_wrangler_spark.s3 import does_object_exist
+
     spark = _active_spark(spark)
-    version = _latest_snapshot_version(target_path, spark)
+    if version is None:
+        version = _latest_snapshot_version(target_path, spark)
     if version < 0:
         return None
-    return spark.read.parquet(f"{normalize_path(target_path)}/v={version}")
+    snapshot = f"{normalize_path(target_path)}/v={version}"
+    if not does_object_exist(snapshot, spark=spark):
+        return None  # never committed, or vacuumed out
+    return spark.read.parquet(snapshot)
+
+
+def vacuum_upsert_table(
+    target_path: str,
+    keep_versions: int = 1,
+    spark: Optional[SparkSession] = None,
+) -> int:
+    """Drop all but the newest ``keep_versions`` snapshots (the
+    out-of-band retention compaction every snapshot table needs — old
+    versions exist only for time travel and in-flight readers).
+    Returns the number of snapshots removed."""
+    from aws_data_wrangler_spark.s3 import delete_objects, list_directories
+
+    spark = _active_spark(spark)
+    latest = _latest_snapshot_version(target_path, spark)
+    removed = 0
+    for d in list_directories(target_path, spark=spark):
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if v <= latest - keep_versions:
+            delete_objects(d, spark=spark)
+            removed += 1
+    return removed
 
 
 def upsert_sink(

@@ -156,6 +156,16 @@ class TestUpsertSink:
         assert versions >= 1  # at least two snapshots (two batches)
         assert streaming.read_upsert_table(target, spark).count() == len(expect)
 
+        # time travel: v=0 holds only the first batch's keys
+        v0 = streaming.read_upsert_table(target, spark, version=0)
+        assert v0.count() <= len(expect)
+
+        # retention: vacuum to 1 snapshot; latest survives, v=0 gone
+        removed = streaming.vacuum_upsert_table(target, keep_versions=1, spark=spark)
+        assert removed == versions  # v=0..N-1 dropped
+        assert streaming.read_upsert_table(target, spark).count() == len(expect)
+        assert streaming.read_upsert_table(target, spark, version=0) is None
+
     def test_empty_target_reader_returns_none(self, spark, tmp_prefix):
         from aws_data_wrangler_spark import streaming
 
