@@ -96,3 +96,40 @@ def fixed_size_sample(
     part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
     rn = F.row_number().over(part.orderBy(order, F.col(id_col)))
     return df.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: Dict[str, int],
+    token_col: str = "ws_tokens",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic data-mixing draw: per stratum, take documents in
+    hash order until the cumulative token count reaches the stratum's
+    budget (the document that crosses the budget is included, so every
+    stratum reaches its budget exactly unless exhausted).
+
+    This is the mixture-weights-to-token-counts step of an LM data
+    recipe ("2B tokens of src0, 1B of src1, ..."): the hash order is
+    the reproducible shuffle, the keep rule is ``tokens_before < budget``
+    — a single window cumsum per stratum, so the whole draw is one
+    shuffle keyed on the stratum regardless of corpus size.
+    """
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    budget = F.lit(default_budget)
+    for value, amount in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(amount)).otherwise(budget)
+    return (
+        df.withColumn("__before", tokens_before)
+        .filter(F.col("__before") < budget)
+        .drop("__before")
+    )

@@ -620,6 +620,26 @@ ORACLES: Dict[str, str] = {
         SELECT source, doc_id FROM ranked WHERE rn <= 5
         ORDER BY source, doc_id
     """,
+    # token-budget mixing: same hash order as the Spark draw; keep rule
+    # is cumulative-tokens-BEFORE-this-row < budget
+    "sample_token_budget": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens
+            FROM documents
+        ), c AS (
+            SELECT *, COALESCE(SUM(ws_tokens) OVER (
+                PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+            FROM t
+        )
+        SELECT doc_id, source, ws_tokens FROM c
+        WHERE tokens_before < CASE source WHEN 'src0' THEN 100
+                                          WHEN 'src1' THEN 60
+                                          ELSE 80 END
+        ORDER BY doc_id
+    """,
     # dense hourly spine per type (generate_series == Spark sequence),
     # zero-filled counts, locf averages via IGNORE NULLS window
     "events_hourly_gapfill": """

@@ -1058,6 +1058,18 @@ def _sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+def _sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per-source docs in hash order until
+    the source's token budget is crossed (the LM data-recipe draw)."""
+    from aws_data_wrangler_spark.operators import sampling, text
+
+    docs = text.with_token_counts(load(spark, sf_dir, "documents"))
+    kept = sampling.token_budget_sample(
+        docs, {"src0": 100, "src1": 60}, default_budget=80
+    )
+    return kept.select("doc_id", "source", "ws_tokens").orderBy("doc_id")
+
+
 # synthetic-PII planting: the test corpus has no real PII, so the query
 # appends a deterministic email/phone/IP derived from doc_id, then
 # scrubs — exercising detection+redaction on every row with a
@@ -1348,6 +1360,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benchmark_contamination": _benchmark_contamination,
     "sample_stratified": _sample_stratified,
     "sample_fixed_per_source": _sample_fixed_per_source,
+    "sample_token_budget": _sample_token_budget,
     "embedding_curation_pipeline": _embedding_curation_pipeline,
     "events_user_join_salted": _events_user_join_salted,
     "events_hourly_gapfill": _events_hourly_gapfill,

@@ -255,6 +255,47 @@ class TestSampling:
             if s not in ("src0", "src1"):
                 assert c < full[s]
 
+    def test_token_budget_sample_crosses_budget_exactly(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling, text
+
+        docs = text.with_token_counts(documents)
+        budget = 100
+        kept = sampling.token_budget_sample(docs, {}, default_budget=budget)
+        totals = {
+            r["source"]: r["tok"]
+            for r in docs.groupBy("source").agg(F.sum("ws_tokens").alias("tok")).collect()
+        }
+        kept_tok = {
+            r["source"]: r["tok"]
+            for r in kept.groupBy("source").agg(F.sum("ws_tokens").alias("tok")).collect()
+        }
+        kept_ids = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for source, total in totals.items():
+            # budget reached unless the stratum ran out of tokens
+            assert kept_tok[source] >= min(budget, total)
+            # minimality: without its last hash-ordered doc the draw is
+            # under budget (the crossing doc is the only overshoot)
+            if kept_tok[source] > budget:
+                from pyspark.sql.window import Window
+
+                order = F.md5(F.col("doc_id").cast("string"))
+                w = Window.partitionBy("source").orderBy(order.desc(), F.col("doc_id").desc())
+                trimmed = (
+                    kept.filter(F.col("source") == source)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter("rn > 1")
+                )
+                trimmed_tok = trimmed.agg(F.sum("ws_tokens")).first()[0] or 0
+                assert trimmed_tok < budget
+        # deterministic
+        again = sampling.token_budget_sample(docs, {}, default_budget=budget)
+        assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {
+            r["doc_id"] for r in again.select("doc_id").collect()
+        }
+
     def test_fixed_size_sample_exact_k(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
 
