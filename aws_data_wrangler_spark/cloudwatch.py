@@ -61,7 +61,9 @@ def _compile_insights(df: DataFrame, query: str) -> DataFrame:
     Supported stages (SQL expressions inside stages):
     ``fields a, b AS c`` | ``filter <predicate>`` |
     ``stats agg1 AS x, agg2 AS y by k1, k2`` | ``sort col [asc|desc]`` |
-    ``limit n`` | ``parse <col> /<regex>/ as g1, g2`` (regex groups).
+    ``limit n`` | ``parse <col> /<regex>/ as g1, g2`` (regex groups) |
+    ``dedup k1, k2`` (one row per key — the latest by ``ts`` when the
+    column is present, so the keep choice is deterministic).
     """
     for raw_stage in [s.strip() for s in query.split("|") if s.strip()]:
         lowered = raw_stage.lower()
@@ -93,6 +95,22 @@ def _compile_insights(df: DataFrame, query: str) -> DataFrame:
             df = df.orderBy(F.expr(body.strip()).desc() if descending else F.expr(body.strip()).asc())
         elif lowered.startswith("limit "):
             df = df.limit(int(raw_stage[6:].strip()))
+        elif lowered.startswith("dedup ") or lowered == "dedup":
+            keys = _split_top_level(raw_stage[6:]) if len(raw_stage) > 6 else list(df.columns)
+            if "ts" in df.columns:
+                from pyspark.sql.window import Window
+
+                order = [F.col("ts").desc()] + [
+                    F.col(c).desc() for c in df.columns if c == "event_id"
+                ]
+                w = Window.partitionBy(*[F.expr(k) for k in keys]).orderBy(*order)
+                df = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                df = df.dropDuplicates(keys)
         elif lowered.startswith("parse "):
             body = raw_stage[6:]
             col_part, _, rest = body.partition("/")

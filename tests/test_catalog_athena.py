@@ -230,3 +230,17 @@ class TestPlanAuditApi:
             audit.assert_no_shuffle(
                 supplier.groupBy("s_nationkey").count()
             )
+
+
+class TestStatistics:
+    def test_compute_statistics_feeds_cbo(self, spark, lineitem, tmp_prefix):
+        from aws_data_wrangler_spark import s3
+
+        s3.to_parquet(
+            lineitem.limit(100), f"{tmp_prefix}/stats_tbl", dataset=True,
+            mode="overwrite", database="sg_stats", table="li",
+        )
+        stats = catalog.compute_statistics("sg_stats", "li", columns=["l_quantity"])
+        assert int(stats["numRows"]) == 100
+        assert int(stats["totalSize"]) > 0
+        catalog.delete_database("sg_stats")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_data_wrangler_spark import cloudwatch, db, emr, sts
@@ -33,6 +34,22 @@ class TestCloudwatch:
         rows = out.collect()
         assert len(rows) == 3
         assert all(r["k_val"].isdigit() for r in rows)
+
+    def test_dedup_stage_keeps_latest_per_key(self, spark, events):
+        events.createOrReplaceTempView("cw_events")
+        out = cloudwatch.run_query(
+            "dedup user_id, event_type | fields user_id, event_type, ts",
+            "cw_events",
+            spark=spark,
+        )
+        got = {(r["user_id"], r["event_type"]): r["ts"] for r in out.collect()}
+        want = {
+            (r["user_id"], r["event_type"]): r["latest"]
+            for r in events.groupBy("user_id", "event_type")
+            .agg(F.max("ts").alias("latest"))
+            .collect()
+        }
+        assert got == want  # one row per key, and it is the latest
 
     def test_time_range_filter(self, spark, events):
         import datetime
