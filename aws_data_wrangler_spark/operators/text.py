@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_data_wrangler_spark.functions import trunc_digits
@@ -153,6 +153,55 @@ def chunk_tokens(
         F.least(F.lit(chunk_size), F.size("_toks") - F.col("_start"))
         .cast("bigint")
         .alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    fixed-token-budget training sequence in which it starts.
+
+    Documents are laid out in deterministic hash order within each
+    stratum (the same md5-order used by the sampling operators, so
+    packing composes with sampling), token offsets accumulate via a
+    running-sum window, and ``seq_id = floor(start_offset / budget)``
+    — the standard LM concat-and-chunk data layout. Emits one row per
+    document: ``(id, stratum, ws_tokens, seq_id, seq_offset)``.
+
+    Scale: the window partitions by ``strata_col`` (a data source /
+    mixture component), so each stratum's running sum is one sorted
+    shuffle partition — never a global single-partition sort. At
+    100 TB you'd sub-shard giant strata (e.g. by hash prefix) the same
+    way; the per-shard layout stays deterministic.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("ws_tokens").over(w) - F.col("ws_tokens")).alias("_start")
+    return (
+        with_token_counts(df, text_col)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            "ws_tokens",
+            start,
+        )
+        .select(
+            id_col,
+            strata_col,
+            "ws_tokens",
+            F.floor(F.col("_start") / F.lit(budget)).cast("bigint").alias("seq_id"),
+            (F.col("_start") % F.lit(budget)).cast("bigint").alias("seq_offset"),
+        )
     )
 
 

@@ -440,6 +440,29 @@ ORACLES: Dict[str, str] = {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
         FROM documents ORDER BY doc_id
     """,
+    # concat-and-chunk sequence packing: same md5-hash layout order and
+    # running-sum window as operators/text.pack_sequences (budget=64)
+    "text_pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS ws_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, ws_tokens,
+                   sum(ws_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING) - ws_tokens AS start
+            FROM t
+        )
+        SELECT doc_id, source, ws_tokens,
+               CAST(floor(start / 64) AS BIGINT) AS seq_id,
+               CAST(start % 64 AS BIGINT) AS seq_offset
+        FROM c
+        ORDER BY source, seq_id, doc_id
+    """,
     # overlapping token-window chunking: range() list + 1-based inclusive
     # list slice reproduce Spark's sequence + posexplode + slice exactly
     "text_chunk_tokens": """

@@ -535,6 +535,65 @@ ANALYTICS_SQL: Dict[str, str] = {
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY hour_ts, event_type
     """,
+    # ordered funnel: signup → first later click → first later purchase.
+    # Each stage joins on the previous stage's min-timestamp, so the
+    # chain is strictly time-ordered per user. Counts only — no float
+    # discipline needed.
+    "events_funnel": """
+        WITH s AS (
+            SELECT user_id, min(ts) AS t_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts > s.t_signup
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s
+        UNION ALL SELECT '2_click_after_signup', count(*) FROM c
+        UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
+        ORDER BY stage
+    """,
+    # Pareto / ABC analysis: cumulative revenue by brand in descending
+    # revenue order. The cumsum runs over already-rounded 4dp values in
+    # a fully deterministic ROWS frame, so both engines add identical
+    # doubles in identical order — the outer round is then stable.
+    "brand_revenue_pareto": """
+        WITH rev AS (
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        )
+        SELECT p_brand, revenue,
+               round(sum(revenue) OVER (ORDER BY revenue DESC, p_brand
+                                        ROWS UNBOUNDED PRECEDING), 4) AS cum_revenue,
+               CAST(row_number() OVER (ORDER BY revenue DESC, p_brand) AS BIGINT)
+                   AS brand_rank
+        FROM rev
+        ORDER BY brand_rank
+    """,
+    # year-over-year revenue deltas: lag() over a yearly rollup. The
+    # delta subtracts two already-rounded 2dp sums — deterministic in
+    # both engines.
+    "orders_yoy_growth": """
+        WITH yearly AS (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+        )
+        SELECT order_year, revenue, n_orders,
+               round(revenue - lag(revenue) OVER (ORDER BY order_year), 2) AS yoy_delta
+        FROM yearly
+        ORDER BY order_year
+    """,
 }
 
 
@@ -990,6 +1049,16 @@ def _text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def _text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into 64-token training
+    sequences (per-source deterministic hash order)."""
+    from aws_data_wrangler_spark.operators import text
+
+    return text.pack_sequences(
+        load_parallel(spark, sf_dir, "documents"), budget=64
+    ).orderBy("source", "seq_id", "doc_id")
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-word / duplicate-bigram fractions per document
     (Gopher-style repetition quality filter)."""
@@ -1352,6 +1421,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": _text_token_count,
     "text_quality_score": _text_quality_score,
     "text_chunk_tokens": _text_chunk_tokens,
+    "text_pack_sequences": _text_pack_sequences,
     "text_repetition": _text_repetition,
     "text_lang_id": _text_lang_id,
     "text_fingerprint": _text_fingerprint,

@@ -145,6 +145,30 @@ class TestText:
         assert rows[3][0] == 2
         assert rows[4] == (2, 6)  # x,1,",",y,2,"!"
 
+    def test_pack_sequences_layout(self, spark, documents):
+        import pytest
+
+        budget = 64
+        packed = text.pack_sequences(documents, budget=budget)
+        rows = packed.collect()
+        assert len(rows) == documents.count()
+        # offsets live inside their sequence and match the concat layout:
+        # within each source, sorting by (seq_id, seq_offset) must walk
+        # token starts in non-decreasing global-offset order with no gaps
+        by_source = {}
+        for r in rows:
+            assert 0 <= r["seq_offset"] < budget
+            assert r["seq_id"] >= 0
+            by_source.setdefault(r["source"], []).append(r)
+        for source, rs in by_source.items():
+            rs.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+            offset = 0
+            for r in rs:
+                assert r["seq_id"] * budget + r["seq_offset"] == offset
+                offset += r["ws_tokens"]
+        with pytest.raises(ValueError):
+            text.pack_sequences(documents, budget=0)
+
     def test_quality_score_bounds(self, spark, documents):
         scored = text.with_quality_score(documents)
         bad = scored.filter("quality_score < 0 OR quality_score > 1").count()
