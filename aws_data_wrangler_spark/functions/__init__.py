@@ -32,6 +32,29 @@ def trunc_digits(col: ColumnOrName, digits: int = 6) -> Column:
     return F.floor(_col(col) * scale) / scale
 
 
+def pinned(cond: Column) -> Column:
+    """Pin a filter at the plan position where it is written.
+
+    ``PushDownPredicates`` only relocates *deterministic* predicates;
+    OR-ing in an always-false non-deterministic term makes the filter
+    immovable without changing its value. Use when an expensive
+    computed-column filter would otherwise be pushed below the
+    exchange that parallelizes its inputs — e.g. the quality+lang
+    regex filter of the curation pipeline was inlined and pushed onto
+    a single-row-group parquet scan, serializing all regex work into
+    one task AND re-expanding every aliased subexpression inside the
+    pushed condition (measured 12× slower at sf0.1).
+
+    The anchor term is ``spark_partition_id() < 0`` — always false,
+    free to evaluate, flagged non-deterministic — OR-ed in so the
+    predicate stays ONE boolean the optimizer can neither split
+    (conjunctions get split and their deterministic conjuncts pushed
+    anyway) nor constant-fold (``rand() < -1`` does NOT work: the
+    optimizer bounds rand's range and folds the term away).
+    """
+    return cond | (F.spark_partition_id() < F.lit(0))
+
+
 def salted_join(
     left,
     right,

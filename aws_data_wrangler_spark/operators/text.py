@@ -96,15 +96,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.regexp_extract_all(lowered, F.lit(pattern), 0)).alias(f"score_{lang}")
         )
     scored = df.select("*", *score_cols)
-    # argmax with alphabetical tie-break: greatest(structs) would use
-    # struct ordering; an explicit fold keeps semantics obvious + portable.
-    best = F.col(f"score_{LANG_MARKERS[0][0]}")
-    best_lang = F.lit(LANG_MARKERS[0][0])
-    for lang, _ in LANG_MARKERS[1:]:
-        better = F.col(f"score_{lang}") > best
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best = F.when(better, F.col(f"score_{lang}")).otherwise(best)
-    return scored.withColumn("lang_pred", best_lang).withColumn("lang_score", best.cast("bigint"))
+    # argmax with alphabetical tie-break (LANG_MARKERS is sorted):
+    # array_position finds the FIRST maximum. Array-based instead of a
+    # when/otherwise fold — the fold nests each score reference up to
+    # 2^k times, which explodes the expression tree when a downstream
+    # filter inlines it (codegen compile time, measured on the
+    # curation pipeline's pinned filter).
+    scores = F.array(*[F.col(f"score_{lang}") for lang, _ in LANG_MARKERS])
+    names = F.array(*[F.lit(lang) for lang, _ in LANG_MARKERS])
+    best_idx = F.array_position(scores, F.array_max(scores))
+    return scored.withColumn(
+        "lang_pred", F.element_at(names, best_idx.cast("int"))
+    ).withColumn("lang_score", F.array_max(scores).cast("bigint"))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

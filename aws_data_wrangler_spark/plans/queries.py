@@ -869,9 +869,16 @@ def _corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_data_wrangler_spark.operators import text
 
+    from aws_data_wrangler_spark.functions import pinned
+
     docs = load_parallel(spark, sf_dir, "documents")
     scored = text.with_quality_score(text.with_lang_id(docs))
-    kept = scored.filter((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang")))
+    # pinned: without it the optimizer pushes this filter (inlining the
+    # full regex feature expressions) below the round-robin exchange
+    # onto the single-split scan — one task does all the regex work
+    kept = scored.filter(
+        pinned((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang")))
+    )
     # window-based keep-min-id dedup: one shuffle, and the expensive
     # regex features are computed once (a self-join dedup would
     # re-evaluate the whole upstream plan on both sides)

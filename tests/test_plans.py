@@ -63,6 +63,26 @@ class TestPlanAudits:
         # pure scan+filter projection: no Exchange of any kind
         assert "Exchange" not in plan
 
+    def test_pinned_filter_stays_above_exchange(self, spark):
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark.functions import pinned
+
+        df = spark.range(100).repartition(8).withColumn("y", F.col("id") * 2)
+        plain = df.filter(F.col("y") > 5)._jdf.queryExecution().optimizedPlan().toString()
+        pin = df.filter(pinned(F.col("y") > 5))._jdf.queryExecution().optimizedPlan().toString()
+
+        def filter_above_repartition(plan: str) -> bool:
+            lines = plan.splitlines()
+            fi = next((i for i, l in enumerate(lines) if "Filter" in l), None)
+            ri = next((i for i, l in enumerate(lines) if "Repartition" in l), None)
+            return fi is not None and ri is not None and fi < ri
+
+        # baseline: the optimizer pushes the filter below the exchange;
+        # pinned: it must stay where written (above)
+        assert not filter_above_repartition(plain)
+        assert filter_above_repartition(pin)
+
     def test_pii_scrub_is_shuffle_free(self, spark):
         from aws_data_wrangler_spark.operators import text
         from aws_data_wrangler_spark.plans.queries import load
