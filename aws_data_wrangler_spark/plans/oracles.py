@@ -712,6 +712,22 @@ ORACLES: Dict[str, str] = {
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY window_start, event_type
     """,
+    # hopping window (2h/1h): every event contributes to the window
+    # starting at its hour and the one starting an hour earlier —
+    # exactly Spark's epoch-aligned window expansion
+    "streaming_sliding_counts": """
+        WITH contrib AS (
+            SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM contrib
+        GROUP BY ws, event_type
+        ORDER BY window_start, event_type
+    """,
     # foreachBatch upsert final snapshot == batch argmax per key
     "streaming_latest_per_user": """
         SELECT user_id, epoch_us(ts) AS last_ts_us, event_type, value

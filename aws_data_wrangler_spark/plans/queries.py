@@ -1373,6 +1373,19 @@ def _streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(rollup).orderBy("window_start", "event_type")
 
 
+def _streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window (2h window / 1h slide) streaming rollup — each
+    event lands in two overlapping windows. availableNow replay makes
+    the result SQL-equivalent (oracle unions the two contributions)."""
+    from aws_data_wrangler_spark import streaming
+
+    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+    rollup = streaming.windowed_rollup(
+        stream, "2 hours", "4 hours", slide_duration="1 hour"
+    ).drop("avg_value")
+    return streaming.run_available_now(rollup).orderBy("window_start", "event_type")
+
+
 def _streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE-INTO: foreachBatch upsert keeping the latest
     event per user in a versioned-snapshot parquet table. Replayed
@@ -1444,6 +1457,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_stub": _multimodal_decode_stub,
     "events_session_window": _events_session_window,
     "streaming_hourly_rollup": _streaming_hourly_rollup,
+    "streaming_sliding_counts": _streaming_sliding_counts,
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
     "streaming_latest_per_user": _streaming_latest_per_user,

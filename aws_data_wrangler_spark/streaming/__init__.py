@@ -67,16 +67,21 @@ def windowed_rollup(
     time_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    slide_duration: Optional[str] = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window rollup — the streaming hypertable.
+    """Watermarked tumbling- (or, with ``slide_duration``, hopping-)
+    window rollup — the streaming hypertable.
 
-    The watermark bounds state: at 100 TB/day the state store holds
+    A hopping window assigns each row to ``window/slide`` overlapping
+    windows (Spark expands them JVM-side before the agg). The
+    watermark bounds state: at 100 TB/day the state store holds
     only windows newer than (max event time − watermark); late rows
     beyond it are dropped deterministically.
     """
+    win = F.window(F.col(time_col), window_duration, slide_duration or window_duration)
     return (
         stream.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), window_duration).alias("win"), F.col(key_col))
+        .groupBy(win.alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 2).alias("sum_value"),
