@@ -433,9 +433,14 @@ def create_bucketed_table(
     num_buckets: int = 32,
     sort_cols: Optional[List[str]] = None,
     mode: str = "overwrite",
+    path: Optional[str] = None,
     spark: Optional[SparkSession] = None,
 ) -> None:
     """Write a table bucketed (and optionally sorted) by join keys.
+
+    ``path`` makes the table external at that location (bucketBy
+    requires saveAsTable; without a path the files land in the
+    session's warehouse dir, which is cwd-relative on a bare session).
 
     Bucketing pre-shuffles the data at write time: two tables bucketed
     on the same keys with the same bucket count join WITHOUT a runtime
@@ -448,6 +453,8 @@ def create_bucketed_table(
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(f"{database}.{table}")
 
 

@@ -262,6 +262,12 @@ ORACLES: Dict[str, str] = {
                round(sum(s_acctbal), 2) AS sum_bal
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
+    "io_bucketed_join": """
+        SELECT o_orderstatus, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "logs_insights_stats": """
         SELECT user_id, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events WHERE event_type = 'click'

@@ -753,6 +753,41 @@ def _io_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-bucketed co-located join: orders and lineitem written
+    bucketed on the join key, joined + aggregated with ZERO runtime
+    exchange below the aggregation (the write-time shuffle amortizes
+    across every later join — the 100 TB fact-fact join pattern).
+    Plan shape is asserted in tests/test_plans.py; here the RESULT
+    feeds the correctness gate."""
+    from aws_data_wrangler_spark import catalog
+
+    base = tempfile.mkdtemp(prefix="sgq_")
+    catalog.create_bucketed_table(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "sg_bench", "orders_bkt", bucket_cols=["o_orderkey"], num_buckets=8,
+        path=f"{base}/orders_bkt", spark=spark,
+    )
+    catalog.create_bucketed_table(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "sg_bench", "lineitem_bkt", bucket_cols=["l_orderkey"], num_buckets=8,
+        path=f"{base}/lineitem_bkt", spark=spark,
+    )
+    o = spark.table("sg_bench.orders_bkt")
+    li = spark.table("sg_bench.lineitem_bkt")
+    result = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    spark.catalog.setCurrentDatabase("default")
+    return result
+
+
 def _catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset write → catalog registration (store_parquet_metadata) →
     athena.read_sql_table → aggregate."""
@@ -1422,6 +1457,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_json_roundtrip": _io_json_roundtrip,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
+    "io_bucketed_join": _io_bucketed_join,
     "logs_insights_stats": _logs_insights_stats,
     "logs_insights_parse": _logs_insights_parse,
     "dedup_exact": _dedup_exact,
