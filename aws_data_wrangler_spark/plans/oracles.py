@@ -262,6 +262,11 @@ ORACLES: Dict[str, str] = {
                round(sum(s_acctbal), 2) AS sum_bal
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
+    "db_copy_unload_roundtrip": """
+        SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey,
+               count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
     "io_bucketed_join": """
         SELECT o_orderstatus, count(*) AS n_items,
                round(sum(l_extendedprice), 2) AS sum_price

@@ -808,6 +808,33 @@ def _catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _db_copy_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse COPY/UNLOAD pattern end-to-end against the
+    spark-catalog engine: stage parquet → bulk-load (COPY) → SQL in
+    the warehouse → land result as parquet (UNLOAD) → read back.
+    The same code targets Redshift via the jdbc engine kind."""
+    from aws_data_wrangler_spark import db
+
+    base = tempfile.mkdtemp(prefix="sgq_")
+    # explicit LOCATION: managed tables land under the db location,
+    # not the (cwd-relative) session warehouse dir
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sg_wh LOCATION '{base}/wh'")
+    eng = db.get_engine("spark-catalog", database="sg_wh")
+    db.copy_to_warehouse(
+        load(spark, sf_dir, "nation"), f"{base}/stage", eng, "nation_wh", mode="overwrite"
+    )
+    out = db.unload_warehouse(
+        "SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name "
+        "FROM nation_wh GROUP BY n_regionkey",
+        f"{base}/unload",
+        eng,
+    )
+    spark.catalog.setCurrentDatabase("default")
+    return out.select(
+        F.col("n_regionkey").cast("int").alias("n_regionkey"), "n_nations", "first_name"
+    ).orderBy("n_regionkey")
+
+
 def _logs_insights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CloudWatch Logs-Insights DSL compiled onto the events table."""
     from aws_data_wrangler_spark import cloudwatch
@@ -1458,6 +1485,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "io_bucketed_join": _io_bucketed_join,
+    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "logs_insights_stats": _logs_insights_stats,
     "logs_insights_parse": _logs_insights_parse,
     "dedup_exact": _dedup_exact,
