@@ -92,6 +92,7 @@ def read_sql_query(
     database: Optional[str] = None,
     params: Optional[Dict[str, Any]] = None,
     ctas_approach: Optional[bool] = None,
+    max_cache_seconds: Optional[int] = None,
     spark: Optional[SparkSession] = None,
     **_: Any,
 ) -> DataFrame:
@@ -114,7 +115,7 @@ def read_sql_query(
     if database:
         spark.catalog.setCurrentDatabase(database)
     final_sql = _apply_params(sql, params)
-    ttl = config.max_cache_seconds or 0
+    ttl = (config.max_cache_seconds or 0) if max_cache_seconds is None else max_cache_seconds
     cache_key = (database or spark.catalog.currentDatabase(), final_sql)
     if ttl > 0:
         hit = _cached_result(cache_key, ttl)

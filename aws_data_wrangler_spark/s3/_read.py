@@ -61,6 +61,67 @@ def _apply_projection_filter(
     return df
 
 
+def _mtime_option(value: Any) -> str:
+    """Render a datetime (or ISO string) for Spark's modifiedBefore/
+    modifiedAfter file-source options."""
+    if hasattr(value, "strftime"):
+        return value.strftime("%Y-%m-%dT%H:%M:%S")
+    return str(value)
+
+
+def _suffix_filtered_paths(
+    paths: List[str],
+    path_suffix: Optional[Union[str, List[str]]],
+    path_ignore_suffix: Optional[Union[str, List[str]]],
+    spark: SparkSession,
+) -> List[str]:
+    """Expand prefixes to object lists filtered by suffix — the
+    reference's path_suffix/path_ignore_suffix semantics (driver-side
+    listing, same as awswrangler's _path2list)."""
+    keep = [path_suffix] if isinstance(path_suffix, str) else (path_suffix or [])
+    drop = [path_ignore_suffix] if isinstance(path_ignore_suffix, str) else (path_ignore_suffix or [])
+    out: List[str] = []
+    for p in paths:
+        objs = list_objects(p, spark=spark) or [p]
+        for obj in objs:
+            if keep and not any(obj.endswith(s) for s in keep):
+                continue
+            if drop and any(obj.endswith(s) for s in drop):
+                continue
+            out.append(obj)
+    if not out:
+        raise InvalidArgument("no objects match the path/suffix filters")
+    return out
+
+
+def _partition_pruned_paths(
+    root: str,
+    partition_filter: Any,
+    spark: SparkSession,
+) -> List[str]:
+    """Hive-partition dirs under ``root`` whose value-dict passes the
+    callable — the reference's ``partition_filter`` (push-down via
+    driver-side listing; ref awswrangler/s3/_read.py
+    ``_apply_partition_filter``)."""
+    dirs: Dict[str, Dict[str, str]] = {}
+    root_norm = normalize_path(root).rstrip("/")
+    root_schemeless = root_norm.split("://", 1)[-1].lstrip("/")
+    for obj in list_objects(root, spark=spark):
+        rel = obj.split(":", 1)[-1].lstrip("/")[len(root_schemeless):].lstrip("/")
+        parts = rel.split("/")[:-1]
+        values = {}
+        for seg in parts:
+            m = _PARTITION_DIR_RE.match(seg)
+            if m:
+                values[m.group(1)] = m.group(2)
+        if values:
+            dirs.setdefault(f"{root_norm}/{'/'.join(parts)}", values)
+    kept = [d for d, vals in dirs.items() if partition_filter(vals)]
+    if not kept:
+        raise InvalidArgument("partition_filter excluded every partition")
+    return kept
+
+
 def read_parquet(
     path: Union[str, List[str]],
     columns: Optional[List[str]] = None,
@@ -68,6 +129,12 @@ def read_parquet(
     dataset: bool = False,
     schema: Optional[str] = None,
     chunked: Union[bool, int] = False,
+    path_suffix: Optional[Union[str, List[str]]] = None,
+    path_ignore_suffix: Optional[Union[str, List[str]]] = None,
+    partition_filter: Optional[Any] = None,
+    validate_schema: bool = False,
+    last_modified_begin: Optional[Any] = None,
+    last_modified_end: Optional[Any] = None,
     spark: Optional[SparkSession] = None,
     **options: Any,
 ) -> Any:
@@ -84,18 +151,45 @@ def read_parquet(
     ``chunked=N`` re-batches to ~N rows per frame. This is the
     driver-side consumption path for moderate results; distributed
     pipelines keep the DataFrame.
+
+    ``partition_filter`` is the reference's callable partition pruner:
+    it receives each hive partition's ``{col: value}`` dict and only
+    passing partitions are scanned. ``last_modified_begin/end`` map to
+    Spark's modifiedAfter/modifiedBefore file-source options.
+    ``validate_schema=True`` raises when files disagree on schema
+    (field-set comparison of plain vs schema-merged footer reads).
     Ref: /root/reference/awswrangler/s3/_read_parquet.py ``read_parquet``.
     """
     spark = _active_spark(spark)
     paths = [path] if isinstance(path, str) else list(path)
     paths = [normalize_path(p) for p in paths]
+    base_path = paths[0] if dataset and len(paths) == 1 else None
+    if partition_filter is not None:
+        if not (dataset and base_path):
+            raise InvalidArgument("partition_filter requires dataset=True and a single root path")
+        paths = _partition_pruned_paths(base_path, partition_filter, spark)
+    if path_suffix or path_ignore_suffix:
+        paths = _suffix_filtered_paths(paths, path_suffix, path_ignore_suffix, spark)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    if dataset and len(paths) == 1:
-        reader = reader.option("basePath", paths[0])
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    if last_modified_begin is not None:
+        reader = reader.option("modifiedAfter", _mtime_option(last_modified_begin))
+    if last_modified_end is not None:
+        reader = reader.option("modifiedBefore", _mtime_option(last_modified_end))
     for key, value in options.items():
         reader = reader.option(key, value)
+    if validate_schema and schema is None:
+        from aws_data_wrangler_spark.exceptions import InvalidSchemaConvergence
+
+        plain = set(reader.parquet(*paths).schema.fieldNames())
+        merged = set(reader.option("mergeSchema", "true").parquet(*paths).schema.fieldNames())
+        if plain != merged:
+            raise InvalidSchemaConvergence(
+                f"schemas diverge across files: {sorted(merged - plain)} not in every file"
+            )
     df = reader.parquet(*paths)
     df = _apply_projection_filter(df, columns, filters)
     if chunked:
@@ -129,15 +223,53 @@ def read_parquet_table(
     database: Optional[str] = None,
     columns: Optional[List[str]] = None,
     filters: FiltersType = None,
+    partition_filter: Optional[Any] = None,
+    chunked: Union[bool, int] = False,
     spark: Optional[SparkSession] = None,
-) -> DataFrame:
+    **_: Any,
+) -> Any:
     """Read a catalog-registered table.
 
+    ``partition_filter`` receives each catalog partition's
+    ``{col: value}`` dict; kept partitions become a static IN-style
+    predicate on the partition columns (plan-time pruning).
     Ref: /root/reference/awswrangler/s3/_read_parquet.py ``read_parquet_table``.
     """
     spark = _active_spark(spark)
     qualified = f"{database}.{table}" if database else table
-    return _apply_projection_filter(spark.table(qualified), columns, filters)
+    df = spark.table(qualified)
+    if partition_filter is not None:
+        from aws_data_wrangler_spark import catalog
+
+        parts = catalog.get_partitions(database or spark.catalog.currentDatabase(), table, spark=spark)
+        pcols: List[str] = []
+        kept_rows: List[Dict[str, str]] = []
+        for location, values in parts.items():
+            vals = {}
+            for seg in location.rstrip("/").split("/"):
+                m = _PARTITION_DIR_RE.match(seg)
+                if m:
+                    vals[m.group(1)] = m.group(2)
+            if not pcols:
+                pcols = list(vals)
+            if partition_filter(vals):
+                kept_rows.append(vals)
+        if not kept_rows:
+            raise InvalidArgument("partition_filter excluded every partition")
+        from pyspark.sql import functions as F
+
+        clause = None
+        for vals in kept_rows:
+            row = None
+            for c in pcols:
+                eq = F.col(c).cast("string") == F.lit(vals[c])
+                row = eq if row is None else (row & eq)
+            clause = row if clause is None else (clause | row)
+        df = df.filter(clause)
+    df = _apply_projection_filter(df, columns, filters)
+    if chunked:
+        return _iter_pandas_chunks(df, None if chunked is True else int(chunked))
+    return df
 
 
 _PARTITION_DIR_RE = re.compile(r"^([^=/]+)=([^/]*)$")
@@ -181,13 +313,31 @@ def read_csv(
     infer_schema: bool = True,
     schema: Optional[str] = None,
     sep: str = ",",
+    chunksize: Optional[int] = None,
+    path_suffix: Optional[Union[str, List[str]]] = None,
+    path_ignore_suffix: Optional[Union[str, List[str]]] = None,
+    partition_filter: Optional[Any] = None,
+    last_modified_begin: Optional[Any] = None,
+    last_modified_end: Optional[Any] = None,
     spark: Optional[SparkSession] = None,
     **options: Any,
-) -> DataFrame:
-    """Ref: /root/reference/awswrangler/s3/_read_text.py ``read_csv``."""
+) -> Any:
+    """Ref: /root/reference/awswrangler/s3/_read_text.py ``read_csv``.
+
+    ``chunksize`` returns the reference's pandas-frame iterator;
+    ``partition_filter`` / suffix / last-modified filters behave as in
+    ``read_parquet``.
+    """
     spark = _active_spark(spark)
     paths = [path] if isinstance(path, str) else list(path)
     paths = [normalize_path(p) for p in paths]
+    base_path = paths[0] if dataset and len(paths) == 1 else None
+    if partition_filter is not None:
+        if not base_path:
+            raise InvalidArgument("partition_filter requires dataset=True and a single root path")
+        paths = _partition_pruned_paths(base_path, partition_filter, spark)
+    if path_suffix or path_ignore_suffix:
+        paths = _suffix_filtered_paths(paths, path_suffix, path_ignore_suffix, spark)
     reader = (
         spark.read.option("header", str(header).lower())
         .option("sep", sep)
@@ -198,12 +348,19 @@ def read_csv(
         reader = reader.schema(schema)
     elif infer_schema:
         reader = reader.option("inferSchema", "true")
-    if dataset and len(paths) == 1:
-        reader = reader.option("basePath", paths[0])
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    if last_modified_begin is not None:
+        reader = reader.option("modifiedAfter", _mtime_option(last_modified_begin))
+    if last_modified_end is not None:
+        reader = reader.option("modifiedBefore", _mtime_option(last_modified_end))
     for key, value in options.items():
         reader = reader.option(key, value)
     df = reader.csv(*paths)
-    return _apply_projection_filter(df, columns, filters)
+    df = _apply_projection_filter(df, columns, filters)
+    if chunksize:
+        return _iter_pandas_chunks(df, int(chunksize))
+    return df
 
 
 def read_json(

@@ -88,6 +88,25 @@ def _write_single_file(df: DataFrame, path: str, fmt: str, spark: SparkSession, 
     delete_objects(tmp, spark=spark)
 
 
+# reference kwargs that have no Spark analog (pandas index handling,
+# boto plumbing, Glue partition-projection hints): accepted and
+# dropped so call sites port unchanged. Projection hints would become
+# table parameters on a Glue-backed metastore.
+_ACCEPTED_NOOP_KWARGS = {
+    "index", "use_threads", "boto3_session", "s3_additional_kwargs",
+    "concurrent_partitioning", "catalog_versioning", "regular_partitions",
+    "projection_enabled", "projection_types", "projection_ranges",
+    "projection_values", "projection_intervals", "projection_digits",
+    "catalog_id", "schema_evolution", "pandas_kwargs",
+}
+
+
+def _pop_noop_kwargs(options: Dict[str, Any]) -> None:
+    for key in list(options):
+        if key in _ACCEPTED_NOOP_KWARGS:
+            options.pop(key)
+
+
 def _write(
     df: DataFrame,
     path: str,
@@ -100,6 +119,9 @@ def _write(
     dtype: Optional[Dict[str, str]],
     spark: Optional[SparkSession],
     single_file_ok: bool = True,
+    description: Optional[str] = None,
+    parameters: Optional[Dict[str, str]] = None,
+    columns_comments: Optional[Dict[str, str]] = None,
     **options: Any,
 ) -> Dict[str, Any]:
     spark = _active_spark(spark)
@@ -161,6 +183,9 @@ def _write(
             partitions_types=partitions_types,
             table_format=fmt,
             mode="overwrite" if mode == "overwrite" else "append",
+            description=description,
+            parameters=parameters,
+            columns_comments=columns_comments,
             spark=spark,
         )
         if partition_cols:
@@ -180,12 +205,22 @@ def to_parquet(
     compression: Optional[str] = "snappy",
     sort_cols: Optional[List[str]] = None,
     max_rows_by_file: Optional[int] = None,
+    sanitize_columns: bool = False,
+    description: Optional[str] = None,
+    parameters: Optional[Dict[str, str]] = None,
+    columns_comments: Optional[Dict[str, str]] = None,
     spark: Optional[SparkSession] = None,
     **options: Any,
 ) -> Dict[str, Any]:
     """Write parquet file or partitioned dataset (+ optional catalog
     registration). Ref: /root/reference/awswrangler/s3/_write_parquet.py
     ``to_parquet``.
+
+    ``sanitize_columns`` applies Athena-compatible column renames;
+    ``description`` / ``parameters`` / ``columns_comments`` flow into
+    the catalog registration (require database+table). Reference-only
+    kwargs with no Spark analog (``index``, projection hints, boto
+    plumbing) are accepted and ignored.
 
     ``sort_cols`` sorts within each output task before writing —
     clusters values so parquet row-group min/max statistics prune
@@ -197,13 +232,20 @@ def to_parquet(
     roll over to a new file at the cap, bounding file sizes without a
     repartition.
     """
+    _pop_noop_kwargs(options)
     options.setdefault("compression", compression or "none")
     if max_rows_by_file:
         options.setdefault("maxRecordsPerFile", str(int(max_rows_by_file)))
+    if sanitize_columns:
+        from aws_data_wrangler_spark import catalog
+
+        df = catalog.sanitize_dataframe_columns_names(df)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     return _write(
-        df, path, "parquet", dataset, partition_cols, mode, database, table, dtype, spark, **options
+        df, path, "parquet", dataset, partition_cols, mode, database, table, dtype, spark,
+        description=description, parameters=parameters, columns_comments=columns_comments,
+        **options
     )
 
 
@@ -218,16 +260,34 @@ def to_csv(
     dtype: Optional[Dict[str, str]] = None,
     sep: str = ",",
     header: bool = True,
+    columns: Optional[List[str]] = None,
+    sanitize_columns: bool = False,
+    description: Optional[str] = None,
+    parameters: Optional[Dict[str, str]] = None,
+    columns_comments: Optional[Dict[str, str]] = None,
     spark: Optional[SparkSession] = None,
     **options: Any,
 ) -> Dict[str, Any]:
-    """Ref: /root/reference/awswrangler/s3/_write_text.py ``to_csv``."""
+    """Ref: /root/reference/awswrangler/s3/_write_text.py ``to_csv``.
+
+    ``columns`` writes a subset; catalog-metadata kwargs as in
+    ``to_parquet``.
+    """
+    _pop_noop_kwargs(options)
     options.setdefault("sep", sep)
     options.setdefault("header", str(header).lower())
     options.setdefault("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     options.setdefault("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+    if columns:
+        df = df.select(*columns)
+    if sanitize_columns:
+        from aws_data_wrangler_spark import catalog
+
+        df = catalog.sanitize_dataframe_columns_names(df)
     return _write(
-        df, path, "csv", dataset, partition_cols, mode, database, table, dtype, spark, **options
+        df, path, "csv", dataset, partition_cols, mode, database, table, dtype, spark,
+        description=description, parameters=parameters, columns_comments=columns_comments,
+        **options
     )
 
 

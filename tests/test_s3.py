@@ -94,6 +94,103 @@ class TestParquetDataset:
         assert dict(back.dtypes)["l_quantity"] == "decimal(10,2)"
 
 
+class TestReferenceKwargs:
+    """awswrangler-parity kwargs: partition_filter / suffix filters /
+    validate_schema / catalog metadata / sanitize_columns."""
+
+    def test_partition_filter_prunes(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/pf"
+        s3.to_parquet(lineitem, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite")
+        kept = s3.read_parquet(
+            out, dataset=True, partition_filter=lambda v: v["l_returnflag"] == "R"
+        )
+        assert kept.select("l_returnflag").distinct().collect()[0][0] == "R"
+        expected = lineitem.filter("l_returnflag = 'R'").count()
+        assert kept.count() == expected
+        with pytest.raises(Exception):
+            s3.read_parquet(out, dataset=True, partition_filter=lambda v: False)
+
+    def test_partition_filter_on_table(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/pft"
+        s3.to_parquet(
+            lineitem, out, dataset=True, partition_cols=["l_returnflag"],
+            mode="overwrite", database="sg_test", table="li_pf",
+        )
+        kept = s3.read_parquet_table(
+            "li_pf", database="sg_test", partition_filter=lambda v: v["l_returnflag"] != "R"
+        )
+        assert kept.filter("l_returnflag = 'R'").count() == 0
+        assert kept.count() == lineitem.filter("l_returnflag != 'R'").count()
+        spark.catalog.setCurrentDatabase("default")
+
+    def test_path_suffix_filters(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/sfx"
+        s3.to_parquet(lineitem.limit(10), out, dataset=True, mode="overwrite")
+        # every data file ends .parquet; ignore-suffix that matches all → error
+        assert s3.read_parquet(out, dataset=True, path_suffix=".parquet").count() == 10
+        with pytest.raises(Exception):
+            s3.read_parquet(out, dataset=True, path_ignore_suffix=".parquet")
+
+    def test_validate_schema(self, spark, lineitem, tmp_prefix):
+        from aws_data_wrangler_spark.exceptions import InvalidSchemaConvergence
+
+        out = f"{tmp_prefix}/vs"
+        s3.to_parquet(lineitem.select("l_orderkey", "l_quantity").limit(5), f"{out}/a.parquet")
+        s3.to_parquet(lineitem.select("l_orderkey", "l_extendedprice").limit(5), f"{out}/b.parquet")
+        with pytest.raises(InvalidSchemaConvergence):
+            s3.read_parquet(out, dataset=True, validate_schema=True)
+        # homogeneous dataset passes
+        ok = f"{tmp_prefix}/vs_ok"
+        s3.to_parquet(lineitem.limit(5), ok, dataset=True, mode="overwrite")
+        assert s3.read_parquet(ok, dataset=True, validate_schema=True).count() == 5
+
+    def test_catalog_metadata_passthrough(self, spark, lineitem, tmp_prefix):
+        from aws_data_wrangler_spark import catalog
+
+        out = f"{tmp_prefix}/meta"
+        s3.to_parquet(
+            lineitem.limit(5), out, dataset=True, mode="overwrite",
+            database="sg_test", table="li_meta",
+            description="lineitem sample", parameters={"team": "etl"},
+            columns_comments={"l_orderkey": "order fk"},
+        )
+        assert catalog.get_table_description("sg_test", "li_meta") == "lineitem sample"
+        assert catalog.get_table_parameters("sg_test", "li_meta").get("team") == "etl"
+        assert catalog.get_columns_comments("sg_test", "li_meta").get("l_orderkey") == "order fk"
+        spark.catalog.setCurrentDatabase("default")
+
+    def test_sanitize_and_ignored_kwargs(self, spark, tmp_prefix):
+        df = spark.createDataFrame([(1, 2)], ["Weird Col", "ok"])
+        out = f"{tmp_prefix}/san"
+        s3.to_parquet(
+            df, out, dataset=True, mode="overwrite", sanitize_columns=True,
+            index=False, use_threads=True, catalog_id="x", projection_enabled=False,
+        )
+        back = s3.read_parquet(out, dataset=True)
+        assert "weird_col" in back.columns
+
+    def test_csv_chunksize_and_columns(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/csvc"
+        s3.to_csv(
+            lineitem.limit(20), out, dataset=True, mode="overwrite",
+            columns=["l_orderkey", "l_quantity"],
+        )
+        schema = "l_orderkey bigint, l_quantity double"
+        chunks = list(s3.read_csv(out, dataset=True, schema=schema, chunksize=7))
+        assert sum(len(c) for c in chunks) == 20
+        assert all(list(c.columns) == ["l_orderkey", "l_quantity"] for c in chunks)
+
+    def test_read_sql_query_max_cache_seconds_kwarg(self, spark):
+        from aws_data_wrangler_spark import athena
+
+        a = athena.read_sql_query("SELECT 41 + 1 AS v", max_cache_seconds=60)
+        b = athena.read_sql_query("SELECT 41 + 1 AS v", max_cache_seconds=60)
+        # identical SQL within TTL returns the cached result frame
+        assert b.collect()[0]["v"] == 42 and b is a
+        c = athena.read_sql_query("SELECT 41 + 1 AS v", max_cache_seconds=0)
+        assert c is not a  # kwarg override disables the cache
+
+
 class TestTextFormats:
     def test_csv_roundtrip(self, spark, lineitem, tmp_prefix):
         out = f"{tmp_prefix}/csv"
