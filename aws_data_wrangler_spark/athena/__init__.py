@@ -141,13 +141,20 @@ def read_sql_query(
 def read_sql_table(
     table: str,
     database: Optional[str] = None,
+    chunksize: Optional[int] = None,
     spark: Optional[SparkSession] = None,
     **_: Any,
-) -> DataFrame:
-    """Ref: awswrangler/athena/_read.py:read_sql_table."""
+) -> Any:
+    """Ref: awswrangler/athena/_read.py:read_sql_table.
+    ``chunksize`` returns the reference's pandas-frame iterator."""
     spark = _active_spark(spark)
     qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
-    return spark.table(qualified)
+    df = spark.table(qualified)
+    if chunksize:
+        from aws_data_wrangler_spark.s3._read import _iter_pandas_chunks
+
+        return _iter_pandas_chunks(df, int(chunksize))
+    return df
 
 
 def start_query_execution(

@@ -370,24 +370,45 @@ def read_json(
     dataset: bool = False,
     lines: bool = True,
     schema: Optional[str] = None,
+    chunksize: Optional[int] = None,
+    path_suffix: Optional[Union[str, List[str]]] = None,
+    path_ignore_suffix: Optional[Union[str, List[str]]] = None,
+    partition_filter: Optional[Any] = None,
+    last_modified_begin: Optional[Any] = None,
+    last_modified_end: Optional[Any] = None,
     spark: Optional[SparkSession] = None,
     **options: Any,
-) -> DataFrame:
-    """Ref: /root/reference/awswrangler/s3/_read_text.py ``read_json``."""
+) -> Any:
+    """Ref: /root/reference/awswrangler/s3/_read_text.py ``read_json``.
+    Filter/iterator kwargs behave as in ``read_csv``."""
     spark = _active_spark(spark)
     paths = [path] if isinstance(path, str) else list(path)
     paths = [normalize_path(p) for p in paths]
+    base_path = paths[0] if dataset and len(paths) == 1 else None
+    if partition_filter is not None:
+        if not base_path:
+            raise InvalidArgument("partition_filter requires dataset=True and a single root path")
+        paths = _partition_pruned_paths(base_path, partition_filter, spark)
+    if path_suffix or path_ignore_suffix:
+        paths = _suffix_filtered_paths(paths, path_suffix, path_ignore_suffix, spark)
     reader = spark.read
     if not lines:
         reader = reader.option("multiLine", "true")
     if schema is not None:
         reader = reader.schema(schema)
-    if dataset and len(paths) == 1:
-        reader = reader.option("basePath", paths[0])
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    if last_modified_begin is not None:
+        reader = reader.option("modifiedAfter", _mtime_option(last_modified_begin))
+    if last_modified_end is not None:
+        reader = reader.option("modifiedBefore", _mtime_option(last_modified_end))
     for key, value in options.items():
         reader = reader.option(key, value)
     df = reader.json(*paths)
-    return _apply_projection_filter(df, columns, filters)
+    df = _apply_projection_filter(df, columns, filters)
+    if chunksize:
+        return _iter_pandas_chunks(df, int(chunksize))
+    return df
 
 
 def read_fwf(
