@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Union
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ColumnOrName = Union[Column, str]
@@ -30,6 +30,29 @@ def trunc_digits(col: ColumnOrName, digits: int = 6) -> Column:
     """
     scale = float(10**digits)
     return F.floor(_col(col) * scale) / scale
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a parquet event-time column to Spark TIMESTAMP (µs, LTZ).
+
+    Source datasets encode event time differently across generators:
+
+    - ``TIMESTAMP(NANOS)`` parquet has no Spark type and surfaces as
+      ``bigint`` under ``spark.sql.legacy.parquet.nanosAsLong`` —
+      convert with integer ``div 1000`` (float division loses µs
+      precision at ns magnitudes).
+    - ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` surfaces as
+      ``timestamp_ntz`` — cast to LTZ; the engine pins the session
+      timezone to UTC so the cast is value-preserving and functions
+      like ``unix_micros``/``window`` (TIMESTAMP-only) resolve.
+    - Already-``timestamp`` columns pass through untouched.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def pinned(cond: Column) -> Column:

@@ -45,12 +45,13 @@ TABLES = [
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from aws_data_wrangler_spark import s3
 
+    from aws_data_wrangler_spark.functions import normalize_event_ts
+
     df = s3.read_parquet(f"{sf_dir}/{name}.parquet", spark=spark)
-    # ns-precision parquet timestamps surface as long (nanosAsLong);
-    # normalize to Spark timestamps (µs) at the load boundary
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer div — float division loses µs precision at ns magnitudes
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # event time arrives as ns-long OR timestamp_ntz depending on the
+    # generator's parquet encoding; normalize at the load boundary
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 
@@ -1468,34 +1469,20 @@ def _streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# Registry order matters: the correctness driver verifies the FIRST 50
+# entries against their DuckDB oracles. The LLM-pipeline operators
+# (dedup / ANN / text / sampling / streaming — SURVEY §2.6–§2.10) lead so
+# every one gets a driver row; the 40 stable analytics queries (all green
+# in round 1) fill the tail.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
-    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
-    "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
-    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
-    "embedding_stats": _embedding_stats,
-    "text_ngram_freq": _text_ngram_freq,
-    "io_parquet_roundtrip": _io_parquet_roundtrip,
-    "io_overwrite_partitions": _io_overwrite_partitions,
-    "io_merge_datasets": _io_merge_datasets,
-    "io_partition_pruned_read": _io_partition_pruned_read,
-    "corpus_curation_pipeline": _corpus_curation_pipeline,
-    "io_csv_roundtrip": _io_csv_roundtrip,
-    "io_json_roundtrip": _io_json_roundtrip,
-    "io_fwf_roundtrip": _io_fwf_roundtrip,
-    "catalog_table_roundtrip": _catalog_table_roundtrip,
-    "io_bucketed_join": _io_bucketed_join,
-    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
-    "logs_insights_stats": _logs_insights_stats,
-    "logs_insights_parse": _logs_insights_parse,
     "dedup_exact": _dedup_exact,
-    "dedup_lsh_corpus": _dedup_lsh_corpus,
     "dedup_normalized": _dedup_normalized,
-    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_minhash_lsh": _dedup_minhash_lsh,
     "dedup_simhash": _dedup_simhash,
+    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_clusters": _dedup_clusters,
+    "dedup_lsh_corpus": _dedup_lsh_corpus,
     "events_asof_signup": _events_asof_signup,
     "events_error_click_window": _events_error_click_window,
     "ann_cosine_topk": _ann_cosine_topk,
@@ -1504,25 +1491,46 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _ann_ivf_topk,
     "text_token_count": _text_token_count,
     "text_quality_score": _text_quality_score,
+    "text_lang_id": _text_lang_id,
+    "text_fingerprint": _text_fingerprint,
     "text_chunk_tokens": _text_chunk_tokens,
     "text_pack_sequences": _text_pack_sequences,
     "text_repetition": _text_repetition,
-    "text_lang_id": _text_lang_id,
-    "text_fingerprint": _text_fingerprint,
     "text_pii_scrub": _text_pii_scrub,
     "text_tfidf_top_terms": _text_tfidf_top_terms,
     "benchmark_contamination": _benchmark_contamination,
     "sample_stratified": _sample_stratified,
     "sample_fixed_per_source": _sample_fixed_per_source,
     "sample_token_budget": _sample_token_budget,
-    "embedding_curation_pipeline": _embedding_curation_pipeline,
-    "events_user_join_salted": _events_user_join_salted,
-    "events_hourly_gapfill": _events_hourly_gapfill,
     "multimodal_decode_stub": _multimodal_decode_stub,
-    "events_session_window": _events_session_window,
     "streaming_hourly_rollup": _streaming_hourly_rollup,
     "streaming_sliding_counts": _streaming_sliding_counts,
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
     "streaming_latest_per_user": _streaming_latest_per_user,
+    "events_session_window": _events_session_window,
+    "events_hourly_gapfill": _events_hourly_gapfill,
+    "logs_insights_stats": _logs_insights_stats,
+    "logs_insights_parse": _logs_insights_parse,
+    "embedding_curation_pipeline": _embedding_curation_pipeline,
+    "events_user_join_salted": _events_user_join_salted,
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
+    "io_parquet_roundtrip": _io_parquet_roundtrip,
+    "io_overwrite_partitions": _io_overwrite_partitions,
+    "io_merge_datasets": _io_merge_datasets,
+    "io_partition_pruned_read": _io_partition_pruned_read,
+    "io_bucketed_join": _io_bucketed_join,
+    "catalog_table_roundtrip": _catalog_table_roundtrip,
+    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
+    "io_csv_roundtrip": _io_csv_roundtrip,
+    "io_json_roundtrip": _io_json_roundtrip,
+    "io_fwf_roundtrip": _io_fwf_roundtrip,
+    # --- driver window boundary (~50): stable analytics below, all
+    # driver-green in round 1 ---
+    **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
+    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
+    "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
+    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
+    "embedding_stats": _embedding_stats,
+    "text_ngram_freq": _text_ngram_freq,
 }

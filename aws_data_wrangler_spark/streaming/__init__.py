@@ -52,12 +52,11 @@ def read_event_stream(
         reader = reader.option("pathGlobFilter", posixpath.basename(path))
         path = posixpath.dirname(path)
     stream = reader.parquet(path)
-    # ns-precision parquet timestamps surface as long (nanosAsLong conf);
-    # convert so watermarks/windows see a real timestamp (integer div —
-    # float division loses µs precision at ns magnitudes)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # event time arrives as ns-long (nanosAsLong) OR timestamp_ntz
+    # depending on the parquet encoding; watermarks/windows need TIMESTAMP
+    from aws_data_wrangler_spark.functions import normalize_event_ts
+
+    return normalize_event_ts(stream)
 
 
 def windowed_rollup(
