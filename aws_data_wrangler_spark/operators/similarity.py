@@ -266,10 +266,17 @@ def train_ivf_centroids(
         )
         # new centroid = per-cell mean, dimension-wise (one groupBy,
         # map-side partials; centroid table stays tiny)
-        centroids = assigned.groupBy("cid").agg(
+        updated = assigned.groupBy("cid").agg(
             F.array(
                 *[F.avg(F.element_at(F.col("pvec"), i + 1)) for i in range(dim)]
             ).alias("cvec")
+        )
+        # materialize the (tiny) centroid table each round: without
+        # this the lineage re-derives every prior Lloyd iteration on
+        # each action — O(iterations²) work and an unbounded plan
+        rows = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in updated.collect()]
+        centroids = corpus.sparkSession.createDataFrame(
+            rows, "cid int, cvec array<double>"
         )
     return centroids
 

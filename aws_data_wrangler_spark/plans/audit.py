@@ -35,6 +35,7 @@ def plan_summary(df: DataFrame) -> Dict[str, Any]:
         "broadcast_nested_loop_joins": len(
             re.findall(r"\bBroadcastNestedLoopJoin\b", plan)
         ),
+        "cartesian_products": len(re.findall(r"\bCartesianProduct\b", plan)),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "partition_filters": bool(re.search(r"PartitionFilters: \[[^\]]", plan)),
         "wholestage_codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
@@ -57,6 +58,17 @@ def assert_broadcast_join(df: DataFrame) -> None:
     assert (
         summary["broadcast_hash_joins"] + summary["broadcast_nested_loop_joins"] > 0
     ), f"expected a broadcast join:\n{summary['plan']}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    """No all-pairs physical join: neither CartesianProduct nor
+    BroadcastNestedLoopJoin may appear (both are single-task-shaped
+    scale killers when each side is corpus-sized)."""
+    summary = plan_summary(df)
+    assert (
+        summary["cartesian_products"] == 0
+        and summary["broadcast_nested_loop_joins"] == 0
+    ), f"expected no cartesian/nested-loop join:\n{summary['plan']}"
 
 
 def assert_pushdown(df: DataFrame) -> None:

@@ -979,8 +979,11 @@ def _dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
+    # max_doc_frequency bounds the shingle self-join fan-out (skew
+    # control); 1000 is far above this corpus's max df (≤25), so the
+    # result is exact — the oracle computes the uncapped Jaccard
     return dedup.ngram_jaccard_pairs(
-        load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5
+        load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5, max_doc_frequency=1000
     ).orderBy("id_a", "id_b")
 
 
@@ -1057,7 +1060,7 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
     docs = load_parallel(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_doc_frequency=1000)
     members = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
         pairs.select(F.col("id_b").alias("doc_id"))
     ).distinct()

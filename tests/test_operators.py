@@ -66,6 +66,74 @@ class TestDedup:
         found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (0, 100000) in found and (1, 100001) in found
 
+    def test_embedding_lsh_matches_exact_in_near_dup_regime(self, spark, embeddings):
+        # noisy twins at cosine ≳ 0.99: the LSH-bucketed miner must find
+        # exactly what the blocked exact miner finds (precision 1.0 by
+        # construction, recall 1.0 at near-dup angles)
+        noisy = embeddings.limit(10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(1.001) + F.lit(0.003)
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = embeddings.unionByName(noisy)
+        exact = dedup.embedding_near_dup_pairs(corpus, threshold=0.99, method="exact")
+        lsh = dedup.embedding_near_dup_pairs(corpus, threshold=0.99, method="lsh")
+        exact_set = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        lsh_set = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+        assert len(exact_set) >= 10
+        assert lsh_set == exact_set
+
+    def test_embedding_blocked_exact_is_complete(self, spark, embeddings):
+        # block equi-join must enumerate each pair exactly once —
+        # same output as an independently computed brute-force matrix
+        import itertools
+
+        import numpy as np
+
+        rows = embeddings.limit(40).select("vec_id", "embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        expected = set()
+        for i, j in itertools.combinations(range(len(ids)), 2):
+            cos = float(mat[i] @ mat[j]) / (norms[i] * norms[j])
+            if np.floor(cos * 1e6) / 1e6 >= 0.3:
+                a, b = sorted((ids[i], ids[j]))
+                expected.add((a, b))
+        got = dedup.embedding_near_dup_pairs(
+            embeddings.limit(40), threshold=0.3, method="exact", num_blocks=4
+        )
+        assert {(r["id_a"], r["id_b"]) for r in got.collect()} == expected
+
+    def test_ngram_viral_shingle_fanout_is_capped(self, spark):
+        # 60 docs sharing one boilerplate sentence but otherwise unique:
+        # uncapped, the shared shingles alone create 60*59/2 candidate
+        # pairs; with the df cap they create none
+        docs = spark.createDataFrame(
+            [(i, f"common boilerplate header sentence unique{i} tail{i} word{i}") for i in range(60)],
+            "doc_id long, text string",
+        )
+        capped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_frequency=50)
+        assert capped.count() == 0
+        uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_frequency=None)
+        assert uncapped.count() == 60 * 59 // 2
+
+    def test_cluster_pairs_bounded_cache_on_long_chain(self, spark):
+        # a 12-node path graph needs several label-propagation rounds;
+        # superseded per-iteration caches must be released
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        chain = [(i, i + 1, 1.0) for i in range(12)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long, jaccard double")
+        members = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+        labels = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs, members).collect()}
+        assert set(labels.values()) == {0}
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        # only the surviving label table may remain cached — not one
+        # table per iteration (the 12-iteration chain would leak ~12)
+        assert after - before <= 2, f"cache leak: {after - before} new persistent RDDs"
+
 
 class TestSimilarity:
     def test_bruteforce_topk_shape_and_determinism(self, spark, embeddings):

@@ -90,3 +90,15 @@ class TestPlanAudits:
         docs = load(spark, "/root/testdata/sf0.001", "documents")
         plan = text.scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+    def test_embedding_dedup_has_no_cartesian(self, spark):
+        # the registered embedding-dedup queries must never plan an
+        # all-pairs physical join (CartesianProduct / BNLJ): the exact
+        # low-threshold miner shards via a block equi-join instead
+        from aws_data_wrangler_spark.plans import QUERIES
+        from aws_data_wrangler_spark.plans.audit import assert_no_cartesian
+
+        assert_no_cartesian(QUERIES["dedup_embedding_cosine"](spark, "/root/testdata/sf0.001"))
+        assert_no_cartesian(
+            QUERIES["embedding_curation_pipeline"](spark, "/root/testdata/sf0.001")
+        )
