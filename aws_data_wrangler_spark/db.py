@@ -11,9 +11,12 @@ Spark-native equivalents:
   ``unload_redshift``): stage columnar files on the object store,
   then issue the bulk load — here parquet staging + JDBC.
 
-No JDBC driver ships in the test container, so a ``spark-catalog://``
-engine flavor backs the same API with catalog tables for tests; the
-JDBC flavor is exercised on a real cluster.
+The JDBC path runs for real against *embedded Apache Derby* (whose
+jars ship with Spark for the Hive metastore) — ``get_engine("derby",
+database=...)``; a ``spark-catalog://`` engine flavor additionally
+backs the same API with catalog tables. Server-mode databases
+(postgresql/mysql/redshift/sqlserver) use the same code with a
+host/port URL on a real deployment.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ _JDBC_DRIVERS = {
     "mysql": "com.mysql.cj.jdbc.Driver",
     "redshift": "com.amazon.redshift.jdbc42.Driver",
     "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
@@ -58,11 +62,23 @@ def get_engine(
     user: str = "",
     password: str = "",
 ) -> Engine:
-    """Build a connection descriptor. Ref: awswrangler/db.py:596 ``get_engine``."""
+    """Build a connection descriptor. Ref: awswrangler/db.py:596 ``get_engine``.
+
+    ``db_type="derby"`` builds an *embedded* Apache Derby engine (the
+    Derby jars ship with Spark for the Hive metastore, so the JDBC
+    source/sink runs for real with no external service): ``database``
+    is a filesystem path or ``memory:name``. Embedded Derby lives
+    inside the local JVM — it exercises the full JDBC code path in
+    tests and single-node runs; a cluster deployment points the same
+    API at a server-mode URL (postgresql/mysql/redshift/sqlserver).
+    """
     if db_type == "spark-catalog":
         return Engine(kind="spark-catalog", database=database or "default")
     if db_type not in _JDBC_DRIVERS:
         raise InvalidConnection(f"unsupported db_type {db_type}")
+    if db_type == "derby":
+        url = f"jdbc:derby:{database};create=true"
+        return Engine(kind="jdbc", url=url, properties={"driver": _JDBC_DRIVERS[db_type]}, database=database)
     port = port or _JDBC_DEFAULT_PORTS[db_type]
     sub = "sqlserver" if db_type == "sqlserver" else db_type
     url = f"jdbc:{sub}://{host}:{port}/{database}"
@@ -122,16 +138,21 @@ def read_sql_query(
     if con.kind == "spark-catalog":
         spark.catalog.setCurrentDatabase(con.database)
         return spark.sql(sql)
-    reader = spark.read.format("jdbc").option("url", con.url).option("query", sql)
+    reader = spark.read.format("jdbc").option("url", con.url)
     for key, value in con.properties.items():
         reader = reader.option(key, value)
     if partition_column is not None:
+        # Spark rejects `query` + partitionColumn; wrap the SQL as a
+        # derived table so the range predicates compose with it
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({sql}) AS sgsub")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
+    else:
+        reader = reader.option("query", sql)
     return reader.load()
 
 

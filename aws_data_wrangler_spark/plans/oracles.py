@@ -267,6 +267,12 @@ ORACLES: Dict[str, str] = {
                count(*) AS n_nations, min(n_name) AS first_name
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
+    "db_jdbc_roundtrip": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "io_bucketed_join": """
         SELECT o_orderstatus, count(*) AS n_items,
                round(sum(l_extendedprice), 2) AS sum_price

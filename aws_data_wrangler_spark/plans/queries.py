@@ -25,7 +25,7 @@ from __future__ import annotations
 import tempfile
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TABLES = [
@@ -836,6 +836,37 @@ def _db_copy_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_regionkey")
 
 
+def _db_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live JDBC round-trip against embedded Apache Derby (jars ship
+    with Spark): aggregate lineitem → ``db.to_sql`` (JDBC write) →
+    ``db.read_sql_table`` with a range-partitioned parallel read (the
+    scale path for warehouse pulls: Spark issues num_partitions
+    bounded queries). Ref: awswrangler/db.py:269 to_sql, :446
+    read_sql_table; tests/test_db.py round-trips."""
+    from aws_data_wrangler_spark import db
+
+    eng = db.get_engine("derby", database="memory:sgq_jdbc")
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .withColumn("grp_id", F.dense_rank().over(
+            Window.orderBy("l_returnflag", "l_linestatus")
+        ).cast("bigint"))
+    )
+    db.to_sql(agg, eng, "lineitem_agg", if_exists="replace", spark=spark)
+    back = db.read_sql_table(
+        "lineitem_agg", eng, spark=spark,
+        partition_column='"grp_id"', lower_bound=0, upper_bound=8, num_partitions=4,
+    )
+    return back.select(
+        "l_returnflag", "l_linestatus", "n_items", "sum_qty"
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 def _logs_insights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CloudWatch Logs-Insights DSL compiled onto the events table."""
     from aws_data_wrangler_spark import cloudwatch
@@ -1525,6 +1556,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_bucketed_join": _io_bucketed_join,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
+    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "io_csv_roundtrip": _io_csv_roundtrip,
     "io_json_roundtrip": _io_json_roundtrip,
     "io_fwf_roundtrip": _io_fwf_roundtrip,

@@ -124,6 +124,36 @@ class TestDb:
         with pytest.raises(InvalidConnection):
             db.get_engine("oracle")
 
+    def test_jdbc_derby_roundtrip(self, spark, lineitem):
+        # live JDBC against embedded Derby (jars ship with Spark):
+        # write, append, table read, query read, partitioned read
+        con = db.get_engine("derby", database="memory:sgtest_db")
+        sample = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(30)
+        db.to_sql(sample, con, "li_jdbc", if_exists="replace")
+        assert db.read_sql_table("li_jdbc", con).count() == 30
+        db.to_sql(sample.limit(5), con, "li_jdbc", if_exists="append")
+        assert db.read_sql_table("li_jdbc", con).count() == 35
+        # identifiers are created quoted-lowercase; quote them in SQL
+        out = db.read_sql_query('SELECT count(*) AS "n" FROM li_jdbc', con)
+        assert out.collect()[0]["n"] == 35
+        part = db.read_sql_table(
+            "li_jdbc", con,
+            partition_column='"l_orderkey"', lower_bound=0,
+            upper_bound=1000000, num_partitions=4,
+        )
+        assert part.rdd.getNumPartitions() == 4
+        assert part.count() == 35
+
+    def test_jdbc_derby_copy_to_warehouse(self, spark, lineitem, tmp_prefix):
+        # the COPY pattern against a real JDBC sink: parquet staging →
+        # bulk JDBC load (ref awswrangler db.py:654 copy_to_redshift)
+        con = db.get_engine("derby", database="memory:sgtest_copy")
+        db.copy_to_warehouse(
+            lineitem.select("l_orderkey", "l_quantity").limit(20),
+            f"{tmp_prefix}/stage", con, "li_copied", mode="overwrite",
+        )
+        assert db.read_sql_table("li_copied", con).count() == 20
+
 
 class TestMisc:
     def test_sts(self):
