@@ -64,12 +64,25 @@ def _strip_scheme(uri: str) -> str:
     return re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", uri)
 
 
+# above this many immediate children, listing fans out as a Spark job
+_PARALLEL_LIST_CHILD_THRESHOLD = 32
+
+
 def list_objects(
     path: str,
     suffix: Optional[str] = None,
     spark: Optional[SparkSession] = None,
+    distributed: Optional[bool] = None,
 ) -> List[str]:
     """List file URIs under a prefix, recursively.
+
+    ``distributed=None`` auto-routes: a prefix with more than
+    ``_PARALLEL_LIST_CHILD_THRESHOLD`` immediate children is listed
+    through Spark's file index (``binaryFile`` source — discovery runs
+    as a distributed job across executors, the same parallel partition
+    discovery a big scan uses), so a many-million-object prefix never
+    serializes on one driver-side walk. Small prefixes keep the cheap
+    single-RPC driver listing.
 
     Ref: /root/reference/awswrangler/s3/_list.py ``list_objects``.
     """
@@ -78,6 +91,25 @@ def list_objects(
     hpath = _hpath(jvm, path)
     if not fs.exists(hpath):
         return []
+    if distributed is None:
+        try:
+            distributed = len(fs.listStatus(hpath)) > _PARALLEL_LIST_CHILD_THRESHOLD
+        except Exception:
+            distributed = False
+    if distributed:
+        from pyspark.sql import functions as F
+
+        listing = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(normalize_path(path))
+            .select("path")
+        )
+        name = F.element_at(F.split(F.col("path"), "/"), -1)
+        listing = listing.filter(~name.startswith("_") & ~name.startswith("."))
+        if suffix is not None:
+            listing = listing.filter(F.col("path").endswith(suffix))
+        return sorted(r["path"] for r in listing.collect())
     out: List[str] = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():

@@ -63,10 +63,31 @@ def _apply_projection_filter(
 
 def _mtime_option(value: Any) -> str:
     """Render a datetime (or ISO string) for Spark's modifiedBefore/
-    modifiedAfter file-source options."""
+    modifiedAfter file-source options.
+
+    tz-aware datetimes keep their UTC offset (the options accept
+    offsets); dropping it would silently reinterpret the instant in
+    the Spark session timezone — the reference compares tz-aware
+    datetimes in UTC (awswrangler/s3/_list.py last_modified filters).
+    """
     if hasattr(value, "strftime"):
-        return value.strftime("%Y-%m-%dT%H:%M:%S")
+        fmt = "%Y-%m-%dT%H:%M:%S%z" if getattr(value, "tzinfo", None) is not None else "%Y-%m-%dT%H:%M:%S"
+        return value.strftime(fmt)
     return str(value)
+
+
+def _unescape_partition_value(raw: str) -> Optional[str]:
+    """Hive/URL-unescape a partition value parsed from a path segment.
+
+    Hive writes ``%``-escaped values (space → ``%20``) and nulls as
+    ``__HIVE_DEFAULT_PARTITION__``; user-facing callables and equality
+    predicates must see the real value (the reference passes unescaped
+    values to ``partition_filter``)."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(raw)
 
 
 def _suffix_filtered_paths(
@@ -103,7 +124,7 @@ def _partition_pruned_paths(
     callable — the reference's ``partition_filter`` (push-down via
     driver-side listing; ref awswrangler/s3/_read.py
     ``_apply_partition_filter``)."""
-    dirs: Dict[str, Dict[str, str]] = {}
+    dirs: Dict[str, Dict[str, Optional[str]]] = {}
     root_norm = normalize_path(root).rstrip("/")
     root_schemeless = root_norm.split("://", 1)[-1].lstrip("/")
     for obj in list_objects(root, spark=spark):
@@ -113,7 +134,9 @@ def _partition_pruned_paths(
         for seg in parts:
             m = _PARTITION_DIR_RE.match(seg)
             if m:
-                values[m.group(1)] = m.group(2)
+                # the callable sees unescaped values; the kept PATH
+                # stays escaped (it must match the on-disk layout)
+                values[m.group(1)] = _unescape_partition_value(m.group(2))
         if values:
             dirs.setdefault(f"{root_norm}/{'/'.join(parts)}", values)
     kept = [d for d, vals in dirs.items() if partition_filter(vals)]
@@ -170,27 +193,43 @@ def read_parquet(
         paths = _partition_pruned_paths(base_path, partition_filter, spark)
     if path_suffix or path_ignore_suffix:
         paths = _suffix_filtered_paths(paths, path_suffix, path_ignore_suffix, spark)
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    if base_path:
-        reader = reader.option("basePath", base_path)
-    if last_modified_begin is not None:
-        reader = reader.option("modifiedAfter", _mtime_option(last_modified_begin))
-    if last_modified_end is not None:
-        reader = reader.option("modifiedBefore", _mtime_option(last_modified_end))
-    for key, value in options.items():
-        reader = reader.option(key, value)
+    def build_reader():
+        # DataFrameReader.option mutates the reader in place, so every
+        # consumer (schema probes, the final read) gets a FRESH reader —
+        # otherwise a probe's mergeSchema=true leaks into the final scan
+        # and silently changes the result schema (e.g. int/long upcasts)
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        if base_path:
+            r = r.option("basePath", base_path)
+        if last_modified_begin is not None:
+            r = r.option("modifiedAfter", _mtime_option(last_modified_begin))
+        if last_modified_end is not None:
+            r = r.option("modifiedBefore", _mtime_option(last_modified_end))
+        for key, value in options.items():
+            r = r.option(key, value)
+        return r
+
     if validate_schema and schema is None:
         from aws_data_wrangler_spark.exceptions import InvalidSchemaConvergence
 
-        plain = set(reader.parquet(*paths).schema.fieldNames())
-        merged = set(reader.option("mergeSchema", "true").parquet(*paths).schema.fieldNames())
-        if plain != merged:
-            raise InvalidSchemaConvergence(
-                f"schemas diverge across files: {sorted(merged - plain)} not in every file"
+        plain = {(f.name, f.dataType) for f in build_reader().parquet(*paths).schema.fields}
+        try:
+            merged_schema = (
+                build_reader().option("mergeSchema", "true").parquet(*paths).schema
             )
-    df = reader.parquet(*paths)
+        except Exception as exc:  # incompatible types fail the merge itself
+            raise InvalidSchemaConvergence(
+                f"schemas cannot be merged across files: {exc}"
+            ) from exc
+        merged = {(f.name, f.dataType) for f in merged_schema.fields}
+        if plain != merged:
+            diverged = sorted({name for name, _ in merged ^ plain})
+            raise InvalidSchemaConvergence(
+                f"schemas diverge across files on columns: {diverged}"
+            )
+    df = build_reader().parquet(*paths)
     df = _apply_projection_filter(df, columns, filters)
     if chunked:
         return _iter_pandas_chunks(df, None if chunked is True else int(chunked))
@@ -249,7 +288,7 @@ def read_parquet_table(
             for seg in location.rstrip("/").split("/"):
                 m = _PARTITION_DIR_RE.match(seg)
                 if m:
-                    vals[m.group(1)] = m.group(2)
+                    vals[m.group(1)] = _unescape_partition_value(m.group(2))
             if not pcols:
                 pcols = list(vals)
             if partition_filter(vals):
@@ -262,7 +301,12 @@ def read_parquet_table(
         for vals in kept_rows:
             row = None
             for c in pcols:
-                eq = F.col(c).cast("string") == F.lit(vals[c])
+                # unescaped comparison; __HIVE_DEFAULT_PARTITION__ = null
+                eq = (
+                    F.col(c).isNull()
+                    if vals[c] is None
+                    else F.col(c).cast("string") == F.lit(vals[c])
+                )
                 row = eq if row is None else (row & eq)
             clause = row if clause is None else (clause | row)
         df = df.filter(clause)

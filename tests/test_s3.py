@@ -144,6 +144,56 @@ class TestReferenceKwargs:
         s3.to_parquet(lineitem.limit(5), ok, dataset=True, mode="overwrite")
         assert s3.read_parquet(ok, dataset=True, validate_schema=True).count() == 5
 
+    def test_validate_schema_does_not_leak_mergeschema(self, spark, lineitem, tmp_prefix):
+        # the probe's mergeSchema=true must NOT leak into the final
+        # read: schema with validate on == schema with validate off
+        out = f"{tmp_prefix}/vsleak"
+        s3.to_parquet(lineitem.limit(5), out, dataset=True, mode="overwrite")
+        plain = s3.read_parquet(out, dataset=True, validate_schema=False).schema
+        validated = s3.read_parquet(out, dataset=True, validate_schema=True).schema
+        assert plain == validated
+
+    def test_validate_schema_incompatible_types(self, spark, tmp_prefix):
+        from aws_data_wrangler_spark.exceptions import InvalidSchemaConvergence
+
+        out = f"{tmp_prefix}/vstypes"
+        s3.to_parquet(spark.sql("SELECT CAST(1 AS INT) AS x"), f"{out}/a.parquet")
+        s3.to_parquet(spark.sql("SELECT 'str' AS x"), f"{out}/b.parquet")
+        # same field NAME, unmergeable types → typed engine error, not
+        # a raw Spark merge exception
+        with pytest.raises(InvalidSchemaConvergence):
+            s3.read_parquet(out, dataset=True, validate_schema=True)
+
+    def test_partition_filter_sees_unescaped_values(self, spark, tmp_prefix):
+        # a partition value with a space is %20-escaped on disk; the
+        # callable must receive the real value and pruning must work
+        df = spark.createDataFrame(
+            [(1, "north america"), (2, "europe"), (3, None)], "id int, zone string"
+        )
+        out = f"{tmp_prefix}/esc"
+        s3.to_parquet(df, out, dataset=True, mode="overwrite", partition_cols=["zone"])
+        seen = []
+        got = s3.read_parquet(
+            out, dataset=True,
+            partition_filter=lambda v: seen.append(dict(v)) or v["zone"] == "north america",
+        )
+        assert got.count() == 1
+        assert {"zone": "north america"} in seen
+        assert {"zone": None} in seen  # __HIVE_DEFAULT_PARTITION__ → null
+        # null partition selectable via the callable
+        nulls = s3.read_parquet(out, dataset=True, partition_filter=lambda v: v["zone"] is None)
+        assert nulls.count() == 1
+
+    def test_mtime_option_keeps_utc_offset(self):
+        import datetime as dt
+
+        from aws_data_wrangler_spark.s3._read import _mtime_option
+
+        aware = dt.datetime(2020, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc)
+        assert _mtime_option(aware) == "2020-01-02T03:04:05+0000"
+        naive = dt.datetime(2020, 1, 2, 3, 4, 5)
+        assert _mtime_option(naive) == "2020-01-02T03:04:05"
+
     def test_catalog_metadata_passthrough(self, spark, lineitem, tmp_prefix):
         from aws_data_wrangler_spark import catalog
 
@@ -225,6 +275,19 @@ class TestObjectOps:
         assert all(v > 0 for v in sizes.values())
         s3.delete_objects(out)
         assert s3.list_objects(out) == []
+
+    def test_distributed_listing_matches_driver_walk(self, spark, lineitem, tmp_prefix):
+        # a prefix with >32 children auto-routes to the Spark file
+        # index; both routes must return the identical object list
+        base = f"{tmp_prefix}/many"
+        for i in range(40):
+            s3.to_parquet(lineitem.limit(1), f"{base}/d{i:02d}/part.parquet")
+        driver_walk = s3.list_objects(base, distributed=False)
+        dist = s3.list_objects(base, distributed=True)
+        auto = s3.list_objects(base)  # 40 children → auto-distributed
+        assert len(driver_walk) == 40
+        assert dist == driver_walk
+        assert auto == driver_walk
 
     def test_copy_and_merge(self, spark, lineitem, tmp_prefix):
         src, dst = f"{tmp_prefix}/src", f"{tmp_prefix}/dst"
