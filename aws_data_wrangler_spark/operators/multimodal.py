@@ -3,11 +3,13 @@
 Media are opaque ``binary`` columns plus a typed metadata struct; the
 compute pattern is Arrow-batched ``mapInPandas`` so decode/resize/
 feature-extract amortize per-batch (the only sane shape for Python
-media libs on Spark). The media libraries themselves (PIL, torchaudio,
-ffmpeg) are NOT in this container, so the decode kernels are
-deterministic fakes behind ``_HAS_PIL``-style gates — the Spark-side
-contract (schemas, batch iteration, partitioning) is real and tested,
-and swapping in a real decoder touches only the kernel body.
+media libs on Spark). Decode kernels auto-detect their library on the
+WORKER (Pillow for images, soundfile for audio) and decode real bytes
+when present; absent the library — as in this container — a
+deterministic fake keeps every pipeline runnable and testable. The
+Spark-side contract (schemas, batch iteration, partitioning) is
+identical either way; the real-path kernels are unit-tested against
+injected stand-in modules.
 """
 
 from __future__ import annotations
@@ -19,13 +21,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # real decoder if available (not in the test container)
-    from PIL import Image  # type: ignore  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -68,29 +63,77 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", media_type: str
 def _fake_decode(payload: bytes) -> tuple:
     """Deterministic stand-in for image decode: dimensions + an 8-dim
     feature vector derived from the content digest."""
-    digest = hashlib.sha256(payload).digest()
+    digest = hashlib.sha256(bytes(payload)).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     feature = [round(b / 255.0, 6) for b in digest[2:10]]
     return width, height, feature
 
 
-def decode_media(df: DataFrame, id_col: str = "doc_id", batch_hint: int = 1024) -> DataFrame:
+def _import_pil_image():
+    """Worker-side PIL probe (executors may differ from the driver)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _real_decode(payload: bytes, image_mod) -> tuple:
+    """Real image decode: dimensions + an 8-dim feature (per-channel
+    mean/std of an 8×8 downsample). ``image_mod`` is the PIL ``Image``
+    module, injected so the kernel resolves it once per task."""
+    import io
+
+    import numpy as np
+
+    img = image_mod.open(io.BytesIO(bytes(payload)))
+    width, height = img.size
+    rgb = img.convert("RGB")
+    arr = np.asarray(rgb.resize((8, 8)), dtype=np.float64) / 255.0
+    feature = [float(arr[..., c].mean()) for c in range(3)]
+    feature += [float(arr[..., c].std()) for c in range(3)]
+    feature += [float(arr.mean()), float(arr.std())]
+    return int(width), int(height), [round(f, 6) for f in feature]
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    batch_hint: int = 1024,
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched
     ``mapInPandas``.
 
-    The kernel sees pandas batches (zero-copy Arrow transfer), so a
-    real PIL/torch decoder drops in with per-batch amortization; at
-    100 TB this is an embarrassingly-parallel map stage whose
-    parallelism is the input partitioning (repartition upstream if
-    media objects are few-but-huge).
+    The kernel sees pandas batches (zero-copy Arrow transfer), so the
+    decode amortizes per batch; at 100 TB this is an embarrassingly-
+    parallel map stage whose parallelism is the input partitioning
+    (repartition upstream if media objects are few-but-huge).
+
+    ``use_real_decoder=None`` auto-detects Pillow ON THE WORKER: real
+    bytes decode through PIL when it is installed; otherwise (or on a
+    per-payload decode failure, e.g. the synthetic test payloads) the
+    deterministic fake keeps the pipeline runnable. Forcing ``True``
+    raises inside the task when PIL is absent; ``False`` always fakes.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if use_real_decoder is False else _import_pil_image()
+        if use_real_decoder is True and image_mod is None:
+            raise NotImplementedError("use_real_decoder=True requires Pillow on workers")
         for batch in batches:
-            if _HAS_PIL and False:  # pragma: no cover - real decoder path
-                raise NotImplementedError("real image decode not wired in this container")
-            decoded = [_fake_decode(p) for p in batch["payload"]]
+            decoded = []
+            for p in batch["payload"]:
+                if image_mod is not None:
+                    try:
+                        decoded.append(_real_decode(p, image_mod))
+                        continue
+                    except Exception:
+                        if use_real_decoder is True:
+                            raise
+                decoded.append(_fake_decode(p))
             yield pd.DataFrame(
                 {
                     "doc_id": batch[id_col].astype("int64"),
@@ -103,6 +146,87 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", batch_hint: int = 1024) 
             )
 
     return df.select(id_col, "payload", "media_meta").mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def _import_soundfile():
+    """Worker-side soundfile probe."""
+    try:
+        import soundfile  # type: ignore
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _fake_audio_decode(payload: bytes) -> tuple:
+    """Deterministic stand-in for audio decode: sample rate, frame
+    count, and a 4-dim loudness profile from the content digest."""
+    digest = hashlib.sha256(bytes(payload)).digest()
+    sample_rate = (8, 16, 22, 44)[digest[0] % 4] * 1000
+    n_frames = 1000 + int.from_bytes(digest[1:3], "big")
+    profile = [round(b / 255.0, 6) for b in digest[3:7]]
+    return sample_rate, n_frames, profile
+
+
+def _real_audio_decode(payload: bytes, sf_mod) -> tuple:
+    """Real audio decode via soundfile: (sample_rate, n_frames,
+    4-quarter RMS loudness profile)."""
+    import io
+
+    import numpy as np
+
+    data, sample_rate = sf_mod.read(io.BytesIO(bytes(payload)))
+    mono = data.mean(axis=1) if getattr(data, "ndim", 1) > 1 else data
+    n = len(mono)
+    quarters = [mono[i * n // 4 : (i + 1) * n // 4] for i in range(4)]
+    profile = [
+        round(float(np.sqrt((q**2).mean())) if len(q) else 0.0, 6) for q in quarters
+    ]
+    return int(sample_rate), int(n), profile
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("loudness", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", use_real_decoder: bool | None = None
+) -> DataFrame:
+    """Audio feature extraction with the same gate pattern as
+    ``decode_media``: real decode through soundfile when installed on
+    the worker, deterministic fake otherwise."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sf_mod = None if use_real_decoder is False else _import_soundfile()
+        if use_real_decoder is True and sf_mod is None:
+            raise NotImplementedError("use_real_decoder=True requires soundfile on workers")
+        for batch in batches:
+            decoded = []
+            for p in batch["payload"]:
+                if sf_mod is not None:
+                    try:
+                        decoded.append(_real_audio_decode(p, sf_mod))
+                        continue
+                    except Exception:
+                        if use_real_decoder is True:
+                            raise
+                decoded.append(_fake_audio_decode(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype("int64"),
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_frames": [d[1] for d in decoded],
+                    "loudness": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, AUDIO_SCHEMA)
 
 
 def resize_stub(df: DataFrame, target: int = 224) -> DataFrame:

@@ -126,6 +126,69 @@ class TestDtypeRoundtrip:
         assert dict(back.dtypes)["ts"] == "timestamp_ntz"
         assert back.collect() == df.collect()
 
+    def test_max_precision_decimal_roundtrip(self, spark, tmp_prefix):
+        # decimal(38,x) is the parquet/athena precision ceiling
+        # (ref awswrangler/_data_types.py decimal handling)
+        df = spark.createDataFrame(
+            [
+                (1, Decimal("9" * 20 + "." + "9" * 18), Decimal("0." + "0" * 37 + "1")),
+                (2, Decimal("-" + "9" * 20 + "." + "9" * 18), None),
+            ],
+            "id int, d_hi decimal(38,18), d_lo decimal(38,38)",
+        )
+        out = f"{tmp_prefix}/dec38"
+        s3.to_parquet(df, out, dataset=True, mode="overwrite")
+        back = s3.read_parquet(out, dataset=True)
+        assert dict(back.dtypes) == dict(df.dtypes)
+        assert back.orderBy("id").collect() == df.orderBy("id").collect()
+
+    def test_map_struct_with_partition_cols(self, spark, tmp_prefix):
+        # complex data columns under dataset mode WITH partition columns
+        # (ref _data_types.py:24,151 nested types; partition layout must
+        # not disturb nested data columns)
+        df = spark.createDataFrame(
+            [
+                ("p1", {"a": 1.5}, Row(x=1, y="one"), [Row(k="k1", v=[1])]),
+                ("p2", {"b": 2.5}, Row(x=2, y="two"), []),
+                ("p2", None, None, None),
+            ],
+            "part string, m map<string,double>, s struct<x:int,y:string>, "
+            "ns array<struct<k:string,v:array<int>>>",
+        )
+        out = f"{tmp_prefix}/complex_part"
+        s3.to_parquet(df, out, dataset=True, mode="overwrite", partition_cols=["part"])
+        back = s3.read_parquet(out, dataset=True)
+        got = dict(back.dtypes)
+        assert got["m"] == "map<string,double>"
+        assert got["s"] == "struct<x:int,y:string>"
+        assert got["ns"] == "array<struct<k:string,v:array<int>>>"
+        assert back.count() == 3
+        assert back.filter("s.x = 2").collect()[0]["m"] == {"b": 2.5}
+        # overwrite_partitions only touches p2
+        repl = spark.createDataFrame(
+            [("p2", {"c": 9.0}, Row(x=9, y="nine"), [])], df.schema
+        )
+        s3.to_parquet(repl, out, dataset=True, mode="overwrite_partitions",
+                      partition_cols=["part"])
+        after = s3.read_parquet(out, dataset=True)
+        assert after.filter("part = 'p1'").count() == 1
+        assert after.filter("part = 'p2'").count() == 1
+        assert after.filter("part = 'p2'").collect()[0]["s"]["x"] == 9
+
+    def test_null_only_columns_roundtrip(self, spark, tmp_prefix):
+        # a column with no non-null value in any row must keep its
+        # declared type through the dataset round-trip (ref
+        # _data_types.py null-column handling)
+        df = spark.createDataFrame(
+            [(1, None, None, None), (2, None, None, None)],
+            "id int, s string, d decimal(10,2), arr array<int>",
+        )
+        out = f"{tmp_prefix}/nulls"
+        s3.to_parquet(df, out, dataset=True, mode="overwrite")
+        back = s3.read_parquet(out, dataset=True)
+        assert dict(back.dtypes) == dict(df.dtypes)
+        assert back.filter("s IS NULL AND d IS NULL AND arr IS NULL").count() == 2
+
     def test_empty_frame_roundtrip(self, spark, typed_df, tmp_prefix):
         out = f"{tmp_prefix}/empty"
         s3.to_parquet(typed_df.limit(0), out, dataset=True, mode="overwrite")

@@ -308,6 +308,60 @@ class TestMultimodal:
         b = sorted(map(tuple, multimodal.decode_media(media).collect()))
         assert a == b
 
+    def test_real_decode_kernel_with_injected_pil(self):
+        # the real-image path, unit-tested against a stand-in PIL
+        # module (Pillow itself is absent in this container)
+        import numpy as np
+
+        class FakeImg:
+            size = (320, 240)
+
+            def convert(self, mode):
+                return self
+
+            def resize(self, dims):
+                class Arr:
+                    pass
+
+                return np.zeros((dims[1], dims[0], 3), dtype=np.uint8) + 128
+
+        class FakeImageMod:
+            @staticmethod
+            def open(buf):
+                assert buf.read(4) == b"test"
+                return FakeImg()
+
+        w, h, feat = multimodal._real_decode(b"test-payload", FakeImageMod)
+        assert (w, h) == (320, 240)
+        assert len(feat) == 8
+        assert abs(feat[0] - 128 / 255.0) < 1e-5  # channel mean
+        assert feat[3] == 0.0  # zero std on constant image
+
+    def test_real_audio_kernel_with_injected_soundfile(self):
+        import numpy as np
+
+        class FakeSf:
+            @staticmethod
+            def read(buf):
+                return np.ones(8000) * 0.5, 8000
+
+        sr, n, profile = multimodal._real_audio_decode(b"wav-bytes", FakeSf)
+        assert (sr, n) == (8000, 8000)
+        assert profile == [0.5, 0.5, 0.5, 0.5]  # RMS of constant signal
+
+    def test_decode_forced_real_raises_without_pil(self, spark, documents):
+        media = multimodal.attach_binary_payload(documents.limit(2))
+        with pytest.raises(Exception):  # task raises NotImplementedError
+            multimodal.decode_media(media, use_real_decoder=True).collect()
+
+    def test_audio_features_fake_path(self, spark, documents):
+        media = multimodal.attach_binary_payload(documents.limit(10), media_type="audio/fake")
+        rows = multimodal.extract_audio_features(media).collect()
+        assert len(rows) == 10
+        for row in rows:
+            assert row["sample_rate"] in (8000, 16000, 22000, 44000)
+            assert len(row["loudness"]) == 4
+
     def test_resize_and_frames(self, spark, documents):
         media = multimodal.attach_binary_payload(documents.limit(5))
         decoded = multimodal.resize_stub(multimodal.decode_media(media), target=224)
