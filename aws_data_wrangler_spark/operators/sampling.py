@@ -88,14 +88,32 @@ def fixed_size_sample(
 
     The hash *is* the random order, so this is one window shuffle keyed
     on the stratum — the distributed analog of per-group reservoir
-    sampling, without the sequential-pass constraint. With
-    ``strata_col=None`` draws k rows globally (single-partition window
-    — only for small k; use a stratified draw at scale).
+    sampling, without the sequential-pass constraint.
+
+    ``strata_col=None`` draws k rows globally. Globally exact top-k by
+    hash order would be a single-partition sort of the corpus, so the
+    draw pre-filters with the Bernoulli hash threshold at ~3k/n
+    (scan-fused codegen filter, no shuffle): because the threshold
+    filter keeps a *prefix* of the hash order, the k smallest hashes
+    overall are exactly the k smallest among the ~3k survivors, and
+    the final window sorts thousands of rows, not the corpus. The
+    expected-3k margin makes a short draw vanishingly unlikely
+    (Chernoff); a distributed count verifies and falls back to the
+    full window if the margin ever fails.
     """
     order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
-    rn = F.row_number().over(part.orderBy(order, F.col(id_col)))
-    return df.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+    if strata_col is not None:
+        part = Window.partitionBy(strata_col)
+        rn = F.row_number().over(part.orderBy(order, F.col(id_col)))
+        return df.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
+    n = df.count()
+    pool = df
+    if n > max(10 * k, 10_000):
+        pre = df.filter(_keep(F.col(id_col), min(1.0, 3.0 * k / n), salt))
+        if pre.count() >= k:
+            pool = pre
+    rn = F.row_number().over(Window.partitionBy().orderBy(order, F.col(id_col)))
+    return pool.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
 
 
 def token_budget_sample(

@@ -107,6 +107,19 @@ class TestDedup:
         )
         assert {(r["id_a"], r["id_b"]) for r in got.collect()} == expected
 
+    def test_embedding_gemm_matches_exact_pairs(self, spark, embeddings):
+        # blocked-GEMM engine: same pair set as the JVM exact miner
+        # (scores reassociate sums, so compare ids; the test corpus has
+        # >1e-3 margin around the threshold)
+        exact = dedup.embedding_near_dup_pairs(embeddings, threshold=0.4, method="exact")
+        gemm = dedup.embedding_near_dup_pairs(
+            embeddings, threshold=0.4, method="gemm", num_blocks=4
+        )
+        exact_set = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        gemm_set = {(r["id_a"], r["id_b"]) for r in gemm.collect()}
+        assert len(exact_set) > 0
+        assert gemm_set == exact_set
+
     def test_ngram_viral_shingle_fanout_is_capped(self, spark):
         # 60 docs sharing one boilerplate sentence but otherwise unique:
         # uncapped, the shared shingles alone create 60*59/2 candidate
@@ -450,6 +463,25 @@ class TestSampling:
         assert all(r["n"] == 5 for r in per)
         # global draw (no strata)
         assert sampling.fixed_size_sample(documents, k=7, strata_col=None).count() == 7
+
+    def test_fixed_size_global_prefilter_is_exact(self, spark):
+        # the threshold-prefiltered global draw must equal the brute
+        # k-smallest by (md5(id||salt), id) — exercised on a frame big
+        # enough (n > 10k) to take the prefilter path
+        from aws_data_wrangler_spark.operators import sampling
+
+        big = spark.range(50_000).select(F.col("id").alias("doc_id"))
+        got = sampling.fixed_size_sample(big, k=25, strata_col=None, salt="s1")
+        expect = {
+            r["doc_id"]
+            for r in big.withColumn(
+                "__o", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("s1")))
+            )
+            .orderBy("__o", "doc_id")
+            .limit(25)
+            .collect()
+        }
+        assert {r["doc_id"] for r in got.collect()} == expect
 
 
 class TestTextPipelineOps:
