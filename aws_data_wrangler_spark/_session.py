@@ -108,5 +108,11 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a bare session keeps the 200-partition default — at test scale
+    # that is ~6× more tasks than cores for every shuffle; size to the
+    # actual parallelism (AQE coalescing handles the rest)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     ship_package(spark)
     return spark

@@ -720,6 +720,17 @@ ORACLES: Dict[str, str] = {
          AND epoch_us(c.ts) < epoch_us(e.ts) + 3600000000
         ORDER BY error_id, click_id
     """,
+    "streaming_static_enrich": """
+        WITH cohorts AS (
+            SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cohort_day
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        )
+        SELECT cohort_day, count(*) AS n_purchases,
+               round(sum(value), 4) AS sum_value
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY cohort_day ORDER BY cohort_day
+    """,
     "streaming_hourly_rollup": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                count(*) AS n_events,

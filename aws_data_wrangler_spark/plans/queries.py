@@ -1464,6 +1464,31 @@ def _streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fingerprint").distinct().orderBy("fingerprint")
 
 
+def _streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joins a static
+    per-user signup-cohort dim (broadcast, stateless per micro-batch),
+    then rolls up purchases per cohort day. availableNow replay ⇒
+    equals the batch join+rollup, which is the oracle."""
+    from aws_data_wrangler_spark import streaming
+
+    events = load(spark, sf_dir, "events")
+    cohorts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort_day"))
+    )
+    purchases = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "value")
+    enriched = streaming.enrich_stream(purchases, cohorts, on="user_id")
+    rollup = enriched.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    out = streaming.run_available_now(rollup, output_mode="complete")
+    return out.orderBy("cohort_day")
+
+
 def _streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark import streaming
 
@@ -1544,6 +1569,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
     "streaming_latest_per_user": _streaming_latest_per_user,
+    "streaming_static_enrich": _streaming_static_enrich,
     "events_session_window": _events_session_window,
     "events_hourly_gapfill": _events_hourly_gapfill,
     "logs_insights_stats": _logs_insights_stats,

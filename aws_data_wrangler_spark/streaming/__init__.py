@@ -127,6 +127,26 @@ def run_available_now(
     return spark.table(name)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on,
+    broadcast_dim: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The canonical streaming enrichment: each micro-batch hash-joins
+    against the static dimension with NO streaming state (the static
+    side is re-resolvable per batch). ``broadcast_dim=True`` ships the
+    dim to executors once — at 100 TB/day of stream the dim is the
+    small side by contract; a huge dim belongs in a stream-stream join
+    or a keyed state store instead.
+    """
+    dim = F.broadcast(static_dim) if broadcast_dim else static_dim
+    return stream.join(dim, on=on, how=how)
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

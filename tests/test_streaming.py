@@ -36,6 +36,63 @@ class TestWindowedRollup:
         assert set(rollup.columns) == {"window_start", "event_type", "n_events", "sum_value", "avg_value"}
         assert rollup.isStreaming
 
+    def test_watermark_drops_late_data_across_restarts(self, spark, tmp_prefix):
+        # run 1 commits watermark 11:45 to the checkpoint; run 2 (same
+        # checkpoint) then delivers a stale 00:30 event, which must be
+        # DROPPED — the persisted watermark bounds state across
+        # restarts and never resurrects a closed window. (Within one
+        # availableNow run the filtering watermark does not advance
+        # between micro-batches, so the drop guarantee is a
+        # restart-boundary property — also the operational reality.)
+        import datetime as dt
+
+        src = f"{tmp_prefix}/late_src"
+        sink = f"{tmp_prefix}/late_sink"
+        ckpt = f"{tmp_prefix}/late_ckpt"
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+        def write_file(name, rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/{name}"
+            )
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            windows = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+            )
+            q = (
+                windows.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        base = dt.datetime(2024, 1, 1)
+        write_file("f1", [
+            (1, base.replace(hour=10, minute=15), 1, "click", 1.0),
+            (2, base.replace(hour=12, minute=45), 1, "click", 1.0),
+        ])
+        run_once()
+        write_file("f2", [(3, base.replace(hour=0, minute=30), 1, "click", 1.0)])
+        run_once()
+        got = {(r["w"], r["n"]) for r in spark.read.parquet(sink).collect()}
+        # 10:00 closed when the watermark hit 11:45 and emitted; the
+        # stale 00:00 window must never appear; 12:00 is still open
+        assert ("10:00", 1) in got
+        assert not any(w == "00:00" for w, _ in got)
+        assert not any(w == "12:00" for w, _ in got)
+
 
 class TestStreamingDedup:
     def test_duplicate_events_emitted_once(self, spark, events, tmp_prefix):
