@@ -91,6 +91,43 @@ class TestPlanAudits:
         plan = text.scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_q5_star_join_broadcasts_all_dims(self, spark):
+        # the 6-way star join must plan every dim side as a broadcast —
+        # zero sort-merge joins (SURVEY §6: the 100× plan)
+        from aws_data_wrangler_spark.plans import QUERIES
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        s = plan_summary(QUERIES["q5_local_supplier_volume"](spark, "/root/testdata/sf0.001"))
+        assert s["sort_merge_joins"] == 0
+        assert s["broadcast_hash_joins"] >= 4
+
+    def test_q6_filters_reach_the_scan(self, spark):
+        from aws_data_wrangler_spark.plans import QUERIES
+        from aws_data_wrangler_spark.plans.audit import assert_pushdown
+
+        assert_pushdown(QUERIES["q6_revenue_forecast"](spark, "/root/testdata/sf0.001"))
+
+    def test_asof_join_is_single_shuffle(self, spark, events):
+        # union-sort + running last(): ONE exchange keyed on the join
+        # key — never a per-key loop or a range cross join
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark.operators import joins
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        signups = events.filter(F.col("event_type") == "signup").select(
+            "user_id", "ts", F.col("event_id").alias("signup_id")
+        )
+        out = joins.asof_join(
+            clicks, signups, on="user_id", left_time="ts", right_time="ts",
+            right_cols=["signup_id"],
+        )
+        s = plan_summary(out)
+        assert s["cartesian_products"] == 0 and s["broadcast_nested_loop_joins"] == 0
+        # one exchange for the union'd window partition (+ AQE reads)
+        assert s["exchanges"] <= 2
+
     def test_embedding_dedup_has_no_cartesian(self, spark):
         # the registered embedding-dedup queries must never plan an
         # all-pairs physical join (CartesianProduct / BNLJ): the exact
