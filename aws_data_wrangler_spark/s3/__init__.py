@@ -41,12 +41,30 @@ def get_bucket_region(bucket: str, **_: object) -> str:
     return "local"
 
 
+def get_botocore_valid_kwargs(function_name: str, s3_additional_kwargs: dict) -> dict:
+    """Filter extra kwargs down to the ones the named engine function
+    accepts — the reference filters against botocore operation models
+    (ref: /root/reference/awswrangler/s3/_fs.py:66); the Spark engine's
+    analog filters against the target function's signature, so callers
+    can pass one spreadable option dict across engines.
+    """
+    import inspect
+    import sys
+
+    fn = getattr(sys.modules[__name__], function_name, None)
+    if fn is None:
+        return dict(s3_additional_kwargs)
+    params = inspect.signature(fn).parameters
+    return {k: v for k, v in s3_additional_kwargs.items() if k in params}
+
+
 __all__ = [
     "copy_objects",
     "merge_datasets",
     "delete_objects",
     "describe_objects",
     "get_bucket_region",
+    "get_botocore_valid_kwargs",
     "size_objects",
     "does_object_exist",
     "list_directories",
