@@ -129,6 +129,44 @@ def test_chunk_tokens_covers_everything_in_order(spark, texts, chunk):
         assert all(r["n_tokens"] == len(r["chunk_text"].split()) for r in rows)
 
 
+# recursive Athena DDL type strategy: primitives at the leaves,
+# decimal/array/map/struct composites above them
+_athena_primitive = st.sampled_from(
+    ["boolean", "tinyint", "smallint", "int", "bigint", "float", "double",
+     "string", "binary", "date", "timestamp"]
+)
+_athena_decimal = st.tuples(
+    st.integers(min_value=1, max_value=38), st.integers(min_value=0, max_value=10)
+).map(lambda ps: f"decimal({ps[0]},{min(ps[1], ps[0])})")
+_athena_type = st.recursive(
+    st.one_of(_athena_primitive, _athena_decimal),
+    lambda children: st.one_of(
+        children.map(lambda c: f"array<{c}>"),
+        st.tuples(st.sampled_from(["string", "int", "bigint"]), children).map(
+            lambda kv: f"map<{kv[0]},{kv[1]}>"
+        ),
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c", "d"]), children),
+            min_size=1, max_size=3,
+            unique_by=lambda kv: kv[0],
+        ).map(lambda fs: "struct<" + ",".join(f"{k}:{v}" for k, v in fs) + ">"),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(dtype=_athena_type)
+def test_athena_spark_type_mapping_roundtrips(dtype):
+    """spark2athena(athena2spark(t)) == t for every representable
+    Athena DDL type, arbitrarily nested (no Spark session needed —
+    the mapper is pure)."""
+    from aws_data_wrangler_spark import _data_types
+
+    spark_type = _data_types.athena2spark(dtype)
+    assert _data_types.spark2athena(spark_type) == dtype
+
+
 @settings(**SETTINGS)
 @given(ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True))
 def test_hash_sample_is_stable_subset_chain(spark, ids):
