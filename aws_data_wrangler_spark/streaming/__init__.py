@@ -200,6 +200,41 @@ def interval_join_stream(
     return joined.drop("__bucket")
 
 
+def _write_snapshot_batch_id(snapshot_path: str, batch_id: int, spark: SparkSession) -> None:
+    """Record the micro-batch id that produced a snapshot (underscore
+    files are invisible to parquet readers)."""
+    from aws_data_wrangler_spark.s3._fs import _fs_for, _hpath
+
+    fs, jvm = _fs_for(spark, snapshot_path)
+    out = fs.create(_hpath(jvm, f"{snapshot_path}/_batch_id"), True)
+    out.write(bytearray(str(batch_id).encode()))
+    out.close()
+
+
+def _snapshot_batch_id(target_path: str, version: int, spark: SparkSession) -> Optional[int]:
+    """Batch id recorded for snapshot ``v=version`` (None if absent)."""
+    from aws_data_wrangler_spark.s3._fs import _fs_for, _hpath
+
+    marker = f"{normalize_path(target_path)}/v={version}/_batch_id"
+    fs, jvm = _fs_for(spark, marker)
+    hpath = _hpath(jvm, marker)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return int(bytes(data).decode())
+    except ValueError:
+        return None
+    finally:
+        stream.close()
+
+
 def _latest_snapshot_version(target_path: str, spark: SparkSession) -> int:
     """Highest ``v=N`` snapshot under ``target_path`` (-1 if none)."""
     from aws_data_wrangler_spark.s3 import list_directories
@@ -264,6 +299,46 @@ def vacuum_upsert_table(
     return removed
 
 
+def merge_upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    keys: list,
+    order_cols: list,
+) -> None:
+    """One MERGE-INTO micro-batch: union the current snapshot with the
+    batch, keep the per-key argmax of ``order_cols``, write snapshot
+    ``v=N+1``. Exactly-once on micro-batch RETRY: the merge itself is
+    idempotent (argmax of a re-unioned batch is unchanged), and an
+    already-committed batch id — recorded as an underscore marker in
+    the snapshot — is skipped outright, so a failure between snapshot
+    write and checkpoint commit never even writes a redundant version.
+    """
+    from pyspark.sql.window import Window
+
+    if not batch_df.take(1):
+        return
+    spark_b = batch_df.sparkSession
+    version = _latest_snapshot_version(target_path, spark_b)
+    if version >= 0 and _snapshot_batch_id(target_path, version, spark_b) == batch_id:
+        return
+    current = (
+        spark_b.read.parquet(f"{normalize_path(target_path)}/v={version}")
+        if version >= 0
+        else None
+    )
+    merged = batch_df if current is None else current.unionByName(batch_df)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    snapshot = f"{normalize_path(target_path)}/v={version + 1}"
+    latest.write.mode("overwrite").parquet(snapshot)
+    _write_snapshot_batch_id(snapshot, batch_id, spark_b)
+
+
 def upsert_sink(
     stream: DataFrame,
     target_path: str,
@@ -291,28 +366,8 @@ def upsert_sink(
     keys = key_cols or ["event_id"]
     order_cols = [order_col, *(tiebreak_cols or [])]
 
-    from pyspark.sql.window import Window
-
-    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        spark_b = batch_df.sparkSession
-        version = _latest_snapshot_version(target_path, spark_b)
-        current = (
-            spark_b.read.parquet(f"{normalize_path(target_path)}/v={version}")
-            if version >= 0
-            else None
-        )
-        merged = batch_df if current is None else current.unionByName(batch_df)
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
-        latest = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        latest.write.mode("overwrite").parquet(
-            f"{normalize_path(target_path)}/v={version + 1}"
-        )
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_batch(batch_df, batch_id, target_path, keys, order_cols)
 
     query = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -227,3 +227,23 @@ class TestUpsertSink:
         from aws_data_wrangler_spark import streaming
 
         assert streaming.read_upsert_table(f"{tmp_prefix}/nope", spark) is None
+
+    def test_merge_batch_retry_is_exactly_once(self, spark, tmp_prefix):
+        # a retried micro-batch (same batch id, e.g. failure between
+        # snapshot write and checkpoint commit) must not write a new
+        # version; the next batch id must
+        from aws_data_wrangler_spark import streaming
+
+        target = f"{tmp_prefix}/retry"
+        batch = spark.createDataFrame([(1, 10, 100), (2, 20, 200)], "k long, ts long, v long")
+        streaming.merge_upsert_batch(batch, 0, target, ["k"], ["ts"])
+        assert streaming._latest_snapshot_version(target, spark) == 0
+        streaming.merge_upsert_batch(batch, 0, target, ["k"], ["ts"])  # retry
+        assert streaming._latest_snapshot_version(target, spark) == 0
+        later = spark.createDataFrame([(1, 99, 999)], "k long, ts long, v long")
+        streaming.merge_upsert_batch(later, 1, target, ["k"], ["ts"])
+        assert streaming._latest_snapshot_version(target, spark) == 1
+        rows = {
+            (r["k"], r["v"]) for r in streaming.read_upsert_table(target, spark).collect()
+        }
+        assert rows == {(1, 999), (2, 200)}
