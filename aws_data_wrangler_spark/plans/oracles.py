@@ -13,8 +13,11 @@ Conventions shared with the Spark side (see plans/queries.py):
   replace-all; ``row_number()``/``sum(int)`` are cast to match Spark
   output types.
 
-Approximate operators (simhash, LSH/IVF ANN, multimodal stub) are
-deliberately absent → driver records rows-only checks.
+Hash-based approximate operators (simhash, minhash internals:
+xxhash64 has no DuckDB twin) plus IVF ANN (iterative k-means) and the
+multimodal stub are deliberately absent → driver records rows-only
+checks. LSH ANN *is* oracle-checked: its buckets are deterministic
+sign-bit arithmetic, replicated literally in SQL.
 """
 
 from __future__ import annotations
@@ -35,6 +38,63 @@ _COSINE = (
     "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
     "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])))) * 1000000.0) / 1000000.0"
 )
+
+def _lsh_ann_oracle_sql(
+    k: int = 5, num_planes: int = 4, num_tables: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """Exact DuckDB replica of ``similarity.lsh_topk``.
+
+    The LSH buckets are pure arithmetic — sign bits of dot products
+    against DETERMINISTIC hyperplanes (fixed seed) — so unlike the
+    hash-based sketches (minhash slots, simhash votes: xxhash64 has no
+    DuckDB twin) the whole approximate pipeline is reproducible in
+    SQL: the plane weights are inlined as literals (floats round-trip
+    exactly through repr), buckets equi-join per table, candidates
+    score with the shared truncated-cosine convention.
+    """
+    from aws_data_wrangler_spark.operators.similarity import _hyperplanes
+
+    selects = []
+    for t in range(num_tables):
+        bits = []
+        for i, plane in enumerate(_hyperplanes(dim, num_planes, seed + t)):
+            lits = "[" + ",".join(repr(float(w)) for w in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lits}::DOUBLE[]) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(bits)}) AS bucket FROM embeddings"
+        )
+    buckets_sql = "\n            UNION ALL ".join(selects)
+    return f"""
+        WITH buckets AS (
+            {buckets_sql}
+        ),
+        cand AS (
+            SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+            FROM buckets qb JOIN buckets cb
+              ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+            WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+        ),
+        scored AS (
+            SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+                   {_COSINE.format(a='q', b='c')} AS cosine
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.q_id
+            JOIN embeddings c ON c.vec_id = cand.c_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
 
 _NGRAM_JACCARD = """
     WITH toks AS (
@@ -432,6 +492,7 @@ ORACLES: Dict[str, str] = {
         ORDER BY id_a, id_b
     """,
     # ---- similarity ----------------------------------------------------
+    "ann_lsh_topk": _lsh_ann_oracle_sql(),
     "ann_cosine_topk": f"""
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         scored AS (

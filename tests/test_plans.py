@@ -17,7 +17,6 @@ def test_rows_only_set_is_intentional():
     assert rows_only == [
         "ann_cosine_topk_arrow",
         "ann_ivf_topk",
-        "ann_lsh_topk",
         "dedup_simhash",
         "multimodal_decode_stub",
     ]
