@@ -22,6 +22,19 @@ def test_rows_only_set_is_intentional():
     ]
 
 
+def test_llm_pipeline_block_inside_driver_window():
+    # the correctness driver verifies the FIRST 50 registry entries;
+    # every §2.6–§2.10 operator query must stay inside that window
+    # (round-1 verdict: the whole block fell outside and went
+    # driver-unverified)
+    names = list(QUERIES)
+    prefixes = ("dedup_", "ann_", "text_", "sample_", "streaming_",
+                "multimodal_", "logs_", "benchmark_")
+    block = [n for n in names if n.startswith(prefixes) and n != "text_ngram_freq"]
+    late = [n for n in block if names.index(n) >= 50]
+    assert late == [], f"§2.6–§2.10 queries outside the driver window: {late}"
+
+
 def test_entry_module_contract():
     import __spark_entry__ as entry
 
