@@ -1390,17 +1390,24 @@ def _text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level 2-gram frequency table (language-model building
     block): explode → count → top-100 with deterministic tie-break."""
     docs = load_parallel(spark, sf_dir, "documents")
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - 2, F.lit(0)))
+    # tokenize in its OWN projection: the bigram lambda references the
+    # token array twice per element, and SPARK-36718 only keeps a
+    # multi-referenced non-cheap alias un-collapsed when it is a
+    # separate named column — inline, the regex split re-evaluates per
+    # reference (same fix as word_shingles; measured ~2× on this stage)
+    base = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("__toks")).filter(
+        F.size(F.col("__toks")) >= 2
+    )
+    t = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(t) - 2)
     bigrams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(tokens, (i + 1).cast("int")), F.element_at(tokens, (i + 2).cast("int"))
+            " ", F.element_at(t, (i + 1).cast("int")), F.element_at(t, (i + 2).cast("int"))
         ),
     )
     return (
-        docs.filter(F.size(tokens) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("bigram"))
