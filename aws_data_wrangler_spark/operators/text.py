@@ -110,6 +110,46 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lang_score", F.array_max(scores).cast("bigint"))
 
 
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram LM surprisal per document:
+    (id, n_toks, avg_surprisal) where avg_surprisal = mean of
+    ``-ln(count(w)/N)`` over the document's tokens — the CCNet-style
+    perplexity-filtering proxy (documents of improbable words score
+    high; boilerplate scores low) computed without an external model.
+
+    Scale shape: one token-count aggregate (map-side partials) whose
+    result is vocabulary-sized and broadcast back onto the token
+    stream — the corpus is never shuffled twice. Cross-engine float
+    discipline: per-doc token log-probs are folded in POSITION order
+    (``sort_array`` of (pos, lp) structs → sequential ``aggregate``),
+    so the sum is bit-identical to DuckDB's ordered ``list_sum`` and
+    the result truncates at 6dp.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    scored = toks.join(F.broadcast(counts), "tok").select(
+        F.col(id_col),
+        F.struct(F.col("pos"), (-F.log(F.col("cnt") / F.lit(float(total)))).alias("lp")).alias("s"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("s")).alias("lps"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("lps"), lambda s: s["lp"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("lps").cast("bigint").alias("n_toks"),
+        trunc_digits(folded / F.size("lps")).alias("avg_surprisal"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint (md5 over lowercased alnum-only
     text) — the document-identity key used by exact dedup."""

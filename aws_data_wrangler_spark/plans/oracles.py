@@ -632,6 +632,37 @@ ORACLES: Dict[str, str] = {
     """,
     # un-logged tf-idf (tf × N / df): integer-exact factors ⇒ one
     # division ⇒ bit-identical scores; ties break on term ascending
+    # unigram surprisal: per-token ln-probs identical in both engines
+    # (same IEEE divide + ln); the per-doc sum folds in POSITION order
+    # on both sides (sort_array fold / list(... ORDER BY pos) +
+    # list_sum), so the mean is bit-identical before the 6dp trunc
+    "text_unigram_surprisal": """
+        WITH base AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+            FROM documents
+        ), exploded AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)+1),
+                                         i -> {'pos': i, 'tok': l[i]})) AS s
+            FROM base
+        ), toks AS (
+            SELECT doc_id, s.pos AS pos, s.tok AS tok
+            FROM exploded WHERE len(s.tok) > 0
+        ), counts AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), total AS (
+            SELECT count(*)::DOUBLE AS n FROM toks
+        ), scored AS (
+            SELECT t.doc_id, t.pos, -ln(c.cnt::DOUBLE / total.n) AS lp
+            FROM toks t JOIN counts c USING (tok), total
+        ), agged AS (
+            SELECT doc_id, list(lp ORDER BY pos) AS lps
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_toks,
+               floor((list_sum(lps) / len(lps)) * 1000000.0) / 1000000.0 AS avg_surprisal
+        FROM agged ORDER BY doc_id
+    """,
     "text_tfidf_top_terms": """
         WITH toks AS (
             SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term

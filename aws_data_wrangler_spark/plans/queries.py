@@ -1192,6 +1192,15 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM surprisal scoring — the perplexity-filter
+    proxy of a pretraining pipeline (CCNet-style), trained on the
+    corpus itself."""
+    from aws_data_wrangler_spark.operators import text
+
+    return text.unigram_surprisal(load_parallel(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
@@ -1566,6 +1575,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": _text_repetition,
     "text_pii_scrub": _text_pii_scrub,
     "text_tfidf_top_terms": _text_tfidf_top_terms,
+    "text_unigram_surprisal": _text_unigram_surprisal,
     "benchmark_contamination": _benchmark_contamination,
     "sample_stratified": _sample_stratified,
     "sample_fixed_per_source": _sample_fixed_per_source,
