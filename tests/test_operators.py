@@ -384,6 +384,28 @@ class TestMultimodal:
         assert frames.count() >= 5
 
 
+class TestUnigramSurprisal:
+    def test_rare_words_score_higher(self, spark):
+        # 9 docs of common boilerplate + 1 doc of unique words: the
+        # rare-word doc must get the highest avg surprisal
+        rows = [(i, "the quick brown fox jumps") for i in range(9)]
+        rows.append((9, "zyzzyva quokka axolotl wombat numbat"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from aws_data_wrangler_spark.operators import text
+
+        out = {r["doc_id"]: r["avg_surprisal"] for r in text.unigram_surprisal(df).collect()}
+        assert out[9] == max(out.values())
+        assert all(out[i] == out[0] for i in range(9))  # identical docs tie
+
+    def test_token_count_and_determinism(self, spark, documents):
+        from aws_data_wrangler_spark.operators import text
+
+        a = sorted(map(tuple, text.unigram_surprisal(documents.limit(50)).collect()))
+        b = sorted(map(tuple, text.unigram_surprisal(documents.limit(50)).collect()))
+        assert a == b
+        assert all(r[1] > 0 and r[2] > 0 for r in a)  # n_toks, surprisal positive
+
+
 class TestSampling:
     def test_hash_sample_deterministic_and_proportional(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
