@@ -77,6 +77,15 @@ def get_engine(
     if db_type not in _JDBC_DRIVERS:
         raise InvalidConnection(f"unsupported db_type {db_type}")
     if db_type == "derby":
+        try:  # keep embedded Derby's log out of the process cwd
+            import tempfile
+
+            spark = _active_spark(None)
+            spark._jvm.java.lang.System.setProperty(
+                "derby.stream.error.file", f"{tempfile.gettempdir()}/derby.log"
+            )
+        except Exception:
+            pass
         url = f"jdbc:derby:{database};create=true"
         return Engine(kind="jdbc", url=url, properties={"driver": _JDBC_DRIVERS[db_type]}, database=database)
     port = port or _JDBC_DEFAULT_PORTS[db_type]
