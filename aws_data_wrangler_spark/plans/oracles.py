@@ -216,6 +216,22 @@ ORACLES: Dict[str, str] = {
         GROUP BY user_id, sess_id
         ORDER BY user_id, sess_id
     """,
+    # integer-exact burst detection: counts + trailing-ROWS max — the
+    # twin differs from the Spark SQL only in date formatting
+    "events_hourly_spikes": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), flagged AS (
+            SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour_ts, n,
+                   max(n) OVER (PARTITION BY event_type ORDER BY h
+                                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_max
+            FROM hourly
+        )
+        SELECT event_type, hour_ts, n, trailing_max
+        FROM flagged WHERE 4 * n > 5 * trailing_max
+        ORDER BY event_type, hour_ts
+    """,
     # exact interpolated percentiles: Spark percentile() and DuckDB
     # quantile_cont() both use the R-7 definition
     "events_value_percentiles": """

@@ -645,6 +645,23 @@ EVENTS_SESSIONIZE_SQL_SPARK = """
     ORDER BY user_id, sess_id
 """
 
+# hourly burst detection — integer-exact (counts + trailing-ROWS max,
+# no float aggregates), so the only twin difference is date formatting
+EVENTS_SPIKES_SQL_SPARK = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), flagged AS (
+        SELECT event_type, date_format(h, 'yyyy-MM-dd HH:00:00') AS hour_ts, n,
+               max(n) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_max
+        FROM hourly
+    )
+    SELECT event_type, hour_ts, n, trailing_max
+    FROM flagged WHERE 4 * n > 5 * trailing_max
+    ORDER BY event_type, hour_ts
+"""
+
 
 # --------------------------------------------------------------------------
 # Operator queries (DataFrame-level APIs)
@@ -1610,6 +1627,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
     "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
     "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
+    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
     "embedding_stats": _embedding_stats,
     "text_ngram_freq": _text_ngram_freq,
