@@ -343,6 +343,11 @@ ORACLES: Dict[str, str] = {
                count(*) AS n_nations, min(n_name) AS first_name
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
+    "athena_ctas_roundtrip": """
+        SELECT p_brand, count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
     "db_jdbc_roundtrip": """
         SELECT l_returnflag, l_linestatus, count(*) AS n_items,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty

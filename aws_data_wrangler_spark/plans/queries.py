@@ -853,6 +853,33 @@ def _db_copy_unload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_regionkey")
 
 
+def _athena_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``ctas_approach`` end-to-end: materialize a
+    query as a parquet CTAS table (athena.create_ctas_table), read it
+    back through read_sql_table, and run the cached-result path
+    (read_sql_query with ctas_approach=True). Ref:
+    awswrangler/athena/_read.py read_sql_query ctas materialization."""
+    from aws_data_wrangler_spark import athena
+
+    register_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sgq_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sg_ctas LOCATION '{base}/wh'")
+    spark.sql("DROP TABLE IF EXISTS sg_ctas.part_rollup")
+    athena.create_ctas_table(
+        "SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price "
+        "FROM part GROUP BY p_brand",
+        database="sg_ctas",
+        table="part_rollup",
+        path=f"{base}/part_rollup",
+    )
+    out = athena.read_sql_query(
+        "SELECT p_brand, n_parts, avg_price FROM sg_ctas.part_rollup",
+        ctas_approach=True,
+    )
+    spark.catalog.setCurrentDatabase("default")
+    return out.orderBy("p_brand")
+
+
 def _db_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live JDBC round-trip against embedded Apache Derby (jars ship
     with Spark): aggregate lineitem → ``db.to_sql`` (JDBC write) →
@@ -1613,12 +1640,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_pipeline": _corpus_curation_pipeline,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
     "io_overwrite_partitions": _io_overwrite_partitions,
-    "io_merge_datasets": _io_merge_datasets,
+    "athena_ctas_roundtrip": _athena_ctas_roundtrip,
     "io_partition_pruned_read": _io_partition_pruned_read,
     "io_bucketed_join": _io_bucketed_join,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
+    "io_merge_datasets": _io_merge_datasets,
     "io_csv_roundtrip": _io_csv_roundtrip,
     "io_json_roundtrip": _io_json_roundtrip,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
