@@ -85,6 +85,50 @@ class TestDedup:
         assert len(exact_set) >= 10
         assert lsh_set == exact_set
 
+    def test_lsh_params_bound_miss_at_threshold(self):
+        # auto-derived (planes, tables) must bound P[miss] <= 5% for a
+        # pair sitting exactly at the routing threshold — the regime the
+        # old fixed (8, 6) defaults got badly wrong (~54% miss at 0.70)
+        import math
+
+        for thr in (0.70, 0.80, 0.90, 0.95, 0.99, 0.999):
+            planes, tables = dedup._lsh_params_for_threshold(thr, None, None)
+            p = 1.0 - math.acos(thr) / math.pi
+            miss = (1.0 - p**planes) ** tables
+            assert miss <= 0.05, (thr, planes, tables, miss)
+        # explicit values are never overridden
+        assert dedup._lsh_params_for_threshold(0.7, 4, 3) == (4, 3)
+        assert dedup._lsh_params_for_threshold(0.7, None, 7)[1] == 7
+
+    def test_embedding_lsh_recall_at_borderline_cosine(self, spark, embeddings):
+        # pairs barely above the threshold (cos ~0.75 vs threshold 0.7):
+        # derived multi-table params must recover nearly all of what the
+        # exact miner finds. Deterministic: fixed seed, fixed hyperplanes.
+        import math
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 16))
+        rows = []
+        for i, v in enumerate(base):
+            v = v / np.linalg.norm(v)
+            # partner at a controlled angle: cos ~= 0.75
+            noise = rng.normal(size=16)
+            noise -= noise.dot(v) * v
+            noise /= np.linalg.norm(noise)
+            w = 0.75 * v + math.sqrt(1 - 0.75**2) * noise
+            rows.append((i, [float(x) for x in v]))
+            rows.append((i + 1000, [float(x) for x in w]))
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = dedup.embedding_near_dup_pairs(corpus, threshold=0.7, method="exact")
+        lsh = dedup.embedding_near_dup_pairs(corpus, threshold=0.7, method="lsh")
+        exact_set = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        lsh_set = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+        assert len(exact_set) >= 40  # every planted pair is above threshold
+        assert lsh_set <= exact_set  # precision 1.0
+        assert len(lsh_set) >= 0.9 * len(exact_set), (len(lsh_set), len(exact_set))
+
     def test_embedding_blocked_exact_is_complete(self, spark, embeddings):
         # block equi-join must enumerate each pair exactly once —
         # same output as an independently computed brute-force matrix
