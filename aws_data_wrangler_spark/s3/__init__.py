@@ -55,6 +55,11 @@ def get_botocore_valid_kwargs(function_name: str, s3_additional_kwargs: dict) ->
     if fn is None:
         return dict(s3_additional_kwargs)
     params = inspect.signature(fn).parameters
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        # target takes **kwargs: every option is acceptable (most
+        # engine functions absorb reference-only kwargs this way —
+        # filtering against named params alone would drop everything)
+        return dict(s3_additional_kwargs)
     return {k: v for k, v in s3_additional_kwargs.items() if k in params}
 
 

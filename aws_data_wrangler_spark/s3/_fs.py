@@ -68,6 +68,27 @@ def _strip_scheme(uri: str) -> str:
 _PARALLEL_LIST_CHILD_THRESHOLD = 32
 
 
+def _hidden_under_prefix(prefix_uri: str, file_uri: str) -> bool:
+    """True when any path component BELOW the listed prefix is hidden.
+
+    Mirrors Spark's ``InMemoryFileIndex.shouldFilterOutPathName`` so the
+    driver walk and the distributed (file-index) route return the same
+    object set: a directory segment is pruned iff it starts with ``.``,
+    or starts with ``_`` and contains no ``=`` (partition dirs like
+    ``_yr=2024`` survive); the file basename is hidden iff it starts
+    with ``_`` or ``.`` (the stricter data-object rule both routes
+    apply explicitly — ``_SUCCESS``, ``_metadata``, ``.crc``).
+    The prefix's own name is never examined.
+    """
+    rel = _strip_scheme(file_uri)[len(_strip_scheme(normalize_path(prefix_uri))) :].lstrip("/")
+    segments = rel.split("/")
+    for seg in segments[:-1]:
+        if seg.startswith(".") or (seg.startswith("_") and "=" not in seg):
+            return True
+    name = segments[-1]
+    return name.startswith("_") or name.startswith(".")
+
+
 def list_objects(
     path: str,
     suffix: Optional[str] = None,
@@ -115,9 +136,10 @@ def list_objects(
     while it.hasNext():
         status = it.next()
         uri = status.getPath().toString()
-        name = posixpath.basename(uri)
-        if name.startswith("_") or name.startswith("."):
-            continue  # Spark/Hadoop markers (_SUCCESS, .crc) are not data objects
+        # same hidden rule as the distributed route (Spark's file index):
+        # markers (_SUCCESS, .crc) and metadata dirs (_delta_log/…) out
+        if _hidden_under_prefix(path, uri):
+            continue
         if suffix is not None and not uri.endswith(suffix):
             continue
         out.append(uri)

@@ -289,6 +289,31 @@ class TestObjectOps:
         assert dist == driver_walk
         assert auto == driver_walk
 
+    def test_listing_routes_agree_on_hidden_dirs(self, spark, lineitem, tmp_prefix):
+        # files under '_'/'.'-prefixed DIRECTORIES are metadata, not data:
+        # Spark's file index prunes those subtrees recursively, so the
+        # driver walk must too — the result set cannot depend on which
+        # route the child-count heuristic picks (partition-style '_x=1'
+        # dirs survive, matching Spark's '=' exception)
+        import os
+
+        base = f"{tmp_prefix}/hid"
+        for i in range(34):
+            s3.to_parquet(lineitem.limit(1), f"{base}/d{i:02d}/part.parquet")
+        s3.to_parquet(lineitem.limit(1), f"{base}/_staging/part.parquet")
+        s3.to_parquet(lineitem.limit(1), f"{base}/.trash/part.parquet")
+        s3.to_parquet(lineitem.limit(1), f"{base}/_yr=2024/part.parquet")
+        local = base.replace("file://", "")
+        with open(os.path.join(local, "_SUCCESS"), "w") as f:
+            f.write("")
+        driver_walk = s3.list_objects(base, distributed=False)
+        dist = s3.list_objects(base, distributed=True)
+        assert dist == driver_walk
+        names = {p.rsplit("/hid/", 1)[1] for p in driver_walk}
+        assert not any(n.startswith(("_staging/", ".trash/")) for n in names)
+        assert "_yr=2024/part.parquet" in names
+        assert len(driver_walk) == 35  # 34 data files + the partition-dir file
+
     def test_copy_and_merge(self, spark, lineitem, tmp_prefix):
         src, dst = f"{tmp_prefix}/src", f"{tmp_prefix}/dst"
         s3.to_parquet(lineitem.limit(10), src, dataset=True, partition_cols=["l_returnflag"], mode="overwrite")
@@ -379,3 +404,33 @@ class TestMaxRowsByFile:
         assert len(files) == 4
         back = s3.read_parquet(out, dataset=True, spark=spark)
         assert back.count() == 1000
+
+
+class TestBotocoreKwargShim:
+    def test_filters_to_named_params(self):
+        from aws_data_wrangler_spark import s3
+
+        def probe(path, suffix=None):  # stand-in target with named params only
+            pass
+
+        s3.probe = probe
+        try:
+            got = s3.get_botocore_valid_kwargs("probe", {"suffix": ".pq", "bogus": 1})
+            assert got == {"suffix": ".pq"}
+        finally:
+            del s3.probe
+
+    def test_var_keyword_targets_accept_everything(self):
+        # most engine functions absorb reference-only kwargs via **_ —
+        # filtering those against named params would wrongly return {}
+        from aws_data_wrangler_spark import s3
+
+        got = s3.get_botocore_valid_kwargs(
+            "get_bucket_region", {"RequestPayer": "requester", "ExpectedBucketOwner": "x"}
+        )
+        assert got == {"RequestPayer": "requester", "ExpectedBucketOwner": "x"}
+
+    def test_unknown_function_passes_through(self):
+        from aws_data_wrangler_spark import s3
+
+        assert s3.get_botocore_valid_kwargs("no_such_fn", {"a": 1}) == {"a": 1}
