@@ -14,6 +14,7 @@ reference API keep working.
 
 from __future__ import annotations
 
+import posixpath
 import time
 import uuid
 from typing import Any, Dict, Optional
@@ -53,6 +54,23 @@ _EXECUTIONS: Dict[str, Dict[str, Any]] = {}
 # hands the same cached plan back — like Athena's, the cached result is
 # a snapshot and does NOT see table changes made inside the TTL window.
 _RESULT_CACHE: Dict[Any, Any] = {}
+
+_CTAS_SCRATCH: Optional[str] = None
+
+
+def _ctas_scratch_base() -> str:
+    """Session-scoped scratch dir for ctas_approach materializations;
+    removed at interpreter exit (files must outlive the lazy reader,
+    so per-call deletion is impossible — session scope is the bound)."""
+    global _CTAS_SCRATCH
+    if _CTAS_SCRATCH is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _CTAS_SCRATCH = tempfile.mkdtemp(prefix="sg_ctas_")
+        atexit.register(shutil.rmtree, _CTAS_SCRATCH, ignore_errors=True)
+    return _CTAS_SCRATCH
 
 
 def _cached_result(key: Any, ttl: int):
@@ -123,10 +141,23 @@ def read_sql_query(
             return hit
     use_ctas = config.ctas_approach if ctas_approach is None else ctas_approach
     if use_ctas:
+        from aws_data_wrangler_spark.s3._fs import normalize_path
+
+        # Materialize into an EXTERNAL table at session-scratch, read
+        # the parquet path directly, then drop the table right away:
+        # the catalog never accumulates temp_ctas_* entries (the old
+        # managed-table variant leaked one permanent table — and a full
+        # result copy — per call), and since the drop is metadata-only
+        # the already-returned lazy reader stays valid. Scratch files
+        # are reclaimed at interpreter exit. Mirrors the reference,
+        # which deletes its Glue temp table after reading
+        # (awswrangler/athena/_read.py _resolve_query_with_cache).
         db = database or config.database or "default"
         temp_table = f"temp_ctas_{uuid.uuid4().hex[:12]}"
-        create_ctas_table(sql, database=db, table=temp_table, params=params, spark=spark)
-        result = spark.table(f"`{db}`.`{temp_table}`")
+        loc = posixpath.join(_ctas_scratch_base(), temp_table)
+        create_ctas_table(sql, database=db, table=temp_table, path=loc, params=params, spark=spark)
+        result = spark.read.parquet(normalize_path(loc))
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{temp_table}`")
     else:
         result = spark.sql(final_sql)
     if ttl > 0:

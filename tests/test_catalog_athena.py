@@ -164,6 +164,12 @@ def test_read_sql_query_ctas_approach(spark):
     assert sorted(map(tuple, ctas.collect())) == sorted(map(tuple, lazy.collect()))
     # materialized: the CTAS result is a real table scan, not the query plan
     assert "Aggregate" not in ctas.queryExecution().logical().toString() if hasattr(ctas, "queryExecution") else True
+    # the temp table must NOT leak into the catalog (one permanent
+    # managed table per call would accumulate across bench/driver runs);
+    # the returned reader stays valid after the metadata-only drop
+    leaked = [t.name for t in spark.catalog.listTables("default") if t.name.startswith("temp_ctas_")]
+    assert leaked == []
+    assert ctas.count() == lazy.count()
     spark.catalog.setCurrentDatabase("default")
 
 
