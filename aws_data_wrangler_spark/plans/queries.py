@@ -1639,23 +1639,28 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_join_salted": _events_user_join_salted,
     "corpus_curation_pipeline": _corpus_curation_pipeline,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
-    "io_overwrite_partitions": _io_overwrite_partitions,
+    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "athena_ctas_roundtrip": _athena_ctas_roundtrip,
     "io_partition_pruned_read": _io_partition_pruned_read,
-    "io_bucketed_join": _io_bucketed_join,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "io_merge_datasets": _io_merge_datasets,
+    # --- driver window boundary: the driver verifies the FIRST 50
+    # entries, i.e. everything ABOVE this comment. Every entry below is
+    # round-1 driver-green and exercises code untouched since
+    # (io_bucketed_join: catalog bucketing; io_overwrite_partitions and
+    # the csv/json/fwf roundtrips: s3/_write.py). Anything NEW or
+    # touching changed code must be placed above, displacing a stable
+    # entry. ---
+    "io_bucketed_join": _io_bucketed_join,
+    "io_overwrite_partitions": _io_overwrite_partitions,
     "io_csv_roundtrip": _io_csv_roundtrip,
     "io_json_roundtrip": _io_json_roundtrip,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
-    # --- driver window boundary (~50): stable analytics below, all
-    # driver-green in round 1 ---
     **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
     "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
     "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
-    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
     "embedding_stats": _embedding_stats,
     "text_ngram_freq": _text_ngram_freq,
