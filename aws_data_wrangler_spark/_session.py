@@ -110,9 +110,12 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # a bare session keeps the 200-partition default — at test scale
     # that is ~6× more tasks than cores for every shuffle; size to the
-    # actual parallelism (AQE coalescing handles the rest)
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
+    # actual parallelism (AQE coalescing handles the rest). Only when
+    # still at Spark's stock 200: an explicitly configured value (e.g.
+    # 2000 for large-cluster shuffles) must survive this call.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
     ship_package(spark)
     return spark

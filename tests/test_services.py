@@ -189,6 +189,24 @@ class TestMisc:
             config.reset("workgroup")
         assert fn("q") == (None, None, {})
 
+    def test_session_defaults_respect_user_shuffle_partitions(self, spark):
+        from aws_data_wrangler_spark._session import ensure_session_defaults
+
+        original = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # an explicitly configured value (big-cluster tuning) must
+            # survive; only Spark's stock 200 gets resized to cores
+            spark.conf.set("spark.sql.shuffle.partitions", "2000")
+            ensure_session_defaults(spark)
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "2000"
+            spark.conf.set("spark.sql.shuffle.partitions", "200")
+            ensure_session_defaults(spark)
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                spark.sparkContext.defaultParallelism
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", original)
+
     def test_type_mapping_roundtrip(self):
         cases = {
             "boolean": T.BooleanType(),
