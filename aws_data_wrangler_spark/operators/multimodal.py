@@ -38,6 +38,13 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        # provenance: 'real' (library decoded the bytes), 'fake'
+        # (library absent / forced off — digest-derived stand-in),
+        # 'error' (library present but THIS payload failed to decode;
+        # stand-in substituted). Downstream curation must be able to
+        # tell real features from substitutes — silently mixing them
+        # poisons the feature space undetectably.
+        T.StructField("decoder", T.StringType()),
     ]
 )
 
@@ -98,6 +105,20 @@ def _real_decode(payload: bytes, image_mod) -> tuple:
     return int(width), int(height), [round(f, 6) for f in feature]
 
 
+def _decode_row(payload: bytes, image_mod, strict: bool) -> tuple:
+    """Per-payload decode decision: (width, height, feature, decoder)
+    where decoder records provenance — 'real', 'fake' (no library), or
+    'error' (library present, THIS payload failed; stand-in used)."""
+    if image_mod is not None:
+        try:
+            return (*_real_decode(payload, image_mod), "real")
+        except Exception:
+            if strict:
+                raise
+            return (*_fake_decode(payload), "error")
+    return (*_fake_decode(payload), "fake")
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -117,6 +138,8 @@ def decode_media(
     per-payload decode failure, e.g. the synthetic test payloads) the
     deterministic fake keeps the pipeline runnable. Forcing ``True``
     raises inside the task when PIL is absent; ``False`` always fakes.
+    Every row carries its provenance in the ``decoder`` column so
+    substituted features are never mistaken for decoded ones.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,16 +147,9 @@ def decode_media(
         if use_real_decoder is True and image_mod is None:
             raise NotImplementedError("use_real_decoder=True requires Pillow on workers")
         for batch in batches:
-            decoded = []
-            for p in batch["payload"]:
-                if image_mod is not None:
-                    try:
-                        decoded.append(_real_decode(p, image_mod))
-                        continue
-                    except Exception:
-                        if use_real_decoder is True:
-                            raise
-                decoded.append(_fake_decode(p))
+            decoded = [
+                _decode_row(p, image_mod, use_real_decoder is True) for p in batch["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": batch[id_col].astype("int64"),
@@ -142,6 +158,7 @@ def decode_media(
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "feature": [d[2] for d in decoded],
+                    "decoder": [d[3] for d in decoded],
                 }
             )
 
@@ -191,8 +208,22 @@ AUDIO_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_frames", T.LongType()),
         T.StructField("loudness", T.ArrayType(T.FloatType())),
+        T.StructField("decoder", T.StringType()),  # 'real' | 'fake' | 'error'
     ]
 )
+
+
+def _decode_audio_row(payload: bytes, sf_mod, strict: bool) -> tuple:
+    """Audio analog of ``_decode_row``: (sample_rate, n_frames,
+    loudness, decoder)."""
+    if sf_mod is not None:
+        try:
+            return (*_real_audio_decode(payload, sf_mod), "real")
+        except Exception:
+            if strict:
+                raise
+            return (*_fake_audio_decode(payload), "error")
+    return (*_fake_audio_decode(payload), "fake")
 
 
 def extract_audio_features(
@@ -207,22 +238,16 @@ def extract_audio_features(
         if use_real_decoder is True and sf_mod is None:
             raise NotImplementedError("use_real_decoder=True requires soundfile on workers")
         for batch in batches:
-            decoded = []
-            for p in batch["payload"]:
-                if sf_mod is not None:
-                    try:
-                        decoded.append(_real_audio_decode(p, sf_mod))
-                        continue
-                    except Exception:
-                        if use_real_decoder is True:
-                            raise
-                decoded.append(_fake_audio_decode(p))
+            decoded = [
+                _decode_audio_row(p, sf_mod, use_real_decoder is True) for p in batch["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": batch[id_col].astype("int64"),
                     "sample_rate": [d[0] for d in decoded],
                     "n_frames": [d[1] for d in decoded],
                     "loudness": [d[2] for d in decoded],
+                    "decoder": [d[3] for d in decoded],
                 }
             )
 

@@ -406,6 +406,37 @@ class TestMultimodal:
         assert (sr, n) == (8000, 8000)
         assert profile == [0.5, 0.5, 0.5, 0.5]  # RMS of constant signal
 
+    def test_decoder_provenance_column(self, spark, documents):
+        # every output row says HOW it was produced: in this container
+        # (no Pillow/soundfile) the fake path must label itself
+        media = multimodal.attach_binary_payload(documents.limit(5))
+        assert {r["decoder"] for r in multimodal.decode_media(media).collect()} == {"fake"}
+        audio = multimodal.extract_audio_features(media)
+        assert {r["decoder"] for r in audio.collect()} == {"fake"}
+
+    def test_decode_row_marks_per_payload_failures_as_error(self):
+        # library present but a corrupt payload fails to decode: the
+        # substituted features must be labeled 'error', never 'real' —
+        # a mixed real/fake feature space has to be detectable
+        class ExplodingImageMod:
+            @staticmethod
+            def open(buf):
+                raise OSError("truncated image")
+
+        w, h, feat, status = multimodal._decode_row(b"corrupt", ExplodingImageMod, strict=False)
+        assert status == "error"
+        assert len(feat) == 8  # stand-in feature shape preserved
+        with pytest.raises(OSError):
+            multimodal._decode_row(b"corrupt", ExplodingImageMod, strict=True)
+        assert multimodal._decode_row(b"x", None, strict=False)[3] == "fake"
+
+        class ExplodingSf:
+            @staticmethod
+            def read(buf):
+                raise OSError("bad wav")
+
+        assert multimodal._decode_audio_row(b"corrupt", ExplodingSf, strict=False)[3] == "error"
+
     def test_decode_forced_real_raises_without_pil(self, spark, documents):
         media = multimodal.attach_binary_payload(documents.limit(2))
         with pytest.raises(Exception):  # task raises NotImplementedError
