@@ -109,9 +109,16 @@ def fixed_size_sample(
     n = df.count()
     pool = df
     if n > max(10 * k, 10_000):
-        pre = df.filter(_keep(F.col(id_col), min(1.0, 3.0 * k / n), salt))
+        # cache the ~3k-row survivor set (tiny — never the corpus):
+        # the verify count materializes it, so the final window job
+        # reads cached rows instead of scanning the input pipeline a
+        # third time. Two input scans total (n-count + prefilter); the
+        # n-count is intrinsic to sizing the threshold.
+        pre = df.filter(_keep(F.col(id_col), min(1.0, 3.0 * k / n), salt)).cache()
         if pre.count() >= k:
             pool = pre
+        else:
+            pre.unpersist()
     rn = F.row_number().over(Window.partitionBy().orderBy(order, F.col(id_col)))
     return pool.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
 

@@ -131,8 +131,12 @@ def unigram_surprisal(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
     ).filter(F.length("tok") > 0)
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()
+    # cache the vocabulary-sized count table (small by construction) and
+    # derive N from it: one tokenization pass builds counts+total, the
+    # scored join is the only other pass — previously toks.count() ran
+    # a third full tokenization of the corpus
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
     scored = toks.join(F.broadcast(counts), "tok").select(
         F.col(id_col),
         F.struct(F.col("pos"), (-F.log(F.col("cnt") / F.lit(float(total)))).alias("lp")).alias("s"),
