@@ -451,6 +451,37 @@ ORACLES: Dict[str, str] = {
     # (and 1.0 for exact duplicates), so the output equals the
     # exact-Jaccard miner at the same threshold on this data.
     "dedup_minhash_lsh": _NGRAM_JACCARD.format(threshold=0.8),
+    # incremental (batch-vs-corpus) dedup: same exact-Jaccard
+    # equivalence as dedup_minhash_lsh, restricted to pairs that cross
+    # the doc_id%5 split (batch side = %5==0); LSH capture at j≥0.8 is
+    # ~1 at 16 bands × 3 rows, so the bipartite LSH+verify output
+    # equals the exact bipartite miner on this data
+    "dedup_incremental": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                  FROM toks WHERE len(t) >= 3)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT new_id, corpus_id,
+                   floor((common / (sa.set_size + sb.set_size - common)) * 1000000.0) / 1000000.0 AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = new_id
+            JOIN sizes sb ON sb.doc_id = corpus_id
+        )
+        SELECT new_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.8
+        ORDER BY new_id, corpus_id
+    """,
     # as-of join oracle: DuckDB's native ASOF JOIN (right.ts <= left.ts,
     # most recent wins); right side pre-deduped per (user, ts)
     "events_asof_signup": """

@@ -1075,6 +1075,20 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup: documents split into an
+    existing corpus (doc_id % 5 != 0) and an incoming batch
+    (doc_id % 5 == 0); near-dup pairs across the split only."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_lsh_incremental(
+        new_batch, corpus, n=3, num_hashes=48, bands=16, threshold=0.8
+    ).orderBy("new_id", "corpus_id")
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
@@ -1604,6 +1618,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_clusters": _dedup_clusters,
     "dedup_lsh_corpus": _dedup_lsh_corpus,
+    "dedup_incremental": _dedup_incremental,
     "events_asof_signup": _events_asof_signup,
     "events_error_click_window": _events_error_click_window,
     "ann_cosine_topk": _ann_cosine_topk,
@@ -1642,7 +1657,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "athena_ctas_roundtrip": _athena_ctas_roundtrip,
     "io_partition_pruned_read": _io_partition_pruned_read,
-    "catalog_table_roundtrip": _catalog_table_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "io_merge_datasets": _io_merge_datasets,
@@ -1653,6 +1667,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the csv/json/fwf roundtrips: s3/_write.py). Anything NEW or
     # touching changed code must be placed above, displacing a stable
     # entry. ---
+    "catalog_table_roundtrip": _catalog_table_roundtrip,
     "io_bucketed_join": _io_bucketed_join,
     "io_overwrite_partitions": _io_overwrite_partitions,
     "io_csv_roundtrip": _io_csv_roundtrip,

@@ -85,6 +85,48 @@ class TestDedup:
         assert len(exact_set) >= 10
         assert lsh_set == exact_set
 
+    def test_incremental_dedup_batch_vs_corpus(self, spark):
+        # batch-vs-corpus mining: cross-side near-dups found, corpus-
+        # internal duplicates NEVER reported, unique batch docs clean
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "the quick brown fox jumps over the lazy dog today"),  # corpus-internal dup of 1
+                (3, "completely different corpus content about spark engines"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog today"),  # dup of corpus 1,2
+                (11, "brand new unique document with fresh novel words entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = dedup.minhash_lsh_incremental(batch, corpus, threshold=0.8)
+        got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+        assert got == {(10, 1), (10, 2)}
+        # matches carry the exact jaccard (precision-1.0 verify)
+        assert all(r["jaccard"] == 1.0 for r in pairs.collect())
+
+    def test_incremental_matches_bipartite_exact_miner(self, spark, documents):
+        # LSH+verify must equal the exact n-gram miner restricted to the
+        # bipartite split at a threshold where banding recall ~ 1
+        docs = documents.limit(120)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        inc = dedup.minhash_lsh_incremental(batch, corpus, threshold=0.8)
+        exact = (
+            dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_frequency=None)
+        )
+        cross = set()
+        for r in exact.collect():
+            a, b = r["id_a"], r["id_b"]
+            if (a % 5 == 0) != (b % 5 == 0):
+                new_id, corpus_id = (a, b) if a % 5 == 0 else (b, a)
+                cross.add((new_id, corpus_id))
+        assert {(r["new_id"], r["corpus_id"]) for r in inc.collect()} == cross
+
     def test_lsh_params_bound_miss_at_threshold(self):
         # auto-derived (planes, tables) must bound P[miss] <= 5% for a
         # pair sitting exactly at the routing threshold — the regime the
