@@ -543,6 +543,18 @@ ORACLES: Dict[str, str] = {
         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
         ORDER BY id_a, id_b
     """,
+    # batch-vs-corpus embedding near-dups across the vec_id%5 split;
+    # exact bipartite miner (block equi-join) ⇒ exact SQL equivalence
+    "dedup_embedding_incremental": f"""
+        WITH scored AS (
+            SELECT a.vec_id AS new_id, b.vec_id AS corpus_id,
+                   {_COSINE.format(a='a', b='b')} AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 5 = 0 AND b.vec_id % 5 != 0
+        )
+        SELECT new_id, corpus_id, cosine FROM scored WHERE cosine >= 0.4
+        ORDER BY new_id, corpus_id
+    """,
     # ---- similarity ----------------------------------------------------
     "ann_lsh_topk": _lsh_ann_oracle_sql(),
     "ann_cosine_topk": f"""

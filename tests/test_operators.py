@@ -171,6 +171,51 @@ class TestDedup:
         assert lsh_set <= exact_set  # precision 1.0
         assert len(lsh_set) >= 0.9 * len(exact_set), (len(lsh_set), len(exact_set))
 
+    def test_embedding_incremental_bipartite(self, spark, embeddings):
+        # exact engine: equals brute-force new×corpus pairs; corpus-
+        # internal near-dups never reported
+        import numpy as np
+
+        rows = embeddings.limit(60).select("vec_id", "embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        expected = set()
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if ids[i] % 5 == 0 and ids[j] % 5 != 0:
+                    cos = float(mat[i] @ mat[j]) / (norms[i] * norms[j])
+                    if np.floor(cos * 1e6) / 1e6 >= 0.4:
+                        expected.add((ids[i], ids[j]))
+        emb = embeddings.limit(60)
+        got = dedup.embedding_near_dup_incremental(
+            emb.filter(F.col("vec_id") % 5 == 0),
+            emb.filter(F.col("vec_id") % 5 != 0),
+            threshold=0.4,
+            method="exact",
+            num_blocks=4,
+        )
+        assert {(r["new_id"], r["corpus_id"]) for r in got.collect()} == expected
+
+    def test_embedding_incremental_lsh_matches_exact(self, spark, embeddings):
+        # near-dup regime: LSH route must recover the exact bipartite
+        # pair set (planted noisy twins at cos ≳ 0.99)
+        noisy = embeddings.limit(10).select(
+            (F.col("vec_id") * 5 + 100000).alias("vec_id"),  # batch ids ≡ 0 mod 5
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(1.001) + F.lit(0.003)
+            ).alias("embedding"),
+        )
+        corpus = embeddings.withColumn(
+            "vec_id", F.col("vec_id") * 5 + 1  # corpus ids ≢ 0 mod 5
+        ).select("vec_id", "embedding")
+        exact = dedup.embedding_near_dup_incremental(noisy, corpus, threshold=0.99, method="exact")
+        lsh = dedup.embedding_near_dup_incremental(noisy, corpus, threshold=0.99, method="lsh")
+        exact_set = {(r["new_id"], r["corpus_id"]) for r in exact.collect()}
+        lsh_set = {(r["new_id"], r["corpus_id"]) for r in lsh.collect()}
+        assert len(exact_set) >= 10
+        assert lsh_set == exact_set
+
     def test_embedding_blocked_exact_is_complete(self, spark, embeddings):
         # block equi-join must enumerate each pair exactly once —
         # same output as an independently computed brute-force matrix

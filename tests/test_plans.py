@@ -151,3 +151,10 @@ class TestPlanAudits:
         assert_no_cartesian(
             QUERIES["embedding_curation_pipeline"](spark, "/root/testdata/sf0.001")
         )
+        # incremental variants: the bipartite block/bucket joins must
+        # shard the same way — quadratic work is new×corpus, never a
+        # physical cross join
+        assert_no_cartesian(
+            QUERIES["dedup_embedding_incremental"](spark, "/root/testdata/sf0.001")
+        )
+        assert_no_cartesian(QUERIES["dedup_incremental"](spark, "/root/testdata/sf0.001"))
