@@ -867,6 +867,21 @@ ORACLES: Dict[str, str] = {
         FROM events
         ORDER BY fingerprint
     """,
+    # streaming ingest dedup vs static corpus: per-batch left-anti join
+    # + within-stream dedup == batch anti-join DISTINCT on replay
+    "streaming_corpus_dedup": """
+        WITH fp AS (
+            SELECT event_id,
+                   md5(event_type || '|' || props || '|' || user_id) AS fingerprint
+            FROM events
+        )
+        SELECT DISTINCT fingerprint FROM fp
+        WHERE event_id % 5 = 0
+          AND fingerprint NOT IN (
+              SELECT fingerprint FROM fp WHERE event_id % 5 != 0
+          )
+        ORDER BY fingerprint
+    """,
     # stream-stream interval join == batch inequality join on replay
     "streaming_error_click_join": """
         SELECT e.event_id AS error_id, c.event_id AS click_id

@@ -1552,6 +1552,33 @@ def _streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fingerprint").distinct().orderBy("fingerprint")
 
 
+def _streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: the new-events stream
+    (event_id % 5 == 0) drops content fingerprints the static corpus
+    (event_id % 5 != 0) already holds, then dedups within the stream.
+    availableNow replay ⇒ equals the batch anti-join DISTINCT oracle."""
+    from aws_data_wrangler_spark import streaming
+
+    events = load(spark, sf_dir, "events")
+    # user_id in the key keeps the fingerprint discriminating at every
+    # SF (event_type|props alone saturates at sf0.01 — empty results
+    # are a vacuous correctness signal)
+    fingerprint = F.md5(
+        F.concat_ws("|", F.col("event_type"), F.col("props"), F.col("user_id"))
+    )
+    corpus_keys = events.filter(F.col("event_id") % 5 != 0).select(
+        fingerprint.alias("fingerprint")
+    )
+    stream = (
+        streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+        .filter(F.col("event_id") % 5 == 0)
+        .withColumn("fingerprint", fingerprint)
+    )
+    fresh = streaming.dedup_stream_against_corpus(stream, corpus_keys)
+    out = streaming.run_available_now(fresh.select("fingerprint"), output_mode="append")
+    return out.select("fingerprint").distinct().orderBy("fingerprint")
+
+
 def _streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the purchase stream joins a static
     per-user signup-cohort dim (broadcast, stateless per micro-batch),
@@ -1659,6 +1686,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sliding_counts": _streaming_sliding_counts,
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
+    "streaming_corpus_dedup": _streaming_corpus_dedup,
     "streaming_latest_per_user": _streaming_latest_per_user,
     "streaming_static_enrich": _streaming_static_enrich,
     "events_session_window": _events_session_window,
@@ -1671,7 +1699,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "athena_ctas_roundtrip": _athena_ctas_roundtrip,
     "io_partition_pruned_read": _io_partition_pruned_read,
-    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "io_merge_datasets": _io_merge_datasets,
     # --- driver window boundary: the driver verifies the FIRST 50
@@ -1682,7 +1709,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # touching changed code must be placed above, displacing a stable
     # entry. corpus_curation_pipeline is the one composition below the
     # line whose constituent operators (quality/lang/dedup/rollup) each
-    # keep their own in-window query. ---
+    # keep their own in-window query; db_copy_unload_roundtrip's
+    # copy/unload path is round-1 green and untouched since (round-2
+    # db.py changes are JDBC-only, covered by db_jdbc_roundtrip). ---
+    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "corpus_curation_pipeline": _corpus_curation_pipeline,
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "io_bucketed_join": _io_bucketed_join,

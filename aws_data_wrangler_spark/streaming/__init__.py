@@ -399,6 +399,34 @@ def dedup_stream(
     )
 
 
+def dedup_stream_against_corpus(
+    stream: DataFrame,
+    corpus_keys: DataFrame,
+    key_cols: Optional[list] = None,
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+    broadcast_corpus: bool = True,
+) -> DataFrame:
+    """Streaming ingest dedup against an EXISTING corpus: each
+    micro-batch left-anti joins the static known-keys table (rows whose
+    key the corpus already holds are dropped — stateless per batch, the
+    streaming twin of ``dedup.minhash_lsh_incremental``'s exact tier),
+    then ``dropDuplicatesWithinWatermark`` removes repeats WITHIN the
+    stream with state bounded by the watermark horizon.
+
+    ``broadcast_corpus=True`` ships the key set to executors once — at
+    ingest scale the fingerprint dim is small relative to the stream; a
+    corpus too big to broadcast belongs in a bucketed static table so
+    the per-batch anti join stays shuffle-local.
+    """
+    keys = key_cols or ["fingerprint"]
+    dim = corpus_keys.select(*keys).distinct()
+    if broadcast_corpus:
+        dim = F.broadcast(dim)
+    fresh = stream.join(dim, on=keys, how="left_anti")
+    return fresh.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_window_rollup(
     df: DataFrame,
     gap: str = "30 minutes",

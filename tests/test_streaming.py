@@ -115,6 +115,37 @@ class TestStreamingDedup:
         assert out.count() == events.count()
         assert out.select("event_id").distinct().count() == events.count()
 
+    def test_stream_dedup_against_static_corpus(self, spark, events, tmp_prefix):
+        from aws_data_wrangler_spark import s3
+
+        # corpus already holds the 'click' fingerprints; the stream
+        # must emit only fingerprints the corpus has never seen, each
+        # once (within-stream dedup)
+        fingerprint = F.md5(F.concat_ws("|", F.col("event_type"), F.col("props")))
+        s3.to_parquet(events, f"{tmp_prefix}/ingest", dataset=True, mode="overwrite")
+        corpus_keys = events.filter(F.col("event_type") == "click").select(
+            fingerprint.alias("fingerprint")
+        )
+        stream = streaming.read_event_stream(
+            f"{tmp_prefix}/ingest", spark=spark
+        ).withColumn("fingerprint", fingerprint)
+        fresh = streaming.dedup_stream_against_corpus(stream, corpus_keys)
+        out = streaming.run_available_now(
+            fresh.select("fingerprint"), output_mode="append"
+        )
+        got = {r["fingerprint"] for r in out.collect()}
+        expected = {
+            r["f"]
+            for r in events.filter(F.col("event_type") != "click")
+            .select(fingerprint.alias("f"))
+            .distinct()
+            .collect()
+        }
+        # no corpus-known fingerprint leaks through; every novel one
+        # arrives exactly once
+        assert got == expected
+        assert out.count() == len(got)
+
 
 class TestStatefulSessionize:
     def test_sessions_via_stateful_operator(self, spark):
