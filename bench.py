@@ -32,6 +32,7 @@ HEADLINE = [
     "events_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",
     "text_quality_score",

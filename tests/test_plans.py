@@ -35,6 +35,24 @@ def test_llm_pipeline_block_inside_driver_window():
     assert late == [], f"§2.6–§2.10 queries outside the driver window: {late}"
 
 
+def test_round2_new_queries_inside_driver_window():
+    # queries added or rebuilt in round 2 have no prior driver
+    # CORRECTNESS row — they must sit in the verified first-50 window
+    # (the prefix guard above misses the non-operator ones)
+    names = list(QUERIES)
+    new_queries = [
+        "events_hourly_spikes",
+        "athena_ctas_roundtrip",
+        "db_jdbc_roundtrip",
+        "dedup_incremental",
+        "dedup_embedding_incremental",
+        "streaming_corpus_dedup",
+        "text_unigram_surprisal",
+    ]
+    late = [n for n in new_queries if names.index(n) >= 50]
+    assert late == [], f"driver-unverified new queries outside the window: {late}"
+
+
 def test_entry_module_contract():
     import __spark_entry__ as entry
 
