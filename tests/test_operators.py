@@ -109,6 +109,23 @@ class TestDedup:
         # matches carry the exact jaccard (precision-1.0 verify)
         assert all(r["jaccard"] == 1.0 for r in pairs.collect())
 
+    def test_incremental_with_precomputed_corpus_state(self, spark, documents):
+        # the production shape: corpus state built once, reused for
+        # several batches — results identical to deriving it inline
+        docs = documents.limit(100)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        sh, bands_tbl = dedup.minhash_corpus_state(corpus)
+        state = (sh.cache(), bands_tbl.cache())
+        for mod in (0, 5):
+            batch = docs.filter(F.col("doc_id") % 10 == mod)
+            direct = dedup.minhash_lsh_incremental(batch, corpus, threshold=0.8)
+            reused = dedup.minhash_lsh_incremental(batch, corpus_state=state, threshold=0.8)
+            assert {(r["new_id"], r["corpus_id"]) for r in reused.collect()} == {
+                (r["new_id"], r["corpus_id"]) for r in direct.collect()
+            }
+        with pytest.raises(ValueError):
+            dedup.minhash_lsh_incremental(docs)  # neither corpus form given
+
     def test_incremental_matches_bipartite_exact_miner(self, spark, documents):
         # LSH+verify must equal the exact n-gram miner restricted to the
         # bipartite split at a threshold where banding recall ~ 1
