@@ -113,7 +113,10 @@ def fixed_size_sample(
         # the verify count materializes it, so the final window job
         # reads cached rows instead of scanning the input pipeline a
         # third time. Two input scans total (n-count + prefilter); the
-        # n-count is intrinsic to sizing the threshold.
+        # n-count is intrinsic to sizing the threshold. On the success
+        # path the cache deliberately outlives this call — it backs the
+        # returned lazy plan and is O(k) rows, not corpus-sized; the
+        # shortfall branch releases it because nothing references it.
         pre = df.filter(_keep(F.col(id_col), min(1.0, 3.0 * k / n), salt)).cache()
         if pre.count() >= k:
             pool = pre

@@ -131,10 +131,15 @@ def unigram_surprisal(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("pos", "tok"),
     ).filter(F.length("tok") > 0)
-    # cache the vocabulary-sized count table (small by construction) and
-    # derive N from it: one tokenization pass builds counts+total, the
-    # scored join is the only other pass — previously toks.count() ran
-    # a third full tokenization of the corpus
+    # one tokenization pass builds the vocabulary count table (cached:
+    # it is referenced by BOTH the total-sum action and the scored
+    # join's broadcast build — uncached, each reference would re-run
+    # tokenization, back to three corpus passes); deriving N from it
+    # replaces the old separate toks.count() third pass. The cache is
+    # vocabulary-sized and stays resident for the returned plan's
+    # lifetime — the same deliberate reuse-point pattern as the minhash
+    # signature table; callers scoring many corpora in one session
+    # reclaim it with unpersist()/clearCache().
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
     total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
     scored = toks.join(F.broadcast(counts), "tok").select(

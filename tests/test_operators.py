@@ -126,6 +126,28 @@ class TestDedup:
         with pytest.raises(ValueError):
             dedup.minhash_lsh_incremental(docs)  # neither corpus form given
 
+    def test_incremental_forwards_num_hashes_to_batch_signatures(self, spark, documents):
+        # regression: the batch side once built 64-slot default
+        # signatures while banding assumed the caller's num_hashes —
+        # at num_hashes=96 the upper bands read past the array (NULL
+        # buckets that never match the corpus). Identical text on both
+        # sides must collide in EVERY band at any signature width.
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        batch = corpus.withColumn("doc_id", F.col("doc_id") + 100)
+        c_sh, c_bands = dedup.minhash_corpus_state(corpus, num_hashes=96, bands=16)
+        b_sh, b_bands = dedup.minhash_corpus_state(batch, num_hashes=96, bands=16)
+        matched = c_bands.toDF("a", "band", "bucket").join(
+            b_bands.toDF("b", "band", "bucket"), ["band", "bucket"]
+        )
+        assert matched.count() == 16  # all bands collide, none NULL-dead
+        pairs = dedup.minhash_lsh_incremental(
+            batch, corpus, num_hashes=96, bands=16, threshold=0.9
+        )
+        assert [(r["new_id"], r["corpus_id"]) for r in pairs.collect()] == [(101, 1)]
+
     def test_incremental_matches_bipartite_exact_miner(self, spark, documents):
         # LSH+verify must equal the exact n-gram miner restricted to the
         # bipartite split at a threshold where banding recall ~ 1
