@@ -24,12 +24,18 @@ No driver-side collect anywhere; everything is a DataFrame plan.
 
 from __future__ import annotations
 
-from typing import Optional
+import warnings
+from typing import NamedTuple, Optional, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aws_data_wrangler_spark.functions import trunc_digits
+
+# sentinel: distinguishes "caller left the df-cap at its default" from an
+# explicit opt-in — the default cap is surfaced with a warning so callers
+# relying on strict exact-Jaccard semantics see the routing decision
+_DF_CAP_DEFAULT: object = object()
 
 
 def _normalized(text) -> "F.Column":
@@ -116,10 +122,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_frequency: Optional[int] = 1000,
+    max_doc_frequency=_DF_CAP_DEFAULT,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    """N-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Exact *over the retained shingles*: with the default document-
+    frequency cap active, shingles appearing in more than
+    ``max_doc_frequency`` documents are excluded from both the pair
+    space and the Jaccard sets (see below); with
+    ``max_doc_frequency=None`` the score is the strict exact Jaccard.
 
     The pair space is generated by the shingle equi-join (never a
     cartesian); per-pair intersection counts come from a groupBy with
@@ -131,8 +143,22 @@ def ngram_jaccard_pairs(
     the self-join, so an uncapped run melts on boilerplate-heavy
     corpora. Shingles that common carry no dedup signal; dropping them
     bounds the per-shingle fan-out at cap². Pass ``None`` only for
-    strict exact-Jaccard semantics on corpora known to be clean.
+    strict exact-Jaccard semantics on corpora known to be clean. When
+    the cap is left at its default a warning surfaces the routing
+    decision; passing any explicit value (including 1000) is the
+    opt-in that silences it.
     """
+    if max_doc_frequency is _DF_CAP_DEFAULT:
+        max_doc_frequency = 1000
+        warnings.warn(
+            "ngram_jaccard_pairs applies a default shingle document-frequency "
+            "cap of 1000: shingles shared by more than 1000 documents are "
+            "excluded from the Jaccard sets (scores over boilerplate-heavy "
+            "corpora are then not the strict exact Jaccard). Pass "
+            "max_doc_frequency=None for strict exactness, or an explicit cap "
+            "to silence this warning.",
+            stacklevel=2,
+        )
     shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency).cache()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     left = shingles.toDF("id_a", "shingle")
@@ -196,6 +222,29 @@ def _banded_rows(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> Da
     )
 
 
+class MinHashCorpusState(NamedTuple):
+    """Corpus-side incremental-dedup artifact: the two reusable tables
+    plus the MinHash parameters they were built with. Carrying the
+    parameters inside the artifact lets ``minhash_lsh_incremental``
+    REJECT a mismatched reuse — a state built at different
+    (n, num_hashes, bands) would silently yield missing or spurious
+    candidates otherwise (band buckets simply stop colliding)."""
+
+    shingles: DataFrame
+    band_rows: DataFrame
+    n: int
+    num_hashes: int
+    bands: int
+
+    def cache(self) -> "MinHashCorpusState":
+        """Mark both tables storage-resident (the per-batch reuse shape)."""
+        return self._replace(shingles=self.shingles.cache(), band_rows=self.band_rows.cache())
+
+    def unpersist(self) -> None:
+        self.shingles.unpersist()
+        self.band_rows.unpersist()
+
+
 def minhash_corpus_state(
     corpus_df: DataFrame,
     id_col: str = "doc_id",
@@ -203,14 +252,15 @@ def minhash_corpus_state(
     n: int = 3,
     num_hashes: int = 48,
     bands: int = 16,
-) -> "tuple[DataFrame, DataFrame]":
-    """Precompute the corpus-side dedup state: (shingles, band_rows),
+) -> MinHashCorpusState:
+    """Precompute the corpus-side dedup state (shingles + band rows),
     both eagerly cacheable/persistable. This is the artifact a
     production ingest pipeline materializes ONCE (e.g. written as two
     parquet tables) and reuses for every incoming batch — per-batch
     incremental dedup then touches the corpus text zero times. Pass
-    the pair to ``minhash_lsh_incremental(corpus_state=...)``; the
-    parameters (n, num_hashes, bands) must match the batch-side call.
+    the state to ``minhash_lsh_incremental(corpus_state=...)``; the
+    (n, num_hashes, bands) parameters travel inside it and a
+    mismatched batch-side call raises instead of silently degrading.
 
     Shingles are never df-capped here: incremental mining has no
     shingle self-join to fan out (candidates come from the banded
@@ -220,7 +270,7 @@ def minhash_corpus_state(
     """
     shingles = word_shingles(corpus_df, id_col, text_col, n, None)
     band_rows = _banded_rows(minhash_signatures(shingles, id_col, num_hashes), id_col, num_hashes, bands)
-    return shingles, band_rows
+    return MinHashCorpusState(shingles, band_rows, n, num_hashes, bands)
 
 
 def minhash_lsh_incremental(
@@ -232,7 +282,7 @@ def minhash_lsh_incremental(
     num_hashes: int = 48,
     bands: int = 16,
     threshold: float = 0.5,
-    corpus_state: Optional["tuple[DataFrame, DataFrame]"] = None,
+    corpus_state: Optional[Union[MinHashCorpusState, "tuple[DataFrame, DataFrame]"]] = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs between an incoming BATCH and
     an existing CORPUS — (new_id, corpus_id, jaccard), jaccard ≥
@@ -268,10 +318,23 @@ def minhash_lsh_incremental(
             raise ValueError("pass either corpus_df or corpus_state")
         sh_corpus, bands_corpus = minhash_corpus_state(
             corpus_df, id_col, text_col, n, num_hashes, bands
-        )
+        )[:2]
         sh_corpus, bands_corpus = sh_corpus.cache(), bands_corpus.cache()
     else:
-        sh_corpus, bands_corpus = corpus_state
+        if isinstance(corpus_state, MinHashCorpusState):
+            state_params = (corpus_state.n, corpus_state.num_hashes, corpus_state.bands)
+            if state_params != (n, num_hashes, bands):
+                raise ValueError(
+                    f"corpus_state was built with (n, num_hashes, bands)={state_params} "
+                    f"but this call uses {(n, num_hashes, bands)}; a mismatched reuse "
+                    "silently yields missing/spurious candidates — rebuild the state "
+                    "or pass matching parameters"
+                )
+            sh_corpus, bands_corpus = corpus_state.shingles, corpus_state.band_rows
+        else:
+            # legacy bare (shingles, band_rows) pair: accepted but
+            # unvalidatable — the caller owns parameter consistency
+            sh_corpus, bands_corpus = corpus_state
     sh_new = word_shingles(new_df, id_col, text_col, n, None).cache()
     bands_new = _banded_rows(
         minhash_signatures(sh_new, id_col, num_hashes), id_col, num_hashes, bands
@@ -288,9 +351,9 @@ def minhash_lsh_incremental(
     # call's scratch) are no longer referenced — release them now.
     # Caller-provided corpus_state is the caller's to manage. The
     # remaining caches (shingle tables + candidates) are live inputs
-    # of the returned plan: per-batch callers reusing corpus_state
-    # should unpersist sh_new/candidates-backed results per batch via
-    # spark.catalog.clearCache() or hold corpus_state only.
+    # of the returned plan; they are recorded on the result so
+    # ``release_batch_state(result)`` frees them once the batch is
+    # consumed (the ingest-loop hygiene contract).
     bands_new.unpersist()
     if inline_corpus:
         bands_corpus.unpersist()
@@ -318,12 +381,39 @@ def minhash_lsh_incremental(
         )
     inter = F.size(F.array_intersect("sh_n", "sh_c"))
     union_sz = F.size("sh_n") + F.size("sh_c") - inter
-    return (
+    out = (
         paired.select(
             "new_id", "corpus_id", trunc_digits(inter / union_sz).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # per-batch scratch caches backing the returned plan, recorded so a
+    # long-running ingest loop can release them after consuming the
+    # result (see release_batch_state) instead of leaking one shingle
+    # cache + one candidate cache per batch into executor storage
+    batch_caches = [sh_new, candidates]
+    if inline_corpus:
+        batch_caches.append(sh_corpus)
+    out._sg_batch_caches = batch_caches
+    return out
+
+
+def release_batch_state(result: DataFrame, blocking: bool = False) -> None:
+    """Release the per-batch caches behind a ``minhash_lsh_incremental``
+    result (batch-side shingles, candidate pairs, and — when the corpus
+    state was derived inline — the corpus shingle cache).
+
+    The production ingest loop is: build ``minhash_corpus_state`` once
+    → per batch run ``minhash_lsh_incremental(corpus_state=...)``,
+    consume the result, then call this — executor storage stays at the
+    corpus state regardless of how many batches have run. A caller-
+    provided corpus_state is never touched (it is the caller's to
+    manage via ``MinHashCorpusState.unpersist``). No-op for frames this
+    operator did not produce; the result must not be re-used after
+    release (its backing caches are gone — re-run the operator).
+    """
+    for cached in getattr(result, "_sg_batch_caches", []):
+        cached.unpersist(blocking)
 
 
 def minhash_lsh_pairs(
@@ -422,26 +512,56 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: (id, simhash bigint).
 
-    Per-token xxhash64; each signature bit is the sign of the vote sum
-    over tokens. The 64 votes are 64 conditional-sum aggregates in one
+    Each signature bit is the sign of the per-bit vote sum over token
+    hashes. The 64 votes are 64 conditional-sum aggregates in one
     groupBy — JVM codegen, map-side partials, one shuffle row per doc.
+
+    ``token_hash`` picks the per-token hash:
+
+    - ``"xxhash64"`` (default): fastest — one JVM hash call per token.
+    - ``"md5"``: the 64 bits come from the first 16 hex chars of
+      ``md5(token)`` (two 32-bit halves parsed via ``conv``). Slightly
+      slower, but md5 exists in every engine, so the whole signature —
+      and therefore the pair output — is reproducible in DuckDB SQL
+      for cross-engine verification (xxhash64 has no DuckDB twin).
+      Bit b<32 reads the LOW half (hex chars 9-16), b≥32 the HIGH half
+      (hex chars 1-8) — the layout the oracle mirrors.
     """
-    tokens = (
-        df.select(F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
-        .filter(F.length("tok") > 0)
-        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
-    )
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    if token_hash == "xxhash64":
+        hashed = tokens.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+
+        def bit_expr(b: int) -> "F.Column":
+            return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+
+    elif token_hash == "md5":
+        m = F.md5("tok")
+        hashed = tokens.select(
+            F.col(id_col),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        )
+
+        def bit_expr(b: int) -> "F.Column":
+            src = F.col("h_lo") if b < 32 else F.col("h_hi")
+            return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r} (use 'xxhash64' or 'md5')")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
+        F.sum(F.when(bit_expr(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
     ]
-    voted = tokens.groupBy(id_col).agg(*votes)
+    voted = hashed.groupBy(id_col).agg(*votes)
     sig = None
     for b in range(bits):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
@@ -455,6 +575,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``:
     (id_a, id_b, hamming).
@@ -462,11 +583,14 @@ def simhash_pairs(
     Pigeonhole banding: split 64 bits into ``max_hamming + 1`` chunks;
     any pair within distance k must agree exactly on ≥1 chunk → equi-join
     per chunk, union, verify with ``bit_count(xor)``. Bucket equi-joins
-    only — never all-pairs.
+    only — never all-pairs. The banding is EXACT (pigeonhole, not
+    probabilistic), so the output equals the all-pairs hamming filter —
+    which is what the cross-engine oracle computes for ``token_hash=
+    "md5"`` (see ``simhash_signatures``).
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col, token_hash=token_hash)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -517,6 +641,7 @@ def cluster_pairs(
     members: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) where
     cluster_id = min id reachable through the pair graph.
@@ -528,32 +653,55 @@ def cluster_pairs(
     of the data). Each round is two shuffles on the id — the standard
     large-scale CC pattern short of a full Pregel.
 
-    Each generation is ``localCheckpoint``'d: the label plan references
-    its predecessor twice (union + edge join), so without truncation
-    the logical tree doubles per round — exponential plan-canonicalization
+    Each generation is checkpointed: the label plan references its
+    predecessor twice (union + edge join), so without truncation the
+    logical tree doubles per round — exponential plan-canonicalization
     cost that OOMs the driver on long chains. The superseded snapshot is
     explicitly released each round, keeping executor storage at one
     label table regardless of iteration count.
+
+    ``checkpoint`` picks the truncation tier:
+
+    - ``"local"`` (default): ``localCheckpoint`` — fastest, but the
+      snapshot lives in executor storage only; losing an executor loses
+      its blocks and fails the job. The right default for single-node /
+      interactive runs.
+    - ``"reliable"``: ``DataFrame.checkpoint`` to the session's
+      checkpoint dir (HDFS/S3 on a cluster) — each generation survives
+      executor loss, the contract a multi-hour 100 TB CC job needs.
+      Requires ``spark.sparkContext.setCheckpointDir(...)`` first;
+      superseded checkpoint files are reclaimed by Spark's reference
+      tracker when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+      is enabled (otherwise reap the dir after the job).
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    use_reliable = checkpoint == "reliable"
+    if use_reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "checkpoint='reliable' needs a checkpoint dir: call "
+            "spark.sparkContext.setCheckpointDir('<hdfs/s3/local path>') first"
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint()
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .cache()
     )
-    labels = members.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = _ckpt(members.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")))
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), F.col("label"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -562,7 +710,8 @@ def cluster_pairs(
             .limit(1)
             .count()
         )
-        _release_local_checkpoint(labels)
+        if not use_reliable:
+            _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -608,7 +757,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    method: str = "auto",
+    method: str = "exact",
     num_blocks: int = 16,
     num_planes: Optional[int] = None,
     num_tables: Optional[int] = None,
@@ -617,7 +766,12 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs by embedding cosine ≥ threshold:
     (id_a, id_b, cosine), id_a < id_b.
 
-    Two engines, routed by the threshold regime (``method="auto"``):
+    The default is the LOSSLESS ``"exact"`` engine — approximation is
+    strictly opt-in (``method="lsh"`` or ``"auto"``), so existing
+    callers relying on exact pair mining are never silently degraded.
+
+    Engines (``method="auto"`` routes by the threshold regime and
+    warns when it picks the approximate path):
 
     - ``"lsh"`` (threshold ≥ 0.7 — the genuine near-dup regime):
       multi-table random-hyperplane LSH buckets generate candidate
@@ -663,6 +817,14 @@ def embedding_near_dup_pairs(
     )
     if method == "auto":
         method = "lsh" if threshold >= 0.7 else "exact"
+        if method == "lsh":
+            warnings.warn(
+                f"embedding_near_dup_pairs(method='auto') routed threshold={threshold} "
+                "to the approximate LSH engine (recall ≥ ~95% for pairs AT the "
+                "threshold, higher above it); pass method='exact' for lossless "
+                "mining or method='lsh' to silence this warning",
+                stacklevel=2,
+            )
     dot = F.aggregate(
         F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
         F.lit(0.0),
@@ -687,7 +849,7 @@ def embedding_near_dup_pairs(
         )
         paired = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
     elif method == "gemm":
-        return _gemm_near_dup_pairs(withnorm, threshold, num_blocks)
+        return _gemm_near_dup_pairs(withnorm, threshold, num_blocks, df.schema[id_col].dataType)
     elif method == "lsh":
         from aws_data_wrangler_spark.operators.similarity import _hyperplanes, _infer_dim, lsh_bucket
 
@@ -731,7 +893,7 @@ def embedding_near_dup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    method: str = "auto",
+    method: str = "exact",
     num_blocks: int = 16,
     num_planes: Optional[int] = None,
     num_tables: Optional[int] = None,
@@ -763,6 +925,13 @@ def embedding_near_dup_incremental(
     wn_new, wn_corpus = _w(new_df), _w(corpus_df)
     if method == "auto":
         method = "lsh" if threshold >= 0.7 else "exact"
+        if method == "lsh":
+            warnings.warn(
+                f"embedding_near_dup_incremental(method='auto') routed threshold="
+                f"{threshold} to the approximate LSH engine; pass method='exact' "
+                "for lossless mining or method='lsh' to silence this warning",
+                stacklevel=2,
+            )
     dot = F.aggregate(
         F.zip_with(F.col("v_n"), F.col("v_c"), lambda x, y: x * y),
         F.lit(0.0),
@@ -821,7 +990,9 @@ def embedding_near_dup_incremental(
     )
 
 
-def _gemm_near_dup_pairs(withnorm: DataFrame, threshold: float, num_blocks: int) -> DataFrame:
+def _gemm_near_dup_pairs(
+    withnorm: DataFrame, threshold: float, num_blocks: int, id_type=None
+) -> DataFrame:
     """Two-sided blocked all-pairs cosine via per-block BLAS GEMM.
 
     The corpus is hashed into ``num_blocks`` row-blocks on each side;
@@ -863,10 +1034,14 @@ def _gemm_near_dup_pairs(withnorm: DataFrame, threshold: float, num_blocks: int)
         )
         .drop("__i")
     )
+    # id fields mirror the INPUT id type (string ids etc. work like in
+    # every other engine — a hardcoded int64 schema crashed on them)
+    if id_type is None:
+        id_type = withnorm.schema["__id"].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
@@ -875,11 +1050,17 @@ def _gemm_near_dup_pairs(withnorm: DataFrame, threshold: float, num_blocks: int)
         import numpy as np
 
         if left.empty or right.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=left["id_a"].dtype),
+                    "id_b": pd.Series([], dtype=right["id_b"].dtype),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
             )
-        a_ids = left["id_a"].to_numpy(dtype=np.int64)
-        b_ids = right["id_b"].to_numpy(dtype=np.int64)
+        # dtype preserved from Arrow: int ids stay ints, string ids
+        # stay objects — the broadcast `<` below works for both
+        a_ids = left["id_a"].to_numpy()
+        b_ids = right["id_b"].to_numpy()
         a_mat = np.array(list(left["v_a"]), dtype=np.float64)
         b_mat = np.array(list(right["v_b"]), dtype=np.float64)
         a_norm = left["norm_a"].to_numpy(dtype=np.float64)

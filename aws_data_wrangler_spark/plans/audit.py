@@ -75,3 +75,47 @@ def assert_pushdown(df: DataFrame) -> None:
     """Filters must reach the parquet scan (PushedFilters non-empty)."""
     summary = plan_summary(df)
     assert summary["pushed_filters"], f"expected pushed filters:\n{summary['plan']}"
+
+
+def global_window_over_unaggregated(df: DataFrame) -> bool:
+    """True if the plan runs a Window over an ``Exchange SinglePartition``
+    whose input is NOT pre-aggregated — i.e. the whole (potentially
+    100 TB) input moves through ONE task for a partition-less window.
+
+    A single-partition window over an *aggregate* output (Pareto over
+    25 brands, YoY over 7 years) is bounded by the group count and
+    fine; over a raw table it is the classic scale killer (the
+    `orders_value_deciles` ntile defect, VERDICT r2). Detection walks
+    the physical plan text: for each ``Exchange SinglePartition`` that
+    feeds a Window above it, look for any aggregate between the
+    exchange and the leaves below it.
+    """
+    lines = _executed_plan(df).splitlines()
+    agg_re = re.compile(r"HashAggregate|SortAggregate|ObjectHashAggregate")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # a Window above (textually before) this exchange, with only
+        # sort/AQE plumbing in between?
+        feeds_window = False
+        for j in range(i - 1, -1, -1):
+            up = lines[j]
+            if "Window" in up:
+                feeds_window = True
+                break
+            if not re.search(r"Sort |AQEShuffleRead|ShuffleQueryStage|WindowGroupLimit|InputAdapter|WholeStageCodegen", up):
+                break
+        if not feeds_window:
+            continue
+        # pre-aggregated input below the exchange ⇒ bounded, fine
+        if not any(agg_re.search(down) for down in lines[i + 1 :]):
+            return True
+    return False
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """No partition-less Window over an unaggregated input (the
+    single-task WindowExec scale killer)."""
+    assert not global_window_over_unaggregated(df), (
+        f"partition-less Window over unaggregated input:\n{_executed_plan(df)}"
+    )

@@ -96,6 +96,106 @@ def _lsh_ann_oracle_sql(
     """
 
 
+def _emb_lsh_oracle_sql() -> str:
+    """Exact DuckDB replica of the registered ``dedup_embedding_lsh``
+    query: planted perturbed twins (vec_id % 10 == 0 → id+100000,
+    component nudge 0.01·((i%5)−2)), sign-bit buckets under the same
+    deterministic hyperplanes (inlined literals), same-bucket candidate
+    pairs, exact-cosine verify at the threshold. Both engines compute
+    identical buckets, so the output matches even where LSH recall < 1.
+    """
+    from aws_data_wrangler_spark.operators.similarity import _hyperplanes
+    from aws_data_wrangler_spark.plans.queries import (
+        EMB_LSH_PLANES,
+        EMB_LSH_TABLES,
+        EMB_LSH_THRESHOLD,
+    )
+
+    selects = []
+    for t in range(EMB_LSH_TABLES):
+        bits = []
+        for i, plane in enumerate(_hyperplanes(64, EMB_LSH_PLANES, 42 + t)):
+            lits = "[" + ",".join(repr(float(w)) for w in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lits}::DOUBLE[]) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(f"SELECT vec_id, {t} AS tbl, ({' + '.join(bits)}) AS bucket FROM corpus")
+    buckets_sql = "\n            UNION ALL ".join(selects)
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(range(1, 65),
+                                  i -> embedding[i]::DOUBLE + 0.01 * ((i - 1) % 5 - 2))
+            FROM embeddings WHERE vec_id % 10 = 0
+        ), buckets AS (
+            {buckets_sql}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT id_a, id_b,
+                   floor((list_dot_product(ca.v, cb.v) /
+                          (sqrt(list_dot_product(ca.v, ca.v)) *
+                           sqrt(list_dot_product(cb.v, cb.v)))) * 1000000.0) / 1000000.0
+                       AS cosine
+            FROM cand
+            JOIN corpus ca ON ca.vec_id = cand.id_a
+            JOIN corpus cb ON cb.vec_id = cand.id_b
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {EMB_LSH_THRESHOLD}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_md5_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of ``simhash_pairs(token_hash="md5")``.
+
+    The 64 signature bits come from per-token md5 halves (hex chars
+    9-16 → bits 0-31, chars 1-8 → bits 32-63 — the exact layout of
+    ``simhash_signatures``); each bit is the sign of the ±1 vote sum.
+    The Spark side's pigeonhole banding is exact (not probabilistic),
+    so the oracle is simply the all-pairs hamming filter over the same
+    signatures — trivial at oracle scale.
+    """
+    vote_terms = []
+    bit_terms = []
+    ham_terms = []
+    for b in range(64):
+        src = "h_lo" if b < 32 else "h_hi"
+        vote_terms.append(
+            f"sum(CASE WHEN (({src} >> {b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+        bit_terms.append(f"CASE WHEN v{b} > 0 THEN 1 ELSE 0 END AS b{b}")
+        ham_terms.append(f"CASE WHEN a.b{b} != b.b{b} THEN 1 ELSE 0 END")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi
+            FROM toks WHERE length(tok) > 0
+        ), votes AS (
+            SELECT doc_id, {', '.join(vote_terms)}
+            FROM hashed GROUP BY doc_id
+        ), bits AS (
+            SELECT doc_id, {', '.join(bit_terms)} FROM votes
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ({' + '.join(ham_terms)}) AS ham
+            FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(ham AS INTEGER) AS hamming
+        FROM pairs WHERE ham <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
 _NGRAM_JACCARD = """
     WITH toks AS (
         SELECT doc_id,
@@ -533,6 +633,51 @@ ORACLES: Dict[str, str] = {
         FROM reach
         GROUP BY src
         ORDER BY doc_id
+    """,
+    # the LSH scale path, candidate-for-candidate (deterministic planes)
+    "dedup_embedding_lsh": _emb_lsh_oracle_sql(),
+    # md5-derived signatures ⇒ cross-engine simhash; banding is exact
+    # pigeonhole, so the all-pairs hamming filter is the value oracle
+    "dedup_simhash": _simhash_md5_oracle_sql(),
+    # deterministic fake decode: sha256-digest dims + aspect-preserving
+    # resize, replicated byte-for-byte from operators/multimodal.py
+    "multimodal_decode_stub": """
+        WITH d AS (
+            SELECT doc_id,
+                   'image/fake' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+                   64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS width,
+                   64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS height
+            FROM documents
+        )
+        SELECT doc_id, media_type, size_bytes,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(round(width * (224.0 / least(width, height))) AS INTEGER) AS resized_width,
+               CAST(round(height * (224.0 / least(width, height))) AS INTEGER) AS resized_height,
+               'fake' AS decoder
+        FROM d ORDER BY doc_id
+    """,
+    # decile boundaries via exact interpolated percentiles (R-7 in both
+    # engines — same twin as events_value_percentiles), bucket by count
+    # of boundaries strictly below the value
+    "orders_value_deciles": """
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice,
+                                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+            FROM orders
+        )
+        SELECT decile,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM (
+            SELECT o_totalprice,
+                   CAST(1 + len(list_filter(b.bs, x -> o_totalprice > x)) AS INTEGER) AS decile
+            FROM orders CROSS JOIN b
+        ) d
+        GROUP BY decile
+        ORDER BY decile
     """,
     "dedup_embedding_cosine": f"""
         WITH scored AS (

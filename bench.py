@@ -89,6 +89,35 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = best
         total += best
+
+    # dedup_incremental_warm: the production shape of incremental dedup.
+    # The cold entry above rebuilds corpus state inline on every run (by
+    # design — cold measurement); a real ingest pipeline materializes
+    # minhash_corpus_state ONCE and reuses it per batch, so the state
+    # build is excluded from the timed section and only the per-batch
+    # cost (bucket join + verify + release) is measured.
+    from pyspark.sql import functions as F
+
+    from aws_data_wrangler_spark.operators import dedup
+    from aws_data_wrangler_spark.plans.queries import load_parallel
+
+    docs = load_parallel(spark, SF_DIR, "documents")
+    state = dedup.minhash_corpus_state(docs.filter(F.col("doc_id") % 5 != 0)).cache()
+    state.shingles.count()
+    state.band_rows.count()
+    best = None
+    for _ in range(2):
+        start = time.time()
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        out = dedup.minhash_lsh_incremental(batch, corpus_state=state, threshold=0.8)
+        out.write.format("noop").mode("overwrite").save()
+        dedup.release_batch_state(out)
+        elapsed = round(time.time() - start, 3)
+        best = elapsed if best is None else min(best, elapsed)
+    state.unpersist()
+    spark.catalog.clearCache()
+    timings["dedup_incremental_warm"] = best
+    total += best
     print(
         json.dumps(
             {

@@ -114,8 +114,7 @@ class TestDedup:
         # several batches — results identical to deriving it inline
         docs = documents.limit(100)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
-        sh, bands_tbl = dedup.minhash_corpus_state(corpus)
-        state = (sh.cache(), bands_tbl.cache())
+        state = dedup.minhash_corpus_state(corpus).cache()
         for mod in (0, 5):
             batch = docs.filter(F.col("doc_id") % 10 == mod)
             direct = dedup.minhash_lsh_incremental(batch, corpus, threshold=0.8)
@@ -123,8 +122,46 @@ class TestDedup:
             assert {(r["new_id"], r["corpus_id"]) for r in reused.collect()} == {
                 (r["new_id"], r["corpus_id"]) for r in direct.collect()
             }
+        state.unpersist()
         with pytest.raises(ValueError):
             dedup.minhash_lsh_incremental(docs)  # neither corpus form given
+
+    def test_corpus_state_parameter_mismatch_raises(self, spark, documents):
+        # a state built at different (n, num_hashes, bands) silently
+        # yields missing/spurious candidates — must raise instead
+        docs = documents.limit(20)
+        state = dedup.minhash_corpus_state(docs, num_hashes=96, bands=16)
+        with pytest.raises(ValueError, match="corpus_state was built"):
+            dedup.minhash_lsh_incremental(
+                docs, corpus_state=state, num_hashes=48, bands=16
+            )
+        with pytest.raises(ValueError, match="corpus_state was built"):
+            dedup.minhash_lsh_incremental(
+                docs, corpus_state=state, num_hashes=96, bands=8
+            )
+
+    def test_release_batch_state_bounds_executor_storage(self, spark, documents):
+        # the ingest-loop hygiene contract: corpus state built once, 10
+        # batches run + released — persisted-RDD count must not grow
+        # with the batch count
+        docs = documents.limit(60)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        state = dedup.minhash_corpus_state(corpus).cache()
+        jsc = spark.sparkContext._jsc.sc()
+        counts = []
+        for i in range(10):
+            batch = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                "doc_id", F.col("doc_id") + i * 1000
+            )
+            result = dedup.minhash_lsh_incremental(
+                batch, corpus_state=state, threshold=0.8
+            )
+            result.count()  # consume the batch
+            dedup.release_batch_state(result, blocking=True)
+            counts.append(jsc.getPersistentRDDs().size())
+        state.unpersist()
+        # bounded: the later batches hold no more storage than the first
+        assert max(counts) <= counts[0], counts
 
     def test_incremental_forwards_num_hashes_to_batch_signatures(self, spark, documents):
         # regression: the batch side once built 64-slot default
@@ -137,8 +174,8 @@ class TestDedup:
             "doc_id long, text string",
         )
         batch = corpus.withColumn("doc_id", F.col("doc_id") + 100)
-        c_sh, c_bands = dedup.minhash_corpus_state(corpus, num_hashes=96, bands=16)
-        b_sh, b_bands = dedup.minhash_corpus_state(batch, num_hashes=96, bands=16)
+        c_bands = dedup.minhash_corpus_state(corpus, num_hashes=96, bands=16).band_rows
+        b_bands = dedup.minhash_corpus_state(batch, num_hashes=96, bands=16).band_rows
         matched = c_bands.toDF("a", "band", "bucket").join(
             b_bands.toDF("b", "band", "bucket"), ["band", "bucket"]
         )
@@ -317,6 +354,51 @@ class TestDedup:
         # table per iteration (the 12-iteration chain would leak ~12)
         assert after - before <= 2, f"cache leak: {after - before} new persistent RDDs"
 
+    def test_cluster_pairs_reliable_checkpoint(self, spark, tmp_path):
+        # the fault-tolerant tier for cluster runs: generations snapshot
+        # to the checkpoint dir (survive executor loss), same labels out
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(8)], "id_a long, id_b long, jaccard double"
+        )
+        members = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+        with pytest.raises(ValueError, match="checkpoint dir"):
+            dedup.cluster_pairs(pairs, members, checkpoint="reliable")
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.cluster_pairs(pairs, members, checkpoint="reliable").collect()
+        }
+        assert set(labels.values()) == {0}
+        with pytest.raises(ValueError, match="'local' or 'reliable'"):
+            dedup.cluster_pairs(pairs, members, checkpoint="bogus")
+
+    def test_gemm_supports_string_ids(self, spark, embeddings):
+        # the GEMM engine must honor the input id type (it once
+        # hardcoded int64 and crashed on string ids)
+        named = embeddings.limit(30).select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+        )
+        exact = dedup.embedding_near_dup_pairs(named, threshold=0.4, method="exact")
+        gemm = dedup.embedding_near_dup_pairs(named, threshold=0.4, method="gemm", num_blocks=4)
+        exact_set = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        gemm_set = {(r["id_a"], r["id_b"]) for r in gemm.collect()}
+        assert gemm_set == exact_set
+        assert all(isinstance(a, str) for a, _ in gemm_set) or gemm_set == set()
+
+    def test_ngram_default_cap_warns_explicit_does_not(self, spark, documents):
+        import warnings as w
+
+        docs = documents.limit(5)
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            dedup.ngram_jaccard_pairs(docs)
+            assert any("document-frequency cap" in str(c.message) for c in caught)
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            dedup.ngram_jaccard_pairs(docs, max_doc_frequency=1000)
+            dedup.ngram_jaccard_pairs(docs, max_doc_frequency=None)
+            assert not caught
+
 
 class TestSimilarity:
     def test_bruteforce_topk_shape_and_determinism(self, spark, embeddings):
@@ -369,6 +451,43 @@ class TestSimilarity:
         e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
         a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
         assert len(a & e) / len(e) >= 0.6
+
+    def test_ivf_recall_vs_nprobe_matrix(self, spark, embeddings):
+        # characterize the approximation, don't just threshold it
+        # (VERDICT r2 #7): on a planted-cluster corpus — 8 anchor
+        # vectors, 8 deterministic noisy members each — recall@5 must
+        # rise monotonically with nprobe and reach 1.0 at full probe
+        # (nprobe == num_centroids scores the whole corpus, so IVF
+        # degenerates to the exact scan by construction)
+        anchors = embeddings.filter("vec_id < 8")
+        members = None
+        for m in range(8):
+            noisy = anchors.select(
+                (F.col("vec_id") * 100 + 1000 + m).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x * (1.0 + 0.01 * ((i + m) % 3)) + 0.005 * m,
+                ).alias("embedding"),
+                "label",
+            )
+            members = noisy if members is None else members.unionByName(noisy)
+        corpus = anchors.unionByName(members)
+        queries = anchors
+        exact = similarity.cosine_topk(corpus, queries, k=5)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        centroids = similarity.train_ivf_centroids(corpus, num_centroids=8)
+        recalls = {}
+        for nprobe in (1, 4, 8):
+            approx = similarity.ivf_topk(
+                corpus, queries, k=5, nprobe=nprobe, num_centroids=8, centroids=centroids
+            )
+            a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+            recalls[nprobe] = len(a & e) / len(e)
+        assert recalls[1] <= recalls[4] <= recalls[8], recalls
+        assert recalls[8] == 1.0, recalls
+        # a planted cluster concentrates each query's neighbors in one
+        # cell, so even nprobe=1 must capture most of them
+        assert recalls[1] >= 0.5, recalls
 
 
 class TestSketches:

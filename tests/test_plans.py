@@ -12,45 +12,69 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_set_is_intentional():
     # approximate operators deliberately lack oracles; anything else
-    # missing one is a regression
+    # missing one is a regression. Round 3 closed dedup_simhash (md5
+    # signatures) and multimodal_decode_stub (sha256 fake decode).
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == [
         "ann_cosine_topk_arrow",
         "ann_ivf_topk",
-        "dedup_simhash",
-        "multimodal_decode_stub",
     ]
 
 
-def test_llm_pipeline_block_inside_driver_window():
-    # the correctness driver verifies the FIRST 50 registry entries;
-    # every §2.6–§2.10 operator query must stay inside that window
-    # (round-1 verdict: the whole block fell outside and went
-    # driver-unverified)
-    names = list(QUERIES)
-    prefixes = ("dedup_", "ann_", "text_", "sample_", "streaming_",
-                "multimodal_", "logs_", "benchmark_")
-    block = [n for n in names if n.startswith(prefixes) and n != "text_ngram_freq"]
-    late = [n for n in block if names.index(n) >= 50]
-    assert late == [], f"§2.6–§2.10 queries outside the driver window: {late}"
+# Round-3 rotation policy: every registry entry must hold a driver
+# CORRECTNESS row from the CURRENT or PREVIOUS round. The window (first
+# 50) carries (a) everything new/changed this round and (b) the block
+# that rode on the older round's rows; the entries below the boundary
+# are exactly the previous round's green set over frozen code.
+ROUND2_GREEN = {
+    # the round-2 driver window (CORRECTNESS_r02.json), minus entries
+    # moved back INTO the round-3 window (changed code or re-verify)
+    "dedup_exact", "dedup_normalized", "dedup_minhash_lsh",
+    "dedup_lsh_corpus", "events_asof_signup", "events_error_click_window",
+    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
+    "ann_ivf_topk", "text_token_count", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "text_chunk_tokens",
+    "text_pack_sequences", "text_repetition", "text_pii_scrub",
+    "text_tfidf_top_terms", "text_unigram_surprisal",
+    "benchmark_contamination", "sample_stratified",
+    "sample_fixed_per_source", "sample_token_budget",
+    "streaming_hourly_rollup", "streaming_sliding_counts",
+    "streaming_error_click_join", "streaming_content_dedup",
+    "streaming_corpus_dedup", "streaming_latest_per_user",
+    "streaming_static_enrich", "events_session_window",
+    "events_hourly_gapfill", "logs_insights_stats", "logs_insights_parse",
+    "events_user_join_salted", "athena_ctas_roundtrip",
+    "io_partition_pruned_read", "io_merge_datasets",
+}
+
+ROUND3_NEW_OR_CHANGED = {
+    # no prior driver row exercises this round's code for these
+    "dedup_embedding_lsh",          # new query (LSH scale path)
+    "dedup_simhash",                # token_hash="md5" + new oracle
+    "multimodal_decode_stub",       # decoder column + new oracle
+    "dedup_embedding_cosine",       # embedding engine default change
+    "dedup_embedding_incremental",  # same
+    "dedup_incremental",            # corpus_state validation + caches
+    "dedup_clusters",               # checkpoint tiers
+    "dedup_ngram_jaccard",          # df-cap warning path
+    "embedding_curation_pipeline",  # composes the changed embedding miner
+    "orders_value_deciles",         # global-window → percentile rewrite
+}
 
 
-def test_round2_new_queries_inside_driver_window():
-    # queries added or rebuilt in round 2 have no prior driver
-    # CORRECTNESS row — they must sit in the verified first-50 window
-    # (the prefix guard above misses the non-operator ones)
+def test_every_entry_has_a_current_or_previous_round_row():
+    # below-window entries must ALL come from the previous round's
+    # green set (frozen code); everything else must be in the window
     names = list(QUERIES)
-    new_queries = [
-        "events_hourly_spikes",
-        "athena_ctas_roundtrip",
-        "db_jdbc_roundtrip",
-        "dedup_incremental",
-        "dedup_embedding_incremental",
-        "streaming_corpus_dedup",
-        "text_unigram_surprisal",
-    ]
-    late = [n for n in new_queries if names.index(n) >= 50]
-    assert late == [], f"driver-unverified new queries outside the window: {late}"
+    below = set(names[50:])
+    stale = below - ROUND2_GREEN
+    assert stale == set(), f"below-window entries without a round-2 row: {stale}"
+
+
+def test_round3_new_or_changed_inside_driver_window():
+    names = list(QUERIES)
+    late = [n for n in ROUND3_NEW_OR_CHANGED if names.index(n) >= 50]
+    assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
 def test_entry_module_contract():
@@ -157,6 +181,55 @@ class TestPlanAudits:
         assert s["cartesian_products"] == 0 and s["broadcast_nested_loop_joins"] == 0
         # one exchange for the union'd window partition (+ AQE reads)
         assert s["exchanges"] <= 2
+
+    def test_no_global_window_over_unaggregated_input(self, spark):
+        # sweep every SQL analytics query: none may move an
+        # unaggregated table through a single-partition WindowExec
+        # (the orders_value_deciles ntile defect, VERDICT r2). Windows
+        # over tiny aggregate outputs (pareto, yoy) stay legal.
+        from aws_data_wrangler_spark.plans.audit import assert_no_global_window
+        from aws_data_wrangler_spark.plans.queries import (
+            ANALYTICS_SQL,
+            EVENTS_JSON_SQL_SPARK,
+            EVENTS_PERCENTILES_SQL_SPARK,
+            EVENTS_SESSIONIZE_SQL_SPARK,
+            EVENTS_SPIKES_SQL_SPARK,
+            ORDERS_DECILES_SQL_SPARK,
+            register_tables,
+        )
+
+        register_tables(spark, "/root/testdata/sf0.001")
+        sqls = dict(ANALYTICS_SQL)
+        sqls["orders_value_deciles"] = ORDERS_DECILES_SQL_SPARK
+        sqls["events_sessionize"] = EVENTS_SESSIONIZE_SQL_SPARK
+        sqls["events_json_extract"] = EVENTS_JSON_SQL_SPARK
+        sqls["events_value_percentiles"] = EVENTS_PERCENTILES_SQL_SPARK
+        sqls["events_hourly_spikes"] = EVENTS_SPIKES_SQL_SPARK
+        for name, sql in sqls.items():
+            try:
+                assert_no_global_window(spark.sql(sql))
+            except AssertionError as exc:
+                raise AssertionError(f"{name}: {exc}") from exc
+
+    def test_global_window_audit_flags_the_old_ntile_shape(self, spark):
+        # regression oracle for the audit itself: the retired
+        # partition-less ntile plan must be DETECTED
+        from aws_data_wrangler_spark.plans.audit import global_window_over_unaggregated
+        from aws_data_wrangler_spark.plans.queries import register_tables
+
+        register_tables(spark, "/root/testdata/sf0.001")
+        bad = spark.sql(
+            "SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)"
+            " AS decile FROM orders"
+        )
+        assert global_window_over_unaggregated(bad)
+        # and a window over an aggregate output must NOT be flagged
+        ok = spark.sql(
+            "WITH y AS (SELECT count(*) AS n, min(o_orderkey) AS k FROM orders"
+            " GROUP BY o_orderpriority)"
+            " SELECT n, sum(n) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) FROM y"
+        )
+        assert not global_window_over_unaggregated(ok)
 
     def test_embedding_dedup_has_no_cartesian(self, spark):
         # the registered embedding-dedup queries must never plan an
