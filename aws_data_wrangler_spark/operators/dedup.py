@@ -296,14 +296,14 @@ def minhash_lsh_incremental(
     batch's (band, bucket) rows against the corpus's — never a
     new-batch×corpus cross join, and corpus-internal collisions never
     enter the pair space. Exact-Jaccard verification restricted to
-    candidate docs (guarded broadcast, shuffled fallback) keeps
+    candidate docs (join strategy decided by AQE on runtime sizes) keeps
     precision 1.0; recall is the banding curve at the threshold.
 
     At 100 TB the corpus-side (shingles, band-rows) tables are the
     artifact a production pipeline materializes ONCE — build them with
     ``minhash_corpus_state`` (persist as parquet / cache) and pass
     ``corpus_state=`` so each batch never touches corpus text; without
-    it they are derived inline from ``corpus_df`` and the eager caches
+    it they are derived inline from ``corpus_df`` and the caches
     mark the reuse points. Batch-internal duplicates are out of scope
     by design — run ``minhash_lsh_pairs`` on the batch for those.
     Identical ids on both sides are not special-cased.
@@ -319,7 +319,10 @@ def minhash_lsh_incremental(
         sh_corpus, bands_corpus = minhash_corpus_state(
             corpus_df, id_col, text_col, n, num_hashes, bands
         )[:2]
-        sh_corpus, bands_corpus = sh_corpus.cache(), bands_corpus.cache()
+        # shingles back both the signature agg and the verify sets (two
+        # references) → cache; the band table is joined exactly once →
+        # caching it would only add storage churn
+        sh_corpus = sh_corpus.cache()
     else:
         if isinstance(corpus_state, MinHashCorpusState):
             state_params = (corpus_state.n, corpus_state.num_hashes, corpus_state.bands)
@@ -336,9 +339,16 @@ def minhash_lsh_incremental(
             # unvalidatable — the caller owns parameter consistency
             sh_corpus, bands_corpus = corpus_state
     sh_new = word_shingles(new_df, id_col, text_col, n, None).cache()
+    # the band tables are each joined exactly once (bipartite bucket
+    # join) → no cache; candidates back three downstream references →
+    # cache, populated on the result's first action. The live caches
+    # (shingle tables + candidates) are recorded on the result so
+    # ``release_batch_state(result)`` frees them once the batch is
+    # consumed (the ingest-loop hygiene contract); caller-provided
+    # corpus_state is the caller's to manage.
     bands_new = _banded_rows(
         minhash_signatures(sh_new, id_col, num_hashes), id_col, num_hashes, bands
-    ).cache()
+    )
     candidates = (
         bands_new.toDF("new_id", "band", "bucket")
         .join(bands_corpus.toDF("corpus_id", "band", "bucket"), ["band", "bucket"])
@@ -346,19 +356,10 @@ def minhash_lsh_incremental(
         .distinct()
         .cache()
     )
-    n_candidates = candidates.count()
-    # the count materialized candidates, so the band tables (this
-    # call's scratch) are no longer referenced — release them now.
-    # Caller-provided corpus_state is the caller's to manage. The
-    # remaining caches (shingle tables + candidates) are live inputs
-    # of the returned plan; they are recorded on the result so
-    # ``release_batch_state(result)`` frees them once the batch is
-    # consumed (the ingest-loop hygiene contract).
-    bands_new.unpersist()
-    if inline_corpus:
-        bands_corpus.unpersist()
-    new_ids = candidates.select(F.col("new_id").alias(id_col)).distinct()
-    corpus_ids = candidates.select(F.col("corpus_id").alias(id_col)).distinct()
+    # no distinct on the probe keys: left_semi joins tolerate duplicate
+    # broadcast-side keys, and each skipped distinct is one exchange
+    new_ids = candidates.select(F.col("new_id").alias(id_col))
+    corpus_ids = candidates.select(F.col("corpus_id").alias(id_col))
     sets_new = (
         sh_new.join(F.broadcast(new_ids), id_col, "left_semi")
         .groupBy(id_col)
@@ -369,16 +370,14 @@ def minhash_lsh_incremental(
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
     )
-    # same guard as minhash_lsh_pairs: broadcast per-doc shingle sets
-    # only while the candidate pool is small; shuffled joins otherwise
-    if n_candidates <= 100_000:
-        paired = candidates.join(
-            F.broadcast(sets_new.toDF("new_id", "sh_n")), "new_id"
-        ).join(F.broadcast(sets_corpus.toDF("corpus_id", "sh_c")), "corpus_id")
-    else:
-        paired = candidates.join(sets_new.toDF("new_id", "sh_n"), "new_id").join(
-            sets_corpus.toDF("corpus_id", "sh_c"), "corpus_id"
-        )
+    # join strategy left to AQE (same reasoning as minhash_lsh_pairs):
+    # the set aggregates sit behind shuffles, so AQE broadcasts them
+    # only when their runtime size fits — replacing the former
+    # driver-side candidate-count guard at equal scale safety and one
+    # fewer eager job per batch
+    paired = candidates.join(sets_new.toDF("new_id", "sh_n"), "new_id").join(
+        sets_corpus.toDF("corpus_id", "sh_c"), "corpus_id"
+    )
     inter = F.size(F.array_intersect("sh_n", "sh_c"))
     union_sz = F.size("sh_n") + F.size("sh_c") - inter
     out = (
@@ -448,7 +447,7 @@ def minhash_lsh_pairs(
     """
     shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency).cache()
     sig = minhash_signatures(shingles, id_col, num_hashes)
-    # eager-cache the banded table: ``bands`` rows per doc (MBs per
+    # cache the banded table: ``bands`` rows per doc (MBs per
     # million docs). The band self-join references this subplan through
     # *renamed* (toDF) branches, which canonicalize to different
     # exchanges — without materialization Spark recomputes the whole
@@ -457,8 +456,8 @@ def minhash_lsh_pairs(
     # would persist; caching HERE (not the signature table) covers the
     # signature agg with the same single action.
     band_rows = _banded_rows(sig, id_col, num_hashes, bands).cache()
-    # candidate pair set is tiny (near-dups + band collisions); eager-
-    # cache it too — it is referenced three times in verification
+    # candidate pair set is tiny (near-dups + band collisions); cache
+    # it too — it is referenced three times in verification
     candidates = (
         band_rows.toDF("id_a", "band", "bucket")
         .join(band_rows.toDF("id_b", "band", "bucket"), ["band", "bucket"])
@@ -467,7 +466,6 @@ def minhash_lsh_pairs(
         .distinct()
         .cache()
     )
-    n_candidates = candidates.count()
     # exact-Jaccard verification of candidates only: restrict shingles
     # to candidate docs FIRST (broadcast semi-join — no shuffle of the
     # corpus), gather each candidate doc's shingle SET, then join the
@@ -475,6 +473,12 @@ def minhash_lsh_pairs(
     # set agg) instead of the shingle self-join + two size joins; the
     # pair joins broadcast (candidate sets are tiny by construction —
     # that's the point of LSH).
+    # the distinct is load-bearing here beyond dedup: it puts a shuffle
+    # stage between the broadcast build and the two cached-candidates
+    # reads, so the cache is populated once before both union branches
+    # consume it. Without it the broadcast job races the unpopulated
+    # cache and computes the whole shingle→band→join pipeline twice
+    # (measured +2.3 s at sf0.1).
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -485,20 +489,19 @@ def minhash_lsh_pairs(
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
     )
-    # broadcasting the per-doc shingle SETS is only safe while the
-    # candidate pool is small (the normal LSH outcome). One giant
-    # near-dup cluster of long boilerplate docs can push the collected
-    # sets past the driver/broadcast limit, so above a pair-count
-    # threshold fall back to shuffled joins — same result, scales with
-    # the cluster instead of the driver.
-    if n_candidates <= 100_000:
-        paired = candidates.join(
-            F.broadcast(cand_sets.toDF("id_a", "sh_a")), "id_a"
-        ).join(F.broadcast(cand_sets.toDF("id_b", "sh_b")), "id_b")
-    else:
-        paired = candidates.join(cand_sets.toDF("id_a", "sh_a"), "id_a").join(
-            cand_sets.toDF("id_b", "sh_b"), "id_b"
-        )
+    # join strategy for the per-doc shingle SETS is left to AQE: the
+    # sets aggregate sits behind a shuffle stage, so AQE knows its
+    # RUNTIME byte size and broadcasts only when it actually fits —
+    # the small-candidate LSH outcome gets the broadcast join, while
+    # one giant near-dup cluster of long boilerplate docs (sets past
+    # the broadcast limit) gets a shuffled join that scales with the
+    # cluster instead of the driver. This replaces the former
+    # driver-side 100k-pair count guard: same safety, decided on
+    # actual bytes, and one fewer eager job per call (measured ~0.6 s
+    # at sf0.1 — stage overhead dominates these tiny-data phases).
+    paired = candidates.join(cand_sets.toDF("id_a", "sh_a"), "id_a").join(
+        cand_sets.toDF("id_b", "sh_b"), "id_b"
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union_sz = F.size("sh_a") + F.size("sh_b") - inter
     return (

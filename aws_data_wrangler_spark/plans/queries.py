@@ -1618,6 +1618,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _dedup_clusters,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "embedding_curation_pipeline": _embedding_curation_pipeline,
+    "dedup_minhash_lsh": _dedup_minhash_lsh,
+    "dedup_lsh_corpus": _dedup_lsh_corpus,
     "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
     # --- analytics block (riding on round-1 rows until this rotation) ---
     **{name: _analytics_query(sql) for name, sql in ANALYTICS_SQL.items()},
@@ -1635,10 +1637,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "corpus_curation_pipeline": _corpus_curation_pipeline,
-    # --- round-2-green re-verifications filling the window to 50 ---
+    # --- round-2-green re-verification filling the window to 50 ---
     "io_parquet_roundtrip": _io_parquet_roundtrip,
-    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
-    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Every entry below is
     # round-2 driver-green (see CORRECTNESS_r02.json) and exercises code
@@ -1646,14 +1646,15 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the in-window dedup_* entries (simhash_signatures → dedup_simhash;
     # embedding engines → dedup_embedding_{lsh,cosine,incremental};
     # corpus-state/ngram/cluster changes → dedup_incremental /
-    # dedup_ngram_jaccard / dedup_clusters); minhash_lsh_pairs,
+    # dedup_ngram_jaccard / dedup_clusters; the AQE verify-join rework
+    # in minhash_lsh_pairs → dedup_minhash_lsh + dedup_lsh_corpus);
     # word_shingles, the text/sampling/streaming/similarity modules and
     # joins.py are byte-identical to round 2. Anything NEW or touching
     # changed code must be placed above, displacing a stable entry. ---
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
-    "dedup_minhash_lsh": _dedup_minhash_lsh,
-    "dedup_lsh_corpus": _dedup_lsh_corpus,
+    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
+    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "events_asof_signup": _events_asof_signup,
     "events_error_click_window": _events_error_click_window,
     "ann_cosine_topk": _ann_cosine_topk,
