@@ -514,6 +514,96 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-span deduplication: per document, the MAXIMAL
+    token spans whose every ``k``-token window also appears in at least
+    ``min_docs - 1`` OTHER documents — the cross-document duplicated-
+    passage detector of substring-level dedup (boilerplate headers,
+    license blocks, syndicated paragraphs), one granularity below
+    whole-document near-dup mining.
+
+    Returns (id, span_start, span_end, span_tokens): token-index spans,
+    inclusive, maximal (overlapping/adjacent duplicated windows merged).
+
+    Plan shape, built for 100 TB: positioned k-gram extraction is a
+    pure projection; cross-document frequency is one hash aggregate
+    over (shingle → distinct-doc count) with map-side partials; the
+    df-filter semi-join keys on the shingle (only duplicated shingles
+    travel); span merging is a per-document window (running max of
+    span ends) + one groupBy — everything shards by document, no
+    self-join, no cartesian, no Python.
+
+    Ref: the reference has no substring-dedup analog (awswrangler
+    dedups rows at most); semantics follow the exact-substring
+    construction of training-data dedup literature, expressed as
+    k-gram coverage intervals instead of suffix arrays (the
+    distributed-friendly formulation).
+    """
+    from pyspark.sql import Window
+
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.size(tokens) >= k).select(F.col(id_col), tokens.alias("__toks"))
+    t = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+    # positioned (id, pos, shingle): positions kept — this operator is
+    # about WHERE duplication sits, unlike the distinct sets above
+    positioned = base.select(
+        F.col(id_col), F.posexplode(gram).alias("pos", "shingle")
+    )
+    dup_shingles = (
+        positioned.select("shingle", id_col)
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") >= min_docs)
+        .select("shingle")
+    )
+    hits = positioned.join(dup_shingles, "shingle", "left_semi")
+    # merge overlapping/adjacent k-token windows into maximal spans:
+    # a window starting at pos covers [pos, pos+k-1]; a new span starts
+    # when pos jumps past (previous running max end) + 1
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        F.col(id_col),
+        F.col("pos"),
+        (F.col("pos") + F.lit(k - 1)).alias("end"),
+        F.when(
+            F.col("pos") > F.max(F.col("pos") + F.lit(k - 1)).over(w_prev) + 1, 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = flagged.select(
+        F.col(id_col),
+        "pos",
+        "end",
+        F.sum("is_new").over(w_run).alias("span_id"),
+    )
+    return (
+        grouped.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("end").cast("bigint").alias("span_end"),
+            (F.max("end") - F.min("pos") + 1).cast("bigint").alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

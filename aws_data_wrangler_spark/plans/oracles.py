@@ -634,6 +634,42 @@ ORACLES: Dict[str, str] = {
         GROUP BY src
         ORDER BY doc_id
     """,
+    # exact substring-span dedup: positioned 5-grams, cross-doc df ≥ 2,
+    # interval merge via running-max window — mirrored stage for stage
+    "dedup_duplicated_spans": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, i - 1 AS pos,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                  FROM toks WHERE len(t) >= 5)
+        ), dup AS (
+            SELECT shingle FROM (SELECT DISTINCT shingle, doc_id FROM pos)
+            GROUP BY shingle HAVING count(*) >= 2
+        ), hits AS (
+            SELECT p.doc_id, p.pos, p.pos + 4 AS e
+            FROM pos p JOIN dup USING (shingle)
+        ), flagged AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS is_new
+            FROM hits
+        ), grouped AS (
+            SELECT doc_id, pos, e,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(e) AS BIGINT) AS span_end,
+               CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+        FROM grouped GROUP BY doc_id, span_id
+        ORDER BY doc_id, span_start
+    """,
     # the LSH scale path, candidate-for-candidate (deterministic planes)
     "dedup_embedding_lsh": _emb_lsh_oracle_sql(),
     # md5-derived signatures ⇒ cross-engine simhash; banding is exact

@@ -958,6 +958,17 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+def _dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup: maximal token spans whose every
+    5-gram also appears in another document — the duplicated-passage
+    detector one granularity below whole-document near-dup mining."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    return dedup.duplicated_spans(
+        load_parallel(spark, sf_dir, "documents"), k=5, min_docs=2
+    ).orderBy("doc_id", "span_start")
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
@@ -1637,8 +1648,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "corpus_curation_pipeline": _corpus_curation_pipeline,
-    # --- round-2-green re-verification filling the window to 50 ---
-    "io_parquet_roundtrip": _io_parquet_roundtrip,
+    "dedup_duplicated_spans": _dedup_duplicated_spans,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Every entry below is
     # round-2 driver-green (see CORRECTNESS_r02.json) and exercises code
@@ -1653,6 +1663,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed code must be placed above, displacing a stable entry. ---
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
+    "io_parquet_roundtrip": _io_parquet_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
     "events_asof_signup": _events_asof_signup,

@@ -50,6 +50,42 @@ class TestDedup:
         for i in range(3):
             assert any(a == i and b == i + 100000 for a, b in found)
 
+    def test_duplicated_spans_finds_shared_passage(self, spark):
+        # two docs share an 8-token passage (≥ k=5 ⇒ detectable), one
+        # doc is fully unique; spans must be maximal and positioned
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro one two {shared} outro aaa bbb"),
+                (2, f"{shared} completely different tail here now"),
+                (3, "nothing in common with anybody else at all ever"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+            for r in dedup.duplicated_spans(docs, k=5).collect()
+        }
+        # doc 1: shared passage occupies tokens 3..10; doc 2: tokens 0..7
+        assert spans[1] == (3, 10, 8)
+        assert spans[2] == (0, 7, 8)
+        assert 3 not in spans
+
+    def test_duplicated_spans_merges_adjacent_windows(self, spark):
+        # a long shared run must come back as ONE maximal span, not one
+        # span per overlapping 5-gram window
+        text = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(1, text + " unique1 only1"), (2, text + " other2 stuff2")],
+            "doc_id long, text string",
+        )
+        rows = dedup.duplicated_spans(docs, k=5).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert all(len(v) == 1 for v in per_doc.values())
+        assert all(v[0]["span_tokens"] == 20 for v in per_doc.values())
+
     def test_cluster_pairs_transitive(self, spark):
         # chain 1-2, 2-3 plus isolated pair 10-11 → clusters {1,2,3} and {10,11}
         pairs = spark.createDataFrame(

@@ -29,7 +29,8 @@ def test_rows_only_set_is_intentional():
 ROUND2_GREEN = {
     # the round-2 driver window (CORRECTNESS_r02.json), minus entries
     # moved back INTO the round-3 window (changed code or re-verify)
-    "dedup_exact", "dedup_normalized", "db_jdbc_roundtrip",
+    "dedup_exact", "dedup_normalized", "io_parquet_roundtrip",
+    "db_jdbc_roundtrip",
     "events_hourly_spikes", "events_asof_signup", "events_error_click_window",
     "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
     "ann_ivf_topk", "text_token_count", "text_quality_score",
@@ -60,6 +61,7 @@ ROUND3_NEW_OR_CHANGED = {
     "embedding_curation_pipeline",  # composes the changed embedding miner
     "dedup_minhash_lsh",            # AQE verify-join rework
     "dedup_lsh_corpus",             # composes the reworked miner
+    "dedup_duplicated_spans",       # new operator (substring-span dedup)
     "orders_value_deciles",         # global-window → percentile rewrite
 }
 
