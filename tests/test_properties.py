@@ -181,3 +181,48 @@ def test_hash_sample_is_stable_subset_chain(spark, ids):
     shuffled = df.repartition(7)
     again = {r["doc_id"] for r in sampling.hash_sample(shuffled, 0.3).collect()}
     assert again == small
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicated_spans_matches_bruteforce(spark, docs):
+    """duplicated_spans vs an obviously-correct single-node reference:
+    k-grams with positions, cross-doc df >= 2, interval union with the
+    gap-adjacency merge rule. A 5-word vocabulary makes duplicated
+    k-grams dense, hitting overlap/adjacency/merge edges constantly."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    k = 3
+    sdf = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicated_spans(sdf, k=k).collect()
+    }
+
+    grams = {}  # gram -> set of docs
+    positions = {}  # doc -> [pos...]
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p : p + k])
+            grams.setdefault(g, set()).add(i)
+            positions.setdefault(i, []).append((p, g))
+    expected = set()
+    for i, plist in positions.items():
+        dup_pos = sorted(p for p, g in plist if len(grams[g]) >= 2)
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        for s, e in spans:
+            expected.add((i, s, e, e - s + 1))
+    assert got == expected
