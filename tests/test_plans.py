@@ -253,3 +253,13 @@ class TestPlanAudits:
             QUERIES["dedup_embedding_incremental"](spark, "/root/testdata/sf0.001")
         )
         assert_no_cartesian(QUERIES["dedup_incremental"](spark, "/root/testdata/sf0.001"))
+
+    def test_text_dedup_miners_have_no_cartesian(self, spark):
+        # every text-dedup candidate generator must be an equi-join
+        # (shingle / band-bucket / span keys) — no all-pairs physical
+        # join anywhere in the registered plans
+        from aws_data_wrangler_spark.plans import QUERIES
+        from aws_data_wrangler_spark.plans.audit import assert_no_cartesian
+
+        for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_duplicated_spans"):
+            assert_no_cartesian(QUERIES[name](spark, "/root/testdata/sf0.001"))
