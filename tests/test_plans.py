@@ -254,6 +254,27 @@ class TestPlanAudits:
         )
         assert_no_cartesian(QUERIES["dedup_incremental"](spark, "/root/testdata/sf0.001"))
 
+    def test_deciles_nested_loop_is_single_row_bounded(self, spark):
+        # orders_value_deciles intentionally plans ONE BNLJ whose build
+        # side is the single-row percentile aggregate (a global agg
+        # behind Exchange SinglePartition) — a constant-size broadcast,
+        # not an all-pairs join. Pin that shape so a regression to a
+        # corpus-sized nested loop (or back to the global ntile window)
+        # fails loudly.
+        from aws_data_wrangler_spark.plans import QUERIES
+        from aws_data_wrangler_spark.plans.audit import (
+            assert_no_global_window,
+            plan_summary,
+        )
+
+        df = QUERIES["orders_value_deciles"](spark, "/root/testdata/sf0.001")
+        s = plan_summary(df)
+        assert s["cartesian_products"] == 0
+        assert s["broadcast_nested_loop_joins"] == 1
+        # the broadcast input must be the aggregated (1-row) side
+        assert "percentile" in s["plan"]
+        assert_no_global_window(df)
+
     def test_text_dedup_miners_have_no_cartesian(self, spark):
         # every text-dedup candidate generator must be an equi-join
         # (shingle / band-bucket / span keys) — no all-pairs physical
