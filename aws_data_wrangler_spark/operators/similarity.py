@@ -224,6 +224,113 @@ def lsh_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (SQ8):
+    (id, codes array<int> in [-127, 127], scale double).
+
+    ``x̂_i = codes_i * scale`` reconstructs the vector;
+    ``scale = max|x| / 127``. A pure projection — no shuffle, no
+    Python — that shrinks a float32 corpus ~4× (64 B codes + one scale
+    per 64-dim vector), the memory lever that keeps a 100 TB embedding
+    corpus cacheable for repeated ANN probes. Zero vectors quantize to
+    all-zero codes with scale 0.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    codes = F.when(
+        max_abs > 0,
+        F.transform(vec, lambda x: F.round(x * F.lit(127.0) / max_abs).cast("int")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0))).alias("codes")
+    return df.select(F.col(id_col), codes, scale)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantized: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Two-stage ANN over an SQ8-quantized corpus:
+    (query_id, neighbor_id, rank, cosine).
+
+    Stage 1 scans the int8 codes (4× smaller than the float corpus)
+    and scores every vector with the RECONSTRUCTED cosine — integer
+    codes × per-vector scale, all in JVM codegen — keeping the top
+    ``k * rescore_factor`` per query. Stage 2 rescores only those
+    candidates against the full-precision vectors (semi-join by id)
+    and emits the exact-cosine top-k, so quantization error can only
+    cost recall in the stage-1 cut, never wrong final scores. The
+    production shape: ``quantized=`` takes a pre-materialized
+    ``quantize_embeddings`` table (the persisted artifact) so the
+    float corpus is touched only for the tiny rescore set.
+    """
+    if quantized is None:
+        quantized = quantize_embeddings(corpus, id_col, vec_col)
+    q = F.broadcast(_with_norm(queries, id_col, vec_col, "q"))
+    # reconstructed corpus vector: codes*scale; its norm folds the
+    # scale out of the sum — |x̂| = scale * |codes|
+    code_norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("codes"), lambda c: c.cast("double") * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    c = quantized.select(
+        F.col(id_col).alias("c_id"),
+        F.col("codes"),
+        F.col("scale"),
+        (F.col("scale") * code_norm).alias("c_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("codes"), lambda x, cc: x * cc.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) * F.col("scale")
+    approx = (
+        c.crossJoin(q)
+        .filter((F.col("q_id") != F.col("c_id")) & (F.col("c_norm") > 0))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (dot / (F.col("q_norm") * F.col("c_norm"))).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rescore_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore: full-precision vectors for the shortlist only
+    cv = _with_norm(corpus, id_col, vec_col, "c")
+    rescored = (
+        shortlist.join(cv, shortlist.neighbor_id == cv.c_id)
+        .join(q, shortlist.query_id == F.col("q_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     num_centroids: int = 16,

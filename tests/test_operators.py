@@ -480,6 +480,52 @@ class TestSimilarity:
         # regime for hyperplane LSH; 8x4-bit tables ⇒ modest recall
         assert len(a & e) / len(e) >= 0.4
 
+    def test_sq8_quantize_reconstruction_error_bounded(self, spark, embeddings):
+        # symmetric int8: |x - code*scale| <= scale/2 = max|x|/254 per
+        # component; zero vectors quantize cleanly
+        from pyspark.sql import Row
+
+        sample = embeddings.limit(20)
+        q = similarity.quantize_embeddings(sample)
+        joined = sample.join(q, "vec_id").collect()
+        for r in joined:
+            scale = r["scale"]
+            for x, c in zip(r["embedding"], r["codes"]):
+                assert abs(c) <= 127
+                assert abs(float(x) - c * scale) <= scale / 2 + 1e-12
+        zero = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[0.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        zr = similarity.quantize_embeddings(zero).collect()[0]
+        assert zr["scale"] == 0.0 and all(c == 0 for c in zr["codes"])
+
+    def test_sq8_topk_recall_with_rescoring(self, spark, embeddings):
+        # stage-1 int8 shortlist + exact rescore: recall@5 vs brute
+        # force must stay high, and FINAL scores must be exact-cosine
+        # (never the quantized approximation)
+        queries = embeddings.filter("vec_id < 10")
+        exact = similarity.cosine_topk(embeddings, queries, k=5)
+        sq8 = similarity.sq8_topk(embeddings, queries, k=5, rescore_factor=3)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in sq8.collect()}
+        assert len(a & e) / len(e) >= 0.9
+        exact_scores = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+        }
+        for r in sq8.collect():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_scores:
+                assert r["cosine"] == exact_scores[key]
+
+    def test_sq8_topk_accepts_prequantized_corpus(self, spark, embeddings):
+        # the production shape: quantized table materialized once
+        queries = embeddings.filter("vec_id < 5")
+        qt = similarity.quantize_embeddings(embeddings).cache()
+        a = similarity.sq8_topk(embeddings, queries, k=3, quantized=qt).collect()
+        b = similarity.sq8_topk(embeddings, queries, k=3).collect()
+        qt.unpersist()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
     def test_ivf_recall(self, spark, embeddings):
         queries = embeddings.filter("vec_id < 10")
         exact = similarity.cosine_topk(embeddings, queries, k=5)
