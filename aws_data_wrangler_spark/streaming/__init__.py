@@ -427,6 +427,103 @@ def dedup_stream_against_corpus(
     return fresh.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def dedup_growing_corpus_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    out_path: str,
+    keys: list,
+) -> None:
+    """One micro-batch of the growing-corpus dedup: drop rows whose key
+    the corpus snapshot already holds, land the survivors, append their
+    keys as the next corpus snapshot.
+
+    Exactly-once on retry, twice over: an already-committed batch id
+    (snapshot marker) is skipped outright, and the per-batch output
+    directory (``batch=<id>``) is overwrite-idempotent — a re-run
+    against the same corpus version deterministically rewrites the same
+    rows.
+    """
+    if not batch_df.take(1):
+        return
+    spark_b = batch_df.sparkSession
+    version = _latest_snapshot_version(corpus_path, spark_b)
+    if version >= 0 and _snapshot_batch_id(corpus_path, version, spark_b) == batch_id:
+        return
+    current = (
+        spark_b.read.parquet(f"{normalize_path(corpus_path)}/v={version}")
+        if version >= 0
+        else None
+    )
+    batch_first = batch_df.dropDuplicates(keys)
+    fresh = (
+        batch_first
+        if current is None
+        else batch_first.join(F.broadcast(current), on=keys, how="left_anti")
+    )
+    fresh.write.mode("overwrite").parquet(f"{normalize_path(out_path)}/batch={batch_id}")
+    new_keys = (
+        fresh.select(*keys)
+        if current is None
+        else current.unionByName(fresh.select(*keys))
+    )
+    snapshot = f"{normalize_path(corpus_path)}/v={version + 1}"
+    new_keys.write.mode("overwrite").parquet(snapshot)
+    _write_snapshot_batch_id(snapshot, batch_id, spark_b)
+
+
+def dedup_growing_corpus_sink(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: Optional[list] = None,
+    seed_corpus_keys: Optional[DataFrame] = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Self-MAINTAINING streaming corpus dedup: each micro-batch drops
+    rows whose key the corpus has already seen — across ALL prior
+    batches, not just a static snapshot — and the survivors' keys
+    become corpus state for the next batch. This is the production
+    ingest loop (`dedup_stream_against_corpus` covers the static-corpus
+    tier; here the corpus grows with every accepted row).
+
+    Corpus state is a versioned-snapshot parquet key table (same
+    snapshot-isolation + batch-id-marker machinery as ``upsert_sink``),
+    so a restarted or retried micro-batch never re-admits duplicates
+    and never double-lands output. ``seed_corpus_keys`` preloads an
+    existing corpus (v=0). Returns the landed (first-occurrence-only)
+    rows; read the final key set with ``read_upsert_table`` on
+    ``<target>/corpus_keys``. At scale the per-batch cost is one
+    broadcast (or bucketed) anti-join of batch×corpus-keys plus an
+    append-sized snapshot write — the 100 TB side (full row payloads)
+    is only ever written once, on first occurrence.
+    """
+    keys = key_cols or ["fingerprint"]
+    base = normalize_path(target_path)
+    corpus_path = f"{base}/corpus_keys"
+    out_path = f"{base}/accepted"
+    spark = stream.sparkSession
+    if seed_corpus_keys is not None and _latest_snapshot_version(corpus_path, spark) < 0:
+        snapshot = f"{corpus_path}/v=0"
+        seed_corpus_keys.select(*keys).distinct().write.mode("overwrite").parquet(snapshot)
+        _write_snapshot_batch_id(snapshot, -1, spark)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_growing_corpus_batch(batch_df, batch_id, corpus_path, out_path, keys)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    from aws_data_wrangler_spark.s3 import does_object_exist
+
+    if not does_object_exist(out_path, spark=spark):
+        return stream.sparkSession.createDataFrame([], stream.schema)
+    return spark.read.parquet(out_path)
+
+
 def session_window_rollup(
     df: DataFrame,
     gap: str = "30 minutes",

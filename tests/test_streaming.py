@@ -278,3 +278,87 @@ class TestUpsertSink:
             (r["k"], r["v"]) for r in streaming.read_upsert_table(target, spark).collect()
         }
         assert rows == {(1, 999), (2, 200)}
+
+
+class TestGrowingCorpusDedup:
+    def test_cross_batch_first_occurrence_only(self, spark, events, tmp_prefix):
+        # two micro-batches with overlapping fingerprints: a key seen in
+        # batch 0 must NOT be re-emitted by batch 1, and the corpus key
+        # table must grow to the union of accepted keys
+        from aws_data_wrangler_spark import streaming
+
+        keyed = events.withColumn(
+            "fingerprint", F.md5(F.concat_ws("|", "event_type", "user_id"))
+        )
+        median = keyed.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+        early = keyed.filter(F.unix_micros("ts") <= median).coalesce(1)
+        late = keyed.filter(F.unix_micros("ts") > median).coalesce(1)
+        src = f"{tmp_prefix}/grow_src"
+        early.write.mode("overwrite").parquet(src)
+        late.write.mode("append").parquet(src)
+
+        stream = streaming.read_event_stream(src, spark=spark, maxFilesPerTrigger="1")
+        stream = stream.withColumn(
+            "fingerprint", F.md5(F.concat_ws("|", "event_type", "user_id"))
+        )
+        target = f"{tmp_prefix}/growing"
+        accepted = streaming.dedup_growing_corpus_sink(
+            stream, target, key_cols=["fingerprint"]
+        )
+        rows = accepted.select("fingerprint").collect()
+        fps = [r["fingerprint"] for r in rows]
+        # exactly one accepted row per distinct key, across ALL batches
+        assert len(fps) == len(set(fps))
+        assert set(fps) == {
+            r["fingerprint"] for r in keyed.select("fingerprint").distinct().collect()
+        }
+        # corpus key table holds the union
+        corpus = streaming.read_upsert_table(f"{target}/corpus_keys", spark=spark)
+        assert {r["fingerprint"] for r in corpus.collect()} == set(fps)
+
+    def test_seed_corpus_suppresses_known_keys(self, spark, events, tmp_prefix):
+        from aws_data_wrangler_spark import streaming
+
+        keyed = events.withColumn(
+            "fingerprint", F.md5(F.concat_ws("|", "event_type", "user_id"))
+        )
+        seed = keyed.select("fingerprint").distinct().limit(20)
+        seed_keys = {r["fingerprint"] for r in seed.collect()}
+        src = f"{tmp_prefix}/seed_src"
+        keyed.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = streaming.read_event_stream(src, spark=spark).withColumn(
+            "fingerprint", F.md5(F.concat_ws("|", "event_type", "user_id"))
+        )
+        target = f"{tmp_prefix}/seeded"
+        accepted = streaming.dedup_growing_corpus_sink(
+            stream, target, key_cols=["fingerprint"], seed_corpus_keys=seed
+        )
+        got = {r["fingerprint"] for r in accepted.select("fingerprint").collect()}
+        assert got.isdisjoint(seed_keys)
+        all_keys = {r["fingerprint"] for r in keyed.select("fingerprint").distinct().collect()}
+        assert got == all_keys - seed_keys
+
+    def test_replayed_batch_id_is_skipped(self, spark, tmp_prefix):
+        # retry semantics: re-running an already-committed batch id must
+        # neither re-land rows nor grow the corpus
+        from aws_data_wrangler_spark import streaming
+
+        batch = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (2, "b")], "id long, fingerprint string"
+        )
+        corpus = f"{tmp_prefix}/retry/corpus_keys"
+        out = f"{tmp_prefix}/retry/accepted"
+        streaming.dedup_growing_corpus_batch(batch, 0, corpus, out, ["fingerprint"])
+        first = spark.read.parquet(out).count()
+        assert first == 2  # intra-batch dup collapsed
+        streaming.dedup_growing_corpus_batch(batch, 0, corpus, out, ["fingerprint"])
+        assert spark.read.parquet(out).count() == 2
+        assert streaming._latest_snapshot_version(corpus, spark) == 0
+        # a NEW batch with one overlapping + one fresh key
+        nxt = spark.createDataFrame([(3, "b"), (4, "c")], "id long, fingerprint string")
+        streaming.dedup_growing_corpus_batch(nxt, 1, corpus, out, ["fingerprint"])
+        accepted = spark.read.parquet(out)
+        assert {r["fingerprint"] for r in accepted.collect()} == {"a", "b", "c"}
+        assert accepted.count() == 3
+        keys = streaming.read_upsert_table(corpus, spark=spark)
+        assert {r["fingerprint"] for r in keys.collect()} == {"a", "b", "c"}
