@@ -964,3 +964,64 @@ class TestTimeseries:
         assert [r["filled_avg"] for r in a_rows] == [10.0, 10.0, 10.0, 20.0]
         b_rows = [r for r in out if r["event_type"] == "b"]
         assert len(b_rows) == 1 and b_rows[0]["filled_avg"] == 5.0
+
+
+class TestBPE:
+    def test_train_bpe_matches_hand_computed_merges(self, spark):
+        # classic Sennrich example shape: 'low'x5 'lower'x2 'newest'x6
+        # 'widest'x3 — first merges are the highest-frequency adjacent
+        # pairs over the weighted word table
+        from aws_data_wrangler_spark.operators import bpe
+
+        text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        merges = bpe.train_bpe(docs, num_merges=4)
+        # reference implementation on the same word counts
+        words = {
+            tuple("low") + (bpe.EOW,): 5,
+            tuple("lower") + (bpe.EOW,): 2,
+            tuple("newest") + (bpe.EOW,): 6,
+            tuple("widest") + (bpe.EOW,): 3,
+        }
+        expected = []
+        for _ in range(4):
+            counts = {}
+            for syms, f in words.items():
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] = counts.get(pair, 0) + f
+            top = max(counts.values())
+            pair = min(p for p, c in counts.items() if c == top)
+            expected.append(pair)
+            words = {bpe._merge_pair(s, pair): f for s, f in words.items()}
+        assert merges == expected
+
+    def test_apply_bpe_reconstructs_words(self, spark, documents):
+        # lossless property: concatenating a word's subwords (minus the
+        # EOW marker) reconstructs the word, for every doc
+        from aws_data_wrangler_spark.operators import bpe
+
+        docs = documents.limit(30)
+        merges = bpe.train_bpe(docs, num_merges=40)
+        encoded = bpe.apply_bpe(docs, merges)
+        joined = {r["doc_id"]: r["bpe_tokens"] for r in encoded.collect()}
+        for r in docs.select("doc_id", "text").collect():
+            toks = joined[r["doc_id"]]
+            rebuilt = "".join(toks).replace(bpe.EOW, " ").strip()
+            assert rebuilt == " ".join(r["text"].strip().lower().split())
+
+    def test_merges_compress_token_count(self, spark, documents):
+        # more merges => fewer subword tokens, floored at word count
+        from aws_data_wrangler_spark.operators import bpe
+
+        docs = documents.limit(40)
+        none = bpe.apply_bpe(docs, [])
+        some = bpe.apply_bpe(docs, bpe.train_bpe(docs, num_merges=60))
+        n0 = none.agg(F.sum("n_bpe_tokens")).first()[0]
+        n1 = some.agg(F.sum("n_bpe_tokens")).first()[0]
+        assert n1 < n0
+
+    def test_vocab_guard_raises_with_guidance(self, spark, documents):
+        from aws_data_wrangler_spark.operators import bpe
+
+        with pytest.raises(ValueError, match="min_frequency"):
+            bpe.train_bpe(documents.limit(50), num_merges=2, max_vocab_rows=5)
