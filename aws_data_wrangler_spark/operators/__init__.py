@@ -6,6 +6,7 @@ layer.
 """
 
 from aws_data_wrangler_spark.operators import (  # noqa: F401
+    bpe,
     dedup,
     joins,
     multimodal,
@@ -15,4 +16,13 @@ from aws_data_wrangler_spark.operators import (  # noqa: F401
     timeseries,
 )
 
-__all__ = ["dedup", "joins", "multimodal", "sampling", "similarity", "text", "timeseries"]
+__all__ = [
+    "bpe",
+    "dedup",
+    "joins",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "text",
+    "timeseries",
+]

@@ -81,11 +81,23 @@ def word_shingles(
     text_col: str = "text",
     n: int = 3,
     max_doc_frequency: Optional[int] = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct (id, shingle) pairs of ``n``-word shingles.
 
     ``max_doc_frequency`` drops shingles appearing in more than that
     many documents — the fan-out/skew control for the self-join phase.
+
+    ``hashed=True`` represents each shingle as a 64-bit
+    ``xxhash64(tok_1, …, tok_n)`` instead of the concatenated string:
+    no per-shingle string allocation, cheaper downstream set ops
+    (long arrays vs string arrays), and the MinHash signature can use
+    the value directly as its hash base. Shingle identity then carries
+    a ~n_shingles²/2⁶⁴ collision probability per compared pair —
+    vanishing in practice, and a collision would surface loudly as an
+    exact-verify/oracle mismatch, never silently. The string form
+    remains the default for operators whose oracle intersects literal
+    shingle strings.
     """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     # tokenize in its OWN projection: the lambda below references the
@@ -96,7 +108,15 @@ def word_shingles(
     base = df.filter(F.size(tokens) >= n).select(F.col(id_col), tokens.alias("__toks"))
     t = F.col("__toks")
     idx = F.sequence(F.lit(0), F.size(t) - n)
-    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    if hashed:
+        shingle = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    else:
+        shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
     # array_distinct dedups within the doc BEFORE the explode, so the
     # exploded (id, shingle) pairs are already unique — no global
     # distinct shuffle needed
@@ -188,6 +208,7 @@ def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 64,
+    prehashed: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: (id, sig array<bigint>).
 
@@ -195,9 +216,12 @@ def minhash_signatures(
     xxhash64(shingle)`` — the variable-length string is hashed ONCE and
     the k permutations re-hash the 8-byte base, so per-slot cost is
     constant instead of O(|shingle|). One JVM projection + one groupBy
-    (map-side partial min), no Python.
+    (map-side partial min), no Python. With ``prehashed=True`` the
+    shingle column already IS the 64-bit base
+    (``word_shingles(hashed=True)``) and is used directly.
     """
-    based = shingles.withColumn("__base", F.xxhash64(F.col("shingle")))
+    base = F.col("shingle") if prehashed else F.xxhash64(F.col("shingle"))
+    based = shingles.withColumn("__base", base)
     mins = [
         F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -268,8 +292,13 @@ def minhash_corpus_state(
     sets inconsistent — deflating the verified Jaccard below its true
     value exactly at the decision boundary.
     """
-    shingles = word_shingles(corpus_df, id_col, text_col, n, None)
-    band_rows = _banded_rows(minhash_signatures(shingles, id_col, num_hashes), id_col, num_hashes, bands)
+    shingles = word_shingles(corpus_df, id_col, text_col, n, None, hashed=True)
+    band_rows = _banded_rows(
+        minhash_signatures(shingles, id_col, num_hashes, prehashed=True),
+        id_col,
+        num_hashes,
+        bands,
+    )
     return MinHashCorpusState(shingles, band_rows, n, num_hashes, bands)
 
 
@@ -338,7 +367,18 @@ def minhash_lsh_incremental(
             # legacy bare (shingles, band_rows) pair: accepted but
             # unvalidatable — the caller owns parameter consistency
             sh_corpus, bands_corpus = corpus_state
-    sh_new = word_shingles(new_df, id_col, text_col, n, None).cache()
+        # shingle identity is a 64-bit hash since round 3: a persisted
+        # string-shingle state from an older build would silently
+        # intersect to nothing against the hashed batch side — reject it
+        from pyspark.sql import types as _T
+
+        if not isinstance(sh_corpus.schema["shingle"].dataType, _T.LongType):
+            raise ValueError(
+                "corpus_state holds string shingles (pre-hashed-shingle format); "
+                "rebuild it with minhash_corpus_state — a mixed-format reuse "
+                "would yield empty intersections, not an error"
+            )
+    sh_new = word_shingles(new_df, id_col, text_col, n, None, hashed=True).cache()
     # the band tables are each joined exactly once (bipartite bucket
     # join) → no cache; candidates back three downstream references →
     # cache, populated on the result's first action. The live caches
@@ -347,7 +387,10 @@ def minhash_lsh_incremental(
     # consumed (the ingest-loop hygiene contract); caller-provided
     # corpus_state is the caller's to manage.
     bands_new = _banded_rows(
-        minhash_signatures(sh_new, id_col, num_hashes), id_col, num_hashes, bands
+        minhash_signatures(sh_new, id_col, num_hashes, prehashed=True),
+        id_col,
+        num_hashes,
+        bands,
     )
     candidates = (
         bands_new.toDF("new_id", "band", "bucket")
@@ -445,8 +488,8 @@ def minhash_lsh_pairs(
     out, and the band join's fan-out is bounded by banding itself, so
     the cap would add a groupBy+semi-join shuffle for no scale benefit.
     """
-    shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency).cache()
-    sig = minhash_signatures(shingles, id_col, num_hashes)
+    shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency, hashed=True).cache()
+    sig = minhash_signatures(shingles, id_col, num_hashes, prehashed=True)
     # cache the banded table: ``bands`` rows per doc (MBs per
     # million docs). The band self-join references this subplan through
     # *renamed* (toDF) branches, which canonicalize to different
