@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, all shuffle-disciplined for 100 TB:
+Six strategies, all shuffle-disciplined for 100 TB:
 
 - exact / normalized: one hash-groupBy (map-side partial agg) — the
   cheapest possible plan; no pair materialization ever.
@@ -12,12 +12,18 @@ Five strategies, all shuffle-disciplined for 100 TB:
 - MinHash + LSH: per-doc signature via k independent hash slots
   (xxhash64, JVM codegen), banded; candidate pairs from equi-join on
   (band, band-hash) buckets, then *verified* with exact Jaccard —
-  output precision 1.0, recall governed by (bands, rows).
+  output precision 1.0, recall governed by (bands, rows). Incremental
+  batch-vs-corpus variant with a persistable corpus-state artifact
+  and per-batch cache-hygiene (``release_batch_state``).
 - SimHash: 64-bit signature from per-token hash bit votes; candidate
   pairs via 4×16-bit band pigeonhole (hamming ≤ 3 ⇒ some band equal),
   verified with ``bit_count(xor) <= k``.
-- embedding cosine: exact pair mining above a cosine threshold
-  (see similarity.py for the ANN/LSH scale path).
+- exact substring spans (``duplicated_spans``): maximal cross-document
+  duplicated token runs — the passage-level tier below whole-document
+  mining.
+- embedding cosine: pair mining above a cosine threshold; lossless
+  exact default, LSH-bucketed / blocked-GEMM engines opt-in (see
+  similarity.py for the ANN scale path).
 
 No driver-side collect anywhere; everything is a DataFrame plan.
 """

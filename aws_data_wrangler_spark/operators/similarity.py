@@ -1,11 +1,14 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Three tiers, trading recall for cost:
+Four tiers, trading recall for cost:
 
 - ``cosine_topk``: brute-force exact top-k. The query set is small and
   broadcast; the corpus is scanned once, linearly, with all vector
   math in JVM codegen (`zip_with`/`aggregate`) — at 100 TB this is a
   single map stage + a top-k-per-query aggregation (no global sort).
+- ``sq8_topk``: int8 scalar-quantized coarse scan (~4× smaller corpus)
+  + exact-cosine rescoring of the shortlist — final scores are never
+  approximate.
 - ``lsh_topk``: random-hyperplane LSH — sign-bit bucket equi-join
   prunes the corpus to same/near buckets before exact scoring.
 - ``ivf_topk``: IVF — a k-means coarse quantizer (trained
