@@ -10,6 +10,7 @@ from aws_data_wrangler_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    profiling,
     sampling,
     similarity,
     text,
@@ -21,6 +22,7 @@ __all__ = [
     "dedup",
     "joins",
     "multimodal",
+    "profiling",
     "sampling",
     "similarity",
     "text",

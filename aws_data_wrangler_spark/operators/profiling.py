@@ -1,0 +1,96 @@
+"""Dataset profiling operators — the pre-flight checks of a 100 TB run.
+
+Before shuffling a petabyte on a join key you want to KNOW whether the
+key is skewed, how many nulls ride along, and how wide the hot keys
+are. These operators answer that with aggregation-only plans (hash
+aggregates with map-side partials; the heavy-hitter cut is a top-n
+over the already-tiny per-key count table), so profiling costs one
+scan regardless of input size.
+
+Ref: awswrangler exposes no profiling surface (its `s3.describe_objects`
+/ `catalog.table` describe metadata, not data); these extend the
+engine the way `df.describe()` extends pandas — but shuffle-aware.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark.functions import trunc_digits
+
+
+def key_distribution(
+    df: DataFrame,
+    key_cols: List[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/groupBy key:
+    (key..., n, share, cum_share, rank) for the ``top_n`` hottest keys.
+
+    ``share`` is the key's fraction of all rows and ``cum_share`` the
+    running total in rank order — the two numbers that decide between
+    a plain shuffle join, AQE skew handling, or salting. One hash
+    aggregate over the scan; the window runs on the top-n rows only
+    (the per-key table is cut to ``top_n`` by a count-ordered limit
+    BEFORE the single-partition ranking window, so no corpus-sized
+    data ever converges on one task).
+
+    Ratios floor-truncate at 6dp so a second engine reproduces them.
+    """
+    total = df.count()
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    order = [F.col("n").desc()] + [F.col(c).asc() for c in key_cols]
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("share", trunc_digits(F.col("n") / F.lit(float(total))))
+        .withColumn(
+            "cum_share",
+            trunc_digits(
+                F.sum(F.col("n")).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.lit(float(total))
+            ),
+        )
+        .select(*key_cols, "n", "rank", "share", "cum_share")
+    )
+
+
+def null_profile(df: DataFrame, cols: Optional[List[str]] = None) -> DataFrame:
+    """Per-column null/distinct profile: (column, n_rows, n_null,
+    null_share, n_distinct). One aggregation pass over the scan —
+    every column's counters are computed in the same hash aggregate,
+    then unpivoted driver-side (column-cardinality rows, not data).
+
+    ``n_distinct`` is exact (count distinct per column in one pass via
+    expand); for quick looks on very wide tables pass ``cols`` to
+    bound the expand factor.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.lit(1)).alias(f"__rows_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"__nonnull_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__distinct_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            row[f"__rows_{c}"],
+            row[f"__rows_{c}"] - row[f"__nonnull_{c}"],
+            float(row[f"__rows_{c}"] - row[f"__nonnull_{c}"]) / row[f"__rows_{c}"]
+            if row[f"__rows_{c}"]
+            else 0.0,
+            row[f"__distinct_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out, "column string, n_rows bigint, n_null bigint, null_share double, n_distinct bigint"
+    ).withColumn("null_share", trunc_digits(F.col("null_share")))

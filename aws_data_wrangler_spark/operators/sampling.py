@@ -126,6 +126,71 @@ def fixed_size_sample(
     return pool.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
 
 
+def temperature_fractions(
+    counts: Dict[str, int],
+    alpha: float = 0.5,
+    target_rows: Optional[int] = None,
+) -> Dict[str, float]:
+    """Temperature-flattened mixture weights → per-stratum keep fractions.
+
+    The standard multilingual/multi-source rebalancing rule (e.g.
+    mT5/XLM-R data sampling): stratum s is drawn with probability
+    ``w_s ∝ n_s**alpha`` — ``alpha=1`` preserves the natural mix,
+    ``alpha=0`` is uniform over strata, ``alpha=0.5`` flattens the
+    head and boosts the tail. Given a ``target_rows`` total (default:
+    half the corpus), the per-stratum Bernoulli keep fraction is
+    ``min(1, target_rows * w_s / n_s)``.
+
+    Deterministic on any engine: weights are computed driver-side from
+    the (tiny) per-stratum count table, summed in sorted-stratum order
+    so the float total is reproducible bit-for-bit; pass the result to
+    ``stratified_sample`` for the hash-coin filter.
+    """
+    import math
+
+    ordered = sorted(counts.items())
+    weights = {
+        s: (math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha)
+        for s, n in ordered
+    }
+    total_w = 0.0
+    for s, _ in ordered:
+        total_w += weights[s]
+    total_n = sum(n for _, n in ordered)
+    if target_rows is None:
+        target_rows = total_n // 2
+    return {
+        s: min(1.0, (target_rows * weights[s]) / (total_w * n)) for s, n in ordered
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    target_rows: Optional[int] = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling in one pass + one tiny agg.
+
+    The per-stratum count aggregate is the only corpus-scale step (a
+    hash aggregate with map-side partials, collected at
+    stratum-cardinality size — strata are domains/languages/sources,
+    not rows); the keep filter is a codegen'd CASE fused into the
+    scan. At 100 TB this is exactly the shape of a production data-mix
+    pass: one count job, then an embarrassingly-parallel filter.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fractions = temperature_fractions(counts, alpha, target_rows)
+    return stratified_sample(
+        df, fractions, strata_col=strata_col, id_col=id_col, salt=salt
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: Dict[str, int],

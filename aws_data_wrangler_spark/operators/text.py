@@ -50,6 +50,63 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style heuristic document-quality gate (Rae et al. 2021
+    §A1.1 rules, re-expressed as codegen'd expressions): word count
+    bounds, mean word length band, symbol-to-word ratio, fraction of
+    words containing an alphabetic character, and a minimum stopword
+    hit count. Emits the per-rule features plus the composite
+    ``gopher_keep`` flag — a FLAG, not a filter, so pipelines can
+    audit what a threshold change would drop before applying it.
+
+    Pure ``pyspark.sql.functions`` (one projection over the scan, no
+    shuffle, no Python); every ratio is floor-truncated at 6dp and the
+    keep decision compares the truncated values, so a second engine
+    reproduces both features and decision bit-for-bit.
+    """
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    words = F.split(trimmed, r"\s+")
+    n_words = _ws_token_count(text).cast("double")
+    # non-whitespace chars / words = mean word length
+    word_chars = F.length(F.regexp_replace(trimmed, r"\s", "")).cast("double")
+    mean_word_len = trunc_digits(
+        F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+    alpha_ratio = trunc_digits(
+        F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    )
+    symbols = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#"), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    ).cast("double")
+    symbol_ratio = trunc_digits(
+        F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    )
+    stop_pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    stop_hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(stop_pattern), 0))
+    keep = (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 12.0)
+        & (symbol_ratio < 0.1)
+        & (alpha_ratio > 0.6)
+        & (stop_hits >= 2)
+    )
+    return df.withColumns(
+        {
+            "gopher_words": n_words.cast("bigint"),
+            "gopher_mean_word_len": mean_word_len,
+            "gopher_alpha_ratio": alpha_ratio,
+            "gopher_symbol_ratio": symbol_ratio,
+            "gopher_stop_hits": stop_hits.cast("bigint"),
+            "gopher_keep": keep,
+        }
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality features and
     a composite score in [0, 1]. All arithmetic in double so the

@@ -96,6 +96,103 @@ def _lsh_ann_oracle_sql(
     """
 
 
+def _arrow_ann_oracle_sql(k: int = 5) -> str:
+    """Oracle for the BLAS-matmul brute-force ANN: sequential-sum exact
+    cosines stand in for the matmul (difference ~1e-15), the top-k cut
+    uses the shared 6dp truncation, and the OUTPUT truncates at 4dp
+    with the rank recomputed over the truncated values — so the only
+    mismatch channel left is a true cosine within 1e-15 of a 1e-6
+    truncation boundary at the membership cut (odds ~1e-7/run)."""
+    return f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COSINE.format(a='q', b='c')} AS cosine
+            FROM q, embeddings c
+            WHERE c.vec_id <> q.vec_id
+        ), picked AS (
+            SELECT query_id, neighbor_id,
+                   floor(cosine * 10000.0) / 10000.0 AS cosine
+            FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS r
+                FROM scored
+            ) WHERE r <= {k}
+        ), reranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                   cosine
+            FROM picked
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM reranked ORDER BY query_id, rank
+    """
+
+
+def _sq8_ann_oracle_sql(k: int = 5, factor: int = 3) -> str:
+    """Exact DuckDB replica of ``similarity.sq8_topk``: the int8
+    quantization (round-half-away ``x*127/max_abs`` — exact-.5 doubles
+    are binary-representable, so Spark's HALF_UP BigDecimal rounding
+    and C ``round`` agree everywhere), the reconstructed-cosine coarse
+    scan (sequential-fold dot products on both engines), the
+    ``k*factor`` shortlist cut with id tie-break, and the
+    full-precision rescore under the shared 6dp truncation. Every
+    double is bit-identical cross-engine, so even the approximate
+    stage's selections match exactly."""
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS max_abs
+            FROM embeddings
+        ), quant AS (
+            SELECT vec_id AS c_id,
+                   CASE WHEN max_abs > 0
+                        THEN list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INTEGER))
+                        ELSE list_transform(v, x -> 0) END AS codes,
+                   max_abs / 127.0 AS scale
+            FROM base
+        ), c AS (
+            SELECT c_id, codes, scale,
+                   scale * sqrt(list_dot_product(codes::DOUBLE[], codes::DOUBLE[])) AS c_norm
+            FROM quant
+        ), q AS (
+            SELECT vec_id AS q_id, v AS q_vec,
+                   sqrt(list_dot_product(v, v)) AS q_norm
+            FROM base WHERE vec_id < 10
+        ), approx AS (
+            SELECT q.q_id AS query_id, c.c_id AS neighbor_id,
+                   (list_dot_product(q.q_vec, c.codes::DOUBLE[]) * c.scale) /
+                   (q.q_norm * c.c_norm) AS approx_cosine
+            FROM c, q
+            WHERE q.q_id <> c.c_id AND c.c_norm > 0
+        ), shortlist AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY approx_cosine DESC, neighbor_id) AS r
+                  FROM approx)
+            WHERE r <= {k * factor}
+        ), rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {_COSINE.format(a='qe', b='ce')} AS cosine
+            FROM shortlist s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+                   cosine
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def _emb_lsh_oracle_sql() -> str:
     """Exact DuckDB replica of the registered ``dedup_embedding_lsh``
     query: planted perturbed twins (vec_id % 10 == 0 → id+100000,
@@ -754,6 +851,127 @@ ORACLES: Dict[str, str] = {
         SELECT query_id, neighbor_id, rank, cosine
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
+    """,
+    "ann_cosine_topk_arrow": _arrow_ann_oracle_sql(),
+    "ann_sq8_topk": _sq8_ann_oracle_sql(),
+    # ---- BPE (training's corpus-scale aggregate; the iterative merge
+    # loop itself is rows-only by design — see plans/queries.py) -------
+    "bpe_word_frequencies": """
+        WITH w AS (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+            FROM documents
+        )
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM w WHERE length(word) > 0
+        GROUP BY word HAVING count(*) >= 2
+        ORDER BY freq DESC, word
+        LIMIT 500
+    """,
+    # ---- growing-corpus streaming dedup: first-occurrence-only across
+    # ALL micro-batches ⇒ accepted set = distinct keys, each exactly
+    # once; a cross-batch duplicate admission would surface as
+    # n_accepted = 2 and hash-mismatch ---------------------------------
+    "streaming_growing_corpus": """
+        SELECT md5(concat_ws('|', event_type, props)) AS fingerprint,
+               CAST(1 AS BIGINT) AS n_accepted
+        FROM events
+        GROUP BY 1
+        ORDER BY fingerprint
+    """,
+    # ---- gopher-style quality flags: replicate every feature and the
+    # composite keep decision over the 6dp-truncated ratios ------------
+    "text_gopher_quality": """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_words,
+                   length(regexp_replace(trim(text), '\\s', '', 'g'))::DOUBLE AS word_chars,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS alpha_words,
+                   (len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS symbols,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS stop_hits
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_words, stop_hits,
+                   CASE WHEN n_words > 0
+                        THEN floor((word_chars / CAST(n_words AS DOUBLE)) * 1000000.0) / 1000000.0
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_words > 0
+                        THEN floor((alpha_words / CAST(n_words AS DOUBLE)) * 1000000.0) / 1000000.0
+                        ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN n_words > 0
+                        THEN floor((symbols / CAST(n_words AS DOUBLE)) * 1000000.0) / 1000000.0
+                        ELSE 0.0 END AS symbol_ratio
+            FROM f
+        )
+        SELECT doc_id,
+               n_words AS gopher_words,
+               mean_word_len AS gopher_mean_word_len,
+               alpha_ratio AS gopher_alpha_ratio,
+               symbol_ratio AS gopher_symbol_ratio,
+               stop_hits AS gopher_stop_hits,
+               (n_words >= 10 AND n_words <= 100000
+                AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                AND symbol_ratio < 0.1 AND alpha_ratio > 0.6
+                AND stop_hits >= 2) AS gopher_keep
+        FROM r
+        ORDER BY doc_id
+    """,
+    # ---- temperature sampling: per-lang sqrt-weights summed in sorted
+    # lang order (list() preserves the ORDER BY ⇒ sequential float sum
+    # matches the driver-side Python loop), md5-prefix hash coin with
+    # the same round-to-2^32 threshold --------------------------------
+    "sample_temperature": """
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS total_w,
+                   SUM(n) AS total_n
+            FROM counts
+        ), frac AS (
+            SELECT c.lang, c.n,
+                   least(1.0, (CAST(CAST(tot.total_n AS BIGINT) // 2 AS DOUBLE)
+                               * sqrt(CAST(c.n AS DOUBLE)))
+                              / (tot.total_w * CAST(c.n AS DOUBLE))) AS f
+            FROM counts c, tot
+        ), thr AS (
+            SELECT lang, f,
+                   printf('%08x', least(CAST(round(f * 4294967296.0) AS BIGINT),
+                                        4294967295)) AS thr_hex
+            FROM frac
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        FROM documents d JOIN thr ON thr.lang = d.lang
+        WHERE thr.f >= 1.0
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr_hex
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """,
+    # ---- key-skew profile: top-20 heavy hitters with running share ---
+    "events_key_skew": """
+        WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events),
+        counts AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ), top AS (
+            SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT 20
+        ), ranked AS (
+            SELECT user_id, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank,
+                   CAST(sum(n) OVER (ORDER BY n DESC, user_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+            FROM top
+        )
+        SELECT user_id, n, rank,
+               floor((CAST(n AS DOUBLE) / tot.total) * 1000000.0) / 1000000.0 AS share,
+               floor((CAST(cum_n AS DOUBLE) / tot.total) * 1000000.0) / 1000000.0 AS cum_share
+        FROM ranked, tot
+        ORDER BY rank
     """,
     # ---- text ----------------------------------------------------------
     "text_token_count": """

@@ -1025,3 +1025,102 @@ class TestBPE:
 
         with pytest.raises(ValueError, match="min_frequency"):
             bpe.train_bpe(documents.limit(50), num_merges=2, max_vocab_rows=5)
+
+
+class TestTemperatureSampling:
+    def test_fractions_hand_computed(self):
+        from aws_data_wrangler_spark.operators import sampling
+
+        # weights sqrt(100)=10, sqrt(4)=2; tw=12
+        fr = sampling.temperature_fractions({"a": 100, "b": 4}, alpha=0.5, target_rows=52)
+        assert abs(fr["a"] - 52 * 10 / (12 * 100)) < 1e-12
+        assert fr["b"] == 1.0  # 52*2/(12*4) ≈ 2.17 capped at 1
+
+    def test_alpha_one_preserves_natural_mix(self):
+        from aws_data_wrangler_spark.operators import sampling
+
+        fr = sampling.temperature_fractions({"a": 300, "b": 100}, alpha=1.0, target_rows=200)
+        # alpha=1 → every stratum keeps the same fraction target/total
+        assert abs(fr["a"] - 0.5) < 1e-12 and abs(fr["b"] - 0.5) < 1e-12
+
+    def test_temperature_sample_flattens_and_is_deterministic(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        kept = sampling.temperature_sample(documents, strata_col="lang", alpha=0.5)
+        a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        b = {
+            r["doc_id"]
+            for r in sampling.temperature_sample(documents, strata_col="lang", alpha=0.5)
+            .select("doc_id")
+            .collect()
+        }
+        assert a == b  # deterministic across runs
+        full = {r["lang"]: r["n"] for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        got = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # flattening: the kept head/tail ratio must shrink vs the natural mix
+        langs = sorted(full, key=full.get)
+        head, tail = langs[-1], langs[0]
+        assert got[head] / got[tail] < full[head] / full[tail]
+
+
+class TestGopherFlags:
+    def test_rule_features_and_keep(self, spark):
+        from aws_data_wrangler_spark.operators import text
+
+        rows = [
+            (1, "the quick brown fox jumps over a lazy dog and it runs to the barn"),
+            (2, "# # # # # # # # # # # # the of to in is it a an and or"),  # symbol-heavy
+            (3, "too short"),  # under word minimum
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20"),  # no alpha words
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict() for r in text.with_gopher_flags(df).collect()}
+        assert out[1]["gopher_keep"] is True
+        assert out[2]["gopher_keep"] is False and out[2]["gopher_symbol_ratio"] >= 0.1
+        assert out[3]["gopher_keep"] is False and out[3]["gopher_words"] == 2
+        assert out[4]["gopher_keep"] is False and out[4]["gopher_alpha_ratio"] == 0.0
+        assert abs(out[1]["gopher_mean_word_len"] - (51 / 15)) < 1e-4
+
+    def test_flags_not_filter(self, spark, documents):
+        from aws_data_wrangler_spark.operators import text
+
+        out = text.with_gopher_flags(documents)
+        assert out.count() == documents.count()  # a flag, never a filter
+        # and it stays a pure projection: no shuffle
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestProfiling:
+    def test_key_distribution_matches_exact_counts(self, spark, events):
+        from aws_data_wrangler_spark.operators import profiling
+
+        top = profiling.key_distribution(events, ["user_id"], top_n=5).collect()
+        assert len(top) == 5
+        exact = {
+            r["user_id"]: r["n"]
+            for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        total = events.count()
+        prev = None
+        for row in top:
+            assert row["n"] == exact[row["user_id"]]
+            assert abs(row["share"] - row["n"] / total) < 1e-6
+            if prev is not None:
+                assert prev["n"] >= row["n"]  # rank order
+                assert row["cum_share"] >= prev["cum_share"]
+            prev = row
+
+    def test_null_profile_counts(self, spark):
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, None)], "id long, v string"
+        )
+        prof = {r["column"]: r.asDict() for r in profiling.null_profile(df).collect()}
+        assert prof["v"]["n_null"] == 2 and prof["v"]["n_distinct"] == 1
+        assert prof["id"]["n_null"] == 0 and prof["id"]["n_distinct"] == 4
+        assert abs(prof["v"]["null_share"] - 0.5) < 1e-9

@@ -11,58 +11,58 @@ def test_every_oracle_has_a_query():
 
 
 def test_rows_only_set_is_intentional():
-    # approximate operators deliberately lack oracles; anything else
-    # missing one is a regression. Round 3 closed dedup_simhash (md5
-    # signatures) and multimodal_decode_stub (sha256 fake decode).
+    # approximate/iterative operators deliberately lack oracles;
+    # anything else missing one is a regression. Round 4 closed
+    # ann_cosine_topk_arrow (4dp truncation + re-rank oracle); the
+    # remaining two are the iterative k-means ANN (recall-matrix-tested
+    # instead) and the BPE encoder (iterative merge application is not
+    # SQL-expressible; pytest pins hand-computed merges + lossless
+    # reconstruction).
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == [
-        "ann_cosine_topk_arrow",
         "ann_ivf_topk",
+        "bpe_encode",
     ]
 
 
-# Round-3 rotation policy: every registry entry must hold a driver
+# Round-4 rotation policy: every registry entry must hold a driver
 # CORRECTNESS row from the CURRENT or PREVIOUS round. The window (first
 # 50) carries (a) everything new/changed this round and (b) the block
-# that rode on the older round's rows; the entries below the boundary
-# are exactly the previous round's green set over frozen code.
-ROUND2_GREEN = {
-    # the round-2 driver window (CORRECTNESS_r02.json), minus entries
-    # moved back INTO the round-3 window (changed code or re-verify)
-    "dedup_exact", "dedup_normalized", "io_parquet_roundtrip",
-    "db_jdbc_roundtrip",
-    "events_hourly_spikes", "events_asof_signup", "events_error_click_window",
-    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
-    "ann_ivf_topk", "text_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "text_chunk_tokens",
-    "text_pack_sequences", "text_repetition", "text_pii_scrub",
-    "text_tfidf_top_terms", "text_unigram_surprisal",
-    "benchmark_contamination", "sample_stratified",
-    "sample_fixed_per_source", "sample_token_budget",
-    "streaming_hourly_rollup", "streaming_sliding_counts",
-    "streaming_error_click_join", "streaming_content_dedup",
-    "streaming_corpus_dedup", "streaming_latest_per_user",
-    "streaming_static_enrich", "events_session_window",
-    "events_hourly_gapfill", "logs_insights_stats", "logs_insights_parse",
-    "events_user_join_salted", "athena_ctas_roundtrip",
-    "io_partition_pruned_read", "io_merge_datasets",
+# whose newest rows come from the OLDER round (they'd age out); the
+# entries below the boundary are exactly the previous round's green
+# set over frozen code.
+ROUND3_GREEN = {
+    # the round-3 driver window (verified in round 3), minus the three
+    # warmup leaders moved back INTO the round-4 window
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q11_important_stock", "q15_top_supplier", "q17_small_quantity",
+    "q22_idle_customers", "q13_customer_distribution", "q14_promo_effect",
+    "q18_large_orders", "q19_discount_revenue", "q16_parts_suppliers",
+    "q21_waiting_suppliers", "topk_customers_window", "events_cube_daily",
+    "events_retention_cohorts", "lineitem_stats_by_flag",
+    "events_hourly_rollup", "events_funnel", "brand_revenue_pareto",
+    "orders_yoy_growth", "orders_value_deciles", "events_json_extract",
+    "events_sessionize", "events_value_percentiles", "embedding_stats",
+    "text_ngram_freq", "catalog_table_roundtrip", "io_bucketed_join",
+    "io_overwrite_partitions", "io_csv_roundtrip", "io_json_roundtrip",
+    "io_fwf_roundtrip", "db_copy_unload_roundtrip",
+    "corpus_curation_pipeline", "dedup_duplicated_spans",
+    "dedup_embedding_lsh", "dedup_simhash", "multimodal_decode_stub",
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "dedup_incremental", "dedup_clusters", "dedup_ngram_jaccard",
+    "embedding_curation_pipeline", "dedup_minhash_lsh", "dedup_lsh_corpus",
 }
 
-ROUND3_NEW_OR_CHANGED = {
+ROUND4_NEW_OR_CHANGED = {
     # no prior driver row exercises this round's code for these
-    "dedup_embedding_lsh",          # new query (LSH scale path)
-    "dedup_simhash",                # token_hash="md5" + new oracle
-    "multimodal_decode_stub",       # decoder column + new oracle
-    "dedup_embedding_cosine",       # embedding engine default change
-    "dedup_embedding_incremental",  # same
-    "dedup_incremental",            # corpus_state validation + caches
-    "dedup_clusters",               # checkpoint tiers
-    "dedup_ngram_jaccard",          # df-cap warning path
-    "embedding_curation_pipeline",  # composes the changed embedding miner
-    "dedup_minhash_lsh",            # AQE verify-join rework
-    "dedup_lsh_corpus",             # composes the reworked miner
-    "dedup_duplicated_spans",       # new operator (substring-span dedup)
-    "orders_value_deciles",         # global-window → percentile rewrite
+    "ann_cosine_topk_arrow",     # 4dp truncation + re-rank, new oracle
+    "ann_sq8_topk",              # quantized ANN registration (r3 op)
+    "bpe_word_frequencies",      # BPE training aggregate (r3 op)
+    "bpe_encode",                # BPE encoder, rows-only by design
+    "streaming_growing_corpus",  # growing-corpus sink registration (r3 op)
+    "text_gopher_quality",       # new operator (gopher flags)
+    "sample_temperature",        # new operator (temperature sampling)
+    "events_key_skew",           # new operator (key-distribution profile)
 }
 
 
@@ -71,13 +71,13 @@ def test_every_entry_has_a_current_or_previous_round_row():
     # green set (frozen code); everything else must be in the window
     names = list(QUERIES)
     below = set(names[50:])
-    stale = below - ROUND2_GREEN
-    assert stale == set(), f"below-window entries without a round-2 row: {stale}"
+    stale = below - ROUND3_GREEN
+    assert stale == set(), f"below-window entries without a round-3 row: {stale}"
 
 
-def test_round3_new_or_changed_inside_driver_window():
+def test_round4_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND3_NEW_OR_CHANGED if names.index(n) >= 50]
+    late = [n for n in ROUND4_NEW_OR_CHANGED if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
