@@ -12,7 +12,7 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_set_is_intentional():
     # approximate/iterative operators deliberately lack oracles;
-    # anything else missing one is a regression. Round 4 closed
+    # anything else missing one is a regression. Round 3 closed
     # ann_cosine_topk_arrow (4dp truncation + re-rank oracle); the
     # remaining two are the iterative k-means ANN (recall-matrix-tested
     # instead) and the BPE encoder (iterative merge application is not
@@ -25,59 +25,85 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-4 rotation policy: every registry entry must hold a driver
-# CORRECTNESS row from the CURRENT or PREVIOUS round. The window (first
-# 50) carries (a) everything new/changed this round and (b) the block
-# whose newest rows come from the OLDER round (they'd age out); the
-# entries below the boundary are exactly the previous round's green
-# set over frozen code.
-ROUND3_GREEN = {
-    # the round-3 driver window (verified in round 3), minus the three
-    # warmup leaders moved back INTO the round-4 window
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q11_important_stock", "q15_top_supplier", "q17_small_quantity",
-    "q22_idle_customers", "q13_customer_distribution", "q14_promo_effect",
-    "q18_large_orders", "q19_discount_revenue", "q16_parts_suppliers",
-    "q21_waiting_suppliers", "topk_customers_window", "events_cube_daily",
-    "events_retention_cohorts", "lineitem_stats_by_flag",
-    "events_hourly_rollup", "events_funnel", "brand_revenue_pareto",
-    "orders_yoy_growth", "orders_value_deciles", "events_json_extract",
-    "events_sessionize", "events_value_percentiles", "embedding_stats",
-    "text_ngram_freq", "catalog_table_roundtrip", "io_bucketed_join",
-    "io_overwrite_partitions", "io_csv_roundtrip", "io_json_roundtrip",
-    "io_fwf_roundtrip", "db_copy_unload_roundtrip",
-    "corpus_curation_pipeline", "dedup_duplicated_spans",
-    "dedup_embedding_lsh", "dedup_simhash", "multimodal_decode_stub",
+# Round-3 rotation policy: the driver verifies the FIRST 50 registry
+# entries. The window carries (a) every query that is NEW this round
+# or whose execution path crosses round-3-changed code, and (b) the
+# analytics/IO block whose newest driver rows date from round 1
+# (VERDICT r2 "next" #1). Below the boundary sit only queries green in
+# CORRECTNESS_r02.json over code byte-identical since round 2, plus
+# five NAMED round-1 deferrals that did not fit this round's window.
+
+ROUND2_GREEN_FROZEN = {
+    # green in CORRECTNESS_r02.json; their code paths are untouched by
+    # the round-3 changes (which live in dedup.py, the new
+    # bpe/profiling modules, and pure function ADDITIONS to
+    # text/sampling/similarity/streaming)
+    "dedup_exact", "dedup_normalized", "io_parquet_roundtrip",
+    "db_jdbc_roundtrip", "events_hourly_spikes", "events_asof_signup",
+    "events_error_click_window", "ann_cosine_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "text_token_count", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "text_chunk_tokens",
+    "text_pack_sequences", "text_repetition", "text_pii_scrub",
+    "text_tfidf_top_terms", "text_unigram_surprisal",
+    "benchmark_contamination", "sample_stratified",
+    "sample_fixed_per_source", "sample_token_budget",
+    "streaming_hourly_rollup", "streaming_sliding_counts",
+    "streaming_error_click_join", "streaming_content_dedup",
+    "streaming_corpus_dedup", "streaming_latest_per_user",
+    "streaming_static_enrich", "events_session_window",
+    "events_hourly_gapfill", "logs_insights_stats",
+    "logs_insights_parse", "events_user_join_salted",
+    "athena_ctas_roundtrip", "io_partition_pruned_read",
+    "io_merge_datasets",
+}
+
+ROUND1_DEFERRED = {
+    # newest driver rows date from round 1 (judge-reverified against
+    # the oracle in the round-2 session); plan shapes covered by
+    # in-window kin — FIRST INTO the round-4 window
+    "lineitem_stats_by_flag",    # multi-stat agg ⊂ q1 agg family
+    "events_hourly_rollup",      # time-bucket agg ⊂ streaming_hourly_rollup
+    "events_value_percentiles",  # percentile ⊂ orders_value_deciles
+    "embedding_stats",           # array-fold norms ⊂ ann/embedding queries
+    "text_ngram_freq",           # explode+count ⊂ bpe_word_frequencies
+}
+
+ROUND3_NEW_OR_CHANGED = {
+    # no prior driver row exercises this round's code for these: the
+    # dedup family (hashed-shingle rewrite of dedup.py), the new
+    # operators, and the queries whose registration or oracle changed
+    "orders_value_deciles",      # rewritten: percentile boundaries, no global window
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_ngram_jaccard",
+    "dedup_simhash",             # md5-derived signatures + new oracle
+    "dedup_clusters", "dedup_lsh_corpus",
+    "dedup_duplicated_spans",    # new operator
     "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_incremental", "dedup_clusters", "dedup_ngram_jaccard",
-    "embedding_curation_pipeline", "dedup_minhash_lsh", "dedup_lsh_corpus",
-}
-
-ROUND4_NEW_OR_CHANGED = {
-    # no prior driver row exercises this round's code for these
+    "dedup_embedding_lsh",       # new: driver-verified LSH scale path
+    "embedding_curation_pipeline",
+    "multimodal_decode_stub",    # pinned fake decoder + new oracle
     "ann_cosine_topk_arrow",     # 4dp truncation + re-rank, new oracle
-    "ann_sq8_topk",              # quantized ANN registration (r3 op)
-    "bpe_word_frequencies",      # BPE training aggregate (r3 op)
-    "bpe_encode",                # BPE encoder, rows-only by design
-    "streaming_growing_corpus",  # growing-corpus sink registration (r3 op)
-    "text_gopher_quality",       # new operator (gopher flags)
-    "sample_temperature",        # new operator (temperature sampling)
-    "events_key_skew",           # new operator (key-distribution profile)
+    "ann_sq8_topk",              # quantized ANN (new)
+    "bpe_word_frequencies",      # BPE training aggregate (new)
+    "bpe_encode",                # BPE encoder (new), rows-only by design
+    "streaming_growing_corpus",  # growing-corpus sink (new)
+    "text_gopher_quality",       # gopher flags (new)
+    "sample_temperature",        # temperature sampling (new)
+    "events_key_skew",           # key-distribution profile (new)
 }
 
 
-def test_every_entry_has_a_current_or_previous_round_row():
-    # below-window entries must ALL come from the previous round's
-    # green set (frozen code); everything else must be in the window
+def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    stale = below - ROUND3_GREEN
-    assert stale == set(), f"below-window entries without a round-3 row: {stale}"
+    unaccounted = below - ROUND2_GREEN_FROZEN - ROUND1_DEFERRED
+    assert unaccounted == set(), (
+        f"below-window entries with no prior driver row over frozen code: {unaccounted}"
+    )
 
 
-def test_round4_new_or_changed_inside_driver_window():
+def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND4_NEW_OR_CHANGED if names.index(n) >= 50]
+    late = [n for n in ROUND3_NEW_OR_CHANGED if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
