@@ -653,6 +653,113 @@ def duplicated_spans(
     )
 
 
+def duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Line-level cross-document duplication verdicts: every line
+    occurrence whose exact line text appears in at least ``min_docs``
+    DISTINCT documents — (id, line_no, line, line_df). The middle
+    granularity of the dedup ladder: whole-document near-dup mining
+    above, token-span mining (``duplicated_spans``) below; this is the
+    C4/RefinedWeb-style boilerplate-line detector (nav bars, cookie
+    banners, license headers repeated verbatim across pages).
+
+    ``delimiter`` is the ``F.split`` regex defining a "line". Lines
+    whose trimmed length is below ``min_line_chars`` are never flagged
+    (blank separator lines are structure, not boilerplate). Line
+    identity is the EXACT line string — normalization is the caller's
+    preprocessing decision.
+
+    Plan shape, built for 100 TB: line explode is a pure projection;
+    the document-frequency table is one hash aggregate over distinct
+    (line, id) pairs with map-side partials; verdicts come from an
+    equi-join keyed on the line string (fan-out linear in occurrence
+    count — never a self-join). Everything shards by line then by
+    document; no Python, no cartesian.
+
+    Ref: awswrangler has no sub-document dedup (it drops duplicate
+    ROWS at most, e.g. catalog drop_duplicated_columns); semantics
+    follow the C4 line-dedup construction from the training-data
+    literature.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), delimiter)).alias("line_no", "line")
+    )
+    dup = _duplicated_line_keys(lines, id_col, min_docs, min_line_chars)
+    return (
+        lines.join(dup, "line")
+        .select(id_col, F.col("line_no").cast("bigint"), "line", "line_df")
+    )
+
+
+def _duplicated_line_keys(
+    lines: DataFrame, id_col: str, min_docs: int, min_line_chars: int
+) -> DataFrame:
+    """(line, line_df) for lines in ≥ min_docs distinct docs."""
+    return (
+        lines.filter(F.length(F.trim(F.col("line"))) >= min_line_chars)
+        .select("line", id_col)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_docs)
+    )
+
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    join_with: str = "\n",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """The cleaning counterpart of ``duplicated_lines``: every
+    occurrence of a cross-document duplicated line is removed from
+    every document (the strict policy — a keep-one policy would need a
+    global occurrence order, which a distributed corpus does not have)
+    and the survivors are reassembled in original order. Returns one
+    row per input document: (id, text, n_lines, n_removed) — a doc
+    whose every line was boilerplate keeps its row with text ''.
+
+    One extra shuffle beyond the verdict join: the per-document
+    reassembly groupBy, whose sort is a JVM ``array_sort`` over the
+    doc's own (line_no, line) structs — document-local, no global
+    ordering anywhere.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), delimiter)).alias("line_no", "line")
+    )
+    dup = _duplicated_line_keys(lines, id_col, min_docs, min_line_chars).select(
+        "line", F.lit(True).alias("__dup")
+    )
+    flagged = lines.join(dup, "line", "left")
+    # collect_list drops nulls, so the WHEN-null trick folds the kept-
+    # line filter into the aggregate; array_sort on (line_no, line)
+    # structs orders by line_no — the original document order
+    kept_struct = F.when(
+        F.col("__dup").isNull(), F.struct(F.col("line_no"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            join_with,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -767,6 +767,36 @@ ORACLES: Dict[str, str] = {
         FROM grouped GROUP BY doc_id, span_id
         ORDER BY doc_id, span_start
     """,
+    # C4-style line-level dedup over the same deterministic 8-token
+    # line-ification the Spark query applies; strict policy (every
+    # occurrence of a cross-doc duplicated line removed), cleaned text
+    # reassembled in line order and fingerprinted
+    "dedup_duplicated_lines": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, i AS line_no,
+                   array_to_string(list_slice(t, i * 8 + 1, i * 8 + 8), ' ') AS line
+            FROM (SELECT doc_id, t,
+                         unnest(range(greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1))) AS i
+                  FROM toks)
+        ), dup AS (
+            SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines
+                              WHERE length(trim(line)) >= 1)
+            GROUP BY line HAVING count(*) >= 2
+        ), flagged AS (
+            SELECT l.doc_id, l.line_no, l.line, (d.line IS NOT NULL) AS dup
+            FROM lines l LEFT JOIN dup d ON l.line = d.line
+        )
+        SELECT doc_id,
+               md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                       chr(10) ORDER BY line_no), '')) AS clean_fp,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM flagged GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     # the LSH scale path, candidate-for-candidate (deterministic planes)
     "dedup_embedding_lsh": _emb_lsh_oracle_sql(),
     # md5-derived signatures ⇒ cross-engine simhash; banding is exact

@@ -939,6 +939,37 @@ def _dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def _dedup_duplicated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup over a deterministically line-ified
+    corpus: the synthetic documents carry no newlines, so the query
+    first reshapes each text into 8-token lines (pure projection,
+    replicated verbatim in the DuckDB oracle — the same
+    derived-input pattern as the planted-twin embedding queries),
+    then strips every line that recurs across ≥2 distinct documents
+    and fingerprints the cleaned text."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(F.col("doc_id"), toks.alias("__toks"))
+    t = F.col("__toks")
+    n_lines = F.greatest(F.ceil(F.size(t) / F.lit(8)), F.lit(1)).cast("int")
+    lined = base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(t, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = dedup.remove_duplicated_lines(lined, min_docs=2, min_line_chars=1)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_fp"), "n_lines", "n_removed"
+    ).orderBy("doc_id")
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
@@ -1723,7 +1754,7 @@ def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # warmup (JVM, codegen, parquet reader) are sub-second plans.
 # Below the boundary: queries green in the ROUND-2 driver file whose
 # code is byte-identical since (the text/sampling/streaming/joins/ann
-# staples), plus five named round-1 deferrals that did not fit —
+# staples), plus six named round-1 deferrals that did not fit —
 # enforced by tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- window leaders: sub-second warmup absorbers ---
@@ -1740,6 +1771,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _dedup_clusters,
     "dedup_lsh_corpus": _dedup_lsh_corpus,
     "dedup_duplicated_spans": _dedup_duplicated_spans,
+    "dedup_duplicated_lines": _dedup_duplicated_lines,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
@@ -1766,7 +1798,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
     "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
     "q22_idle_customers": _analytics_query(ANALYTICS_SQL["q22_idle_customers"]),
-    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
     "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
     "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
@@ -1788,12 +1819,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # code byte-identical since round 2 — the round-3 operator changes
     # live entirely in dedup.py / the new bpe/profiling modules / pure
     # additions to text/sampling/similarity/streaming, none of which
-    # these plans touch — or (b) one of five named round-1 deferrals
-    # (lineitem_stats_by_flag, events_hourly_rollup,
-    # events_value_percentiles, embedding_stats, text_ngram_freq)
-    # whose plan shapes are covered by in-window kin and which rotate
-    # in next round. Anything NEW or touching changed code must be
-    # placed above, displacing a stable entry. ---
+    # these plans touch — or (b) one of six named round-1 deferrals
+    # (topk_customers_window, lineitem_stats_by_flag,
+    # events_hourly_rollup, events_value_percentiles, embedding_stats,
+    # text_ngram_freq) whose plan shapes are covered by in-window kin
+    # and which rotate in next round. Anything NEW or touching changed
+    # code must be placed above, displacing a stable entry. ---
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
@@ -1834,6 +1865,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_partition_pruned_read": _io_partition_pruned_read,
     "io_merge_datasets": _io_merge_datasets,
     # --- round-1 deferrals (rotate into the round-4 window) ---
+    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),

@@ -86,6 +86,42 @@ class TestDedup:
         assert all(len(v) == 1 for v in per_doc.values())
         assert all(v[0]["span_tokens"] == 20 for v in per_doc.values())
 
+    def test_duplicated_lines_distinct_doc_frequency(self, spark):
+        # "repeat me" repeats WITHIN doc 1 only → df counts distinct
+        # docs, so it is never flagged; the 3-doc boilerplate line is
+        # flagged at every occurrence; blank/whitespace lines never are
+        docs = spark.createDataFrame(
+            [
+                (1, "unique alpha\nSHARED LINE\n\nbody one\nrepeat me\nrepeat me"),
+                (2, "SHARED LINE\nbody two\n  \nx"),
+                (3, "SHARED LINE"),
+                (4, "all original\ncontent here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = dedup.duplicated_lines(docs).collect()
+        assert {(r["doc_id"], r["line_no"]) for r in rows} == {(1, 1), (2, 0), (3, 0)}
+        assert all(r["line"] == "SHARED LINE" and r["line_df"] == 3 for r in rows)
+
+    def test_remove_duplicated_lines_strict_policy(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "unique alpha\nSHARED LINE\n\nbody one"),
+                (2, "SHARED LINE\nbody two"),
+                (3, "SHARED LINE"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in dedup.remove_duplicated_lines(docs).collect()
+        }
+        # every occurrence removed everywhere; order and blank lines
+        # preserved; the all-boilerplate doc keeps its row with ''
+        assert out[1] == ("unique alpha\n\nbody one", 4, 1)
+        assert out[2] == ("body two", 2, 1)
+        assert out[3] == ("", 1, 1)
+
     def test_cluster_pairs_transitive(self, spark):
         # chain 1-2, 2-3 plus isolated pair 10-11 → clusters {1,2,3} and {10,11}
         pairs = spark.createDataFrame(

@@ -31,7 +31,7 @@ def test_rows_only_set_is_intentional():
 # analytics/IO block whose newest driver rows date from round 1
 # (VERDICT r2 "next" #1). Below the boundary sit only queries green in
 # CORRECTNESS_r02.json over code byte-identical since round 2, plus
-# five NAMED round-1 deferrals that did not fit this round's window.
+# six NAMED round-1 deferrals that did not fit this round's window.
 
 ROUND2_GREEN_FROZEN = {
     # green in CORRECTNESS_r02.json; their code paths are untouched by
@@ -61,6 +61,7 @@ ROUND1_DEFERRED = {
     # newest driver rows date from round 1 (judge-reverified against
     # the oracle in the round-2 session); plan shapes covered by
     # in-window kin — FIRST INTO the round-4 window
+    "topk_customers_window",     # rank window ⊂ brand_revenue_pareto + q3 top-k
     "lineitem_stats_by_flag",    # multi-stat agg ⊂ q1 agg family
     "events_hourly_rollup",      # time-bucket agg ⊂ streaming_hourly_rollup
     "events_value_percentiles",  # percentile ⊂ orders_value_deciles
@@ -77,6 +78,7 @@ ROUND3_NEW_OR_CHANGED = {
     "dedup_simhash",             # md5-derived signatures + new oracle
     "dedup_clusters", "dedup_lsh_corpus",
     "dedup_duplicated_spans",    # new operator
+    "dedup_duplicated_lines",    # new operator (C4 line-level dedup)
     "dedup_embedding_cosine", "dedup_embedding_incremental",
     "dedup_embedding_lsh",       # new: driver-verified LSH scale path
     "embedding_curation_pipeline",
