@@ -310,5 +310,10 @@ class TestPlanAudits:
         from aws_data_wrangler_spark.plans import QUERIES
         from aws_data_wrangler_spark.plans.audit import assert_no_cartesian
 
-        for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_duplicated_spans"):
+        for name in (
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
+            "dedup_duplicated_spans",
+            "dedup_duplicated_lines",
+        ):
             assert_no_cartesian(QUERIES[name](spark, "/root/testdata/sf0.001"))

@@ -226,3 +226,40 @@ def test_duplicated_spans_matches_bruteforce(spark, docs):
         for s, e in spans:
             expected.add((i, s, e, e - s + 1))
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "", "  "]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_remove_duplicated_lines_matches_bruteforce(spark, docs):
+    """remove_duplicated_lines vs an obviously-correct single-node
+    reference: distinct-doc line frequency, strict every-occurrence
+    removal of eligible (non-blank) duplicated lines, order-preserving
+    reassembly. A 3-word vocabulary plus blank/whitespace lines makes
+    cross-doc duplicates and the eligibility rule fire constantly."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    sdf = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in dedup.remove_duplicated_lines(sdf).collect()
+    }
+
+    df_count = {}  # line -> number of distinct docs containing it
+    for i, lines in enumerate(docs):
+        for line in set(lines):
+            if len(line.strip()) >= 1:
+                df_count[line] = df_count.get(line, 0) + 1
+    expected = {}
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if df_count.get(ln, 0) < 2]
+        removed = len(lines) - len(kept)
+        expected[i] = ("\n".join(kept), len(lines), removed)
+    assert got == expected
