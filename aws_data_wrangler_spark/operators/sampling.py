@@ -54,6 +54,53 @@ def hash_sample(
     return df.filter(_keep(F.col(id_col), fraction, salt))
 
 
+def hash_split(
+    df: DataFrame,
+    weights: Dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: every row gets
+    exactly one split label, derived from contiguous bands of the
+    md5-prefix space sized proportionally to ``weights`` (normalized;
+    band order = the dict's insertion order). The assignment is
+    invariant to partitioning, row order, and engine — the property a
+    train/eval split must have so no example ever migrates between
+    splits across runs or clusters.
+
+    Guarantees, all consequences of the bands being a fixed partition
+    of one hash order:
+
+    - disjoint + exhaustive: every row gets exactly one label;
+    - ``hash_sample(df, f, salt=s)`` with f ≤ the first band's weight
+      is a subset of the first band (same prefix order, same salt);
+    - growing one band's weight only moves rows across the adjacent
+      boundary — existing train examples never leak into eval.
+
+    A pure codegen CASE over the hash prefix fused into the scan: zero
+    shuffle at any corpus size.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    names = list(weights)
+    prefix = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    expr = F.lit(names[-1])  # final band absorbs threshold rounding
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cases.append((name, _threshold_hex(acc)))
+    for name, bound in reversed(cases):
+        expr = F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: Dict[str, float],

@@ -860,6 +860,37 @@ class TestSampling:
         salted = {r["doc_id"] for r in sampling.hash_sample(documents, 0.5, salt="x").select("doc_id").collect()}
         assert salted != a
 
+    def test_hash_split_disjoint_exhaustive_stable(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        split = sampling.hash_split(documents, {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {
+            r["split"]: r["n"]
+            for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        n = documents.count()
+        # exhaustive (every row labeled) and roughly proportional
+        assert sum(counts.values()) == n
+        assert 0.65 * n <= counts["train"] <= 0.95 * n
+        # invariant to partitioning
+        again = {
+            (r["doc_id"], r["split"])
+            for r in sampling.hash_split(
+                documents.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).select("doc_id", "split").collect()
+        }
+        first = {(r["doc_id"], r["split"]) for r in split.select("doc_id", "split").collect()}
+        assert again == first
+        # first-band containment: a 0.5 hash_sample with the same salt
+        # sits entirely inside the 0.8 train band
+        half = {r["doc_id"] for r in sampling.hash_sample(documents, 0.5).select("doc_id").collect()}
+        train = {r["doc_id"] for r in split.filter(F.col("split") == "train").select("doc_id").collect()}
+        assert half <= train
+        # growing train only moves rows INTO train (monotone boundary)
+        bigger = sampling.hash_split(documents, {"train": 0.9, "val": 0.05, "test": 0.05})
+        train2 = {r["doc_id"] for r in bigger.filter(F.col("split") == "train").select("doc_id").collect()}
+        assert train <= train2
+
     def test_stratified_sample_rates(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
 
