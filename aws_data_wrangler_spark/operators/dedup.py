@@ -1239,6 +1239,153 @@ def embedding_near_dup_incremental(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 64,
+    eps: float = 0.05,
+    keep: str = "farthest",
+    centroids: Optional[DataFrame] = None,
+    iterations: int = 5,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup: k-means-cluster
+    the embedding space, mine duplicate pairs only WITHIN each cluster
+    (cosine ≥ 1 − ``eps``), connect them into duplicate groups, and
+    keep exactly ONE representative per group — by default the member
+    FARTHEST from its cluster centroid (near-centroid members are the
+    redundant mass; the construction of the semantic-dedup literature).
+
+    Returns per-row verdicts for every member of a duplicate group:
+    (id, cell, centroid_cos, group_id, keep) — rows in no group are
+    implicitly kept and not returned (use ``semdedup_prune`` for the
+    surviving corpus). ``group_id`` = min member id.
+
+    ``centroids`` (cid int, cvec array) short-circuits training: pass a
+    pre-trained table (``similarity.train_ivf_centroids``, persisted)
+    for the production shape, or any deterministic seed set — with
+    given centroids every downstream step is deterministic arithmetic,
+    which is how the registered query carries a value-level DuckDB
+    oracle despite k-means being iterative. ``centroids=None`` trains
+    in-line (deterministic init, Lloyd ``iterations``).
+
+    Plan shape, built for 100 TB: assignment is a broadcast
+    nested-loop over the (tiny, ``num_clusters``-row) centroid table —
+    a linear scan, the IVF-assignment shape; the pair miner is a
+    cell-keyed equi-join whose fan-out is the cell size, so
+    ``num_clusters`` is THE scale knob (size it ≈ corpus/1000 as the
+    literature does and the per-cell quadratic work stays flat as the
+    corpus grows); grouping reuses ``cluster_pairs`` (near-dup groups
+    are tiny — pass ``checkpoint='reliable'`` on long cluster runs);
+    the keep window shards by group. No corpus×corpus join anywhere.
+
+    Ref: the reference has no semantic-dedup analog; semantics follow
+    the cluster→within-cluster-cosine→keep-one construction, with the
+    keep policy ('farthest'|'closest' from centroid) explicit.
+    """
+    if keep not in ("farthest", "closest"):
+        raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
+    vec = F.col(vec_col).cast("array<double>")
+    norm_expr = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    points = df.select(F.col(id_col).alias("__id"), vec.alias("__v"), norm_expr.alias("__norm"))
+    if centroids is None:
+        from aws_data_wrangler_spark.operators.similarity import train_ivf_centroids
+
+        centroids = train_ivf_centroids(df, num_clusters, iterations, id_col, vec_col)
+    cvec = F.col("cvec").cast("array<double>")
+    cents = centroids.select(
+        F.col("cid").cast("int").alias("cid"),
+        cvec.alias("__cv"),
+        F.sqrt(
+            F.aggregate(F.transform(cvec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("__cnorm"),
+    )
+    ccos = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("__norm") * F.col("__cnorm"))
+    from pyspark.sql import Window
+
+    # cache: the assigned table backs BOTH renamed pair-join branches
+    # (toDF branches canonicalize to different exchanges — the known
+    # recompute trap) plus the verdict join
+    assigned = (
+        points.crossJoin(F.broadcast(cents))
+        .withColumn("__ccos", ccos)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(F.col("__ccos").desc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__id", "__v", "__norm", F.col("cid").alias("__cell"),
+            trunc_digits(F.col("__ccos")).alias("__ccos"),
+        )
+        .cache()
+    )
+    a = assigned.toDF("id_a", "v_a", "norm_a", "cell", "ccos_a")
+    b = assigned.toDF("id_b", "v_b", "norm_b", "cell", "ccos_b")
+    pair_cos = trunc_digits(
+        F.aggregate(
+            F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("norm_a") * F.col("norm_b"))
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", pair_cos.alias("cosine"))
+        .filter(F.col("cosine") >= 1.0 - eps)
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    labels = cluster_pairs(pairs, members, id_col="__id", checkpoint=checkpoint)
+    order = F.col("centroid_cos").asc() if keep == "farthest" else F.col("centroid_cos").desc()
+    w = Window.partitionBy("group_id").orderBy(order, F.col(id_col).asc())
+    return (
+        labels.join(
+            assigned.select(
+                F.col("__id"),
+                F.col("__cell").alias("cell"),
+                F.col("__ccos").alias("centroid_cos"),
+            ),
+            "__id",
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            "centroid_cos",
+            F.col("cluster_id").alias("group_id"),
+        )
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """The surviving corpus after ``semdedup``: drops every duplicate-
+    group member except the kept representative (left-anti join on the
+    dropped ids — the group tables are tiny relative to the corpus)."""
+    verdicts = semdedup(df, id_col=id_col, vec_col=vec_col, **kwargs)
+    drops = verdicts.filter(~F.col("keep")).select(F.col(id_col))
+    return df.join(drops, id_col, "left_anti")
+
+
 def _gemm_near_dup_pairs(
     withnorm: DataFrame, threshold: float, num_blocks: int, id_type=None
 ) -> DataFrame:

@@ -248,6 +248,73 @@ def _emb_lsh_oracle_sql() -> str:
     """
 
 
+def _semdedup_oracle_sql(num_seeds: int = 32, threshold: float = 0.95) -> str:
+    """Exact DuckDB replica of the registered ``dedup_semdedup`` query:
+    planted twins, seeded centroids (the ``num_seeds`` lowest-id
+    vectors), argmax-cosine cell assignment, within-cell pair mining at
+    ``threshold``, connected-component duplicate groups (recursive
+    CTE), and the keep-farthest-from-centroid window. Ordering ties in
+    the assignment use raw doubles — both engines run the same
+    sequential dot products, the precedent the sign-bit LSH oracles
+    already rely on; the emitted centroid_cos is 6dp floor-truncated."""
+    return f"""
+        WITH RECURSIVE corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(range(1, 65),
+                                  i -> embedding[i]::DOUBLE + 0.01 * ((i - 1) % 5 - 2))
+            FROM embeddings WHERE vec_id % 10 = 0
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {num_seeds})
+        ), scored AS (
+            SELECT c.vec_id, s.cid, c.v,
+                   list_dot_product(c.v, s.cv) /
+                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.cv, s.cv)))
+                       AS ccos
+            FROM corpus c, seeds s
+        ), assigned AS (
+            SELECT vec_id, cid AS cell, v,
+                   floor(ccos * 1000000.0) / 1000000.0 AS centroid_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY ccos DESC, cid ASC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE floor((list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v)))) * 1000000.0) / 1000000.0
+                  >= {threshold}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+            UNION
+            SELECT id_a AS src, id_a AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_b AS dst FROM pairs
+        ), reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst
+            FROM reach r JOIN edges e ON r.dst = e.src
+        ), labels AS (
+            SELECT src AS vec_id, min(dst) AS group_id
+            FROM reach GROUP BY src
+        )
+        SELECT a.vec_id, a.cell, a.centroid_cos, l.group_id,
+               (row_number() OVER (PARTITION BY l.group_id
+                                   ORDER BY a.centroid_cos ASC, a.vec_id ASC) = 1) AS keep
+        FROM labels l JOIN assigned a ON a.vec_id = l.vec_id
+        ORDER BY a.vec_id
+    """
+
+
 def _simhash_md5_oracle_sql(max_hamming: int = 3) -> str:
     """DuckDB replica of ``simhash_pairs(token_hash="md5")``.
 
@@ -799,6 +866,10 @@ ORACLES: Dict[str, str] = {
     """,
     # the LSH scale path, candidate-for-candidate (deterministic planes)
     "dedup_embedding_lsh": _emb_lsh_oracle_sql(),
+    # SemDeDup with seeded centroids: assignment, within-cell pairs,
+    # recursive-CTE duplicate groups, keep-farthest window — all
+    # deterministic arithmetic, replicated value-for-value
+    "dedup_semdedup": _semdedup_oracle_sql(),
     # md5-derived signatures ⇒ cross-engine simhash; banding is exact
     # pigeonhole, so the all-pairs hamming filter is the value oracle
     "dedup_simhash": _simhash_md5_oracle_sql(),

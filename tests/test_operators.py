@@ -138,6 +138,51 @@ class TestDedup:
         found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert (0, 100000) in found and (1, 100001) in found
 
+    def test_semdedup_keeps_one_per_twin_group(self, spark, embeddings):
+        # planted twins at cosine ≈ 0.9999: every same-cell twin pair
+        # must form a duplicate group that keeps exactly one member
+        twins = embeddings.limit(20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x + F.lit(0.01) * (i % 5 - 2),
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = embeddings.unionByName(twins)
+        rows = dedup.semdedup(corpus, num_clusters=8, eps=0.05, iterations=2).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["group_id"], []).append(r)
+        assert len(groups) >= 15  # near-all twin pairs land in one cell
+        for members in groups.values():
+            assert sum(m["keep"] for m in members) == 1
+            # keep='farthest': the kept member has the group-min centroid_cos
+            kept = next(m for m in members if m["keep"])
+            assert kept["centroid_cos"] == min(m["centroid_cos"] for m in members)
+
+    def test_semdedup_prune_and_closest_policy(self, spark, embeddings):
+        twins = embeddings.limit(10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x + F.lit(0.01) * (i % 5 - 2),
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = embeddings.unionByName(twins)
+        n = corpus.count()
+        verdicts = dedup.semdedup(corpus, num_clusters=8, eps=0.05, iterations=2, keep="closest")
+        dropped = verdicts.filter(~F.col("keep")).count()
+        groups = {}
+        for r in verdicts.collect():
+            groups.setdefault(r["group_id"], []).append(r)
+        for members in groups.values():
+            kept = next(m for m in members if m["keep"])
+            assert kept["centroid_cos"] == max(m["centroid_cos"] for m in members)
+        pruned = dedup.semdedup_prune(corpus, num_clusters=8, eps=0.05, iterations=2, keep="closest")
+        assert pruned.count() == n - dropped
+
     def test_embedding_lsh_matches_exact_in_near_dup_regime(self, spark, embeddings):
         # noisy twins at cosine ≳ 0.99: the LSH-bucketed miner must find
         # exactly what the blocked exact miner finds (precision 1.0 by

@@ -31,7 +31,7 @@ def test_rows_only_set_is_intentional():
 # analytics/IO block whose newest driver rows date from round 1
 # (VERDICT r2 "next" #1). Below the boundary sit only queries green in
 # CORRECTNESS_r02.json over code byte-identical since round 2, plus
-# six NAMED round-1 deferrals that did not fit this round's window.
+# seven NAMED round-1 deferrals that did not fit this round's window.
 
 ROUND2_GREEN_FROZEN = {
     # green in CORRECTNESS_r02.json; their code paths are untouched by
@@ -61,6 +61,7 @@ ROUND1_DEFERRED = {
     # newest driver rows date from round 1 (judge-reverified against
     # the oracle in the round-2 session); plan shapes covered by
     # in-window kin — FIRST INTO the round-4 window
+    "q16_parts_suppliers",       # count-DISTINCT ⊂ events_retention_cohorts
     "topk_customers_window",     # rank window ⊂ brand_revenue_pareto + q3 top-k
     "lineitem_stats_by_flag",    # multi-stat agg ⊂ q1 agg family
     "events_hourly_rollup",      # time-bucket agg ⊂ streaming_hourly_rollup
@@ -81,6 +82,7 @@ ROUND3_NEW_OR_CHANGED = {
     "dedup_duplicated_lines",    # new operator (C4 line-level dedup)
     "dedup_embedding_cosine", "dedup_embedding_incremental",
     "dedup_embedding_lsh",       # new: driver-verified LSH scale path
+    "dedup_semdedup",            # new: cluster-then-keep-one semantic dedup
     "embedding_curation_pipeline",
     "multimodal_decode_stub",    # pinned fake decoder + new oracle
     "ann_cosine_topk_arrow",     # 4dp truncation + re-rank, new oracle
