@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Six strategies, all shuffle-disciplined for 100 TB:
+Eight strategies, all shuffle-disciplined for 100 TB:
 
 - exact / normalized: one hash-groupBy (map-side partial agg) — the
   cheapest possible plan; no pair materialization ever.
@@ -21,9 +21,16 @@ Six strategies, all shuffle-disciplined for 100 TB:
 - exact substring spans (``duplicated_spans``): maximal cross-document
   duplicated token runs — the passage-level tier below whole-document
   mining.
+- duplicated lines (``duplicated_lines`` / ``remove_duplicated_lines``):
+  C4-style boilerplate-line removal — the middle rung of the
+  granularity ladder (document > line > token span); one line-keyed
+  hash agg + equi-join, doc-local reassembly.
 - embedding cosine: pair mining above a cosine threshold; lossless
   exact default, LSH-bucketed / blocked-GEMM engines opt-in (see
   similarity.py for the ANN scale path).
+- SemDeDup (``semdedup`` / ``semdedup_prune``): cluster-then-prune
+  semantic dedup — k-means cells bound the pair fan-out, connected
+  components group duplicates, one representative kept per group.
 
 No driver-side collect anywhere; everything is a DataFrame plan.
 """

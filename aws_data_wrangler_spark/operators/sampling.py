@@ -80,6 +80,11 @@ def hash_split(
 
     A pure codegen CASE over the hash prefix fused into the scan: zero
     shuffle at any corpus size.
+
+    Ref: the reference has no split operator (pandas users reach for
+    sklearn's row-order-dependent train_test_split); the hash-band
+    construction is the standard content-addressed split of
+    large-corpus pipelines.
     """
     if not weights:
         raise ValueError("weights must name at least one split")
