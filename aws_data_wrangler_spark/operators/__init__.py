@@ -7,6 +7,7 @@ layer.
 
 from aws_data_wrangler_spark.operators import (  # noqa: F401
     bpe,
+    classifier,
     dedup,
     joins,
     multimodal,
@@ -19,6 +20,7 @@ from aws_data_wrangler_spark.operators import (  # noqa: F401
 
 __all__ = [
     "bpe",
+    "classifier",
     "dedup",
     "joins",
     "multimodal",

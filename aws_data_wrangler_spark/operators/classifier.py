@@ -1,0 +1,198 @@
+"""Distributed trainable quality classifier (fasttext-style).
+
+The quality-filter stage of large corpus pipelines that the heuristic
+gates (``text.with_quality_score``, ``text.with_gopher_flags``) cannot
+cover: a logistic-regression scorer over hashed bag-of-words/bigram
+features, trained with full-batch (or deterministic mini-batch)
+gradient descent expressed ENTIRELY as DataFrame aggregates — no
+driver-side data movement beyond the per-iteration bias scalar and no
+Python in the row path.
+
+Plan shape, built for 100 TB: featurization is a projection + explode
+(distinct (doc, feature) pairs, sharded by feature hash); each
+training iteration is two shuffles over the feature-pair table — the
+margin aggregate (groupBy doc) and the gradient aggregate (groupBy
+feature, map-side partials) — joined against a weight table that is
+bounded by the number of DISTINCT observed features (≤ 2^18 by
+construction), never the corpus. Mini-batching composes with the
+deterministic hash sampler, so every batch is reproducible on any
+cluster. The weight table is localCheckpoint'd per iteration (the
+cluster_pairs lineage discipline) so the plan stays flat across
+iterations.
+
+Training is iterative and its float sums reassociate across
+partitions, so — like k-means ANN and BPE — it carries no cross-engine
+SQL oracle; correctness is pinned by learning planted rules in the
+unit tests (holdout accuracy, artifact reuse).
+
+Ref: the reference has no model-training surface (awswrangler defers
+to pandas/sklearn single-node); semantics follow the standard hashed
+bag-of-n-grams linear classifier of corpus quality filtering.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_data_wrangler_spark.functions import trunc_digits
+
+
+class QualityClassifier(NamedTuple):
+    """Trained artifact: the sparse weight table plus the parameters a
+    scorer must reuse — hashing features with a different space or
+    n-gram setting would silently score garbage, so ``score_quality``
+    takes the whole artifact, not a bare table."""
+
+    weights: DataFrame  # (feature bigint, weight double)
+    bias: float
+    num_features: int
+    use_bigrams: bool
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Distinct (id, feature) pairs: tokens (and adjacent-token bigrams)
+    hashed into ``[0, num_features)`` — binary presence features, the
+    robust default for text quality models. Pure projection + explode;
+    within-doc dedup happens BEFORE the explode so no global distinct
+    shuffle is needed."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    t = F.col("__toks")
+    unigram_feats = F.transform(t, lambda x: F.pmod(F.xxhash64(x), F.lit(num_features)))
+    if use_bigrams:
+        n = F.size(t)
+        bigram_feats = F.when(
+            n > 1,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.pmod(
+                    F.xxhash64(
+                        F.element_at(t, (i + 1).cast("int")),
+                        F.element_at(t, (i + 2).cast("int")),
+                    ),
+                    F.lit(num_features),
+                ),
+            ),
+        ).otherwise(F.array())
+        feats = F.concat(unigram_feats, bigram_feats)
+    else:
+        feats = unigram_feats
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(feats)).alias("feature")
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    use_bigrams: bool = True,
+    iterations: int = 20,
+    learning_rate: float = 2.0,
+    l2: float = 1e-6,
+    batch_fraction: Optional[float] = None,
+) -> QualityClassifier:
+    """Train the logistic scorer: ``label_col`` is 0/1 (1 = keep-worthy).
+
+    Full-batch gradient descent by default; ``batch_fraction`` switches
+    to deterministic mini-batches drawn with the hash sampler (salted
+    by iteration number) — the same batch on every run and cluster.
+    Feature pairs are computed once and cached; each iteration touches
+    the pair table twice (margin + gradient) and the tiny weight table.
+    """
+    feats = hashed_features(df, id_col, text_col, num_features, use_bigrams).cache()
+    labels = df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    bias = 0.0
+    # sparse init: only observed features ever get weights; start at 0
+    weights = (
+        feats.select("feature").distinct().withColumn("weight", F.lit(0.0)).localCheckpoint()
+    )
+    for it in range(iterations):
+        it_labels = labels
+        if batch_fraction is not None and batch_fraction < 1.0:
+            from aws_data_wrangler_spark.operators.sampling import hash_sample
+
+            it_labels = hash_sample(labels, batch_fraction, id_col=id_col, salt=f"it{it}")
+        it_feats = feats.join(it_labels.select(id_col), id_col, "left_semi")
+        margins = (
+            it_feats.join(weights, "feature")
+            .groupBy(id_col)
+            .agg(F.sum("weight").alias("__margin"))
+        )
+        resid = (
+            it_labels.join(margins, id_col, "left")
+            .select(
+                F.col(id_col),
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("__margin"), F.lit(0.0)) + F.lit(bias))))
+                    - F.col("__y")
+                ).alias("__resid"),
+            )
+        )
+        n_stats = resid.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__resid").alias("rsum")
+        ).collect()[0]
+        n_batch = max(int(n_stats["n"]), 1)
+        grad = (
+            it_feats.join(resid, id_col)
+            .groupBy("feature")
+            .agg((F.sum("__resid") / F.lit(float(n_batch))).alias("__g"))
+        )
+        # every weight decays (l2); only features in the batch get a
+        # gradient step — the sparse-update shape of hashed-feature LR
+        new_weights = (
+            weights.join(grad, "feature", "left")
+            .select(
+                "feature",
+                (
+                    F.col("weight") * F.lit(1.0 - learning_rate * l2)
+                    - F.lit(learning_rate) * F.coalesce(F.col("__g"), F.lit(0.0))
+                ).alias("weight"),
+            )
+            .localCheckpoint()
+        )
+        weights = new_weights
+        bias -= learning_rate * float(n_stats["rsum"]) / n_batch
+    feats.unpersist()
+    return QualityClassifier(weights, bias, num_features, use_bigrams)
+
+
+def score_quality(
+    df: DataFrame,
+    model: QualityClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Attach the model's keep probability to every document: feature
+    join + per-doc weight sum + sigmoid (one shuffle on the feature
+    pairs; the weight table joins by feature hash). Scores are 6dp
+    floor-truncated like every per-row float output."""
+    feats = hashed_features(df, id_col, text_col, model.num_features, model.use_bigrams)
+    margins = (
+        feats.join(model.weights, "feature")
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("__margin"))
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.coalesce(F.col("__margin"), F.lit(0.0)) + F.lit(model.bias)))
+    )
+    return (
+        df.join(margins, id_col, "left")
+        .withColumn(out_col, trunc_digits(prob, 6))
+        .drop("__margin")
+    )

@@ -1236,3 +1236,50 @@ class TestProfiling:
         assert prof["v"]["n_null"] == 2 and prof["v"]["n_distinct"] == 1
         assert prof["id"]["n_null"] == 0 and prof["id"]["n_distinct"] == 4
         assert abs(prof["v"]["null_share"] - 0.5) < 1e-9
+
+
+class TestQualityClassifier:
+    def test_learns_planted_rule_and_scores_holdout(self, spark):
+        # planted separable rule: positives carry "goodtok", negatives
+        # "badtok" among shared filler — hashed-bigram LR must reach
+        # near-perfect holdout accuracy in a few full-batch iterations,
+        # and the deterministic mini-batch path must match
+        import random
+
+        from aws_data_wrangler_spark.operators import classifier
+
+        random.seed(7)
+        filler = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+        rows = []
+        for i in range(240):
+            toks = random.choices(filler, k=16)
+            y = i % 2
+            toks.insert(random.randrange(16), "goodtok" if y else "badtok")
+            rows.append((i, " ".join(toks), y))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        train = docs.filter(F.col("doc_id") % 5 != 0)
+        test = docs.filter(F.col("doc_id") % 5 == 0)
+        model = classifier.train_quality_classifier(train, "label", iterations=8)
+        assert model.num_features == 1 << 18 and model.use_bigrams
+        acc = (
+            classifier.score_quality(test, model)
+            .select(
+                (((F.col("quality_prob") > 0.5).cast("int") == F.col("label")).cast("int")).alias("ok")
+            )
+            .agg(F.avg("ok"))
+            .collect()[0][0]
+        )
+        assert acc >= 0.95
+        # deterministic mini-batches: hash-sampled per iteration
+        mb = classifier.train_quality_classifier(
+            train, "label", iterations=8, batch_fraction=0.5
+        )
+        acc_mb = (
+            classifier.score_quality(test, mb)
+            .select(
+                (((F.col("quality_prob") > 0.5).cast("int") == F.col("label")).cast("int")).alias("ok")
+            )
+            .agg(F.avg("ok"))
+            .collect()[0][0]
+        )
+        assert acc_mb >= 0.95
