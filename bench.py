@@ -26,7 +26,12 @@ SF_DIR = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # 7.5/5.1/3.3/2.8/3.3/2.5 s across 6 consecutive runs). A long-lived
 # cluster app pays the warm number, so those entries get 4 reps; the
 # narrow-plan queries are stable at 2.
-REPS = {"dedup_minhash_lsh": 4, "dedup_incremental": 4}
+REPS = {
+    "dedup_minhash_lsh": 4,
+    "dedup_incremental": 4,
+    "dedup_duplicated_lines": 3,
+    "dedup_semdedup": 3,
+}
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -41,6 +46,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental",
+    "dedup_duplicated_lines",
+    "dedup_semdedup",
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",
     "text_quality_score",
