@@ -405,45 +405,59 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
+    metric: str = "l2",
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank, cosine).
 
     Corpus vectors are assigned to their nearest centroid cell once
     (broadcast join); each query probes its ``nprobe`` nearest cells,
     so the scored set is ~``nprobe/num_centroids`` of the corpus.
+
+    ``metric`` picks the coarse-quantizer distance — ``"l2"`` (FAISS
+    IVF default) or ``"cosine"`` (spherical cells; with pre-trained
+    ``centroids`` every step is deterministic dot-product arithmetic,
+    which is what lets the registered query's DuckDB oracle replicate
+    the cell assignment exactly). Final neighbor scores are exact
+    cosine either way.
     """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     if centroids is None:
         centroids = train_ivf_centroids(corpus, num_centroids, id_col=id_col, vec_col=vec_col)
-    centroids = F.broadcast(centroids)
+    cvec = F.col("cvec").cast("array<double>")
+    cent = centroids.select(
+        "cid",
+        cvec.alias("cvec"),
+        F.sqrt(
+            F.aggregate(F.transform(cvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ).alias("cent_norm"),
+    )
+    cent = F.broadcast(cent)
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
-    dist_c = F.aggregate(
-        F.zip_with(F.col("c_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+
+    def cell_rank(prefix: str) -> "F.Column":
+        if metric == "cosine":
+            score = _cosine(f"{prefix}_vec", "cvec", f"{prefix}_norm", "cent_norm")
+            order = [score.desc(), F.col("cid").asc()]
+        else:
+            dist = F.aggregate(
+                F.zip_with(F.col(f"{prefix}_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            order = [dist.asc(), F.col("cid").asc()]
+        return F.row_number().over(Window.partitionBy(f"{prefix}_id").orderBy(*order))
+
     c_cells = (
-        c.crossJoin(centroids)
-        .withColumn("dist", dist_c)
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("c_id").orderBy(F.col("dist").asc(), F.col("cid").asc())),
-        )
+        c.crossJoin(cent)
+        .withColumn("rn", cell_rank("c"))
         .filter(F.col("rn") == 1)
         .select("c_id", "c_vec", "c_norm", "cid")
     )
-    dist_q = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     q_cells = (
-        q.crossJoin(centroids)
-        .withColumn("dist", dist_q)
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cid").asc())),
-        )
+        q.crossJoin(cent)
+        .withColumn("rn", cell_rank("q"))
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_vec", "q_norm", "cid")
     )

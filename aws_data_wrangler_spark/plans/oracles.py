@@ -13,11 +13,14 @@ Conventions shared with the Spark side (see plans/queries.py):
   replace-all; ``row_number()``/``sum(int)`` are cast to match Spark
   output types.
 
-Hash-based approximate operators (simhash, minhash internals:
-xxhash64 has no DuckDB twin) plus IVF ANN (iterative k-means) and the
-multimodal stub are deliberately absent → driver records rows-only
-checks. LSH ANN *is* oracle-checked: its buckets are deterministic
-sign-bit arithmetic, replicated literally in SQL.
+Only the BPE encoder lacks an oracle (iterative merge application is
+not SQL-expressible → driver records a rows-only check). Everything
+else is oracle-checked, including the approximate operators: LSH ANN
+buckets are deterministic sign-bit arithmetic replicated literally in
+SQL; the registered simhash uses md5-derived signatures (the xxhash64
+default has no DuckDB twin); IVF and semdedup pin SEEDED centroids so
+assignment is pure dot-product arithmetic; the multimodal query pins
+the deterministic fake decoder (sha256 replica).
 """
 
 from __future__ import annotations
@@ -85,6 +88,61 @@ def _lsh_ann_oracle_sql(
             JOIN embeddings c ON c.vec_id = cand.c_id
         ),
         ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def _ivf_ann_oracle_sql(k: int = 5, nprobe: int = 4, num_seeds: int = 16) -> str:
+    """Exact DuckDB replica of the registered ``ann_ivf_topk`` query:
+    SEEDED centroids (the ``num_seeds`` lowest-id vectors, the
+    operator's pre-trained-centroids path) with the cosine coarse
+    metric, so cell assignment (argmax cosine, ties → lowest cid),
+    probe selection (top-``nprobe`` cells per query), and the exact
+    rescore are all deterministic dot-product arithmetic. Assignment
+    ordering compares raw doubles — both engines run the same
+    sequential dot products (the semdedup-oracle precedent); only the
+    emitted cosine is 6dp floor-truncated."""
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {num_seeds})
+        ), cell_scores AS (
+            SELECT c.vec_id, s.cid, c.v,
+                   list_dot_product(c.v, s.cv) /
+                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.cv, s.cv)))
+                       AS s
+            FROM corpus c, seeds s
+        ), c_cells AS (
+            SELECT vec_id, cid, v
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY s DESC, cid ASC) AS rn
+                  FROM cell_scores)
+            WHERE rn = 1
+        ), q_cells AS (
+            SELECT vec_id, cid, v
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY s DESC, cid ASC) AS rn
+                  FROM cell_scores WHERE vec_id < 10)
+            WHERE rn <= {nprobe}
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   floor((list_dot_product(q.v, c.v) /
+                          (sqrt(list_dot_product(q.v, q.v)) *
+                           sqrt(list_dot_product(c.v, c.v)))) * 1000000.0) / 1000000.0
+                       AS cosine
+            FROM q_cells q JOIN c_cells c ON q.cid = c.cid
+            WHERE c.vec_id <> q.vec_id
+        ), ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    CAST(row_number() OVER (PARTITION BY query_id
                                            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
@@ -955,6 +1013,7 @@ ORACLES: Dict[str, str] = {
     """,
     "ann_cosine_topk_arrow": _arrow_ann_oracle_sql(),
     "ann_sq8_topk": _sq8_ann_oracle_sql(),
+    "ann_ivf_topk": _ivf_ann_oracle_sql(),
     # ---- BPE (training's corpus-scale aggregate; the iterative merge
     # loop itself is rows-only by design — see plans/queries.py) -------
     "bpe_word_frequencies": """

@@ -13,14 +13,15 @@ def test_every_oracle_has_a_query():
 def test_rows_only_set_is_intentional():
     # approximate/iterative operators deliberately lack oracles;
     # anything else missing one is a regression. Round 3 closed
-    # ann_cosine_topk_arrow (4dp truncation + re-rank oracle); the
-    # remaining two are the iterative k-means ANN (recall-matrix-tested
-    # instead) and the BPE encoder (iterative merge application is not
-    # SQL-expressible; pytest pins hand-computed merges + lossless
-    # reconstruction).
+    # ann_cosine_topk_arrow (4dp truncation + re-rank oracle) and
+    # ann_ivf_topk (seeded centroids + cosine coarse metric → the
+    # whole pipeline is deterministic dot-product arithmetic, the
+    # semdedup-oracle technique; the iterative Lloyd-trained path
+    # stays recall-matrix-tested). The one remaining entry is the BPE
+    # encoder (iterative merge application is not SQL-expressible;
+    # pytest pins hand-computed merges + lossless reconstruction).
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == [
-        "ann_ivf_topk",
         "bpe_encode",
     ]
 
@@ -41,7 +42,7 @@ ROUND2_GREEN_FROZEN = {
     "dedup_exact", "dedup_normalized", "io_parquet_roundtrip",
     "db_jdbc_roundtrip", "events_hourly_spikes", "events_asof_signup",
     "events_error_click_window", "ann_cosine_topk", "ann_lsh_topk",
-    "ann_ivf_topk", "text_token_count", "text_quality_score",
+    "text_token_count", "text_quality_score",
     "text_lang_id", "text_fingerprint", "text_chunk_tokens",
     "text_pack_sequences", "text_repetition", "text_pii_scrub",
     "text_tfidf_top_terms", "text_unigram_surprisal",
@@ -68,6 +69,8 @@ ROUND1_DEFERRED = {
     "events_value_percentiles",  # percentile ⊂ orders_value_deciles
     "embedding_stats",           # array-fold norms ⊂ ann/embedding queries
     "text_ngram_freq",           # explode+count ⊂ bpe_word_frequencies
+    "io_fwf_roundtrip",          # text-read path ⊂ io_csv_roundtrip (displaced
+                                 # by ann_ivf_topk's new seeded oracle)
 }
 
 ROUND3_NEW_OR_CHANGED = {
@@ -87,6 +90,7 @@ ROUND3_NEW_OR_CHANGED = {
     "multimodal_decode_stub",    # pinned fake decoder + new oracle
     "ann_cosine_topk_arrow",     # 4dp truncation + re-rank, new oracle
     "ann_sq8_topk",              # quantized ANN (new)
+    "ann_ivf_topk",              # seeded centroids + cosine metric, new oracle
     "bpe_word_frequencies",      # BPE training aggregate (new)
     "bpe_encode",                # BPE encoder (new), rows-only by design
     "streaming_growing_corpus",  # growing-corpus sink (new)
