@@ -278,3 +278,46 @@ def token_budget_sample(
         .filter(F.col("__before") < budget)
         .drop("__before")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    with_position: bool = True,
+) -> DataFrame:
+    """Reproducible global shuffle for training-data output: every row
+    gets a content-derived pseudo-random ``shuffle_key``
+    (md5(id || salt)), a ``shard`` (first 8 hex chars mod
+    ``num_shards``), and — when ``with_position`` — a dense 1-based
+    ``pos`` within its shard, ordered by (shuffle_key, id).
+
+    The (shard, pos) assignment depends only on row ids and the salt:
+    it is invariant to input partitioning and engine, so a training
+    run can be resumed or re-produced exactly, and two teams shuffling
+    the same corpus get byte-identical shard files. Changing the salt
+    is a fresh, decorrelated shuffle (epoch reshuffling).
+
+    Scale: one shuffle keyed on ``shard`` (the position window runs
+    per shard, so parallelism == ``num_shards`` — size num_shards so
+    corpus/num_shards rows fit a task, e.g. tens of thousands at
+    100 TB). With ``with_position=False`` it is a pure projection —
+    zero shuffle — and the writer's ``partitionBy("shard")`` or
+    ``repartition(num_shards, "shard")`` does the placement.
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.withColumns(
+        {
+            "shuffle_key": key,
+            "shard": (
+                F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % num_shards
+            ).cast("int"),
+        }
+    )
+    if with_position:
+        w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+        out = out.withColumn("pos", F.row_number().over(w))
+    return out

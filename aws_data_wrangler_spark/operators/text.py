@@ -324,6 +324,54 @@ PII_PATTERNS: List[Tuple[str, str, str]] = [
 ]
 
 
+# HTML boilerplate removal (ingest-stage text extraction). Patterns
+# avoid backreferences and stay in the RE2-compatible subset so the
+# DuckDB oracle can run the IDENTICAL regex chain; flags are inline
+# ((?is)) for the same reason. Order matters: comments and
+# script/style blocks go before generic tags (their content must not
+# survive tag stripping), and &amp; decodes LAST so "&amp;lt;" yields
+# the literal "&lt;" rather than re-decoding.
+HTML_STRIP_STEPS: List[Tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+]
+
+HTML_TAG_RE = r"(?s)<[^>]*>"
+
+
+def strip_html(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Extract visible text from HTML: drop comments and script/style
+    blocks (content included), strip remaining tags, decode the common
+    entities, and collapse whitespace. Adds ``n_html_tags`` (tag count
+    measured on the ORIGINAL text) so pipelines can audit how much
+    markup each document carried.
+
+    Like the PII scrubber this is a pure codegen'd regex projection —
+    at 100 TB it fuses into the ingest scan with zero shuffle. It is a
+    boilerplate REMOVER, not an HTML parser: malformed markup degrades
+    to leaving fragments in place, never to dropping visible text.
+    """
+    text = F.col(text_col)
+    cleaned = text
+    for pat, repl in HTML_STRIP_STEPS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumns(
+        {
+            "n_html_tags": F.size(F.regexp_extract_all(text, F.lit(HTML_TAG_RE), 0)).cast("bigint"),
+            out_col: cleaned,
+        }
+    )
+
+
 def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted_text") -> DataFrame:
     """Redact emails / phone numbers / IP addresses and count each kind.
 

@@ -652,6 +652,31 @@ class TestSimilarity:
         # cell, so even nprobe=1 must capture most of them
         assert recalls[1] >= 0.5, recalls
 
+    def test_ivf_cosine_metric_full_probe_is_exact(self, spark, embeddings):
+        # with the cosine coarse metric and nprobe == num_centroids,
+        # every cell is probed, so IVF must reproduce the brute-force
+        # scan exactly — scores included (both emit truncated cosine)
+        from pyspark.sql import Window
+
+        queries = embeddings.filter("vec_id < 5")
+        seeds = (
+            embeddings.orderBy("vec_id")
+            .limit(8)
+            .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        exact = similarity.cosine_topk(embeddings, queries, k=5)
+        approx = similarity.ivf_topk(
+            embeddings, queries, k=5, nprobe=8, centroids=seeds, metric="cosine"
+        )
+        assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, exact.collect()))
+
+    def test_ivf_rejects_unknown_metric(self, spark, embeddings):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="metric"):
+            similarity.ivf_topk(embeddings, embeddings.limit(1), metric="manhattan")
+
 
 class TestSketches:
     def test_hll_tracks_exact_distinct(self, spark, events):
@@ -1019,6 +1044,48 @@ class TestSampling:
         }
         assert {r["doc_id"] for r in got.collect()} == expect
 
+    def test_deterministic_shuffle_partition_invariant(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        a = sampling.deterministic_shuffle(documents, num_shards=8)
+        b = sampling.deterministic_shuffle(documents.repartition(13), num_shards=8)
+        rows_a = {r["doc_id"]: (r["shard"], r["pos"]) for r in a.collect()}
+        rows_b = {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+        assert rows_a == rows_b
+
+    def test_deterministic_shuffle_positions_dense(self, spark, documents):
+        from collections import Counter
+
+        from aws_data_wrangler_spark.operators import sampling
+
+        out = sampling.deterministic_shuffle(documents, num_shards=4).collect()
+        assert len(out) == documents.count()
+        per_shard = Counter(r["shard"] for r in out)
+        assert set(per_shard) <= set(range(4))
+        # dense 1..n positions inside every shard
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, positions in by_shard.items():
+            assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+    def test_deterministic_shuffle_salt_reshuffles(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        a = sampling.deterministic_shuffle(documents, num_shards=4, salt="epoch1")
+        b = sampling.deterministic_shuffle(documents, num_shards=4, salt="epoch2")
+        pos_a = {r["doc_id"]: (r["shard"], r["pos"]) for r in a.collect()}
+        pos_b = {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+        moved = sum(1 for k in pos_a if pos_a[k] != pos_b[k])
+        assert moved > len(pos_a) * 0.9
+
+    def test_deterministic_shuffle_projection_only_without_position(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        out = sampling.deterministic_shuffle(documents, num_shards=8, with_position=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
 
 class TestTextPipelineOps:
     def test_scrub_pii_planted(self, spark):
@@ -1035,6 +1102,38 @@ class TestTextPipelineOps:
         row = text.scrub_pii(df).collect()[0]
         assert row["redacted_text"] == "no pii here at all"
         assert row["n_emails"] == row["n_phones"] == row["n_ips"] == 0
+
+    def test_strip_html_extracts_visible_text(self, spark):
+        html = (
+            "<!DOCTYPE html><html><head><title>T</title>"
+            "<style type='text/css'>body { color: red; }</style>"
+            "<SCRIPT src='x.js'>var hidden = 1;</SCRIPT></head>"
+            "<body><!-- note --><h1>Hello</h1>\n<p>A &amp; B &lt;ok&gt;</p></body></html>"
+        )
+        row = text.strip_html(
+            spark.createDataFrame([(1, html)], "doc_id long, text string")
+        ).collect()[0]
+        # script/style CONTENT and comments are gone, tags stripped,
+        # entities decoded, whitespace collapsed
+        assert row["clean_text"] == "T Hello A & B <ok>"
+        assert row["n_html_tags"] > 0
+
+    def test_strip_html_plain_text_unchanged(self, spark):
+        df = spark.createDataFrame(
+            [(1, "just words, 2 < 3 is fine")], "doc_id long, text string"
+        )
+        row = text.strip_html(df).collect()[0]
+        # a bare '<' never forms a tag match ('<[^>]*>' needs a '>'),
+        # so plain prose with comparisons survives verbatim
+        assert row["clean_text"] == "just words, 2 < 3 is fine"
+        assert row["n_html_tags"] == 0
+
+    def test_strip_html_amp_decodes_last(self, spark):
+        row = text.strip_html(
+            spark.createDataFrame([(1, "x &amp;lt; y")], "doc_id long, text string")
+        ).collect()[0]
+        # double-encoded entities decode exactly one level
+        assert row["clean_text"] == "x &lt; y"
 
     def test_tfidf_rare_term_wins(self, spark):
         # 'zebra' appears in 1 of 3 docs → highest idf for doc 1
