@@ -21,6 +21,7 @@ from aws_data_wrangler_spark.s3._read import (  # noqa: F401
     read_csv,
     read_fwf,
     read_json,
+    read_orc,
     read_parquet,
     read_parquet_metadata,
     read_parquet_table,
@@ -29,6 +30,7 @@ from aws_data_wrangler_spark.s3._write import (  # noqa: F401
     store_parquet_metadata,
     to_csv,
     to_json,
+    to_orc,
     to_parquet,
 )
 
@@ -81,10 +83,12 @@ __all__ = [
     "read_csv",
     "read_fwf",
     "read_json",
+    "read_orc",
     "wait_objects_exist",
     "wait_objects_not_exist",
     "store_parquet_metadata",
     "to_parquet",
     "to_csv",
     "to_json",
+    "to_orc",
 ]

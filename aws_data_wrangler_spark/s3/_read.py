@@ -484,3 +484,50 @@ def read_fwf(
         cols.append(col.alias(name))
         offset += width
     return df.select(*cols)
+
+
+def read_orc(
+    path: Union[str, List[str]],
+    columns: Optional[List[str]] = None,
+    filters: FiltersType = None,
+    dataset: bool = False,
+    chunked: Union[bool, int] = False,
+    path_suffix: Optional[Union[str, List[str]]] = None,
+    path_ignore_suffix: Optional[Union[str, List[str]]] = None,
+    partition_filter: Optional[Any] = None,
+    last_modified_begin: Optional[Any] = None,
+    last_modified_end: Optional[Any] = None,
+    spark: Optional[SparkSession] = None,
+    **options: Any,
+) -> Any:
+    """Columnar ORC read with the same pruning surface as
+    ``read_parquet``: column projection and filters reach the ORC
+    reader (predicate pushdown + pruned ReadSchema), dataset mode
+    prunes Hive partitions before the scan. No reference counterpart
+    (awswrangler 1.x is parquet/text-only); included because the Spark
+    ORC source makes the format free and real lakes mix both.
+    """
+    spark = _active_spark(spark)
+    paths = [path] if isinstance(path, str) else list(path)
+    paths = [normalize_path(p) for p in paths]
+    base_path = paths[0] if dataset and len(paths) == 1 else None
+    if partition_filter is not None:
+        if not base_path:
+            raise InvalidArgument("partition_filter requires dataset=True and a single root path")
+        paths = _partition_pruned_paths(base_path, partition_filter, spark)
+    if path_suffix or path_ignore_suffix:
+        paths = _suffix_filtered_paths(paths, path_suffix, path_ignore_suffix, spark)
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    if last_modified_begin is not None:
+        reader = reader.option("modifiedAfter", _mtime_option(last_modified_begin))
+    if last_modified_end is not None:
+        reader = reader.option("modifiedBefore", _mtime_option(last_modified_end))
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    df = reader.orc(*paths)
+    df = _apply_projection_filter(df, columns, filters)
+    if chunked:
+        return _iter_pandas_chunks(df, None if chunked is True else int(chunked))
+    return df

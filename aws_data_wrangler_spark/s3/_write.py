@@ -309,6 +309,38 @@ def to_json(
     )
 
 
+def to_orc(
+    df: DataFrame,
+    path: str,
+    dataset: bool = False,
+    partition_cols: Optional[List[str]] = None,
+    mode: str = "append",
+    database: Optional[str] = None,
+    table: Optional[str] = None,
+    dtype: Optional[Dict[str, str]] = None,
+    sanitize_columns: bool = False,
+    description: Optional[str] = None,
+    parameters: Optional[Dict[str, str]] = None,
+    columns_comments: Optional[Dict[str, str]] = None,
+    spark: Optional[SparkSession] = None,
+    **options: Any,
+) -> Dict[str, Any]:
+    """ORC twin of ``to_parquet`` (dataset modes, partitioning,
+    catalog registration). No reference counterpart (awswrangler 1.x
+    is parquet/text-only); the Spark ORC sink makes the format free.
+    """
+    _pop_noop_kwargs(options)
+    if sanitize_columns:
+        from aws_data_wrangler_spark import catalog
+
+        df = catalog.sanitize_dataframe_columns_names(df)
+    return _write(
+        df, path, "orc", dataset, partition_cols, mode, database, table, dtype, spark,
+        description=description, parameters=parameters, columns_comments=columns_comments,
+        **options
+    )
+
+
 def store_parquet_metadata(
     path: str,
     database: str,

@@ -263,6 +263,30 @@ class TestTextFormats:
         rows = {r["id"]: (r["name"], r["val"]) for r in df.collect()}
         assert rows == {1: ("alpha", 10), 2: ("beta", 20)}
 
+    def test_orc_roundtrip_partitioned(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/orc"
+        sample = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(100)
+        s3.to_orc(sample, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite")
+        back = s3.read_orc(out, dataset=True)
+        assert back.count() == 100
+        assert set(back.columns) == {"l_orderkey", "l_quantity", "l_returnflag"}
+        # partition_filter prunes directories before the scan
+        flags = {r["l_returnflag"] for r in sample.select("l_returnflag").distinct().collect()}
+        one = sorted(flags)[0]
+        pruned = s3.read_orc(
+            out, dataset=True, partition_filter=lambda p: p.get("l_returnflag") == one
+        )
+        assert {r["l_returnflag"] for r in pruned.collect()} == {one}
+
+    def test_orc_filters_reach_the_scan(self, spark, lineitem, tmp_prefix):
+        out = f"{tmp_prefix}/orc_pd"
+        s3.to_orc(lineitem.limit(200), out, mode="overwrite")
+        df = s3.read_orc(out, columns=["l_orderkey", "l_quantity"], filters=[("l_quantity", "<", 10)])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # ORC scan must show the pushed predicate and the pruned schema
+        assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters:")[1][:200]
+        assert df.count() == lineitem.limit(200).filter("l_quantity < 10").count()
+
 
 class TestObjectOps:
     def test_list_delete_exist(self, spark, lineitem, tmp_prefix):
