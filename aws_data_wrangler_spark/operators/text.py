@@ -485,6 +485,120 @@ def benchmark_contamination(
     )
 
 
+def _positioned_word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, total_tokens, pos, gram): sliding word n-grams with their
+    0-based start position. Same posexplode-over-sequence shape as
+    ``chunk_tokens`` — a pure map-stage fan-out, no shuffle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.where(_ws_token_count(F.col(text_col)) >= n)
+        .select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("total_tokens"))
+    )
+    starts = F.sequence(F.lit(0), F.size("_toks") - F.lit(n))
+    return base.select(
+        F.col(id_col),
+        F.col("total_tokens"),
+        F.posexplode(starts).alias("_i", "pos"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("total_tokens"),
+        F.col("pos"),
+        F.array_join(F.slice("_toks", F.col("pos") + 1, F.lit(n)), " ").alias("gram"),
+    )
+
+
+def with_top_ngram_coverage(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition rule (Rae et al. 2021 §A1.1, the n∈{2,3,4}
+    family): per document, the fraction of characters contained in
+    occurrences of its single most frequent word n-gram —
+    ``count × chars(gram) / chars(normalized text)``, where the
+    normalized text is the tokens joined by single spaces. Sliding
+    occurrences may overlap, so pathological repetition can exceed
+    1.0 — that is itself the signal; thresholds (Gopher uses 0.20 /
+    0.18 / 0.16) compare on the raw value. Ties break to the
+    lexicographically smallest gram, so the value is deterministic.
+
+    Adds ``top_{n}gram_cov`` (0.0 for docs with fewer than ``n``
+    tokens). Scale: one map-stage n-gram fan-out + two hash
+    aggregations keyed on (id, gram) then id, then one join back —
+    all map-side-combinable, nothing quadratic.
+    """
+    out_col = f"top_{n}gram_cov"
+    grams = _positioned_word_ngrams(df, n, text_col, id_col)
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    rank_w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    best = (
+        per_gram.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            (F.col("cnt").cast("double") * F.length("gram").cast("double")).alias("_cov_chars"),
+        )
+    )
+    norm_chars = F.length(F.concat_ws(" ", F.split(F.trim(F.col(text_col)), r"\s+")))
+    return (
+        df.join(best, on=id_col, how="left")
+        .withColumn(
+            out_col,
+            trunc_digits(
+                F.coalesce(F.col("_cov_chars") / norm_chars.cast("double"), F.lit(0.0))
+            ),
+        )
+        .drop("_cov_chars")
+    )
+
+
+def with_dup_ngram_fraction(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition rule (Rae et al. 2021 §A1.1, the n∈{5..10}
+    family): per document, the fraction of TOKENS lying inside any
+    word n-gram that occurs more than once in the document —
+    overlapping duplicated spans are merged first so no token is
+    counted twice (the within-doc analog of
+    ``dedup.duplicated_spans``' interval merge). Adds
+    ``dup_{n}gram_frac`` (0.0 for docs with fewer than ``n`` tokens).
+
+    Scale: map-stage n-gram fan-out → one (id, gram)-keyed count
+    window to find duplicated grams → the running-max interval-merge
+    window keyed on the document — linear everywhere, the windows
+    partition by (id, gram) / id so parallelism is the document count.
+    """
+    out_col = f"dup_{n}gram_frac"
+    grams = _positioned_word_ngrams(df, n, text_col, id_col)
+    dup_w = Window.partitionBy(id_col, "gram")
+    dup_positions = (
+        grams.withColumn("_gram_cnt", F.count("*").over(dup_w))
+        .filter(F.col("_gram_cnt") >= 2)
+        .select(id_col, "total_tokens", "pos", (F.col("pos") + F.lit(n - 1)).alias("end"))
+    )
+    merge_w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("end").over(merge_w)
+    newly_covered = F.greatest(
+        F.lit(0),
+        F.col("end") - F.greatest(F.col("pos") - 1, F.coalesce(prev_max_end, F.lit(-1))),
+    )
+    covered = (
+        dup_positions.withColumn("_new", newly_covered)
+        .groupBy(id_col, "total_tokens")
+        .agg(F.sum("_new").alias("_covered"))
+        .select(
+            F.col(id_col),
+            trunc_digits(
+                F.col("_covered").cast("double") / F.col("total_tokens").cast("double")
+            ).alias(out_col),
+        )
+    )
+    return df.join(covered, on=id_col, how="left").fillna({out_col: 0.0})
+
+
 def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition quality signals (Gopher-style): the fraction of
     duplicated words and duplicated word-bigrams per document. High

@@ -1135,6 +1135,75 @@ class TestTextPipelineOps:
         # double-encoded entities decode exactly one level
         assert row["clean_text"] == "x &lt; y"
 
+    @staticmethod
+    def _brute_top_ngram_cov(doc: str, n: int) -> float:
+        from collections import Counter
+
+        toks = doc.split()
+        if len(toks) < n:
+            return 0.0
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        counts = Counter(grams)
+        # ties → lexicographically smallest gram
+        top_cnt = max(counts.values())
+        best_gram = min(g for g, c in counts.items() if c == top_cnt)
+        cov = counts[best_gram] * len(best_gram) / len(" ".join(toks))
+        import math
+
+        return math.floor(cov * 1e6) / 1e6
+
+    @staticmethod
+    def _brute_dup_ngram_frac(doc: str, n: int) -> float:
+        from collections import Counter
+
+        toks = doc.split()
+        if len(toks) < n:
+            return 0.0
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        counts = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if counts[g] >= 2:
+                covered.update(range(i, i + n))
+        import math
+
+        return math.floor(len(covered) / len(toks) * 1e6) / 1e6
+
+    def test_top_ngram_coverage_vs_brute_force(self, spark):
+        docs = [
+            (1, "spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a b a b a b c d e f"),
+            (4, "one"),  # fewer than n tokens → 0.0
+            (5, "x y x y x y x y z z z z buy now buy now buy now"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r["top_2gram_cov"] for r in text.with_top_ngram_coverage(df, n=2).collect()}
+        for doc_id, t in docs:
+            assert out[doc_id] == self._brute_top_ngram_cov(t, 2), (doc_id, t)
+
+    def test_dup_ngram_fraction_vs_brute_force(self, spark):
+        docs = [
+            (1, "a b c d e a b c d e a b c d e"),       # heavy repetition
+            (2, "the quick brown fox jumps over the lazy dog today"),  # none
+            (3, "p q r s t u p q r s t u"),
+            (4, "short doc"),                            # fewer than n tokens
+            (5, " ".join(["w"] * 30)),                   # total overlap
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r["dup_5gram_frac"] for r in text.with_dup_ngram_fraction(df, n=5).collect()}
+        for doc_id, t in docs:
+            assert out[doc_id] == self._brute_dup_ngram_frac(t, 5), (doc_id, t)
+
+    def test_ngram_repetition_on_corpus_bounds(self, spark, documents):
+        out = text.with_dup_ngram_fraction(
+            text.with_top_ngram_coverage(documents, n=3), n=6
+        ).collect()
+        assert len(out) == documents.count()
+        for r in out:
+            assert 0.0 <= r["dup_6gram_frac"] <= 1.0
+            assert r["top_3gram_cov"] >= 0.0
+
     def test_tfidf_rare_term_wins(self, spark):
         # 'zebra' appears in 1 of 3 docs → highest idf for doc 1
         df = spark.createDataFrame(
