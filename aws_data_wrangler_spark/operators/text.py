@@ -216,6 +216,94 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambda_bigram: float = 0.7,
+) -> DataFrame:
+    """Corpus-trained interpolated-bigram LM surprisal per document —
+    one rung up from ``unigram_surprisal`` toward the KenLM perplexity
+    filter CCNet uses: (id, n_toks, avg_surprisal) where each token
+    after the first scores ``-ln(λ·p(w|prev) + (1−λ)·p(w))`` and the
+    first token scores its unigram surprisal. Repetitive boilerplate
+    has predictable continuations → low surprisal; incoherent or
+    out-of-domain text scores high.
+
+    Scale shape: bigrams are built map-side from the token ARRAY
+    (posexplode over slices — no window, no shuffle to form pairs);
+    the unigram table is vocabulary-sized and broadcast, the bigram
+    and context tables join on their own keys (plain shuffle joins —
+    bigram vocabularies outgrow broadcast at corpus scale, and AQE
+    may still broadcast them when they measure small). Per-doc
+    log-prob folds run in position order (sort_array of (pos, lp)
+    structs), the same cross-engine float discipline as
+    ``unigram_surprisal``, truncated at 6dp.
+    """
+    if not 0.0 <= lambda_bigram <= 1.0:
+        raise ValueError(f"lambda_bigram must be in [0, 1], got {lambda_bigram}")
+    # split on trimmed text never yields empty tokens, so no HOF filter
+    # is needed (array HOFs are CodegenFallback — SURVEY §6)
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks_arr.alias("_toks"))
+    )
+    unigrams = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("pos", "tok")
+    )
+    # (pos, prev, tok) for pos >= 1, straight from the array — the pair
+    # construction is a pure map-stage fan-out
+    bigrams = (
+        base.where(F.size("_toks") > 1)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.slice("_toks", 2, F.size("_toks") - 1)).alias("_i", "tok"),
+            F.col("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_i") + 1).alias("pos"),
+            F.element_at("_toks", F.col("_i") + 1).alias("prev"),
+            F.col("tok"),
+        )
+    )
+    counts_uni = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_cnt")).cache()
+    total = counts_uni.agg(F.sum("uni_cnt")).collect()[0][0] or 0
+    counts_bi = bigrams.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bi_cnt"))
+    counts_ctx = counts_bi.groupBy("prev").agg(F.sum("bi_cnt").alias("ctx_cnt"))
+    lam = F.lit(float(lambda_bigram))
+    p_uni = F.col("uni_cnt") / F.lit(float(total))
+    first = (
+        unigrams.filter(F.col("pos") == 0)
+        .join(F.broadcast(counts_uni), "tok")
+        .select(F.col(id_col), F.struct(F.col("pos"), (-F.log(p_uni)).alias("lp")).alias("s"))
+    )
+    p_bi = F.col("bi_cnt").cast("double") / F.col("ctx_cnt").cast("double")
+    rest = (
+        bigrams.join(counts_bi, ["prev", "tok"])
+        .join(counts_ctx, "prev")
+        .join(F.broadcast(counts_uni), "tok")
+        .select(
+            F.col(id_col),
+            F.struct(
+                F.col("pos"), (-F.log(lam * p_bi + (F.lit(1.0) - lam) * p_uni)).alias("lp")
+            ).alias("s"),
+        )
+    )
+    per_doc = first.unionByName(rest).groupBy(id_col).agg(
+        F.sort_array(F.collect_list("s")).alias("lps")
+    )
+    folded = F.aggregate(
+        F.transform(F.col("lps"), lambda s: s["lp"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("lps").cast("bigint").alias("n_toks"),
+        trunc_digits(folded / F.size("lps")).alias("avg_surprisal"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint (md5 over lowercased alnum-only
     text) — the document-identity key used by exact dedup."""

@@ -1195,6 +1195,45 @@ class TestTextPipelineOps:
         for doc_id, t in docs:
             assert out[doc_id] == self._brute_dup_ngram_frac(t, 5), (doc_id, t)
 
+    def test_bigram_surprisal_hand_computed(self, spark):
+        import math
+
+        docs = [(1, "a b a b"), (2, "a b c")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.bigram_surprisal(df, lambda_bigram=0.7).collect()}
+        # corpus: uni a:3 b:3 c:1 N=7; bi (a,b):3 (b,a):1 (b,c):1; ctx a:3 b:2
+        lam, N = 0.7, 7.0
+        lp_first_a = -math.log(3 / N)
+        lp_ab = -math.log(lam * (3 / 3) + (1 - lam) * (3 / N))
+        lp_ba = -math.log(lam * (1 / 2) + (1 - lam) * (3 / N))
+        lp_bc = -math.log(lam * (1 / 2) + (1 - lam) * (1 / N))
+
+        def tr(x):
+            return math.floor(x * 1e6) / 1e6
+
+        exp1 = tr((lp_first_a + lp_ab + lp_ba + lp_ab) / 4)
+        exp2 = tr((lp_first_a + lp_ab + lp_bc) / 3)
+        assert out[1]["n_toks"] == 4 and out[1]["avg_surprisal"] == exp1
+        assert out[2]["n_toks"] == 3 and out[2]["avg_surprisal"] == exp2
+
+    def test_bigram_surprisal_lambda_zero_is_unigram(self, spark, documents):
+        uni = {r["doc_id"]: r["avg_surprisal"] for r in text.unigram_surprisal(documents).collect()}
+        bi = {
+            r["doc_id"]: r["avg_surprisal"]
+            for r in text.bigram_surprisal(documents, lambda_bigram=0.0).collect()
+        }
+        # λ=0 interpolates down to the pure unigram model; both fold in
+        # position order, so values agree to float noise at the 6dp grid
+        assert uni.keys() == bi.keys()
+        close = sum(1 for k in uni if abs(uni[k] - bi[k]) <= 1e-6)
+        assert close == len(uni), (len(uni), close)
+
+    def test_bigram_surprisal_rejects_bad_lambda(self, spark, documents):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="lambda_bigram"):
+            text.bigram_surprisal(documents, lambda_bigram=1.5)
+
     def test_ngram_repetition_on_corpus_bounds(self, spark, documents):
         out = text.with_dup_ngram_fraction(
             text.with_top_ngram_coverage(documents, n=3), n=6
