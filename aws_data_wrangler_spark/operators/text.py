@@ -687,6 +687,40 @@ def with_dup_ngram_fraction(
     return df.join(covered, on=id_col, how="left").fillna({out_col: 0.0})
 
 
+# Gopher §A1.1 repetition thresholds (Rae et al. 2021, Table A1):
+# a document is removed when any fraction EXCEEDS its threshold
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def with_gopher_repetition_gate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full Gopher §A1.1 repetition gate: all nine rule columns
+    (``top_{2,3,4}gram_cov``, ``dup_{5..10}gram_frac``) at the paper's
+    thresholds, plus a composite ``gopher_repetition_keep`` flag — a
+    FLAG, not a filter, like ``with_gopher_flags``, so pipelines audit
+    before they drop.
+
+    Cost note: each n runs its own n-gram fan-out and id-keyed
+    window — nine linear passes over the token stream. That is the
+    honest cost of the full rule set; pipelines filtering on a subset
+    should call the individual functions. At 100 TB each pass is a
+    map-stage explode plus document-keyed aggregation — no pass is
+    super-linear, and the passes share the scan via Spark's plan reuse
+    when materialized together.
+    """
+    out = df
+    keep = F.lit(True)
+    for n, thresh in sorted(GOPHER_TOP_NGRAM_THRESHOLDS.items()):
+        out = with_top_ngram_coverage(out, n=n, text_col=text_col, id_col=id_col)
+        keep = keep & (F.col(f"top_{n}gram_cov") <= F.lit(thresh))
+    for n, thresh in sorted(GOPHER_DUP_NGRAM_THRESHOLDS.items()):
+        out = with_dup_ngram_fraction(out, n=n, text_col=text_col, id_col=id_col)
+        keep = keep & (F.col(f"dup_{n}gram_frac") <= F.lit(thresh))
+    return out.withColumn("gopher_repetition_keep", keep)
+
+
 def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition quality signals (Gopher-style): the fraction of
     duplicated words and duplicated word-bigrams per document. High

@@ -1234,6 +1234,25 @@ class TestTextPipelineOps:
         with _pytest.raises(ValueError, match="lambda_bigram"):
             text.bigram_surprisal(documents, lambda_bigram=1.5)
 
+    def test_gopher_repetition_gate(self, spark):
+        spam = " ".join(["buy now"] * 40)                     # top-2gram cov >> 0.20
+        loop = " ".join(["a b c d e f"] * 10)                 # dup-6gram frac >> 0.14
+        clean = (
+            "the quick brown fox jumps over one lazy dog while seven other "
+            "animals watch from beyond a tall green hill near two rivers"
+        )
+        df = spark.createDataFrame(
+            [(1, spam), (2, loop), (3, clean)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in text.with_gopher_repetition_gate(df).collect()}
+        assert not rows[1]["gopher_repetition_keep"]
+        assert not rows[2]["gopher_repetition_keep"]
+        assert rows[3]["gopher_repetition_keep"]
+        # all nine rule columns materialize
+        cols = set(rows[3].asDict())
+        assert {f"top_{n}gram_cov" for n in (2, 3, 4)} <= cols
+        assert {f"dup_{n}gram_frac" for n in range(5, 11)} <= cols
+
     def test_ngram_repetition_on_corpus_bounds(self, spark, documents):
         out = text.with_dup_ngram_fraction(
             text.with_top_ngram_coverage(documents, n=3), n=6
