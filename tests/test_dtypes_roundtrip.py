@@ -51,6 +51,15 @@ class TestDtypeRoundtrip:
         b = back.orderBy("c_bool").collect()
         assert a == b
 
+    def test_orc_roundtrip_preserves_schema(self, spark, typed_df, tmp_prefix):
+        out = f"{tmp_prefix}/typed_orc"
+        s3.to_orc(typed_df, out, dataset=True, mode="overwrite")
+        back = s3.read_orc(out, dataset=True)
+        assert dict(back.dtypes) == dict(typed_df.dtypes)
+        a = typed_df.orderBy("c_bool").collect()
+        b = back.orderBy("c_bool").collect()
+        assert a == b
+
     def test_catalog_registration_all_types(self, spark, typed_df, tmp_prefix):
         out = f"{tmp_prefix}/typed_cat"
         s3.to_parquet(typed_df, out, dataset=True, mode="overwrite",
