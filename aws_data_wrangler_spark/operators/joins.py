@@ -31,15 +31,31 @@ def asof_join(
     right_cols: Optional[List[str]] = None,
     suffix: str = "_right",
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right.time <= left.time`` within the same ``on`` key.
+    ``right.time <= left.time`` within the same ``on`` key
+    (``direction="backward"``, the default), or the earliest right row
+    with ``right.time >= left.time`` (``direction="forward"``) — the
+    two pandas ``merge_asof`` directions. ``tolerance`` (seconds, or
+    plain units for numeric time columns) bounds how far away the
+    match may be; out-of-tolerance matches become nulls (then drop
+    under ``how="inner"``).
 
     Ties on the right side (equal times) resolve to the greatest value
     of the first payload column — pre-dedup the right side if a
     different policy is needed. ``how="left"`` keeps unmatched left
     rows with nulls.
+
+    Scale shape is unchanged by the new knobs: one union-sort window
+    per key (a single shuffle on ``on``), no per-key loops; tolerance
+    is a post-mask on the carried match, never a join condition.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_time)]
     l_tagged = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
     r_payload = F.struct(
@@ -50,18 +66,26 @@ def asof_join(
         .withColumn("__is_left", F.lit(0))
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    # right rows sort before left rows at equal time → "<=" semantics;
-    # among equal-time right rows the struct max (by time, then payload
-    # order) wins via last() over the running frame
+    # backward scans time ascending, forward descending — either way
+    # right rows sort before left rows at equal time (<= / >=
+    # semantics), and among equal-time right rows the struct sort puts
+    # the greatest payload last, so last() picks it deterministically
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     window = (
         Window.partitionBy(on)
-        # right rows before left rows at equal time (<= semantics); among
-        # equal-time right rows the struct sort puts the greatest payload
-        # last, so last() picks it deterministically
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__payload").asc())
+        .orderBy(t_order, F.col("__is_left").asc(), F.col("__payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(window))
+    if tolerance is not None:
+        # the carried match is the CLOSEST candidate, so if it sits
+        # outside the tolerance every other candidate does too
+        delta = F.col("__t").cast("double") - F.col("__match").getField("__rt").cast("double")
+        if direction == "forward":
+            delta = -delta
+        carried = carried.withColumn(
+            "__match", F.when(delta <= F.lit(float(tolerance)), F.col("__match"))
+        )
     out = carried.filter(F.col("__is_left") == 1)
     for col in right_cols:
         out = out.withColumn(

@@ -37,6 +37,74 @@ class TestAsofJoin:
         row = out.collect()[0]
         assert row["event_id"] == 1 and row["payload"] is None
 
+    def test_forward_direction(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 10, _ts(40)), (4, 20, _ts(50))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(10, _ts(2), 100), (10, _ts(5), 101), (10, _ts(30), 102), (20, _ts(10), 200)],
+            "user_id long, ts timestamp, payload long",
+        )
+        out = joins.asof_join(
+            left, right, on="user_id", right_cols=["payload"], how="inner", direction="forward"
+        )
+        rows = {r["event_id"]: r["payload"] for r in out.collect()}
+        # event 1 @5 → right @5 (equal time matches, >= semantics)
+        # event 2 @20 → right @30 (earliest at-or-after)
+        # event 3 @40 → none; event 4 (user 20) @50 → right @10 is earlier → none
+        assert rows == {1: 101, 2: 102}
+
+    def test_tolerance_masks_stale_matches(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(5)), (2, 10, _ts(59))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(10, _ts(4), 100)], "user_id long, ts timestamp, payload long"
+        )
+        # 10-minute tolerance: event 1 (1 min gap) matches, event 2
+        # (55 min gap) nulls out and drops under inner
+        out = joins.asof_join(
+            left, right, on="user_id", right_cols=["payload"], how="inner", tolerance=600.0
+        )
+        rows = {r["event_id"]: r["payload"] for r in out.collect()}
+        assert rows == {1: 100}
+        kept = joins.asof_join(
+            left, right, on="user_id", right_cols=["payload"], how="left", tolerance=600.0
+        )
+        rows = {r["event_id"]: r["payload"] for r in kept.collect()}
+        assert rows == {1: 100, 2: None}
+
+    def test_asof_matches_duckdb_semantics_on_events(self, spark, events):
+        # backward inner asof of clicks onto signups must equal the
+        # per-row max(right.ts <= left.ts) computed by brute force
+        clicks = events.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+        signups = events.filter("event_type = 'signup'").select(
+            "user_id", F.col("ts").alias("signup_ts")
+        )
+        out = joins.asof_join(
+            clicks, signups, on="user_id", left_time="ts", right_time="signup_ts"
+        )
+        brute = (
+            clicks.join(signups, "user_id")
+            .filter(F.col("signup_ts") <= F.col("ts"))
+            .groupBy("event_id")
+            .agg(F.max("signup_ts").alias("signup_ts"))
+        )
+        got = {(r["event_id"], r["signup_ts"]) for r in out.select("event_id", "signup_ts").collect()}
+        want = {(r["event_id"], r["signup_ts"]) for r in brute.collect()}
+        assert got == want
+
+    def test_asof_rejects_bad_args(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, 10, _ts(1))], "event_id long, user_id long, ts timestamp")
+        with _pytest.raises(ValueError, match="direction"):
+            joins.asof_join(df, df, on="user_id", direction="sideways")
+        with _pytest.raises(ValueError, match="tolerance"):
+            joins.asof_join(df, df, on="user_id", tolerance=-1.0)
+
 
 class TestIntervalJoin:
     def test_pairs_within_window(self, spark):

@@ -38,7 +38,12 @@ ROUND2_GREEN_FROZEN = {
     # green in CORRECTNESS_r02.json; their code paths are untouched by
     # the round-3 changes (which live in dedup.py, the new
     # bpe/profiling modules, and pure function ADDITIONS to
-    # text/sampling/similarity/streaming)
+    # text/sampling/similarity/streaming). One disclosed exception:
+    # asof_join gained OPT-IN direction/tolerance kwargs late in round
+    # 3 — the defaults produce the identical plan, and both joins.py
+    # queries (events_asof_signup, events_error_click_window) were
+    # re-verified against their oracles at sf0.001/0.01/0.1 after the
+    # change (row counts match their round-2 driver rows exactly)
     "dedup_exact", "dedup_normalized", "io_parquet_roundtrip",
     "db_jdbc_roundtrip", "events_hourly_spikes", "events_asof_signup",
     "events_error_click_window", "ann_cosine_topk", "ann_lsh_topk",
