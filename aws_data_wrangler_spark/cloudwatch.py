@@ -11,6 +11,7 @@ log parquet with pushdown instead of a service-side scan.
 from __future__ import annotations
 
 import datetime
+import re
 import time
 import uuid
 from typing import Any, Dict, List, Optional, Union
@@ -55,16 +56,45 @@ def _split_top_level(body: str) -> List[str]:
     return parts
 
 
+# Logs Insights bin(<n><unit>) time bucketing; the analog buckets the
+# log table's ``ts`` column (Insights buckets @timestamp implicitly)
+_BIN_RE = re.compile(r"\bbin\(\s*(\d+)\s*(s|m|h|d)\s*\)", re.IGNORECASE)
+_BIN_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _rewrite_bins(stage: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        secs = int(m.group(1)) * _BIN_SECONDS[m.group(2).lower()]
+        return f"timestamp_seconds(floor(unix_seconds(ts) / {secs}) * {secs})"
+
+    return _BIN_RE.sub(repl, stage)
+
+
+def _key_expr(key: str) -> "F.Column":
+    """Group key with optional trailing alias. The `` as `` must sit
+    OUTSIDE parentheses (``cast(x as int)`` is not an alias) — checked
+    by requiring the head to be paren-balanced."""
+    m = re.fullmatch(r"(?is)(.+?)\s+as\s+(\w+)\s*", key)
+    if m and m.group(1).count("(") == m.group(1).count(")"):
+        return F.expr(m.group(1).strip()).alias(m.group(2))
+    return F.expr(key)
+
+
 def _compile_insights(df: DataFrame, query: str) -> DataFrame:
     """Compile a Logs-Insights-style pipeline onto a DataFrame plan.
 
     Supported stages (SQL expressions inside stages):
     ``fields a, b AS c`` | ``filter <predicate>`` |
-    ``stats agg1 AS x, agg2 AS y by k1, k2`` | ``sort col [asc|desc]`` |
-    ``limit n`` | ``parse <col> /<regex>/ as g1, g2`` (regex groups) |
+    ``stats agg1 AS x, agg2 AS y by k1, k2 [as name]`` |
+    ``sort col [asc|desc]`` | ``limit n`` |
+    ``parse <col> /<regex>/ as g1, g2`` (regex groups) |
     ``dedup k1, k2`` (one row per key — the latest by ``ts`` when the
     column is present, so the keep choice is deterministic).
+    ``bin(<n><s|m|h|d>)`` anywhere in a stage buckets ``ts`` to the
+    interval floor (Insights time bucketing), e.g.
+    ``stats count(*) as n by bin(1h) as hour``.
     """
+    query = _rewrite_bins(query)
     for raw_stage in [s.strip() for s in query.split("|") if s.strip()]:
         lowered = raw_stage.lower()
         if lowered.startswith("fields "):
@@ -80,7 +110,7 @@ def _compile_insights(df: DataFrame, query: str) -> DataFrame:
                 aggs, keys = body, []
             agg_exprs = _split_top_level(aggs)
             if keys:
-                df = df.groupBy(*[F.expr(k) for k in keys]).agg(
+                df = df.groupBy(*[_key_expr(k) for k in keys]).agg(
                     *[F.expr(a) for a in agg_exprs]
                 )
             else:

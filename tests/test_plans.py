@@ -38,12 +38,16 @@ ROUND2_GREEN_FROZEN = {
     # green in CORRECTNESS_r02.json; their code paths are untouched by
     # the round-3 changes (which live in dedup.py, the new
     # bpe/profiling modules, and pure function ADDITIONS to
-    # text/sampling/similarity/streaming). One disclosed exception:
-    # asof_join gained OPT-IN direction/tolerance kwargs late in round
-    # 3 — the defaults produce the identical plan, and both joins.py
-    # queries (events_asof_signup, events_error_click_window) were
-    # re-verified against their oracles at sf0.001/0.01/0.1 after the
-    # change (row counts match their round-2 driver rows exactly)
+    # text/sampling/similarity/streaming). Two disclosed exceptions,
+    # both OPT-IN additions whose defaults produce identical plans,
+    # each re-verified against oracles at sf0.001/0.01/0.1 after the
+    # change with row counts matching their round-2 driver rows:
+    # (1) asof_join gained direction/tolerance kwargs → re-verified
+    #     events_asof_signup, events_error_click_window;
+    # (2) the Insights DSL gained bin() bucketing + paren-aware stats
+    #     key aliases → re-verified logs_insights_stats,
+    #     logs_insights_parse (their keys are plain columns, so the
+    #     alias parse is a no-op on them)
     "dedup_exact", "dedup_normalized", "io_parquet_roundtrip",
     "db_jdbc_roundtrip", "events_hourly_spikes", "events_asof_signup",
     "events_error_click_window", "ann_cosine_topk", "ann_lsh_topk",

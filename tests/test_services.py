@@ -35,6 +35,32 @@ class TestCloudwatch:
         assert len(rows) == 3
         assert all(r["k_val"].isdigit() for r in rows)
 
+    def test_bin_time_bucketing(self, spark, events):
+        events.createOrReplaceTempView("cw_events")
+        out = cloudwatch.run_query(
+            "stats count(*) as n by bin(1h) as hour | sort hour asc",
+            "cw_events",
+            spark=spark,
+        )
+        expect = (
+            events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("hour")
+        )
+        assert [(r["hour"], r["n"]) for r in out.collect()] == [
+            (r["hour"], r["n"]) for r in expect.collect()
+        ]
+
+    def test_key_alias_does_not_eat_cast(self, spark, events):
+        events.createOrReplaceTempView("cw_events")
+        out = cloudwatch.run_query(
+            "stats count(*) as n by cast(user_id as int) | limit 3",
+            "cw_events",
+            spark=spark,
+        )
+        # the ' as ' inside cast() must NOT parse as a key alias
+        assert "n" in out.columns and len(out.columns) == 2
+
     def test_dedup_stage_keeps_latest_per_key(self, spark, events):
         events.createOrReplaceTempView("cw_events")
         out = cloudwatch.run_query(
