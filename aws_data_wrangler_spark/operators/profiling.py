@@ -94,3 +94,43 @@ def null_profile(df: DataFrame, cols: Optional[List[str]] = None) -> DataFrame:
     return spark.createDataFrame(
         out, "column string, n_rows bigint, n_null bigint, null_share double, n_distinct bigint"
     ).withColumn("null_share", trunc_digits(F.col("null_share")))
+
+
+def join_fanout_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    on: List[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-flight size forecast of an equi-join: for the ``top_n``
+    widest keys, (key..., n_left, n_right, out_rows, share) where
+    ``out_rows = n_left × n_right`` is that key's EXACT inner-join
+    output contribution and ``share`` its fraction of the total.
+
+    Run this before a fact-fact join: a single key carrying 30% of
+    the output rows means the join explodes on one task — salt it,
+    pre-aggregate a side, or re-check the join keys. The plan costs
+    one hash aggregate per input (map-side partials; the per-key
+    count tables are NDV-sized, not corpus-sized), one equi-join of
+    those small tables, and a top-n cut before the ranking window —
+    nothing corpus-sized converges anywhere.
+    """
+    lc = left.groupBy(*on).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*on).agg(F.count(F.lit(1)).alias("n_right"))
+    contrib = lc.join(rc, on).withColumn(
+        "out_rows", F.col("n_left") * F.col("n_right")
+    )
+    total = contrib.agg(F.sum("out_rows")).collect()[0][0] or 0
+    order = [F.col("out_rows").desc()] + [F.col(c).asc() for c in on]
+    top = contrib.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "share",
+            trunc_digits(F.col("out_rows") / F.lit(float(total)))
+            if total
+            else F.lit(0.0),
+        )
+        .select(*on, "n_left", "n_right", "out_rows", "rank", "share")
+    )

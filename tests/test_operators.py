@@ -1452,6 +1452,39 @@ class TestProfiling:
                 assert row["cum_share"] >= prev["cum_share"]
             prev = row
 
+    def test_join_fanout_estimate_is_exact(self, spark, events):
+        from aws_data_wrangler_spark.operators import profiling
+
+        errors = events.filter("event_type = 'error'")
+        clicks = events.filter("event_type = 'click'")
+        est = profiling.join_fanout_estimate(errors, clicks, ["user_id"], top_n=5).collect()
+        assert len(est) <= 5
+        # each key's contribution is its exact inner-join output size
+        for row in est:
+            actual = (
+                errors.filter(F.col("user_id") == row["user_id"]).count()
+                * clicks.filter(F.col("user_id") == row["user_id"]).count()
+            )
+            assert row["out_rows"] == actual
+        # total share over ALL keys sums to 1 ⇒ top-5 shares ≤ 1
+        assert sum(r["share"] for r in est) <= 1.0 + 1e-6
+        # rank order is by contribution
+        assert [r["out_rows"] for r in est] == sorted(
+            (r["out_rows"] for r in est), reverse=True
+        )
+
+    def test_join_fanout_flags_planted_skew(self, spark):
+        from aws_data_wrangler_spark.operators import profiling
+
+        left = spark.range(1000).select((F.col("id") % 100).alias("k"))
+        hot = spark.range(500).select(F.lit(0).alias("k"))
+        right = spark.range(100).select(F.col("id").alias("k")).unionByName(hot)
+        est = profiling.join_fanout_estimate(left, right, ["k"], top_n=3).collect()
+        # key 0 contributes 10 × 501 = 5010 of the 6000 total output
+        # rows (99 other keys × 10 each) → share ≈ 0.835
+        assert est[0]["k"] == 0 and est[0]["out_rows"] == 10 * 501
+        assert est[0]["share"] > 0.8
+
     def test_null_profile_counts(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 
