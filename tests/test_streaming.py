@@ -115,6 +115,55 @@ class TestStreamingDedup:
         assert out.count() == events.count()
         assert out.select("event_id").distinct().count() == events.count()
 
+    def test_streaming_ingest_curation_pipeline(self, spark, documents, tmp_prefix):
+        """Ingest-stage curation composes in streaming: HTML strip +
+        quality gate are pure projections (streaming-safe by
+        construction), fingerprint dedup bounds state — the whole
+        WET-file-style ingest path in one availableNow micro-batch
+        pipeline, equal to its batch twin."""
+        from aws_data_wrangler_spark import s3
+        from aws_data_wrangler_spark.operators import text
+
+        # wrap every document in markup noise and double the backlog
+        html = F.concat(
+            F.lit("<html><head><script>var x=1;</script></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><!-- footer --></body></html>"),
+        )
+        raw = documents.withColumn("text", html)
+        s3.to_parquet(
+            raw.unionByName(raw), f"{tmp_prefix}/wet", dataset=True, mode="overwrite"
+        )
+
+        def curate(df):
+            cleaned = text.with_gopher_flags(
+                text.strip_html(df), text_col="clean_text"
+            )
+            return (
+                cleaned.filter(F.col("gopher_keep"))
+                .withColumn("fingerprint", F.md5(F.col("clean_text")))
+                # ingest timestamp for the dedup watermark (documents
+                # carry none; a real WET ingest uses the fetch time)
+                .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            )
+
+        stream = streaming.read_event_stream(f"{tmp_prefix}/wet", spark=spark)
+        out = streaming.run_available_now(
+            streaming.dedup_stream(curate(stream), key_cols=["fingerprint"]).select(
+                "doc_id", "fingerprint"
+            ),
+            output_mode="append",
+        )
+        batch = curate(raw).select("fingerprint").distinct()
+        assert out.count() == batch.count() > 0
+        assert {r["fingerprint"] for r in out.collect()} == {
+            r["fingerprint"] for r in batch.collect()
+        }
+        # the strip actually removed the markup: no fingerprint of the
+        # raw HTML text survives
+        raw_fps = {r["f"] for r in raw.select(F.md5("text").alias("f")).collect()}
+        assert not ({r["fingerprint"] for r in out.collect()} & raw_fps)
+
     def test_stream_dedup_against_static_corpus(self, spark, events, tmp_prefix):
         from aws_data_wrangler_spark import s3
 
