@@ -32,6 +32,7 @@ from aws_data_wrangler_spark.s3._write import (  # noqa: F401
     to_json,
     to_orc,
     to_parquet,
+    zorder_layout,
 )
 
 
@@ -91,4 +92,5 @@ __all__ = [
     "to_csv",
     "to_json",
     "to_orc",
+    "zorder_layout",
 ]

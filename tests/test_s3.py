@@ -84,6 +84,77 @@ class TestParquetDataset:
         values = table["l_orderkey"].to_pylist()
         assert values == sorted(values)  # min/max stats now prune on this col
 
+    def test_zorder_key_interleaves_bits(self, spark):
+        # bits=2, two cols with values 0..3 → bucket == value (uniform
+        # range mapping is exact here); z = col0 bits at even positions,
+        # col1 bits at odd positions
+        df = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(4)], "a int, b int"
+        )
+        laid = s3.zorder_layout(df, ["a", "b"], bits=2, num_partitions=1)
+        rows = laid.collect()
+
+        def morton(a: int, b: int) -> int:
+            z = 0
+            for bit in range(2):
+                z |= ((a >> bit) & 1) << (2 * bit)
+                z |= ((b >> bit) & 1) << (2 * bit + 1)
+            return z
+
+        got = [(r["a"], r["b"]) for r in rows]
+        want = sorted(got, key=lambda ab: morton(*ab))
+        assert got == want
+
+    def test_zorder_layout_clusters_both_columns(self, spark, lineitem, tmp_prefix):
+        import pyarrow.parquet as pq
+
+        cols = ["l_orderkey", "l_partkey"]
+        out = f"{tmp_prefix}/zorder"
+        s3.to_parquet(
+            s3.zorder_layout(lineitem, cols, bits=8, num_partitions=8),
+            out, dataset=True, mode="overwrite",
+        )
+
+        def mean_span_fraction(prefix: str, col: str) -> float:
+            files = [p.replace("file:", "") for p in s3.list_objects(prefix)]
+            gmin, gmax = None, None
+            spans = []
+            for f in files:
+                meta = pq.ParquetFile(f).metadata
+                fmin = min(
+                    meta.row_group(i).column(
+                        [meta.row_group(i).column(j).path_in_schema for j in range(meta.num_columns)].index(col)
+                    ).statistics.min
+                    for i in range(meta.num_row_groups)
+                )
+                fmax = max(
+                    meta.row_group(i).column(
+                        [meta.row_group(i).column(j).path_in_schema for j in range(meta.num_columns)].index(col)
+                    ).statistics.max
+                    for i in range(meta.num_row_groups)
+                )
+                spans.append((fmin, fmax))
+                gmin = fmin if gmin is None else min(gmin, fmin)
+                gmax = fmax if gmax is None else max(gmax, fmax)
+            width = (gmax - gmin) or 1
+            return sum((b - a) for a, b in spans) / len(spans) / width
+
+        # a contiguous z-range covers ~sqrt(fraction) of each dimension:
+        # with 8 files both columns' per-file spans shrink well below
+        # the global span — the multi-column pruning sort_cols can't give
+        for col in cols:
+            assert mean_span_fraction(out, col) < 0.8, col
+
+    def test_zorder_rejects_bad_args(self, spark, lineitem):
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.exceptions import InvalidArgumentValue
+
+        with _pytest.raises(InvalidArgumentValue):
+            s3.zorder_layout(lineitem, [])
+        with _pytest.raises(InvalidArgumentValue):
+            s3.zorder_layout(lineitem, ["l_orderkey", "l_partkey"], bits=32)
+
     def test_dtype_cast(self, spark, lineitem, tmp_prefix):
         path = f"{tmp_prefix}/cast"
         s3.to_parquet(
