@@ -20,6 +20,7 @@ id asc).
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -318,6 +319,197 @@ def sq8_topk(
     rescored = (
         shortlist.join(cv, shortlist.neighbor_id == cv.c_id)
         .join(q, shortlist.query_id == F.col("q_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    num_codes: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[List[float]]]:
+    """Product-quantization codebooks: ``m`` per-subspace k-means
+    codebooks of ``num_codes`` centroids each (FAISS PQ training),
+    returned driver-side as plain nested lists — the tiny persistable
+    artifact (m × num_codes × dim/m floats) a production pipeline
+    trains once, stores, and ships as literals into encode/search
+    plans.
+
+    Each subspace trains with the same deterministic Lloyd loop as
+    ``train_ivf_centroids`` over the sliced subvectors — ``m``
+    linear-scan loops. At corpus scale, train on a
+    ``sampling.hash_sample`` of the corpus (FAISS trains on samples
+    too); the codebooks generalize, the encode pass sees every row
+    anyway.
+    """
+    dim = _infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    books: List[List[List[float]]] = []
+    for s in range(m):
+        sub_df = corpus.select(
+            F.col(id_col), F.slice(vec, s * sub + 1, sub).alias(vec_col)
+        )
+        cb = train_ivf_centroids(
+            sub_df, num_centroids=num_codes, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        rows = {int(r["cid"]): [float(x) for x in r["cvec"]] for r in cb.collect()}
+        books.append([rows[c] for c in sorted(rows)])
+    return books
+
+
+def _lit_vec(vals: Sequence[float]) -> "F.Column":
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode a corpus: (id, codes array<int>, approx_norm double).
+
+    Each subvector maps to its nearest codebook centroid (squared-L2
+    argmin over the ``num_codes`` literal centroids; ties → lowest
+    code). ``approx_norm`` is the norm of the reconstructed vector —
+    a literal-table lookup, precomputed here so the search never
+    recomputes it. A pure codegen projection (the codebooks are plan
+    literals): a 64-dim float corpus shrinks to ``m`` small ints +
+    one double per row, the ~16-32× memory lever that keeps ANN over
+    a 100 TB corpus scan-cheap.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    code_cols = []
+    norm_sq = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        subvec = F.slice(vec, s * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(subvec, _lit_vec(cent), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                for cent in book
+            ]
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        code_cols.append(code)
+        norms_sq = _lit_vec([sum(x * x for x in cent) for cent in book])
+        # element_at is 1-indexed; the code for THIS subspace is the
+        # last one appended — recompute via the same expr (codegen CSE
+        # handles the shared subtree)
+        norm_sq = norm_sq + F.element_at(norms_sq, code + 1)
+    return corpus.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+        F.sqrt(norm_sq).alias("approx_norm"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_factor: int = 4,
+    m: int = 8,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: Optional[List[List[List[float]]]] = None,
+    encoded: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Two-stage ANN over a product-quantized corpus:
+    (query_id, neighbor_id, rank, cosine) — the FAISS IndexPQ shape
+    with asymmetric distance computation (ADC).
+
+    Stage 1 scans only the code table: each query precomputes a
+    ``m × num_codes`` lookup table of subvector·centroid dot products
+    (built on the broadcast query side from the literal codebooks),
+    and every corpus row's approximate cosine is ``m`` array lookups
+    summed — no float vectors touched. Stage 2 rescores the
+    ``k × rescore_factor`` shortlist against the full-precision
+    vectors, so final scores are exact; quantization error can only
+    cost recall at the cut, never wrong scores (the ``sq8_topk``
+    contract). Production passes ``codebooks`` (trained once) and
+    ``encoded`` (the materialized ``pq_encode`` table).
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, num_codes=num_codes, id_col=id_col, vec_col=vec_col
+        )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if encoded is None:
+        encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    qvec = F.col("q_vec")
+    luts = [
+        F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(qvec, s * sub + 1, sub), _lit_vec(cent), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                for cent in book
+            ]
+        ).alias(f"lut_{s}")
+        for s, book in enumerate(codebooks)
+    ]
+    q = F.broadcast(_with_norm(queries, id_col, vec_col, "q").select("q_id", "q_norm", "q_vec", *luts))
+    approx_dot = reduce(
+        lambda acc, s: acc + F.element_at(F.col(f"lut_{s}"), F.element_at("codes", s + 1) + 1),
+        range(m),
+        F.lit(0.0),
+    )
+    c = encoded.select(
+        F.col(id_col).alias("c_id"), F.col("codes"), F.col("approx_norm")
+    )
+    approx = (
+        c.crossJoin(q)
+        .filter((F.col("q_id") != F.col("c_id")) & (F.col("approx_norm") > 0))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (approx_dot / (F.col("q_norm") * F.col("approx_norm"))).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rescore_factor)
+        .select("query_id", "neighbor_id")
+    )
+    cv = _with_norm(corpus, id_col, vec_col, "c")
+    q_plain = F.broadcast(_with_norm(queries, id_col, vec_col, "q"))
+    rescored = (
+        shortlist.join(cv, shortlist.neighbor_id == cv.c_id)
+        .join(q_plain, shortlist.query_id == F.col("q_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -652,6 +652,48 @@ class TestSimilarity:
         # cell, so even nprobe=1 must capture most of them
         assert recalls[1] >= 0.5, recalls
 
+    def test_pq_pipeline(self, spark, embeddings):
+        # one training pass feeds every assertion (the Lloyd loops are
+        # the slow part); random-ish vectors are PQ's WORST case, so
+        # the floors below are conservative by construction
+        books = similarity.train_pq_codebooks(embeddings, m=8, num_codes=16, iterations=2)
+        assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+        enc = similarity.pq_encode(embeddings, books).cache()
+        rows = enc.collect()
+        assert len(rows) == embeddings.count()
+        for r in rows[:50]:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
+            assert r["approx_norm"] > 0
+        queries = embeddings.filter("vec_id < 10")
+        exact = similarity.cosine_topk(embeddings, queries, k=5)
+        exact_scores = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in similarity.cosine_topk(embeddings, queries, k=50).collect()
+        }
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        recalls = {}
+        for rf in (4, 20):
+            out = similarity.pq_topk(
+                embeddings, queries, k=5, codebooks=books, encoded=enc, rescore_factor=rf
+            ).collect()
+            recalls[rf] = len({(r["query_id"], r["neighbor_id"]) for r in out} & e) / len(e)
+            # the rescore contract: every emitted score is the EXACT
+            # cosine — quantization can cost recall, never wrong scores
+            for r in out:
+                key = (r["query_id"], r["neighbor_id"])
+                if key in exact_scores:
+                    assert r["cosine"] == exact_scores[key]
+        assert recalls[4] <= recalls[20], recalls
+        assert recalls[20] >= 0.8, recalls
+        enc.unpersist()
+
+    def test_pq_rejects_indivisible_dim(self, spark, embeddings):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="divisible"):
+            similarity.train_pq_codebooks(embeddings, m=7)
+
     def test_ivf_cosine_metric_full_probe_is_exact(self, spark, embeddings):
         # with the cosine coarse metric and nprobe == num_centroids,
         # every cell is probed, so IVF must reproduce the brute-force
