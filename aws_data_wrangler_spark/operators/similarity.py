@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Four tiers, trading recall for cost:
+Six tiers, trading recall for cost (the FAISS index family,
+re-expressed as DataFrame plans):
 
 - ``cosine_topk``: brute-force exact top-k. The query set is small and
   broadcast; the corpus is scanned once, linearly, with all vector
@@ -9,13 +10,22 @@ Four tiers, trading recall for cost:
 - ``sq8_topk``: int8 scalar-quantized coarse scan (~4× smaller corpus)
   + exact-cosine rescoring of the shortlist — final scores are never
   approximate.
+- ``pq_topk``: product quantization (IndexPQ) — codegen ADC over the
+  code table (m array lookups per row, float vectors untouched), then
+  exact rescore of the shortlist.
 - ``lsh_topk``: random-hyperplane LSH — sign-bit bucket equi-join
   prunes the corpus to same/near buckets before exact scoring.
 - ``ivf_topk``: IVF — a k-means coarse quantizer (trained
-  DataFrame-side) prunes to the ``nprobe`` nearest centroid cells.
+  DataFrame-side) prunes to the ``nprobe`` nearest centroid cells;
+  ``metric="l2"|"cosine"`` picks the coarse distance.
+- ``ivfpq_topk``: IVF+PQ (IndexIVFPQ) — nprobe cell pruning, then ADC
+  over product-quantized RESIDUALS within the probed cells, then
+  exact rescore.
 
-Deterministic everywhere: fixed seeds, ties broken by (score desc,
-id asc).
+Every quantized/approximate tier rescores its shortlist against
+full-precision vectors, so approximation can cost recall at the cut
+but never wrong final scores. Deterministic everywhere: fixed seeds,
+ties broken by (score desc, id asc).
 """
 
 from __future__ import annotations
@@ -495,6 +505,172 @@ def pq_topk(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
             (approx_dot / (F.col("q_norm") * F.col("approx_norm"))).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rescore_factor)
+        .select("query_id", "neighbor_id")
+    )
+    cv = _with_norm(corpus, id_col, vec_col, "c")
+    q_plain = F.broadcast(_with_norm(queries, id_col, vec_col, "q"))
+    rescored = (
+        shortlist.join(cv, shortlist.neighbor_id == cv.c_id)
+        .join(q_plain, shortlist.query_id == F.col("q_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    num_centroids: int = 16,
+    m: int = 8,
+    num_codes: int = 16,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+    codebooks: Optional[List[List[List[float]]]] = None,
+    iterations: int = 5,
+) -> DataFrame:
+    """IVF+PQ ANN (the FAISS IndexIVFPQ shape): a coarse quantizer
+    prunes to ``nprobe`` cells, product-quantized RESIDUALS
+    (vector − cell centroid) score the survivors via ADC, and the
+    ``k × rescore_factor`` shortlist rescores against full-precision
+    vectors — exact final scores, approximation only at the cuts.
+
+    The two artifacts compose the standalone tiers: ``centroids``
+    (``train_ivf_centroids``) and ``codebooks``
+    (``train_pq_codebooks`` over residuals — trained here when not
+    given, on a CACHED residual table so the m Lloyd loops do not
+    re-derive the assignment each pass; production trains both once,
+    offline, on a sample).
+
+    Scale shape: assignment and probing are broadcast nested-loops
+    over the tiny centroid table; the scoring join is a cell-keyed
+    EQUI-join of the code table against the broadcast probe set — the
+    crossJoin of ``pq_topk`` shrinks to ~nprobe/num_centroids of the
+    corpus, and each scored row costs m array lookups plus the
+    precomputed q·centroid term. Approximate cosine uses the EXACT
+    corpus-vector norm (free at encode time), so ADC error lives only
+    in the dot product.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, num_centroids, iterations, id_col=id_col, vec_col=vec_col
+        )
+    cvec = F.col("cvec").cast("array<double>")
+    cent = F.broadcast(centroids.select("cid", cvec.alias("cvec")))
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    # assign each corpus vector to its nearest (L2) cell and carry the
+    # residual + exact norm
+    dist_c = F.aggregate(
+        F.zip_with(F.col("c_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    assigned = (
+        c.crossJoin(cent)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_id").orderBy(dist_c.asc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_id",
+            "c_norm",
+            "cid",
+            F.zip_with(F.col("c_vec"), F.col("cvec"), lambda x, y: x - y).alias("residual"),
+        )
+    )
+    if codebooks is None:
+        residuals = assigned.select(F.col("c_id").alias(id_col), F.col("residual").alias(vec_col))
+        # cache: each of the m Lloyd loops actions this plan several
+        # times; uncached, every action re-runs the assignment join
+        residuals = residuals.cache()
+        codebooks = train_pq_codebooks(
+            residuals, m=m, num_codes=num_codes, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    encoded = (
+        pq_encode(assigned.select("c_id", "c_norm", "cid", F.col("residual").alias("__r")), codebooks, id_col="c_id", vec_col="__r")
+        .select("c_id", "codes")
+    )
+    encoded = encoded.join(assigned.select("c_id", "c_norm", "cid"), "c_id")
+    # probe: top-nprobe cells per query by L2, carrying q·centroid
+    q = _with_norm(queries, id_col, vec_col, "q")
+    dist_q = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qdot_cent = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    luts = [
+        F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("q_vec"), s * sub + 1, sub), _lit_vec(cent_vec), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                for cent_vec in book
+            ]
+        ).alias(f"lut_{s}")
+        for s, book in enumerate(codebooks)
+    ]
+    q_cells = F.broadcast(
+        q.crossJoin(cent)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(dist_q.asc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_norm", "cid", qdot_cent.alias("q_dot_cent"), *luts)
+    )
+    adc = reduce(
+        lambda acc, s: acc + F.element_at(F.col(f"lut_{s}"), F.element_at("codes", s + 1) + 1),
+        range(m),
+        F.lit(0.0),
+    )
+    approx = (
+        encoded.join(q_cells, "cid")
+        .filter((F.col("q_id") != F.col("c_id")) & (F.col("c_norm") > 0))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            ((F.col("q_dot_cent") + adc) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "approx_cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -688,6 +688,66 @@ class TestSimilarity:
         assert recalls[20] >= 0.8, recalls
         enc.unpersist()
 
+    def test_ivfpq_pipeline(self, spark, embeddings):
+        queries = embeddings.filter("vec_id < 10")
+        exact = similarity.cosine_topk(embeddings, queries, k=5)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        exact_scores = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in similarity.cosine_topk(embeddings, queries, k=100).collect()
+        }
+        out = similarity.ivfpq_topk(
+            embeddings, queries, k=5, nprobe=8, num_centroids=16, rescore_factor=10,
+            iterations=2,
+        ).collect()
+        a = {(r["query_id"], r["neighbor_id"]) for r in out}
+        # residual PQ inside probed cells: recall well above plain PQ
+        # at the same budget (measured 0.9 on this corpus)
+        assert len(a & e) / len(e) >= 0.8
+        # exact-rescore contract: emitted scores are exact cosines
+        for r in out:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_scores:
+                assert r["cosine"] == exact_scores[key]
+
+    def test_ivfpq_accepts_pretrained_artifacts(self, spark, embeddings):
+        # the production shape: centroids and codebooks trained once,
+        # passed in — results identical to inline training (both paths
+        # are deterministic)
+        queries = embeddings.filter("vec_id < 5")
+        cents = similarity.train_ivf_centroids(embeddings, num_centroids=8, iterations=2)
+        assigned_kwargs = dict(k=3, nprobe=8, num_centroids=8, rescore_factor=4, iterations=2)
+        inline = similarity.ivfpq_topk(embeddings, queries, **assigned_kwargs).collect()
+        # codebooks must be trained on the SAME residuals the inline
+        # path derives — rebuild them through the public pieces
+        from pyspark.sql import functions as FF
+
+        vec = FF.col("embedding").cast("array<double>")
+        cvec = FF.col("cvec").cast("array<double>")
+        from pyspark.sql import Window as W
+
+        dist = FF.aggregate(
+            FF.zip_with(vec, cvec, lambda x, y: (x - y) * (x - y)),
+            FF.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        residuals = (
+            embeddings.crossJoin(FF.broadcast(cents))
+            .withColumn(
+                "rn",
+                FF.row_number().over(
+                    W.partitionBy("vec_id").orderBy(dist.asc(), FF.col("cid").asc())
+                ),
+            )
+            .filter(FF.col("rn") == 1)
+            .select("vec_id", FF.zip_with(vec, cvec, lambda x, y: x - y).alias("embedding"))
+        )
+        books = similarity.train_pq_codebooks(residuals, m=8, num_codes=16, iterations=2)
+        pre = similarity.ivfpq_topk(
+            embeddings, queries, centroids=cents, codebooks=books, **assigned_kwargs
+        ).collect()
+        assert sorted(map(tuple, pre)) == sorted(map(tuple, inline))
+
     def test_pq_rejects_indivisible_dim(self, spark, embeddings):
         import pytest as _pytest
 
