@@ -134,3 +134,54 @@ def join_fanout_estimate(
         )
         .select(*on, "n_left", "n_right", "out_rows", "rank", "share")
     )
+
+
+def hll_column_sketches(
+    df: DataFrame,
+    cols: Optional[List[str]] = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One-row frame of MERGEABLE distinct-count state: ``n_rows``
+    plus a binary Apache DataSketches HLL sketch per column
+    (``sk_<col>``). This is the incremental-profiling primitive for a
+    100 TB corpus: each ingest batch / partition / day appends its
+    sketch row (bytes, not data), and ``hll_union`` later answers
+    "distinct users this quarter" without ever rescanning — the merge
+    is lossless, so unioned estimates equal the single-pass estimate
+    exactly.
+
+    ``lg_k`` trades sketch size for accuracy (Spark's default 12 ⇒
+    ~1.6% relative standard error, ~2.5 KB per sketch).
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.expr(f"hll_sketch_agg(`{c}`, {int(lg_k)})").alias(f"sk_{c}") for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def hll_union(sketches: DataFrame) -> DataFrame:
+    """Merge many sketch rows (one per batch/partition/day) into one:
+    ``n_rows`` sums, each ``sk_*`` column unions via
+    ``hll_union_agg`` — a constant-size aggregation over sketch bytes,
+    no data touched."""
+    sk_cols = [c for c in sketches.columns if c.startswith("sk_")]
+    aggs = [F.sum("n_rows").alias("n_rows")] + [
+        F.expr(f"hll_union_agg(`{c}`)").alias(c) for c in sk_cols
+    ]
+    return sketches.agg(*aggs)
+
+
+def hll_estimates(sketches: DataFrame) -> DataFrame:
+    """Unpivot sketch rows (pre-unioning when several) to
+    (column, n_rows, n_distinct_est) — the human-readable view."""
+    sk_cols = [c for c in sketches.columns if c.startswith("sk_")]
+    merged = hll_union(sketches)
+    row = merged.select(
+        "n_rows",
+        *[F.expr(f"hll_sketch_estimate(`{c}`)").alias(c) for c in sk_cols],
+    ).collect()[0]
+    out = [(c[3:], int(row["n_rows"]), int(row[c])) for c in sk_cols]
+    return sketches.sparkSession.createDataFrame(
+        out, "column string, n_rows bigint, n_distinct_est bigint"
+    )

@@ -1587,6 +1587,35 @@ class TestProfiling:
         assert est[0]["k"] == 0 and est[0]["out_rows"] == 10 * 501
         assert est[0]["share"] > 0.8
 
+    def test_hll_sketches_merge_losslessly(self, spark, events):
+        from aws_data_wrangler_spark.operators import profiling
+
+        # incremental shape: sketch two halves separately, union the
+        # SKETCH ROWS — estimates equal the single-pass sketch exactly
+        # (HLL state union is lossless), and land near the exact NDV
+        half_a = events.filter("event_id % 2 = 0")
+        half_b = events.filter("event_id % 2 = 1")
+        rows = profiling.hll_column_sketches(half_a, ["user_id", "event_type"]).unionByName(
+            profiling.hll_column_sketches(half_b, ["user_id", "event_type"])
+        )
+        merged_est = {
+            r["column"]: r for r in profiling.hll_estimates(rows).collect()
+        }
+        single_est = {
+            r["column"]: r
+            for r in profiling.hll_estimates(
+                profiling.hll_column_sketches(events, ["user_id", "event_type"])
+            ).collect()
+        }
+        exact_users = events.select("user_id").distinct().count()
+        for col in ("user_id", "event_type"):
+            assert merged_est[col]["n_distinct_est"] == single_est[col]["n_distinct_est"]
+            assert merged_est[col]["n_rows"] == events.count()
+        assert abs(merged_est["user_id"]["n_distinct_est"] - exact_users) / exact_users < 0.05
+        assert merged_est["event_type"]["n_distinct_est"] == events.select(
+            "event_type"
+        ).distinct().count()  # tiny cardinalities are exact in HLL
+
     def test_null_profile_counts(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 
