@@ -844,16 +844,35 @@ def simhash_pairs(
     which is what the cross-engine oracle computes for ``token_hash=
     "md5"`` (see ``simhash_signatures``).
     """
+    sig = simhash_signatures(df, id_col, text_col, token_hash=token_hash)
+    return hamming_pairs(sig, id_col=id_col, hash_col="simhash", max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs within hamming distance ``max_hamming`` over any
+    64-bit signature column: (id_a, id_b, hamming). The generic engine
+    behind ``simhash_pairs`` — the same exact pigeonhole banding works
+    for ANY 64-bit sketch (text simhash, image dHash, audio
+    fingerprints): split into ``max_hamming + 1`` chunks, equi-join per
+    chunk (a pair within distance k must agree exactly on ≥1 chunk),
+    verify with ``bit_count(xor)``. Bucket equi-joins only — never
+    all-pairs — and EXACT: output equals the brute-force hamming
+    filter.
+    """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sig = simhash_signatures(df, id_col, text_col, token_hash=token_hash)
     banded = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(
+                    F.shiftrightunsigned(F.col(hash_col), c * width).bitwiseAND(
                         F.lit((1 << width) - 1)
                     )
                     for c in range(chunks)

@@ -165,6 +165,107 @@ def decode_media(
     return df.select(id_col, "payload", "media_meta").mapInPandas(kernel, DECODED_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_dhash(payload: bytes) -> int:
+    """Deterministic stand-in: signed 64-bit from the content digest —
+    identical payloads collide (hamming 0), unrelated payloads land
+    ~32 bits apart, exactly the property the pair miner exercises."""
+    digest = hashlib.sha256(bytes(payload)).digest()
+    val = int.from_bytes(digest[:8], "big", signed=True)
+    return val
+
+
+def _real_dhash(payload: bytes, image_mod) -> int:
+    """Difference hash: 9×8 grayscale downsample, bit r*8+c set when
+    pixel (r,c) is brighter than its right neighbor — the standard
+    64-bit perceptual dHash (resize/crop/recompress move few bits)."""
+    import io
+
+    import numpy as np
+
+    img = image_mod.open(io.BytesIO(bytes(payload)))
+    arr = np.asarray(img.convert("L").resize((9, 8)), dtype=np.float64)
+    bits = arr[:, :-1] > arr[:, 1:]
+    val = 0
+    for i, bit in enumerate(bits.flatten()):
+        if bit:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val  # wrap to signed
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    batch_hint: int = 1024,
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
+    """64-bit perceptual dHash per image payload: (doc_id, dhash,
+    decoder) — the image rung of the dedup ladder. Near-identical
+    images (resize, recompress, small crops) land within a few bits;
+    feed the result to ``dedup.hamming_pairs`` for exact
+    banded near-dup mining, the same engine text SimHash uses.
+
+    Decoder provenance and worker-side Pillow auto-detection follow
+    the ``decode_media`` contract (real / fake / error per payload).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if use_real_decoder is False else _import_pil_image()
+        if use_real_decoder is True and image_mod is None:
+            raise NotImplementedError("use_real_decoder=True requires Pillow on workers")
+        for batch in batches:
+            hashes = []
+            decoders = []
+            for p in batch["payload"]:
+                if image_mod is not None:
+                    try:
+                        hashes.append(_real_dhash(p, image_mod))
+                        decoders.append("real")
+                        continue
+                    except Exception:
+                        if use_real_decoder is True:
+                            raise
+                        hashes.append(_fake_dhash(p))
+                        decoders.append("error")
+                        continue
+                hashes.append(_fake_dhash(p))
+                decoders.append("fake")
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype("int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    "decoder": decoders,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash distance:
+    (id_a, id_b, hamming ≤ ``max_hamming``). Composes ``image_dhash``
+    with ``dedup.hamming_pairs`` — the Arrow decode map stage feeds
+    the exact pigeonhole banding, so mining stays bucket-equi-join
+    shaped at any corpus size (never all-pairs)."""
+    from aws_data_wrangler_spark.operators.dedup import hamming_pairs
+
+    sig = image_dhash(df, id_col=id_col, use_real_decoder=use_real_decoder)
+    return hamming_pairs(sig, id_col="doc_id", hash_col="dhash", max_hamming=max_hamming)
+
+
 def _import_soundfile():
     """Worker-side soundfile probe."""
     try:

@@ -929,6 +929,64 @@ class TestMultimodal:
         assert abs(feat[0] - 128 / 255.0) < 1e-5  # channel mean
         assert feat[3] == 0.0  # zero std on constant image
 
+    def test_real_dhash_kernel_with_injected_pil(self):
+        import numpy as np
+
+        class FakeImg:
+            def __init__(self, arr):
+                self._arr = arr
+
+            def convert(self, mode):
+                assert mode == "L"
+                return self
+
+            def resize(self, dims):
+                assert dims == (9, 8)
+                return self._arr
+
+            def __array__(self, dtype=None):
+                return self._arr.astype(dtype or self._arr.dtype)
+
+        rising = np.tile(np.arange(9, dtype=np.float64), (8, 1))
+
+        class RisingMod:
+            @staticmethod
+            def open(buf):
+                return FakeImg(rising)
+
+        class FallingMod:
+            @staticmethod
+            def open(buf):
+                return FakeImg(rising[:, ::-1].copy())
+
+        # monotone-rising rows: no pixel brighter than its right
+        # neighbor → all 64 bits clear; falling rows → all set (signed -1)
+        assert multimodal._real_dhash(b"x", RisingMod) == 0
+        assert multimodal._real_dhash(b"x", FallingMod) == -1
+
+    def test_image_near_dup_pairs_planted(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "identical payload text"),
+                (2, "identical payload text"),     # byte-identical twin of 1
+                (3, "a completely different doc"),
+                (4, "yet another unrelated doc"),
+            ],
+            "doc_id long, text string",
+        )
+        media = multimodal.attach_binary_payload(df)
+        pairs = multimodal.image_near_dup_pairs(media, max_hamming=6).collect()
+        # fake dhash = digest-derived: identical payloads collide at
+        # hamming 0; unrelated 64-bit values sit ~32 bits apart
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+    def test_image_dhash_deterministic_with_provenance(self, spark, documents):
+        media = multimodal.attach_binary_payload(documents.limit(10))
+        a = sorted(map(tuple, multimodal.image_dhash(media).collect()))
+        b = sorted(map(tuple, multimodal.image_dhash(media).collect()))
+        assert a == b
+        assert all(r[2] == "fake" for r in a)  # no Pillow in this container
+
     def test_real_audio_kernel_with_injected_soundfile(self):
         import numpy as np
 
