@@ -397,12 +397,25 @@ def to_orc(
     """ORC twin of ``to_parquet`` (dataset modes, partitioning,
     catalog registration). No reference counterpart (awswrangler 1.x
     is parquet/text-only); the Spark ORC sink makes the format free.
+
+    Catalog registration casts TIMESTAMP_NTZ columns to TIMESTAMP
+    first: Athena-style DDL has no NTZ type, so the registered table
+    declares ``timestamp`` — the parquet reader coerces that
+    mismatch, the ORC reader refuses it (ORC_TYPE_CAST), so the cast
+    must happen at write time. Pathless round-trips keep NTZ intact.
     """
     _pop_noop_kwargs(options)
     if sanitize_columns:
         from aws_data_wrangler_spark import catalog
 
         df = catalog.sanitize_dataframe_columns_names(df)
+    if database and table:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+        if ntz:
+            df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return _write(
         df, path, "orc", dataset, partition_cols, mode, database, table, dtype, spark,
         description=description, parameters=parameters, columns_comments=columns_comments,

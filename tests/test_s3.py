@@ -349,6 +349,27 @@ class TestTextFormats:
         )
         assert {r["l_returnflag"] for r in pruned.collect()} == {one}
 
+    def test_orc_catalog_registration_with_ntz(self, spark, lineitem, tmp_prefix):
+        from aws_data_wrangler_spark import athena, catalog
+
+        # an NTZ column must survive registration + SQL read-back:
+        # Athena DDL has no NTZ type, so to_orc casts it to TIMESTAMP
+        # at write time (the ORC reader refuses the mismatch parquet
+        # coerces)
+        df = lineitem.limit(30).withColumn(
+            "ntz_col", F.col("l_shipdate").cast("timestamp_ntz")
+        )
+        out = f"{tmp_prefix}/orc_cat"
+        catalog.create_database("orc_cat_db", spark=spark)
+        s3.to_orc(
+            df, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite",
+            database="orc_cat_db", table="li_orc",
+        )
+        back = athena.read_sql_table("li_orc", "orc_cat_db", spark=spark)
+        assert back.count() == 30
+        assert dict(back.dtypes)["ntz_col"] == "timestamp"
+        catalog.delete_table_if_exists("orc_cat_db", "li_orc", spark=spark)
+
     def test_orc_filters_reach_the_scan(self, spark, lineitem, tmp_prefix):
         out = f"{tmp_prefix}/orc_pd"
         s3.to_orc(lineitem.limit(200), out, mode="overwrite")
