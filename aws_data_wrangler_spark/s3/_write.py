@@ -347,10 +347,20 @@ def zorder_layout(
         T.DoubleType, T.DecimalType, T.DateType, T.TimestampType, T.TimestampNTZType,
     )
     range_cols = [c for c in cols if isinstance(schema[c], numeric_like)]
+
+    def as_double(c: str) -> "F.Column":
+        # ANSI mode rejects date→double and ntz→double casts; route
+        # temporals through their epoch forms
+        if isinstance(schema[c], T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(schema[c], T.TimestampNTZType):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
     aggs = []
     for c in range_cols:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
+        aggs.append(F.min(as_double(c)).alias(f"__mn_{c}"))
+        aggs.append(F.max(as_double(c)).alias(f"__mx_{c}"))
     stats = df.agg(*aggs).collect()[0] if aggs else None
     z = F.lit(0).cast("long")
     for idx, c in enumerate(cols):
@@ -360,7 +370,7 @@ def zorder_layout(
             span = (mx - mn) or 1.0
             bucket = F.least(
                 F.lit(n_buckets - 1),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * n_buckets),
+                F.floor((as_double(c) - F.lit(mn)) / F.lit(span) * n_buckets),
             )
         else:
             bucket = F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10).cast(

@@ -145,6 +145,16 @@ class TestParquetDataset:
         for col in cols:
             assert mean_span_fraction(out, col) < 0.8, col
 
+    def test_zorder_handles_temporal_columns(self, spark, lineitem):
+        # date and NTZ-timestamp columns can't cast straight to double
+        # under ANSI; the layout must route them through epoch forms
+        df = lineitem.limit(200).withColumn(
+            "ship_date", F.col("l_shipdate").cast("timestamp").cast("date")
+        )
+        out = s3.zorder_layout(df, ["ship_date", "l_shipdate", "l_orderkey"], bits=4)
+        assert out.count() == 200
+        assert "__z" not in out.columns
+
     def test_zorder_rejects_bad_args(self, spark, lineitem):
         import pytest as _pytest
 
