@@ -504,6 +504,18 @@ _SHINGLE5 = """
           WHERE len(tk) >= 5)
 """
 
+def _hex_to_bigint_sql(expr: str, nchars: int, cast: str = "BIGINT") -> str:
+    """SQL folding the first ``nchars`` lowercase-hex chars of ``expr``
+    into an integer (big-endian) — DuckDB has no strtol, so the digits
+    fold explicitly; the per-digit weights are exact integer literals."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)::{cast}"
+        f" * {16 ** (nchars - 1 - i)}::{cast}"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 ORACLES: Dict[str, str] = {
     # ---- analytics: identical SQL, second engine -----------------------
     **ANALYTICS_SQL,
@@ -1497,5 +1509,166 @@ ORACLES: Dict[str, str] = {
         )
         WHERE rn = 1
         ORDER BY user_id
+    """,
+
+    # ---- round-3 late additions (below the driver window this round;
+    # verified via tools/check_oracles at sf0.001 + sf0.01) ----
+    "io_orc_roundtrip": """
+        SELECT l_returnflag, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_quantity < 25
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "events_join_fanout": """
+        WITH lc AS (
+            SELECT user_id, count(*) AS n_left FROM events
+            WHERE event_type = 'error' GROUP BY user_id
+        ), rc AS (
+            SELECT user_id, count(*) AS n_right FROM events
+            WHERE event_type = 'click' GROUP BY user_id
+        ), contrib AS (
+            SELECT user_id, n_left, n_right, n_left * n_right AS out_rows
+            FROM lc JOIN rc USING (user_id)
+        ), total AS (
+            SELECT sum(out_rows)::DOUBLE AS t FROM contrib
+        ), top AS (
+            SELECT * FROM contrib ORDER BY out_rows DESC, user_id LIMIT 20
+        )
+        SELECT user_id, n_left, n_right, out_rows,
+               CAST(row_number() OVER (ORDER BY out_rows DESC, user_id) AS INTEGER) AS rank,
+               floor(out_rows / total.t * 1000000.0) / 1000000.0 AS share
+        FROM top, total
+        ORDER BY rank
+    """,
+    # independent construction of the expected visible text — the
+    # planted shell contributes exactly 15 tags, a leading title 'T',
+    # and the one-level-decoded entity tail
+    "text_html_extract": """
+        WITH clean AS (
+            SELECT doc_id,
+                   'T ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' & tail <ok>' AS c
+            FROM documents
+        )
+        SELECT doc_id, CAST(15 AS BIGINT) AS n_html_tags,
+               length(c) AS clean_len, md5(c) AS clean_fp
+        FROM clean ORDER BY doc_id
+    """,
+    "sample_shuffle_shards": f"""
+        WITH h AS (
+            SELECT doc_id, md5(doc_id::VARCHAR || '') AS hx FROM documents
+        ), sharded AS (
+            SELECT doc_id, hx,
+                   CAST({_hex_to_bigint_sql('hx', 8)} % 32 AS INTEGER) AS shard
+            FROM h
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
+        FROM sharded ORDER BY doc_id
+    """,
+    "text_ngram_repetition": """
+        WITH base AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ), g3 AS (
+            SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+            FROM base, unnest(range(1, len(toks) - 1)) t(i)
+            WHERE len(toks) >= 3
+        ), cnt3 AS (
+            SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram
+        ), best AS (
+            SELECT doc_id, c::DOUBLE * length(gram)::DOUBLE AS cov_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY c DESC, gram ASC) AS rn
+                  FROM cnt3)
+            WHERE rn = 1
+        ), normc AS (
+            SELECT doc_id, length(array_to_string(toks, ' '))::DOUBLE AS nchars,
+                   len(toks) AS n FROM base
+        ), g5 AS (
+            SELECT doc_id, i AS pos, i + 4 AS e,
+                   array_to_string(toks[i:i+4], ' ') AS gram
+            FROM base, unnest(range(1, len(toks) - 3)) t(i)
+            WHERE len(toks) >= 5
+        ), dup AS (
+            SELECT doc_id, pos, e
+            FROM (SELECT *, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM g5)
+            WHERE c >= 2
+        ), cov AS (
+            SELECT doc_id,
+                   greatest(0, e - greatest(pos - 1,
+                       coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0))) AS newc
+            FROM dup
+        ), dup5 AS (
+            SELECT doc_id, sum(newc) AS covered FROM cov GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               coalesce(floor(b.cov_chars / n.nchars * 1000000.0) / 1000000.0, 0.0)
+                   AS top_3gram_cov,
+               coalesce(floor(d.covered::DOUBLE / n.n::DOUBLE * 1000000.0) / 1000000.0, 0.0)
+                   AS dup_5gram_frac
+        FROM normc n
+        LEFT JOIN best b USING (doc_id)
+        LEFT JOIN dup5 d USING (doc_id)
+        ORDER BY n.doc_id
+    """,
+    # float discipline: (1.0 - 0.7) is COMPUTED, not written as 0.3 —
+    # the IEEE results differ in the last bit and the Spark side folds
+    # the computed form
+    "text_bigram_surprisal": """
+        WITH base AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+            FROM documents WHERE length(trim(text)) > 0
+        ), toks AS (
+            SELECT doc_id, s.pos AS pos, s.tok AS tok
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(l)+1),
+                                               i -> {'pos': i, 'tok': l[i]})) AS s
+                  FROM base)
+            WHERE len(s.tok) > 0
+        ), counts AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), total AS (
+            SELECT count(*)::DOUBLE AS n FROM toks
+        ), bigr AS (
+            SELECT t.doc_id, t.pos, p.tok AS prev, t.tok AS tok
+            FROM toks t JOIN toks p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+        ), bcounts AS (
+            SELECT prev, tok, count(*) AS bc FROM bigr GROUP BY prev, tok
+        ), ctx AS (
+            SELECT prev, sum(bc) AS cc FROM bcounts GROUP BY prev
+        ), first AS (
+            SELECT t.doc_id, t.pos, -ln(c.cnt::DOUBLE / total.n) AS lp
+            FROM toks t JOIN counts c USING (tok), total
+            WHERE t.pos = 1
+        ), rest AS (
+            SELECT b.doc_id, b.pos,
+                   -ln(0.7 * (bco.bc::DOUBLE / ctx.cc::DOUBLE)
+                       + (1.0 - 0.7) * (c.cnt::DOUBLE / total.n)) AS lp
+            FROM bigr b
+            JOIN bcounts bco ON bco.prev = b.prev AND bco.tok = b.tok
+            JOIN ctx ON ctx.prev = b.prev
+            JOIN counts c ON c.tok = b.tok, total
+        ), agged AS (
+            SELECT doc_id, list(lp ORDER BY pos) AS lps
+            FROM (SELECT * FROM first UNION ALL SELECT * FROM rest)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_toks,
+               floor((list_sum(lps) / len(lps)) * 1000000.0) / 1000000.0 AS avg_surprisal
+        FROM agged ORDER BY doc_id
+    """,
+    "multimodal_image_dhash": f"""
+        WITH h AS (
+            SELECT doc_id, sha256(text) AS hx FROM documents
+        ), v AS (
+            SELECT doc_id, {_hex_to_bigint_sql('hx', 16, 'HUGEINT')} AS val FROM h
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN val >= 9223372036854775808::HUGEINT
+                         THEN val - 18446744073709551616::HUGEINT
+                         ELSE val END AS BIGINT) AS dhash,
+               'fake' AS decoder
+        FROM v ORDER BY doc_id
     """,
 }

@@ -1781,6 +1781,116 @@ def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.key_distribution(events, ["user_id"], top_n=20).orderBy("rank")
 
 
+# ---- round-3 LATE additions (registered after the driver window was
+# frozen; they sit BELOW the window this round and rotate in next —
+# each verified against its oracle at sf0.001 AND sf0.01 via
+# tools/check_oracles in the round-3 session) ----
+
+
+def _io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC dataset write through a Z-order layout → pruned read-back →
+    aggregate. The layout step re-clusters files but never changes
+    content, so the oracle aggregates the source table directly."""
+    from aws_data_wrangler_spark import s3
+
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/lineitem_orc"
+    li = load(spark, sf_dir, "lineitem")
+    laid = s3.zorder_layout(li, ["l_orderkey", "l_partkey"], bits=8, num_partitions=4)
+    s3.to_orc(laid, out, dataset=True, partition_cols=["l_returnflag"], mode="overwrite", spark=spark)
+    back = s3.read_orc(
+        out, dataset=True,
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+        filters=[("l_quantity", "<", 25)],
+        spark=spark,
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _events_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight fan-out forecast of the error×click user join."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return profiling.join_fanout_estimate(errors, clicks, ["user_id"], top_n=20).orderBy("rank")
+
+
+def _text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal over planted markup: every document is
+    wrapped in a fixed head/script/style/comment shell plus entity
+    noise; the oracle constructs the expected visible text INDEPENDENTLY
+    ('T ' || text || ' & tail <ok>') rather than re-running the regex
+    chain, so the two engines agree only if the strip semantics are
+    right."""
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><script src='x'>var hidden=1;</script>"
+            "<style>p { color: red }</style></head><body><!-- hdr --><p class='main'>"
+        ),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;ok&gt;</p></body></html>"),
+    )
+    out = text.strip_html(docs.withColumn("text", html))
+    return out.select(
+        "doc_id",
+        "n_html_tags",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+def _sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle: shard + within-shard position
+    per document (md5 arithmetic replicated digit-by-digit in SQL)."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.deterministic_shuffle(docs, num_shards=32).select(
+        "doc_id", "shard", "pos"
+    ).orderBy("doc_id")
+
+
+def _text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two Gopher repetition rule families on the documents table:
+    top-3-gram coverage and merged duplicate-5-gram token fraction."""
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    out = text.with_dup_ngram_fraction(text.with_top_ngram_coverage(docs, n=3), n=5)
+    return out.select("doc_id", "top_3gram_cov", "dup_5gram_frac").orderBy("doc_id")
+
+
+def _text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM surprisal (λ=0.7); the oracle carries the
+    identical float expression tree incl. (1.0 − 0.7) computed rather
+    than a 0.3 literal — the two differ in the last IEEE bit."""
+    from aws_data_wrangler_spark.operators import text
+
+    return text.bigram_surprisal(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash signatures over the deterministic fake decoder
+    (no Pillow in the container): dhash = first 8 sha256 bytes as a
+    signed big-endian int64, replicated in SQL via a hex-digit fold."""
+    from aws_data_wrangler_spark.operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    return multimodal.image_dhash(media, use_real_decoder=False).orderBy("doc_id")
+
+
 # Registry order matters: the correctness driver verifies the FIRST 50
 # entries against their DuckDB oracles each round. Round-3 window
 # policy (VERDICT r2 "next" #1): the window carries (a) every query
@@ -1917,4 +2027,15 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # took a window slot; its text-read code path stays exercised by
     # the in-window io_csv_roundtrip
     "io_fwf_roundtrip": _io_fwf_roundtrip,
+    # --- round-3 LATE additions: registered with oracles AFTER the
+    # window froze; no driver row this round (they verify at
+    # sf0.001+sf0.01 via tools/check_oracles and rotate into the
+    # round-4 window first, alongside the eight deferrals above) ---
+    "io_orc_roundtrip": _io_orc_roundtrip,
+    "events_join_fanout": _events_join_fanout,
+    "text_html_extract": _text_html_extract,
+    "sample_shuffle_shards": _sample_shuffle_shards,
+    "text_ngram_repetition": _text_ngram_repetition,
+    "text_bigram_surprisal": _text_bigram_surprisal,
+    "multimodal_image_dhash": _multimodal_image_dhash,
 }
