@@ -154,6 +154,96 @@ def _ivf_ann_oracle_sql(k: int = 5, nprobe: int = 4, num_seeds: int = 16) -> str
     """
 
 
+def _pq_ann_oracle_sql(
+    k: int = 5, m: int = 8, num_codes: int = 16, sub: int = 8, factor: int = 4
+) -> str:
+    """Exact DuckDB replica of the registered ``ann_pq_topk`` query:
+    SEEDED per-subspace codebooks (the ``num_codes`` lowest-id
+    subvectors, zero Lloyd iterations), squared-L2 encode (ties →
+    lowest code), ADC scoring via per-query LUT dot products folded in
+    subspace order, raw-double shortlist ordering (identical
+    arithmetic ⇒ identical doubles, the semdedup precedent), and the
+    exact 6dp-truncated rescore."""
+    return f"""
+        WITH seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                   embedding::DOUBLE[] AS v
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {num_codes})
+        ), subs AS (
+            SELECT unnest(range(0, {m})) AS sub
+        ), books AS (
+            SELECT subs.sub, seeds.code,
+                   seeds.v[subs.sub * {sub} + 1 : subs.sub * {sub} + {sub}] AS cb
+            FROM seeds, subs
+        ), corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), dists AS (
+            SELECT vec_id, sub, code, list_dot_product(d, d) AS dist
+            FROM (SELECT c.vec_id, b.sub, b.code,
+                         list_transform(range(1, {sub} + 1),
+                                        i -> c.v[b.sub * {sub} + i] - b.cb[i]) AS d
+                  FROM corpus c, books b)
+        ), codes AS (
+            SELECT vec_id, sub, code
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                               ORDER BY dist ASC, code ASC) AS rn
+                  FROM dists)
+            WHERE rn = 1
+        ), cnorm AS (
+            -- reconstructed norm: sqrt of the sub-ordered fold of the
+            -- chosen centroids' norm-squares (matches the Spark side's
+            -- sequential literal lookups)
+            SELECT c.vec_id,
+                   sqrt(list_sum(list(list_dot_product(b.cb, b.cb) ORDER BY c.sub)))
+                       AS approx_norm
+            FROM codes c JOIN books b ON b.sub = c.sub AND b.code = c.code
+            GROUP BY c.vec_id
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv,
+                   sqrt(list_dot_product(v, v)) AS q_norm
+            FROM corpus WHERE vec_id < 10
+        ), luts AS (
+            SELECT q.q_id, b.sub, b.code,
+                   list_dot_product(q.qv[b.sub * {sub} + 1 : b.sub * {sub} + {sub}], b.cb)
+                       AS val
+            FROM q, books b
+        ), adc AS (
+            SELECT l.q_id, c.vec_id AS c_id,
+                   list_sum(list(l.val ORDER BY l.sub)) AS dot
+            FROM codes c JOIN luts l ON l.sub = c.sub AND l.code = c.code
+            GROUP BY l.q_id, c.vec_id
+        ), approx AS (
+            SELECT a.q_id AS query_id, a.c_id AS neighbor_id,
+                   a.dot / (q.q_norm * n.approx_norm) AS approx_cosine
+            FROM adc a
+            JOIN q ON q.q_id = a.q_id
+            JOIN cnorm n ON n.vec_id = a.c_id
+            WHERE a.q_id <> a.c_id AND n.approx_norm > 0
+        ), shortlist AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY approx_cosine DESC,
+                                                        neighbor_id ASC) AS rn
+                  FROM approx)
+            WHERE rn <= {k * factor}
+        ), rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   floor((list_dot_product(qq.qv, c.v) /
+                          (qq.q_norm * sqrt(list_dot_product(c.v, c.v)))) * 1000000.0)
+                       / 1000000.0 AS cosine
+            FROM shortlist s
+            JOIN q qq ON qq.q_id = s.query_id
+            JOIN corpus c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM rescored
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def _arrow_ann_oracle_sql(k: int = 5) -> str:
     """Oracle for the BLAS-matmul brute-force ANN: sequential-sum exact
     cosines stand in for the matmul (difference ~1e-15), the top-k cut
@@ -1658,6 +1748,7 @@ ORACLES: Dict[str, str] = {
                floor((list_sum(lps) / len(lps)) * 1000000.0) / 1000000.0 AS avg_surprisal
         FROM agged ORDER BY doc_id
     """,
+    "ann_pq_topk": _pq_ann_oracle_sql(),
     "multimodal_image_dhash": f"""
         WITH h AS (
             SELECT doc_id, sha256(text) AS hx FROM documents

@@ -1880,6 +1880,24 @@ def _text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_surprisal(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with SEEDED codebooks (zero Lloyd
+    iterations — each subspace's codebook is the 16 lowest-id
+    subvectors, the operator's pre-trained-artifact path): encode,
+    ADC scoring, shortlist, and exact rescore are then all
+    deterministic arithmetic the DuckDB oracle replicates — the
+    seeded-IVF technique extended to PQ. Production trains codebooks
+    on a sample; the iterative path stays recall-tested."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=8, num_codes=16, iterations=0)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(
+        emb, queries, k=5, rescore_factor=4, codebooks=books
+    ).orderBy("query_id", "rank")
+
+
 def _multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash signatures over the deterministic fake decoder
     (no Pillow in the container): dhash = first 8 sha256 bytes as a
@@ -2038,4 +2056,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_repetition": _text_ngram_repetition,
     "text_bigram_surprisal": _text_bigram_surprisal,
     "multimodal_image_dhash": _multimodal_image_dhash,
+    "ann_pq_topk": _ann_pq_topk,
 }

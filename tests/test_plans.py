@@ -81,6 +81,7 @@ ROUND3_LATE_BELOW_WINDOW = {
     "text_ngram_repetition",
     "text_bigram_surprisal",
     "multimodal_image_dhash",
+    "ann_pq_topk",
 }
 
 ROUND1_DEFERRED = {
