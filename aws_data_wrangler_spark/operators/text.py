@@ -574,24 +574,32 @@ def benchmark_contamination(
 
 
 def _positioned_word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, total_tokens, pos, gram): sliding word n-grams with their
-    0-based start position. Same posexplode-over-sequence shape as
-    ``chunk_tokens`` — a pure map-stage fan-out, no shuffle."""
+    """(id, total_tokens, norm_chars, pos, tok_len, gram): sliding word
+    n-grams with their 0-based start position, the length of the token
+    AT that position (the increment a cumulative char-offset sum
+    needs), and the per-doc normalized-text length (tokens joined by
+    single spaces — computed once before the explode, carried through
+    it). Same posexplode-over-sequence shape as ``chunk_tokens`` — a
+    pure map-stage fan-out, no shuffle; unused columns prune away."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = (
         df.where(_ws_token_count(F.col(text_col)) >= n)
         .select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("total_tokens"))
+        .withColumn("norm_chars", F.length(F.array_join("_toks", " ")))
     )
     starts = F.sequence(F.lit(0), F.size("_toks") - F.lit(n))
     return base.select(
         F.col(id_col),
         F.col("total_tokens"),
+        F.col("norm_chars"),
         F.posexplode(starts).alias("_i", "pos"),
         F.col("_toks"),
     ).select(
         F.col(id_col),
         F.col("total_tokens"),
+        F.col("norm_chars"),
         F.col("pos"),
+        F.length(F.element_at("_toks", F.col("pos") + 1)).alias("tok_len"),
         F.array_join(F.slice("_toks", F.col("pos") + 1, F.lit(n)), " ").alias("gram"),
     )
 
@@ -643,44 +651,67 @@ def with_dup_ngram_fraction(
     df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Gopher repetition rule (Rae et al. 2021 §A1.1, the n∈{5..10}
-    family): per document, the fraction of TOKENS lying inside any
-    word n-gram that occurs more than once in the document —
-    overlapping duplicated spans are merged first so no token is
-    counted twice (the within-doc analog of
-    ``dedup.duplicated_spans``' interval merge). Adds
-    ``dup_{n}gram_frac`` (0.0 for docs with fewer than ``n`` tokens).
+    family): per document, the fraction of CHARACTERS lying inside any
+    word n-gram that occurs more than once in the document — the
+    paper's Table-A1 metric is a character fraction, matching
+    ``with_top_ngram_coverage``'s denominator (tokens joined by single
+    spaces). Overlapping duplicated spans are merged in character
+    space so no character is counted twice (the within-doc analog of
+    ``dedup.duplicated_spans``' interval merge); the single space
+    BETWEEN two disjoint duplicated spans is not covered. Adds
+    ``dup_{n}gram_frac`` in [0, 1] (0.0 for docs with fewer than ``n``
+    tokens).
 
     Scale: map-stage n-gram fan-out → one (id, gram)-keyed count
-    window to find duplicated grams → the running-max interval-merge
-    window keyed on the document — linear everywhere, the windows
-    partition by (id, gram) / id so parallelism is the document count.
+    window to find duplicated grams, one id-keyed cumulative-sum
+    window turning token positions into char offsets (positions are
+    consecutive over gram rows, so the running sum of tok_len+1 IS the
+    char offset), then the running-max interval-merge window — the
+    last two share (id, pos) partitioning+ordering, so Catalyst plans
+    one exchange+sort for both. Linear everywhere; window parallelism
+    is the document count.
     """
     out_col = f"dup_{n}gram_frac"
     grams = _positioned_word_ngrams(df, n, text_col, id_col)
     dup_w = Window.partitionBy(id_col, "gram")
+    cum_w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # char offset of token `pos` in the normalized text: every earlier
+    # token contributes its length plus one joining space
+    char_start = F.coalesce(F.sum(F.col("tok_len") + F.lit(1)).over(cum_w), F.lit(0))
     dup_positions = (
         grams.withColumn("_gram_cnt", F.count("*").over(dup_w))
+        .withColumn("_cs", char_start)
         .filter(F.col("_gram_cnt") >= 2)
-        .select(id_col, "total_tokens", "pos", (F.col("pos") + F.lit(n - 1)).alias("end"))
+        .select(
+            id_col,
+            "norm_chars",
+            "pos",
+            F.col("_cs").alias("cs"),
+            (F.col("_cs") + F.length("gram") - F.lit(1)).alias("ce"),
+        )
     )
     merge_w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prev_max_end = F.max("end").over(merge_w)
+    prev_max_end = F.max("ce").over(merge_w)
     newly_covered = F.greatest(
         F.lit(0),
-        F.col("end") - F.greatest(F.col("pos") - 1, F.coalesce(prev_max_end, F.lit(-1))),
+        F.col("ce") - F.greatest(F.col("cs") - 1, F.coalesce(prev_max_end, F.lit(-1))),
     )
     covered = (
         dup_positions.withColumn("_new", newly_covered)
-        .groupBy(id_col, "total_tokens")
+        .groupBy(id_col, "norm_chars")
         .agg(F.sum("_new").alias("_covered"))
         .select(
             F.col(id_col),
             trunc_digits(
-                F.col("_covered").cast("double") / F.col("total_tokens").cast("double")
+                F.col("_covered").cast("double") / F.col("norm_chars").cast("double")
             ).alias(out_col),
         )
     )

@@ -1674,20 +1674,28 @@ ORACLES: Dict[str, str] = {
             SELECT doc_id, length(array_to_string(toks, ' '))::DOUBLE AS nchars,
                    len(toks) AS n FROM base
         ), g5 AS (
-            SELECT doc_id, i AS pos, i + 4 AS e,
+            SELECT doc_id, i AS pos, length(toks[i]) AS tok_len,
                    array_to_string(toks[i:i+4], ' ') AS gram
             FROM base, unnest(range(1, len(toks) - 3)) t(i)
             WHERE len(toks) >= 5
+        ), g5c AS (
+            -- 0-based char offset of token `pos` in the normalized
+            -- text: running sum of (tok_len + 1) over earlier grams
+            -- (positions are consecutive, so the sum is exact)
+            SELECT doc_id, pos, gram,
+                   count(*) OVER (PARTITION BY doc_id, gram) AS c,
+                   coalesce(sum(tok_len + 1) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+            FROM g5
         ), dup AS (
-            SELECT doc_id, pos, e
-            FROM (SELECT *, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM g5)
-            WHERE c >= 2
+            SELECT doc_id, pos, cs, cs + length(gram) - 1 AS ce
+            FROM g5c WHERE c >= 2
         ), cov AS (
             SELECT doc_id,
-                   greatest(0, e - greatest(pos - 1,
-                       coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-                                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                             AND 1 PRECEDING), 0))) AS newc
+                   greatest(0, ce - greatest(cs - 1,
+                       coalesce(max(ce) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), -1))) AS newc
             FROM dup
         ), dup5 AS (
             SELECT doc_id, sum(newc) AS covered FROM cov GROUP BY doc_id
@@ -1695,7 +1703,7 @@ ORACLES: Dict[str, str] = {
         SELECT n.doc_id,
                coalesce(floor(b.cov_chars / n.nchars * 1000000.0) / 1000000.0, 0.0)
                    AS top_3gram_cov,
-               coalesce(floor(d.covered::DOUBLE / n.n::DOUBLE * 1000000.0) / 1000000.0, 0.0)
+               coalesce(floor(d.covered::DOUBLE / n.nchars * 1000000.0) / 1000000.0, 0.0)
                    AS dup_5gram_frac
         FROM normc n
         LEFT JOIN best b USING (doc_id)

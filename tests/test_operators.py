@@ -1321,13 +1321,18 @@ class TestTextPipelineOps:
             return 0.0
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
         counts = Counter(grams)
+        # char offsets of each token in the normalized (single-space) text
+        starts, off = [], 0
+        for t in toks:
+            starts.append(off)
+            off += len(t) + 1
         covered = set()
         for i, g in enumerate(grams):
             if counts[g] >= 2:
-                covered.update(range(i, i + n))
+                covered.update(range(starts[i], starts[i] + len(g)))
         import math
 
-        return math.floor(len(covered) / len(toks) * 1e6) / 1e6
+        return math.floor(len(covered) / len(" ".join(toks)) * 1e6) / 1e6
 
     def test_top_ngram_coverage_vs_brute_force(self, spark):
         docs = [
