@@ -63,11 +63,20 @@ _BIN_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 
 def _rewrite_bins(stage: str) -> str:
+    """Rewrite ``bin(<n><unit>)`` into the bucketing expression —
+    outside single-quoted string literals only, so a literal like
+    ``'bin(5m)'`` in a filter predicate passes through untouched.
+    Callers must not apply this to ``parse`` stages (their regex
+    bodies are opaque); `_compile_insights` rewrites per stage."""
+
     def repl(m: "re.Match[str]") -> str:
         secs = int(m.group(1)) * _BIN_SECONDS[m.group(2).lower()]
         return f"timestamp_seconds(floor(unix_seconds(ts) / {secs}) * {secs})"
 
-    return _BIN_RE.sub(repl, stage)
+    parts = stage.split("'")
+    for i in range(0, len(parts), 2):  # even segments sit outside quotes
+        parts[i] = _BIN_RE.sub(repl, parts[i])
+    return "'".join(parts)
 
 
 def _key_expr(key: str) -> "F.Column":
@@ -94,9 +103,13 @@ def _compile_insights(df: DataFrame, query: str) -> DataFrame:
     interval floor (Insights time bucketing), e.g.
     ``stats count(*) as n by bin(1h) as hour``.
     """
-    query = _rewrite_bins(query)
     for raw_stage in [s.strip() for s in query.split("|") if s.strip()]:
         lowered = raw_stage.lower()
+        # bin() rewriting is per-stage and never touches parse stages —
+        # a /<regex>/ body containing "bin(5m)" must stay verbatim
+        if not lowered.startswith("parse "):
+            raw_stage = _rewrite_bins(raw_stage)
+            lowered = raw_stage.lower()
         if lowered.startswith("fields "):
             df = df.selectExpr(*_split_top_level(raw_stage[7:]))
         elif lowered.startswith("filter "):

@@ -120,17 +120,24 @@ def join_fanout_estimate(
     contrib = lc.join(rc, on).withColumn(
         "out_rows", F.col("n_left") * F.col("n_right")
     )
-    total = contrib.agg(F.sum("out_rows")).collect()[0][0] or 0
+    # the denominator rides INSIDE the returned plan as a broadcast
+    # one-row aggregate — no eager collect at construction time, so a
+    # pre-flight diagnostic costs exactly one action, and the total
+    # branch shares the per-key shuffles with the top-n branch via
+    # ReusedExchange (only the NDV-sized reduce side runs twice)
+    total_df = contrib.agg(F.sum("out_rows").alias("__total"))
     order = [F.col("out_rows").desc()] + [F.col(c).asc() for c in on]
     top = contrib.orderBy(*order).limit(top_n)
     w = Window.orderBy(*order)
     return (
-        top.withColumn("rank", F.row_number().over(w))
+        top.crossJoin(F.broadcast(total_df))
+        .withColumn("rank", F.row_number().over(w))
         .withColumn(
             "share",
-            trunc_digits(F.col("out_rows") / F.lit(float(total)))
-            if total
-            else F.lit(0.0),
+            F.when(
+                F.col("__total") > 0,
+                trunc_digits(F.col("out_rows") / F.col("__total").cast("double")),
+            ).otherwise(F.lit(0.0)),
         )
         .select(*on, "n_left", "n_right", "out_rows", "rank", "share")
     )

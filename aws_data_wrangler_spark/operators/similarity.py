@@ -612,6 +612,10 @@ def ivfpq_topk(
             residuals, m=m, num_codes=num_codes, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
+        # codebooks are collected driver-side — the cached residual
+        # table has no further consumer; release executor storage so
+        # repeated calls in a long-lived session don't accumulate it
+        residuals.unpersist()
     m = len(codebooks)
     sub = len(codebooks[0][0])
     encoded = (

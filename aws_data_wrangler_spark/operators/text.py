@@ -268,8 +268,12 @@ def bigram_surprisal(
             F.col("tok"),
         )
     )
-    counts_uni = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_cnt")).cache()
-    total = counts_uni.agg(F.sum("uni_cnt")).collect()[0][0] or 0
+    counts_uni = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("uni_cnt"))
+    # the corpus token total == the unigram row count — computed off
+    # the pre-agg plan, so counts_uni needs no cache (the two broadcast
+    # references below are the identical subtree and share one
+    # ReusedExchange; nothing stays pinned in executor storage)
+    total = unigrams.count()
     counts_bi = bigrams.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bi_cnt"))
     counts_ctx = counts_bi.groupBy("prev").agg(F.sum("bi_cnt").alias("ctx_cnt"))
     lam = F.lit(float(lambda_bigram))

@@ -51,6 +51,25 @@ class TestCloudwatch:
             (r["hour"], r["n"]) for r in expect.collect()
         ]
 
+    def test_bin_literal_survives_parse_and_quotes(self, spark, events):
+        events.createOrReplaceTempView("cw_events")
+        # a literal bin(5m) inside a parse regex must NOT be rewritten
+        # into the bucketing expression (it would corrupt the pattern)
+        out = cloudwatch.read_logs(
+            "parse props /(bin\\(5m\\))?\"k\": (\\d+)/ as b, k_val | limit 3",
+            "cw_events",
+            spark=spark,
+        )
+        rows = out.collect()
+        assert len(rows) == 3 and all(r["k_val"].isdigit() for r in rows)
+        # ...and inside a quoted string literal in a filter stage
+        out2 = cloudwatch.run_query(
+            "filter props != 'bin(5m)' | stats count(*) as n",
+            "cw_events",
+            spark=spark,
+        )
+        assert out2.collect()[0]["n"] == events.count()
+
     def test_key_alias_does_not_eat_cast(self, spark, events):
         events.createOrReplaceTempView("cw_events")
         out = cloudwatch.run_query(
