@@ -244,6 +244,131 @@ def _pq_ann_oracle_sql(
     """
 
 
+def _ivfpq_ann_oracle_sql(
+    k: int = 5,
+    nprobe: int = 4,
+    num_centroids: int = 16,
+    m: int = 8,
+    num_codes: int = 16,
+    sub: int = 8,
+    dim: int = 64,
+    factor: int = 4,
+) -> str:
+    """Exact DuckDB replica of the registered ``ann_ivfpq_topk``
+    query: SEEDED coarse centroids (lowest-id vectors) assign cells by
+    squared-L2 (ties → lowest cid) and the residual ``d = v − cv`` is
+    the assignment diff itself; SEEDED residual codebooks (lowest-id
+    residual subvectors, zero Lloyd iterations) encode by squared-L2
+    (ties → lowest code); ADC scores only cell-probed pairs
+    (``q·centroid + Σ lut[s][code_s]`` over the EXACT corpus norm),
+    the shortlist orders raw doubles, and the rescore is the shared
+    6dp-truncated exact cosine. Identical sequential-fold arithmetic
+    on both engines — the ``ann_pq_topk`` precedent plus the
+    assignment join."""
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {num_centroids})
+        ), cdiff AS (
+            SELECT c.vec_id, s.cid, c.v, c.nrm,
+                   list_transform(range(1, {dim} + 1), i -> c.v[i] - s.cv[i]) AS d
+            FROM corpus c, cents s
+        ), cdist AS (
+            SELECT vec_id, cid, v, nrm, d, list_dot_product(d, d) AS dist FROM cdiff
+        ), assigned AS (
+            -- residual r IS the assignment diff of the winning cell
+            SELECT vec_id, cid, nrm, d AS r
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dist ASC, cid ASC) AS rn
+                  FROM cdist)
+            WHERE rn = 1
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, r
+            FROM (SELECT vec_id, r FROM assigned ORDER BY vec_id LIMIT {num_codes})
+        ), subs AS (
+            SELECT unnest(range(0, {m})) AS sub
+        ), books AS (
+            SELECT subs.sub, seeds.code,
+                   seeds.r[subs.sub * {sub} + 1 : subs.sub * {sub} + {sub}] AS cb
+            FROM seeds, subs
+        ), encdists AS (
+            SELECT vec_id, sub, code, list_dot_product(dd, dd) AS dist
+            FROM (SELECT a.vec_id, b.sub, b.code,
+                         list_transform(range(1, {sub} + 1),
+                                        i -> a.r[b.sub * {sub} + i] - b.cb[i]) AS dd
+                  FROM assigned a, books b)
+        ), codes AS (
+            SELECT vec_id, sub, code
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                               ORDER BY dist ASC, code ASC) AS rn
+                  FROM encdists)
+            WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv, nrm AS q_norm
+            FROM corpus WHERE vec_id < 10
+        ), qcdist AS (
+            SELECT q.q_id, s.cid,
+                   list_dot_product(
+                       list_transform(range(1, {dim} + 1), i -> q.qv[i] - s.cv[i]),
+                       list_transform(range(1, {dim} + 1), i -> q.qv[i] - s.cv[i])) AS dist,
+                   list_dot_product(q.qv, s.cv) AS qdc
+            FROM q, cents s
+        ), qcells AS (
+            SELECT q_id, cid, qdc
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                               ORDER BY dist ASC, cid ASC) AS rn
+                  FROM qcdist)
+            WHERE rn <= {nprobe}
+        ), luts AS (
+            SELECT q.q_id, b.sub, b.code,
+                   list_dot_product(q.qv[b.sub * {sub} + 1 : b.sub * {sub} + {sub}], b.cb)
+                       AS val
+            FROM q, books b
+        ), pairs AS (
+            -- the cell-keyed equi-join: only corpus rows in probed cells
+            SELECT qc.q_id, a.vec_id AS c_id, qc.qdc, a.nrm AS c_norm
+            FROM qcells qc JOIN assigned a ON a.cid = qc.cid
+            WHERE qc.q_id <> a.vec_id AND a.nrm > 0
+        ), adc AS (
+            SELECT p.q_id, p.c_id, p.qdc, p.c_norm,
+                   list_sum(list(l.val ORDER BY l.sub)) AS dot
+            FROM pairs p
+            JOIN codes c ON c.vec_id = p.c_id
+            JOIN luts l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
+            GROUP BY p.q_id, p.c_id, p.qdc, p.c_norm
+        ), approx AS (
+            SELECT a2.q_id AS query_id, a2.c_id AS neighbor_id,
+                   (a2.qdc + a2.dot) / (q.q_norm * a2.c_norm) AS approx_cosine
+            FROM adc a2 JOIN q ON q.q_id = a2.q_id
+        ), shortlist AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY approx_cosine DESC,
+                                                        neighbor_id ASC) AS rn
+                  FROM approx)
+            WHERE rn <= {k * factor}
+        ), rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   floor((list_dot_product(qq.qv, c.v) /
+                          (qq.q_norm * c.nrm)) * 1000000.0) / 1000000.0 AS cosine
+            FROM shortlist s
+            JOIN q qq ON qq.q_id = s.query_id
+            JOIN corpus c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM rescored
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def _arrow_ann_oracle_sql(k: int = 5) -> str:
     """Oracle for the BLAS-matmul brute-force ANN: sequential-sum exact
     cosines stand in for the matmul (difference ~1e-15), the top-k cut
@@ -1757,6 +1882,7 @@ ORACLES: Dict[str, str] = {
         FROM agged ORDER BY doc_id
     """,
     "ann_pq_topk": _pq_ann_oracle_sql(),
+    "ann_ivfpq_topk": _ivfpq_ann_oracle_sql(),
     "multimodal_image_dhash": f"""
         WITH h AS (
             SELECT doc_id, sha256(text) AS hx FROM documents

@@ -1898,6 +1898,27 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN with SEEDED artifacts (iterations=0): the coarse
+    centroids are the 16 lowest-id vectors and each residual codebook
+    the 16 lowest-id residual subvectors — so cell assignment (L2,
+    ties → lowest cid), residual encode, per-query LUTs, the
+    cell-keyed ADC join, the shortlist cut, and the exact rescore are
+    all deterministic arithmetic the DuckDB oracle replicates: the
+    ann_pq_topk seeded-codebook technique plus the assignment join.
+    Production trains both artifacts offline; the Lloyd-trained path
+    stays recall-tested (residual PQ 0.8 vs plain PQ 0.48 at
+    rescore_factor 4)."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(
+        emb, queries, k=5, nprobe=4, num_centroids=16, m=8, num_codes=16,
+        rescore_factor=4, iterations=0,
+    ).orderBy("query_id", "rank")
+
+
 def _multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash signatures over the deterministic fake decoder
     (no Pillow in the container): dhash = first 8 sha256 bytes as a
@@ -2057,4 +2078,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_surprisal": _text_bigram_surprisal,
     "multimodal_image_dhash": _multimodal_image_dhash,
     "ann_pq_topk": _ann_pq_topk,
+    "ann_ivfpq_topk": _ann_ivfpq_topk,
 }
