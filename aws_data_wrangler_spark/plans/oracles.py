@@ -1896,4 +1896,42 @@ ORACLES: Dict[str, str] = {
                'fake' AS decoder
         FROM v ORDER BY doc_id
     """,
+    "profiling_null_profile": """
+        WITH src AS (
+            SELECT user_id, event_type,
+                   CASE WHEN event_type != 'error' THEN value END AS value
+            FROM events
+        )
+        SELECT * FROM (
+            SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count(user_id))::BIGINT AS n_null,
+                   floor(((count(*) - count(user_id))::DOUBLE / count(*)) * 1000000.0)
+                       / 1000000.0 AS null_share,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM src
+            UNION ALL
+            SELECT 'event_type', count(*),
+                   count(*) - count(event_type),
+                   floor(((count(*) - count(event_type))::DOUBLE / count(*)) * 1000000.0)
+                       / 1000000.0,
+                   count(DISTINCT event_type)
+            FROM src
+            UNION ALL
+            SELECT 'value', count(*),
+                   count(*) - count(value),
+                   floor(((count(*) - count(value))::DOUBLE / count(*)) * 1000000.0)
+                       / 1000000.0,
+                   count(DISTINCT value)
+            FROM src
+        ) ORDER BY "column"
+    """,
+    # the sketch-estimate VALUE is engine-specific (DataSketches HLL);
+    # the cross-engine contract is the row count plus the two
+    # invariants the Spark side computes: lossless merge equality and
+    # 5%-of-exact accuracy
+    "profiling_hll_invariants": """
+        SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
+               true AS merged_eq_single, true AS within_5pct
+        FROM events
+    """,
 }

@@ -1930,6 +1930,66 @@ def _multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_dhash(media, use_real_decoder=False).orderBy("doc_id")
 
 
+def _profiling_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct profile over events with one column
+    deterministically nulled (value on error events), so the null
+    counters are exercised cross-engine, not just the zero path."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    return profiling.null_profile(ev).orderBy("column")
+
+
+def _profiling_hll_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch invariants as driver-checkable facts: events
+    split into 4 disjoint hash-batches, each sketched independently;
+    the UNION of the batch sketches must estimate EXACTLY what the
+    single-pass sketch estimates (lossless merge — the property that
+    makes incremental corpus profiling sound), and the estimate must
+    sit within 5% of the exact NDV. The oracle pins n_rows exactly
+    and asserts both invariant booleans — a sketch-estimate value
+    itself is engine-specific (DataSketches), so the INVARIANTS are
+    the cross-engine contract."""
+    from functools import reduce as _reduce
+
+    from aws_data_wrangler_spark.operators import profiling
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    batches = [
+        profiling.hll_column_sketches(
+            ev.filter(F.crc32(F.col("event_id").cast("string")) % 4 == i), ["user_id"]
+        )
+        for i in range(4)
+    ]
+    merged = profiling.hll_estimates(
+        _reduce(lambda a, b: a.unionByName(b), batches)
+    ).select(
+        "column", "n_rows", F.col("n_distinct_est").alias("merged_est")
+    )
+    single = profiling.hll_estimates(
+        profiling.hll_column_sketches(ev, ["user_id"])
+    ).select("column", F.col("n_distinct_est").alias("single_est"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_ndv"))
+    return (
+        merged.join(single, "column")
+        .crossJoin(exact)
+        .select(
+            "column",
+            "n_rows",
+            (F.col("merged_est") == F.col("single_est")).alias("merged_eq_single"),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("within_5pct"),
+        )
+        .orderBy("column")
+    )
+
+
 # Registry order matters: the correctness driver verifies the FIRST 50
 # entries against their DuckDB oracles each round. Round-3 window
 # policy (VERDICT r2 "next" #1): the window carries (a) every query
@@ -2079,4 +2139,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_dhash": _multimodal_image_dhash,
     "ann_pq_topk": _ann_pq_topk,
     "ann_ivfpq_topk": _ann_ivfpq_topk,
+    "profiling_null_profile": _profiling_null_profile,
+    "profiling_hll_invariants": _profiling_hll_invariants,
 }
