@@ -667,6 +667,7 @@ def duplicated_lines(
     delimiter: str = "\n",
     min_docs: int = 2,
     min_line_chars: int = 1,
+    broadcast_verdicts: bool = True,
 ) -> DataFrame:
     """Line-level cross-document duplication verdicts: every line
     occurrence whose exact line text appears in at least ``min_docs``
@@ -686,8 +687,17 @@ def duplicated_lines(
     the document-frequency table is one hash aggregate over distinct
     (line, id) pairs with map-side partials; verdicts come from an
     equi-join keyed on the line string (fan-out linear in occurrence
-    count — never a self-join). Everything shards by line then by
-    document; no Python, no cartesian.
+    count — never a self-join). The line key is INTRINSICALLY skewed —
+    boilerplate lines are by definition the heavy hitters — so the
+    verdict join BROADCASTS the dup-line table by default
+    (``broadcast_verdicts``): it holds only the distinct duplicated
+    lines (the boilerplate vocabulary, MBs even on huge corpora), not
+    their occurrences, and broadcasting removes the skewed shuffle
+    entirely. Set ``broadcast_verdicts=False`` only when the
+    duplicated-line vocabulary itself is corpus-scale — AQE's
+    skew-split then covers the shuffle join. Pre-flight the decision
+    with ``profiling.key_distribution(lines, ["line"])``. Everything
+    else shards by line then by document; no Python, no cartesian.
 
     Ref: awswrangler has no sub-document dedup (it drops duplicate
     ROWS at most, e.g. catalog drop_duplicated_columns); semantics
@@ -698,6 +708,8 @@ def duplicated_lines(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), delimiter)).alias("line_no", "line")
     )
     dup = _duplicated_line_keys(lines, id_col, min_docs, min_line_chars)
+    if broadcast_verdicts:
+        dup = F.broadcast(dup)
     return (
         lines.join(dup, "line")
         .select(id_col, F.col("line_no").cast("bigint"), "line", "line_df")
@@ -726,6 +738,7 @@ def remove_duplicated_lines(
     join_with: str = "\n",
     min_docs: int = 2,
     min_line_chars: int = 1,
+    broadcast_verdicts: bool = True,
 ) -> DataFrame:
     """The cleaning counterpart of ``duplicated_lines``: every
     occurrence of a cross-document duplicated line is removed from
@@ -738,7 +751,9 @@ def remove_duplicated_lines(
     One extra shuffle beyond the verdict join: the per-document
     reassembly groupBy, whose sort is a JVM ``array_sort`` over the
     doc's own (line_no, line) structs — document-local, no global
-    ordering anywhere.
+    ordering anywhere. The verdict join broadcasts the dup-line
+    table by default (``broadcast_verdicts``) — see
+    ``duplicated_lines`` for the skew rationale.
     """
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), delimiter)).alias("line_no", "line")
@@ -746,6 +761,8 @@ def remove_duplicated_lines(
     dup = _duplicated_line_keys(lines, id_col, min_docs, min_line_chars).select(
         "line", F.lit(True).alias("__dup")
     )
+    if broadcast_verdicts:
+        dup = F.broadcast(dup)
     flagged = lines.join(dup, "line", "left")
     # collect_list drops nulls, so the WHEN-null trick folds the kept-
     # line filter into the aggregate; array_sort on (line_no, line)
@@ -1297,14 +1314,24 @@ def semdedup(
     in-line (deterministic init, Lloyd ``iterations``).
 
     Plan shape, built for 100 TB: assignment is a broadcast
-    nested-loop over the (tiny, ``num_clusters``-row) centroid table —
-    a linear scan, the IVF-assignment shape; the pair miner is a
-    cell-keyed equi-join whose fan-out is the cell size, so
-    ``num_clusters`` is THE scale knob (size it ≈ corpus/1000 as the
-    literature does and the per-cell quadratic work stays flat as the
-    corpus grows); grouping reuses ``cluster_pairs`` (near-dup groups
-    are tiny — pass ``checkpoint='reliable'`` on long cluster runs);
-    the keep window shards by group. No corpus×corpus join anywhere.
+    nested-loop over the centroid table — O(n·k) dot products with a
+    k-row broadcast, the IVF-assignment shape — so ``num_clusters``
+    is bounded by what broadcasts AND by per-row assignment compute:
+    cap it at ~10⁵ (the SemDeDup paper's regime; ~50 MB broadcast at
+    64 dims). Do NOT size it corpus/1000 on a huge corpus — train the
+    ~10⁵ centroids on a ``sampling.hash_sample`` instead (cells get
+    bigger, and the cell-keyed pair miner's per-cell quadratic cost
+    is the knob you re-balance with ``eps`` and cell count). Beyond
+    ~10⁵, route assignment through a two-level coarse quantizer
+    (assign to ``ivf_topk``-style super-cells first, then argmin
+    within the probed super-cell's children) instead of one flat
+    broadcast — this function warns past the cap and refuses past
+    10⁶ on the inline-training path; with pre-trained ``centroids``
+    the caller owns the bound. The pair miner is a cell-keyed
+    equi-join whose fan-out is the cell size; grouping reuses
+    ``cluster_pairs`` (near-dup groups are tiny — pass
+    ``checkpoint='reliable'`` on long cluster runs); the keep window
+    shards by group. No corpus×corpus join anywhere.
 
     Ref: the reference has no semantic-dedup analog; semantics follow
     the cluster→within-cluster-cosine→keep-one construction, with the
@@ -1312,6 +1339,21 @@ def semdedup(
     """
     if keep not in ("farthest", "closest"):
         raise ValueError(f"keep must be 'farthest' or 'closest', got {keep!r}")
+    if centroids is None and num_clusters > 1_000_000:
+        raise ValueError(
+            f"num_clusters={num_clusters} exceeds the flat-broadcast assignment "
+            "bound (1e6). Train ~1e5 centroids on a sampling.hash_sample, or "
+            "assign via a two-level coarse quantizer and pass `centroids`."
+        )
+    if centroids is None and num_clusters > 100_000:
+        import warnings
+
+        warnings.warn(
+            f"num_clusters={num_clusters} > 1e5: the broadcast nested-loop "
+            "assignment costs O(n*k) dot products and a k-row broadcast — "
+            "prefer ~1e5 sample-trained centroids (see docstring).",
+            stacklevel=2,
+        )
     vec = F.col(vec_col).cast("array<double>")
     norm_expr = F.sqrt(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)

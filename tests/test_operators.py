@@ -122,6 +122,33 @@ class TestDedup:
         assert out[2] == ("body two", 2, 1)
         assert out[3] == ("", 1, 1)
 
+    def test_duplicated_lines_broadcasts_under_planted_skew(self, spark):
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        # one boilerplate line in 50% of docs — the heaviest possible
+        # join-key skew. The verdict join must broadcast the (tiny)
+        # dup-line table, which removes the skewed shuffle entirely.
+        docs = spark.createDataFrame(
+            [
+                (i, f"unique {i} alpha\nCOOKIE BANNER\nbody {i}")
+                if i % 2 == 0
+                else (i, f"unique {i} beta\nbody {i}")
+                for i in range(100)
+            ],
+            "doc_id long, text string",
+        )
+        verdicts = dedup.duplicated_lines(docs)
+        s = plan_summary(verdicts)
+        assert s["broadcast_hash_joins"] >= 1 and s["sort_merge_joins"] == 0, s["plan"]
+        rows = verdicts.collect()
+        assert len(rows) == 50
+        assert all(r["line"] == "COOKIE BANNER" and r["line_df"] == 50 for r in rows)
+        # opt-out path returns identical verdicts
+        off = dedup.duplicated_lines(docs, broadcast_verdicts=False).collect()
+        assert {(r["doc_id"], r["line_no"]) for r in off} == {
+            (r["doc_id"], r["line_no"]) for r in rows
+        }
+
     def test_cluster_pairs_transitive(self, spark):
         # chain 1-2, 2-3 plus isolated pair 10-11 → clusters {1,2,3} and {10,11}
         pairs = spark.createDataFrame(
@@ -182,6 +209,27 @@ class TestDedup:
             assert kept["centroid_cos"] == max(m["centroid_cos"] for m in members)
         pruned = dedup.semdedup_prune(corpus, num_clusters=8, eps=0.05, iterations=2, keep="closest")
         assert pruned.count() == n - dropped
+
+    def test_semdedup_assignment_stays_broadcast_and_caps_k(self, spark, embeddings):
+        import warnings as _warnings
+
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        # at recommended cluster counts the assignment must be a
+        # broadcast nested-loop over the centroid table (never a
+        # CartesianProduct / shuffled join)
+        verdicts = dedup.semdedup(embeddings, num_clusters=8, eps=0.05, iterations=0)
+        s = plan_summary(verdicts)
+        assert s["cartesian_products"] == 0, s["plan"]
+        assert s["broadcast_nested_loop_joins"] >= 1, s["plan"]
+        # past the guidance cap: warn (inline-training path knows k for free)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            dedup.semdedup(embeddings, num_clusters=200_000, iterations=0)
+            assert any("1e5" in str(w.message) for w in caught)
+        # past the broadcast bound: refuse
+        with pytest.raises(ValueError, match="num_clusters"):
+            dedup.semdedup(embeddings, num_clusters=2_000_000, iterations=0)
 
     def test_embedding_lsh_matches_exact_in_near_dup_regime(self, spark, embeddings):
         # noisy twins at cosine ≳ 0.99: the LSH-bucketed miner must find
