@@ -32,7 +32,6 @@ bag-of-n-grams linear classifier of corpus quality filtering.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 from pyspark.sql import DataFrame
@@ -103,6 +102,7 @@ def train_quality_classifier(
     learning_rate: float = 2.0,
     l2: float = 1e-6,
     batch_fraction: Optional[float] = None,
+    class_weight: Optional[str] = None,
 ) -> QualityClassifier:
     """Train the logistic scorer: ``label_col`` is 0/1 (1 = keep-worthy).
 
@@ -111,9 +111,31 @@ def train_quality_classifier(
     by iteration number) — the same batch on every run and cluster.
     Feature pairs are computed once and cached; each iteration touches
     the pair table twice (margin + gradient) and the tiny weight table.
+
+    ``class_weight="balanced"`` reweights each example by
+    ``n / (2 · n_class)`` (sklearn's balanced rule) — essential in the
+    realistic quality-filter regime where keep-worthy documents are a
+    small minority of a crawl and an unweighted fit collapses onto the
+    majority class. Weights come from ONE count aggregate over the
+    full label table (mini-batches reuse them).
     """
+    if class_weight not in (None, "balanced"):
+        raise ValueError(f"class_weight must be None or 'balanced', got {class_weight!r}")
     feats = hashed_features(df, id_col, text_col, num_features, use_bigrams).cache()
     labels = df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    if class_weight == "balanced":
+        counts = {
+            float(r["__y"]): int(r["n"])
+            for r in labels.groupBy("__y").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_total = sum(counts.values())
+        w_pos = n_total / (2.0 * counts.get(1.0, 1))
+        w_neg = n_total / (2.0 * counts.get(0.0, 1))
+        labels = labels.withColumn(
+            "__w", F.when(F.col("__y") == 1.0, F.lit(w_pos)).otherwise(F.lit(w_neg))
+        )
+    else:
+        labels = labels.withColumn("__w", F.lit(1.0))
     bias = 0.0
     # sparse init: only observed features ever get weights; start at 0
     weights = (
@@ -136,20 +158,26 @@ def train_quality_classifier(
             .select(
                 F.col(id_col),
                 (
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("__margin"), F.lit(0.0)) + F.lit(bias))))
-                    - F.col("__y")
+                    F.col("__w")
+                    * (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("__margin"), F.lit(0.0)) + F.lit(bias))))
+                        - F.col("__y")
+                    )
                 ).alias("__resid"),
+                F.col("__w"),
             )
         )
+        # weighted batch size: with class_weight=None every __w is 1.0,
+        # so wsum is exactly the row count (same doubles as before)
         n_stats = resid.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("__resid").alias("rsum")
+            F.sum("__w").alias("wsum"), F.sum("__resid").alias("rsum")
         ).collect()[0]
-        n_batch = max(int(n_stats["n"]), 1)
+        denom = float(max(n_stats["wsum"] or 0.0, 1.0))
         grad = (
             it_feats.join(resid, id_col)
             .groupBy("feature")
-            .agg((F.sum("__resid") / F.lit(float(n_batch))).alias("__g"))
+            .agg((F.sum("__resid") / F.lit(denom)).alias("__g"))
         )
         # every weight decays (l2); only features in the batch get a
         # gradient step — the sparse-update shape of hashed-feature LR
@@ -165,7 +193,7 @@ def train_quality_classifier(
             .localCheckpoint()
         )
         weights = new_weights
-        bias -= learning_rate * float(n_stats["rsum"]) / n_batch
+        bias -= learning_rate * float(n_stats["rsum"] or 0.0) / denom
     feats.unpersist()
     return QualityClassifier(weights, bias, num_features, use_bigrams)
 

@@ -849,3 +849,83 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Artifact persistence — the production story for the quantized tiers.
+# Codebooks/centroids are tiny driver-side artifacts trained once
+# (offline, usually on a hash_sample) and shipped into every
+# encode/search plan; these helpers make them durable. JSON carries
+# the nested-list codebooks (Python json round-trips doubles exactly
+# via repr), parquet carries the DataFrame-shaped artifacts
+# (centroids, encoded corpora — parquet doubles/ints are exact), so a
+# load-then-search is bit-identical to the in-process train-then-search.
+# Paths are any Hadoop-FS URI (file:// in tests, s3a:// on a cluster).
+# ---------------------------------------------------------------------------
+
+
+def save_pq_codebooks(
+    codebooks: List[List[List[float]]], path: str, spark=None
+) -> None:
+    """Persist PQ codebooks (``train_pq_codebooks`` output) as JSON."""
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    payload = {
+        "format": "pq_codebooks",
+        "m": len(codebooks),
+        "num_codes": len(codebooks[0]) if codebooks else 0,
+        "sub": len(codebooks[0][0]) if codebooks and codebooks[0] else 0,
+        "codebooks": codebooks,
+    }
+    with open_s3_object(path, "w", spark=spark) as f:
+        json.dump(payload, f)
+
+
+def load_pq_codebooks(path: str, spark=None) -> List[List[List[float]]]:
+    """Load codebooks saved by ``save_pq_codebooks`` — validated shape,
+    floats exact (json round-trips doubles via repr)."""
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    with open_s3_object(path, "r", spark=spark) as f:
+        payload = json.load(f)
+    if payload.get("format") != "pq_codebooks":
+        raise ValueError(f"not a pq_codebooks artifact: {path}")
+    books = [
+        [[float(x) for x in cent] for cent in book] for book in payload["codebooks"]
+    ]
+    if len(books) != payload["m"] or any(len(b) != payload["num_codes"] for b in books):
+        raise ValueError(f"corrupt pq_codebooks artifact: {path}")
+    return books
+
+
+def save_ivf_centroids(centroids: DataFrame, path: str) -> None:
+    """Persist an IVF centroid table (``train_ivf_centroids`` output,
+    also the SemDeDup ``centroids=`` shape) as parquet."""
+    centroids.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("cvec").cast("array<double>").alias("cvec"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str) -> DataFrame:
+    """Load a centroid table saved by ``save_ivf_centroids``."""
+    return spark.read.parquet(path).select("cid", "cvec")
+
+
+def save_encoded_corpus(encoded: DataFrame, path: str) -> None:
+    """Persist an encoded corpus table — ``pq_encode`` output
+    (id, codes, approx_norm) or ``quantize_embeddings`` output
+    (id, codes, scale) — as parquet, partition-parallel. At 100 TB
+    this IS the index build: write once, every search after scans the
+    ~16-32× smaller code table instead of the float corpus."""
+    encoded.write.mode("overwrite").parquet(path)
+
+
+def load_encoded_corpus(spark, path: str) -> DataFrame:
+    """Load a table saved by ``save_encoded_corpus`` (pass to
+    ``pq_topk(encoded=...)`` / ``sq8_topk(quantized=...)``)."""
+    return spark.read.parquet(path)

@@ -736,6 +736,45 @@ class TestSimilarity:
         assert recalls[20] >= 0.8, recalls
         enc.unpersist()
 
+    def test_ann_artifact_persistence_roundtrip(self, spark, embeddings, tmp_path):
+        # train → save → load → BIT-IDENTICAL search results, for all
+        # three persistable artifact kinds (codebooks JSON, centroid /
+        # encoded tables parquet)
+        queries = embeddings.filter("vec_id < 5")
+        # PQ: codebooks + encoded corpus
+        books = similarity.train_pq_codebooks(embeddings, m=8, num_codes=16, iterations=1)
+        similarity.save_pq_codebooks(books, str(tmp_path / "books.json"), spark=spark)
+        loaded_books = similarity.load_pq_codebooks(str(tmp_path / "books.json"), spark=spark)
+        assert loaded_books == books  # exact float round-trip
+        enc = similarity.pq_encode(embeddings, books)
+        similarity.save_encoded_corpus(enc, str(tmp_path / "enc"))
+        loaded_enc = similarity.load_encoded_corpus(spark, str(tmp_path / "enc"))
+        base = similarity.pq_topk(
+            embeddings, queries, k=5, codebooks=books, encoded=enc
+        ).collect()
+        loaded = similarity.pq_topk(
+            embeddings, queries, k=5, codebooks=loaded_books, encoded=loaded_enc
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, loaded))
+        # IVF: centroid table
+        cents = similarity.train_ivf_centroids(embeddings, num_centroids=8, iterations=1)
+        similarity.save_ivf_centroids(cents, str(tmp_path / "cents"))
+        loaded_cents = similarity.load_ivf_centroids(spark, str(tmp_path / "cents"))
+        base = similarity.ivf_topk(embeddings, queries, k=5, centroids=cents).collect()
+        loaded = similarity.ivf_topk(
+            embeddings, queries, k=5, centroids=loaded_cents
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, loaded))
+        # SQ8: quantized table
+        quant = similarity.quantize_embeddings(embeddings)
+        similarity.save_encoded_corpus(quant, str(tmp_path / "sq8"))
+        loaded_q = similarity.load_encoded_corpus(spark, str(tmp_path / "sq8"))
+        base = similarity.sq8_topk(embeddings, queries, k=5, quantized=quant).collect()
+        loaded = similarity.sq8_topk(
+            embeddings, queries, k=5, quantized=loaded_q
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, loaded))
+
     def test_ivfpq_pipeline(self, spark, embeddings):
         queries = embeddings.filter("vec_id < 10")
         exact = similarity.cosine_topk(embeddings, queries, k=5)
@@ -1784,3 +1823,85 @@ class TestQualityClassifier:
             .collect()[0][0]
         )
         assert acc_mb >= 0.95
+
+    @staticmethod
+    def _planted_docs(n, pos_frac, seed=11):
+        import random
+
+        random.seed(seed)
+        filler = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+        n_pos = int(n * pos_frac)
+        rows = []
+        for i in range(n):
+            toks = random.choices(filler, k=16)
+            y = 1 if i < n_pos else 0
+            toks.insert(random.randrange(16), "goodtok" if y else "badtok")
+            rows.append((i, " ".join(toks), y))
+        random.shuffle(rows)
+        return [(j, t, y) for j, (_, t, y) in enumerate(rows)]
+
+    @staticmethod
+    def _holdout_acc(classifier, train, test, **kwargs):
+        model = classifier.train_quality_classifier(train, "label", **kwargs)
+        return (
+            classifier.score_quality(test, model)
+            .select(
+                (((F.col("quality_prob") > 0.5).cast("int") == F.col("label")).cast("int")).alias("ok")
+            )
+            .agg(F.avg("ok"))
+            .collect()[0][0]
+        )
+
+    def test_learns_under_class_imbalance(self, spark):
+        # 1:10 imbalance — the realistic quality-filter regime (most of
+        # a crawl is junk): the planted rule must still be learned with
+        # holdout accuracy >= 0.9 on BOTH classes, not just the majority
+        from aws_data_wrangler_spark.operators import classifier
+
+        rows = self._planted_docs(440, pos_frac=1 / 11)
+        docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        train = docs.filter(F.col("doc_id") % 5 != 0)
+        test = docs.filter(F.col("doc_id") % 5 == 0)
+        model = classifier.train_quality_classifier(
+            train, "label", iterations=12, class_weight="balanced"
+        )
+        scored = classifier.score_quality(test, model).select(
+            "label",
+            (((F.col("quality_prob") > 0.5).cast("int") == F.col("label")).cast("int")).alias("ok"),
+        )
+        per_class = {
+            r["label"]: r["acc"]
+            for r in scored.groupBy("label").agg(F.avg("ok").alias("acc")).collect()
+        }
+        assert per_class[0] >= 0.9 and per_class[1] >= 0.9, per_class
+
+    def test_regularization_path_shrinks_weights(self, spark):
+        # the l2 knob must actually regularize: heavier decay -> smaller
+        # weight norm, and extreme decay destroys the fit while the
+        # default keeps it — the monotone path that proves the penalty
+        # is wired into the update, not a dead parameter
+        from aws_data_wrangler_spark.operators import classifier
+
+        rows = self._planted_docs(240, pos_frac=0.5)
+        docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        train = docs.filter(F.col("doc_id") % 5 != 0)
+        test = docs.filter(F.col("doc_id") % 5 == 0)
+        norms, accs = {}, {}
+        for l2 in (1e-6, 1e-2, 0.4):
+            model = classifier.train_quality_classifier(
+                train, "label", iterations=8, l2=l2
+            )
+            norms[l2] = model.weights.agg(
+                F.sum(F.col("weight") * F.col("weight"))
+            ).collect()[0][0]
+            accs[l2] = (
+                classifier.score_quality(test, model)
+                .select(
+                    (((F.col("quality_prob") > 0.5).cast("int") == F.col("label")).cast("int")).alias("ok")
+                )
+                .agg(F.avg("ok"))
+                .collect()[0][0]
+            )
+        assert norms[1e-6] > norms[1e-2] > norms[0.4], norms
+        assert accs[1e-6] >= 0.95, accs
+        assert accs[0.4] <= accs[1e-6], accs
