@@ -321,3 +321,63 @@ def deterministic_shuffle(
         w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
         out = out.withColumn("pos", F.row_number().over(w))
     return out
+
+
+def epoch_mixture(
+    df: DataFrame,
+    targets: Dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_target: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic epoch-based data mixing: emit EXACTLY
+    ``targets[s]`` training rows per stratum by repeating the
+    stratum's documents over whole epochs plus one hash-ordered
+    partial epoch — the multi-epoch recipe of LM training runs
+    (small high-quality sources repeat for several epochs while big
+    sources subsample; up-sampling is what ``stratified_sample`` /
+    ``token_budget_sample`` cannot express, since a Bernoulli keep
+    tops out at fraction 1.0).
+
+    Each output row carries ``epoch`` (0-based): a document with
+    hash-rank ``r`` in its stratum of size ``n`` appears in epochs
+    ``0..⌊target/n⌋-1``, plus epoch ``⌊target/n⌋`` iff
+    ``r ≤ target mod n``. Down-sampling (``target < n``) degenerates
+    to the exact hash-ordered draw of ``fixed_size_sample`` at epoch
+    0. Strata missing from ``targets`` get ``default_target`` (0 ⇒
+    dropped). The salt decorrelates the partial-epoch draw between
+    runs.
+
+    Scale shape: one stratum-count aggregate (collected at
+    stratum cardinality), one rank window keyed on the stratum (the
+    ``token_budget_sample`` shape — parallelism = stratum count,
+    acceptable because strata are sources/languages, not rows), then
+    a zero-shuffle ``explode(sequence(...))`` fan-out. Output size is
+    Σ targets by construction, so the fan-out is exactly the data you
+    asked for.
+    """
+    if any(t < 0 for t in targets.values()) or default_target < 0:
+        raise ValueError("targets must be non-negative")
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    full_expr = F.lit(0)
+    rem_expr = F.lit(0)
+    for value in sorted(counts):
+        n_s = counts[value]
+        target = targets.get(value, default_target)
+        full_expr = F.when(F.col(strata_col) == value, F.lit(target // n_s)).otherwise(full_expr)
+        rem_expr = F.when(F.col(strata_col) == value, F.lit(target % n_s)).otherwise(rem_expr)
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    )
+    n_epochs = full_expr + F.when(rank <= rem_expr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("__n_epochs", n_epochs)
+        .filter(F.col("__n_epochs") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n_epochs") - 1)))
+        .drop("__n_epochs")
+    )

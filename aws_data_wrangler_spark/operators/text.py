@@ -8,7 +8,7 @@ scales linearly with executors. Each has an exact DuckDB-SQL oracle
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -782,3 +782,115 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_bigram_frac": trunc_digits(dup_bigram, 6),
         }
     )
+
+
+# C4 (Raffel et al. 2020 §2.2) line-level cleaning heuristics: the
+# third classic filter family next to the Gopher gates and the
+# quality classifier. A "sentence" is approximated as a terminal-
+# punctuation occurrence (the paper uses a sentence tokenizer; the
+# count only gates the >= min_sentences rule, where the
+# approximation is faithful for prose).
+C4_TERMINAL_PUNCT_RE = r"""[.!?]["')\]]?\s*$"""
+
+
+def with_c4_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+    line_blocklist: Sequence[str] = ("javascript",),
+    page_blocklist: Sequence[str] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style cleaning: per LINE, keep only lines that end in
+    terminal punctuation, carry at least ``min_words`` words, and
+    contain no ``line_blocklist`` term (case-insensitive); per PAGE,
+    flag documents with fewer than ``min_sentences`` sentences in the
+    cleaned text or any ``page_blocklist`` term anywhere in the
+    original. Adds ``clean_text`` (kept lines joined by newline),
+    ``c4_n_lines``, ``c4_n_kept_lines``, ``c4_n_sentences``, and the
+    composite ``c4_keep`` FLAG — audit-before-filter, like the Gopher
+    gates.
+
+    Scale shape: a pure map-stage projection — the line filter is an
+    array higher-order function, which costs whole-stage-codegen
+    fallback (SURVEY §6) but ZERO shuffle; the alternative
+    (explode → filter → per-doc reassembly groupBy) shuffles the
+    corpus, which loses at 100 TB. Everything else is codegen regex.
+
+    Ref: C4 construction rules (Raffel et al. 2020 §2.2); the
+    reference library has no text-cleaning surface.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+
+    def _keep_line(l):  # noqa: E741 - mirrors the lambda variable
+        word_ok = F.size(F.split(F.trim(l), r"\s+")) >= min_words
+        punct_ok = l.rlike(C4_TERMINAL_PUNCT_RE)
+        block_ok = F.lit(True)
+        for term in line_blocklist:
+            block_ok = block_ok & ~F.lower(l).contains(term.lower())
+        return punct_ok & word_ok & block_ok
+
+    kept = F.filter(lines, _keep_line)
+    clean = F.array_join(kept, "\n")
+    page_ok = F.lit(True)
+    for term in page_blocklist:
+        page_ok = page_ok & ~F.lower(F.col(text_col)).contains(term.lower())
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    return df.withColumns(
+        {
+            out_col: clean,
+            "c4_n_lines": F.size(lines).cast("bigint"),
+            "c4_n_kept_lines": F.size(kept).cast("bigint"),
+            "c4_n_sentences": n_sentences.cast("bigint"),
+            "c4_keep": (n_sentences >= F.lit(min_sentences)) & page_ok,
+        }
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    splits: Tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained unigram LM surprisal, then
+    split EACH LANGUAGE's score distribution at the ``splits``
+    quantiles into ``head`` / ``middle`` / ``tail`` — head = lowest
+    surprisal (most fluent); CCNet trains on head+middle. Emits the
+    label instead of filtering (audit-first, like the gate
+    operators): (id, lang, n_toks, avg_surprisal, ppl_bucket).
+
+    A document AT a boundary lands in the lower bucket (strict ``>``,
+    the ``orders_value_deciles`` tie rule). ``lang_col=None`` buckets
+    one global distribution.
+
+    Scale shape: surprisal is the ``unigram_surprisal`` plan (one
+    vocabulary aggregate broadcast back over the token stream); the
+    boundaries are ONE language-cardinality percentile aggregate
+    joined back broadcast — the exact-percentile-boundaries
+    construction of ``orders_value_deciles``, no global window, no
+    single-partition stage anywhere.
+    """
+    lo, hi = float(splits[0]), float(splits[1])
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"splits must satisfy 0 < lo < hi < 1, got {splits}")
+    scored = unigram_surprisal(df, id_col, text_col)
+    pct = F.expr(f"percentile(avg_surprisal, array({lo!r}, {hi!r}))").alias("__bs")
+    if lang_col is not None:
+        scored = scored.join(df.select(id_col, lang_col), id_col)
+        bounds = scored.groupBy(lang_col).agg(pct)
+        joined = scored.join(F.broadcast(bounds), lang_col)
+        keys = [id_col, lang_col]
+    else:
+        bounds = scored.agg(pct)
+        joined = scored.crossJoin(F.broadcast(bounds))
+        keys = [id_col]
+    bucket = (
+        F.when(F.col("avg_surprisal") > F.element_at("__bs", 2), F.lit("tail"))
+        .when(F.col("avg_surprisal") > F.element_at("__bs", 1), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return joined.select(*keys, "n_toks", "avg_surprisal", bucket.alias("ppl_bucket"))

@@ -99,6 +99,67 @@ def _lsh_ann_oracle_sql(
     """
 
 
+
+def _spark_percentile_expr(vs: str, n: str, q: float) -> str:
+    """Spark's exact R-7 interpolation — ``lower + g*(upper-lower)`` —
+    over a sorted DuckDB list. quantile_cont computes the algebraically
+    equal ``(1-g)*lower + g*upper``, whose double can differ in the
+    last bit and land BELOW a duplicated lower value, flipping any
+    bucket comparison on a data point at the boundary (observed on the
+    perplexity terciles at sf0.1); every percentile oracle replicates
+    Spark's form instead."""
+    lo_idx = f"CAST(floor(({n}-1) * {q!r}) AS BIGINT) + 1"
+    g = f"(({n}-1) * {q!r} - floor(({n}-1) * {q!r}))"
+    return (
+        f"({vs}[{lo_idx}] + {g} * "
+        f"({vs}[least({lo_idx} + 1, {n})] - {vs}[{lo_idx}]))"
+    )
+
+
+def _deciles_oracle_sql() -> str:
+    bounds = ",\n                    ".join(
+        _spark_percentile_expr("vs", "n", i / 10.0) for i in range(1, 10)
+    )
+    return f"""
+        WITH o AS (
+            SELECT list(o_totalprice ORDER BY o_totalprice) AS vs,
+                   count(*) AS n
+            FROM orders
+        ), b AS (
+            SELECT [{bounds}] AS bs
+            FROM o
+        )
+        SELECT decile,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM (
+            SELECT o_totalprice,
+                   CAST(1 + len(list_filter(b.bs, x -> o_totalprice > x)) AS INTEGER) AS decile
+            FROM orders CROSS JOIN b
+        ) d
+        GROUP BY decile
+        ORDER BY decile
+    """
+
+
+def _events_percentiles_oracle_sql() -> str:
+    p50 = _spark_percentile_expr("vs", "n", 0.5)
+    p90 = _spark_percentile_expr("vs", "n", 0.9)
+    return f"""
+        WITH o AS (
+            SELECT event_type, list(value ORDER BY value) AS vs, count(*) AS n,
+                   round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               round({p50}, 6) AS p50,
+               round({p90}, 6) AS p90,
+               min_v, max_v
+        FROM o ORDER BY event_type
+    """
+
+
 def _ivf_ann_oracle_sql(k: int = 5, nprobe: int = 4, num_seeds: int = 16) -> str:
     """Exact DuckDB replica of the registered ``ann_ivf_topk`` query:
     SEEDED centroids (the ``num_seeds`` lowest-id vectors, the
@@ -783,16 +844,7 @@ ORACLES: Dict[str, str] = {
     """,
     # exact interpolated percentiles: Spark percentile() and DuckDB
     # quantile_cont() both use the R-7 definition
-    "events_value_percentiles": """
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 6) AS p50,
-               round(quantile_cont(value, 0.9), 6) AS p90,
-               round(min(value), 6) AS min_v,
-               round(max(value), 6) AS max_v
-        FROM events
-        GROUP BY event_type
-        ORDER BY event_type
-    """,
+    "events_value_percentiles": _events_percentiles_oracle_sql(),
     "embedding_stats": """
         SELECT label,
                count(*) AS n_vecs,
@@ -1180,24 +1232,7 @@ ORACLES: Dict[str, str] = {
     # decile boundaries via exact interpolated percentiles (R-7 in both
     # engines — same twin as events_value_percentiles), bucket by count
     # of boundaries strictly below the value
-    "orders_value_deciles": """
-        WITH b AS (
-            SELECT quantile_cont(o_totalprice,
-                                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
-            FROM orders
-        )
-        SELECT decile,
-               count(*) AS n_orders,
-               round(min(o_totalprice), 2) AS lo,
-               round(max(o_totalprice), 2) AS hi
-        FROM (
-            SELECT o_totalprice,
-                   CAST(1 + len(list_filter(b.bs, x -> o_totalprice > x)) AS INTEGER) AS decile
-            FROM orders CROSS JOIN b
-        ) d
-        GROUP BY decile
-        ORDER BY decile
-    """,
+    "orders_value_deciles": _deciles_oracle_sql(),
     "dedup_embedding_cosine": f"""
         WITH scored AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1933,5 +1968,134 @@ ORACLES: Dict[str, str] = {
         SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
                true AS merged_eq_single, true AS within_5pct
         FROM events
+    """,
+    # C4 line/page rules over the line-ified corpus; the kept-line
+    # predicate (terminal punct / >=3 words / no blocklist term) runs
+    # as list_filter so DuckDB sees the same per-line semantics
+    "text_c4_rules": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(t, i * 6 + 1, i * 6 + 6), ' ') ||
+                   CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END AS line
+            FROM (SELECT doc_id, t,
+                         unnest(range(greatest(CAST(ceil(len(t) / 6.0) AS BIGINT), 1))) AS i
+                  FROM toks)
+        ), pages AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY i) ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || 'A planted { brace } line.'
+                        ELSE '' END AS text
+            FROM lines GROUP BY doc_id
+        ), split AS (
+            SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM pages
+        ), kept AS (
+            SELECT doc_id, text, ls,
+                   list_filter(ls, l ->
+                       regexp_matches(l, '[.!?]["'')\\]]?\\s*$')
+                       AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS kl
+            FROM split
+        ), final AS (
+            SELECT doc_id, text, ls, kl, array_to_string(kl, chr(10)) AS clean
+            FROM kept
+        )
+        SELECT doc_id,
+               md5(clean) AS clean_fp,
+               CAST(len(ls) AS BIGINT) AS c4_n_lines,
+               CAST(len(kl) AS BIGINT) AS c4_n_kept_lines,
+               CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS c4_n_sentences,
+               (len(regexp_extract_all(clean, '[.!?]')) >= 5
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')) AS c4_keep
+        FROM final ORDER BY doc_id
+    """,
+    "sample_epoch_mixture": """
+        WITH c AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), t AS (
+            SELECT source, n,
+                   CASE source WHEN 'src0' THEN 63 WHEN 'src1' THEN 10
+                               WHEN 'src2' THEN 140 ELSE 0 END AS target
+            FROM c
+        ), ranked AS (
+            SELECT d.doc_id, d.source,
+                   row_number() OVER (PARTITION BY d.source
+                                      ORDER BY md5(d.doc_id::VARCHAR || ''), d.doc_id) AS r,
+                   t.target // t.n AS n_full, t.target % t.n AS rem
+            FROM documents d JOIN t USING (source)
+        ), counted AS (
+            SELECT doc_id, source,
+                   n_full + CASE WHEN r <= rem THEN 1 ELSE 0 END AS n_epochs
+            FROM ranked
+        )
+        SELECT doc_id, source, CAST(e AS INTEGER) AS epoch
+        FROM counted, unnest(range(0, n_epochs)) u(e)
+        WHERE n_epochs > 0
+        ORDER BY doc_id, epoch
+    """,
+    # per-language surprisal terciles; quantile_cont matches Spark's
+    # percentile on identical 6dp-grid inputs (the deciles precedent),
+    # and a bucket flip would need adjacent data values within one ULP
+    # of a tercile edge — impossible on the 1e-6 grid
+    "text_perplexity_buckets": """
+        WITH base AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+            FROM documents
+        ), exploded AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)+1),
+                                         i -> {'pos': i, 'tok': l[i]})) AS s
+            FROM base
+        ), toks AS (
+            SELECT doc_id, s.pos AS pos, s.tok AS tok
+            FROM exploded WHERE len(s.tok) > 0
+        ), counts AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), total AS (
+            SELECT count(*)::DOUBLE AS n FROM toks
+        ), lp AS (
+            SELECT t.doc_id, t.pos, -ln(c.cnt::DOUBLE / total.n) AS lp
+            FROM toks t JOIN counts c USING (tok), total
+        ), agged AS (
+            SELECT doc_id, list(lp ORDER BY pos) AS lps
+            FROM lp GROUP BY doc_id
+        ), scored AS (
+            SELECT a.doc_id, d.lang,
+                   CAST(len(a.lps) AS BIGINT) AS n_toks,
+                   floor((list_sum(a.lps) / len(a.lps)) * 1000000.0) / 1000000.0
+                       AS avg_surprisal
+            FROM agged a JOIN documents d USING (doc_id)
+        ), ordered AS (
+            SELECT lang, list(avg_surprisal ORDER BY avg_surprisal) AS vs,
+                   count(*) AS n
+            FROM scored GROUP BY lang
+        ), b AS (
+            -- Spark's percentile interpolation is lower + g*(upper-lower)
+            -- (NOT (1-g)*lower + g*upper: quantile_cont's form differs in
+            -- the last bit and can land BELOW a duplicated lower value,
+            -- flipping boundary docs — observed at sf0.1)
+            SELECT lang,
+                   vs[CAST(floor((n-1) * 0.3333333333333333) AS BIGINT) + 1]
+                     + ((n-1) * 0.3333333333333333
+                        - floor((n-1) * 0.3333333333333333))
+                       * (vs[least(CAST(floor((n-1) * 0.3333333333333333) AS BIGINT) + 2, n)]
+                          - vs[CAST(floor((n-1) * 0.3333333333333333) AS BIGINT) + 1]) AS b1,
+                   vs[CAST(floor((n-1) * 0.6666666666666666) AS BIGINT) + 1]
+                     + ((n-1) * 0.6666666666666666
+                        - floor((n-1) * 0.6666666666666666))
+                       * (vs[least(CAST(floor((n-1) * 0.6666666666666666) AS BIGINT) + 2, n)]
+                          - vs[CAST(floor((n-1) * 0.6666666666666666) AS BIGINT) + 1]) AS b2
+            FROM ordered
+        )
+        SELECT s.doc_id, s.lang, s.n_toks, s.avg_surprisal,
+               CASE WHEN s.avg_surprisal > b.b2 THEN 'tail'
+                    WHEN s.avg_surprisal > b.b1 THEN 'middle'
+                    ELSE 'head' END AS ppl_bucket
+        FROM scored s JOIN b USING (lang)
+        ORDER BY s.doc_id
     """,
 }

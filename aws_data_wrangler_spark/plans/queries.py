@@ -1990,6 +1990,75 @@ def _profiling_hll_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2) over a
+    deterministically line-ified corpus: 6-token lines with a period
+    appended when (doc_id + line_no) % 3 != 0 (so the terminal-punct
+    rule bites) and a curly-brace line planted on every 7th doc (so
+    the page rule bites) — the derived-input pattern of
+    dedup_duplicated_lines, construction replicated verbatim in the
+    oracle."""
+    from aws_data_wrangler_spark.operators import text as textops
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("__toks"))
+    t = F.col("__toks")
+    n_lines = F.greatest(F.ceil(F.size(t) / F.lit(6)), F.lit(1)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(t, i * 6 + 1, 6), " "),
+                F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    page = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(body, F.lit("\nA planted { brace } line."))
+    ).otherwise(body)
+    lined = base.select("doc_id", page.alias("text"))
+    out = textops.with_c4_flags(lined)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_fp"),
+        "c4_n_lines",
+        "c4_n_kept_lines",
+        "c4_n_sentences",
+        "c4_keep",
+    ).orderBy("doc_id")
+
+
+def _sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch data mixing: exact per-source row targets reached by
+    whole epochs plus a hash-ordered partial epoch (the md5 order the
+    oracle replicates digit-for-digit). src0/src2 up-sample past one
+    epoch at the small SFs, src1 down-samples, every unlisted source
+    drops — output size is exactly the sum of targets."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sampling.epoch_mixture(docs, {"src0": 63, "src1": 10, "src2": 140})
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: per-language exact
+    surprisal terciles (percentile boundaries broadcast back — the
+    orders_value_deciles construction), boundary ties to the lower
+    bucket. Bucket flips across engines would need two data points
+    within one ULP of each other at a tercile edge — the scores sit on
+    a 6dp grid, so boundaries never split adjacent values."""
+    from aws_data_wrangler_spark.operators import text as textops
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    return textops.perplexity_buckets(docs).orderBy("doc_id")
+
+
 # Registry order matters: the correctness driver verifies the FIRST 50
 # entries against their DuckDB oracles each round. Round-4 window
 # policy (VERDICT r3 "next" #1): the window carries (a) the eight
@@ -2035,6 +2104,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": _ann_ivfpq_topk,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,
+    "text_c4_rules": _text_c4_rules,
+    "sample_epoch_mixture": _sample_epoch_mixture,
+    "text_perplexity_buckets": _text_perplexity_buckets,
     # --- crossing round-4-CHANGED code, so they need fresh rows:
     # duplicated_lines gained the broadcast verdict join, semdedup
     # the cluster-count guard, the Insights DSL the per-stage bin()
@@ -2068,9 +2140,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "streaming_latest_per_user": _streaming_latest_per_user,
     "streaming_static_enrich": _streaming_static_enrich,
-    "ann_cosine_topk": _ann_cosine_topk,
-    "ann_lsh_topk": _ann_lsh_topk,
-    "events_asof_signup": _events_asof_signup,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) round-2-green queries over code byte-identical since
@@ -2079,6 +2148,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # riding its fresh round-3 driver rows (code byte-identical
     # since, except dedup_duplicated_lines/dedup_semdedup which
     # moved ABOVE). Enforced by tests/test_plans.py. ---
+    "ann_cosine_topk": _ann_cosine_topk,
+    "ann_lsh_topk": _ann_lsh_topk,
+    "events_asof_signup": _events_asof_signup,
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,

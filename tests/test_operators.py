@@ -1263,6 +1263,44 @@ class TestSampling:
             r["doc_id"] for r in again.select("doc_id").collect()
         }
 
+    def test_epoch_mixture_exact_targets_and_epochs(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        counts = {r[0]: r[1] for r in documents.groupBy("source").count().collect()}
+        src = sorted(counts)
+        up, down = src[0], src[1]
+        targets = {up: counts[up] * 2 + 3, down: max(counts[down] - 5, 1)}
+        out = sampling.epoch_mixture(documents, targets).cache()
+        got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        # exact per-stratum output sizes; unlisted strata dropped
+        assert got == targets, (got, targets)
+        # up-sampled stratum: every doc in epochs 0 and 1, exactly 3
+        # docs (the lowest hash ranks) get epoch 2
+        per_epoch = {
+            r["epoch"]: r["n"]
+            for r in out.filter(F.col("source") == up)
+            .groupBy("epoch").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_epoch == {0: counts[up], 1: counts[up], 2: 3}
+        # down-sampled stratum: one partial epoch == the fixed-size draw
+        drawn = {
+            r["doc_id"]
+            for r in out.filter(F.col("source") == down).select("doc_id").collect()
+        }
+        expect = {
+            r["doc_id"]
+            for r in sampling.fixed_size_sample(
+                documents.filter(F.col("source") == down), k=targets[down]
+            ).select("doc_id").collect()
+        }
+        assert drawn == expect
+        out.unpersist()
+        # deterministic across runs; negative targets refused
+        again = sampling.epoch_mixture(documents, targets)
+        assert again.count() == sum(targets.values())
+        with pytest.raises(ValueError):
+            sampling.epoch_mixture(documents, {up: -1})
+
     def test_fixed_size_sample_exact_k(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
 
@@ -1513,6 +1551,63 @@ class TestTextPipelineOps:
         for r in out:
             assert 0.0 <= r["dup_6gram_frac"] <= 1.0
             assert r["top_3gram_cov"] >= 0.0
+
+    def test_c4_flags_line_and_page_rules(self, spark):
+        good = "\n".join(
+            [
+                "The first proper sentence is here.",
+                "Another well formed sentence follows!",
+                "Is this a question sentence?",
+                "A fourth sentence ends with a period.",
+                "And a fifth sentence completes the page.",
+                "no terminal punctuation on this line",
+                "Too short.",
+                "This line mentions JavaScript sadly.",
+            ]
+        )
+        lorem = good + "\nSome Lorem Ipsum filler text here."
+        curly = good + "\nA line with { braces } inside."
+        thin = "Only one sentence is here."
+        df = spark.createDataFrame(
+            [(1, good), (2, lorem), (3, curly), (4, thin)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in text.with_c4_flags(df).collect()}
+        r1 = rows[1]
+        kept = r1["clean_text"].split("\n")
+        assert r1["c4_n_lines"] == 8 and r1["c4_n_kept_lines"] == 5
+        assert "no terminal punctuation on this line" not in kept  # punct rule
+        assert "Too short." not in kept                            # min-words rule
+        assert all("JavaScript" not in l for l in kept)            # line blocklist
+        assert r1["c4_n_sentences"] == 5 and r1["c4_keep"]
+        assert not rows[2]["c4_keep"]  # lorem ipsum page rule
+        assert not rows[3]["c4_keep"]  # curly-brace page rule
+        assert not rows[4]["c4_keep"]  # < 5 sentences
+        # page rules flag but never mutate the cleaned text
+        assert rows[3]["clean_text"].endswith("A line with { braces } inside.")
+
+    def test_perplexity_buckets_terciles_and_order(self, spark, documents):
+        out = text.perplexity_buckets(documents).cache()
+        rows = out.collect()
+        assert len(rows) == documents.count()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rs in by_lang.items():
+            buckets = {"head": [], "middle": [], "tail": []}
+            for r in rs:
+                buckets[r["ppl_bucket"]].append(r["avg_surprisal"])
+            # ordering: every head score <= every middle <= every tail
+            if buckets["head"] and buckets["middle"]:
+                assert max(buckets["head"]) <= min(buckets["middle"])
+            if buckets["middle"] and buckets["tail"]:
+                assert max(buckets["middle"]) <= min(buckets["tail"])
+            # terciles: roughly a third per bucket (ties can shift a few)
+            n = len(rs)
+            for vals in buckets.values():
+                assert len(vals) <= n * 0.45 + 2, (lang, {k: len(v) for k, v in buckets.items()})
+        out.unpersist()
+        with pytest.raises(ValueError, match="splits"):
+            text.perplexity_buckets(documents, splits=(0.7, 0.3))
 
     def test_tfidf_rare_term_wins(self, spark):
         # 'zebra' appears in 1 of 3 docs → highest idf for doc 1

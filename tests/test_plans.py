@@ -42,6 +42,7 @@ ROUND2_GREEN_FROZEN = {
     # sections, cloudwatch's bin rewrite, profiling, classifier, and
     # pure function ADDITIONS elsewhere — none of these plans cross
     # them). Did not fit the round-4 window; FIRST INTO round 5.
+    "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
     "events_error_click_window", "dedup_exact", "dedup_normalized",
     "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
     "events_session_window", "events_hourly_gapfill",
@@ -85,6 +86,9 @@ ROUND4_MUST_BE_IN_WINDOW = {
     "io_fwf_roundtrip",
     # new in round 4
     "ann_ivfpq_topk", "profiling_null_profile", "profiling_hll_invariants",
+    "text_c4_rules",           # C4 line/page cleaning rules
+    "sample_epoch_mixture",    # multi-epoch up-sampling mixture
+    "text_perplexity_buckets", # CCNet head/middle/tail terciles
     # crossing round-4-changed code
     "dedup_duplicated_lines",  # broadcast verdict join
     "dedup_semdedup",          # cluster-count guard
