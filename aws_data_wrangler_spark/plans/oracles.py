@@ -2098,4 +2098,71 @@ ORACLES: Dict[str, str] = {
         FROM scored s JOIN b USING (lang)
         ORDER BY s.doc_id
     """,
+    # the full-ladder flagship: every stage reuses an already-proven
+    # replica (c4 list_filter, distinct-doc line df, min-id fingerprint
+    # window, md5-prefix coin), composed end-to-end
+    "pretraining_curation_pipeline": """
+        WITH toksrc AS (
+            SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), lines0 AS (
+            SELECT doc_id, source, i,
+                   array_to_string(list_slice(t, i * 6 + 1, i * 6 + 6), ' ') ||
+                   CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END AS line
+            FROM (SELECT doc_id, source, t,
+                         unnest(range(greatest(CAST(ceil(len(t) / 6.0) AS BIGINT), 1))) AS i
+                  FROM toksrc)
+        ), pages AS (
+            SELECT doc_id, source,
+                   string_agg(line, chr(10) ORDER BY i) ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || 'A planted { brace } line.'
+                        ELSE '' END AS text
+            FROM lines0 GROUP BY doc_id, source
+        ), c4 AS (
+            SELECT doc_id, source, text,
+                   list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(l, '[.!?]["'')\\]]?\\s*$')
+                       AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS kl
+            FROM pages
+        ), kept AS (
+            SELECT doc_id, source, array_to_string(kl, chr(10)) AS text
+            FROM c4
+            WHERE len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]')) >= 5
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')
+        ), klines AS (
+            SELECT doc_id, source, i AS line_no, ls[i + 1] AS line
+            FROM (SELECT doc_id, source, ls, unnest(range(len(ls))) AS i
+                  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+                        FROM kept))
+        ), dup AS (
+            SELECT line
+            FROM (SELECT DISTINCT line, doc_id FROM klines
+                  WHERE length(trim(line)) >= 1)
+            GROUP BY line HAVING count(*) >= 2
+        ), rebuilt AS (
+            SELECT k.doc_id, k.source,
+                   coalesce(string_agg(CASE WHEN d.line IS NULL THEN k.line END,
+                                       chr(10) ORDER BY k.line_no), '') AS text
+            FROM klines k LEFT JOIN dup d ON k.line = d.line
+            GROUP BY k.doc_id, k.source
+        ), dd AS (
+            SELECT doc_id, source, text, fp
+            FROM (SELECT *, md5(text) AS fp,
+                         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                  FROM rebuilt)
+            WHERE doc_id = keep_id
+        ), sampled AS (
+            SELECT * FROM dd
+            WHERE substr(md5(doc_id::VARCHAR || 'mix'), 1, 8) < '80000000'
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END) AS BIGINT) AS total_tokens,
+               md5(string_agg(fp, '' ORDER BY fp)) AS corpus_fp
+        FROM sampled GROUP BY source ORDER BY source
+    """,
 }

@@ -2059,6 +2059,77 @@ def _text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.perplexity_buckets(docs).orderBy("doc_id")
 
 
+def _pretraining_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-ladder flagship: C4 page/line gate → cross-document
+    line dedup → exact fingerprint dedup → deterministic 50% mix →
+    per-source rollup, all composed in ONE JVM plan over the
+    line-ified corpus (the text_c4_rules derived input). This is the
+    WET-file → training-shard path a pretraining pipeline runs
+    end-to-end; each stage's arithmetic is a replica the oracle
+    already carries (c4 list_filter, distinct-doc line frequency,
+    min-id fingerprint window, md5-prefix coin), so the composition is
+    value-verified as a whole, not just stage-by-stage.
+
+    Scale notes: the C4 gate is a map projection (pinned above the
+    parallelizing exchange — SURVEY §6); line dedup broadcasts the
+    boilerplate vocabulary; fingerprint dedup is one hash window; the
+    sample is a scan-fused codegen filter; the rollup aggregates at
+    source cardinality. No cartesian, no global window anywhere."""
+    from pyspark.sql import Window
+
+    from aws_data_wrangler_spark.functions import pinned
+    from aws_data_wrangler_spark.operators import dedup, sampling
+    from aws_data_wrangler_spark.operators import text as textops
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", "source", toks.alias("__toks"))
+    t = F.col("__toks")
+    n_lines = F.greatest(F.ceil(F.size(t) / F.lit(6)), F.lit(1)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(t, i * 6 + 1, 6), " "),
+                F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    page = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(body, F.lit("\nA planted { brace } line."))
+    ).otherwise(body)
+    lined = base.select("doc_id", "source", page.alias("text"))
+    c4 = (
+        textops.with_c4_flags(lined)
+        .filter(pinned(F.col("c4_keep")))
+        .select("doc_id", "source", F.col("clean_text").alias("text"))
+    )
+    cleaned = dedup.remove_duplicated_lines(c4, min_docs=2).join(
+        c4.select("doc_id", "source"), "doc_id"
+    )
+    fp = F.md5(F.col("text"))
+    keep_id = F.min("doc_id").over(Window.partitionBy(fp))
+    dd = (
+        cleaned.withColumn("__fp", fp)
+        .withColumn("__keep", keep_id)
+        .filter(F.col("doc_id") == F.col("__keep"))
+    )
+    sampled = sampling.hash_sample(dd, 0.5, id_col="doc_id", salt="mix")
+    ws_tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws_tokens).cast("bigint").alias("total_tokens"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("__fp")))).alias("corpus_fp"),
+        )
+        .orderBy("source")
+    )
+
+
 # Registry order matters: the correctness driver verifies the FIRST 50
 # entries against their DuckDB oracles each round. Round-4 window
 # policy (VERDICT r3 "next" #1): the window carries (a) the eight
@@ -2107,6 +2178,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_c4_rules": _text_c4_rules,
     "sample_epoch_mixture": _sample_epoch_mixture,
     "text_perplexity_buckets": _text_perplexity_buckets,
+    "pretraining_curation_pipeline": _pretraining_curation_pipeline,
     # --- crossing round-4-CHANGED code, so they need fresh rows:
     # duplicated_lines gained the broadcast verdict join, semdedup
     # the cluster-count guard, the Insights DSL the per-stage bin()
@@ -2139,7 +2211,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_content_dedup": _streaming_content_dedup,
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "streaming_latest_per_user": _streaming_latest_per_user,
-    "streaming_static_enrich": _streaming_static_enrich,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) round-2-green queries over code byte-identical since
@@ -2148,6 +2219,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # riding its fresh round-3 driver rows (code byte-identical
     # since, except dedup_duplicated_lines/dedup_semdedup which
     # moved ABOVE). Enforced by tests/test_plans.py. ---
+    "streaming_static_enrich": _streaming_static_enrich,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_lsh_topk": _ann_lsh_topk,
     "events_asof_signup": _events_asof_signup,

@@ -53,6 +53,11 @@ HEADLINE = [
     "text_quality_score",
     "text_ngram_freq",
     "corpus_curation_pipeline",
+    # round-4 additions (REPS and the 17-query round-2-comparable
+    # subset above stay frozen — VERDICT r3 #6; new entries only ADD)
+    "pretraining_curation_pipeline",
+    "text_c4_rules",
+    "ann_ivfpq_topk",
 ]
 
 

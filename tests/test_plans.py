@@ -43,6 +43,7 @@ ROUND2_GREEN_FROZEN = {
     # pure function ADDITIONS elsewhere — none of these plans cross
     # them). Did not fit the round-4 window; FIRST INTO round 5.
     "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
+    "streaming_static_enrich",
     "events_error_click_window", "dedup_exact", "dedup_normalized",
     "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
     "events_session_window", "events_hourly_gapfill",
@@ -89,6 +90,7 @@ ROUND4_MUST_BE_IN_WINDOW = {
     "text_c4_rules",           # C4 line/page cleaning rules
     "sample_epoch_mixture",    # multi-epoch up-sampling mixture
     "text_perplexity_buckets", # CCNet head/middle/tail terciles
+    "pretraining_curation_pipeline",  # full-ladder flagship composition
     # crossing round-4-changed code
     "dedup_duplicated_lines",  # broadcast verdict join
     "dedup_semdedup",          # cluster-count guard
@@ -142,6 +144,20 @@ class TestPlanAudits:
         # the eval n-gram set must be the broadcast side: the corpus
         # (100 TB side) is never shuffled for the probe
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_pretraining_pipeline_plan_shape(self, spark):
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+        from aws_data_wrangler_spark.plans.queries import QUERIES
+
+        out = QUERIES["pretraining_curation_pipeline"](spark, "/root/testdata/sf0.001")
+        s = plan_summary(out)
+        # the full-ladder composition must stay scale-shaped end-to-end:
+        # no all-pairs join anywhere, the boilerplate-line verdict join
+        # broadcast, and zero Python in the row path
+        assert s["cartesian_products"] == 0, s["plan"]
+        assert s["broadcast_nested_loop_joins"] == 0, s["plan"]
+        assert s["broadcast_hash_joins"] >= 1, s["plan"]
+        assert not s["python_eval"], s["plan"]
 
     def test_stratified_sample_is_shuffle_free(self, spark):
         from aws_data_wrangler_spark.operators import sampling
