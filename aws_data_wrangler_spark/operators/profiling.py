@@ -192,3 +192,37 @@ def hll_estimates(sketches: DataFrame) -> DataFrame:
     return sketches.sparkSession.createDataFrame(
         out, "column string, n_rows bigint, n_distinct_est bigint"
     )
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    max_items_tracked: int = 100_000,
+) -> DataFrame:
+    """Sketch-based heavy hitters (Spark 4's DataSketches-backed
+    ``approx_top_k``): (value, n_est, rank) for the ``k`` most frequent
+    values of ``col`` — ONE aggregation pass with bounded sketch
+    memory and NO per-key shuffle, the 100 TB alternative to
+    ``key_distribution`` when the key's NDV is itself corpus-scale
+    (URLs, n-grams, user agents) and a groupBy would shuffle an
+    NDV-sized table.
+
+    Exactness contract: while the column's distinct count stays under
+    ``max_items_tracked`` the sketch never evicts, so counts are EXACT
+    (the registered query pins this regime; the estimate regime is the
+    production point of the operator). Rows are re-ranked
+    deterministically by (count desc, value asc) — the raw sketch
+    output order is unspecified under count ties.
+    """
+    sketch = df.agg(
+        F.expr(f"approx_top_k(`{col}`, {int(k)}, {int(max_items_tracked)})").alias("__tk")
+    )
+    exploded = sketch.select(F.explode("__tk").alias("__e")).select(
+        F.col("__e").getField("item").alias("value"),
+        F.col("__e").getField("count").cast("bigint").alias("n_est"),
+    )
+    w = Window.orderBy(F.col("n_est").desc(), F.col("value").asc())
+    # the ranking window runs over at most k rows (sketch output), so
+    # the single partition is bounded by the ask, never the data
+    return exploded.withColumn("rank", F.row_number().over(w).cast("int"))

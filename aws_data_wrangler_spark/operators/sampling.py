@@ -330,51 +330,68 @@ def epoch_mixture(
     id_col: str = "doc_id",
     default_target: int = 0,
     salt: str = "",
+    token_col: Optional[str] = None,
 ) -> DataFrame:
     """Deterministic epoch-based data mixing: emit EXACTLY
-    ``targets[s]`` training rows per stratum by repeating the
-    stratum's documents over whole epochs plus one hash-ordered
-    partial epoch — the multi-epoch recipe of LM training runs
-    (small high-quality sources repeat for several epochs while big
-    sources subsample; up-sampling is what ``stratified_sample`` /
+    ``targets[s]`` training rows per stratum (or, with ``token_col``,
+    at least ``targets[s]`` TOKENS — LM recipes are token-denominated)
+    by repeating the stratum's documents over whole epochs plus one
+    hash-ordered partial epoch — the multi-epoch recipe of LM training
+    runs (small high-quality sources repeat for several epochs while
+    big sources subsample; up-sampling is what ``stratified_sample`` /
     ``token_budget_sample`` cannot express, since a Bernoulli keep
     tops out at fraction 1.0).
 
-    Each output row carries ``epoch`` (0-based): a document with
-    hash-rank ``r`` in its stratum of size ``n`` appears in epochs
-    ``0..⌊target/n⌋-1``, plus epoch ``⌊target/n⌋`` iff
-    ``r ≤ target mod n``. Down-sampling (``target < n``) degenerates
-    to the exact hash-ordered draw of ``fixed_size_sample`` at epoch
-    0. Strata missing from ``targets`` get ``default_target`` (0 ⇒
-    dropped). The salt decorrelates the partial-epoch draw between
-    runs.
+    Each output row carries ``epoch`` (0-based). Row mode: a document
+    with hash-rank ``r`` in its stratum of size ``n`` appears in
+    epochs ``0..⌊target/n⌋-1``, plus epoch ``⌊target/n⌋`` iff
+    ``r ≤ target mod n`` — output is exactly ``target`` rows. Token
+    mode (``token_col`` = a per-doc token count, e.g. from
+    ``text.with_token_counts``): whole epochs are ``target //
+    stratum_tokens`` and the partial epoch takes documents in hash
+    order until the remainder budget is crossed (crossing doc
+    included, the ``token_budget_sample`` rule) — output reaches the
+    token target exactly-or-just-over. Down-sampling degenerates to
+    the exact hash-ordered draw (``fixed_size_sample`` /
+    ``token_budget_sample`` respectively) at epoch 0. Strata missing
+    from ``targets`` get ``default_target`` (0 ⇒ dropped). The salt
+    decorrelates the partial-epoch draw between runs.
 
-    Scale shape: one stratum-count aggregate (collected at
-    stratum cardinality), one rank window keyed on the stratum (the
-    ``token_budget_sample`` shape — parallelism = stratum count,
-    acceptable because strata are sources/languages, not rows), then
-    a zero-shuffle ``explode(sequence(...))`` fan-out. Output size is
-    Σ targets by construction, so the fan-out is exactly the data you
-    asked for.
+    Scale shape: one stratum aggregate (collected at stratum
+    cardinality), one stratum-keyed window (rank / running token sum —
+    the ``token_budget_sample`` shape; parallelism = stratum count,
+    acceptable because strata are sources/languages, not rows), then a
+    zero-shuffle ``explode(sequence(...))`` fan-out sized exactly by
+    the ask.
     """
     if any(t < 0 for t in targets.values()) or default_target < 0:
         raise ValueError("targets must be non-negative")
-    counts = {
-        r[0]: int(r[1])
-        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    size_agg = (
+        F.count(F.lit(1)) if token_col is None else F.sum(F.col(token_col))
+    ).alias("n")
+    sizes = {
+        r[0]: int(r[1] or 0)
+        for r in df.groupBy(strata_col).agg(size_agg).collect()
     }
     full_expr = F.lit(0)
     rem_expr = F.lit(0)
-    for value in sorted(counts):
-        n_s = counts[value]
+    for value in sorted(sizes):
+        n_s = max(sizes[value], 1)
         target = targets.get(value, default_target)
         full_expr = F.when(F.col(strata_col) == value, F.lit(target // n_s)).otherwise(full_expr)
         rem_expr = F.when(F.col(strata_col) == value, F.lit(target % n_s)).otherwise(rem_expr)
     order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    rank = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_epochs = full_expr + F.when(rank <= rem_expr, F.lit(1)).otherwise(F.lit(0))
+    weight = F.lit(1) if token_col is None else F.col(token_col)
+    # partial-epoch membership: mass strictly before this doc is under
+    # the remainder (row mode: rank-1 < rem ⟺ rank ≤ rem; token mode:
+    # the crossing document is included)
+    before = F.coalesce(F.sum(weight).over(w), F.lit(0))
+    n_epochs = full_expr + F.when(before < rem_expr, F.lit(1)).otherwise(F.lit(0))
     return (
         df.withColumn("__n_epochs", n_epochs)
         .filter(F.col("__n_epochs") > 0)

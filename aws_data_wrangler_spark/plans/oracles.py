@@ -2165,4 +2165,13 @@ ORACLES: Dict[str, str] = {
                md5(string_agg(fp, '' ORDER BY fp)) AS corpus_fp
         FROM sampled GROUP BY source ORDER BY source
     """,
+    # sketch heavy hitters in the exactness regime (NDV << tracked)
+    "events_heavy_hitters_sketch": """
+        SELECT event_type AS value, count(*) AS n_est,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, event_type ASC)
+                    AS INTEGER) AS rank
+        FROM events GROUP BY event_type
+        QUALIFY rank <= 10
+        ORDER BY rank
+    """,
 }

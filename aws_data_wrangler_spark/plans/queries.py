@@ -2130,6 +2130,19 @@ def _pretraining_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters pinned in the EXACT regime: the
+    event_type NDV sits far below max_items_tracked, so the
+    DataSketches frequent-items counts are exact and the oracle is
+    plain exact top-k SQL (the production point is the estimate
+    regime over corpus-scale NDV, where a groupBy would shuffle an
+    NDV-sized table and the sketch shuffles ~nothing)."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    ev = load(spark, sf_dir, "events")
+    return profiling.approx_heavy_hitters(ev, "event_type", k=10).orderBy("rank")
+
+
 # Registry order matters: the correctness driver verifies the FIRST 50
 # entries against their DuckDB oracles each round. Round-4 window
 # policy (VERDICT r3 "next" #1): the window carries (a) the eight
@@ -2175,6 +2188,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": _ann_ivfpq_topk,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,
+    "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,
     "text_c4_rules": _text_c4_rules,
     "sample_epoch_mixture": _sample_epoch_mixture,
     "text_perplexity_buckets": _text_perplexity_buckets,
@@ -2210,7 +2224,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
     "streaming_corpus_dedup": _streaming_corpus_dedup,
-    "streaming_latest_per_user": _streaming_latest_per_user,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) round-2-green queries over code byte-identical since
@@ -2219,6 +2232,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # riding its fresh round-3 driver rows (code byte-identical
     # since, except dedup_duplicated_lines/dedup_semdedup which
     # moved ABOVE). Enforced by tests/test_plans.py. ---
+    "streaming_latest_per_user": _streaming_latest_per_user,
     "streaming_static_enrich": _streaming_static_enrich,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_lsh_topk": _ann_lsh_topk,

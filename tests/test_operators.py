@@ -1301,6 +1301,44 @@ class TestSampling:
         with pytest.raises(ValueError):
             sampling.epoch_mixture(documents, {up: -1})
 
+    def test_epoch_mixture_token_mode(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling, text
+
+        docs = text.with_token_counts(documents)
+        src = sorted(r[0] for r in docs.select("source").distinct().collect())[0]
+        tok_total = docs.filter(F.col("source") == src).agg(
+            F.sum("ws_tokens")
+        ).collect()[0][0]
+        target = int(tok_total * 2.5)
+        out = sampling.epoch_mixture(
+            docs, {src: target}, token_col="ws_tokens"
+        ).cache()
+        # token target reached exactly-or-just-over: 2 whole epochs +
+        # a partial that stops at the crossing document
+        got = out.agg(F.sum("ws_tokens")).collect()[0][0]
+        max_doc = docs.filter(F.col("source") == src).agg(
+            F.max("ws_tokens")
+        ).collect()[0][0]
+        assert target <= got < target + max_doc, (target, got, max_doc)
+        per_epoch = {
+            r["epoch"]: r["n"]
+            for r in out.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+        }
+        n_docs = docs.filter(F.col("source") == src).count()
+        assert per_epoch[0] == n_docs and per_epoch[1] == n_docs
+        assert 0 < per_epoch[2] < n_docs
+        # the partial epoch IS the token-budget draw at the remainder
+        rem = target - 2 * tok_total
+        expect = {
+            r["doc_id"]
+            for r in sampling.token_budget_sample(
+                docs.filter(F.col("source") == src), {src: rem}
+            ).select("doc_id").collect()
+        }
+        partial = {r["doc_id"] for r in out.filter(F.col("epoch") == 2).collect()}
+        assert partial == expect
+        out.unpersist()
+
     def test_fixed_size_sample_exact_k(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
 
@@ -1860,6 +1898,26 @@ class TestProfiling:
         assert merged_est["event_type"]["n_distinct_est"] == events.select(
             "event_type"
         ).distinct().count()  # tiny cardinalities are exact in HLL
+
+    def test_approx_heavy_hitters_exact_regime_and_ties(self, spark):
+        from aws_data_wrangler_spark.operators import profiling
+
+        # NDV << max_items_tracked -> counts exact; count ties break by
+        # value ascending (the raw sketch order is unspecified)
+        df = spark.createDataFrame(
+            [(v,) for v in ["hot"] * 6 + ["b"] * 3 + ["a"] * 3 + ["cold"]],
+            "k string",
+        )
+        rows = profiling.approx_heavy_hitters(df, "k", k=3).collect()
+        assert [(r["value"], r["n_est"], r["rank"]) for r in rows] == [
+            ("hot", 6, 1), ("a", 3, 2), ("b", 3, 3),
+        ]
+        # agrees with the exact profile on a planted-skew key
+        skew = spark.range(1000).select(
+            F.when(F.col("id") % 2 == 0, "heavy").otherwise(F.col("id").cast("string")).alias("k")
+        )
+        top = profiling.approx_heavy_hitters(skew, "k", k=1).collect()[0]
+        assert top["value"] == "heavy" and top["n_est"] == 500
 
     def test_null_profile_counts(self, spark):
         from aws_data_wrangler_spark.operators import profiling
