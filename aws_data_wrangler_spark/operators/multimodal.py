@@ -379,3 +379,106 @@ def frame_sample_plan(df: DataFrame, fps: float = 1.0, duration_col: str = "size
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_audio_fp(payload: bytes) -> int:
+    """Deterministic stand-in: signed 64-bit from a SALTED content
+    digest (``afp:`` prefix, so the fake fingerprint never collides
+    with the fake image dHash of the same payload) — identical
+    payloads collide at hamming 0, unrelated payloads ~32 bits apart,
+    the property the pair miner exercises."""
+    digest = hashlib.sha256(b"afp:" + bytes(payload)).digest()
+    return int.from_bytes(digest[:8], "big", signed=True)
+
+
+def _real_audio_fp(payload: bytes, sf_mod) -> int:
+    """Energy-delta audio fingerprint (chromaprint-lite, the audio
+    analog of the image dHash's gradient sign): decode to mono, split
+    into 65 equal windows, bit ``i`` set when window ``i+1`` carries
+    more mean-square energy than window ``i`` — tempo-preserving
+    re-encodes/level changes move few bits."""
+    import io
+
+    import numpy as np
+
+    data, _rate = sf_mod.read(io.BytesIO(bytes(payload)))
+    mono = data.mean(axis=1) if getattr(data, "ndim", 1) > 1 else data
+    n = len(mono)
+    if n < 65:
+        raise ValueError("audio too short for a 65-window contour")
+    energies = []
+    for i in range(65):
+        w = mono[i * n // 65 : (i + 1) * n // 65]
+        energies.append(float((w**2).mean()) if len(w) else 0.0)
+    val = 0
+    for i in range(64):
+        if energies[i + 1] > energies[i]:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
+    """64-bit audio fingerprint per payload: (doc_id, afp, decoder) —
+    the AUDIO rung of the dedup ladder, feeding the same generic
+    ``dedup.hamming_pairs`` banding engine as text SimHash and image
+    dHash. Decoder provenance and worker-side soundfile auto-detection
+    follow the ``decode_media`` contract (real / fake / error)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sf_mod = None if use_real_decoder is False else _import_soundfile()
+        if use_real_decoder is True and sf_mod is None:
+            raise NotImplementedError("use_real_decoder=True requires soundfile on workers")
+        for batch in batches:
+            fps = []
+            decoders = []
+            for p in batch["payload"]:
+                if sf_mod is not None:
+                    try:
+                        fps.append(_real_audio_fp(p, sf_mod))
+                        decoders.append("real")
+                        continue
+                    except Exception:
+                        if use_real_decoder is True:
+                            raise
+                        fps.append(_fake_audio_fp(p))
+                        decoders.append("error")
+                        continue
+                fps.append(_fake_audio_fp(p))
+                decoders.append("fake")
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype("int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                    "decoder": decoders,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint distance — the
+    composition twin of ``image_near_dup_pairs``: Arrow decode map
+    stage into the exact pigeonhole banding, bucket equi-joins only."""
+    from aws_data_wrangler_spark.operators.dedup import hamming_pairs
+
+    sig = audio_fingerprint(df, id_col=id_col, use_real_decoder=use_real_decoder)
+    return hamming_pairs(sig, id_col="doc_id", hash_col="afp", max_hamming=max_hamming)

@@ -2174,4 +2174,18 @@ ORACLES: Dict[str, str] = {
         QUALIFY rank <= 10
         ORDER BY rank
     """,
+    # audio-rung fake fingerprint: salted sha256 folded to signed int64
+    "multimodal_audio_fp": f"""
+        WITH h AS (
+            SELECT doc_id, sha256('afp:' || text) AS hx FROM documents
+        ), v AS (
+            SELECT doc_id, {_hex_to_bigint_sql('hx', 16, 'HUGEINT')} AS val FROM h
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN val >= 9223372036854775808::HUGEINT
+                         THEN val - 18446744073709551616::HUGEINT
+                         ELSE val END AS BIGINT) AS afp,
+               'fake' AS decoder
+        FROM v ORDER BY doc_id
+    """,
 }

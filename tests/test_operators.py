@@ -1086,6 +1086,51 @@ class TestMultimodal:
         assert (sr, n) == (8000, 8000)
         assert profile == [0.5, 0.5, 0.5, 0.5]  # RMS of constant signal
 
+    def test_real_audio_fp_kernel_with_injected_soundfile(self):
+        import numpy as np
+
+        class RisingSf:
+            @staticmethod
+            def read(buf):
+                # energy strictly grows window-over-window → all 64 bits set
+                return np.arange(1, 651, dtype=np.float64) / 650.0, 8000
+
+        class FallingSf:
+            @staticmethod
+            def read(buf):
+                return np.arange(650, 0, -1, dtype=np.float64) / 650.0, 8000
+
+        class ShortSf:
+            @staticmethod
+            def read(buf):
+                return np.ones(10), 8000
+
+        assert multimodal._real_audio_fp(b"wav", RisingSf) == -1  # all bits → signed -1
+        assert multimodal._real_audio_fp(b"wav", FallingSf) == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="65-window"):
+            multimodal._real_audio_fp(b"wav", ShortSf)
+
+    def test_audio_near_dup_pairs_planted(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "identical waveform bytes"),
+                (2, "identical waveform bytes"),
+                (3, "a completely different clip"),
+                (4, "yet another unrelated clip"),
+            ],
+            "doc_id long, text string",
+        )
+        media = multimodal.attach_binary_payload(df, media_type="audio/fake")
+        pairs = multimodal.audio_near_dup_pairs(media, max_hamming=6).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+        # the salted fake fingerprint never equals the fake image dhash
+        # of the same payload (distinct modality sketches)
+        afp = {r["doc_id"]: r["afp"] for r in multimodal.audio_fingerprint(media).collect()}
+        dh = {r["doc_id"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+        assert all(afp[k] != dh[k] for k in afp)
+
     def test_decoder_provenance_column(self, spark, documents):
         # every output row says HOW it was produced: in this container
         # (no Pillow/soundfile) the fake path must label itself

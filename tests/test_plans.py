@@ -44,6 +44,7 @@ ROUND2_GREEN_FROZEN = {
     # them). Did not fit the round-4 window; FIRST INTO round 5.
     "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
     "streaming_static_enrich", "streaming_latest_per_user",
+    "text_fingerprint",
     "events_error_click_window", "dedup_exact", "dedup_normalized",
     "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
     "events_session_window", "events_hourly_gapfill",
@@ -92,6 +93,7 @@ ROUND4_MUST_BE_IN_WINDOW = {
     "text_perplexity_buckets", # CCNet head/middle/tail terciles
     "pretraining_curation_pipeline",  # full-ladder flagship composition
     "events_heavy_hitters_sketch",    # sketch heavy hitters (exact regime)
+    "multimodal_audio_fp",            # audio-rung fingerprint
     # crossing round-4-changed code
     "dedup_duplicated_lines",  # broadcast verdict join
     "dedup_semdedup",          # cluster-count guard
