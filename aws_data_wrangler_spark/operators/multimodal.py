@@ -482,3 +482,127 @@ def audio_near_dup_pairs(
 
     sig = audio_fingerprint(df, id_col=id_col, use_real_decoder=use_real_decoder)
     return hamming_pairs(sig, id_col="doc_id", hash_col="afp", max_hamming=max_hamming)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_frame_hashes(payload: bytes) -> list:
+    """Deterministic stand-in for frame sampling + per-frame dHash:
+    4–8 frames whose 64-bit hashes derive from the content digest via
+    STRING hex chaining (``sha256(hex # idx)``), so a SQL oracle
+    replicates every frame hash; identical payloads share identical
+    frame sets — the property set-overlap mining exercises."""
+    base = hashlib.sha256(b"vfp:" + bytes(payload)).hexdigest()
+    n = 4 + int(base[0:2], 16) % 5
+    return [
+        int.from_bytes(
+            hashlib.sha256(f"{base}#{i}".encode()).digest()[:8], "big", signed=True
+        )
+        for i in range(n)
+    ]
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
+    """Per-frame 64-bit perceptual hashes per video payload:
+    (doc_id, frame_idx, fhash, decoder) — the VIDEO rung's signature
+    stage (sample frames, dHash each). No video decoder ships in this
+    container, so ``use_real_decoder=True`` raises NotImplementedError
+    (the documented multimodal strict-mode gate — wire a cv2/ffmpeg
+    frame sampler into the kernel on a real deployment; the Spark
+    plumbing, schema, and batch shape are what this operator pins);
+    the default fake path is deterministic and oracle-replicable."""
+
+    if use_real_decoder is True:
+        # raised at plan-construction time (driver-side), not from a
+        # worker, so the gate reads as a clean NotImplementedError
+        raise NotImplementedError(
+            "no video decoder available in this environment; install a frame "
+            "sampler (cv2/ffmpeg) and wire it here"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, p in zip(batch[id_col], batch["payload"]):
+                for i, h in enumerate(_fake_frame_hashes(p)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "fhash": pd.Series(hashes, dtype="int64"),
+                    "decoder": ["fake"] * len(ids),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_hamming: int = 4,
+    use_real_decoder: bool | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs by frame-set overlap:
+    (id_a, id_b, n_match, overlap) where ``overlap = matched frames /
+    min(frame counts)`` and a frame matches when its perceptual hash
+    sits within ``max_hamming`` bits (the standard
+    sampled-frame-pHash video dedup construction — re-encodes and
+    trims keep most frame hashes near-identical).
+
+    Scale shape: frame hashing is an Arrow map stage; frame-level
+    candidate pairs come from the generic ``dedup.hamming_pairs``
+    pigeonhole banding (bucket equi-joins, never all-pairs); the
+    video-level rollup is one hash aggregate over matched frame pairs
+    plus a broadcast-sized frame-count join.
+    """
+    from aws_data_wrangler_spark.operators.dedup import hamming_pairs
+
+    frames = video_frame_hashes(df, id_col=id_col, use_real_decoder=use_real_decoder)
+    # synthetic frame id: doc_id * 1024 + frame_idx (frame counts are
+    # bounded far below 1024 by the sampler)
+    fids = frames.select(
+        (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("fid"), "fhash"
+    )
+    fpairs = hamming_pairs(fids, id_col="fid", hash_col="fhash", max_hamming=max_hamming)
+    va = F.floor(F.col("id_a") / 1024).cast("long")
+    vb = F.floor(F.col("id_b") / 1024).cast("long")
+    matched = (
+        fpairs.select(
+            F.least(va, vb).alias("id_a"),
+            F.greatest(va, vb).alias("id_b"),
+            F.when(va <= vb, F.col("id_a") % 1024).otherwise(F.col("id_b") % 1024).alias("fa"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fa").alias("n_match"))
+    )
+    counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a = counts.toDF("id_a", "n_a")
+    b = counts.toDF("id_b", "n_b")
+    return (
+        matched.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn(
+            "overlap",
+            F.col("n_match").cast("double") / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "n_match", "overlap")
+    )

@@ -1131,6 +1131,31 @@ class TestMultimodal:
         dh = {r["doc_id"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
         assert all(afp[k] != dh[k] for k in afp)
 
+    def test_video_near_dup_pairs_planted(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "identical video payload"),
+                (2, "identical video payload"),   # full frame-set twin of 1
+                (3, "a completely different clip"),
+                (4, "yet another unrelated clip"),
+            ],
+            "doc_id long, text string",
+        )
+        media = multimodal.attach_binary_payload(df, media_type="video/fake")
+        frames = multimodal.video_frame_hashes(media).collect()
+        per_doc = {}
+        for r in frames:
+            per_doc.setdefault(r["doc_id"], []).append(r["fhash"])
+        assert all(4 <= len(v) <= 8 for v in per_doc.values())
+        assert sorted(per_doc[1]) == sorted(per_doc[2])
+        pairs = multimodal.video_near_dup_pairs(media, threshold=0.5).collect()
+        assert [(r["id_a"], r["id_b"], r["overlap"]) for r in pairs] == [(1, 2, 1.0)]
+        # strict mode documents the missing real decoder
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="video decoder"):
+            multimodal.video_frame_hashes(media, use_real_decoder=True)
+
     def test_decoder_provenance_column(self, spark, documents):
         # every output row says HOW it was produced: in this container
         # (no Pillow/soundfile) the fake path must label itself
