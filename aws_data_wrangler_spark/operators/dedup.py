@@ -1282,6 +1282,101 @@ def embedding_near_dup_incremental(
     )
 
 
+def _two_level_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-cell assignment for centroid tables too large for one
+    plan literal (> ~1e5 cells): the standard IVF two-level coarse
+    quantizer, kept corpus-shuffle-free end to end.
+
+    Level 1: ~√k super-centroids (a deterministic cid-ordered
+    subsample of the centroid table) ship as a nested-array literal;
+    each point picks its nearest super-cell inside a Project — zero
+    shuffle. Level 2: every centroid is assigned to its super-cell
+    the same way (centroid-table-sized work, trivial), grouped into
+    ONE row per super-cell carrying a cid-sorted children array; a
+    broadcast-hash equi-join on the super-cell id hands each point
+    exactly one children array (no fan-out), and the final argmax
+    happens in-array in the same Project. The only join is
+    broadcast-hash on a ≤√k-cardinality key; there is no n×k fan-out
+    and no corpus-keyed shuffle. nprobe=1, so points near super-cell
+    borders may land in a neighboring child cell — the standard IVF
+    coarse-assignment approximation (SemDeDup clusters are a pruning
+    device, not a deliverable).
+
+    Input (``__id``, ``__v``, ``__norm``); output adds ``__cell`` and
+    the truncated ``__ccos`` — the ``semdedup`` assignment contract.
+    """
+    from aws_data_wrangler_spark.operators import similarity as _sim
+
+    cents = centroids.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("cvec").cast("array<double>").alias("cvec"),
+    )
+    n_cells = cents.count()
+    n_super = max(1, min(1024, int(n_cells ** 0.5) + 1))
+    sup_rows = cents.orderBy("cid").limit(n_super).collect()
+    sup_vecs = [[float(x) for x in r["cvec"]] for r in sup_rows]
+    # level 2 prep: children arrays per super-cell (centroid-sized job)
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cvec"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    ckeys = _sim.cell_key_array(F.col("cvec"), sup_vecs, metric="cosine", norm_expr=cnorm)
+    children = (
+        cents.withColumn(
+            "__scell",
+            F.array_position(ckeys, F.array_min(ckeys)).cast("int"),
+        )
+        .groupBy("__scell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+            ).alias("__children")
+        )
+    )
+    pkeys = _sim.cell_key_array(
+        F.col("__v"), sup_vecs, metric="cosine", norm_expr=F.col("__norm")
+    )
+    assigned = (
+        points.withColumn(
+            "__scell", F.array_position(pkeys, F.array_min(pkeys)).cast("int")
+        )
+        .join(F.broadcast(children), "__scell")
+        .withColumn(
+            "__ckeys",
+            F.transform(
+                F.col("__children"),
+                lambda ch: -(
+                    F.aggregate(
+                        F.zip_with(F.col("__v"), ch["cvec"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / (
+                        F.col("__norm")
+                        * F.sqrt(
+                            F.aggregate(
+                                F.transform(ch["cvec"], lambda x: x * x),
+                                F.lit(0.0),
+                                lambda a, x: a + x,
+                            )
+                        )
+                    )
+                ),
+            ),
+        )
+        .withColumn(
+            "__cpos", F.array_position(F.col("__ckeys"), F.array_min(F.col("__ckeys"))).cast("int")
+        )
+        .select(
+            "__id", "__v", "__norm",
+            F.element_at(F.col("__children"), F.col("__cpos"))["cid"].alias("__cell"),
+            trunc_digits(-F.element_at(F.col("__ckeys"), F.col("__cpos"))).alias("__ccos"),
+        )
+    )
+    return assigned
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1313,23 +1408,28 @@ def semdedup(
     oracle despite k-means being iterative. ``centroids=None`` trains
     in-line (deterministic init, Lloyd ``iterations``).
 
-    Plan shape, built for 100 TB: assignment is a broadcast
-    nested-loop over the centroid table — O(n·k) dot products with a
-    k-row broadcast, the IVF-assignment shape — so ``num_clusters``
-    is bounded by what broadcasts AND by per-row assignment compute:
-    cap it at ~10⁵ (the SemDeDup paper's regime; ~50 MB broadcast at
-    64 dims). Do NOT size it corpus/1000 on a huge corpus — train the
-    ~10⁵ centroids on a ``sampling.hash_sample`` instead (cells get
+    Plan shape, built for 100 TB: assignment is a ZERO-SHUFFLE
+    literal-argmin projection — the centroid table ships as one
+    nested-array plan literal and every row computes its cosine array
+    + argmax inside the same Project (no crossJoin, no per-row-keyed
+    window, no Exchange between the scan and the cell id) — so
+    ``num_clusters`` is bounded by what folds into a sane plan
+    constant: ~10⁵ (the SemDeDup paper's regime; ~50 MB at 64 dims).
+    Do NOT size it corpus/1000 on a huge corpus — train the ~10⁵
+    centroids on a ``sampling.hash_sample`` instead (cells get
     bigger, and the cell-keyed pair miner's per-cell quadratic cost
     is the knob you re-balance with ``eps`` and cell count). Beyond
-    ~10⁵, route assignment through a two-level coarse quantizer
-    (assign to ``ivf_topk``-style super-cells first, then argmin
-    within the probed super-cell's children) instead of one flat
-    broadcast — this function warns past the cap and refuses past
-    10⁶ on the inline-training path; with pre-trained ``centroids``
-    the caller owns the bound. The pair miner is a cell-keyed
-    equi-join whose fan-out is the cell size; grouping reuses
-    ``cluster_pairs`` (near-dup groups are tiny — pass
+    10⁵ cells, assignment automatically routes through a TWO-LEVEL
+    coarse quantizer: points argmin over ~√k super-cells (literal
+    projection), then a broadcast-hash equi-join delivers that
+    super-cell's children array and the final argmax happens
+    in-array — still no n×k fan-out and no corpus-keyed shuffle
+    anywhere (standard IVF nprobe=1 assignment, so cluster borders
+    are approximate at that scale, exactly as FAISS coarse
+    assignment is). Inline training still warns past 10⁵ and refuses
+    past 10⁶ (train on a sample instead). The pair miner is a
+    cell-keyed equi-join whose fan-out is the cell size; grouping
+    reuses ``cluster_pairs`` (near-dup groups are tiny — pass
     ``checkpoint='reliable'`` on long cluster runs); the keep window
     shards by group. No corpus×corpus join anywhere.
 
@@ -1359,44 +1459,52 @@ def semdedup(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
     points = df.select(F.col(id_col).alias("__id"), vec.alias("__v"), norm_expr.alias("__norm"))
-    if centroids is None:
-        from aws_data_wrangler_spark.operators.similarity import train_ivf_centroids
-
-        centroids = train_ivf_centroids(df, num_clusters, iterations, id_col, vec_col)
-    cvec = F.col("cvec").cast("array<double>")
-    cents = centroids.select(
-        F.col("cid").cast("int").alias("cid"),
-        cvec.alias("__cv"),
-        F.sqrt(
-            F.aggregate(F.transform(cvec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-        ).alias("__cnorm"),
-    )
-    ccos = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / (F.col("__norm") * F.col("__cnorm"))
     from pyspark.sql import Window
 
+    from aws_data_wrangler_spark.operators import similarity as _sim
+
+    cent_lists = None
+    if centroids is None:
+        cent_lists = _sim._train_ivf_lists(df, num_clusters, iterations, id_col, vec_col)
+    else:
+        n_cells = centroids.count()  # centroid tables are artifact-sized
+        if n_cells <= 100_000:
+            cent_lists = _sim.collect_centroids(centroids)
+    # flat literal-argmin assignment while the centroid literal stays a
+    # sane plan constant (≤1e5 cells AND ≤4M doubles ≈ 32 MB); beyond,
+    # two-level coarse quantization — both corpus-shuffle-free
+    flat = cent_lists is not None and (
+        len(cent_lists[0]) * (len(cent_lists[1][0]) if cent_lists[1] else 0) <= 4_000_000
+    )
     # cache: the assigned table backs BOTH renamed pair-join branches
     # (toDF branches canonicalize to different exchanges — the known
     # recompute trap) plus the verdict join
-    assigned = (
-        points.crossJoin(F.broadcast(cents))
-        .withColumn("__ccos", ccos)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(F.col("__ccos").desc(), F.col("cid").asc())
-            ),
+    if flat:
+        cent_ids, cent_vecs = cent_lists
+        keys = _sim.cell_key_array(
+            F.col("__v"), cent_vecs, metric="cosine", norm_expr=F.col("__norm")
         )
-        .filter(F.col("__rn") == 1)
-        .select(
-            "__id", "__v", "__norm", F.col("cid").alias("__cell"),
-            trunc_digits(F.col("__ccos")).alias("__ccos"),
+        assigned = (
+            points.withColumn("__keys", keys)
+            .withColumn(
+                "__pos",
+                F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int"),
+            )
+            .select(
+                "__id", "__v", "__norm",
+                F.element_at(
+                    _sim._nested_lit(cent_ids, "array<int>"), F.col("__pos")
+                ).alias("__cell"),
+                trunc_digits(-F.element_at(F.col("__keys"), F.col("__pos"))).alias("__ccos"),
+            )
+            .cache()
         )
-        .cache()
-    )
+    else:
+        if cent_lists is not None:
+            centroids = df.sparkSession.createDataFrame(
+                list(zip(*cent_lists)), "cid int, cvec array<double>"
+            )
+        assigned = _two_level_assign(points, centroids).cache()
     a = assigned.toDF("id_a", "v_a", "norm_a", "cell", "ccos_a")
     b = assigned.toDF("id_b", "v_b", "norm_b", "cell", "ccos_b")
     pair_cos = trunc_digits(

@@ -30,7 +30,6 @@ ties broken by (score desc, id asc).
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -158,6 +157,142 @@ def cosine_topk_arrow(
         scored.withColumn("rank", F.row_number().over(window))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zero-shuffle nearest-centroid assignment.
+#
+# The centroid table is a tiny driver-side artifact (bounded: the
+# IVF/SemDeDup regime caps flat assignment at ~1e5 cells). Shipping it
+# into the plan as ONE nested-array Literal — not a per-centroid
+# CreateArray tree, so the expression stays O(1) in cell count — lets
+# every row compute its distance array and argmin inside the same
+# Project: no crossJoin, no per-row-keyed window, no Exchange between
+# the scan and the cell id. The previous shape
+# (``points.crossJoin(broadcast(cents))`` + ``row_number() over
+# partitionBy(row_id)``) shuffled n×k rows on a corpus-cardinality key
+# just to pick each row's argmin — at 100 TB with k=4096 cells that is
+# a 4096×-corpus shuffle inside what should be a map stage.
+# ---------------------------------------------------------------------------
+
+
+def _nested_lit(value, dtype: str) -> "F.Column":
+    """A (nested-)array constant as ONE plan literal. PySpark's
+    ``F.lit`` on a Python list builds a per-element CreateArray tree
+    through py4j — O(k·dim) driver round-trips per use site (~143 s at
+    4096×64) — so ship the value as a single JSON string and let
+    Catalyst's constant folding collapse ``from_json`` of a foldable
+    input into one Literal at optimization time. Doubles round-trip
+    exactly (shortest-repr serialize ↔ nearest-double parse), the same
+    contract the persisted-codebook JSON artifacts rely on."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(value)), dtype)
+
+
+def collect_centroids(
+    centroids: DataFrame, max_cells: int = 100_000
+) -> tuple:
+    """Centroid table (cid, cvec) → driver-side ``(ids, vectors)``,
+    sorted by cid so first-occurrence argmin ties resolve to the
+    lowest cid (the documented tie-break). Guarded: past ``max_cells``
+    a flat literal stops being a sane plan constant — assign via the
+    two-level coarse quantizer (``dedup.semdedup`` routes there
+    automatically) or pre-partition by cell."""
+    rows = centroids.select("cid", "cvec").collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"centroid table exceeds the flat-literal assignment bound "
+            f"({max_cells}); assign via a two-level coarse quantizer."
+        )
+    pairs = sorted((int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows)
+    return [c for c, _ in pairs], [v for _, v in pairs]
+
+
+def _l2_sq(vec_expr: "F.Column", cent: "F.Column") -> "F.Column":
+    return F.aggregate(
+        F.zip_with(vec_expr, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _dot_expr(vec_expr: "F.Column", cent: "F.Column") -> "F.Column":
+    return F.aggregate(
+        F.zip_with(vec_expr, cent, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def cell_key_array(
+    vec_expr: "F.Column",
+    cent_vecs: Sequence[Sequence[float]],
+    metric: str = "l2",
+    norm_expr: Optional["F.Column"] = None,
+) -> "F.Column":
+    """Per-cell ranking keys as ONE array column (ascending = better):
+    squared-L2 distances, or negated cosine for ``metric='cosine'``
+    (negation is exact in IEEE doubles, so ``-key`` recovers the
+    cosine bit-for-bit). One Literal + one ``transform`` — a pure
+    projection regardless of cell count."""
+    cents_lit = _nested_lit([[float(x) for x in v] for v in cent_vecs], "array<array<double>>")
+    if metric == "cosine":
+
+        def neg_cos(cv: "F.Column") -> "F.Column":
+            cnorm = F.sqrt(
+                F.aggregate(
+                    F.transform(cv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+                )
+            )
+            return -(_dot_expr(vec_expr, cv) / (norm_expr * cnorm))
+
+        return F.transform(cents_lit, neg_cos)
+    return F.transform(cents_lit, lambda cv: _l2_sq(vec_expr, cv))
+
+
+def probe_cells(
+    keys: "F.Column",
+    num_cells: int,
+    nprobe: int,
+) -> "F.Column":
+    """The ``nprobe`` best cells as ``array<struct<k,p>>`` (best first,
+    ties → lowest position = lowest cid; ``p`` is the 1-based index
+    into the sorted centroid literal). Pure projection: zip the key
+    array with positions, ``array_sort`` (struct order = key asc then
+    position asc), slice."""
+    pos_lit = _nested_lit(list(range(1, num_cells + 1)), "array<int>")
+    ranked = F.array_sort(
+        F.zip_with(keys, pos_lit, lambda d, p: F.struct(d.alias("k"), p.alias("p")))
+    )
+    return F.slice(ranked, 1, nprobe)
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+) -> DataFrame:
+    """Nearest-cell id per vector: (id, cid, key) where ``key`` is the
+    squared-L2 distance (or negated cosine) to the winning cell. The
+    whole assignment is one shuffle-free Project over the scan — the
+    building block ``ivf_topk`` / ``ivfpq_topk`` / ``dedup.semdedup``
+    share, exposed for pre-partitioning a corpus by cell."""
+    cent_ids, cent_vecs = collect_centroids(centroids)
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    keys = cell_key_array(vec, cent_vecs, metric=metric, norm_expr=norm)
+    return (
+        df.select(F.col(id_col), keys.alias("__keys"))
+        .withColumn("__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int"))
+        .select(
+            F.col(id_col),
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
+            F.element_at(F.col("__keys"), F.col("__pos")).alias("key"),
+        )
     )
 
 
@@ -360,34 +495,51 @@ def train_pq_codebooks(
     trains once, stores, and ships as literals into encode/search
     plans.
 
-    Each subspace trains with the same deterministic Lloyd loop as
-    ``train_ivf_centroids`` over the sliced subvectors — ``m``
-    linear-scan loops. At corpus scale, train on a
-    ``sampling.hash_sample`` of the corpus (FAISS trains on samples
-    too); the codebooks generalize, the encode pass sees every row
-    anyway.
+    Each subspace's seeded init is its slice of the ``num_codes``
+    lowest-id vectors — ONE collect shared across all ``m`` subspaces
+    (slicing commutes with the double cast), so ``iterations=0`` (the
+    pre-seeded production/oracle path) costs two driver jobs total
+    instead of 2m. ``iterations>0`` runs the shared deterministic
+    Lloyd loop per subspace over the sliced subvectors. At corpus
+    scale, train on a ``sampling.hash_sample`` of the corpus (FAISS
+    trains on samples too); the codebooks generalize, the encode pass
+    sees every row anyway.
     """
-    dim = _infer_dim(corpus, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    init_rows = (
+        corpus.select(F.col(id_col).alias("pid"), vec.alias("pvec"))
+        .orderBy("pid")
+        .limit(num_codes)
+        .collect()
+    )
+    full = [[float(x) for x in r["pvec"]] for r in init_rows]
+    dim = len(full[0]) if full else 0
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    vec = F.col(vec_col).cast("array<double>")
     books: List[List[List[float]]] = []
     for s in range(m):
-        sub_df = corpus.select(
-            F.col(id_col), F.slice(vec, s * sub + 1, sub).alias(vec_col)
+        init = [v[s * sub : (s + 1) * sub] for v in full]
+        if iterations == 0:
+            books.append(init)
+            continue
+        sub_points = corpus.select(F.slice(vec, s * sub + 1, sub).alias("pvec"))
+        _, trained = _lloyd(
+            sub_points, list(range(len(init))), init, iterations, sub,
         )
-        cb = train_ivf_centroids(
-            sub_df, num_centroids=num_codes, iterations=iterations,
-            id_col=id_col, vec_col=vec_col,
-        )
-        rows = {int(r["cid"]): [float(x) for x in r["cvec"]] for r in cb.collect()}
-        books.append([rows[c] for c in sorted(rows)])
+        books.append(trained)
     return books
 
 
-def _lit_vec(vals: Sequence[float]) -> "F.Column":
-    return F.array(*[F.lit(float(v)) for v in vals])
+def _books_lit(codebooks: List[List[List[float]]]) -> "F.Column":
+    """Codebooks as ONE nested-array Literal (array<array<array<double>>>)
+    — O(1) expression nodes in m×num_codes. The previous per-centroid
+    unrolled trees made Catalyst analysis/codegen time itself scale
+    with the quantizer (m=16 × 256 codes ≈ 4,096 aggregate exprs)."""
+    return _nested_lit(
+        [[[float(x) for x in cent] for cent in book] for book in codebooks],
+        "array<array<array<double>>>",
+    )
 
 
 def pq_encode(
@@ -395,46 +547,44 @@ def pq_encode(
     codebooks: List[List[List[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """PQ-encode a corpus: (id, codes array<int>, approx_norm double).
+    """PQ-encode a corpus: (id, [keep_cols...], codes array<int>,
+    approx_norm double).
 
     Each subvector maps to its nearest codebook centroid (squared-L2
-    argmin over the ``num_codes`` literal centroids; ties → lowest
-    code). ``approx_norm`` is the norm of the reconstructed vector —
-    a literal-table lookup, precomputed here so the search never
-    recomputes it. A pure codegen projection (the codebooks are plan
-    literals): a 64-dim float corpus shrinks to ``m`` small ints +
-    one double per row, the ~16-32× memory lever that keeps ANN over
-    a 100 TB corpus scan-cheap.
+    argmin over the ``num_codes`` centroids; ties → lowest code).
+    ``approx_norm`` is the norm of the reconstructed vector — a
+    literal-table lookup, precomputed here so the search never
+    recomputes it. A pure codegen projection: the codebooks ship as a
+    single nested-array Literal and all ``m`` codes come from one
+    indexed ``transform`` (expression size O(1) in the quantizer), so
+    a 64-dim float corpus shrinks to ``m`` small ints + one double per
+    row — the ~16-32× memory lever that keeps ANN over a 100 TB corpus
+    scan-cheap. ``keep_cols`` ride along so callers (ivfpq) can encode
+    in the same projection that produced the input — no re-derive join.
     """
-    m = len(codebooks)
     sub = len(codebooks[0][0])
     vec = F.col(vec_col).cast("array<double>")
-    code_cols = []
-    norm_sq = F.lit(0.0)
-    for s, book in enumerate(codebooks):
+    norms_lit = _nested_lit(
+        [[sum(float(x) * float(x) for x in cent) for cent in book] for book in codebooks],
+        "array<array<double>>",
+    )
+
+    def code_for(book: "F.Column", s: "F.Column") -> "F.Column":
         subvec = F.slice(vec, s * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(subvec, _lit_vec(cent), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                for cent in book
-            ]
-        )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        code_cols.append(code)
-        norms_sq = _lit_vec([sum(x * x for x in cent) for cent in book])
-        # element_at is 1-indexed; the code for THIS subspace is the
-        # last one appended — recompute via the same expr (codegen CSE
-        # handles the shared subtree)
-        norm_sq = norm_sq + F.element_at(norms_sq, code + 1)
-    return corpus.select(
-        F.col(id_col),
-        F.array(*code_cols).alias("codes"),
-        F.sqrt(norm_sq).alias("approx_norm"),
+        dists = F.transform(book, lambda cent: _l2_sq(subvec, cent))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.transform(_books_lit(codebooks), code_for)
+    keep = [F.col(c) for c in keep_cols]
+    norm_sq = F.aggregate(
+        F.zip_with(F.col("codes"), norms_lit, lambda c, ns: F.element_at(ns, c + 1)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return corpus.select(F.col(id_col), *keep, codes.alias("codes")).select(
+        F.col(id_col), *keep, F.col("codes"), F.sqrt(norm_sq).alias("approx_norm")
     )
 
 
@@ -456,44 +606,39 @@ def pq_topk(
 
     Stage 1 scans only the code table: each query precomputes a
     ``m × num_codes`` lookup table of subvector·centroid dot products
-    (built on the broadcast query side from the literal codebooks),
-    and every corpus row's approximate cosine is ``m`` array lookups
-    summed — no float vectors touched. Stage 2 rescores the
-    ``k × rescore_factor`` shortlist against the full-precision
-    vectors, so final scores are exact; quantization error can only
-    cost recall at the cut, never wrong scores (the ``sq8_topk``
-    contract). Production passes ``codebooks`` (trained once) and
-    ``encoded`` (the materialized ``pq_encode`` table).
+    (built on the broadcast query side as ONE nested-array column from
+    the single codebook Literal — expression size O(1) in the
+    quantizer), and every corpus row's approximate cosine is ``m``
+    array lookups folded in one ``aggregate`` — no float vectors
+    touched. Stage 2 rescores the ``k × rescore_factor`` shortlist
+    against the full-precision vectors, so final scores are exact;
+    quantization error can only cost recall at the cut, never wrong
+    scores (the ``sq8_topk`` contract). Production passes
+    ``codebooks`` (trained once) and ``encoded`` (the materialized
+    ``pq_encode`` table).
     """
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, m=m, num_codes=num_codes, id_col=id_col, vec_col=vec_col
         )
-    m = len(codebooks)
     sub = len(codebooks[0][0])
     if encoded is None:
         encoded = pq_encode(corpus, codebooks, id_col, vec_col)
-    qvec = F.col("q_vec")
-    luts = [
-        F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(qvec, s * sub + 1, sub), _lit_vec(cent), lambda x, y: x * y
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                for cent in book
-            ]
-        ).alias(f"lut_{s}")
-        for s, book in enumerate(codebooks)
-    ]
-    q = F.broadcast(_with_norm(queries, id_col, vec_col, "q").select("q_id", "q_norm", "q_vec", *luts))
-    approx_dot = reduce(
-        lambda acc, s: acc + F.element_at(F.col(f"lut_{s}"), F.element_at("codes", s + 1) + 1),
-        range(m),
+    luts = F.transform(
+        _books_lit(codebooks),
+        lambda book, s: F.transform(
+            book, lambda cent: _dot_expr(F.slice(F.col("q_vec"), s * sub + 1, sub), cent)
+        ),
+    )
+    q = F.broadcast(
+        _with_norm(queries, id_col, vec_col, "q").select(
+            "q_id", "q_norm", "q_vec", luts.alias("luts")
+        )
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("luts"), lambda c, lut: F.element_at(lut, c + 1)),
         F.lit(0.0),
+        lambda a, x: a + x,
     )
     c = encoded.select(
         F.col(id_col).alias("c_id"), F.col("codes"), F.col("approx_norm")
@@ -564,49 +709,46 @@ def ivfpq_topk(
     re-derive the assignment each pass; production trains both once,
     offline, on a sample).
 
-    Scale shape: assignment and probing are broadcast nested-loops
-    over the tiny centroid table; the scoring join is a cell-keyed
-    EQUI-join of the code table against the broadcast probe set — the
-    crossJoin of ``pq_topk`` shrinks to ~nprobe/num_centroids of the
-    corpus, and each scored row costs m array lookups plus the
-    precomputed q·centroid term. Approximate cosine uses the EXACT
-    corpus-vector norm (free at encode time), so ADC error lives only
-    in the dot product.
+    Scale shape: corpus-side assignment + residual + encode happen in
+    ONE shuffle-free Project over the scan (nearest cell via the
+    nested-literal argmin — no crossJoin, no per-row window, nothing
+    re-derived downstream because c_norm and cid ride the same
+    projection); query-side probing is an ``array_sort`` projection
+    over the same literal. The scoring join is a cell-keyed EQUI-join
+    of the code table against the broadcast probe set — the crossJoin
+    of ``pq_topk`` shrinks to ~nprobe/num_centroids of the corpus, and
+    each scored row costs m array lookups plus the precomputed
+    q·centroid term. Approximate cosine uses the EXACT corpus-vector
+    norm (free at encode time), so ADC error lives only in the dot
+    product.
     """
     if centroids is None:
-        centroids = train_ivf_centroids(
-            corpus, num_centroids, iterations, id_col=id_col, vec_col=vec_col
+        cent_ids, cent_vecs = _train_ivf_lists(
+            corpus, num_centroids, iterations, id_col, vec_col
         )
-    cvec = F.col("cvec").cast("array<double>")
-    cent = F.broadcast(centroids.select("cid", cvec.alias("cvec")))
+    else:
+        cent_ids, cent_vecs = collect_centroids(centroids)
+    cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
     c = _with_norm(corpus, id_col, vec_col, "c")
-    # assign each corpus vector to its nearest (L2) cell and carry the
-    # residual + exact norm
-    dist_c = F.aggregate(
-        F.zip_with(F.col("c_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # zero-shuffle assignment: L2 key array + argmin in one Project,
+    # carrying the residual + exact norm (ties → lowest cid)
+    keys_c = cell_key_array(F.col("c_vec"), cent_vecs)
     assigned = (
-        c.crossJoin(cent)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("c_id").orderBy(dist_c.asc(), F.col("cid").asc())
-            ),
-        )
-        .filter(F.col("rn") == 1)
+        c.withColumn("__keys", keys_c)
+        .withColumn("__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int"))
         .select(
             "c_id",
             "c_norm",
-            "cid",
-            F.zip_with(F.col("c_vec"), F.col("cvec"), lambda x, y: x - y).alias("residual"),
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
+            F.zip_with(
+                F.col("c_vec"), F.element_at(cents_lit, F.col("__pos")), lambda x, y: x - y
+            ).alias("residual"),
         )
     )
     if codebooks is None:
         residuals = assigned.select(F.col("c_id").alias(id_col), F.col("residual").alias(vec_col))
         # cache: each of the m Lloyd loops actions this plan several
-        # times; uncached, every action re-runs the assignment join
+        # times; uncached, every action re-runs the assignment scan
         residuals = residuals.cache()
         codebooks = train_pq_codebooks(
             residuals, m=m, num_codes=num_codes, iterations=iterations,
@@ -616,55 +758,41 @@ def ivfpq_topk(
         # table has no further consumer; release executor storage so
         # repeated calls in a long-lived session don't accumulate it
         residuals.unpersist()
-    m = len(codebooks)
     sub = len(codebooks[0][0])
-    encoded = (
-        pq_encode(assigned.select("c_id", "c_norm", "cid", F.col("residual").alias("__r")), codebooks, id_col="c_id", vec_col="__r")
-        .select("c_id", "codes")
-    )
-    encoded = encoded.join(assigned.select("c_id", "c_norm", "cid"), "c_id")
-    # probe: top-nprobe cells per query by L2, carrying q·centroid
+    # encode in the SAME projection chain that assigned: c_norm and
+    # cid ride along, so no join (and no second pass) re-derives the
+    # assignment for downstream consumers
+    encoded = pq_encode(
+        assigned, codebooks, id_col="c_id", vec_col="residual",
+        keep_cols=["c_norm", "cid"],
+    ).select("c_id", "c_norm", "cid", "codes")
+    # probe: top-nprobe cells per query by L2 (array-sort projection),
+    # carrying q·centroid and the ADC LUTs as one nested-array column
     q = _with_norm(queries, id_col, vec_col, "q")
-    dist_q = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    luts = F.transform(
+        _books_lit(codebooks),
+        lambda book, s: F.transform(
+            book, lambda cent: _dot_expr(F.slice(F.col("q_vec"), s * sub + 1, sub), cent)
+        ),
     )
-    qdot_cent = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("cvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    luts = [
-        F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("q_vec"), s * sub + 1, sub), _lit_vec(cent_vec), lambda x, y: x * y
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                for cent_vec in book
-            ]
-        ).alias(f"lut_{s}")
-        for s, book in enumerate(codebooks)
-    ]
+    keys_q = cell_key_array(F.col("q_vec"), cent_vecs)
+    probed = probe_cells(keys_q, len(cent_ids), nprobe)
     q_cells = F.broadcast(
-        q.crossJoin(cent)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(dist_q.asc(), F.col("cid").asc())
+        q.select("q_id", "q_norm", "q_vec", F.explode(probed).alias("__pc"))
+        .select(
+            "q_id",
+            "q_norm",
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pc.p")).alias("cid"),
+            _dot_expr(F.col("q_vec"), F.element_at(cents_lit, F.col("__pc.p"))).alias(
+                "q_dot_cent"
             ),
+            luts.alias("luts"),
         )
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_norm", "cid", qdot_cent.alias("q_dot_cent"), *luts)
     )
-    adc = reduce(
-        lambda acc, s: acc + F.element_at(F.col(f"lut_{s}"), F.element_at("codes", s + 1) + 1),
-        range(m),
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("luts"), lambda cd, lut: F.element_at(lut, cd + 1)),
         F.lit(0.0),
+        lambda a, x: a + x,
     )
     approx = (
         encoded.join(q_cells, "cid")
@@ -716,51 +844,81 @@ def train_ivf_centroids(
     """K-means coarse quantizer trained with DataFrame ops.
 
     Init = the ``num_centroids`` lowest-id vectors (deterministic);
-    each Lloyd iteration is one broadcast-join assignment + one
-    groupBy mean — linear scans, no driver data movement beyond the
-    centroid table itself (tiny).
+    each Lloyd iteration is one ZERO-SHUFFLE literal-argmin assignment
+    projection + one groupBy mean (map-side partials over ≤k groups).
+    The centroid table is collected to the driver each round anyway
+    (it IS the artifact, and materializing it keeps the plan bounded
+    instead of re-deriving every prior iteration per action), so
+    shipping it back as one nested-array Literal costs nothing — and
+    removes the crossJoin + per-row-keyed window the loop used before.
+    Empty cells drop out of the table (the FAISS behavior).
     """
+    cent_ids, cent_vecs = _train_ivf_lists(
+        corpus, num_centroids, iterations, id_col, vec_col
+    )
+    return corpus.sparkSession.createDataFrame(
+        list(zip(cent_ids, cent_vecs)), "cid int, cvec array<double>"
+    )
+
+
+def _train_ivf_lists(
+    corpus: DataFrame,
+    num_centroids: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple:
+    """``train_ivf_centroids`` returning driver-side ``(ids, vecs)``
+    directly — the in-process callers (ivf/ivfpq inline training)
+    skip the createDataFrame → re-collect roundtrip, so seeded
+    (iterations=0) training costs exactly ONE driver job (the init
+    collect; dim comes from the collected rows, not a separate
+    probe)."""
     vec = F.col(vec_col).cast("array<double>")
     points = corpus.select(F.col(id_col).alias("pid"), vec.alias("pvec"))
-    dim = _infer_dim(corpus, vec_col)
-    centroids = (
-        points.orderBy("pid")
-        .limit(num_centroids)
-        .withColumn("cid", F.row_number().over(Window.orderBy("pid")) - 1)
-        .select("cid", F.col("pvec").alias("cvec"))
+    init = points.orderBy("pid").limit(num_centroids).collect()
+    dim = len(init[0]["pvec"]) if init else 0
+    return _lloyd(
+        points.select("pvec"),
+        list(range(len(init))),
+        [[float(x) for x in r["pvec"]] for r in init],
+        iterations,
+        dim,
     )
+
+
+def _lloyd(
+    points: DataFrame,
+    cent_ids: List[int],
+    cent_vecs: List[List[float]],
+    iterations: int,
+    dim: int,
+) -> tuple:
+    """The shared deterministic Lloyd loop over a (pvec) table: each
+    round is one zero-shuffle literal-argmin assignment projection +
+    one groupBy mean (one driver job; the collected means become the
+    next round's literal). Empty cells drop out (FAISS behavior)."""
     for _ in range(iterations):
-        dist = F.aggregate(
-            F.zip_with(F.col("pvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        assigned = (
-            points.crossJoin(F.broadcast(centroids))
-            .withColumn("dist", dist)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("pid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
+        keys = cell_key_array(F.col("pvec"), cent_vecs)
+        pos = F.array_position(keys, F.array_min(keys)).cast("int")
+        cid = F.element_at(_nested_lit(cent_ids, "array<int>"), pos)
         # new centroid = per-cell mean, dimension-wise (one groupBy,
         # map-side partials; centroid table stays tiny)
-        updated = assigned.groupBy("cid").agg(
-            F.array(
-                *[F.avg(F.element_at(F.col("pvec"), i + 1)) for i in range(dim)]
-            ).alias("cvec")
+        updated = (
+            points.select(cid.alias("cid"), "pvec")
+            .groupBy("cid")
+            .agg(
+                F.array(
+                    *[F.avg(F.element_at(F.col("pvec"), i + 1)) for i in range(dim)]
+                ).alias("cvec")
+            )
         )
-        # materialize the (tiny) centroid table each round: without
-        # this the lineage re-derives every prior Lloyd iteration on
-        # each action — O(iterations²) work and an unbounded plan
-        rows = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in updated.collect()]
-        centroids = corpus.sparkSession.createDataFrame(
-            rows, "cid int, cvec array<double>"
+        pairs = sorted(
+            (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in updated.collect()
         )
-    return centroids
+        cent_ids = [c for c, _ in pairs]
+        cent_vecs = [v for _, v in pairs]
+    return cent_ids, cent_vecs
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -781,9 +939,11 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank, cosine).
 
-    Corpus vectors are assigned to their nearest centroid cell once
-    (broadcast join); each query probes its ``nprobe`` nearest cells,
-    so the scored set is ~``nprobe/num_centroids`` of the corpus.
+    Corpus vectors are assigned to their nearest centroid cell once —
+    a ZERO-SHUFFLE literal-argmin projection over the scan (no
+    crossJoin, no per-row window); each query probes its ``nprobe``
+    nearest cells via the same array-sort projection, so the scored
+    set is ~``nprobe/num_centroids`` of the corpus.
 
     ``metric`` picks the coarse-quantizer distance — ``"l2"`` (FAISS
     IVF default) or ``"cosine"`` (spherical cells; with pre-trained
@@ -795,43 +955,30 @@ def ivf_topk(
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, num_centroids, id_col=id_col, vec_col=vec_col)
-    cvec = F.col("cvec").cast("array<double>")
-    cent = centroids.select(
-        "cid",
-        cvec.alias("cvec"),
-        F.sqrt(
-            F.aggregate(F.transform(cvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        ).alias("cent_norm"),
-    )
-    cent = F.broadcast(cent)
+        cent_ids, cent_vecs = _train_ivf_lists(
+            corpus, num_centroids, 5, id_col, vec_col
+        )
+    else:
+        cent_ids, cent_vecs = collect_centroids(centroids)
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
-
-    def cell_rank(prefix: str) -> "F.Column":
-        if metric == "cosine":
-            score = _cosine(f"{prefix}_vec", "cvec", f"{prefix}_norm", "cent_norm")
-            order = [score.desc(), F.col("cid").asc()]
-        else:
-            dist = F.aggregate(
-                F.zip_with(F.col(f"{prefix}_vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            order = [dist.asc(), F.col("cid").asc()]
-        return F.row_number().over(Window.partitionBy(f"{prefix}_id").orderBy(*order))
-
+    keys_c = cell_key_array(F.col("c_vec"), cent_vecs, metric=metric, norm_expr=F.col("c_norm"))
     c_cells = (
-        c.crossJoin(cent)
-        .withColumn("rn", cell_rank("c"))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "c_vec", "c_norm", "cid")
+        c.withColumn("__keys", keys_c)
+        .withColumn("__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int"))
+        .select(
+            "c_id", "c_vec", "c_norm",
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
+        )
     )
+    keys_q = cell_key_array(F.col("q_vec"), cent_vecs, metric=metric, norm_expr=F.col("q_norm"))
+    probed = probe_cells(keys_q, len(cent_ids), nprobe)
     q_cells = (
-        q.crossJoin(cent)
-        .withColumn("rn", cell_rank("q"))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_vec", "q_norm", "cid")
+        q.select("q_id", "q_vec", "q_norm", F.explode(probed).alias("__pc"))
+        .select(
+            "q_id", "q_vec", "q_norm",
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pc.p")).alias("cid"),
+        )
     )
     scored = (
         c_cells.join(F.broadcast(q_cells), "cid")

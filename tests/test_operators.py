@@ -215,13 +215,13 @@ class TestDedup:
 
         from aws_data_wrangler_spark.plans.audit import plan_summary
 
-        # at recommended cluster counts the assignment must be a
-        # broadcast nested-loop over the centroid table (never a
-        # CartesianProduct / shuffled join)
+        # at recommended cluster counts the assignment is a zero-join
+        # literal-argmin projection: no CartesianProduct, no
+        # BroadcastNestedLoopJoin anywhere in the pipeline
         verdicts = dedup.semdedup(embeddings, num_clusters=8, eps=0.05, iterations=0)
         s = plan_summary(verdicts)
         assert s["cartesian_products"] == 0, s["plan"]
-        assert s["broadcast_nested_loop_joins"] >= 1, s["plan"]
+        assert s["broadcast_nested_loop_joins"] == 0, s["plan"]
         # past the guidance cap: warn (inline-training path knows k for free)
         with _warnings.catch_warnings(record=True) as caught:
             _warnings.simplefilter("always")
@@ -230,6 +230,59 @@ class TestDedup:
         # past the broadcast bound: refuse
         with pytest.raises(ValueError, match="num_clusters"):
             dedup.semdedup(embeddings, num_clusters=2_000_000, iterations=0)
+
+    def test_semdedup_two_level_assignment_past_the_flat_bound(self, spark):
+        # k > 1e5 pre-trained centroids: assignment must route through
+        # the two-level coarse quantizer — no n×k fan-out, no
+        # nested-loop join, one broadcast-hash join on the super-cell
+        # key — and every point's (cell, ccos) must match a numpy
+        # replica of the documented two-level semantics exactly.
+        import numpy as np
+
+        from aws_data_wrangler_spark.operators.dedup import _two_level_assign
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        rng = np.random.RandomState(7)
+        k, dim, n_pts = 100_001, 4, 20
+        cvecs = rng.standard_normal((k, dim))
+        cents = spark.createDataFrame(
+            [(int(i), [float(x) for x in cvecs[i]]) for i in range(k)],
+            "cid int, cvec array<double>",
+        )
+        pvecs = rng.standard_normal((n_pts, dim))
+        pts = spark.createDataFrame(
+            [(int(i), [float(x) for x in pvecs[i]]) for i in range(n_pts)],
+            "__id int, __v array<double>",
+        ).withColumn(
+            "__norm",
+            F.sqrt(F.aggregate(F.transform("__v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+        )
+        out = _two_level_assign(pts, cents)
+        s = plan_summary(out)
+        assert s["cartesian_products"] == 0, s["plan"]
+        assert s["broadcast_nested_loop_joins"] == 0, s["plan"]
+        assert s["broadcast_hash_joins"] >= 1, s["plan"]
+        rows = {int(r["__id"]): (int(r["__cell"]), float(r["__ccos"])) for r in out.collect()}
+        assert len(rows) == n_pts  # one row per point: no fan-out survives
+
+        # numpy replica: supers = first ceil(sqrt(k))-bounded cids,
+        # centroids assigned to their nearest super, point argmax
+        # within its super-cell's children
+        n_super = max(1, min(1024, int(k ** 0.5) + 1))
+        sup = cvecs[:n_super]
+        cos = lambda a, b: (a @ b.T) / (
+            np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(b, axis=1)[None, :]
+        )
+        child_super = np.argmax(cos(cvecs, sup), axis=1)
+        pt_super = np.argmax(cos(pvecs, sup), axis=1)
+        for i in range(n_pts):
+            members = np.where(child_super == pt_super[i])[0]
+            scores = cos(pvecs[i : i + 1], cvecs[members])[0]
+            best = members[int(np.argmax(scores))]
+            got_cell, got_ccos = rows[i]
+            assert got_cell == int(best), (i, got_cell, int(best))
+            expect = float(np.floor(np.max(scores) * 1e6) / 1e6)
+            assert abs(got_ccos - expect) < 2e-6, (i, got_ccos, expect)
 
     def test_embedding_lsh_matches_exact_in_near_dup_regime(self, spark, embeddings):
         # noisy twins at cosine ≳ 0.99: the LSH-bucketed miner must find
@@ -566,6 +619,45 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_assignment_is_a_zero_exchange_projection(self, spark, embeddings):
+        # the nearest-centroid assignment (the IVF/IVFPQ/SemDeDup
+        # building block) must plan as a pure Project over the scan:
+        # no Exchange of ANY kind between the source and the cell id —
+        # the round-4 crossJoin + per-row-window shape (an n×k shuffle
+        # on a corpus-cardinality key) must never come back
+        from pyspark.sql import Window
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        out = similarity.assign_cells(embeddings, seeds, metric="l2")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+        # and the assignment itself is correct: the seed vectors land
+        # in their own cells at distance 0
+        got = {r["vec_id"]: (r["cid"], r["key"]) for r in out.collect() if r["vec_id"] < 16}
+        for vid, (cid, key) in got.items():
+            assert cid == vid and key == 0.0
+
+    def test_pq_production_parameters_plan_in_seconds(self, spark, embeddings):
+        # m=16 × 256 codes (FAISS-typical): with codebooks as one
+        # nested-array literal the plan must build+run in seconds —
+        # the round-4 per-centroid unrolled trees took minutes of
+        # Catalyst time at these parameters
+        import time
+
+        t0 = time.time()
+        books = similarity.train_pq_codebooks(embeddings, m=16, num_codes=256, iterations=0)
+        queries = embeddings.filter("vec_id < 3")
+        out = similarity.pq_topk(embeddings, queries, k=3, codebooks=books)
+        rows = out.collect()
+        elapsed = time.time() - t0
+        assert len(rows) > 0
+        assert elapsed < 60, f"production-parameter PQ took {elapsed:.1f}s"
+
     def test_bruteforce_topk_shape_and_determinism(self, spark, embeddings):
         queries = embeddings.filter("vec_id < 5")
         a = similarity.cosine_topk(embeddings, queries, k=3).collect()

@@ -327,9 +327,8 @@ class TestPlanAudits:
         assert_no_global_window(df)
 
     def test_semdedup_plan_is_centroid_bounded(self, spark):
-        # the only nested-loop joins allowed are the broadcast-centroid
-        # assignments (tiny build side, one per renamed pair branch —
-        # deduplicated at runtime by the assigned-table cache); the
+        # assignment is a literal-argmin projection (round 5): no
+        # nested-loop join of ANY kind survives in the pipeline; the
         # within-cell pair miner must be an equi-join, never a
         # cartesian over the corpus
         from aws_data_wrangler_spark.plans import QUERIES
@@ -337,7 +336,7 @@ class TestPlanAudits:
 
         s = plan_summary(QUERIES["dedup_semdedup"](spark, "/root/testdata/sf0.001"))
         assert s["cartesian_products"] == 0
-        assert s["broadcast_nested_loop_joins"] <= 2
+        assert s["broadcast_nested_loop_joins"] == 0
 
     def test_text_dedup_miners_have_no_cartesian(self, spark):
         # every text-dedup candidate generator must be an equi-join
