@@ -62,21 +62,35 @@ _BIN_RE = re.compile(r"\bbin\(\s*(\d+)\s*(s|m|h|d)\s*\)", re.IGNORECASE)
 _BIN_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 
+# string literals in a stage: single- OR double-quoted, with doubled
+# quotes ('' / "") and backslash escapes (\' / \") consumed as literal
+# CONTENT — so a predicate like  filter msg != 'it''s bin(5m)'  keeps
+# its bin() untouched instead of being mis-segmented at the escape
+_STR_LIT_RE = re.compile(
+    r"""'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*\"""",
+)
+
+
 def _rewrite_bins(stage: str) -> str:
     """Rewrite ``bin(<n><unit>)`` into the bucketing expression —
-    outside single-quoted string literals only, so a literal like
-    ``'bin(5m)'`` in a filter predicate passes through untouched.
-    Callers must not apply this to ``parse`` stages (their regex
-    bodies are opaque); `_compile_insights` rewrites per stage."""
+    outside string literals only (both quote styles, escape-aware),
+    so a literal like ``'bin(5m)'`` in a filter predicate passes
+    through untouched. Callers must not apply this to ``parse``
+    stages (their regex bodies are opaque); `_compile_insights`
+    rewrites per stage."""
 
     def repl(m: "re.Match[str]") -> str:
         secs = int(m.group(1)) * _BIN_SECONDS[m.group(2).lower()]
         return f"timestamp_seconds(floor(unix_seconds(ts) / {secs}) * {secs})"
 
-    parts = stage.split("'")
-    for i in range(0, len(parts), 2):  # even segments sit outside quotes
-        parts[i] = _BIN_RE.sub(repl, parts[i])
-    return "'".join(parts)
+    out: List[str] = []
+    pos = 0
+    for lit in _STR_LIT_RE.finditer(stage):
+        out.append(_BIN_RE.sub(repl, stage[pos : lit.start()]))
+        out.append(lit.group(0))
+        pos = lit.end()
+    out.append(_BIN_RE.sub(repl, stage[pos:]))
+    return "".join(out)
 
 
 def _key_expr(key: str) -> "F.Column":

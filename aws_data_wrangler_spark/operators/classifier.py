@@ -118,19 +118,32 @@ def train_quality_classifier(
     small minority of a crawl and an unweighted fit collapses onto the
     majority class. Weights come from ONE count aggregate over the
     full label table (mini-batches reuse them).
+
+    Rows with a NULL label are dropped before training (an unlabeled
+    document is not a training example); a single-class input raises
+    — a logistic fit with no contrast is degenerate, and silently
+    returning one would score every document identically.
     """
     if class_weight not in (None, "balanced"):
         raise ValueError(f"class_weight must be None or 'balanced', got {class_weight!r}")
     feats = hashed_features(df, id_col, text_col, num_features, use_bigrams).cache()
-    labels = df.select(F.col(id_col), F.col(label_col).cast("double").alias("__y"))
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("__y")
+    ).filter(F.col("__y").isNotNull())
+    counts = {
+        float(r["__y"]): int(r["n"])
+        for r in labels.groupBy("__y").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = {0.0, 1.0} - set(counts)
+    if missing:
+        raise ValueError(
+            f"{label_col} has no non-NULL examples of class(es) "
+            f"{sorted(int(v) for v in missing)}: a single-class fit is degenerate"
+        )
     if class_weight == "balanced":
-        counts = {
-            float(r["__y"]): int(r["n"])
-            for r in labels.groupBy("__y").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
         n_total = sum(counts.values())
-        w_pos = n_total / (2.0 * counts.get(1.0, 1))
-        w_neg = n_total / (2.0 * counts.get(0.0, 1))
+        w_pos = n_total / (2.0 * counts[1.0])
+        w_neg = n_total / (2.0 * counts[0.0])
         labels = labels.withColumn(
             "__w", F.when(F.col("__y") == 1.0, F.lit(w_pos)).otherwise(F.lit(w_neg))
         )

@@ -667,7 +667,7 @@ def duplicated_lines(
     delimiter: str = "\n",
     min_docs: int = 2,
     min_line_chars: int = 1,
-    broadcast_verdicts: bool = True,
+    broadcast_verdicts: Optional[bool] = True,
 ) -> DataFrame:
     """Line-level cross-document duplication verdicts: every line
     occurrence whose exact line text appears in at least ``min_docs``
@@ -693,9 +693,12 @@ def duplicated_lines(
     (``broadcast_verdicts``): it holds only the distinct duplicated
     lines (the boilerplate vocabulary, MBs even on huge corpora), not
     their occurrences, and broadcasting removes the skewed shuffle
-    entirely. Set ``broadcast_verdicts=False`` only when the
-    duplicated-line vocabulary itself is corpus-scale — AQE's
-    skew-split then covers the shuffle join. Pre-flight the decision
+    entirely. The broadcast is FORCED, so a corpus whose boilerplate
+    vocabulary is itself huge would OOM executors rather than shuffle
+    slowly — on such corpora pass ``broadcast_verdicts=None`` to let
+    AQE pick the strategy at runtime from the vocabulary's ACTUAL
+    size (broadcast when small, skew-split shuffle when not), or
+    ``False`` to force the shuffle join. Pre-flight the decision
     with ``profiling.key_distribution(lines, ["line"])``. Everything
     else shards by line then by document; no Python, no cartesian.
 
@@ -710,6 +713,8 @@ def duplicated_lines(
     dup = _duplicated_line_keys(lines, id_col, min_docs, min_line_chars)
     if broadcast_verdicts:
         dup = F.broadcast(dup)
+    elif broadcast_verdicts is False:
+        dup = dup.hint("merge")  # force the shuffle; AQE skew-splits it
     return (
         lines.join(dup, "line")
         .select(id_col, F.col("line_no").cast("bigint"), "line", "line_df")
@@ -738,7 +743,7 @@ def remove_duplicated_lines(
     join_with: str = "\n",
     min_docs: int = 2,
     min_line_chars: int = 1,
-    broadcast_verdicts: bool = True,
+    broadcast_verdicts: Optional[bool] = True,
 ) -> DataFrame:
     """The cleaning counterpart of ``duplicated_lines``: every
     occurrence of a cross-document duplicated line is removed from
@@ -752,8 +757,9 @@ def remove_duplicated_lines(
     reassembly groupBy, whose sort is a JVM ``array_sort`` over the
     doc's own (line_no, line) structs — document-local, no global
     ordering anywhere. The verdict join broadcasts the dup-line
-    table by default (``broadcast_verdicts``) — see
-    ``duplicated_lines`` for the skew rationale.
+    table by default (``broadcast_verdicts``; ``None`` defers the
+    strategy to AQE, ``False`` forces the shuffle) — see
+    ``duplicated_lines`` for the skew/OOM trade-off.
     """
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), delimiter)).alias("line_no", "line")
@@ -763,6 +769,8 @@ def remove_duplicated_lines(
     )
     if broadcast_verdicts:
         dup = F.broadcast(dup)
+    elif broadcast_verdicts is False:
+        dup = dup.hint("merge")  # force the shuffle; AQE skew-splits it
     flagged = lines.join(dup, "line", "left")
     # collect_list drops nulls, so the WHEN-null trick folds the kept-
     # line filter into the aggregate; array_sort on (line_no, line)

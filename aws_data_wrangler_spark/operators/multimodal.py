@@ -558,6 +558,7 @@ def video_near_dup_pairs(
     threshold: float = 0.5,
     max_hamming: int = 4,
     use_real_decoder: bool | None = None,
+    broadcast_counts: bool = False,
 ) -> DataFrame:
     """Video near-duplicate pairs by frame-set overlap:
     (id_a, id_b, n_match, overlap) where ``overlap = matched frames /
@@ -570,13 +571,19 @@ def video_near_dup_pairs(
     candidate pairs come from the generic ``dedup.hamming_pairs``
     pigeonhole banding (bucket equi-joins, never all-pairs); the
     video-level rollup is one hash aggregate over matched frame pairs
-    plus a broadcast-sized frame-count join.
+    plus a frame-count join. The count table is one row per VIDEO —
+    corpus-scale, not broadcast-sized — so the join strategy is left
+    to AQE by default (the matched-pairs side is usually the small
+    one anyway); pass ``broadcast_counts=True`` only when the video
+    catalog is known-small.
     """
     from aws_data_wrangler_spark.operators.dedup import hamming_pairs
 
     frames = video_frame_hashes(df, id_col=id_col, use_real_decoder=use_real_decoder)
     # synthetic frame id: doc_id * 1024 + frame_idx (frame counts are
-    # bounded far below 1024 by the sampler)
+    # bounded far below 1024 by the sampler; pmod keeps the packing
+    # reversible for negative doc_ids, where % would corrupt both the
+    # video id and the frame index)
     fids = frames.select(
         (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("fid"), "fhash"
     )
@@ -587,7 +594,9 @@ def video_near_dup_pairs(
         fpairs.select(
             F.least(va, vb).alias("id_a"),
             F.greatest(va, vb).alias("id_b"),
-            F.when(va <= vb, F.col("id_a") % 1024).otherwise(F.col("id_b") % 1024).alias("fa"),
+            F.when(va <= vb, F.pmod(F.col("id_a"), F.lit(1024)))
+            .otherwise(F.pmod(F.col("id_b"), F.lit(1024)))
+            .alias("fa"),
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -596,9 +605,11 @@ def video_near_dup_pairs(
     counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
     a = counts.toDF("id_a", "n_a")
     b = counts.toDF("id_b", "n_b")
+    if broadcast_counts:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
-        matched.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        matched.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "overlap",
             F.col("n_match").cast("double") / F.least("n_a", "n_b").cast("double"),

@@ -358,14 +358,22 @@ def epoch_mixture(
     decorrelates the partial-epoch draw between runs.
 
     Scale shape: one stratum aggregate (collected at stratum
-    cardinality), one stratum-keyed window (rank / running token sum —
-    the ``token_budget_sample`` shape; parallelism = stratum count,
-    acceptable because strata are sources/languages, not rows), then a
-    zero-shuffle ``explode(sequence(...))`` fan-out sized exactly by
-    the ask.
+    cardinality), the per-stratum epoch counts delivered by a
+    broadcast-hash join against a stratum-sized table (O(1) expression
+    size however many strata — a ``when``-chain here would grow the
+    plan with stratum cardinality), one stratum-keyed window (rank /
+    running token sum — the ``token_budget_sample`` shape; parallelism
+    = stratum count, acceptable because strata are sources/languages,
+    not rows), then a zero-shuffle ``explode(sequence(...))`` fan-out
+    sized exactly by the ask. NULL strata are first-class: the join is
+    null-safe, so a corpus with missing source values neither crashes
+    nor silently drops — target NULL via a ``None`` key in ``targets``
+    or let ``default_target`` cover it.
     """
     if any(t < 0 for t in targets.values()) or default_target < 0:
         raise ValueError("targets must be non-negative")
+    from pyspark.sql import types as T
+
     size_agg = (
         F.count(F.lit(1)) if token_col is None else F.sum(F.col(token_col))
     ).alias("n")
@@ -373,14 +381,23 @@ def epoch_mixture(
         r[0]: int(r[1] or 0)
         for r in df.groupBy(strata_col).agg(size_agg).collect()
     }
-    full_expr = F.lit(0)
-    rem_expr = F.lit(0)
-    for value in sorted(sizes):
-        n_s = max(sizes[value], 1)
+    plan_rows = []
+    for value, n in sizes.items():
+        n_s = max(n, 1)
         target = targets.get(value, default_target)
-        full_expr = F.when(F.col(strata_col) == value, F.lit(target // n_s)).otherwise(full_expr)
-        rem_expr = F.when(F.col(strata_col) == value, F.lit(target % n_s)).otherwise(rem_expr)
-    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        plan_rows.append((value, target // n_s, target % n_s))
+    plan_schema = T.StructType(
+        [
+            T.StructField("__stratum", df.schema[strata_col].dataType),
+            T.StructField("__full", T.LongType()),
+            T.StructField("__rem", T.LongType()),
+        ]
+    )
+    plan_tbl = F.broadcast(df.sparkSession.createDataFrame(plan_rows, plan_schema))
+    joined = df.join(
+        plan_tbl, df[strata_col].eqNullSafe(plan_tbl["__stratum"]), "left"
+    ).drop("__stratum")
+    order = F.md5(F.concat(F.coalesce(F.col(id_col).cast("string"), F.lit("")), F.lit(salt)))
     w = (
         Window.partitionBy(strata_col)
         .orderBy(order, F.col(id_col))
@@ -391,10 +408,13 @@ def epoch_mixture(
     # the remainder (row mode: rank-1 < rem ⟺ rank ≤ rem; token mode:
     # the crossing document is included)
     before = F.coalesce(F.sum(weight).over(w), F.lit(0))
-    n_epochs = full_expr + F.when(before < rem_expr, F.lit(1)).otherwise(F.lit(0))
+    n_epochs = (
+        F.coalesce(F.col("__full"), F.lit(0))
+        + F.when(before < F.coalesce(F.col("__rem"), F.lit(0)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
     return (
-        df.withColumn("__n_epochs", n_epochs)
+        joined.withColumn("__n_epochs", n_epochs)
         .filter(F.col("__n_epochs") > 0)
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n_epochs") - 1)))
-        .drop("__n_epochs")
+        .drop("__n_epochs", "__full", "__rem")
     )

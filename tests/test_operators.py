@@ -143,9 +143,17 @@ class TestDedup:
         rows = verdicts.collect()
         assert len(rows) == 50
         assert all(r["line"] == "COOKIE BANNER" and r["line_df"] == 50 for r in rows)
-        # opt-out path returns identical verdicts
-        off = dedup.duplicated_lines(docs, broadcast_verdicts=False).collect()
-        assert {(r["doc_id"], r["line_no"]) for r in off} == {
+        # forced-shuffle path (huge-vocabulary escape) returns
+        # identical verdicts through a sort-merge join
+        off = dedup.duplicated_lines(docs, broadcast_verdicts=False)
+        s_off = plan_summary(off)
+        assert s_off["sort_merge_joins"] >= 1, s_off["plan"]
+        assert {(r["doc_id"], r["line_no"]) for r in off.collect()} == {
+            (r["doc_id"], r["line_no"]) for r in rows
+        }
+        # AQE-decides path: no forced hint, same verdicts
+        auto = dedup.duplicated_lines(docs, broadcast_verdicts=None).collect()
+        assert {(r["doc_id"], r["line_no"]) for r in auto} == {
             (r["doc_id"], r["line_no"]) for r in rows
         }
 
@@ -1248,6 +1256,22 @@ class TestMultimodal:
         with _pytest.raises(NotImplementedError, match="video decoder"):
             multimodal.video_frame_hashes(media, use_real_decoder=True)
 
+    def test_video_near_dup_handles_negative_doc_ids(self, spark):
+        # the fid packing (doc_id*1024 + frame_idx) must stay
+        # reversible for negative ids: floor-div for the video id,
+        # pmod for the frame index (plain % corrupted both)
+        df = spark.createDataFrame(
+            [
+                (-7, "identical video payload"),
+                (2, "identical video payload"),
+                (3, "a completely different clip"),
+            ],
+            "doc_id long, text string",
+        )
+        media = multimodal.attach_binary_payload(df, media_type="video/fake")
+        pairs = multimodal.video_near_dup_pairs(media, threshold=0.5).collect()
+        assert [(r["id_a"], r["id_b"], r["overlap"]) for r in pairs] == [(-7, 2, 1.0)]
+
     def test_decoder_provenance_column(self, spark, documents):
         # every output row says HOW it was produced: in this container
         # (no Pillow/soundfile) the fake path must label itself
@@ -1462,6 +1486,32 @@ class TestSampling:
         assert again.count() == sum(targets.values())
         with pytest.raises(ValueError):
             sampling.epoch_mixture(documents, {up: -1})
+
+    def test_epoch_mixture_null_strata_are_first_class(self, spark, documents):
+        # a realistic corpus has rows with a missing source value:
+        # plan build must not crash (the sorted(None, str) TypeError),
+        # NULL strata must be targetable via a None key, and must fall
+        # to default_target (0 => dropped) when untargeted
+        from aws_data_wrangler_spark.operators import sampling
+
+        docs = documents.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(F.col("source")),
+        )
+        n_null = docs.filter(F.col("source").isNull()).count()
+        assert n_null > 0
+        # untargeted: NULL stratum dropped, plan builds fine
+        some = sorted(
+            r[0] for r in docs.select("source").distinct().collect() if r[0] is not None
+        )[0]
+        out = sampling.epoch_mixture(docs, {some: 7})
+        assert out.filter(F.col("source").isNull()).count() == 0
+        assert out.count() == 7
+        # targeted via the None key: exact up-sampled output
+        out2 = sampling.epoch_mixture(docs, {None: n_null * 2 + 1, some: 3})
+        got = out2.filter(F.col("source").isNull()).count()
+        assert got == n_null * 2 + 1
+        assert out2.filter(F.col("source") == some).count() == 3
 
     def test_epoch_mixture_token_mode(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling, text
@@ -2189,6 +2239,31 @@ class TestQualityClassifier:
             for r in scored.groupBy("label").agg(F.avg("ok").alias("acc")).collect()
         }
         assert per_class[0] >= 0.9 and per_class[1] >= 0.9, per_class
+
+    def test_null_labels_dropped_and_single_class_refused(self, spark):
+        # NULL labels are unlabeled documents, not class-0 examples:
+        # training must drop them (not crash on float(None)) and a
+        # label column with only one class must raise, never silently
+        # fit a degenerate scorer
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import classifier
+
+        rows = self._planted_docs(120, pos_frac=0.5)
+        docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        with_nulls = docs.withColumn(
+            "label", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("label"))
+        )
+        model = classifier.train_quality_classifier(
+            with_nulls, "label", iterations=4, class_weight="balanced"
+        )
+        assert model.weights.count() > 0
+        for bad in (
+            docs.filter(F.col("label") == 1),
+            docs.withColumn("label", F.lit(None).cast("int")),
+        ):
+            with _pytest.raises(ValueError, match="single-class|no non-NULL"):
+                classifier.train_quality_classifier(bad, "label", iterations=2)
 
     def test_regularization_path_shrinks_weights(self, spark):
         # the l2 knob must actually regularize: heavier decay -> smaller

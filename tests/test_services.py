@@ -70,6 +70,23 @@ class TestCloudwatch:
         )
         assert out2.collect()[0]["n"] == events.count()
 
+    def test_bin_literal_survives_escaped_and_double_quotes(self):
+        # escaped quotes must not mis-segment the literal scan: a ''
+        # doubled quote (and a backslash escape, and a double-quoted
+        # literal) keeps the bin() inside the string verbatim while a
+        # bin() after the literal still rewrites
+        from aws_data_wrangler_spark.cloudwatch import _rewrite_bins
+
+        for stage in (
+            "filter msg != 'it''s bin(5m)'",
+            "filter msg != 'it\\'s bin(5m)'",
+            'filter msg != "bin(5m)"',
+        ):
+            assert _rewrite_bins(stage) == stage, stage
+        mixed = "filter msg != 'it''s bin(5m)' or t = bin(1h)"
+        out = _rewrite_bins(mixed)
+        assert "'it''s bin(5m)'" in out and "floor(unix_seconds(ts) / 3600)" in out
+
     def test_key_alias_does_not_eat_cast(self, spark, events):
         events.createOrReplaceTempView("cw_events")
         out = cloudwatch.run_query(
