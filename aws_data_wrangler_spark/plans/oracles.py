@@ -1276,6 +1276,37 @@ ORACLES: Dict[str, str] = {
     "ann_cosine_topk_arrow": _arrow_ann_oracle_sql(),
     "ann_sq8_topk": _sq8_ann_oracle_sql(),
     "ann_ivf_topk": _ivf_ann_oracle_sql(),
+    # ---- one pinned Lloyd iteration (the TRAINED k-means path): seeded
+    # init → L2 argmin (raw-double ordering, identical sequential-fold
+    # arithmetic both engines) → per-cell dimension means. The mean's
+    # partial-sum order differs across engines by ~1e-16 relative —
+    # absorbed by the 6dp floor everywhere off a truncation boundary
+    # (the embedding_stats avg precedent) ------------------------------
+    "ann_ivf_lloyd_step": """
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+        ), dists AS (
+            SELECT c.vec_id, c.v, s.cid,
+                   list_sum(list_transform(range(1, 65),
+                            j -> (c.v[j] - s.cv[j]) * (c.v[j] - s.cv[j]))) AS d
+            FROM corpus c, seeds s
+        ), assigned AS (
+            SELECT vec_id, v, cid
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d ASC, cid ASC) AS rn
+                  FROM dists)
+            WHERE rn = 1
+        )
+        SELECT cid, CAST(j - 1 AS INTEGER) AS dim,
+               floor(avg(v[j]) * 1000000.0) / 1000000.0 AS val
+        FROM assigned, range(1, 65) t(j)
+        GROUP BY cid, j
+        ORDER BY cid, dim
+    """,
     # ---- BPE (training's corpus-scale aggregate; the iterative merge
     # loop itself is rows-only by design — see plans/queries.py) -------
     "bpe_word_frequencies": """

@@ -58,6 +58,10 @@ HEADLINE = [
     "pretraining_curation_pipeline",
     "text_c4_rules",
     "ann_ivfpq_topk",
+    # round-5 addition (VERDICT r4 #5): track the PQ tier's cost —
+    # invisible before, ~15 s at r4 parameters; the literal-LUT +
+    # shared-init rewrite is graded against this number
+    "ann_pq_topk",
 ]
 
 

@@ -26,22 +26,21 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-4 rotation policy (VERDICT r3 "next" #1): the driver verifies
-# the FIRST 50 registry entries. The window carries (a) the eight
-# round-3 late registrations + the eight named round-1 deferrals —
-# first, as the judge ordered, (b) everything new in round 4 or
-# crossing round-4-changed code, and (c) the aging round-2
-# text/sampling/streaming/ann block. Below the boundary sit only
-# round-2-green queries over code byte-identical since round 2 (the
-# round-5 rotation candidates) and the round-3 block riding its fresh
-# round-3 driver rows.
+# Round-5 rotation policy (VERDICT r4 "next" #3): the driver verifies
+# the FIRST 50 registry entries. The window carries (a) the 18
+# ROUND2_GREEN_FROZEN entries, FIRST, exactly as round 4's policy
+# named them, (b) every query crossing round-5-changed code (the
+# zero-shuffle assignment rewrite in similarity.py, the semdedup
+# router + verdict-join tri-state in dedup.py, the null-safe
+# epoch-mixture join in sampling.py, the escape-aware bin() scan in
+# cloudwatch.py), (c) the new pinned-Lloyd-step oracle, and (d) a
+# backfill of the OLDEST round-3 rows. Below the boundary sit only
+# the round-4 window riding its fresh round-4 rows and the round-3
+# remainder riding its round-3 rows.
 
-ROUND2_GREEN_FROZEN = {
-    # green in CORRECTNESS_r02.json; code paths untouched since (the
-    # round-3 and round-4 changes live in dedup.py's semdedup/lines
-    # sections, cloudwatch's bin rewrite, profiling, classifier, and
-    # pure function ADDITIONS elsewhere — none of these plans cross
-    # them). Did not fit the round-4 window; FIRST INTO round 5.
+ROUND2_ROTATED_IN_R5 = {
+    # the full ROUND2_GREEN_FROZEN set from round 4's policy — all 18
+    # moved into the round-5 window as ordered
     "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
     "streaming_static_enrich", "streaming_latest_per_user",
     "text_fingerprint",
@@ -53,60 +52,60 @@ ROUND2_GREEN_FROZEN = {
 }
 
 ROUND3_FROZEN = {
-    # fresh green rows in CORRECTNESS_r03.json; code byte-identical
-    # since round 3 (the two round-3 dedup queries whose code DID
-    # change in round 4 — dedup_duplicated_lines, dedup_semdedup —
-    # moved back INTO the window instead)
-    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_clusters",
-    "dedup_lsh_corpus", "dedup_duplicated_spans",
-    "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_embedding_lsh", "embedding_curation_pipeline",
-    "multimodal_decode_stub", "ann_cosine_topk_arrow", "ann_sq8_topk",
-    "ann_ivf_topk", "bpe_word_frequencies", "bpe_encode",
-    "streaming_growing_corpus", "sample_temperature", "events_key_skew",
-    "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q11_important_stock",
-    "q13_customer_distribution", "q14_promo_effect", "q18_large_orders",
-    "q19_discount_revenue", "q21_waiting_suppliers", "q22_idle_customers",
-    "events_cube_daily", "events_retention_cohorts", "events_funnel",
-    "brand_revenue_pareto", "orders_yoy_growth", "events_sessionize",
-    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
+    # round-3 driver rows; code byte-identical since (the round-3
+    # entries whose code DID change in round 5 — the ann/semdedup
+    # block — moved INTO the window instead, and the oldest 21 moved
+    # in as backfill)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q11_important_stock", "q13_customer_distribution",
+    "q14_promo_effect", "q18_large_orders", "q19_discount_revenue",
+    "q21_waiting_suppliers", "q22_idle_customers", "events_cube_daily",
+    "events_retention_cohorts", "events_funnel", "brand_revenue_pareto",
+    "orders_yoy_growth", "events_sessionize", "events_json_extract",
+    "catalog_table_roundtrip", "io_bucketed_join",
     "io_overwrite_partitions", "io_csv_roundtrip", "io_json_roundtrip",
     "db_copy_unload_roundtrip", "corpus_curation_pipeline",
 }
 
-ROUND4_MUST_BE_IN_WINDOW = {
-    # the eight round-3 late registrations (first driver rows this round)
+ROUND4_FROZEN = {
+    # fresh green rows in CORRECTNESS_r04.json; code byte-identical
+    # since round 4 (round-4 window entries crossing round-5-changed
+    # code — ann_*, dedup_semdedup, dedup_duplicated_lines,
+    # sample_epoch_mixture, logs_insights_* — stayed IN the window)
     "io_orc_roundtrip", "events_join_fanout", "text_html_extract",
     "sample_shuffle_shards", "text_ngram_repetition",
-    "text_bigram_surprisal", "multimodal_image_dhash", "ann_pq_topk",
-    # the eight named round-1 deferrals
+    "text_bigram_surprisal", "multimodal_image_dhash",
     "q16_parts_suppliers", "topk_customers_window",
     "lineitem_stats_by_flag", "events_hourly_rollup",
     "events_value_percentiles", "embedding_stats", "text_ngram_freq",
-    "io_fwf_roundtrip",
-    # new in round 4
-    "ann_ivfpq_topk", "profiling_null_profile", "profiling_hll_invariants",
-    "text_c4_rules",           # C4 line/page cleaning rules
-    "sample_epoch_mixture",    # multi-epoch up-sampling mixture
-    "text_perplexity_buckets", # CCNet head/middle/tail terciles
-    "pretraining_curation_pipeline",  # full-ladder flagship composition
-    "events_heavy_hitters_sketch",    # sketch heavy hitters (exact regime)
-    "multimodal_audio_fp",            # audio-rung fingerprint
-    # crossing round-4-changed code
-    "dedup_duplicated_lines",  # broadcast verdict join
-    "dedup_semdedup",          # cluster-count guard
-    "logs_insights_stats",     # per-stage bin() rewrite
-    "logs_insights_parse",
-    "text_gopher_quality",     # text.py changed (defensive; not its path)
+    "io_fwf_roundtrip", "profiling_null_profile",
+    "profiling_hll_invariants", "events_heavy_hitters_sketch",
+    "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
+    "pretraining_curation_pipeline", "text_gopher_quality",
+    "text_token_count", "text_quality_score", "text_lang_id",
+    "text_chunk_tokens", "text_pack_sequences", "text_repetition",
+    "text_pii_scrub", "text_tfidf_top_terms", "text_unigram_surprisal",
+    "benchmark_contamination", "sample_stratified",
+    "sample_fixed_per_source", "sample_token_budget",
+    "streaming_hourly_rollup", "streaming_sliding_counts",
+    "streaming_error_click_join", "streaming_content_dedup",
+    "streaming_corpus_dedup",
+}
+
+ROUND5_MUST_BE_IN_WINDOW = ROUND2_ROTATED_IN_R5 | {
+    # crossing round-5-changed code
+    "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_topk",
+    "dedup_semdedup", "dedup_duplicated_lines",
+    "sample_epoch_mixture", "logs_insights_stats", "logs_insights_parse",
+    # new in round 5
+    "ann_ivf_lloyd_step",
 }
 
 
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND2_GREEN_FROZEN - ROUND3_FROZEN
+    unaccounted = below - ROUND3_FROZEN - ROUND4_FROZEN
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -114,7 +113,7 @@ def test_below_window_entries_all_have_pedigree():
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND4_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND5_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
