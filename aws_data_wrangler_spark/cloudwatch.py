@@ -89,7 +89,15 @@ def _rewrite_bins(stage: str) -> str:
         out.append(_BIN_RE.sub(repl, stage[pos : lit.start()]))
         out.append(lit.group(0))
         pos = lit.end()
-    out.append(_BIN_RE.sub(repl, stage[pos:]))
+    tail = stage[pos:]
+    # after every complete literal is consumed, any remaining quote
+    # starts an UNTERMINATED literal — rewriting through it would
+    # treat quoted text as code, so fail the parse loudly instead
+    if "'" in tail or '"' in tail:
+        raise ValueError(
+            f"unterminated string literal in query stage: {stage!r}"
+        )
+    out.append(_BIN_RE.sub(repl, tail))
     return "".join(out)
 
 

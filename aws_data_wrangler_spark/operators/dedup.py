@@ -1349,7 +1349,11 @@ def _two_level_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
         points.withColumn(
             "__scell", F.array_position(pkeys, F.array_min(pkeys)).cast("int")
         )
-        .join(F.broadcast(children), "__scell")
+        # LEFT join: a degenerate point (null vector → null keys → null
+        # super-cell) keeps its row with null __cell/__ccos — the flat
+        # path's behavior (no within-cell pairs, implicitly kept) —
+        # instead of silently disappearing from the dedup verdicts
+        .join(F.broadcast(children), "__scell", "left")
         .withColumn(
             "__ckeys",
             F.transform(

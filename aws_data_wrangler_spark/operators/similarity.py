@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 
 from aws_data_wrangler_spark.functions import trunc_digits
 
+# Shared Lloyd-iteration default for every inline k-means training path
+# (train_ivf_centroids, train_pq_codebooks, ivf_topk, ivfpq_topk) — one
+# constant so the tiers can't silently drift apart.
+DEFAULT_LLOYD_ITERATIONS = 5
+
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     vec = F.col(vec_col).cast("array<double>")
@@ -204,7 +209,10 @@ def collect_centroids(
     if len(rows) > max_cells:
         raise ValueError(
             f"centroid table exceeds the flat-literal assignment bound "
-            f"({max_cells}); assign via a two-level coarse quantizer."
+            f"({max_cells}); assign via a two-level coarse quantizer "
+            f"(assign_cells routes there automatically), raise max_cells "
+            f"explicitly, or pre-partition the corpus by cell "
+            f"(build_partitioned_ivf)."
         )
     pairs = sorted((int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows)
     return [c for c, _ in pairs], [v for _, v in pairs]
@@ -273,13 +281,27 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "l2",
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """Nearest-cell id per vector: (id, cid, key) where ``key`` is the
     squared-L2 distance (or negated cosine) to the winning cell. The
     whole assignment is one shuffle-free Project over the scan — the
     building block ``ivf_topk`` / ``ivfpq_topk`` / ``dedup.semdedup``
-    share, exposed for pre-partitioning a corpus by cell."""
-    cent_ids, cent_vecs = collect_centroids(centroids)
+    share, exposed for pre-partitioning a corpus by cell.
+
+    Past ``max_cells`` (where a flat plan literal stops being sane) the
+    assignment automatically routes through a TWO-LEVEL coarse
+    quantizer: argmin over ~√k super-cells (a cid-ordered subsample,
+    still one literal projection), then a broadcast-hash equi-join on
+    the super-cell id delivers that super-cell's children array and the
+    final argmin happens in-array — no n×k fan-out, no corpus-keyed
+    shuffle at ANY k (standard IVF nprobe=1 assignment, so cell borders
+    are approximate in that regime, exactly as FAISS coarse assignment
+    is)."""
+    n_cells = centroids.count()  # centroid tables are artifact-sized
+    if n_cells > max_cells:
+        return _two_level_assign(df, centroids, id_col, vec_col, metric)
+    cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
     vec = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
@@ -292,6 +314,95 @@ def assign_cells(
             F.col(id_col),
             F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
             F.element_at(F.col("__keys"), F.col("__pos")).alias("key"),
+        )
+    )
+
+
+def _child_key(vec_expr: "F.Column", child_vec: "F.Column", metric: str, norm_expr) -> "F.Column":
+    """Ranking key of a point against ONE child centroid vector (same
+    convention as ``cell_key_array``: ascending = better)."""
+    if metric == "cosine":
+        cnorm = F.sqrt(
+            F.aggregate(
+                F.transform(child_vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        return -(_dot_expr(vec_expr, child_vec) / (norm_expr * cnorm))
+    return _l2_sq(vec_expr, child_vec)
+
+
+def _two_level_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    metric: str,
+) -> DataFrame:
+    """``assign_cells`` for centroid tables too large for one plan
+    literal: the standard IVF two-level coarse quantizer, kept
+    corpus-shuffle-free end to end. Level 1 picks each point's nearest
+    of ~√k super-cells inside a Project (literal argmin); level 2
+    assigns every centroid to its super-cell the same way
+    (centroid-table-sized work), groups them into one cid-sorted
+    children array per super-cell, and a broadcast-hash equi-join on
+    the ≤√k-cardinality super-cell key hands each point exactly one
+    children array for the in-array final argmin. LEFT join: a
+    degenerate point (null vector / all-NaN keys → null super-cell)
+    keeps a row with null cid/key — the flat path's behavior — instead
+    of silently disappearing."""
+    cents = centroids.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("cvec").cast("array<double>").alias("cvec"),
+    )
+    n_cells = cents.count()
+    n_super = max(1, min(1024, int(n_cells ** 0.5) + 1))
+    sup_rows = cents.orderBy("cid").limit(n_super).collect()
+    sup_vecs = [[float(x) for x in r["cvec"]] for r in sup_rows]
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cvec"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    ckeys = cell_key_array(F.col("cvec"), sup_vecs, metric=metric, norm_expr=cnorm)
+    children = (
+        cents.withColumn(
+            "__scell", F.array_position(ckeys, F.array_min(ckeys)).cast("int")
+        )
+        .groupBy("__scell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+            ).alias("__children")
+        )
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    points = df.select(F.col(id_col), vec.alias("__v"), norm.alias("__norm"))
+    pkeys = cell_key_array(
+        F.col("__v"), sup_vecs, metric=metric, norm_expr=F.col("__norm")
+    )
+    return (
+        points.withColumn(
+            "__scell", F.array_position(pkeys, F.array_min(pkeys)).cast("int")
+        )
+        .join(F.broadcast(children), "__scell", "left")
+        .withColumn(
+            "__ckeys",
+            F.transform(
+                F.col("__children"),
+                lambda ch: _child_key(F.col("__v"), ch["cvec"], metric, F.col("__norm")),
+            ),
+        )
+        .withColumn(
+            "__cpos",
+            F.array_position(F.col("__ckeys"), F.array_min(F.col("__ckeys"))).cast("int"),
+        )
+        .select(
+            F.col(id_col),
+            F.element_at(F.col("__children"), F.col("__cpos"))["cid"].alias("cid"),
+            F.element_at(F.col("__ckeys"), F.col("__cpos")).alias("key"),
         )
     )
 
@@ -484,7 +595,7 @@ def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
     num_codes: int = 16,
-    iterations: int = 5,
+    iterations: int = DEFAULT_LLOYD_ITERATIONS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> List[List[List[float]]]:
@@ -513,7 +624,12 @@ def train_pq_codebooks(
         .collect()
     )
     full = [[float(x) for x in r["pvec"]] for r in init_rows]
-    dim = len(full[0]) if full else 0
+    if not full:
+        raise ValueError(
+            "cannot train PQ codebooks on an empty corpus: the seeded "
+            "init collect returned no rows"
+        )
+    dim = len(full[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -694,7 +810,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
     codebooks: Optional[List[List[List[float]]]] = None,
-    iterations: int = 5,
+    iterations: int = DEFAULT_LLOYD_ITERATIONS,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """IVF+PQ ANN (the FAISS IndexIVFPQ shape): a coarse quantizer
     prunes to ``nprobe`` cells, product-quantized RESIDUALS
@@ -727,7 +844,10 @@ def ivfpq_topk(
             corpus, num_centroids, iterations, id_col, vec_col
         )
     else:
-        cent_ids, cent_vecs = collect_centroids(centroids)
+        # callers with quantizers past the flat-literal bound raise
+        # max_cells explicitly, or pre-partition via assign_cells
+        # (two-level) + build_partitioned_ivf instead
+        cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
     cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
     c = _with_norm(corpus, id_col, vec_col, "c")
     # zero-shuffle assignment: L2 key array + argmin in one Project,
@@ -837,7 +957,7 @@ def ivfpq_topk(
 def train_ivf_centroids(
     corpus: DataFrame,
     num_centroids: int = 16,
-    iterations: int = 5,
+    iterations: int = DEFAULT_LLOYD_ITERATIONS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -936,6 +1056,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
     metric: str = "l2",
+    iterations: int = DEFAULT_LLOYD_ITERATIONS,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank, cosine).
 
@@ -956,10 +1078,12 @@ def ivf_topk(
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     if centroids is None:
         cent_ids, cent_vecs = _train_ivf_lists(
-            corpus, num_centroids, 5, id_col, vec_col
+            corpus, num_centroids, iterations, id_col, vec_col
         )
     else:
-        cent_ids, cent_vecs = collect_centroids(centroids)
+        # past the flat-literal bound, raise max_cells explicitly or
+        # use assign_cells (two-level) + build_partitioned_ivf
+        cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
     keys_c = cell_key_array(F.col("c_vec"), cent_vecs, metric=metric, norm_expr=F.col("c_norm"))

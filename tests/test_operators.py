@@ -650,6 +650,74 @@ class TestSimilarity:
         for vid, (cid, key) in got.items():
             assert cid == vid and key == 0.0
 
+    def test_assign_cells_routes_two_level_past_max_cells(self, spark):
+        # a pre-trained centroid table past max_cells must NOT raise
+        # (the old hard-fail): assignment routes through the two-level
+        # coarse quantizer — broadcast-hash join on the super-cell key,
+        # no nested loop — and matches a numpy replica of the
+        # documented two-level semantics exactly
+        import numpy as np
+
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        rng = np.random.RandomState(11)
+        k, dim, n_pts = 20, 4, 12
+        cvecs = rng.standard_normal((k, dim))
+        cents = spark.createDataFrame(
+            [(int(i), [float(x) for x in cvecs[i]]) for i in range(k)],
+            "cid int, cvec array<double>",
+        )
+        pvecs = rng.standard_normal((n_pts, dim))
+        pts = spark.createDataFrame(
+            [(int(i), [float(x) for x in pvecs[i]]) for i in range(n_pts)],
+            "vec_id int, embedding array<double>",
+        )
+        out = similarity.assign_cells(pts, cents, metric="l2", max_cells=8)
+        s = plan_summary(out)
+        assert s["cartesian_products"] == 0, s["plan"]
+        assert s["broadcast_nested_loop_joins"] == 0, s["plan"]
+        assert s["broadcast_hash_joins"] >= 1, s["plan"]
+        rows = {int(r["vec_id"]): (int(r["cid"]), float(r["key"])) for r in out.collect()}
+        assert len(rows) == n_pts  # complete coverage: no silent drops
+        # numpy replica of the two-level l2 semantics
+        n_super = max(1, min(1024, int(k ** 0.5) + 1))
+        sup = cvecs[:n_super]
+        l2 = lambda a, b: ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+        child_super = np.argmin(l2(cvecs, sup), axis=1)
+        pt_super = np.argmin(l2(pvecs, sup), axis=1)
+        for i in range(n_pts):
+            members = np.where(child_super == pt_super[i])[0]
+            dists = l2(pvecs[i : i + 1], cvecs[members])[0]
+            best = members[int(np.argmin(dists))]
+            got_cid, got_key = rows[i]
+            assert got_cid == int(best), (i, got_cid, int(best))
+            assert abs(got_key - float(np.min(dists))) < 1e-9
+
+    def test_assign_cells_two_level_keeps_null_vector_rows(self, spark):
+        # a degenerate point (null vector) must keep its row with null
+        # cid/key — the flat path's behavior — not silently disappear
+        # through the super-cell join (ADVICE r5)
+        cents = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(6)], "cid int, cvec array<double>"
+        )
+        pts = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, None)], "vec_id int, embedding array<double>"
+        )
+        out = similarity.assign_cells(pts, cents, metric="l2", max_cells=3)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert set(rows) == {0, 1}
+        assert rows[0]["cid"] == 1
+        assert rows[1]["cid"] is None and rows[1]["key"] is None
+
+    def test_train_pq_codebooks_empty_corpus_raises(self, spark, embeddings):
+        # an empty corpus once inferred dim=0, passed the dim%m check,
+        # and returned empty codebooks that crashed pq_encode later —
+        # it must fail early with a clear message (ADVICE r5)
+        import pytest
+
+        with pytest.raises(ValueError, match="empty corpus"):
+            similarity.train_pq_codebooks(embeddings.filter("vec_id < 0"))
+
     def test_pq_production_parameters_plan_in_seconds(self, spark, embeddings):
         # m=16 × 256 codes (FAISS-typical): with codebooks as one
         # nested-array literal the plan must build+run in seconds —

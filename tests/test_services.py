@@ -87,6 +87,22 @@ class TestCloudwatch:
         out = _rewrite_bins(mixed)
         assert "'it''s bin(5m)'" in out and "floor(unix_seconds(ts) / 3600)" in out
 
+    def test_unterminated_literal_raises_instead_of_rewriting_through(self):
+        # an unmatched trailing quote means the literal scan cannot
+        # segment the stage — rewriting bin() text inside it would
+        # treat quoted content as code, so the parse must fail loudly
+        import pytest
+
+        from aws_data_wrangler_spark.cloudwatch import _rewrite_bins
+
+        for stage in (
+            "filter msg != 'unclosed bin(5m)",
+            'filter msg != "unclosed bin(5m)',
+            "filter a = 'ok' and b = 'unclosed bin(5m)",
+        ):
+            with pytest.raises(ValueError, match="unterminated"):
+                _rewrite_bins(stage)
+
     def test_key_alias_does_not_eat_cast(self, spark, events):
         events.createOrReplaceTempView("cw_events")
         out = cloudwatch.run_query(
