@@ -1122,6 +1122,130 @@ def ivf_topk(
     )
 
 
+def build_partitioned_ivf(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    max_cells: int = 100_000,
+    spark=None,
+) -> None:
+    """Materialize a cell-partitioned IVF index: assign every corpus
+    vector to its nearest centroid cell (the zero-shuffle literal-argmin
+    projection) and write the corpus as a ``partitionBy(cid)`` parquet
+    dataset — vector, precomputed norm, and cell id per row.
+
+    This is the 100 TB index build: ONE pass over the corpus (one
+    assignment projection + the dataset write's partition shuffle), and
+    every search after it reads ONLY the probed cells via plan-time
+    partition pruning (``ivf_partitioned_topk``) — search I/O is
+    ~nprobe/num_centroids of the corpus instead of a full scan. The
+    write goes through ``s3.to_parquet`` dataset mode, so the same call
+    targets ``file://`` in tests and ``s3a://`` on a cluster, and the
+    index can be registered in the catalog like any dataset.
+
+    Ref: composes `/root/reference/awswrangler/s3.py` ``to_parquet``
+    dataset semantics (partition_cols) with the IVF assignment tier —
+    the reference itself has no ANN analog.
+    """
+    from aws_data_wrangler_spark import s3
+
+    cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    keys = cell_key_array(F.col("c_vec"), cent_vecs, metric=metric, norm_expr=F.col("c_norm"))
+    assigned = (
+        c.withColumn("__keys", keys)
+        .withColumn(
+            "__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int")
+        )
+        .select(
+            F.col("c_id").alias(id_col),
+            F.col("c_vec").alias(vec_col),
+            F.col("c_norm").alias("vnorm"),
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
+        )
+    )
+    s3.to_parquet(
+        assigned, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
+    )
+
+
+def ivf_partitioned_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """IVF top-k over a ``build_partitioned_ivf`` index:
+    (query_id, neighbor_id, rank, cosine) — value-identical to
+    ``ivf_topk`` with the same centroids/nprobe, but the corpus scan is
+    partition-PRUNED to the probed cells: the scan's PartitionFilters
+    carry ``cid IN (<probed>)``, so a 1000-executor search reads
+    ~nprobe/num_centroids of a 100 TB index instead of all of it.
+
+    The probe set is computed exactly as ``ivf_topk`` computes it (the
+    same literal key arithmetic, so tie-breaks agree bit-for-bit), then
+    collected driver-side — queries × nprobe cell ids, artifact-sized —
+    to become scan-time pruning literals. Scoring joins the pruned
+    cells against the broadcast probe table on ``cid`` and rescores
+    with exact cosine using the stored norms; a query probing multiple
+    cells can meet a neighbor once per cell, deduplicated before
+    ranking (the ``ivf_topk`` contract).
+    """
+    from aws_data_wrangler_spark import s3
+
+    cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    keys_q = cell_key_array(F.col("q_vec"), cent_vecs, metric=metric, norm_expr=F.col("q_norm"))
+    probed = probe_cells(keys_q, len(cent_ids), nprobe)
+    q_cells = q.select("q_id", "q_vec", "q_norm", F.explode(probed).alias("__pc")).select(
+        "q_id", "q_vec", "q_norm",
+        F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pc.p")).alias("cid"),
+    )
+    # the probed cell ids become scan-pruning literals: queries×nprobe
+    # values, artifact-sized by contract (the query set is the small,
+    # broadcast side of every ANN tier)
+    probed_cids = sorted(
+        r["cid"] for r in q_cells.select("cid").distinct().collect()
+    )
+    corpus = s3.read_parquet(index_path, dataset=True, spark=spark).filter(
+        F.col("cid").isin(probed_cids)
+    )
+    c = corpus.select(
+        F.col("cid"),
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q_cells), "cid")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Artifact persistence — the production story for the quantized tiers.
 # Codebooks/centroids are tiny driver-side artifacts trained once

@@ -1276,6 +1276,10 @@ ORACLES: Dict[str, str] = {
     "ann_cosine_topk_arrow": _arrow_ann_oracle_sql(),
     "ann_sq8_topk": _sq8_ann_oracle_sql(),
     "ann_ivf_topk": _ivf_ann_oracle_sql(),
+    # the partitioned-index search is value-identical to ivf_topk with
+    # the same (seeded) centroids — partitioning changes I/O, never
+    # results — so the replica is the same pipeline at 32 seeds
+    "ann_ivf_partitioned_search": _ivf_ann_oracle_sql(num_seeds=32),
     # ---- one pinned Lloyd iteration (the TRAINED k-means path): seeded
     # init → L2 argmin (raw-double ordering, identical sequential-fold
     # arithmetic both engines) → per-cell dimension means. The mean's

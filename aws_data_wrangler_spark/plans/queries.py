@@ -1212,6 +1212,39 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_ivf_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANN index story end-to-end: assign the corpus to
+    SEEDED cells (the 32 lowest-id vectors, cosine metric — the
+    ``ann_ivf_topk`` oracle technique), materialize it as a
+    ``partitionBy(cid)`` parquet dataset via ``s3.to_parquet``, then
+    search by reading ONLY the probed cells back through plan-time
+    partition pruning (PartitionFilters on the search-side scan,
+    plan-audited in tests). Values are identical to ``ivf_topk`` with
+    the same centroids — partitioning changes I/O, never results — so
+    the DuckDB oracle replicates the whole pipeline value-for-value
+    while the driver row additionally proves the build→prune→search
+    weld between the ANN tier and the IO tier."""
+    from pyspark.sql import Window
+
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_index"
+    similarity.build_partitioned_ivf(
+        emb, seeds, index, metric="cosine", spark=spark
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_partitioned_topk(
+        spark, index, queries, seeds, k=5, nprobe=4, metric="cosine"
+    ).orderBy("query_id", "rank")
+
+
 def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
@@ -2233,6 +2266,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW in round 5: the pinned-Lloyd-step oracle (the trained
     # k-means path gains a cross-engine value check) ---
     "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
+    "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
     # --- backfill: the oldest round-3 rows (ROUND3_FROZEN head) ---
     "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
     "dedup_minhash_lsh": _dedup_minhash_lsh,

@@ -718,6 +718,52 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="empty corpus"):
             similarity.train_pq_codebooks(embeddings.filter("vec_id < 0"))
 
+    def test_partitioned_ivf_search_prunes_and_matches_ivf_topk(
+        self, spark, embeddings, tmp_path
+    ):
+        # the 100 TB index story: build_partitioned_ivf writes a
+        # partitionBy(cid) dataset; the search-side scan must carry
+        # non-empty PartitionFilters (cid IN probed) — reading
+        # ~nprobe/num_centroids of the corpus, plan-audited — and the
+        # results must be value-identical to the unpartitioned ivf_topk
+        # with the same centroids (partitioning changes I/O, not values)
+        from pyspark.sql import Window
+
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_index")
+        similarity.build_partitioned_ivf(embeddings, seeds, index, metric="cosine")
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivf_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=4, metric="cosine"
+        )
+        s = plan_summary(out)
+        assert s["partition_filters"], s["plan"]  # non-empty PartitionFilters
+        assert "cid" in s["plan"]
+        ref = similarity.ivf_topk(
+            embeddings, queries, k=5, nprobe=4, centroids=seeds, metric="cosine"
+        )
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, ref.collect()))
+        assert got == want
+        # and pruning is real: every seed is its own cell's member, so
+        # all 16 cells exist on disk, while the scan's pruning filter
+        # admits at most queries×nprobe of them
+        import os
+        import re
+
+        n_cells_on_disk = sum(1 for d in os.listdir(index) if d.startswith("cid="))
+        assert n_cells_on_disk == 16
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", s["plan"])
+        assert m and "cid" in m.group(1), s["plan"]
+        n_probed = len(re.findall(r"\d+", m.group(1)))
+        assert 0 < n_probed <= 5 * 4 < n_cells_on_disk + 5
+
     def test_pq_production_parameters_plan_in_seconds(self, spark, embeddings):
         # m=16 × 256 codes (FAISS-typical): with codebooks as one
         # nested-array literal the plan must build+run in seconds —
