@@ -2210,6 +2210,107 @@ ORACLES: Dict[str, str] = {
         ORDER BY rank
     """,
     # audio-rung fake fingerprint: salted sha256 folded to signed int64
+    # stateful-streaming sessionization, availableNow replay: ONE
+    # micro-batch, so the processing-time timeout never fires and the
+    # emitted set is exactly the CLOSED sessions — the µs-gap batch
+    # sessionize minus each user's last (still-open) session
+    "streaming_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, sess_id, count(*) AS n_events,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us
+            FROM numbered GROUP BY user_id, sess_id
+        ), closed AS (
+            SELECT *, max(sess_id) OVER (PARTITION BY user_id) AS last_sess
+            FROM sess
+        )
+        SELECT user_id, session_start_us, session_end_us, n_events
+        FROM closed WHERE sess_id < last_sess
+        ORDER BY user_id, session_start_us
+    """,
+    # the VIDEO dedup rung: fake frame hashes (sha256 hex chaining),
+    # the exact pigeonhole banding (5 × 12-bit chunks for hamming ≤ 4 —
+    # a replica of dedup.hamming_pairs' construction, which is EXACT,
+    # so both engines mine identical pair sets), xor/bit_count verify,
+    # and the frame-set-overlap rollup with the fid pack/unpack
+    "multimodal_video_near_dup": f"""
+        WITH src AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id < 20
+        ), base AS (
+            SELECT doc_id, sha256('vfp:' || text) AS bx FROM src
+        ), nf AS (
+            SELECT doc_id, bx,
+                   4 + ({_hex_to_bigint_sql('bx', 2)} % 5) AS n
+            FROM base
+        ), fx AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   sha256(bx || '#' || i::VARCHAR) AS hx
+            FROM nf, unnest(range(n)) t(i)
+        ), f AS (
+            SELECT doc_id, frame_idx,
+                   doc_id * 1024 + frame_idx AS fid,
+                   {_hex_to_bigint_sql('hx', 16, 'HUGEINT')} AS uval
+            FROM fx
+        ), fh AS (
+            SELECT fid,
+                   CAST(CASE WHEN uval >= 9223372036854775808::HUGEINT
+                             THEN uval - 18446744073709551616::HUGEINT
+                             ELSE uval END AS BIGINT) AS h,
+                   uval
+            FROM f
+        ), chunks AS (
+            SELECT fid, h, t.c,
+                   CAST((uval // (CASE t.c WHEN 0 THEN 1::HUGEINT
+                                          WHEN 1 THEN 4096::HUGEINT
+                                          WHEN 2 THEN 16777216::HUGEINT
+                                          WHEN 3 THEN 68719476736::HUGEINT
+                                          ELSE 281474976710656::HUGEINT END))
+                        % 4096 AS INTEGER) AS cv
+            FROM fh, unnest(range(5)) t(c)
+        ), pairs AS (
+            SELECT DISTINCT a.fid AS fid_a, b.fid AS fid_b,
+                            a.h AS ha, b.h AS hb
+            FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+                                       AND a.fid < b.fid
+        ), verified AS (
+            SELECT fid_a, fid_b FROM pairs
+            WHERE bit_count(xor(ha, hb)) <= 4
+        ), matched AS (
+            SELECT least(fid_a // 1024, fid_b // 1024) AS id_a,
+                   greatest(fid_a // 1024, fid_b // 1024) AS id_b,
+                   CASE WHEN fid_a // 1024 <= fid_b // 1024
+                        THEN fid_a % 1024 ELSE fid_b % 1024 END AS fa
+            FROM verified
+            WHERE fid_a // 1024 != fid_b // 1024
+        ), agg AS (
+            SELECT id_a, id_b, count(DISTINCT fa) AS n_match
+            FROM matched GROUP BY id_a, id_b
+        ), counts AS (
+            SELECT doc_id, count(*) AS nfr FROM f GROUP BY doc_id
+        )
+        SELECT a.id_a, a.id_b, CAST(a.n_match AS BIGINT) AS n_match,
+               a.n_match::DOUBLE / least(ca.nfr, cb.nfr) AS overlap
+        FROM agg a
+        JOIN counts ca ON ca.doc_id = a.id_a
+        JOIN counts cb ON cb.doc_id = a.id_b
+        WHERE a.n_match::DOUBLE / least(ca.nfr, cb.nfr) >= 0.5
+        ORDER BY id_a, id_b
+    """,
     "multimodal_audio_fp": f"""
         WITH h AS (
             SELECT doc_id, sha256('afp:' || text) AS hx FROM documents

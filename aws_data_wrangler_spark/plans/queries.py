@@ -1694,6 +1694,30 @@ def _streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(rollup).orderBy("window_start", "event_type")
 
 
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (``applyInPandasWithState``)
+    replayed availableNow in NoTimeout mode (a backlog replay has no
+    wall-clock — with processing-time timeouts Spark keeps scheduling
+    empty batches to fire them and the query never terminates): the
+    single-file backlog arrives as ONE micro-batch and the emitted set
+    is DETERMINISTIC — every gap-closed session, i.e. all but each
+    user's LAST session (which stays open in state). The oracle is
+    the batch lag/cumsum sessionize twin (µs-exact gap, matching the
+    operator's microsecond arithmetic — the batch SQL's whole-second
+    gap differs) minus each user's final session."""
+    from aws_data_wrangler_spark import streaming
+
+    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+    sess = streaming.sessionize_stateful(stream, gap_seconds=1800.0, idle_timeout=False)
+    out = streaming.run_available_now(sess, output_mode="append")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
+
+
 def _streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE-INTO: foreachBatch upsert keeping the latest
     event per user in a versioned-snapshot parquet table. Replayed
@@ -1984,6 +2008,30 @@ def _multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_dhash(media, use_real_decoder=False).orderBy("doc_id")
 
 
+def _multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO rung of the dedup ladder, driver-verified end to end:
+    deterministic fake frame hashes (sha256 hex chaining — the
+    image-dhash oracle technique) → generic 64-bit hamming banding →
+    frame-set-overlap rollup (the pmod fid pack/unpack). Twenty
+    re-id'd payload copies are planted (the synthetic corpus has no
+    exact text dups below sf0.1 — the dedup_embedding_lsh planted-twin
+    technique), so identical payloads share identical frame sets and
+    the pair list holds the planted twins at overlap 1.0 plus any
+    hamming-adjacent strays — all replicated value-for-value in the
+    DuckDB oracle, whose banding replica is the same pigeonhole
+    construction (exact, so both engines mine identical pair sets)."""
+    from aws_data_wrangler_spark.operators import multimodal
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    media = multimodal.attach_binary_payload(docs.unionByName(twins))
+    return multimodal.video_near_dup_pairs(
+        media, threshold=0.5, max_hamming=4
+    ).orderBy("id_a", "id_b")
+
+
 def _profiling_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column null/distinct profile over events with one column
     deterministically nulled (value on error events), so the null
@@ -2267,6 +2315,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # k-means path gains a cross-engine value check) ---
     "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
     "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
+    "multimodal_video_near_dup": _multimodal_video_near_dup,
+    "streaming_sessionize": _streaming_sessionize,
     # --- backfill: the oldest round-3 rows (ROUND3_FROZEN head) ---
     "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
     "dedup_minhash_lsh": _dedup_minhash_lsh,

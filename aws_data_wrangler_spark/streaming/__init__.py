@@ -576,12 +576,24 @@ def sessionize_stateful(
     gap_seconds: float = 1800.0,
     time_col: str = "ts",
     user_col: str = "user_id",
+    idle_timeout: bool = True,
 ) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState``.
 
     Per-user state carries the open session; a processing-time timeout
     flushes idle sessions. This is the template for stateful operators
     Spark lacks natively — Arrow-batched, state bounded per key.
+
+    ``idle_timeout=False`` switches to ``NoTimeout``: sessions close
+    only when a later event exceeds the gap, and each key's final
+    session stays in state. That is the right mode for an
+    ``availableNow`` backlog REPLAY — a replay has no wall-clock, and
+    with processing-time timeouts registered Spark keeps scheduling
+    empty micro-batches to fire them, so the query never terminates
+    on its own (observed: endless 0-row batches until the caller's
+    await timeout). With ``NoTimeout`` the replay emits exactly the
+    gap-closed sessions — a deterministic set a batch twin can pin —
+    and terminates when the backlog is drained.
     """
 
     gap_us = gap_seconds * 1e6
@@ -619,7 +631,8 @@ def sessionize_stateful(
             last_us = float(t)
             count += 1
         state.update((start_us, last_us, count))
-        state.setTimeoutDuration(int(gap_seconds * 1000))
+        if idle_timeout:
+            state.setTimeoutDuration(int(gap_seconds * 1000))
         if sessions:
             yield pd.DataFrame(
                 {
@@ -630,6 +643,11 @@ def sessionize_stateful(
                 }
             )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         stream.groupBy(user_col)
         .applyInPandasWithState(
@@ -637,6 +655,6 @@ def sessionize_stateful(
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
