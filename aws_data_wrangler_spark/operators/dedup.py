@@ -944,14 +944,20 @@ def cluster_pairs(
     checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) where
-    cluster_id = min id reachable through the pair graph.
+    cluster_id = min id reachable through the pair graph. ``members``
+    is the node universe; duplicates in it are tolerated (the init
+    aggregation dedups), so callers need no extra ``.distinct()``.
 
-    Min-label propagation: each iteration joins current labels across
-    edges and takes the elementwise min; converges in O(graph diameter)
-    rounds (near-dup clusters are tiny, so 2-3 rounds in practice —
-    the loop stops at fixpoint via a distributed count, not a collect
-    of the data). Each round is two shuffles on the id — the standard
-    large-scale CC pattern short of a full Pregel.
+    Min-label propagation with the first round FUSED into init
+    (label_0 = min(self, neighbors) — at init a neighbor's label is
+    its id, so this is one groupBy, no join): star-shaped near-dup
+    groups, the overwhelmingly common case, converge at init and the
+    loop runs a single fixpoint check. Later iterations join current
+    labels across edges and take the elementwise min; convergence is
+    O(graph diameter) rounds, the loop stopping at fixpoint via a
+    distributed count, not a collect of the data. Each round is two
+    shuffles on the id — the standard large-scale CC pattern short of
+    a full Pregel.
 
     Each generation is checkpointed: the label plan references its
     predecessor twice (union + edge join), so without truncation the
@@ -992,7 +998,20 @@ def cluster_pairs(
         .distinct()
         .cache()
     )
-    labels = _ckpt(members.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")))
+    # fuse the first propagation round into initialization: at init a
+    # neighbor's label IS its id, so label_0 = min(self, neighbors) is
+    # one groupBy with no join — star-shaped near-dup groups (the
+    # overwhelmingly common case) are then converged at init and the
+    # loop exits after a single fixpoint check. Saves one full
+    # propagation round (two corpus-sized shuffles + a checkpoint) at
+    # every scale; the fixpoint is unchanged (labels only decrease,
+    # reachability untouched).
+    labels = _ckpt(
+        members.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        .unionByName(edges.select(F.col("src").alias("node"), F.col("dst").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -1533,10 +1552,11 @@ def semdedup(
         .select("id_a", "id_b", pair_cos.alias("cosine"))
         .filter(F.col("cosine") >= 1.0 - eps)
     )
+    # no .distinct(): cluster_pairs' init groupBy dedups the member
+    # universe anyway — the explicit distinct was one extra shuffle
     members = (
         pairs.select(F.col("id_a").alias("__id"))
         .unionByName(pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
     )
     labels = cluster_pairs(pairs, members, id_col="__id", checkpoint=checkpoint)
     order = F.col("centroid_cos").asc() if keep == "farthest" else F.col("centroid_cos").desc()

@@ -30,7 +30,10 @@ REPS = {
     "dedup_minhash_lsh": 4,
     "dedup_incremental": 4,
     "dedup_duplicated_lines": 3,
-    "dedup_semdedup": 3,
+    # r6 (VERDICT r5 sanctioned): semdedup is still JIT-warming at rep
+    # 3 (measured 14.6/4.1/3.8/3.6/3.4/3.4 across 6 runs) — a 4th rep
+    # records the steady-state cost the regression watch grades
+    "dedup_semdedup": 4,
 }
 
 HEADLINE = [
@@ -62,6 +65,11 @@ HEADLINE = [
     # invisible before, ~15 s at r4 parameters; the literal-LUT +
     # shared-init rewrite is graded against this number
     "ann_pq_topk",
+    # round-6 addition: the partitioned-index story end-to-end —
+    # assign + partitionBy(cid) dataset write + partition-pruned
+    # probe-side search (build dominates; the search alone reads
+    # ~nprobe/num_centroids of the index)
+    "ann_ivf_partitioned_search",
 ]
 
 
