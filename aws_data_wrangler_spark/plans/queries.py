@@ -2273,12 +2273,74 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codegen, parquet reader) are sub-second plans. Enforced by
 # tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- window leaders: sub-second warmup absorbers ---
+    # --- window leaders: sub-second warmup absorbers (fresh r5 rows) ---
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- the 18 ROUND2_GREEN_FROZEN entries rotating IN, exactly as
-    # round 4's policy file named them (VERDICT r4 "next" #3): their
-    # newest driver rows dated from round 2 ---
+    # --- the 23 ROUND3_FROZEN entries rotating IN, FIRST, exactly as
+    # VERDICT r5 "next" #5 ordered: their newest driver rows dated
+    # from round 3 ---
+    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
+    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
+    "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
+    "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
+    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
+    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
+    "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
+    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
+    "q22_idle_customers": _analytics_query(ANALYTICS_SQL["q22_idle_customers"]),
+    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
+    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
+    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
+    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
+    "orders_yoy_growth": _analytics_query(ANALYTICS_SQL["orders_yoy_growth"]),
+    "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
+    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
+    "catalog_table_roundtrip": _catalog_table_roundtrip,
+    "io_bucketed_join": _io_bucketed_join,
+    "io_overwrite_partitions": _io_overwrite_partitions,
+    "io_csv_roundtrip": _io_csv_roundtrip,
+    "io_json_roundtrip": _io_json_roundtrip,
+    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
+    # --- crossing round-6-CHANGED code, so they need fresh rows: the
+    # max_cells routing + two-level assign + shared Lloyd constant in
+    # similarity.py (ann_* quantized tiers), the cluster_pairs
+    # init-fusion + semdedup members change in dedup.py, and the
+    # unterminated-literal guard in cloudwatch.py ---
+    "ann_ivf_topk": _ann_ivf_topk,
+    "ann_ivfpq_topk": _ann_ivfpq_topk,
+    "ann_pq_topk": _ann_pq_topk,
+    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
+    "dedup_semdedup": _dedup_semdedup,
+    "dedup_clusters": _dedup_clusters,
+    "logs_insights_stats": _logs_insights_stats,
+    "logs_insights_parse": _logs_insights_parse,
+    # --- NEW in round 6 ---
+    "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
+    "multimodal_video_near_dup": _multimodal_video_near_dup,
+    "streaming_sessionize": _streaming_sessionize,
+    # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
+    # oldest below-window pedigree after the round-3 block rotated in) ---
+    "io_orc_roundtrip": _io_orc_roundtrip,
+    "events_join_fanout": _events_join_fanout,
+    "text_html_extract": _text_html_extract,
+    "sample_shuffle_shards": _sample_shuffle_shards,
+    "text_ngram_repetition": _text_ngram_repetition,
+    "text_bigram_surprisal": _text_bigram_surprisal,
+    "multimodal_image_dhash": _multimodal_image_dhash,
+    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
+    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
+    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
+    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
+    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
+    "embedding_stats": _embedding_stats,
+    "text_ngram_freq": _text_ngram_freq,
+    # --- driver window boundary: the driver verifies the FIRST 50
+    # entries, i.e. everything ABOVE this comment. Below sit only
+    # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
+    # byte-identical since, except the similarity/dedup/cloudwatch
+    # entries that stayed ABOVE), and (b) the round-4 remainder riding
+    # its round-4 rows. Enforced by tests/test_plans.py. ---
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
@@ -2297,33 +2359,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_static_enrich": _streaming_static_enrich,
     "streaming_latest_per_user": _streaming_latest_per_user,
     "text_fingerprint": _text_fingerprint,
-    # --- crossing round-5-CHANGED code, so they need fresh rows: the
-    # zero-shuffle assignment + literal-LUT rewrite (similarity.py),
-    # the semdedup flat/two-level assignment router and the verdict-
-    # join tri-state (dedup.py), the null-safe epoch-mixture join
-    # (sampling.py), and the escape-aware bin() literal scan
-    # (cloudwatch.py) ---
-    "ann_ivfpq_topk": _ann_ivfpq_topk,
-    "ann_pq_topk": _ann_pq_topk,
-    "ann_ivf_topk": _ann_ivf_topk,
-    "dedup_semdedup": _dedup_semdedup,
     "dedup_duplicated_lines": _dedup_duplicated_lines,
     "sample_epoch_mixture": _sample_epoch_mixture,
-    "logs_insights_stats": _logs_insights_stats,
-    "logs_insights_parse": _logs_insights_parse,
-    # --- NEW in round 5: the pinned-Lloyd-step oracle (the trained
-    # k-means path gains a cross-engine value check) ---
-    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
-    "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
-    "multimodal_video_near_dup": _multimodal_video_near_dup,
-    "streaming_sessionize": _streaming_sessionize,
-    # --- backfill: the oldest round-3 rows (ROUND3_FROZEN head) ---
     "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
     "dedup_minhash_lsh": _dedup_minhash_lsh,
     "dedup_incremental": _dedup_incremental,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_simhash": _dedup_simhash,
-    "dedup_clusters": _dedup_clusters,
     "dedup_lsh_corpus": _dedup_lsh_corpus,
     "dedup_duplicated_spans": _dedup_duplicated_spans,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
@@ -2339,27 +2381,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temperature": _sample_temperature,
     "events_key_skew": _events_key_skew,
     "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
-    # --- driver window boundary: the driver verifies the FIRST 50
-    # entries, i.e. everything ABOVE this comment. Below sit only
-    # (a) the round-4 window frozen on its fresh round-4 rows (code
-    # byte-identical since, except the similarity/dedup/sampling/
-    # cloudwatch entries that moved ABOVE), and (b) the round-3
-    # remainder riding its round-3 rows. Enforced by
-    # tests/test_plans.py. ---
-    "io_orc_roundtrip": _io_orc_roundtrip,
-    "events_join_fanout": _events_join_fanout,
-    "text_html_extract": _text_html_extract,
-    "sample_shuffle_shards": _sample_shuffle_shards,
-    "text_ngram_repetition": _text_ngram_repetition,
-    "text_bigram_surprisal": _text_bigram_surprisal,
-    "multimodal_image_dhash": _multimodal_image_dhash,
-    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
-    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
-    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
-    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
-    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
-    "embedding_stats": _embedding_stats,
-    "text_ngram_freq": _text_ngram_freq,
+    # --- round-4 remainder frozen on its round-4 rows ---
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,
@@ -2387,30 +2409,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
     "streaming_corpus_dedup": _streaming_corpus_dedup,
-    # --- round-3 remainder frozen on its round-3 rows ---
-    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
-    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
-    "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
-    "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
-    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
-    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
-    "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
-    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
-    "q22_idle_customers": _analytics_query(ANALYTICS_SQL["q22_idle_customers"]),
-    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
-    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
-    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
-    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
-    "orders_yoy_growth": _analytics_query(ANALYTICS_SQL["orders_yoy_growth"]),
-    "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
-    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
-    "catalog_table_roundtrip": _catalog_table_roundtrip,
-    "io_bucketed_join": _io_bucketed_join,
-    "io_overwrite_partitions": _io_overwrite_partitions,
-    "io_csv_roundtrip": _io_csv_roundtrip,
-    "io_json_roundtrip": _io_json_roundtrip,
-    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
-    "corpus_curation_pipeline": _corpus_curation_pipeline,
 }
 
 

@@ -26,36 +26,23 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-5 rotation policy (VERDICT r4 "next" #3): the driver verifies
-# the FIRST 50 registry entries. The window carries (a) the 18
-# ROUND2_GREEN_FROZEN entries, FIRST, exactly as round 4's policy
-# named them, (b) every query crossing round-5-changed code (the
-# zero-shuffle assignment rewrite in similarity.py, the semdedup
-# router + verdict-join tri-state in dedup.py, the null-safe
-# epoch-mixture join in sampling.py, the escape-aware bin() scan in
-# cloudwatch.py), (c) the new pinned-Lloyd-step oracle, and (d) a
-# backfill of the OLDEST round-3 rows. Below the boundary sit only
-# the round-4 window riding its fresh round-4 rows and the round-3
-# remainder riding its round-3 rows.
+# Round-6 rotation policy (VERDICT r5 "next" #5): the driver verifies
+# the FIRST 50 registry entries. The window carries (a) the 23
+# ROUND3_FROZEN entries, FIRST — their newest driver rows dated from
+# round 3, (b) every query crossing round-6-changed code (the
+# max_cells routing / two-level assign / shared Lloyd constant in
+# similarity.py, the cluster_pairs init-fusion + semdedup members
+# change in dedup.py, the unterminated-literal guard in
+# cloudwatch.py), (c) the three NEW round-6 entries
+# (ann_ivf_partitioned_search, multimodal_video_near_dup,
+# streaming_sessionize), and (d) a backfill of the oldest
+# ROUND4_FROZEN rows. Below the boundary sit only the ROUND5_FROZEN
+# block riding its fresh round-5 rows and the round-4 remainder
+# riding its round-4 rows.
 
-ROUND2_ROTATED_IN_R5 = {
-    # the full ROUND2_GREEN_FROZEN set from round 4's policy — all 18
-    # moved into the round-5 window as ordered
-    "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
-    "streaming_static_enrich", "streaming_latest_per_user",
-    "text_fingerprint",
-    "events_error_click_window", "dedup_exact", "dedup_normalized",
-    "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
-    "events_session_window", "events_hourly_gapfill",
-    "events_user_join_salted", "athena_ctas_roundtrip",
-    "io_partition_pruned_read", "io_merge_datasets",
-}
-
-ROUND3_FROZEN = {
-    # round-3 driver rows; code byte-identical since (the round-3
-    # entries whose code DID change in round 5 — the ann/semdedup
-    # block — moved INTO the window instead, and the oldest 21 moved
-    # in as backfill)
+ROUND3_ROTATED_IN_R6 = {
+    # the full ROUND3_FROZEN set from round 5's policy — all 23 moved
+    # into the round-6 window as ordered
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q11_important_stock", "q13_customer_distribution",
     "q14_promo_effect", "q18_large_orders", "q19_discount_revenue",
@@ -69,15 +56,9 @@ ROUND3_FROZEN = {
 
 ROUND4_FROZEN = {
     # fresh green rows in CORRECTNESS_r04.json; code byte-identical
-    # since round 4 (round-4 window entries crossing round-5-changed
-    # code — ann_*, dedup_semdedup, dedup_duplicated_lines,
-    # sample_epoch_mixture, logs_insights_* — stayed IN the window)
-    "io_orc_roundtrip", "events_join_fanout", "text_html_extract",
-    "sample_shuffle_shards", "text_ngram_repetition",
-    "text_bigram_surprisal", "multimodal_image_dhash",
-    "q16_parts_suppliers", "topk_customers_window",
-    "lineitem_stats_by_flag", "events_hourly_rollup",
-    "events_value_percentiles", "embedding_stats", "text_ngram_freq",
+    # since round 4. The head of round 5's list (io_orc_roundtrip ...
+    # text_ngram_freq) moved INTO the round-6 window as backfill; this
+    # is the remainder.
     "io_fwf_roundtrip", "profiling_null_profile",
     "profiling_hll_invariants", "events_heavy_hitters_sketch",
     "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
@@ -92,28 +73,62 @@ ROUND4_FROZEN = {
     "streaming_corpus_dedup",
 }
 
-ROUND5_MUST_BE_IN_WINDOW = ROUND2_ROTATED_IN_R5 | {
-    # crossing round-5-changed code
-    "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_topk",
-    "dedup_semdedup", "dedup_duplicated_lines",
-    "sample_epoch_mixture", "logs_insights_stats", "logs_insights_parse",
-    # new in round 5
-    "ann_ivf_lloyd_step",
+ROUND5_FROZEN = {
+    # fresh green rows in CORRECTNESS_r05.json; code byte-identical
+    # since round 5 (round-5 window entries crossing round-6-changed
+    # code — the ann quantized tiers, dedup_semdedup/clusters,
+    # logs_insights_* — stayed IN the window; q1/q6 stay as leaders)
+    "events_error_click_window", "dedup_exact", "dedup_normalized",
+    "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
+    "events_session_window", "events_hourly_gapfill",
+    "events_user_join_salted", "athena_ctas_roundtrip",
+    "io_partition_pruned_read", "io_merge_datasets",
+    "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
+    "streaming_static_enrich", "streaming_latest_per_user",
+    "text_fingerprint", "dedup_duplicated_lines",
+    "sample_epoch_mixture", "orders_value_deciles",
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_lsh_corpus", "dedup_duplicated_spans",
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "dedup_embedding_lsh", "embedding_curation_pipeline",
+    "multimodal_decode_stub", "ann_cosine_topk_arrow", "ann_sq8_topk",
+    "bpe_word_frequencies", "bpe_encode", "streaming_growing_corpus",
+    "sample_temperature", "events_key_skew", "q2_min_cost_supplier",
+}
+
+ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
+    # crossing round-6-changed code
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk",
+    "ann_ivf_lloyd_step", "dedup_semdedup", "dedup_clusters",
+    "logs_insights_stats", "logs_insights_parse",
+    # new in round 6
+    "ann_ivf_partitioned_search", "multimodal_video_near_dup",
+    "streaming_sessionize",
 }
 
 
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND3_FROZEN - ROUND4_FROZEN
+    unaccounted = below - ROUND4_FROZEN - ROUND5_FROZEN
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
 
 
+def test_no_entry_staler_than_two_rounds():
+    # the rotation invariant VERDICT r5 #5 pins: after round 6, no
+    # below-window entry's last driver row may be older than round 4
+    names = list(QUERIES)
+    below = set(names[50:])
+    assert below & ROUND3_ROTATED_IN_R6 == set(), (
+        "round-3-pedigree entries must sit inside the round-6 window"
+    )
+
+
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND5_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND6_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
