@@ -418,3 +418,223 @@ def epoch_mixture(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n_epochs") - 1)))
         .drop("__n_epochs", "__full", "__rem")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023): score every raw
+# document by the log-likelihood ratio of its hashed n-gram bag under a
+# target-domain unigram+bigram model vs the raw-corpus model, then draw
+# k documents with the Gumbel-top-k trick so the draw follows the
+# importance weights. All randomness is content-hash-derived — the
+# same result on every run, every engine, any partitioning.
+#
+# Scale shape: the two distribution-building passes are single
+# hash-aggregates whose output is BUCKET-bounded (num_buckets rows,
+# default 1024 — an artifact-sized collect, the centroid/codebook
+# pattern); scoring is a ZERO-SHUFFLE projection (the log-ratio table
+# rides into the plan as one `from_json`-folded array literal — the
+# SURVEY §6 lesson — and the per-document fold runs map-side over the
+# n-gram array); resampling is a global top-k (TakeOrderedAndProject:
+# per-partition partial top-k, no full sort). Nothing in the hot path
+# shuffles the corpus.
+# ---------------------------------------------------------------------------
+
+DSIR_DEFAULT_BUCKETS = 1024
+
+
+def _dsir_ngrams(text_col: Column, ngram_max: int = 2) -> Column:
+    """Position-ordered hashed-feature n-grams of a document.
+
+    Unigrams in token order followed by bigrams in token order — a
+    DETERMINISTIC sequence, so a left-fold over per-gram scores is
+    bit-identical across engines (the `unigram_surprisal` float
+    discipline). Tokenization matches the rest of the text tier:
+    lower → trim → split on whitespace → drop empties.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    if ngram_max <= 1:
+        return toks
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, F.lit(1), F.size(toks) - 1),
+            lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _dsir_bucket(gram: Column, num_buckets: int) -> Column:
+    """Hash an n-gram into [0, num_buckets) identically in any engine.
+
+    First 15 hex chars of md5 (< 2^60, no sign issues) → bigint → mod.
+    DuckDB replica: ``('0x' || substr(md5(g), 1, 15))::BIGINT % B``.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint"),
+        F.lit(num_buckets),
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = DSIR_DEFAULT_BUCKETS,
+    ngram_max: int = 2,
+) -> list:
+    """One corpus pass → hashed n-gram bucket histogram (length
+    ``num_buckets`` list of ints — the DSIR distribution artifact).
+
+    The aggregate's output is bucket-bounded regardless of corpus
+    size; the collect is the documented artifact-sized exception (the
+    centroid/codebook pattern), never O(corpus).
+    """
+    grams = df.select(
+        F.explode(_dsir_ngrams(F.col(text_col), ngram_max)).alias("g")
+    )
+    rows = (
+        grams.groupBy(_dsir_bucket(F.col("g"), num_buckets).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = [0] * num_buckets
+    for r in rows:
+        counts[int(r["b"])] = int(r["c"])
+    return counts
+
+
+def dsir_logratios(target_counts: list, raw_counts: list) -> list:
+    """Per-bucket importance log-ratio ln p_target(b) − ln p_raw(b)
+    with add-one smoothing (denominators ``total + num_buckets`` so
+    each smoothed distribution normalizes exactly).
+
+    Pure integer-derived arithmetic: both engines compute
+    ``ln((c+1)/ (N+B))`` from the same exact ints with the same IEEE
+    divide + libm ln, so the literals embedded in the Spark plan match
+    a DuckDB replica bit-for-bit (the surprisal-oracle discipline).
+    """
+    import math
+
+    if len(target_counts) != len(raw_counts):
+        raise ValueError(
+            f"bucket count mismatch: {len(target_counts)} vs {len(raw_counts)}"
+        )
+    b = len(target_counts)
+    t_total = float(sum(target_counts) + b)
+    r_total = float(sum(raw_counts) + b)
+    return [
+        math.log((t + 1) / t_total) - math.log((r + 1) / r_total)
+        for t, r in zip(target_counts, raw_counts)
+    ]
+
+
+def dsir_score(
+    df: DataFrame,
+    logratios: list,
+    text_col: str = "text",
+    ngram_max: int = 2,
+    score_col: str = "dsir_score",
+) -> DataFrame:
+    """Add the DSIR importance score: sum of per-bucket log-ratios over
+    the document's hashed n-grams, folded in n-gram position order.
+
+    Zero-shuffle: the log-ratio table ships as ONE ``from_json``
+    constant-folded array literal (O(1) plan nodes in num_buckets —
+    the SURVEY §6 `F.lit`-vs-`from_json` lesson) and the fold is a
+    map-side projection fused into the scan. A document with no
+    tokens scores 0.0 — no row is dropped.
+    """
+    import json as _json
+
+    num_buckets = len(logratios)
+    if num_buckets == 0:
+        raise ValueError("logratios is empty — train dsir_bucket_counts first")
+    lr = F.from_json(F.lit(_json.dumps(logratios)), "array<double>")
+    grams = _dsir_ngrams(F.col(text_col), ngram_max)
+    score = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(lr, (_dsir_bucket(g, num_buckets) + 1).cast("int")),
+    )
+    return df.withColumn(score_col, score)
+
+
+def dsir_resample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "dsir_score",
+    salt: str = "dsir",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: keep the k documents with
+    the largest ``score + Gumbel(0,1)`` key — a draw WITHOUT
+    replacement proportional to ``exp(score)`` (the DSIR paper's
+    sampler), made deterministic by deriving the Gumbel noise from a
+    content hash: ``u = (md5_32(id‖salt)+1) / (2^32+2)`` ∈ (0,1),
+    ``g = −ln(−ln u)``.
+
+    Scale shape: the key is a map-side projection; ``orderBy.limit``
+    plans as TakeOrderedAndProject (per-partition partial top-k — the
+    full corpus is never sorted or shuffled).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_HEX_SPAN + 2))
+    gumbel = -F.log(-F.log(u))
+    keyed = df.withColumn(key_col, F.col(score_col) + gumbel)
+    return keyed.orderBy(F.col(key_col).desc(), F.col(id_col)).limit(k)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: DataFrame,
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    salt: str = "",
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Diversity sampling over an embedding column: assign every vector
+    to its nearest centroid cell (``similarity.assign_cells`` — a
+    zero-shuffle literal-argmin projection), then draw exactly
+    ``min(per_cell, |cell|)`` vectors per cell by hash order — uniform
+    without replacement WITHIN each cell, so the sample covers the
+    embedding space instead of following its density (the
+    cluster-then-sample recipe semantic-diversity curation uses after
+    SemDeDup-style clustering).
+
+    Returns (id, cid, cell_rank) — ``cell_rank`` is the 1-based draw
+    position inside the cell. Deterministic on any engine/partitioning:
+    the draw order is ``md5(id‖salt)``, assignment ties resolve to the
+    lowest cid (the `assign_cells` contract).
+
+    Scale shape: assignment is a map-side projection (centroids ride
+    as one folded literal; the two-level router covers huge k); the
+    draw is ONE window shuffle keyed on cid — the same per-stratum
+    reservoir shape as ``fixed_size_sample``, with parallelism = the
+    cell count (thousands at real scale).
+    """
+    from aws_data_wrangler_spark.operators.similarity import assign_cells
+
+    assigned = assign_cells(
+        df, centroids, id_col=id_col, vec_col=vec_col, metric=metric, max_cells=max_cells
+    ).drop("key")
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    rn = F.row_number().over(
+        Window.partitionBy("cid").orderBy(order, F.col(id_col))
+    )
+    return (
+        assigned.withColumn("cell_rank", rn)
+        .filter(F.col("cell_rank") <= per_cell)
+    )

@@ -1381,6 +1381,105 @@ ORACLES: Dict[str, str] = {
     # lang order (list() preserves the ORDER BY ⇒ sequential float sum
     # matches the driver-side Python loop), md5-prefix hash coin with
     # the same round-to-2^32 threshold --------------------------------
+    # cluster-balanced diversity sampling replica: SEEDED cosine cell
+    # assignment (32 lowest-id vectors, argmax cosine with ties →
+    # lowest cid — the ann_ivf_topk technique) + per-cell md5-order
+    # draw of 5. Integer-only output.
+    "sample_cluster_balanced": """
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 32)
+        ), cell_scores AS (
+            SELECT c.vec_id, s.cid,
+                   list_dot_product(c.v, s.cv) /
+                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.cv, s.cv)))
+                       AS s
+            FROM corpus c, seeds s
+        ), assigned AS (
+            SELECT vec_id, cid
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY s DESC, cid ASC) AS rn
+                  FROM cell_scores)
+            WHERE rn = 1
+        ), drawn AS (
+            SELECT cid, vec_id,
+                   CAST(row_number() OVER (PARTITION BY cid
+                                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                        AS INTEGER) AS cell_rank
+            FROM assigned
+        )
+        SELECT cid, vec_id, cell_rank
+        FROM drawn WHERE cell_rank <= 5
+        ORDER BY cid, cell_rank
+    """,
+    # DSIR importance resampling replica: same md5-derived 512-bucket
+    # n-gram hashing, same add-one-smoothed ln ratios from exact ints
+    # (IEEE divide + libm ln — the surprisal discipline), per-doc fold
+    # in n-gram position order (list(... ORDER BY pos) + list_sum ≡
+    # Spark's sequential `aggregate`), hash-derived Gumbel keys, 6dp
+    # trunc on output only. Documents whose token list is empty score
+    # 0.0 on both sides (LEFT JOIN + coalesce here; fold over an empty
+    # array there).
+    "sample_dsir": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> length(x) > 0) AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, lang,
+                   list_concat(
+                       t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i+1])
+                            ELSE []::VARCHAR[] END
+                   ) AS g
+            FROM toks
+        ), exploded AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(g)+1),
+                                         i -> {'pos': i, 'gram': g[i]})) AS s
+            FROM grams
+        ), hashed AS (
+            SELECT doc_id, lang, s.pos AS pos,
+                   ('0x' || substr(md5(s.gram), 1, 15))::BIGINT % 512 AS b
+            FROM exploded
+        ), raw_cnt AS (
+            SELECT b, count(*) AS c FROM hashed GROUP BY b
+        ), tgt_cnt AS (
+            SELECT b, count(*) AS c FROM hashed WHERE lang = 'en' GROUP BY b
+        ), lr AS (
+            SELECT r.b AS b,
+                   ln((coalesce(t.c, 0) + 1)::DOUBLE /
+                      ((SELECT count(*) FROM hashed WHERE lang = 'en') + 512)::DOUBLE)
+                   - ln((r.c + 1)::DOUBLE /
+                        ((SELECT count(*) FROM hashed) + 512)::DOUBLE) AS lr
+            FROM raw_cnt r LEFT JOIN tgt_cnt t USING (b)
+        ), folded AS (
+            SELECT h.doc_id, list_sum(list(lr.lr ORDER BY h.pos)) AS score
+            FROM hashed h JOIN lr USING (b)
+            GROUP BY h.doc_id
+        ), scored AS (
+            SELECT d.doc_id, coalesce(f.score, 0.0) AS score
+            FROM documents d LEFT JOIN folded f USING (doc_id)
+        ), keyed AS (
+            SELECT doc_id, score,
+                   score + (-ln(-ln(
+                       ((('0x' || substr(md5(doc_id::VARCHAR || 'dsir'), 1, 8))::BIGINT
+                         + 1)::DOUBLE) / 4294967298.0))) AS skey
+            FROM scored
+        )
+        SELECT doc_id,
+               floor(score * 1000000.0) / 1000000.0 AS dsir_score,
+               floor(skey * 1000000.0) / 1000000.0 AS sample_key
+        FROM keyed
+        ORDER BY skey DESC, doc_id
+        LIMIT 100
+    """,
     "sample_temperature": """
         WITH counts AS (
             SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang

@@ -1830,6 +1830,66 @@ def _sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) over the documents
+    corpus: hashed unigram+bigram bucket distributions for the
+    English-language target vs the full raw corpus → per-bucket
+    log-ratios → per-doc importance scores → Gumbel-top-k draw of 100
+    documents. Distribution builds are bucket-bounded aggregates
+    (B=512 artifact collects — the centroid pattern); scoring is a
+    zero-shuffle projection with the log-ratio table riding as one
+    `from_json`-folded literal; the draw plans as
+    TakeOrderedAndProject. The oracle replicates every step exactly:
+    same md5 buckets, same integer-derived ln ratios, same
+    position-order fold, same hash-derived Gumbel keys."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import sampling
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    num_buckets = 512
+    lrs = sampling.dsir_logratios(
+        sampling.dsir_bucket_counts(
+            docs.filter(F.col("lang") == "en"), num_buckets=num_buckets
+        ),
+        sampling.dsir_bucket_counts(docs, num_buckets=num_buckets),
+    )
+    scored = sampling.dsir_score(docs, lrs)
+    picked = sampling.dsir_resample(scored, k=100)
+    return picked.select(
+        "doc_id",
+        trunc_digits(F.col("dsir_score")).alias("dsir_score"),
+        trunc_digits(F.col("sample_key")).alias("sample_key"),
+    )
+
+
+def _sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling over the embeddings table:
+    assign every vector to its nearest SEEDED cell (the 32 lowest-id
+    vectors, cosine metric — the ``ann_ivf_topk`` oracle technique, so
+    assignment is deterministic dot-product arithmetic) and draw 5
+    vectors per cell by md5 hash order. Integer-only output (cid,
+    vec_id, cell_rank) — no float columns to destabilize the hash."""
+    from pyspark.sql import Window as W
+
+    from aws_data_wrangler_spark.operators import sampling
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+    picked = sampling.cluster_balanced_sample(
+        emb, seeds, per_cell=5, metric="cosine"
+    )
+    return picked.select(
+        F.col("cid").cast("int").alias("cid"),
+        "vec_id",
+        F.col("cell_rank").cast("int").alias("cell_rank"),
+    ).orderBy("cid", "cell_rank")
+
+
 def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-shuffle skew diagnosis on the prospective join key."""
     from aws_data_wrangler_spark.operators import profiling
@@ -2319,6 +2379,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
     "multimodal_video_near_dup": _multimodal_video_near_dup,
     "streaming_sessionize": _streaming_sessionize,
+    "sample_dsir": _sample_dsir,
+    "sample_cluster_balanced": _sample_cluster_balanced,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2333,8 +2395,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
-    "embedding_stats": _embedding_stats,
-    "text_ngram_freq": _text_ngram_freq,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2381,7 +2441,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temperature": _sample_temperature,
     "events_key_skew": _events_key_skew,
     "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
-    # --- round-4 remainder frozen on its round-4 rows ---
+    # --- round-4 remainder frozen on its round-4 rows (text_ngram_freq
+    # and embedding_stats displaced from the window's backfill tail by
+    # the new sample_dsir / sample_cluster_balanced entries — they ride
+    # their round-4 rows; code byte-identical since) ---
+    "text_ngram_freq": _text_ngram_freq,
+    "embedding_stats": _embedding_stats,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -1801,6 +1801,202 @@ class TestSampling:
         assert "Exchange" not in plan
 
 
+class TestDSIR:
+    """DSIR importance resampling (hashed-ngram log-ratio scoring +
+    deterministic Gumbel-top-k draw)."""
+
+    B = 64
+
+    def _lrs(self, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        return sampling.dsir_logratios(
+            sampling.dsir_bucket_counts(
+                documents.filter(F.col("lang") == "en"), num_buckets=self.B
+            ),
+            sampling.dsir_bucket_counts(documents, num_buckets=self.B),
+        )
+
+    def test_bucket_counts_match_python_replica(self, spark, documents):
+        import hashlib
+
+        from aws_data_wrangler_spark.operators import sampling
+
+        counts = sampling.dsir_bucket_counts(documents, num_buckets=self.B)
+        assert len(counts) == self.B
+        expected = [0] * self.B
+        for r in documents.select("text").collect():
+            toks = [t for t in r["text"].strip().lower().split() if t]
+            for g in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+                h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                expected[h % self.B] += 1
+        assert counts == expected
+
+    def test_score_matches_python_fold_bit_for_bit(self, spark, documents):
+        import hashlib
+
+        from aws_data_wrangler_spark.operators import sampling
+
+        lrs = self._lrs(documents)
+        scored = {
+            r["doc_id"]: r["dsir_score"]
+            for r in sampling.dsir_score(documents, lrs)
+            .select("doc_id", "dsir_score")
+            .collect()
+        }
+        for r in documents.select("doc_id", "text").limit(20).collect():
+            toks = [t for t in r["text"].strip().lower().split() if t]
+            acc = 0.0
+            for g in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+                h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                acc = acc + lrs[h % self.B]
+            assert scored[r["doc_id"]] == acc  # identical IEEE fold
+
+    def test_target_documents_score_higher_on_average(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        lrs = self._lrs(documents)
+        avg = {
+            r["is_en"]: r["m"]
+            for r in sampling.dsir_score(documents, lrs)
+            .groupBy((F.col("lang") == "en").alias("is_en"))
+            .agg(F.avg("dsir_score").alias("m"))
+            .collect()
+        }
+        # the whole point of the log-ratio: target-domain docs carry
+        # more target-likely n-grams
+        assert avg[True] > avg[False]
+
+    def test_empty_text_scores_zero_and_is_kept(self, spark):
+        from aws_data_wrangler_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "   "), (3, "")], ["doc_id", "text"]
+        )
+        lrs = [0.5] * self.B
+        rows = {
+            r["doc_id"]: r["dsir_score"]
+            for r in sampling.dsir_score(df, lrs).collect()
+        }
+        assert rows[2] == 0.0 and rows[3] == 0.0
+        assert rows[1] == 1.5  # 2 unigrams + 1 bigram, each 0.5
+
+    def test_resample_deterministic_without_replacement(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        lrs = self._lrs(documents)
+        scored = sampling.dsir_score(documents, lrs)
+        a = [r["doc_id"] for r in sampling.dsir_resample(scored, 25).collect()]
+        b = [r["doc_id"] for r in sampling.dsir_resample(scored, 25).collect()]
+        assert a == b and len(a) == 25 and len(set(a)) == 25
+        # salt decorrelates the draw
+        c = [
+            r["doc_id"]
+            for r in sampling.dsir_resample(scored, 25, salt="other").collect()
+        ]
+        assert c != a
+
+    def test_scoring_is_zero_shuffle_and_resample_is_topk(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        lrs = self._lrs(documents)
+        scored = sampling.dsir_score(documents, lrs)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        # the log-ratio table must fold to a literal projection: no
+        # Exchange between the scan and the score column
+        assert "Exchange" not in plan
+        out = sampling.dsir_resample(scored, 10)
+        rplan = out._jdf.queryExecution().executedPlan().toString()
+        # global top-k must be partial-per-partition, never a full sort
+        assert "TakeOrderedAndProject" in rplan
+
+    def test_logratio_validation(self, spark, documents):
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import sampling
+
+        with _pytest.raises(ValueError):
+            sampling.dsir_logratios([1, 2], [1, 2, 3])
+        with _pytest.raises(ValueError):
+            sampling.dsir_score(documents, [])
+
+
+class TestClusterBalancedSample:
+    def _seeds(self, embeddings, n=8):
+        from pyspark.sql import Window as W
+
+        return (
+            embeddings.orderBy("vec_id")
+            .limit(n)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+
+    def test_per_cell_quota_and_determinism(self, spark, embeddings):
+        from aws_data_wrangler_spark.operators import sampling
+
+        seeds = self._seeds(embeddings)
+        out = sampling.cluster_balanced_sample(
+            embeddings, seeds, per_cell=3, metric="cosine"
+        )
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["cid"], []).append(r["cell_rank"])
+        for cid, ranks in per.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 3
+        again = sampling.cluster_balanced_sample(
+            embeddings, seeds, per_cell=3, metric="cosine"
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_sample_is_subset_and_matches_assignment(self, spark, embeddings):
+        from aws_data_wrangler_spark.operators import sampling, similarity
+
+        seeds = self._seeds(embeddings)
+        assigned = {
+            r["vec_id"]: r["cid"]
+            for r in similarity.assign_cells(
+                embeddings, seeds, metric="cosine"
+            ).collect()
+        }
+        out = sampling.cluster_balanced_sample(
+            embeddings, seeds, per_cell=2, metric="cosine"
+        ).collect()
+        for r in out:
+            assert assigned[r["vec_id"]] == r["cid"]
+
+    def test_covers_more_cells_than_hash_sample_of_same_size(self, spark, embeddings):
+        # the diversity claim: a balanced draw touches every nonempty
+        # cell, while a same-sized uniform draw follows density
+        from aws_data_wrangler_spark.operators import sampling, similarity
+
+        seeds = self._seeds(embeddings)
+        balanced = sampling.cluster_balanced_sample(
+            embeddings, seeds, per_cell=1, metric="cosine"
+        ).collect()
+        nonempty = (
+            similarity.assign_cells(embeddings, seeds, metric="cosine")
+            .select("cid")
+            .distinct()
+            .count()
+        )
+        assert len(balanced) == nonempty
+
+    def test_assignment_stays_zero_shuffle(self, spark, embeddings):
+        from aws_data_wrangler_spark.operators import sampling
+
+        seeds = self._seeds(embeddings)
+        out = sampling.cluster_balanced_sample(
+            embeddings, seeds, per_cell=3, metric="cosine"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly the draw's cid-keyed window exchange — assignment
+        # must not add its own shuffle
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
 class TestTextPipelineOps:
     def test_scrub_pii_planted(self, spark):
         df = spark.createDataFrame(

@@ -57,8 +57,11 @@ ROUND3_ROTATED_IN_R6 = {
 ROUND4_FROZEN = {
     # fresh green rows in CORRECTNESS_r04.json; code byte-identical
     # since round 4. The head of round 5's list (io_orc_roundtrip ...
-    # text_ngram_freq) moved INTO the round-6 window as backfill; this
-    # is the remainder.
+    # embedding_stats) moved INTO the round-6 window as backfill; this
+    # is the remainder. text_ngram_freq and embedding_stats were
+    # displaced back below the boundary when sample_dsir /
+    # sample_cluster_balanced registered — they ride their round-4 rows.
+    "text_ngram_freq", "embedding_stats",
     "io_fwf_roundtrip", "profiling_null_profile",
     "profiling_hll_invariants", "events_heavy_hitters_sketch",
     "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
@@ -103,7 +106,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     "logs_insights_stats", "logs_insights_parse",
     # new in round 6
     "ann_ivf_partitioned_search", "multimodal_video_near_dup",
-    "streaming_sessionize",
+    "streaming_sessionize", "sample_dsir", "sample_cluster_balanced",
 }
 
 
