@@ -1130,6 +1130,7 @@ def build_partitioned_ivf(
     vec_col: str = "embedding",
     metric: str = "l2",
     max_cells: int = 100_000,
+    files_per_cell: int = 1,
     spark=None,
 ) -> None:
     """Materialize a cell-partitioned IVF index: assign every corpus
@@ -1138,13 +1139,20 @@ def build_partitioned_ivf(
     dataset — vector, precomputed norm, and cell id per row.
 
     This is the 100 TB index build: ONE pass over the corpus (one
-    assignment projection + the dataset write's partition shuffle), and
-    every search after it reads ONLY the probed cells via plan-time
-    partition pruning (``ivf_partitioned_topk``) — search I/O is
-    ~nprobe/num_centroids of the corpus instead of a full scan. The
-    write goes through ``s3.to_parquet`` dataset mode, so the same call
-    targets ``file://`` in tests and ``s3a://`` on a cluster, and the
-    index can be registered in the catalog like any dataset.
+    assignment projection + ONE shuffle that clusters rows by cell
+    before the write), and every search after it reads ONLY the probed
+    cells via plan-time partition pruning (``ivf_partitioned_topk``) —
+    search I/O is ~nprobe/num_centroids of the corpus instead of a
+    full scan. Without the pre-write clustering every input partition
+    would emit a file into every cell directory —
+    ``num_input_partitions × num_cells`` small files (10M+ at cluster
+    scale, a metadata catastrophe); clustered, the file count is
+    bounded at ``files_per_cell × num_cells``. Raise ``files_per_cell``
+    when single cells outgrow one task's write (the intra-cell salt
+    spreads each cell over that many shuffle keys). The write goes
+    through ``s3.to_parquet`` dataset mode, so the same call targets
+    ``file://`` in tests and ``s3a://`` on a cluster, and the index can
+    be registered in the catalog like any dataset.
 
     Ref: composes `/root/reference/awswrangler/s3.py` ``to_parquet``
     dataset semantics (partition_cols) with the IVF assignment tier —
@@ -1167,8 +1175,14 @@ def build_partitioned_ivf(
             F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
         )
     )
+    if files_per_cell <= 1:
+        clustered = assigned.repartition(F.col("cid"))
+    else:
+        clustered = assigned.repartition(
+            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
+        )
     s3.to_parquet(
-        assigned, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
+        clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
     )
 
 
@@ -1324,3 +1338,40 @@ def load_encoded_corpus(spark, path: str) -> DataFrame:
     """Load a table saved by ``save_encoded_corpus`` (pass to
     ``pq_topk(encoded=...)`` / ``sq8_topk(quantized=...)``)."""
     return spark.read.parquet(path)
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate ANN result against the exact
+    ground truth: (query_id, n_exact, n_hit, recall) where recall =
+    |approx ∩ exact| / |exact| — the index-quality metric every ANN
+    deployment tracks (FAISS's recall@k). Queries present in ``exact``
+    but absent from ``approx`` (an index that returned nothing) score
+    0.0 rather than disappearing.
+
+    Both inputs are top-k tables (≤ k·|queries| rows — result-sized,
+    never corpus-sized), so the intersection is one equi-join on
+    (query, neighbor) and the rollup one aggregate. The recall double
+    is a division of two exact ints — bit-identical in any engine.
+    """
+    e = exact.select(
+        F.col(query_col).alias("query_id"), F.col(neighbor_col).alias("neighbor_id")
+    )
+    a = approx.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("__hit"),
+    )
+    joined = e.join(a, ["query_id", "neighbor_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
+    )

@@ -1280,6 +1280,37 @@ ORACLES: Dict[str, str] = {
     # the same (seeded) centroids — partitioning changes I/O, never
     # results — so the replica is the same pipeline at 32 seeds
     "ann_ivf_partitioned_search": _ivf_ann_oracle_sql(num_seeds=32),
+    # recall@5 of the LSH index vs brute force: both sub-pipelines are
+    # the two already-green oracles verbatim (composed as CTEs); the
+    # rollup is exact integer arithmetic + one int division
+    "ann_recall_lsh": f"""
+        WITH approx AS (
+            {_lsh_ann_oracle_sql()}
+        ), q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COSINE.format(a='q', b='c')} AS cosine
+            FROM q, embeddings c
+            WHERE c.vec_id <> q.vec_id
+        ), exact AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               floor((count(a.neighbor_id)::DOUBLE / count(*)::DOUBLE) * 1000000.0)
+                   / 1000000.0 AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """,
     # ---- one pinned Lloyd iteration (the TRAINED k-means path): seeded
     # init → L2 argmin (raw-double ordering, identical sequential-fold
     # arithmetic both engines) → per-cell dimension means. The mean's

@@ -1862,6 +1862,32 @@ def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: per-query recall@5 of the LSH index
+    against the exact brute-force ground truth — the quality metric
+    every ANN deployment tracks. Both sub-pipelines are already
+    deterministic cross-engine (their own oracles are green), so the
+    intersection/rollup is exact integer arithmetic and the recall
+    double one int division."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.lsh_topk(emb, queries, k=5)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    return (
+        similarity.recall_at_k(approx, exact)
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            trunc_digits(F.col("recall")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sampling over the embeddings table:
     assign every vector to its nearest SEEDED cell (the 32 lowest-id
@@ -2381,6 +2407,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": _streaming_sessionize,
     "sample_dsir": _sample_dsir,
     "sample_cluster_balanced": _sample_cluster_balanced,
+    "ann_recall_lsh": _ann_recall_lsh,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2394,7 +2421,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
-    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2447,6 +2473,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # their round-4 rows; code byte-identical since) ---
     "text_ngram_freq": _text_ngram_freq,
     "embedding_stats": _embedding_stats,
+    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -763,6 +763,70 @@ class TestSimilarity:
         assert m and "cid" in m.group(1), s["plan"]
         n_probed = len(re.findall(r"\d+", m.group(1)))
         assert 0 < n_probed <= 5 * 4 < n_cells_on_disk + 5
+        # the build clusters rows by cell before the write: file count
+        # is bounded at files_per_cell × num_cells, NOT
+        # input_partitions × num_cells (the small-file catastrophe)
+        import glob
+
+        assert len(glob.glob(f"{index}/cid=*/*.parquet")) <= 16
+
+    def test_partitioned_ivf_files_per_cell_salt(self, spark, embeddings, tmp_path):
+        # giant-cell escape: files_per_cell spreads one cell's rows
+        # over several shuffle keys; the bound scales with the salt
+        import glob
+
+        from pyspark.sql import Window
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(4)
+            .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_salted")
+        similarity.build_partitioned_ivf(
+            embeddings, seeds, index, metric="cosine", files_per_cell=3
+        )
+        n_files = len(glob.glob(f"{index}/cid=*/*.parquet"))
+        assert n_files <= 3 * 4
+        # values survive the salt: same rows as an unsalted build
+        got = sorted(
+            (r["vec_id"], r["cid"])
+            for r in spark.read.parquet(index).select("vec_id", "cid").collect()
+        )
+        index2 = str(tmp_path / "ivf_plain")
+        similarity.build_partitioned_ivf(embeddings, seeds, index2, metric="cosine")
+        want = sorted(
+            (r["vec_id"], r["cid"])
+            for r in spark.read.parquet(index2).select("vec_id", "cid").collect()
+        )
+        assert got == want
+
+    def test_recall_at_k_counts_and_zero_for_missing_queries(self, spark):
+        from aws_data_wrangler_spark.operators import similarity
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+            ["query_id", "neighbor_id"],
+        )
+        # query 1: 2/3 hit; query 2: 1/2; query 3 absent from approx → 0
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 12), (1, 99), (2, 21), (2, 98)],
+            ["query_id", "neighbor_id"],
+        )
+        rows = {
+            r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+            for r in similarity.recall_at_k(approx, exact).collect()
+        }
+        assert rows[1] == (3, 2, 2 / 3)
+        assert rows[2] == (2, 1, 0.5)
+        assert rows[3] == (1, 0, 0.0)
+
+    def test_recall_at_k_perfect_for_self_comparison(self, spark, embeddings):
+        from aws_data_wrangler_spark.operators import similarity
+
+        exact = similarity.cosine_topk(embeddings, embeddings.filter("vec_id < 5"), k=5)
+        out = similarity.recall_at_k(exact, exact)
+        assert all(r["recall"] == 1.0 for r in out.collect())
 
     def test_pq_production_parameters_plan_in_seconds(self, spark, embeddings):
         # m=16 × 256 codes (FAISS-typical): with codebooks as one

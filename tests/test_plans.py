@@ -61,7 +61,7 @@ ROUND4_FROZEN = {
     # is the remainder. text_ngram_freq and embedding_stats were
     # displaced back below the boundary when sample_dsir /
     # sample_cluster_balanced registered — they ride their round-4 rows.
-    "text_ngram_freq", "embedding_stats",
+    "text_ngram_freq", "embedding_stats", "events_value_percentiles",
     "io_fwf_roundtrip", "profiling_null_profile",
     "profiling_hll_invariants", "events_heavy_hitters_sketch",
     "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
@@ -107,6 +107,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     # new in round 6
     "ann_ivf_partitioned_search", "multimodal_video_near_dup",
     "streaming_sessionize", "sample_dsir", "sample_cluster_balanced",
+    "ann_recall_lsh",
 }
 
 
