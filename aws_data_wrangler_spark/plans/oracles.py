@@ -1412,6 +1412,32 @@ ORACLES: Dict[str, str] = {
     # lang order (list() preserves the ORDER BY ⇒ sequential float sum
     # matches the driver-side Python loop), md5-prefix hash coin with
     # the same round-to-2^32 threshold --------------------------------
+    # training-shard export replica: md5-fold shard assignment (the
+    # sample_shuffle_shards idiom), whitespace token counter (the
+    # sample_token_budget idiom), and the density identity max_pos ==
+    # n_docs (dense 1-based in-shard positions). The Spark side reads
+    # its manifest back from the written partitionBy(shard) dataset, so
+    # a misplaced row / dropped file / position gap hash-mismatches.
+    "pretraining_shard_export": """
+        WITH sharded AS (
+            SELECT doc_id, text,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+                        AS INTEGER) AS shard
+            FROM documents
+        ), counted AS (
+            SELECT shard, doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                        AS BIGINT) AS ws_tokens
+            FROM sharded
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(count(*) AS BIGINT) AS max_pos
+        FROM counted GROUP BY shard ORDER BY shard
+    """,
     # cluster-balanced diversity sampling replica: SEEDED cosine cell
     # assignment (32 lowest-id vectors, argmax cosine with ties →
     # lowest cid — the ann_ivf_topk technique) + per-cell md5-order

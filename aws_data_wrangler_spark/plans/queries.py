@@ -1862,6 +1862,46 @@ def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pretraining_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data EXPORT weld: deterministic shuffle (content-
+    derived shard + dense in-shard position) → cluster by shard → write
+    a `partitionBy(shard)` parquet dataset through ``s3.to_parquet`` →
+    read the dataset BACK and emit the per-shard manifest (docs,
+    whitespace tokens, id checksum, max position). Every value in the
+    manifest survives a write→read round-trip of the real export path,
+    and max_pos doubles as the density invariant (max == count ⟺ the
+    positions written are the dense training order). The oracle
+    replicates shard assignment (md5 fold), the token counter, and the
+    density identity — so a misplaced row, a dropped file, or a
+    position gap all hash-mismatch."""
+    from aws_data_wrangler_spark import s3
+    from aws_data_wrangler_spark.operators import sampling, text
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    sharded = sampling.deterministic_shuffle(docs, num_shards=16)
+    export = sharded.repartition(F.col("shard")).sortWithinPartitions("shard", "pos")
+    path = f"{tempfile.mkdtemp(prefix='sgq_')}/shards"
+    s3.to_parquet(
+        export.select("doc_id", "text", "pos", "shard"),
+        path,
+        dataset=True,
+        partition_cols=["shard"],
+        mode="overwrite",
+        spark=spark,
+    )
+    back = text.with_token_counts(spark.read.parquet(path))
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("n_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+            F.max("pos").cast("bigint").alias("max_pos"),
+        )
+        .orderBy("shard")
+    )
+
+
 def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index evaluation: per-query recall@5 of the LSH index
     against the exact brute-force ground truth — the quality metric
@@ -2408,6 +2448,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_dsir": _sample_dsir,
     "sample_cluster_balanced": _sample_cluster_balanced,
     "ann_recall_lsh": _ann_recall_lsh,
+    "pretraining_shard_export": _pretraining_shard_export,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2420,7 +2461,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
-    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2474,6 +2514,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_freq": _text_ngram_freq,
     "embedding_stats": _embedding_stats,
     "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
+    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,

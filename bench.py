@@ -70,6 +70,11 @@ HEADLINE = [
     # probe-side search (build dominates; the search alone reads
     # ~nprobe/num_centroids of the index)
     "ann_ivf_partitioned_search",
+    # round-6 addition: DSIR importance resampling — two
+    # bucket-bounded distribution aggregates + a zero-shuffle scoring
+    # projection + a TakeOrderedAndProject draw; tracks the
+    # data-selection tier's cost
+    "sample_dsir",
 ]
 
 
