@@ -604,6 +604,7 @@ def cluster_balanced_sample(
     metric: str = "l2",
     salt: str = "",
     max_cells: int = 100_000,
+    prefilter: bool = False,
 ) -> DataFrame:
     """Diversity sampling over an embedding column: assign every vector
     to its nearest centroid cell (``similarity.assign_cells`` — a
@@ -623,7 +624,16 @@ def cluster_balanced_sample(
     as one folded literal; the two-level router covers huge k); the
     draw is ONE window shuffle keyed on cid — the same per-stratum
     reservoir shape as ``fixed_size_sample``, with parallelism = the
-    cell count (thousands at real scale).
+    cell count (thousands at real scale). When clustering is skewed a
+    single giant cell serializes its window task; ``prefilter=True`` is
+    the escape: per-cell hash thresholds at ~3·per_cell/|cell| (one
+    cell-bounded count aggregate → broadcast plan-table join → a
+    scan-fused filter that keeps a PREFIX of each cell's hash order, so
+    the per_cell smallest hashes survive whenever a cell keeps ≥
+    per_cell rows) shrink the window's input to ~3·per_cell·num_cells
+    rows; a distributed verify falls back to the full window for any
+    cell the Chernoff margin ever short-draws — the result is
+    IDENTICAL either way, prefilter only changes the plan.
     """
     from aws_data_wrangler_spark.operators.similarity import assign_cells
 
@@ -634,7 +644,62 @@ def cluster_balanced_sample(
     rn = F.row_number().over(
         Window.partitionBy("cid").orderBy(order, F.col(id_col))
     )
+    pool = assigned
+    if prefilter:
+        pool = _per_cell_hash_prefix(
+            assigned, per_cell, id_col=id_col, salt=salt
+        )
     return (
-        assigned.withColumn("cell_rank", rn)
+        pool.withColumn("cell_rank", rn)
         .filter(F.col("cell_rank") <= per_cell)
     )
+
+
+def _per_cell_hash_prefix(
+    assigned: DataFrame, per_cell: int, id_col: str, salt: str
+) -> DataFrame:
+    """Keep ~3·per_cell rows per cell — a PREFIX of each cell's
+    md5(id‖salt) order, so any downstream per-cell top-``per_cell`` by
+    that order is unchanged as long as ≥ per_cell rows survive. Cells
+    where the Chernoff margin ever short-draws (or with ≤ 3·per_cell
+    rows, where the threshold saturates to keep-all) fall back to all
+    their rows, making the prefix exact by construction.
+    """
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    rows = []
+    for r in counts:
+        n = int(r["__n"])
+        frac = 1.0 if n <= 3 * per_cell else min(1.0, 3.0 * per_cell / n)
+        rows.append((r["cid"], _threshold_hex(frac) if frac < 1.0 else "g"))
+    spark = assigned.sparkSession
+    thresholds = F.broadcast(
+        spark.createDataFrame(rows, ["__cid", "__thr"])
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    survivors = (
+        assigned.join(thresholds, assigned["cid"] == thresholds["__cid"])
+        .filter(prefix < F.col("__thr"))
+        .drop("__cid", "__thr")
+    )
+    # verify the margin: every cell must keep min(per_cell, |cell|)
+    short = {
+        r["cid"]
+        for r in survivors.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") < per_cell)
+        .collect()
+    }
+    expected_short = {
+        r["cid"] for r in counts if int(r["__n"]) < per_cell
+    }
+    bad = short - expected_short
+    if bad:
+        # vanishing-probability branch: restore the full rows of the
+        # short-drawn cells only
+        refill = assigned.filter(F.col("cid").isin([int(c) for c in bad]))
+        survivors = survivors.filter(
+            ~F.col("cid").isin([int(c) for c in bad])
+        ).unionByName(refill)
+    return survivors

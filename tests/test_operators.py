@@ -2048,6 +2048,36 @@ class TestClusterBalancedSample:
         )
         assert len(balanced) == nonempty
 
+    def test_prefilter_identical_under_planted_skew(self, spark):
+        # one giant cell (900 rows) + one tiny (8): the prefiltered
+        # draw must be row-identical to the full-window draw while
+        # feeding the window only ~3·per_cell rows per cell
+        import random
+
+        from aws_data_wrangler_spark.operators import sampling
+        from aws_data_wrangler_spark.operators.sampling import _per_cell_hash_prefix
+        from aws_data_wrangler_spark.operators.similarity import assign_cells
+
+        rng = random.Random(7)
+        rows = [(i, [10.0 + rng.random(), 0.0]) for i in range(900)]
+        rows += [(1000 + i, [0.0, 10.0 + rng.random()]) for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [10.5, 0.0]), (1, [0.0, 10.5])], "cid int, cvec array<double>"
+        )
+        full = sampling.cluster_balanced_sample(df, cents, per_cell=4)
+        fast = sampling.cluster_balanced_sample(df, cents, per_cell=4, prefilter=True)
+        assert sorted(map(tuple, full.collect())) == sorted(map(tuple, fast.collect()))
+        # the prefix really shrinks the giant cell's window input
+        assigned = assign_cells(df, cents, metric="l2").drop("key")
+        survivors = _per_cell_hash_prefix(assigned, 4, id_col="vec_id", salt="")
+        per_cell_n = {
+            r["cid"]: r["n"]
+            for r in survivors.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_cell_n[1] == 8  # tiny cell: threshold saturates, keep-all
+        assert 4 <= per_cell_n[0] < 100  # giant cell: ~12 of 900 survive
+
     def test_assignment_stays_zero_shuffle(self, spark, embeddings):
         from aws_data_wrangler_spark.operators import sampling
 

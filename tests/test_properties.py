@@ -185,6 +185,43 @@ def test_hash_sample_is_stable_subset_chain(spark, ids):
 
 @settings(**SETTINGS)
 @given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=20), min_size=1, max_size=12
+    )
+)
+def test_dsir_score_partition_and_engine_invariant(spark, texts):
+    """DSIR scores are a pure function of content: invariant to input
+    partitioning, and the position-ordered fold matches a sequential
+    python replica bit-for-bit."""
+    import hashlib
+
+    from aws_data_wrangler_spark.operators import sampling
+
+    B = 16
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    lrs = [((b * 37) % 11 - 5) / 7.0 for b in range(B)]
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in sampling.dsir_score(df, lrs).collect()
+    }
+    again = {
+        r["doc_id"]: r["dsir_score"]
+        for r in sampling.dsir_score(df.repartition(5), lrs).collect()
+    }
+    assert got == again
+    for i, t in enumerate(texts):
+        toks = [x for x in t.strip().lower().split() if x]
+        acc = 0.0
+        for g in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            acc = acc + lrs[h % B]
+        assert got[i] == acc
+
+
+@settings(**SETTINGS)
+@given(
     docs=st.lists(
         st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=9),
         min_size=1,
