@@ -1340,6 +1340,55 @@ def load_encoded_corpus(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def cell_occupancy(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """IVF index-balance diagnostic: per-cell occupancy of a centroid
+    set over a corpus — (cid, n_vecs, share, imbalance) where
+    ``imbalance`` is FAISS's imbalance factor
+    ``nlist · Σnᵢ² / (Σnᵢ)²`` (1.0 = perfectly balanced; grows with
+    skew — the number that tells you whether nlist/training are right
+    BEFORE you pay for a partitioned index build). Empty cells carry no
+    row but still count in ``nlist``.
+
+    One zero-shuffle assignment projection + one cell-bounded
+    aggregate; every emitted float is a division of exact ints, so the
+    diagnostic is bit-identical cross-engine.
+    """
+    nlist = centroids.count()  # artifact-sized
+    assigned = assign_cells(
+        df, centroids, id_col=id_col, vec_col=vec_col, metric=metric, max_cells=max_cells
+    )
+    per_cell = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    # squares/products run in DOUBLE on purpose: Σnᵢ² and total²
+    # overflow int64 at real corpus sizes (1e11 rows → total² ≈ 1e22),
+    # and doubles over exact ints stay bit-identical cross-engine at
+    # diagnostic magnitudes
+    n_d = F.col("n_vecs").cast("double")
+    totals = per_cell.agg(
+        F.sum(n_d).alias("__total"),
+        F.sum(n_d * n_d).alias("__sq"),
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(totals))
+        .select(
+            "cid",
+            "n_vecs",
+            (n_d / F.col("__total")).alias("share"),
+            (
+                F.lit(float(nlist))
+                * F.col("__sq")
+                / (F.col("__total") * F.col("__total"))
+            ).alias("imbalance"),
+        )
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -1280,6 +1280,44 @@ ORACLES: Dict[str, str] = {
     # the same (seeded) centroids — partitioning changes I/O, never
     # results — so the replica is the same pipeline at 32 seeds
     "ann_ivf_partitioned_search": _ivf_ann_oracle_sql(num_seeds=32),
+    # index-balance diagnostic replica: seeded cosine assignment (the
+    # ivf technique) → per-cell counts → share + FAISS imbalance
+    # factor (nlist·Σn²/total², computed in DOUBLE over exact ints on
+    # both engines — int64 Σn²/total² would overflow at real scale)
+    "ann_cell_occupancy": """
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 32)
+        ), cell_scores AS (
+            SELECT c.vec_id, s.cid,
+                   list_dot_product(c.v, s.cv) /
+                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.cv, s.cv)))
+                       AS s
+            FROM corpus c, seeds s
+        ), assigned AS (
+            SELECT vec_id, cid
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY s DESC, cid ASC) AS rn
+                  FROM cell_scores)
+            WHERE rn = 1
+        ), per_cell AS (
+            SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM assigned GROUP BY cid
+        ), tot AS (
+            SELECT sum(n_vecs::DOUBLE) AS total,
+                   sum(n_vecs::DOUBLE * n_vecs::DOUBLE) AS sq
+            FROM per_cell
+        )
+        SELECT p.cid, p.n_vecs,
+               floor((p.n_vecs::DOUBLE / t.total) * 1000000.0) / 1000000.0 AS share,
+               floor((32.0 * t.sq / (t.total * t.total)) * 1000000.0) / 1000000.0
+                   AS imbalance
+        FROM per_cell p, tot t
+        ORDER BY p.cid
+    """,
     # recall@5 of the LSH index vs brute force: both sub-pipelines are
     # the two already-green oracles verbatim (composed as CTEs); the
     # rollup is exact integer arithmetic + one int division

@@ -1862,6 +1862,33 @@ def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-balance diagnostic over the SEEDED 32-cell cosine
+    quantizer (the oracle-replicable assignment): per-cell occupancy +
+    the FAISS imbalance factor — the pre-build sanity check for
+    ``build_partitioned_ivf``. Every float is a division of exact
+    ints; 6dp-trunc on output only."""
+    from pyspark.sql import Window as W
+
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+    occ = similarity.cell_occupancy(emb, seeds, metric="cosine")
+    return occ.select(
+        F.col("cid").cast("int").alias("cid"),
+        "n_vecs",
+        trunc_digits(F.col("share")).alias("share"),
+        trunc_digits(F.col("imbalance")).alias("imbalance"),
+    ).orderBy("cid")
+
+
 def _pretraining_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data EXPORT weld: deterministic shuffle (content-
     derived shard + dense in-shard position) → cluster by shard → write
@@ -2449,6 +2476,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_cluster_balanced": _sample_cluster_balanced,
     "ann_recall_lsh": _ann_recall_lsh,
     "pretraining_shard_export": _pretraining_shard_export,
+    "ann_cell_occupancy": _ann_cell_occupancy,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2460,7 +2488,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_dhash": _multimodal_image_dhash,
     "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
-    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2515,6 +2542,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats": _embedding_stats,
     "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
     "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
+    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -801,6 +801,30 @@ class TestSimilarity:
         )
         assert got == want
 
+    def test_cell_occupancy_imbalance_semantics(self, spark):
+        from aws_data_wrangler_spark.operators import similarity
+
+        cents = spark.createDataFrame(
+            [(0, [10.0, 0.0]), (1, [0.0, 10.0]), (2, [-10.0, -10.0])],
+            "cid int, cvec array<double>",
+        )
+        # perfectly balanced: 2 vectors at each of cells 0 and 1, none
+        # at 2 → nlist=3 counts the EMPTY cell, imbalance = 3·(4+4)/16
+        balanced = spark.createDataFrame(
+            [(1, [10.0, 0.1]), (2, [10.0, -0.1]), (3, [0.1, 10.0]), (4, [-0.1, 10.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = similarity.cell_occupancy(balanced, cents).collect()
+        assert {r["cid"] for r in rows} == {0, 1}
+        assert all(r["n_vecs"] == 2 and r["share"] == 0.5 for r in rows)
+        assert all(r["imbalance"] == 3 * 8 / 16 for r in rows)
+        # all mass in one cell: imbalance = nlist (the maximum)
+        skewed = spark.createDataFrame(
+            [(i, [10.0, 0.0]) for i in range(6)], "vec_id long, embedding array<double>"
+        )
+        rows = similarity.cell_occupancy(skewed, cents).collect()
+        assert len(rows) == 1 and rows[0]["imbalance"] == 3.0
+
     def test_recall_at_k_counts_and_zero_for_missing_queries(self, spark):
         from aws_data_wrangler_spark.operators import similarity
 

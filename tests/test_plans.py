@@ -62,7 +62,7 @@ ROUND4_FROZEN = {
     # displaced back below the boundary when sample_dsir /
     # sample_cluster_balanced registered — they ride their round-4 rows.
     "text_ngram_freq", "embedding_stats", "events_value_percentiles",
-    "events_hourly_rollup",
+    "events_hourly_rollup", "lineitem_stats_by_flag",
     "io_fwf_roundtrip", "profiling_null_profile",
     "profiling_hll_invariants", "events_heavy_hitters_sketch",
     "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
@@ -108,7 +108,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     # new in round 6
     "ann_ivf_partitioned_search", "multimodal_video_near_dup",
     "streaming_sessionize", "sample_dsir", "sample_cluster_balanced",
-    "ann_recall_lsh", "pretraining_shard_export",
+    "ann_recall_lsh", "pretraining_shard_export", "ann_cell_occupancy",
 }
 
 
