@@ -42,6 +42,58 @@ _COSINE = (
     "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])))) * 1000000.0) / 1000000.0"
 )
 
+# DSIR scoring replica, shared by the batch resample and the streaming
+# gate: md5-derived 512-bucket n-gram hashing, add-one-smoothed ln
+# ratios from exact ints (IEEE divide + libm ln — the surprisal
+# discipline), per-doc fold in n-gram position order (list(... ORDER BY
+# pos) + list_sum ≡ Spark's sequential `aggregate`). Documents whose
+# token list is empty score 0.0 (LEFT JOIN + coalesce here; fold over
+# an empty array there). Ends with the `scored` CTE: (doc_id, score).
+_DSIR_SCORED_CTES = """toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> length(x) > 0) AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, lang,
+                   list_concat(
+                       t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i+1])
+                            ELSE []::VARCHAR[] END
+                   ) AS g
+            FROM toks
+        ), exploded AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(g)+1),
+                                         i -> {'pos': i, 'gram': g[i]})) AS s
+            FROM grams
+        ), hashed AS (
+            SELECT doc_id, lang, s.pos AS pos,
+                   ('0x' || substr(md5(s.gram), 1, 15))::BIGINT % 512 AS b
+            FROM exploded
+        ), raw_cnt AS (
+            SELECT b, count(*) AS c FROM hashed GROUP BY b
+        ), tgt_cnt AS (
+            SELECT b, count(*) AS c FROM hashed WHERE lang = 'en' GROUP BY b
+        ), lr AS (
+            SELECT r.b AS b,
+                   ln((coalesce(t.c, 0) + 1)::DOUBLE /
+                      ((SELECT count(*) FROM hashed WHERE lang = 'en') + 512)::DOUBLE)
+                   - ln((r.c + 1)::DOUBLE /
+                        ((SELECT count(*) FROM hashed) + 512)::DOUBLE) AS lr
+            FROM raw_cnt r LEFT JOIN tgt_cnt t USING (b)
+        ), folded AS (
+            SELECT h.doc_id, list_sum(list(lr.lr ORDER BY h.pos)) AS score
+            FROM hashed h JOIN lr USING (b)
+            GROUP BY h.doc_id
+        ), scored AS (
+            SELECT d.doc_id, coalesce(f.score, 0.0) AS score
+            FROM documents d LEFT JOIN folded f USING (doc_id)
+        )"""
+
+
 def _lsh_ann_oracle_sql(
     k: int = 5, num_planes: int = 4, num_tables: int = 8, dim: int = 64, seed: int = 42
 ) -> str:
@@ -1518,50 +1570,8 @@ ORACLES: Dict[str, str] = {
     # trunc on output only. Documents whose token list is empty score
     # 0.0 on both sides (LEFT JOIN + coalesce here; fold over an empty
     # array there).
-    "sample_dsir": """
-        WITH toks AS (
-            SELECT doc_id, lang,
-                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                               x -> length(x) > 0) AS t
-            FROM documents
-        ), grams AS (
-            SELECT doc_id, lang,
-                   list_concat(
-                       t,
-                       CASE WHEN len(t) >= 2
-                            THEN list_transform(range(1, len(t)),
-                                                i -> t[i] || ' ' || t[i+1])
-                            ELSE []::VARCHAR[] END
-                   ) AS g
-            FROM toks
-        ), exploded AS (
-            SELECT doc_id, lang,
-                   unnest(list_transform(range(1, len(g)+1),
-                                         i -> {'pos': i, 'gram': g[i]})) AS s
-            FROM grams
-        ), hashed AS (
-            SELECT doc_id, lang, s.pos AS pos,
-                   ('0x' || substr(md5(s.gram), 1, 15))::BIGINT % 512 AS b
-            FROM exploded
-        ), raw_cnt AS (
-            SELECT b, count(*) AS c FROM hashed GROUP BY b
-        ), tgt_cnt AS (
-            SELECT b, count(*) AS c FROM hashed WHERE lang = 'en' GROUP BY b
-        ), lr AS (
-            SELECT r.b AS b,
-                   ln((coalesce(t.c, 0) + 1)::DOUBLE /
-                      ((SELECT count(*) FROM hashed WHERE lang = 'en') + 512)::DOUBLE)
-                   - ln((r.c + 1)::DOUBLE /
-                        ((SELECT count(*) FROM hashed) + 512)::DOUBLE) AS lr
-            FROM raw_cnt r LEFT JOIN tgt_cnt t USING (b)
-        ), folded AS (
-            SELECT h.doc_id, list_sum(list(lr.lr ORDER BY h.pos)) AS score
-            FROM hashed h JOIN lr USING (b)
-            GROUP BY h.doc_id
-        ), scored AS (
-            SELECT d.doc_id, coalesce(f.score, 0.0) AS score
-            FROM documents d LEFT JOIN folded f USING (doc_id)
-        ), keyed AS (
+    "sample_dsir": f"""
+        WITH {_DSIR_SCORED_CTES}, keyed AS (
             SELECT doc_id, score,
                    score + (-ln(-ln(
                        ((('0x' || substr(md5(doc_id::VARCHAR || 'dsir'), 1, 8))::BIGINT
@@ -1574,6 +1584,17 @@ ORACLES: Dict[str, str] = {
         FROM keyed
         ORDER BY skey DESC, doc_id
         LIMIT 100
+    """,
+    # the streaming gate is the SAME scoring pipeline applied to the
+    # documents-as-stream (scoring is a pure projection ⇒ stream-safe);
+    # availableNow replay == the batch filter, which is this oracle
+    "streaming_dsir_gate": f"""
+        WITH {_DSIR_SCORED_CTES}
+        SELECT doc_id,
+               floor(score * 1000000.0) / 1000000.0 AS dsir_score
+        FROM scored
+        WHERE score > 0
+        ORDER BY doc_id
     """,
     "sample_temperature": """
         WITH counts AS (

@@ -1862,6 +1862,38 @@ def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR as an INGEST gate: log-ratios pre-trained on the static
+    corpus, then each arriving document of the documents-as-stream is
+    scored by the same zero-shuffle projection (pure per-row function
+    ⇒ stateless and stream-safe — no watermark, no state store) and
+    kept iff its importance score is positive. availableNow replay ==
+    the batch filter, which is the oracle (the shared scored-CTE
+    replica)."""
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import sampling
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    num_buckets = 512
+    lrs = sampling.dsir_logratios(
+        sampling.dsir_bucket_counts(
+            docs.filter(F.col("lang") == "en"), num_buckets=num_buckets
+        ),
+        sampling.dsir_bucket_counts(docs, num_buckets=num_buckets),
+    )
+    stream = streaming.read_event_stream(f"{sf_dir}/documents.parquet", spark=spark)
+    kept = (
+        sampling.dsir_score(stream, lrs)
+        .filter(F.col("dsir_score") > 0)
+        .select("doc_id", "dsir_score")
+    )
+    out = streaming.run_available_now(kept, output_mode="append")
+    return out.select(
+        "doc_id", trunc_digits(F.col("dsir_score")).alias("dsir_score")
+    ).orderBy("doc_id")
+
+
 def _ann_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-balance diagnostic over the SEEDED 32-cell cosine
     quantizer (the oracle-replicable assignment): per-cell occupancy +
@@ -2477,6 +2509,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_lsh": _ann_recall_lsh,
     "pretraining_shard_export": _pretraining_shard_export,
     "ann_cell_occupancy": _ann_cell_occupancy,
+    "streaming_dsir_gate": _streaming_dsir_gate,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2487,7 +2520,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_surprisal": _text_bigram_surprisal,
     "multimodal_image_dhash": _multimodal_image_dhash,
     "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
-    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2543,6 +2575,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
     "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
+    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,
