@@ -1260,6 +1260,208 @@ def ivf_partitioned_topk(
     )
 
 
+def build_partitioned_ivfpq(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    m: int = 8,
+    num_codes: int = 16,
+    codebooks: Optional[List[List[List[float]]]] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = DEFAULT_LLOYD_ITERATIONS,
+    max_cells: int = 100_000,
+    files_per_cell: int = 1,
+    spark=None,
+) -> List[List[List[float]]]:
+    """Materialize the FULL IVF+PQ serving index as one cell-partitioned
+    parquet dataset: per row the vector, its exact norm, the PQ codes of
+    its residual, and the cell id as the partition column. Returns the
+    codebooks artifact (trained on the residuals when not given —
+    production trains offline on a sample and passes them in).
+
+    This is the 100 TB serving shape: the ADC scan of
+    ``ivfpq_partitioned_topk`` partition-prunes to the probed cells AND
+    column-prunes to (id, norm, codes) — parquet never materializes the
+    vector column for candidate scoring, so the scored bytes are the
+    ~16-32× smaller code table of ~nprobe/num_centroids of the corpus;
+    only the exact rescore touches the vector column, for the probed
+    cells only. One corpus pass builds it: assignment + residual +
+    encode in ONE shuffle-free Project, then the cell-clustering
+    repartition the dataset write needs anyway (file count bounded at
+    ``files_per_cell × num_cells`` — the build_partitioned_ivf
+    discipline).
+    """
+    from aws_data_wrangler_spark import s3
+
+    cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    keys_c = cell_key_array(F.col("c_vec"), cent_vecs)
+    assigned = (
+        c.withColumn("__keys", keys_c)
+        .withColumn(
+            "__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int")
+        )
+        .select(
+            "c_id",
+            "c_vec",
+            "c_norm",
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
+            F.zip_with(
+                F.col("c_vec"), F.element_at(cents_lit, F.col("__pos")), lambda x, y: x - y
+            ).alias("residual"),
+        )
+    )
+    if codebooks is None:
+        residuals = assigned.select(
+            F.col("c_id").alias(id_col), F.col("residual").alias(vec_col)
+        ).cache()
+        codebooks = train_pq_codebooks(
+            residuals, m=m, num_codes=num_codes, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+        residuals.unpersist()
+    encoded = pq_encode(
+        assigned, codebooks, id_col="c_id", vec_col="residual",
+        keep_cols=["c_vec", "c_norm", "cid"],
+    ).select(
+        F.col("c_id").alias(id_col),
+        F.col("c_vec").alias(vec_col),
+        F.col("c_norm").alias("vnorm"),
+        "codes",
+        "cid",
+    )
+    if files_per_cell <= 1:
+        clustered = encoded.repartition(F.col("cid"))
+    else:
+        clustered = encoded.repartition(
+            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
+        )
+    s3.to_parquet(
+        clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
+    )
+    return codebooks
+
+
+def ivfpq_partitioned_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: List[List[List[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """IVF+PQ top-k over a ``build_partitioned_ivfpq`` index:
+    (query_id, neighbor_id, rank, cosine) — value-identical to
+    ``ivfpq_topk`` with the same artifacts, but BOTH passes are
+    partition-pruned to the probed cells and the ADC pass additionally
+    column-prunes to the code columns: candidate scoring reads the
+    ~16-32× smaller code table of ~nprobe/num_centroids of the index,
+    the exact rescore reads the vector column of the probed cells only
+    (both scans carry ``cid IN (<probed>)`` PartitionFilters,
+    plan-audited in tests).
+    """
+    from aws_data_wrangler_spark import s3
+
+    cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
+    sub = len(codebooks[0][0])
+    q = _with_norm(queries, id_col, vec_col, "q")
+    luts = F.transform(
+        _books_lit(codebooks),
+        lambda book, s: F.transform(
+            book, lambda cent: _dot_expr(F.slice(F.col("q_vec"), s * sub + 1, sub), cent)
+        ),
+    )
+    keys_q = cell_key_array(F.col("q_vec"), cent_vecs)
+    probed = probe_cells(keys_q, len(cent_ids), nprobe)
+    q_cells = F.broadcast(
+        q.select("q_id", "q_norm", "q_vec", F.explode(probed).alias("__pc"))
+        .select(
+            "q_id",
+            "q_norm",
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pc.p")).alias("cid"),
+            _dot_expr(F.col("q_vec"), F.element_at(cents_lit, F.col("__pc.p"))).alias(
+                "q_dot_cent"
+            ),
+            luts.alias("luts"),
+        )
+    )
+    # probed cell ids → scan-pruning literals (queries×nprobe values,
+    # artifact-sized — the ivf_partitioned_topk contract)
+    probed_cids = sorted(r["cid"] for r in q_cells.select("cid").distinct().collect())
+    # ADC pass: partition-pruned AND column-pruned — the vector column
+    # never leaves parquet here
+    codes_scan = (
+        s3.read_parquet(index_path, dataset=True, spark=spark)
+        .filter(F.col("cid").isin(probed_cids))
+        .select(
+            "cid",
+            F.col(id_col).alias("c_id"),
+            F.col("vnorm").alias("c_norm"),
+            "codes",
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("luts"), lambda cd, lut: F.element_at(lut, cd + 1)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    approx = (
+        codes_scan.join(q_cells, "cid")
+        .filter((F.col("q_id") != F.col("c_id")) & (F.col("c_norm") > 0))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            ((F.col("q_dot_cent") + adc) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "approx_cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rescore_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore: the vector column, probed cells only
+    vec_scan = (
+        s3.read_parquet(index_path, dataset=True, spark=spark)
+        .filter(F.col("cid").isin(probed_cids))
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("vnorm").alias("c_norm"),
+        )
+    )
+    q_plain = F.broadcast(_with_norm(queries, id_col, vec_col, "q"))
+    rescored = (
+        shortlist.join(vec_scan, shortlist.neighbor_id == vec_scan.c_id)
+        .join(q_plain, shortlist.query_id == F.col("q_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Artifact persistence — the production story for the quantized tiers.
 # Codebooks/centroids are tiny driver-side artifacts trained once

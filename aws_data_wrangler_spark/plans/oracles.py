@@ -1332,6 +1332,10 @@ ORACLES: Dict[str, str] = {
     # the same (seeded) centroids — partitioning changes I/O, never
     # results — so the replica is the same pipeline at 32 seeds
     "ann_ivf_partitioned_search": _ivf_ann_oracle_sql(num_seeds=32),
+    # the partitioned IVF+PQ search is value-identical to ivfpq_topk
+    # with the same seeded artifacts — partition/column pruning changes
+    # I/O, never results — so the replica is the existing IVF+PQ oracle
+    "ann_ivfpq_partitioned_search": _ivfpq_ann_oracle_sql(),
     # index-balance diagnostic replica: seeded cosine assignment (the
     # ivf technique) → per-cell counts → share + FAISS imbalance
     # factor (nlist·Σn²/total², computed in DOUBLE over exact ints on

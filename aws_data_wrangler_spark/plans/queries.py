@@ -1862,6 +1862,38 @@ def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SERVING shape end-to-end: one cell-partitioned
+    parquet dataset holds vector + norm + residual PQ codes;
+    candidate scoring partition-prunes to the probed cells AND
+    column-prunes to the code columns (the vector never leaves parquet
+    during ADC — plan-audited in tests), the exact rescore reads the
+    vector column of the probed cells only. SEEDED artifacts
+    (16 lowest-id centroids, iterations=0 residual codebooks) make the
+    whole pipeline deterministic arithmetic, so results are
+    value-identical to ``ivfpq_topk`` and the existing IVF+PQ oracle
+    replicates them."""
+    from pyspark.sql import Window as W
+
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivfpq_index"
+    books = similarity.build_partitioned_ivfpq(
+        emb, seeds, index, m=8, num_codes=16, iterations=0, spark=spark
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_partitioned_topk(
+        spark, index, queries, seeds, books, k=5, nprobe=4, rescore_factor=4
+    ).orderBy("query_id", "rank")
+
+
 def _streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR as an INGEST gate: log-ratios pre-trained on the static
     corpus, then each arriving document of the documents-as-stream is
@@ -2510,6 +2542,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pretraining_shard_export": _pretraining_shard_export,
     "ann_cell_occupancy": _ann_cell_occupancy,
     "streaming_dsir_gate": _streaming_dsir_gate,
+    "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2519,7 +2552,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_repetition": _text_ngram_repetition,
     "text_bigram_surprisal": _text_bigram_surprisal,
     "multimodal_image_dhash": _multimodal_image_dhash,
-    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2576,6 +2608,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
+    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -770,6 +770,49 @@ class TestSimilarity:
 
         assert len(glob.glob(f"{index}/cid=*/*.parquet")) <= 16
 
+    def test_partitioned_ivfpq_prunes_columns_and_matches_ivfpq_topk(
+        self, spark, embeddings, tmp_path
+    ):
+        # the 100 TB serving shape: the ADC scan must partition-prune
+        # to the probed cells AND column-prune the vector away (scored
+        # bytes = the code table), while results stay value-identical
+        # to the unpartitioned ivfpq_topk with the same artifacts
+        import re
+
+        from pyspark.sql import Window
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivfpq_index")
+        books = similarity.build_partitioned_ivfpq(
+            embeddings, seeds, index, m=8, num_codes=16, iterations=0
+        )
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivfpq_partitioned_topk(
+            spark, index, queries, seeds, books, k=5, nprobe=4, rescore_factor=4
+        )
+        ref = similarity.ivfpq_topk(
+            embeddings, queries, k=5, nprobe=4, num_centroids=16, m=8,
+            num_codes=16, rescore_factor=4, iterations=0,
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # both index scans carry cid pruning (the query-side scan of
+        # the unpartitioned embeddings parquet has no partition column,
+        # so exactly the two index scans must show cid filters)
+        pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert sum("cid" in f for f in pf) >= 2, plan
+        # the ADC-side scan's ReadSchema must NOT include the vector
+        # column — codes/vnorm only; the rescore-side scan must
+        schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+        code_scans = [s for s in schemas if "codes" in s]
+        vec_scans = [s for s in schemas if "embedding" in s]
+        assert code_scans and all("embedding" not in s for s in code_scans), plan
+        assert vec_scans and all("codes" not in s for s in vec_scans), plan
+
     def test_partitioned_ivf_files_per_cell_salt(self, spark, embeddings, tmp_path):
         # giant-cell escape: files_per_cell spreads one cell's rows
         # over several shuffle keys; the bound scales with the salt
