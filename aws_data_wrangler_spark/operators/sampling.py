@@ -553,7 +553,10 @@ def dsir_score(
     if num_buckets == 0:
         raise ValueError("logratios is empty — train dsir_bucket_counts first")
     lr = F.from_json(F.lit(_json.dumps(logratios)), "array<double>")
-    grams = _dsir_ngrams(F.col(text_col), ngram_max)
+    # NULL text scores 0.0 like empty text — a null row must not carry
+    # a NULL score into downstream filters/orderings where it would
+    # silently vanish
+    grams = _dsir_ngrams(F.coalesce(F.col(text_col), F.lit("")), ngram_max)
     score = F.aggregate(
         grams,
         F.lit(0.0),

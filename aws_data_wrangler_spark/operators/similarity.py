@@ -1341,6 +1341,11 @@ def build_partitioned_ivfpq(
     s3.to_parquet(
         clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
     )
+    # sidecar makes the index self-describing: a search session needs
+    # only the path (written AFTER the dataset so overwrite can't eat
+    # it; the leading underscore keeps it invisible to the parquet
+    # reader, the _SUCCESS convention)
+    save_pq_codebooks(codebooks, f"{path.rstrip('/')}/_codebooks.json", spark=spark)
     return codebooks
 
 
@@ -1349,7 +1354,7 @@ def ivfpq_partitioned_topk(
     index_path: str,
     queries: DataFrame,
     centroids: DataFrame,
-    codebooks: List[List[List[float]]],
+    codebooks: Optional[List[List[List[float]]]] = None,
     k: int = 5,
     nprobe: int = 4,
     rescore_factor: int = 4,
@@ -1365,10 +1370,16 @@ def ivfpq_partitioned_topk(
     ~16-32× smaller code table of ~nprobe/num_centroids of the index,
     the exact rescore reads the vector column of the probed cells only
     (both scans carry ``cid IN (<probed>)`` PartitionFilters,
-    plan-audited in tests).
+    plan-audited in tests). ``codebooks=None`` loads the index's
+    ``_codebooks.json`` sidecar — the build writes it, so a fresh
+    session searches with only the path + centroids.
     """
     from aws_data_wrangler_spark import s3
 
+    if codebooks is None:
+        codebooks = load_pq_codebooks(
+            f"{index_path.rstrip('/')}/_codebooks.json", spark=spark
+        )
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
     cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
     sub = len(codebooks[0][0])

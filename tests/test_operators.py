@@ -812,6 +812,13 @@ class TestSimilarity:
         vec_scans = [s for s in schemas if "embedding" in s]
         assert code_scans and all("embedding" not in s for s in code_scans), plan
         assert vec_scans and all("codes" not in s for s in vec_scans), plan
+        # the index is self-describing: the build wrote a codebooks
+        # sidecar, and a fresh search session (codebooks=None) loads it
+        # and returns the same results
+        sidecar = similarity.ivfpq_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=4, rescore_factor=4
+        )
+        assert sorted(map(tuple, sidecar.collect())) == sorted(map(tuple, ref.collect()))
 
     def test_partitioned_ivf_files_per_cell_salt(self, spark, embeddings, tmp_path):
         # giant-cell escape: files_per_cell spreads one cell's rows
@@ -1999,10 +2006,18 @@ class TestDSIR:
         assert avg[True] > avg[False]
 
     def test_empty_text_scores_zero_and_is_kept(self, spark):
+        from pyspark.sql import types as T
+
         from aws_data_wrangler_spark.operators import sampling
 
         df = spark.createDataFrame(
-            [(1, "alpha beta"), (2, "   "), (3, "")], ["doc_id", "text"]
+            [(1, "alpha beta"), (2, "   "), (3, ""), (4, None)],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            ),
         )
         lrs = [0.5] * self.B
         rows = {
@@ -2010,6 +2025,7 @@ class TestDSIR:
             for r in sampling.dsir_score(df, lrs).collect()
         }
         assert rows[2] == 0.0 and rows[3] == 0.0
+        assert rows[4] == 0.0  # NULL text must not produce a NULL score
         assert rows[1] == 1.5  # 2 unigrams + 1 bigram, each 0.5
 
     def test_resample_deterministic_without_replacement(self, spark, documents):
