@@ -226,3 +226,49 @@ def approx_heavy_hitters(
     # the ranking window runs over at most k rows (sketch output), so
     # the single partition is bounded by the ask, never the data
     return exploded.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def length_histogram(
+    df: DataFrame,
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length distribution as power-of-two buckets:
+    (bucket, lo_tokens, hi_tokens, n_docs, total_tokens, doc_share) —
+    the pre-packing diagnostic (choosing ``pack_sequences`` length /
+    ``chunk_tokens`` size needs the token-length shape, not a mean).
+
+    ``bucket`` is the BIT LENGTH of the whitespace token count (0 tokens
+    → bucket 1 with lo=0; n ≥ 1 → bucket ⌊log2 n⌋+1 covering
+    [2^(b-1), 2^b − 1]) — computed via base-2 string length
+    (``conv(n, 10, 2)`` / DuckDB ``bin(n)``), NOT float log2, so bucket
+    edges are exact in any engine. One aggregation pass, bucket-bounded
+    output; ``doc_share`` is a division of exact ints.
+    """
+    if token_col is None:
+        from aws_data_wrangler_spark.operators.text import _ws_token_count
+
+        toks = _ws_token_count(F.col(text_col)).cast("bigint")
+    else:
+        toks = F.col(token_col).cast("bigint")
+    bucket = F.length(F.conv(toks.cast("string"), 10, 2)).cast("int")
+    per_bucket = (
+        df.select(toks.alias("__t"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("total_tokens"),
+        )
+    )
+    total = F.broadcast(per_bucket.agg(F.sum("n_docs").alias("__all")))
+    return per_bucket.crossJoin(total).select(
+        "bucket",
+        F.when(F.col("bucket") <= 1, F.lit(0))
+        .otherwise(F.expr("shiftleft(1L, bucket - 1)"))
+        .cast("bigint")
+        .alias("lo_tokens"),
+        F.expr("shiftleft(1L, bucket) - 1").cast("bigint").alias("hi_tokens"),
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs").cast("double") / F.col("__all")).alias("doc_share"),
+    )

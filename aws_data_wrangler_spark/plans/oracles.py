@@ -1506,6 +1506,35 @@ ORACLES: Dict[str, str] = {
     # lang order (list() preserves the ORDER BY ⇒ sequential float sum
     # matches the driver-side Python loop), md5-prefix hash coin with
     # the same round-to-2^32 threshold --------------------------------
+    # sequence-length histogram replica: bit-length buckets via
+    # base-2 string length (bin() ≡ Spark conv(n,10,2) — no float
+    # log2, so bucket edges are exact), shares = int divisions
+    "text_length_histogram": """
+        WITH t AS (
+            SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS BIGINT) AS ws
+            FROM documents
+        ), b AS (
+            SELECT ws, CAST(length(bin(ws)) AS INTEGER) AS bucket FROM t
+        ), per AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS total_tokens
+            FROM b GROUP BY bucket
+        ), tot AS (
+            SELECT sum(n_docs) AS alln FROM per
+        )
+        SELECT bucket,
+               CAST(CASE WHEN bucket <= 1 THEN 0
+                         ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_tokens,
+               CAST((1 << bucket) - 1 AS BIGINT) AS hi_tokens,
+               n_docs, total_tokens,
+               floor((n_docs::DOUBLE / alln::DOUBLE) * 1000000.0) / 1000000.0
+                   AS doc_share
+        FROM per, tot
+        ORDER BY bucket
+    """,
     # training-shard export replica: md5-fold shard assignment (the
     # sample_shuffle_shards idiom), whitespace token counter (the
     # sample_token_budget idiom), and the density identity max_pos ==

@@ -1894,6 +1894,26 @@ def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("query_id", "rank")
 
 
+def _text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in exact power-of-two buckets (bit
+    length of the whitespace token count — base-2 string length, no
+    float log2) — the pre-packing diagnostic. One aggregation pass;
+    every float a division of exact ints."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import profiling
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    out = profiling.length_histogram(docs)
+    return out.select(
+        "bucket",
+        "lo_tokens",
+        "hi_tokens",
+        "n_docs",
+        "total_tokens",
+        trunc_digits(F.col("doc_share")).alias("doc_share"),
+    ).orderBy("bucket")
+
+
 def _streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR as an INGEST gate: log-ratios pre-trained on the static
     corpus, then each arriving document of the documents-as-stream is
@@ -2543,6 +2563,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cell_occupancy": _ann_cell_occupancy,
     "streaming_dsir_gate": _streaming_dsir_gate,
     "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
+    "text_length_histogram": _text_length_histogram,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2551,7 +2572,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shuffle_shards": _sample_shuffle_shards,
     "text_ngram_repetition": _text_ngram_repetition,
     "text_bigram_surprisal": _text_bigram_surprisal,
-    "multimodal_image_dhash": _multimodal_image_dhash,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2609,6 +2629,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
+    "multimodal_image_dhash": _multimodal_image_dhash,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -2582,6 +2582,36 @@ class TestGopherFlags:
 
 
 class TestProfiling:
+    def test_length_histogram_bucket_edges_exact(self, spark):
+        from aws_data_wrangler_spark.operators import profiling
+
+        # plant docs exactly AT power-of-two boundaries: 1, 2, 4, 8
+        # tokens land in buckets 1, 2, 3, 4 (bit length), plus empty
+        df = spark.createDataFrame(
+            [
+                (1, "a"),
+                (2, "a b"),
+                (3, "a b c d"),
+                (4, " ".join("x" * 1 for _ in range(8))),
+                (5, "   "),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["bucket"]: (r["lo_tokens"], r["hi_tokens"], r["n_docs"])
+            for r in profiling.length_histogram(df).collect()
+        }
+        assert rows[1] == (0, 1, 2)  # the empty doc and the 1-token doc
+        assert rows[2] == (2, 3, 1)
+        assert rows[3] == (4, 7, 1)
+        assert rows[4] == (8, 15, 1)
+        shares = {
+            r["bucket"]: r["doc_share"]
+            for r in profiling.length_histogram(df).collect()
+        }
+        assert shares[1] == 0.4
+
+
     def test_key_distribution_matches_exact_counts(self, spark, events):
         from aws_data_wrangler_spark.operators import profiling
 
