@@ -669,11 +669,18 @@ def _per_cell_hash_prefix(
     their rows, making the prefix exact by construction.
     """
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    # null-cid rows (null vectors routed through the two-level
+    # assigner) bypass the prefilter untouched — an equality join
+    # would silently drop them; empty corpora have nothing to prefilter
     rows = []
     for r in counts:
+        if r["cid"] is None:
+            continue
         n = int(r["__n"])
         frac = 1.0 if n <= 3 * per_cell else min(1.0, 3.0 * per_cell / n)
         rows.append((r["cid"], _threshold_hex(frac) if frac < 1.0 else "g"))
+    if not rows:
+        return assigned
     spark = assigned.sparkSession
     thresholds = F.broadcast(
         spark.createDataFrame(rows, ["__cid", "__thr"])
@@ -682,9 +689,11 @@ def _per_cell_hash_prefix(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
     )
     survivors = (
-        assigned.join(thresholds, assigned["cid"] == thresholds["__cid"])
+        assigned.filter(F.col("cid").isNotNull())
+        .join(thresholds, F.col("cid") == F.col("__cid"))
         .filter(prefix < F.col("__thr"))
         .drop("__cid", "__thr")
+        .unionByName(assigned.filter(F.col("cid").isNull()))
     )
     # verify the margin: every cell must keep min(per_cell, |cell|)
     short = {
