@@ -154,8 +154,11 @@ def hll_column_sketches(
     100 TB corpus: each ingest batch / partition / day appends its
     sketch row (bytes, not data), and ``hll_union`` later answers
     "distinct users this quarter" without ever rescanning — the merge
-    is lossless, so unioned estimates equal the single-pass estimate
-    exactly.
+    is REGISTER-lossless; unioned estimates equal the single-pass
+    estimate exactly while sketches are in exact mode, and agree
+    within the sketch's error bound (~2% observed 0.7% at NDV 1500)
+    once representation promotion kicks in — DataSketches estimates
+    are grouping-path-dependent past that boundary.
 
     ``lg_k`` trades sketch size for accuracy (Spark's default 12 ⇒
     ~1.6% relative standard error, ~2.5 KB per sketch).

@@ -2249,7 +2249,7 @@ ORACLES: Dict[str, str] = {
     # 5%-of-exact accuracy
     "profiling_hll_invariants": """
         SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
-               true AS merged_eq_single, true AS within_5pct
+               true AS merged_close_to_single, true AS within_5pct
         FROM events
     """,
     # C4 line/page rules over the line-ified corpus; the kept-line

@@ -2286,9 +2286,12 @@ def _profiling_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profiling_hll_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch invariants as driver-checkable facts: events
     split into 4 disjoint hash-batches, each sketched independently;
-    the UNION of the batch sketches must estimate EXACTLY what the
-    single-pass sketch estimates (lossless merge — the property that
-    makes incremental corpus profiling sound), and the estimate must
+    the UNION of the batch sketches must estimate within 2% of the
+    single-pass sketch (DataSketches HLL merges are register-lossless,
+    but estimates are NOT bit-identical across grouping paths once
+    sketches cross representation-promotion boundaries — observed at
+    sf0.1: 1488 merged vs 1499 single vs 1500 exact, a 0.7% gap that
+    small-SF exact-mode sketches never show), and the estimate must
     sit within 5% of the exact NDV. The oracle pins n_rows exactly
     and asserts both invariant booleans — a sketch-estimate value
     itself is engine-specific (DataSketches), so the INVARIANTS are
@@ -2319,7 +2322,10 @@ def _profiling_hll_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "column",
             "n_rows",
-            (F.col("merged_est") == F.col("single_est")).alias("merged_eq_single"),
+            (
+                F.abs(F.col("merged_est") - F.col("single_est"))
+                <= 0.02 * F.col("single_est")
+            ).alias("merged_close_to_single"),
             (
                 F.abs(F.col("merged_est") - F.col("exact_ndv"))
                 <= 0.05 * F.col("exact_ndv")
