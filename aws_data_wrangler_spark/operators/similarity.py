@@ -1161,9 +1161,36 @@ def build_partitioned_ivf(
     from aws_data_wrangler_spark import s3
 
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    assigned = ivf_index_rows(
+        corpus, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
+    )
+    if files_per_cell <= 1:
+        clustered = assigned.repartition(F.col("cid"))
+    else:
+        clustered = assigned.repartition(
+            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
+        )
+    s3.to_parquet(
+        clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
+    )
+
+
+def ivf_index_rows(
+    corpus: DataFrame,
+    cent_ids,
+    cent_vecs,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+) -> DataFrame:
+    """The partitioned-IVF index ROW layout as one shuffle-free
+    projection: (id, vector-as-double, exact norm, cid). Shared by the
+    batch build (``build_partitioned_ivf``) and the streaming ingest
+    sink (``streaming.index_ingest_sink``) so both write
+    byte-compatible rows."""
     c = _with_norm(corpus, id_col, vec_col, "c")
     keys = cell_key_array(F.col("c_vec"), cent_vecs, metric=metric, norm_expr=F.col("c_norm"))
-    assigned = (
+    return (
         c.withColumn("__keys", keys)
         .withColumn(
             "__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int")
@@ -1174,15 +1201,6 @@ def build_partitioned_ivf(
             F.col("c_norm").alias("vnorm"),
             F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
         )
-    )
-    if files_per_cell <= 1:
-        clustered = assigned.repartition(F.col("cid"))
-    else:
-        clustered = assigned.repartition(
-            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
-        )
-    s3.to_parquet(
-        clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
     )
 
 

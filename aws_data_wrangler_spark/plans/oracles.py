@@ -1336,6 +1336,10 @@ ORACLES: Dict[str, str] = {
     # with the same seeded artifacts — partition/column pruning changes
     # I/O, never results — so the replica is the existing IVF+PQ oracle
     "ann_ivfpq_partitioned_search": _ivfpq_ann_oracle_sql(),
+    # availableNow ingest of the whole backlog == the batch index
+    # build, so the streamed-then-searched results replicate with the
+    # same seeded-32-cell IVF oracle
+    "streaming_index_ingest": _ivf_ann_oracle_sql(num_seeds=32),
     # index-balance diagnostic replica: seeded cosine assignment (the
     # ivf technique) → per-cell counts → share + FAISS imbalance
     # factor (nlist·Σn²/total², computed in DOUBLE over exact ints on

@@ -1862,6 +1862,36 @@ def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index ingest end-to-end: the embeddings-as-
+    stream feeds `streaming.index_ingest_sink` (per micro-batch: the
+    zero-shuffle cell assignment + a cid-clustered APPEND to the
+    partitioned index — never a rebuild), then the grown index is
+    searched with partition pruning. availableNow replay makes the
+    ingested index content equal the batch build, so results are
+    value-identical to `ivf_topk` with the same SEEDED 32-cell cosine
+    quantizer and the existing IVF oracle replicates them."""
+    from pyspark.sql import Window as W
+
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_stream_index"
+    stream = streaming.read_event_stream(f"{sf_dir}/embeddings.parquet", spark=spark)
+    streaming.index_ingest_sink(stream, seeds, index, metric="cosine")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_partitioned_topk(
+        spark, index, queries, seeds, k=5, nprobe=4, metric="cosine"
+    ).orderBy("query_id", "rank")
+
+
 def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB SERVING shape end-to-end: one cell-partitioned
     parquet dataset holds vector + norm + residual PQ codes;
@@ -2570,6 +2600,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dsir_gate": _streaming_dsir_gate,
     "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
     "text_length_histogram": _text_length_histogram,
+    "streaming_index_ingest": _streaming_index_ingest,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
@@ -2577,7 +2608,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_html_extract": _text_html_extract,
     "sample_shuffle_shards": _sample_shuffle_shards,
     "text_ngram_repetition": _text_ngram_repetition,
-    "text_bigram_surprisal": _text_bigram_surprisal,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2636,6 +2666,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     "multimodal_image_dhash": _multimodal_image_dhash,
+    "text_bigram_surprisal": _text_bigram_surprisal,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "profiling_hll_invariants": _profiling_hll_invariants,

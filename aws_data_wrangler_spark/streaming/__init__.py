@@ -658,3 +658,74 @@ def sessionize_stateful(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def index_ingest_sink(
+    stream: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    max_cells: int = 100_000,
+    files_per_cell: int = 1,
+    timeout_s: int = 300,
+) -> None:
+    """Streaming IVF index ingest: each micro-batch of arriving vectors
+    is assigned to its nearest cell (the zero-shuffle literal-argmin
+    projection — stateless, no watermark) and APPENDED to a
+    ``build_partitioned_ivf``-layout dataset, clustered by cid before
+    the write so every batch adds at most ``files_per_cell`` files per
+    touched cell. The index is searchable between batches with
+    ``similarity.ivf_partitioned_topk`` — the incremental-embedding
+    ingest story: index growth is one projection + one bounded append
+    per batch, never a rebuild.
+
+    Semantics: the streaming checkpoint makes replays batch-level
+    idempotent (a committed batch is never re-fed — tested); a crash
+    BETWEEN the append and the checkpoint commit can duplicate one
+    batch's rows, which cannot corrupt search results (a duplicated
+    neighbor scores identically and ``ivf_partitioned_topk``
+    deduplicates (query, neighbor) pairs) — compact by rebuilding via
+    ``build_partitioned_ivf`` on whatever cadence file counts demand,
+    exactly the OPTIMIZE pattern of table formats. Runs availableNow:
+    returns once the current backlog is ingested.
+    """
+    from aws_data_wrangler_spark import s3
+    from aws_data_wrangler_spark.operators.similarity import (
+        collect_centroids,
+        ivf_index_rows,
+    )
+
+    spark = stream.sparkSession
+    cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    path = normalize_path(index_path)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        rows = ivf_index_rows(
+            batch_df, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
+        )
+        if files_per_cell <= 1:
+            clustered = rows.repartition(F.col("cid"))
+        else:
+            clustered = rows.repartition(
+                F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
+            )
+        s3.to_parquet(
+            clustered,
+            path,
+            dataset=True,
+            partition_cols=["cid"],
+            mode="append",
+            spark=spark,
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}/_checkpoint")
+        .start()
+    )
+    query.awaitTermination(timeout_s)

@@ -64,7 +64,7 @@ ROUND4_FROZEN = {
     "text_ngram_freq", "embedding_stats", "events_value_percentiles",
     "events_hourly_rollup", "lineitem_stats_by_flag",
     "topk_customers_window", "q16_parts_suppliers",
-    "multimodal_image_dhash",
+    "multimodal_image_dhash", "text_bigram_surprisal",
     "io_fwf_roundtrip", "profiling_null_profile",
     "profiling_hll_invariants", "events_heavy_hitters_sketch",
     "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
@@ -112,7 +112,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     "streaming_sessionize", "sample_dsir", "sample_cluster_balanced",
     "ann_recall_lsh", "pretraining_shard_export", "ann_cell_occupancy",
     "streaming_dsir_gate", "ann_ivfpq_partitioned_search",
-    "text_length_histogram",
+    "text_length_histogram", "streaming_index_ingest",
 }
 
 

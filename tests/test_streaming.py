@@ -411,3 +411,53 @@ class TestGrowingCorpusDedup:
         assert accepted.count() == 3
         keys = streaming.read_upsert_table(corpus, spark=spark)
         assert {r["fingerprint"] for r in keys.collect()} == {"a", "b", "c"}
+
+
+class TestIndexIngestSink:
+    def _seeds(self, embeddings, n=8):
+        from pyspark.sql import Window as W
+
+        return (
+            embeddings.orderBy("vec_id").limit(n)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+
+    def test_ingested_index_equals_batch_build(self, spark, embeddings, tmp_prefix):
+        from aws_data_wrangler_spark.operators import similarity
+
+        seeds = self._seeds(embeddings)
+        streamed = f"{tmp_prefix}/ivf_streamed"
+        batch = f"{tmp_prefix}/ivf_batch"
+        stream = streaming.read_event_stream(f"{SF_DIR}/embeddings.parquet", spark=spark)
+        streaming.index_ingest_sink(stream, seeds, streamed, metric="cosine")
+        similarity.build_partitioned_ivf(embeddings, seeds, batch, metric="cosine")
+        got = sorted(
+            map(tuple, spark.read.parquet(streamed).select("vec_id", "cid", "vnorm").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(batch).select("vec_id", "cid", "vnorm").collect())
+        )
+        assert got == want
+        # and the grown index is searchable with pruning, matching ivf_topk
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivf_partitioned_topk(
+            spark, streamed, queries, seeds, k=5, nprobe=4, metric="cosine"
+        )
+        ref = similarity.ivf_topk(
+            embeddings, queries, k=5, nprobe=4, centroids=seeds, metric="cosine"
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_replay_with_same_checkpoint_is_idempotent(self, spark, embeddings, tmp_prefix):
+        seeds = self._seeds(embeddings)
+        index = f"{tmp_prefix}/ivf_idem"
+        stream = streaming.read_event_stream(f"{SF_DIR}/embeddings.parquet", spark=spark)
+        streaming.index_ingest_sink(stream, seeds, index, metric="cosine")
+        n1 = spark.read.parquet(index).count()
+        # same checkpoint, same backlog: the committed batch must NOT
+        # be re-appended
+        stream2 = streaming.read_event_stream(f"{SF_DIR}/embeddings.parquet", spark=spark)
+        streaming.index_ingest_sink(stream2, seeds, index, metric="cosine")
+        n2 = spark.read.parquet(index).count()
+        assert n1 == n2 == embeddings.count()
