@@ -506,6 +506,40 @@ def dsir_bucket_counts(
     return counts
 
 
+def dsir_bucket_count_pair(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    num_buckets: int = DSIR_DEFAULT_BUCKETS,
+    ngram_max: int = 2,
+) -> tuple:
+    """ONE corpus pass → ``(target_counts, raw_counts)``: every row
+    contributes to the raw histogram, rows where the ``target`` boolean
+    column holds contribute to the target histogram too (identical to
+    two ``dsir_bucket_counts`` calls over df-filtered and df — at
+    corpus scale the halved tokenize+hash pass is the win). Output is
+    bucket-bounded either way.
+    """
+    grams = df.select(
+        F.coalesce(target, F.lit(False)).alias("__t"),
+        F.explode(_dsir_ngrams(F.col(text_col), ngram_max)).alias("g"),
+    )
+    rows = (
+        grams.groupBy(_dsir_bucket(F.col("g"), num_buckets).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("raw"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tgt"),
+        )
+        .collect()
+    )
+    target_counts = [0] * num_buckets
+    raw_counts = [0] * num_buckets
+    for r in rows:
+        raw_counts[int(r["b"])] = int(r["raw"])
+        target_counts[int(r["b"])] = int(r["tgt"])
+    return target_counts, raw_counts
+
+
 def dsir_logratios(target_counts: list, raw_counts: list) -> list:
     """Per-bucket importance log-ratio ln p_target(b) − ln p_raw(b)
     with add-one smoothing (denominators ``total + num_buckets`` so

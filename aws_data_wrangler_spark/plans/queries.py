@@ -1846,14 +1846,10 @@ def _sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import sampling
 
     docs = load_parallel(spark, sf_dir, "documents")
-    num_buckets = 512
-    lrs = sampling.dsir_logratios(
-        sampling.dsir_bucket_counts(
-            docs.filter(F.col("lang") == "en"), num_buckets=num_buckets
-        ),
-        sampling.dsir_bucket_counts(docs, num_buckets=num_buckets),
+    tgt, raw = sampling.dsir_bucket_count_pair(
+        docs, F.col("lang") == "en", num_buckets=512
     )
-    scored = sampling.dsir_score(docs, lrs)
+    scored = sampling.dsir_score(docs, sampling.dsir_logratios(tgt, raw))
     picked = sampling.dsir_resample(scored, k=100)
     return picked.select(
         "doc_id",
@@ -1957,13 +1953,10 @@ def _streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import sampling
 
     docs = load_parallel(spark, sf_dir, "documents")
-    num_buckets = 512
-    lrs = sampling.dsir_logratios(
-        sampling.dsir_bucket_counts(
-            docs.filter(F.col("lang") == "en"), num_buckets=num_buckets
-        ),
-        sampling.dsir_bucket_counts(docs, num_buckets=num_buckets),
+    tgt, raw = sampling.dsir_bucket_count_pair(
+        docs, F.col("lang") == "en", num_buckets=512
     )
+    lrs = sampling.dsir_logratios(tgt, raw)
     stream = streaming.read_event_stream(f"{sf_dir}/documents.parquet", spark=spark)
     kept = (
         sampling.dsir_score(stream, lrs)

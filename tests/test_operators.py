@@ -1970,6 +1970,17 @@ class TestDSIR:
                 expected[h % self.B] += 1
         assert counts == expected
 
+    def test_bucket_count_pair_equals_two_separate_passes(self, spark, documents):
+        from aws_data_wrangler_spark.operators import sampling
+
+        tgt, raw = sampling.dsir_bucket_count_pair(
+            documents, F.col("lang") == "en", num_buckets=self.B
+        )
+        assert tgt == sampling.dsir_bucket_counts(
+            documents.filter(F.col("lang") == "en"), num_buckets=self.B
+        )
+        assert raw == sampling.dsir_bucket_counts(documents, num_buckets=self.B)
+
     def test_score_matches_python_fold_bit_for_bit(self, spark, documents):
         import hashlib
 
