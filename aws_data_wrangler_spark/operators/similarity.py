@@ -1313,42 +1313,17 @@ def build_partitioned_ivfpq(
     from aws_data_wrangler_spark import s3
 
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
-    cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
-    c = _with_norm(corpus, id_col, vec_col, "c")
-    keys_c = cell_key_array(F.col("c_vec"), cent_vecs)
-    assigned = (
-        c.withColumn("__keys", keys_c)
-        .withColumn(
-            "__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int")
-        )
-        .select(
-            "c_id",
-            "c_vec",
-            "c_norm",
-            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
-            F.zip_with(
-                F.col("c_vec"), F.element_at(cents_lit, F.col("__pos")), lambda x, y: x - y
-            ).alias("residual"),
-        )
-    )
     if codebooks is None:
-        residuals = assigned.select(
-            F.col("c_id").alias(id_col), F.col("residual").alias(vec_col)
-        ).cache()
+        residuals = _ivfpq_assigned(
+            corpus, cent_ids, cent_vecs, id_col, vec_col
+        ).select(F.col("c_id").alias(id_col), F.col("residual").alias(vec_col)).cache()
         codebooks = train_pq_codebooks(
             residuals, m=m, num_codes=num_codes, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
         residuals.unpersist()
-    encoded = pq_encode(
-        assigned, codebooks, id_col="c_id", vec_col="residual",
-        keep_cols=["c_vec", "c_norm", "cid"],
-    ).select(
-        F.col("c_id").alias(id_col),
-        F.col("c_vec").alias(vec_col),
-        F.col("c_norm").alias("vnorm"),
-        "codes",
-        "cid",
+    encoded = ivfpq_index_rows(
+        corpus, cent_ids, cent_vecs, codebooks, id_col=id_col, vec_col=vec_col
     )
     if files_per_cell <= 1:
         clustered = encoded.repartition(F.col("cid"))
@@ -1365,6 +1340,57 @@ def build_partitioned_ivfpq(
     # reader, the _SUCCESS convention)
     save_pq_codebooks(codebooks, f"{path.rstrip('/')}/_codebooks.json", spark=spark)
     return codebooks
+
+
+def _ivfpq_assigned(
+    corpus: DataFrame, cent_ids, cent_vecs, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assignment + residual in one shuffle-free projection:
+    (c_id, c_vec, c_norm, cid, residual) — the shared first stage of
+    IVF+PQ index builds and streaming ingest."""
+    cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    keys_c = cell_key_array(F.col("c_vec"), cent_vecs)
+    return (
+        c.withColumn("__keys", keys_c)
+        .withColumn(
+            "__pos", F.array_position(F.col("__keys"), F.array_min(F.col("__keys"))).cast("int")
+        )
+        .select(
+            "c_id",
+            "c_vec",
+            "c_norm",
+            F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
+            F.zip_with(
+                F.col("c_vec"), F.element_at(cents_lit, F.col("__pos")), lambda x, y: x - y
+            ).alias("residual"),
+        )
+    )
+
+
+def ivfpq_index_rows(
+    corpus: DataFrame,
+    cent_ids,
+    cent_vecs,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The partitioned-IVF+PQ index ROW layout as one shuffle-free
+    projection chain: (id, vector-as-double, exact norm, residual PQ
+    codes, cid). Shared by ``build_partitioned_ivfpq`` and the
+    streaming ingest sink so both write byte-compatible rows."""
+    assigned = _ivfpq_assigned(corpus, cent_ids, cent_vecs, id_col, vec_col)
+    return pq_encode(
+        assigned, codebooks, id_col="c_id", vec_col="residual",
+        keep_cols=["c_vec", "c_norm", "cid"],
+    ).select(
+        F.col("c_id").alias(id_col),
+        F.col("c_vec").alias(vec_col),
+        F.col("c_norm").alias("vnorm"),
+        "codes",
+        "cid",
+    )
 
 
 def ivfpq_partitioned_topk(

@@ -670,6 +670,7 @@ def index_ingest_sink(
     max_cells: int = 100_000,
     files_per_cell: int = 1,
     timeout_s: int = 300,
+    pq_codebooks=None,
 ) -> None:
     """Streaming IVF index ingest: each micro-batch of arriving vectors
     is assigned to its nearest cell (the zero-shuffle literal-argmin
@@ -679,7 +680,13 @@ def index_ingest_sink(
     touched cell. The index is searchable between batches with
     ``similarity.ivf_partitioned_topk`` — the incremental-embedding
     ingest story: index growth is one projection + one bounded append
-    per batch, never a rebuild.
+    per batch, never a rebuild. With ``pq_codebooks`` (e.g. loaded
+    from a ``build_partitioned_ivfpq`` index's ``_codebooks.json``
+    sidecar) each batch instead writes the IVF+PQ SERVING layout —
+    vector + norm + residual codes — appending directly into the
+    compressed index ``ivfpq_partitioned_topk`` serves (assignment
+    uses the IVF+PQ L2 convention in that mode; ``metric`` is
+    ignored).
 
     Semantics: the streaming checkpoint makes replays batch-level
     idempotent (a committed batch is never re-fed — tested); a crash
@@ -695,6 +702,7 @@ def index_ingest_sink(
     from aws_data_wrangler_spark.operators.similarity import (
         collect_centroids,
         ivf_index_rows,
+        ivfpq_index_rows,
     )
 
     spark = stream.sparkSession
@@ -704,9 +712,15 @@ def index_ingest_sink(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        rows = ivf_index_rows(
-            batch_df, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
-        )
+        if pq_codebooks is not None:
+            rows = ivfpq_index_rows(
+                batch_df, cent_ids, cent_vecs, pq_codebooks,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            rows = ivf_index_rows(
+                batch_df, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
+            )
         if files_per_cell <= 1:
             clustered = rows.repartition(F.col("cid"))
         else:

@@ -461,3 +461,38 @@ class TestIndexIngestSink:
         streaming.index_ingest_sink(stream2, seeds, index, metric="cosine")
         n2 = spark.read.parquet(index).count()
         assert n1 == n2 == embeddings.count()
+
+    def test_pq_ingest_grows_the_serving_index(self, spark, embeddings, tmp_prefix):
+        # build the compressed serving index on the even half, then
+        # stream-ingest the odd half using the sidecar codebooks: the
+        # grown index must search value-identical to the full-corpus
+        # ivfpq_topk with the same artifacts
+        from pyspark.sql import Window as W
+
+        from aws_data_wrangler_spark.operators import similarity
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = f"{tmp_prefix}/ivfpq_grow"
+        even = embeddings.filter("vec_id % 2 = 0")
+        books = similarity.build_partitioned_ivfpq(
+            even, seeds, index, m=8, num_codes=16, iterations=0
+        )
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/embeddings.parquet", spark=spark
+        ).filter("vec_id % 2 = 1")
+        sidecar = similarity.load_pq_codebooks(f"{index}/_codebooks.json")
+        assert sidecar == books
+        streaming.index_ingest_sink(stream, seeds, index, pq_codebooks=sidecar)
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivfpq_partitioned_topk(
+            spark, index, queries, seeds, books, k=5, nprobe=4, rescore_factor=4
+        )
+        ref = similarity.ivfpq_topk(
+            embeddings, queries, k=5, nprobe=4, num_centroids=16, m=8,
+            num_codes=16, rescore_factor=4, centroids=seeds, codebooks=books,
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
