@@ -1393,6 +1393,47 @@ def ivfpq_index_rows(
     )
 
 
+def compact_partitioned_index(
+    spark,
+    index_path: str,
+    target_path: str,
+    files_per_cell: int = 1,
+    id_col: str = "vec_id",
+) -> None:
+    """Compact a partitioned ANN index that streaming ingest has
+    fragmented (every micro-batch appends ≥1 file per touched cell):
+    read whatever layout is there — IVF or IVF+PQ, codes preserved
+    verbatim, nothing re-encoded — re-cluster by cid, and write a
+    fresh dataset at ``target_path`` with the file count back to
+    ``files_per_cell × num_cells``; the ``_codebooks.json`` sidecar is
+    carried over when present. Writing to a NEW path keeps the swap
+    atomic at the pointer level (readers never scan a half-written
+    index) — the OPTIMIZE-then-repoint pattern of table formats.
+    """
+    from aws_data_wrangler_spark import s3
+
+    rows = s3.read_parquet(index_path, dataset=True, spark=spark)
+    if files_per_cell <= 1:
+        clustered = rows.repartition(F.col("cid"))
+    else:
+        clustered = rows.repartition(
+            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
+        )
+    s3.to_parquet(
+        clustered, target_path, dataset=True, partition_cols=["cid"],
+        mode="overwrite", spark=spark,
+    )
+    try:
+        books = load_pq_codebooks(
+            f"{index_path.rstrip('/')}/_codebooks.json", spark=spark
+        )
+    except Exception:
+        return
+    save_pq_codebooks(
+        books, f"{target_path.rstrip('/')}/_codebooks.json", spark=spark
+    )
+
+
 def ivfpq_partitioned_topk(
     spark,
     index_path: str,

@@ -496,3 +496,40 @@ class TestIndexIngestSink:
             num_codes=16, rescore_factor=4, centroids=seeds, codebooks=books,
         )
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_compaction_restores_file_bound_and_results(self, spark, embeddings, tmp_prefix):
+        # fragment an index across two ingest batches, compact, and
+        # verify the bound + identical search results + sidecar carry
+        import glob
+
+        from pyspark.sql import Window as W
+
+        from aws_data_wrangler_spark.operators import similarity
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = f"{tmp_prefix}/ivfpq_frag"
+        books = similarity.build_partitioned_ivfpq(
+            embeddings.filter("vec_id % 2 = 0"), seeds, index,
+            m=8, num_codes=16, iterations=0,
+        )
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/embeddings.parquet", spark=spark
+        ).filter("vec_id % 2 = 1")
+        streaming.index_ingest_sink(stream, seeds, index, pq_codebooks=books)
+        compacted = f"{tmp_prefix}/ivfpq_compact"
+        similarity.compact_partitioned_index(spark, index, compacted)
+        n_cells = len(glob.glob(f"{compacted}/cid=*"))
+        assert len(glob.glob(f"{compacted}/cid=*/*.parquet")) <= n_cells
+        assert similarity.load_pq_codebooks(f"{compacted}/_codebooks.json") == books
+        queries = embeddings.filter("vec_id < 5")
+        before = similarity.ivfpq_partitioned_topk(
+            spark, index, queries, seeds, books, k=5, nprobe=4
+        )
+        after = similarity.ivfpq_partitioned_topk(
+            spark, compacted, queries, seeds, k=5, nprobe=4
+        )
+        assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
