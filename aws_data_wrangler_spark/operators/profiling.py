@@ -251,9 +251,12 @@ def length_histogram(
     if token_col is None:
         from aws_data_wrangler_spark.operators.text import _ws_token_count
 
-        toks = _ws_token_count(F.col(text_col)).cast("bigint")
+        # NULL text counts as 0 tokens (the dsir_score discipline) —
+        # otherwise a null row becomes a garbage NULL-bucket row that
+        # inflates every share and sorts differently across engines
+        toks = _ws_token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint")
     else:
-        toks = F.col(token_col).cast("bigint")
+        toks = F.coalesce(F.col(token_col), F.lit(0)).cast("bigint")
     bucket = F.length(F.conv(toks.cast("string"), 10, 2)).cast("int")
     per_bucket = (
         df.select(toks.alias("__t"), bucket.alias("bucket"))

@@ -722,30 +722,41 @@ def _per_cell_hash_prefix(
     prefix = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
     )
+    # cache: the verify count below and the caller's window both
+    # action this plan; uncached, each would re-run the corpus-wide
+    # assignment projection + join. O(3·per_cell·num_cells) rows —
+    # the fixed_size_sample survivor-cache pattern; the cache
+    # deliberately backs the returned lazy plan.
     survivors = (
         assigned.filter(F.col("cid").isNotNull())
         .join(thresholds, F.col("cid") == F.col("__cid"))
         .filter(prefix < F.col("__thr"))
         .drop("__cid", "__thr")
         .unionByName(assigned.filter(F.col("cid").isNull()))
-    )
-    # verify the margin: every cell must keep min(per_cell, |cell|)
-    short = {
-        r["cid"]
+    ).cache()
+    # verify the margin against the EXPECTED table, not the survivor
+    # table: a cell whose every row failed the threshold has NO
+    # survivor row at all, so a survivors-side scan cannot see it —
+    # with per_cell=1 that zero-survivor event has probability ≈ e⁻³
+    # per large cell, far from vanishing across thousands of cells
+    kept = {
+        r["cid"]: int(r["__k"])
         for r in survivors.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("__k"))
-        .filter(F.col("__k") < per_cell)
         .collect()
     }
-    expected_short = {
-        r["cid"] for r in counts if int(r["__n"]) < per_cell
-    }
-    bad = short - expected_short
+    bad = [
+        r["cid"]
+        for r in counts
+        if r["cid"] is not None
+        and kept.get(r["cid"], 0) < min(per_cell, int(r["__n"]))
+    ]
     if bad:
-        # vanishing-probability branch: restore the full rows of the
-        # short-drawn cells only
+        # restore the full rows of the short-drawn cells only
         refill = assigned.filter(F.col("cid").isin([int(c) for c in bad]))
-        survivors = survivors.filter(
+        replaced = survivors.filter(
             ~F.col("cid").isin([int(c) for c in bad])
         ).unionByName(refill)
+        survivors.unpersist()
+        return replaced
     return survivors

@@ -1164,14 +1164,24 @@ def build_partitioned_ivf(
     assigned = ivf_index_rows(
         corpus, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
     )
-    if files_per_cell <= 1:
-        clustered = assigned.repartition(F.col("cid"))
-    else:
-        clustered = assigned.repartition(
-            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
-        )
+    clustered = cluster_by_cell(assigned, id_col, files_per_cell)
     s3.to_parquet(
         clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
+    )
+
+
+def cluster_by_cell(df: DataFrame, id_col: str, files_per_cell: int) -> DataFrame:
+    """The pre-write clustering every partitioned-index writer needs:
+    repartition by cid (one shuffle) so a ``partitionBy("cid")`` write
+    emits ``files_per_cell × num_cells`` files instead of
+    ``input_partitions × num_cells`` (the small-file catastrophe);
+    ``files_per_cell > 1`` salts giant cells across that many shuffle
+    keys. Shared by the batch builds, the streaming ingest sink, and
+    compaction so all writers fragment identically."""
+    if files_per_cell <= 1:
+        return df.repartition(F.col("cid"))
+    return df.repartition(
+        F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
     )
 
 
@@ -1313,24 +1323,24 @@ def build_partitioned_ivfpq(
     from aws_data_wrangler_spark import s3
 
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    assigned = _ivfpq_assigned(corpus, cent_ids, cent_vecs, id_col, vec_col)
+    cached = False
     if codebooks is None:
-        residuals = _ivfpq_assigned(
-            corpus, cent_ids, cent_vecs, id_col, vec_col
-        ).select(F.col("c_id").alias(id_col), F.col("residual").alias(vec_col)).cache()
+        # cache the FULL assigned projection: the Lloyd training loops
+        # action it repeatedly AND the encode below reuses it —
+        # uncached, the corpus-wide argmin+residual pass would run once
+        # more for the encode
+        assigned = assigned.cache()
+        cached = True
         codebooks = train_pq_codebooks(
-            residuals, m=m, num_codes=num_codes, iterations=iterations,
+            assigned.select(
+                F.col("c_id").alias(id_col), F.col("residual").alias(vec_col)
+            ),
+            m=m, num_codes=num_codes, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
-        residuals.unpersist()
-    encoded = ivfpq_index_rows(
-        corpus, cent_ids, cent_vecs, codebooks, id_col=id_col, vec_col=vec_col
-    )
-    if files_per_cell <= 1:
-        clustered = encoded.repartition(F.col("cid"))
-    else:
-        clustered = encoded.repartition(
-            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
-        )
+    encoded = _ivfpq_encode_layout(assigned, codebooks, id_col, vec_col)
+    clustered = cluster_by_cell(encoded, id_col, files_per_cell)
     s3.to_parquet(
         clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
     )
@@ -1339,6 +1349,8 @@ def build_partitioned_ivfpq(
     # it; the leading underscore keeps it invisible to the parquet
     # reader, the _SUCCESS convention)
     save_pq_codebooks(codebooks, f"{path.rstrip('/')}/_codebooks.json", spark=spark)
+    if cached:
+        assigned.unpersist()
     return codebooks
 
 
@@ -1381,6 +1393,14 @@ def ivfpq_index_rows(
     codes, cid). Shared by ``build_partitioned_ivfpq`` and the
     streaming ingest sink so both write byte-compatible rows."""
     assigned = _ivfpq_assigned(corpus, cent_ids, cent_vecs, id_col, vec_col)
+    return _ivfpq_encode_layout(assigned, codebooks, id_col, vec_col)
+
+
+def _ivfpq_encode_layout(
+    assigned: DataFrame, codebooks, id_col: str, vec_col: str
+) -> DataFrame:
+    """``_ivfpq_assigned`` output → the serving-index row layout
+    (id, vector, norm, residual PQ codes, cid)."""
     return pq_encode(
         assigned, codebooks, id_col="c_id", vec_col="residual",
         keep_cols=["c_vec", "c_norm", "cid"],
@@ -1413,22 +1433,21 @@ def compact_partitioned_index(
     from aws_data_wrangler_spark import s3
 
     rows = s3.read_parquet(index_path, dataset=True, spark=spark)
-    if files_per_cell <= 1:
-        clustered = rows.repartition(F.col("cid"))
-    else:
-        clustered = rows.repartition(
-            F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
-        )
+    clustered = cluster_by_cell(rows, id_col, files_per_cell)
     s3.to_parquet(
         clustered, target_path, dataset=True, partition_cols=["cid"],
         mode="overwrite", spark=spark,
     )
-    try:
-        books = load_pq_codebooks(
-            f"{index_path.rstrip('/')}/_codebooks.json", spark=spark
-        )
-    except Exception:
+    # only a genuinely ABSENT sidecar means "plain IVF, nothing to
+    # carry" — a present-but-unreadable/corrupt sidecar must fail the
+    # compaction loudly, or the repointed index silently loses its
+    # codebooks and the first codebooks=None search breaks much later
+    from aws_data_wrangler_spark.s3._fs import does_object_exist
+
+    sidecar = f"{index_path.rstrip('/')}/_codebooks.json"
+    if not does_object_exist(sidecar, spark=spark):
         return
+    books = load_pq_codebooks(sidecar, spark=spark)
     save_pq_codebooks(
         books, f"{target_path.rstrip('/')}/_codebooks.json", spark=spark
     )
@@ -1519,6 +1538,10 @@ def ivfpq_partitioned_topk(
                 "approx_cosine"
             ),
         )
+        # crash-duplicated ingest rows (see index_ingest_sink) score
+        # identically — collapse them so a duplicate can't occupy two
+        # shortlist slots (the ivf_partitioned_topk contract)
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
@@ -1547,6 +1570,8 @@ def ivfpq_partitioned_topk(
             "neighbor_id",
             trunc_digits(_cosine("q_vec", "c_vec", "q_norm", "c_norm")).alias("cosine"),
         )
+        # duplicated index rows re-multiply through the rescore join
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

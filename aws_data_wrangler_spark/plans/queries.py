@@ -1050,12 +1050,7 @@ def _dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
     emb = _planted_near_dup_embeddings(spark, sf_dir)
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(32)
-        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .select("cid", F.col("embedding").alias("cvec"))
-    )
+    seeds = _seed_centroids(emb, 32)
     return dedup.semdedup(
         emb, centroids=seeds, eps=0.05, keep="farthest"
     ).orderBy("vec_id")
@@ -1186,6 +1181,22 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def _seed_centroids(emb: DataFrame, n: int) -> DataFrame:
+    """The SEEDED quantizer every oracle-replicable ANN entry shares:
+    the ``n`` lowest-id vectors as (cid, cvec) with cid = rank − 1.
+    Single-sourced because every DuckDB oracle replicates exactly this
+    construction (``row_number() OVER (ORDER BY vec_id) - 1``) — a
+    tweak here must ship with the oracle-side twin."""
+    from pyspark.sql import Window as _W
+
+    return (
+        emb.orderBy("vec_id")
+        .limit(n)
+        .withColumn("cid", F.row_number().over(_W.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+
+
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with SEEDED centroids (the 16 lowest-id vectors, zero
     Lloyd iterations — the operator's pre-trained-centroids path) and
@@ -1200,12 +1211,7 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(16)
-        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .select("cid", F.col("embedding").alias("cvec"))
-    )
+    seeds = _seed_centroids(emb, 16)
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(
         emb, queries, k=5, nprobe=4, centroids=seeds, metric="cosine"
@@ -1229,12 +1235,7 @@ def _ann_ivf_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(32)
-        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .select("cid", F.col("embedding").alias("cvec"))
-    )
+    seeds = _seed_centroids(emb, 32)
     index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_index"
     similarity.build_partitioned_ivf(
         emb, seeds, index, metric="cosine", spark=spark
@@ -1873,12 +1874,7 @@ def _streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(32)
-        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
-        .select("cid", F.col("embedding").alias("cvec"))
-    )
+    seeds = _seed_centroids(emb, 32)
     index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_stream_index"
     stream = streaming.read_event_stream(f"{sf_dir}/embeddings.parquet", spark=spark)
     streaming.index_ingest_sink(stream, seeds, index, metric="cosine")
@@ -1904,12 +1900,7 @@ def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(16)
-        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
-        .select("cid", F.col("embedding").alias("cvec"))
-    )
+    seeds = _seed_centroids(emb, 16)
     index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivfpq_index"
     books = similarity.build_partitioned_ivfpq(
         emb, seeds, index, m=8, num_codes=16, iterations=0, spark=spark
@@ -1981,12 +1972,7 @@ def _ann_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(32)
-        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
-        .select("cid", F.col("embedding").alias("cvec"))
-    )
+    seeds = _seed_centroids(emb, 32)
     occ = similarity.cell_occupancy(emb, seeds, metric="cosine")
     return occ.select(
         F.col("cid").cast("int").alias("cid"),
@@ -2074,12 +2060,7 @@ def _sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import sampling
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(32)
-        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
-        .select("cid", F.col("embedding").alias("cvec"))
-    )
+    seeds = _seed_centroids(emb, 32)
     picked = sampling.cluster_balanced_sample(
         emb, seeds, per_cell=5, metric="cosine"
     )

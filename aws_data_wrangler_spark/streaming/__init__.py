@@ -700,6 +700,7 @@ def index_ingest_sink(
     """
     from aws_data_wrangler_spark import s3
     from aws_data_wrangler_spark.operators.similarity import (
+        cluster_by_cell,
         collect_centroids,
         ivf_index_rows,
         ivfpq_index_rows,
@@ -721,12 +722,7 @@ def index_ingest_sink(
             rows = ivf_index_rows(
                 batch_df, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
             )
-        if files_per_cell <= 1:
-            clustered = rows.repartition(F.col("cid"))
-        else:
-            clustered = rows.repartition(
-                F.col("cid"), F.pmod(F.hash(F.col(id_col)), F.lit(files_per_cell))
-            )
+        clustered = cluster_by_cell(rows, id_col, files_per_cell)
         s3.to_parquet(
             clustered,
             path,
@@ -742,4 +738,14 @@ def index_ingest_sink(
         .option("checkpointLocation", f"{path}/_checkpoint")
         .start()
     )
-    query.awaitTermination(timeout_s)
+    # a timeout means the backlog is only PARTIALLY ingested and the
+    # query still holds the checkpoint — returning silently would let
+    # the caller search an incomplete index or race a second sink on
+    # the same path; committed batches stay committed, so a rerun
+    # resumes where this one stopped
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"index ingest did not drain the backlog within {timeout_s}s "
+            f"(committed batches are durable; rerun to resume)"
+        )

@@ -2172,6 +2172,31 @@ class TestClusterBalancedSample:
         assert per_cell_n[1] == 8  # tiny cell: threshold saturates, keep-all
         assert 4 <= per_cell_n[0] < 100  # giant cell: ~12 of 900 survive
 
+    def test_prefilter_refills_zero_survivor_cells(self, spark):
+        # construct a cell where EVERY row fails the hash threshold
+        # (all md5 prefixes above it), so the survivor table has no row
+        # for that cell at all — the verify must still detect and
+        # refill it (review finding: a survivors-side scan can't)
+        import hashlib
+
+        from aws_data_wrangler_spark.operators import sampling
+        from aws_data_wrangler_spark.operators.sampling import _threshold_hex
+
+        n = 50
+        thr = _threshold_hex(3.0 * 1 / n)
+        ids = [i for i in range(10_000) if hashlib.md5(str(i).encode()).hexdigest()[:8] >= thr][:n]
+        assert len(ids) == n
+        rows = [(i, [10.0, 0.0]) for i in ids] + [(90_000, [0.0, 10.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [10.0, 0.0]), (1, [0.0, 10.0])], "cid int, cvec array<double>"
+        )
+        fast = sampling.cluster_balanced_sample(df, cents, per_cell=1, prefilter=True)
+        full = sampling.cluster_balanced_sample(df, cents, per_cell=1)
+        got = sorted(map(tuple, fast.collect()))
+        assert got == sorted(map(tuple, full.collect()))
+        assert {c for _, c, _ in got} == {0, 1}  # the starved cell came back
+
     def test_assignment_stays_zero_shuffle(self, spark, embeddings):
         from aws_data_wrangler_spark.operators import sampling
 
