@@ -300,3 +300,110 @@ def test_remove_duplicated_lines_matches_bruteforce(spark, docs):
         removed = len(lines) - len(kept)
         expected[i] = ("\n".join(kept), len(lines), removed)
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    per_cell=st.integers(min_value=1, max_value=4),
+)
+def test_cluster_balanced_sample_invariants(spark, vecs, per_cell):
+    """Per-cell quota exact, ranks dense, partition-invariant, and the
+    prefiltered draw identical to the full draw on arbitrary inputs."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [3.0, 0.0]), (1, [-3.0, 0.0]), (2, [0.0, 3.0])],
+        "cid int, cvec array<double>",
+    )
+    out = sorted(
+        map(tuple, sampling.cluster_balanced_sample(df, cents, per_cell).collect())
+    )
+    # quota + dense ranks per cell
+    per = {}
+    for _, cid, rank in out:
+        per.setdefault(cid, []).append(rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= per_cell
+    # partition invariance
+    again = sorted(
+        map(
+            tuple,
+            sampling.cluster_balanced_sample(df.repartition(5), cents, per_cell).collect(),
+        )
+    )
+    assert again == out
+    # prefilter changes the plan, never the result
+    fast = sorted(
+        map(
+            tuple,
+            sampling.cluster_balanced_sample(
+                df, cents, per_cell, prefilter=True
+            ).collect(),
+        )
+    )
+    assert fast == out
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=40, unique=True),
+    num_shards=st.integers(min_value=1, max_value=6),
+)
+def test_shard_assignment_disjoint_exhaustive_dense(spark, ids, num_shards):
+    """Every doc lands in exactly one shard; in-shard positions are
+    dense 1..n — the invariant pretraining_shard_export's manifest
+    (max_pos == n_docs) certifies at the aggregate level."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = sampling.deterministic_shuffle(df, num_shards=num_shards).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)  # exhaustive, no dupes
+    per = {}
+    for r in rows:
+        assert 0 <= r["shard"] < num_shards
+        per.setdefault(r["shard"], []).append(r["pos"])
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@settings(**SETTINGS)
+@given(
+    exact=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=20, unique=True
+    ),
+    approx=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=20, unique=True
+    ),
+)
+def test_recall_at_k_matches_set_arithmetic(spark, exact, approx):
+    from aws_data_wrangler_spark.operators import similarity
+
+    e_df = spark.createDataFrame(exact, "query_id int, neighbor_id int")
+    a_df = spark.createDataFrame(
+        approx or [(99, 99)], "query_id int, neighbor_id int"
+    )
+    rows = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in similarity.recall_at_k(a_df, e_df).collect()
+    }
+    a_set = set(approx)
+    per_q = {}
+    for q, n in exact:
+        per_q.setdefault(q, []).append(n)
+    assert set(rows) == set(per_q)  # every truth query present, none invented
+    for q, ns in per_q.items():
+        hits = sum(1 for n in ns if (q, n) in a_set)
+        assert rows[q] == (len(ns), hits, hits / len(ns))
