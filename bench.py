@@ -70,11 +70,15 @@ HEADLINE = [
     # probe-side search (build dominates; the search alone reads
     # ~nprobe/num_centroids of the index)
     "ann_ivf_partitioned_search",
-    # round-6 addition: DSIR importance resampling — two
-    # bucket-bounded distribution aggregates + a zero-shuffle scoring
-    # projection + a TakeOrderedAndProject draw; tracks the
-    # data-selection tier's cost
+    # round-6 addition: DSIR importance resampling — ONE bucket-bounded
+    # distribution aggregate + a zero-shuffle scoring projection + a
+    # TakeOrderedAndProject draw; tracks the data-selection tier's cost
     "sample_dsir",
+    # round-6 addition (second session): the SERVING shape end-to-end —
+    # IVF+PQ build (assignment+residual+encode in one projection,
+    # cell-clustered write) + partition-pruned, column-pruned ADC +
+    # vector-column rescore; build+train dominates at this SF
+    "ann_ivfpq_partitioned_search",
 ]
 
 

@@ -7,6 +7,12 @@ compare time only as a formatting guard — the queries themselves are
 responsible for stable values).
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+
+Partitioning-invariance harness: re-run the full sweep under a
+perturbed parallelism config — ``SPARK_GRAFT_CPUS=5 python
+tools/check_oracles.py /root/testdata/sf0.01`` runs local[5] with 5
+shuffle partitions; every entry must still match its oracle (verified
+registry-wide in round 6).
 """
 
 from __future__ import annotations
