@@ -2575,13 +2575,15 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
     "text_length_histogram": _text_length_histogram,
     "streaming_index_ingest": _streaming_index_ingest,
+    # crossing round-6-changed code (the merged_close_to_single
+    # invariant fix) — needs a fresh driver row
+    "profiling_hll_invariants": _profiling_hll_invariants,
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,
     "events_join_fanout": _events_join_fanout,
     "text_html_extract": _text_html_extract,
     "sample_shuffle_shards": _sample_shuffle_shards,
-    "text_ngram_repetition": _text_ngram_repetition,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2641,9 +2643,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
     "multimodal_image_dhash": _multimodal_image_dhash,
     "text_bigram_surprisal": _text_bigram_surprisal,
+    "text_ngram_repetition": _text_ngram_repetition,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
-    "profiling_hll_invariants": _profiling_hll_invariants,
     "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,
     "multimodal_audio_fp": _multimodal_audio_fp,
     "text_c4_rules": _text_c4_rules,

@@ -65,6 +65,7 @@ ROUND4_FROZEN = {
     "events_hourly_rollup", "lineitem_stats_by_flag",
     "topk_customers_window", "q16_parts_suppliers",
     "multimodal_image_dhash", "text_bigram_surprisal",
+    "text_ngram_repetition",
     "io_fwf_roundtrip", "profiling_null_profile",
     "profiling_hll_invariants", "events_heavy_hitters_sketch",
     "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
@@ -113,6 +114,9 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     "ann_recall_lsh", "pretraining_shard_export", "ann_cell_occupancy",
     "streaming_dsir_gate", "ann_ivfpq_partitioned_search",
     "text_length_histogram", "streaming_index_ingest",
+    # the merged_close_to_single invariant fix changed its code late in
+    # round 6 — fresh row required
+    "profiling_hll_invariants",
 }
 
 
