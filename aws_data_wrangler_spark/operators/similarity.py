@@ -1712,6 +1712,109 @@ def cell_occupancy(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cosine",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query maximizing
+    ``λ·relevance − (1−λ)·max_sim_to_already_selected`` — the standard
+    diversity-aware re-rank of an ANN shortlist (near-duplicate hits
+    stop crowding out distinct ones). Input is any top-k table
+    (query_id, neighbor_id, relevance) — ``cosine_topk``/``lsh_topk``/
+    ``ivf*_topk`` output — plus the corpus to fetch candidate vectors;
+    returns (query_id, neighbor_id, mmr_rank, mmr_score), rank 1 =
+    most relevant (the greedy seed), ties → lowest neighbor_id.
+
+    The greedy loop is ``k`` UNROLLED DataFrame iterations (argmax
+    window + one broadcast join per step, all over the RESULT-sized
+    candidate table — never the corpus), with pairwise similarities as
+    sequential JVM dot-product folds: the same arithmetic the DuckDB
+    oracles replicate bit-for-bit, so no Python/BLAS summation-order
+    drift. Plan depth grows with k; k is a result-page constant by
+    contract.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("__v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+    cand = (
+        candidates.select(
+            "query_id",
+            F.col("neighbor_id"),
+            F.col(rel_col).cast("double").alias("__rel"),
+        )
+        .join(vecs, F.col("neighbor_id") == F.col("__nid"))
+        .drop("__nid")
+        .withColumn("__max_sim", F.lit(None).cast("double"))
+    )
+    picks = []
+    remaining = cand
+    for r in range(1, k + 1):
+        score = F.when(F.col("__max_sim").isNull(), F.col("__rel")).otherwise(
+            F.lit(lam) * F.col("__rel") - F.lit(1 - lam) * F.col("__max_sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            remaining.withColumn("__score", score)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("__sel_id"),
+                F.col("__v").alias("__sel_v"),
+                F.col("__nrm").alias("__sel_nrm"),
+                F.col("__score"),
+            )
+        )
+        picks.append(
+            pick.select(
+                "query_id",
+                F.col("__sel_id").alias("neighbor_id"),
+                F.lit(r).alias("mmr_rank"),
+                trunc_digits(F.col("__score")).alias("mmr_score"),
+            )
+        )
+        if r == k:
+            break
+        sim = _dot_expr(F.col("__v"), F.col("__sel_v")) / (
+            F.col("__nrm") * F.col("__sel_nrm")
+        )
+        remaining = (
+            remaining.join(
+                F.broadcast(pick.drop("__score")), "query_id"
+            )
+            .filter(F.col("neighbor_id") != F.col("__sel_id"))
+            .withColumn(
+                "__max_sim",
+                F.when(F.col("__max_sim").isNull(), sim).otherwise(
+                    F.greatest(F.col("__max_sim"), sim)
+                ),
+            )
+            .drop("__sel_id", "__sel_v", "__sel_nrm")
+        )
+    out = picks[0]
+    for extra in picks[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

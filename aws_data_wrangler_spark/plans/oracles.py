@@ -94,6 +94,76 @@ _DSIR_SCORED_CTES = """toks AS (
         )"""
 
 
+def _mmr_oracle_sql(k_cand: int = 15, k: int = 5, lam: float = 0.7) -> str:
+    """Exact DuckDB replica of the registered ``ann_mmr_rerank`` query:
+    brute-force top-``k_cand`` (the 6dp-truncated cosine, the shared
+    convention) re-ranked by ``k`` UNROLLED greedy MMR steps — each
+    step an argmax window (ties → lowest id) and a max-similarity
+    update via ``list_dot_product`` (sequential fold ≡ Spark's
+    ``aggregate``, the embedding-oracle precedent). λ and 1−λ are
+    emitted via ``repr`` so both engines multiply the same doubles.
+    """
+    l_, one_minus = repr(lam), repr(1 - lam)
+    steps = []
+    prev = "cand0"
+    selects = []
+    for r in range(1, k + 1):
+        score = (
+            "rel"
+            if r == 1
+            else f"{l_} * rel - {one_minus} * max_sim"
+        )
+        steps.append(f"""pick{r} AS (
+            SELECT query_id, nid, v, nrm, score
+            FROM (SELECT query_id, nid, v, nrm, ({score}) AS score,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY ({score}) DESC, nid) AS rn
+                  FROM {prev})
+            WHERE rn = 1
+        )""")
+        selects.append(
+            f"SELECT query_id, nid AS neighbor_id, {r} AS mmr_rank,\n"
+            f"       floor(score * 1000000.0) / 1000000.0 AS mmr_score FROM pick{r}"
+        )
+        if r == k:
+            break
+        update = (
+            f"list_dot_product(c.v, p.v) / (c.nrm * p.nrm)"
+            if r == 1
+            else f"greatest(c.max_sim, list_dot_product(c.v, p.v) / (c.nrm * p.nrm))"
+        )
+        steps.append(f"""cand{r} AS (
+            SELECT c.query_id, c.nid, c.rel, c.v, c.nrm,
+                   ({update}) AS max_sim
+            FROM {prev} c JOIN pick{r} p USING (query_id)
+            WHERE c.nid <> p.nid
+        )""")
+        prev = f"cand{r}"
+    return f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nid,
+                   {_COSINE.format(a='q', b='c')} AS rel
+            FROM q, embeddings c
+            WHERE c.vec_id <> q.vec_id
+        ), shortlist AS (
+            SELECT query_id, nid, rel
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY rel DESC, nid) AS rk
+                  FROM scored)
+            WHERE rk <= {k_cand}
+        ), cand0 AS (
+            SELECT s.query_id, s.nid, s.rel,
+                   e.embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[])) AS nrm
+            FROM shortlist s JOIN embeddings e ON e.vec_id = s.nid
+        ), {', '.join(steps)}
+        SELECT * FROM ({' UNION ALL '.join(selects)})
+        ORDER BY query_id, mmr_rank
+    """
+
+
 def _lsh_ann_oracle_sql(
     k: int = 5, num_planes: int = 4, num_tables: int = 8, dim: int = 64, seed: int = 42
 ) -> str:
@@ -1340,6 +1410,7 @@ ORACLES: Dict[str, str] = {
     # build, so the streamed-then-searched results replicate with the
     # same seeded-32-cell IVF oracle
     "streaming_index_ingest": _ivf_ann_oracle_sql(num_seeds=32),
+    "ann_mmr_rerank": _mmr_oracle_sql(),
     # index-balance diagnostic replica: seeded cosine assignment (the
     # ivf technique) → per-cell counts → share + FAISS imbalance
     # factor (nlist·Σn²/total², computed in DOUBLE over exact ints on

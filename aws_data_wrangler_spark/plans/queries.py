@@ -2022,6 +2022,23 @@ def _pretraining_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware re-rank of the exact top-15 shortlist via
+    Maximal Marginal Relevance (k=5, λ=0.7): the greedy loop is k
+    unrolled argmax windows + broadcast joins over the RESULT-sized
+    candidate table, every similarity a sequential JVM dot-product
+    fold — the arithmetic the DuckDB replica reproduces step by
+    step."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cands = similarity.cosine_topk(emb, queries, k=15)
+    return similarity.mmr_rerank(cands, emb, k=5, lam=0.7).orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
 def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index evaluation: per-query recall@5 of the LSH index
     against the exact brute-force ground truth — the quality metric
@@ -2575,6 +2592,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
     "text_length_histogram": _text_length_histogram,
     "streaming_index_ingest": _streaming_index_ingest,
+    "ann_mmr_rerank": _ann_mmr_rerank,
     # crossing round-6-changed code (the merged_close_to_single
     # invariant fix) — needs a fresh driver row
     "profiling_hll_invariants": _profiling_hll_invariants,
@@ -2583,7 +2601,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_orc_roundtrip": _io_orc_roundtrip,
     "events_join_fanout": _events_join_fanout,
     "text_html_extract": _text_html_extract,
-    "sample_shuffle_shards": _sample_shuffle_shards,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
@@ -2644,6 +2661,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_dhash": _multimodal_image_dhash,
     "text_bigram_surprisal": _text_bigram_surprisal,
     "text_ngram_repetition": _text_ngram_repetition,
+    "sample_shuffle_shards": _sample_shuffle_shards,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,

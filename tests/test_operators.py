@@ -875,6 +875,69 @@ class TestSimilarity:
         rows = similarity.cell_occupancy(skewed, cents).collect()
         assert len(rows) == 1 and rows[0]["imbalance"] == 3.0
 
+    def test_mmr_rerank_matches_python_greedy(self, spark, embeddings):
+        import numpy as np
+
+        queries = embeddings.filter("vec_id < 4")
+        cands = similarity.cosine_topk(embeddings, queries, k=10)
+        out = similarity.mmr_rerank(cands, embeddings, k=5, lam=0.7)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], []).append((r["mmr_rank"], r["neighbor_id"]))
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.collect()
+        }
+        cand_rows = {}
+        for r in cands.collect():
+            cand_rows.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["cosine"])
+            )
+        for q, rows in cand_rows.items():
+            ids = [n for n, _ in rows]
+            rel = {n: c for n, c in rows}
+            sel = []
+            while len(sel) < 5 and len(sel) < len(ids):
+                best = None
+                for n in ids:
+                    if n in sel:
+                        continue
+                    if not sel:
+                        s = rel[n]
+                    else:
+                        ms = max(
+                            float(vecs[n] @ vecs[m])
+                            / (np.linalg.norm(vecs[n]) * np.linalg.norm(vecs[m]))
+                            for m in sel
+                        )
+                        s = 0.7 * rel[n] - 0.3 * ms
+                    if best is None or s > best[0] or (s == best[0] and n < best[1]):
+                        best = (s, n)
+                sel.append(best[1])
+            assert [n for _, n in sorted(got[q])] == sel, (q, got[q], sel)
+
+    def test_mmr_diversifies_planted_near_duplicates(self, spark):
+        # three near-identical top hits + two distinct directions: plain
+        # top-3 returns the clones; MMR keeps the best clone and brings
+        # the distinct directions forward
+        rows = [
+            (0, [1.0, 0.0, 0.0]),          # the query
+            (1, [0.99, 0.14, 0.0]),        # clone A
+            (2, [0.99, 0.141, 0.0]),       # clone B
+            (3, [0.99, 0.142, 0.0]),       # clone C
+            (4, [0.7, 0.7, 0.0]),          # distinct direction 1
+            (5, [0.7, 0.0, 0.7]),          # distinct direction 2
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter("vec_id = 0")
+        cands = similarity.cosine_topk(df, q, k=5)
+        plain = [r["neighbor_id"] for r in cands.filter("rank <= 3").collect()]
+        assert set(plain) == {1, 2, 3}  # clones crowd the page
+        mmr = similarity.mmr_rerank(cands, df, k=3, lam=0.3)
+        picked = {r["neighbor_id"] for r in mmr.collect()}
+        assert len(picked & {4, 5}) == 2  # both distinct directions surface
+        assert len(picked & {1, 2, 3}) == 1  # one clone survives
+
     def test_recall_at_k_counts_and_zero_for_missing_queries(self, spark):
         from aws_data_wrangler_spark.operators import similarity
 

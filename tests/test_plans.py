@@ -65,7 +65,7 @@ ROUND4_FROZEN = {
     "events_hourly_rollup", "lineitem_stats_by_flag",
     "topk_customers_window", "q16_parts_suppliers",
     "multimodal_image_dhash", "text_bigram_surprisal",
-    "text_ngram_repetition",
+    "text_ngram_repetition", "sample_shuffle_shards",
     "io_fwf_roundtrip", "profiling_null_profile",
     "profiling_hll_invariants", "events_heavy_hitters_sketch",
     "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
@@ -117,6 +117,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     # the merged_close_to_single invariant fix changed its code late in
     # round 6 — fresh row required
     "profiling_hll_invariants",
+    "ann_mmr_rerank",
 }
 
 
