@@ -1262,6 +1262,9 @@ def ivf_partitioned_topk(
     corpus = s3.read_parquet(index_path, dataset=True, spark=spark).filter(
         F.col("cid").isin(probed_cids)
     )
+    corpus = _apply_tombstones(
+        corpus, load_tombstones(spark, index_path, id_col), id_col
+    )
     c = corpus.select(
         F.col("cid"),
         F.col(id_col).alias("c_id"),
@@ -1429,10 +1432,19 @@ def compact_partitioned_index(
     carried over when present. Writing to a NEW path keeps the swap
     atomic at the pointer level (readers never scan a half-written
     index) — the OPTIMIZE-then-repoint pattern of table formats.
+
+    Tombstones (``delete_from_partitioned_index``) are applied
+    PHYSICALLY here: soft-deleted rows are dropped from the compacted
+    copy and the tombstone sidecar is NOT carried over — compaction is
+    where deletes stop costing an anti-join per search.
     """
     from aws_data_wrangler_spark import s3
 
-    rows = s3.read_parquet(index_path, dataset=True, spark=spark)
+    rows = _apply_tombstones(
+        s3.read_parquet(index_path, dataset=True, spark=spark),
+        load_tombstones(spark, index_path, id_col),
+        id_col,
+    )
     clustered = cluster_by_cell(rows, id_col, files_per_cell)
     s3.to_parquet(
         clustered, target_path, dataset=True, partition_cols=["cid"],
@@ -1450,6 +1462,81 @@ def compact_partitioned_index(
     books = load_pq_codebooks(sidecar, spark=spark)
     save_pq_codebooks(
         books, f"{target_path.rstrip('/')}/_codebooks.json", spark=spark
+    )
+
+
+def _tombstone_path(index_path: str) -> str:
+    return f"{index_path.rstrip('/')}/_tombstones"
+
+
+def delete_from_partitioned_index(
+    spark,
+    index_path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> None:
+    """Soft-delete vectors from a partitioned ANN index (IVF or
+    IVF+PQ): append the ids to the ``_tombstones`` sidecar dataset
+    under the index path. Nothing in the 100 TB data files is touched
+    — a delete is one tiny parquet append, O(deleted ids), exactly the
+    Lucene/table-format deletion-vector design. The underscore prefix
+    keeps the sidecar invisible to the index's own parquet scan
+    (Hadoop's hidden-path filter, the ``_codebooks.json`` convention),
+    so existing readers of the raw dataset are unaffected; the search
+    tiers (``ivf_partitioned_topk`` / ``ivfpq_partitioned_topk``)
+    anti-join the tombstone set before scoring, and
+    ``compact_partitioned_index`` applies deletes physically — the
+    compacted copy carries no tombstones.
+
+    ``ids`` is an iterable of id values or a single-column DataFrame.
+    Deletes are idempotent (the anti-join doesn't care about
+    duplicates). Re-ingesting a previously deleted id does NOT
+    resurrect it — the tombstone keeps suppressing the id until a
+    compaction applies it; delete-then-reinsert workloads must compact
+    between the two (documented contract, same as append-only table
+    formats without a reinsert log).
+
+    Ref: composes `/root/reference/awswrangler/s3.py` dataset-append
+    semantics; the reference has no index-maintenance analog.
+    """
+    from aws_data_wrangler_spark import s3
+
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        )
+    s3.to_parquet(
+        tomb, _tombstone_path(index_path), dataset=True, mode="append", spark=spark
+    )
+
+
+def load_tombstones(spark, index_path: str, id_col: str = "vec_id"):
+    """The index's deleted-id set as a single-column DataFrame, or
+    ``None`` when no delete was ever issued (the hot path: one
+    driver-side existence probe, no Spark job)."""
+    from aws_data_wrangler_spark import s3
+    from aws_data_wrangler_spark.s3._fs import does_object_exist
+
+    path = _tombstone_path(index_path)
+    if not does_object_exist(path, spark=spark):
+        return None
+    return s3.read_parquet(path, dataset=True, spark=spark).select(id_col).distinct()
+
+
+def _apply_tombstones(rows: DataFrame, tombstones, id_col: str) -> DataFrame:
+    """Filter soft-deleted rows out of an index scan. LEFT ANTI join on
+    the id: the tombstone side is deleted-set-sized (tiny relative to
+    the corpus by contract — AQE broadcasts it at runtime), the scan
+    side keeps its partition pruning; rows never shuffle on a
+    corpus-cardinality key."""
+    if tombstones is None:
+        return rows
+    return rows.join(
+        F.broadcast(tombstones.withColumnRenamed(id_col, "__tomb_id")),
+        rows[id_col] == F.col("__tomb_id"),
+        "left_anti",
     )
 
 
@@ -1513,9 +1600,17 @@ def ivfpq_partitioned_topk(
     probed_cids = sorted(r["cid"] for r in q_cells.select("cid").distinct().collect())
     # ADC pass: partition-pruned AND column-pruned — the vector column
     # never leaves parquet here
+    # tombstoned ids are filtered from the CANDIDATE pass only — the
+    # rescore join keys on shortlist ids, so a deleted id that never
+    # reaches the shortlist can't resurface there
     codes_scan = (
-        s3.read_parquet(index_path, dataset=True, spark=spark)
-        .filter(F.col("cid").isin(probed_cids))
+        _apply_tombstones(
+            s3.read_parquet(index_path, dataset=True, spark=spark).filter(
+                F.col("cid").isin(probed_cids)
+            ),
+            load_tombstones(spark, index_path, id_col),
+            id_col,
+        )
         .select(
             "cid",
             F.col(id_col).alias("c_id"),

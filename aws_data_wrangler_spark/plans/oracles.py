@@ -282,7 +282,9 @@ def _events_percentiles_oracle_sql() -> str:
     """
 
 
-def _ivf_ann_oracle_sql(k: int = 5, nprobe: int = 4, num_seeds: int = 16) -> str:
+def _ivf_ann_oracle_sql(
+    k: int = 5, nprobe: int = 4, num_seeds: int = 16, deleted: tuple = ()
+) -> str:
     """Exact DuckDB replica of the registered ``ann_ivf_topk`` query:
     SEEDED centroids (the ``num_seeds`` lowest-id vectors, the
     operator's pre-trained-centroids path) with the cosine coarse
@@ -291,7 +293,18 @@ def _ivf_ann_oracle_sql(k: int = 5, nprobe: int = 4, num_seeds: int = 16) -> str
     rescore are all deterministic dot-product arithmetic. Assignment
     ordering compares raw doubles — both engines run the same
     sequential dot products (the semdedup-oracle precedent); only the
-    emitted cosine is 6dp floor-truncated."""
+    emitted cosine is 6dp floor-truncated.
+
+    ``deleted`` replicates ``delete_from_partitioned_index``
+    tombstones: the ids are excluded from the CANDIDATE pool only
+    (centroid seeding and query selection see the pre-delete corpus,
+    exactly like the Spark side where centroids are trained artifacts
+    and tombstones anti-join the index scan)."""
+    not_deleted = (
+        f"AND c.vec_id NOT IN ({', '.join(str(int(i)) for i in deleted)})"
+        if deleted
+        else ""
+    )
     return f"""
         WITH corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -324,7 +337,7 @@ def _ivf_ann_oracle_sql(k: int = 5, nprobe: int = 4, num_seeds: int = 16) -> str
                            sqrt(list_dot_product(c.v, c.v)))) * 1000000.0) / 1000000.0
                        AS cosine
             FROM q_cells q JOIN c_cells c ON q.cid = c.cid
-            WHERE c.vec_id <> q.vec_id
+            WHERE c.vec_id <> q.vec_id {not_deleted}
         ), ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    CAST(row_number() OVER (PARTITION BY query_id
@@ -1402,6 +1415,12 @@ ORACLES: Dict[str, str] = {
     # the same (seeded) centroids — partitioning changes I/O, never
     # results — so the replica is the same pipeline at 32 seeds
     "ann_ivf_partitioned_search": _ivf_ann_oracle_sql(num_seeds=32),
+    # tombstone soft-delete: the same partitioned-index pipeline with
+    # ids 10..29 deleted between build and search — the oracle drops
+    # them from the candidate pool only, the tombstone contract
+    "ann_index_delete_search": _ivf_ann_oracle_sql(
+        num_seeds=32, deleted=tuple(range(10, 30))
+    ),
     # the partitioned IVF+PQ search is value-identical to ivfpq_topk
     # with the same seeded artifacts — partition/column pruning changes
     # I/O, never results — so the replica is the existing IVF+PQ oracle

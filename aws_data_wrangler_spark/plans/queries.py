@@ -1246,6 +1246,33 @@ def _ann_ivf_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance corner of the 100 TB ANN lifecycle: build
+    the partitioned IVF index, soft-delete ids 10..29 via the
+    ``_tombstones`` sidecar (one tiny parquet append — no data file is
+    rewritten), then search. The tombstone set anti-joins the
+    partition-pruned scan, so deleted vectors vanish from results the
+    moment the delete lands; at sf0.001 the deleted range holds 4 of
+    the baseline top-5 neighbors, so the row proves suppression, not
+    just plumbing. The DuckDB oracle replicates the whole pipeline
+    with the deleted ids excluded from the candidate pool only —
+    centroids stay the pre-delete trained artifact, exactly as on the
+    Spark side."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = _seed_centroids(emb, 32)
+    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_del_index"
+    similarity.build_partitioned_ivf(
+        emb, seeds, index, metric="cosine", spark=spark
+    )
+    similarity.delete_from_partitioned_index(spark, index, range(10, 30))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_partitioned_topk(
+        spark, index, queries, seeds, k=5, nprobe=4, metric="cosine"
+    ).orderBy("query_id", "rank")
+
+
 def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
@@ -2593,6 +2620,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_length_histogram": _text_length_histogram,
     "streaming_index_ingest": _streaming_index_ingest,
     "ann_mmr_rerank": _ann_mmr_rerank,
+    "ann_index_delete_search": _ann_index_delete_search,
     # crossing round-6-changed code (the merged_close_to_single
     # invariant fix) — needs a fresh driver row
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -851,6 +851,124 @@ class TestSimilarity:
         )
         assert got == want
 
+    def test_tombstone_delete_suppresses_and_compaction_applies(
+        self, spark, embeddings, tmp_path
+    ):
+        # the index-maintenance leg of the 100 TB lifecycle: a delete
+        # is one tiny sidecar append (no data file rewritten), searches
+        # anti-join it immediately, and compaction applies it
+        # physically so the compacted copy carries no tombstones
+        import glob
+        import os
+
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_del")
+        similarity.build_partitioned_ivf(embeddings, seeds, index, metric="cosine")
+        queries = embeddings.filter("vec_id < 5")
+
+        def search(path):
+            return sorted(
+                map(
+                    tuple,
+                    similarity.ivf_partitioned_topk(
+                        spark, path, queries, seeds, k=5, nprobe=4, metric="cosine"
+                    ).collect(),
+                )
+            )
+
+        baseline = search(index)
+        victims = sorted({r[1] for r in baseline})[:3]  # neighbor ids in results
+        data_files_before = sorted(glob.glob(f"{index}/cid=*/*.parquet"))
+        similarity.delete_from_partitioned_index(spark, index, victims)
+        # the delete wrote ONLY the sidecar — no data file touched
+        assert sorted(glob.glob(f"{index}/cid=*/*.parquet")) == data_files_before
+        assert os.path.isdir(f"{index}/_tombstones")
+        after = search(index)
+        assert not {r[1] for r in after} & set(victims)
+        # value oracle: identical to searching a corpus that never had
+        # the victims (centroids stay the pre-delete trained artifact)
+        ref = similarity.ivf_topk(
+            embeddings.filter(~F.col("vec_id").isin(victims)),
+            queries, k=5, nprobe=4, centroids=seeds, metric="cosine",
+        )
+        assert after == sorted(map(tuple, ref.collect()))
+        # idempotent + DataFrame input accepted
+        similarity.delete_from_partitioned_index(
+            spark, index, spark.createDataFrame([(victims[0],)], "vec_id bigint")
+        )
+        assert search(index) == after
+        # compaction applies deletes physically: rows gone from the
+        # data files, no tombstone sidecar carried over, same results
+        compacted = str(tmp_path / "ivf_del_compact")
+        similarity.compact_partitioned_index(spark, index, compacted)
+        assert not os.path.exists(f"{compacted}/_tombstones")
+        surviving = {
+            r["vec_id"]
+            for r in spark.read.parquet(compacted).select("vec_id").collect()
+        }
+        assert not surviving & set(victims)
+        assert search(compacted) == after
+
+    def test_tombstones_filter_ivfpq_candidates(self, spark, embeddings, tmp_path):
+        # the compressed tier honors deletes too: tombstoned ids are
+        # filtered from the ADC candidate pass, so they can't reach the
+        # exact rescore; results equal ivfpq_topk over corpus-minus-
+        # deleted with the same pre-trained artifacts
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivfpq_del")
+        books = similarity.build_partitioned_ivfpq(
+            embeddings, seeds, index, m=8, num_codes=16, iterations=0
+        )
+        queries = embeddings.filter("vec_id < 5")
+        base = similarity.ivfpq_partitioned_topk(
+            spark, index, queries, seeds, books, k=5, nprobe=4, rescore_factor=4
+        )
+        victims = sorted({r["neighbor_id"] for r in base.collect()})[:3]
+        similarity.delete_from_partitioned_index(spark, index, victims)
+        out = similarity.ivfpq_partitioned_topk(
+            spark, index, queries, seeds, books, k=5, nprobe=4, rescore_factor=4
+        )
+        got = sorted(map(tuple, out.collect()))
+        assert not {r[1] for r in got} & set(victims)
+        ref = similarity.ivfpq_topk(
+            embeddings.filter(~F.col("vec_id").isin(victims)),
+            queries, k=5, nprobe=4, num_centroids=16, m=8, num_codes=16,
+            rescore_factor=4, centroids=seeds, codebooks=books,
+        )
+        assert got == sorted(map(tuple, ref.collect()))
+
+    def test_no_tombstones_is_a_plan_noop(self, spark, embeddings, tmp_path):
+        # the hot path: an index with no deletes must not pay an
+        # anti-join — load_tombstones is a driver-side existence probe
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_clean")
+        similarity.build_partitioned_ivf(embeddings, seeds, index, metric="cosine")
+        assert similarity.load_tombstones(spark, index) is None
+        out = similarity.ivf_partitioned_topk(
+            spark, index, embeddings.filter("vec_id < 3"), seeds,
+            k=5, nprobe=4, metric="cosine",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" not in plan, plan
+
     def test_cell_occupancy_imbalance_semantics(self, spark):
         from aws_data_wrangler_spark.operators import similarity
 

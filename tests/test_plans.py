@@ -60,7 +60,9 @@ ROUND4_FROZEN = {
     # embedding_stats) moved INTO the round-6 window as backfill; this
     # is the remainder. text_ngram_freq and embedding_stats were
     # displaced back below the boundary when sample_dsir /
-    # sample_cluster_balanced registered — they ride their round-4 rows.
+    # sample_cluster_balanced registered — they ride their round-4 rows;
+    # text_html_extract likewise when ann_index_delete_search registered.
+    "text_html_extract",
     "text_ngram_freq", "embedding_stats", "events_value_percentiles",
     "events_hourly_rollup", "lineitem_stats_by_flag",
     "topk_customers_window", "q16_parts_suppliers",
@@ -118,6 +120,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     # round 6 — fresh row required
     "profiling_hll_invariants",
     "ann_mmr_rerank",
+    "ann_index_delete_search",
 }
 
 
