@@ -1681,3 +1681,280 @@ def _gemm_near_dup_pairs(
         .cogroup(b.groupby("__bp"))
         .applyInPandas(kernel, out_schema)
     )
+
+
+# --- Bloom-filter ingest gate -------------------------------------------
+#
+# The space-bounded front door of a 100 TB incremental-dedup pipeline:
+# the corpus's content keys are summarized ONCE into a Bloom filter —
+# ~1.2 GB at a billion documents / 1% fpp, vs terabytes for the key set
+# itself — and every arriving batch probes it with a shuffle-free
+# projection. Bloom-NEGATIVE rows (the bulk of a typical crawl batch)
+# are PROVABLY novel and skip the exact machinery entirely; only the
+# positives (true dups + ~fpp false positives) pay the confirmation
+# join. Ref: the reference has no streaming-ingest analog; the design
+# is the standard Bloom + exact-confirm two-phase gate (Bloom 1970,
+# CACM 13(7)), sized by the textbook m = -n·ln p / ln²2 formula.
+
+
+class BloomIngestFilter(NamedTuple):
+    """A built Bloom filter: ``words`` is the bitset as ``num_bits/64``
+    signed 64-bit words (dense, little-endian bit order within each
+    word), probed with ``num_hashes`` Kirsch-Mitzenmacher double
+    hashes. Carrying the geometry inside the artifact makes a
+    mismatched probe impossible — the probe derives everything from
+    the artifact, nothing from caller-repeated parameters."""
+
+    words: tuple
+    num_bits: int
+    num_hashes: int
+    num_items: int
+    fpp: float
+
+
+def _bloom_hashes(cols) -> "tuple[F.Column, F.Column]":
+    """The two base hashes h1/h2 shared by build and probe — both
+    JVM-side xxhash64 (whole-stage codegen), the probe's positions are
+    (h1 + i·h2) mod m for i in 0..k-1 (Kirsch & Mitzenmacher 2006:
+    two hashes simulate k with no asymptotic fpp loss). The salt
+    literal de-correlates h2 from h1."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.xxhash64(*cs), F.xxhash64(F.lit("__bloom_h2__"), *cs)
+
+
+def _bloom_positions(h1: "F.Column", h2: "F.Column", i: "F.Column", m: int) -> "F.Column":
+    # pmod BEFORE the combine: (h1 mod m) + i·(h2 mod m) stays far from
+    # int64 overflow for any sane m (≤ ~1e17/k), so the arithmetic is
+    # identical with or without ANSI mode
+    return F.pmod(
+        F.pmod(h1, F.lit(m)) + i.cast("bigint") * F.pmod(h2, F.lit(m)), F.lit(m)
+    )
+
+
+def build_bloom_ingest_filter(
+    corpus_df: DataFrame,
+    on=("text",),
+    expected_items: Optional[int] = None,
+    fpp: float = 0.01,
+) -> BloomIngestFilter:
+    """Summarize the corpus's key columns into a ``BloomIngestFilter``.
+
+    ONE distributed pass: each row emits its k bit positions (an
+    ``explode(sequence)`` projection), positions aggregate into 64-bit
+    words with a map-side-combining ``bit_or`` groupBy on the word
+    index — the only shuffle moves at most ``m/64`` tiny rows — and
+    the dense bitset collects to the driver (``m/8`` bytes, the
+    artifact). ``expected_items`` skips the sizing ``count()`` when
+    the caller already knows the corpus cardinality (e.g. from a
+    catalog statistic); the geometry is the textbook optimum
+    m = ceil(-n·ln p / ln²2), k = round(m/n·ln 2).
+
+    An EMPTY corpus is legal and useful (day-zero ingest): the filter
+    is all-zeros and every probe is provably negative.
+    """
+    import math
+
+    n = expected_items if expected_items is not None else corpus_df.count()
+    if n < 0:
+        raise ValueError(f"expected_items must be >= 0, got {n}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = max(64, int(math.ceil(-max(n, 1) * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / max(n, 1) * math.log(2)))
+    h1, h2 = _bloom_hashes(on)
+    words_rows = (
+        corpus_df.select(
+            h1.alias("__bh1"),
+            h2.alias("__bh2"),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+        )
+        .select(
+            _bloom_positions(
+                F.col("__bh1"), F.col("__bh2"), F.col("__i"), m
+            ).alias("__pos")
+        )
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr("shiftleft(1L, cast(__pos % 64 AS int))").alias("__bit"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__bit").alias("__word"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in words_rows:
+        words[r["__w"]] = r["__word"]
+    return BloomIngestFilter(tuple(words), m, k, n, fpp)
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: BloomIngestFilter,
+    on=("text",),
+    result_col: str = "maybe_dup",
+    max_literal_words: int = 1 << 20,
+) -> DataFrame:
+    """Probe: adds a boolean ``result_col`` — False is PROOF the key
+    was not in the summarized corpus (no false negatives), True means
+    "in the corpus, or a ~fpp accident". Zero shuffle either way.
+
+    Two physical routes, value-identical (tested):
+
+    - bitset ≤ ``max_literal_words`` words (default 8 MB): the words
+      ship as ONE ``from_json``-folded plan literal and the probe is a
+      pure JVM projection — ``forall`` over the k double-hash
+      positions, ``element_at`` + shift into the literal array.
+    - beyond: the bitset rides a TorrentBroadcast as a numpy array and
+      the probe is an Arrow-batched pandas UDF over the SAME
+      JVM-computed h1/h2 (hashing never moves to Python — only the
+      vectorized bit lookups do), so a multi-GB filter is shipped
+      once per executor instead of being unparseable plan text.
+    """
+    m, k = bloom.num_bits, bloom.num_hashes
+    h1, h2 = _bloom_hashes(on)
+    if len(bloom.words) <= max_literal_words:
+        from aws_data_wrangler_spark.operators.similarity import _nested_lit
+
+        words_lit = _nested_lit(list(bloom.words), "array<bigint>")
+
+        def bit_set(i: "F.Column") -> "F.Column":
+            pos = _bloom_positions(F.col("__bh1"), F.col("__bh2"), i, m)
+            word = F.element_at(words_lit, (pos / 64).cast("int") + 1)
+            return (
+                F.call_function(
+                    "shiftright", word, F.pmod(pos, F.lit(64)).cast("int")
+                ).bitwiseAND(F.lit(1))
+                == 1
+            )
+
+        return (
+            df.withColumn("__bh1", h1)
+            .withColumn("__bh2", h2)
+            .withColumn(
+                result_col, F.forall(F.sequence(F.lit(0), F.lit(k - 1)), bit_set)
+            )
+            .drop("__bh1", "__bh2")
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    bits_bc = spark.sparkContext.broadcast(
+        np.array(bloom.words, dtype=np.int64).view(np.uint64)
+    )
+
+    def probe(h1s, h2s):
+        bits = bits_bc.value
+        a = h1s.to_numpy(dtype=np.int64).astype(object) % m
+        b = h2s.to_numpy(dtype=np.int64).astype(object) % m
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = ((a + i * b) % m).astype(np.int64)
+            hit &= (bits[pos // 64] >> (pos % 64).astype(np.uint64)) & 1 == 1
+        return pd.Series(hit)
+
+    # explicit (fn, type) form: the module-wide `from __future__ import
+    # annotations` turns hints into strings the UDF inferrer can't
+    # resolve against function-local imports
+    probe_udf = pandas_udf(probe, "boolean")
+    return df.withColumn(result_col, probe_udf(h1, h2))
+
+
+def bloom_ingest_gate(
+    batch_df: DataFrame,
+    bloom: BloomIngestFilter,
+    corpus_df: Optional[DataFrame] = None,
+    on=("text",),
+    verdict_col: str = "is_dup",
+    broadcast_positives: Optional[bool] = True,
+    max_literal_words: int = 1 << 20,
+) -> DataFrame:
+    """The two-phase ingest gate: batch rows get an EXACT ``verdict_col``
+    ("this key already exists in the corpus") for the Bloom-prefilter
+    price. Phase 1 marks each row ``maybe_dup`` (shuffle-free probe);
+    phase 2 confirms only the positives against ``corpus_df`` — the
+    corpus is scanned ONCE, column-pruned to the key columns, and
+    semi-joined against the positives' key set, so the 100 TB side is
+    never shuffled and the ~fpp false positives are removed. With
+    ``corpus_df=None`` the verdict is the raw (approximate) Bloom
+    answer, renamed — the monitoring/estimation shape.
+
+    ``broadcast_positives`` is the ``duplicated_lines`` tri-state:
+    True forces the positive key set broadcast (right for the
+    daily-batch << corpus norm), None lets AQE pick from runtime
+    sizes, False forces a shuffle join (the escape for a giant batch
+    re-ingesting a giant corpus — e.g. a full re-crawl).
+    """
+    probed = bloom_might_contain(
+        batch_df, bloom, on, "__bloom_maybe", max_literal_words
+    )
+    if corpus_df is None:
+        return probed.withColumnRenamed("__bloom_maybe", verdict_col)
+    key_cols = [c if isinstance(c, str) else str(c) for c in on]
+    pos_keys = (
+        probed.filter(F.col("__bloom_maybe")).select(*key_cols).distinct()
+    )
+    if broadcast_positives:
+        pos_keys = F.broadcast(pos_keys)
+    elif broadcast_positives is False:
+        pos_keys = pos_keys.hint("shuffle_hash")
+    confirmed = (
+        corpus_df.select(*key_cols)
+        .join(pos_keys, key_cols, "leftsemi")
+        .distinct()
+        .withColumn("__bloom_hit", F.lit(True))
+    )
+    if broadcast_positives is not False:
+        confirmed = F.broadcast(confirmed)
+    return (
+        probed.join(confirmed, key_cols, "left")
+        .withColumn(
+            verdict_col,
+            F.col("__bloom_maybe") & F.coalesce(F.col("__bloom_hit"), F.lit(False)),
+        )
+        .drop("__bloom_maybe", "__bloom_hit")
+    )
+
+
+def save_bloom_ingest_filter(bloom: BloomIngestFilter, path: str, spark=None) -> None:
+    """Persist the filter as a single JSON artifact (ints round-trip
+    exactly), any Hadoop-FS URI — the ``save_pq_codebooks`` pattern."""
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    with open_s3_object(path, "w", spark=spark) as f:
+        json.dump(
+            {
+                "format": "bloom_ingest_filter",
+                "words": list(bloom.words),
+                "num_bits": bloom.num_bits,
+                "num_hashes": bloom.num_hashes,
+                "num_items": bloom.num_items,
+                "fpp": bloom.fpp,
+            },
+            f,
+        )
+
+
+def load_bloom_ingest_filter(path: str, spark=None) -> BloomIngestFilter:
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    with open_s3_object(path, "r", spark=spark) as f:
+        d = json.load(f)
+    if d.get("format") != "bloom_ingest_filter":
+        raise ValueError(f"not a bloom_ingest_filter artifact: {path}")
+    if d["num_bits"] != 64 * len(d["words"]):
+        raise ValueError(
+            f"corrupt bloom artifact at {path}: num_bits={d['num_bits']} "
+            f"!= 64 * {len(d['words'])} words"
+        )
+    return BloomIngestFilter(
+        tuple(d["words"]), d["num_bits"], d["num_hashes"], d["num_items"], d["fpp"]
+    )

@@ -1181,6 +1181,15 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # the Bloom gate's verdict is EXACT (prefilter + confirm join), so
+    # the replica never models the filter — just key existence
+    "dedup_bloom_ingest_gate": """
+        SELECT b.doc_id AS doc_id, (c.text IS NOT NULL) AS is_dup
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) b
+        LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0) c
+          ON b.text = c.text
+        ORDER BY doc_id
+    """,
     "dedup_ngram_jaccard": _NGRAM_JACCARD.format(threshold=0.5),
     # MinHash-LSH verifies candidates with exact Jaccard; at 16 bands /
     # 4 rows the capture probability at j≥0.8 is 1-(1-0.41)^16 ≈ 0.9998

@@ -890,6 +890,28 @@ def _dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The space-bounded ingest front door: summarize the kept corpus
+    (doc_id % 5 != 0) into a Bloom filter, then gate a re-ingest batch
+    (the even doc_ids — 80% already in the corpus, 20% genuinely new)
+    through Bloom-prefilter + exact confirmation. The verdict is EXACT
+    (false positives die at the confirm join, false negatives are
+    impossible by construction), so the oracle is a plain left join —
+    the Bloom only decides how much work reaches the join, never the
+    answer."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    bloom = dedup.build_bloom_ingest_filter(corpus, on=["text"], fpp=0.01)
+    return (
+        dedup.bloom_ingest_gate(batch, bloom, corpus_df=corpus, on=["text"])
+        .select("doc_id", "is_dup")
+        .orderBy("doc_id")
+    )
+
+
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
@@ -2621,6 +2643,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_index_ingest": _streaming_index_ingest,
     "ann_mmr_rerank": _ann_mmr_rerank,
     "ann_index_delete_search": _ann_index_delete_search,
+    "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
     # crossing round-6-changed code (the merged_close_to_single
     # invariant fix) — needs a fresh driver row
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -429,6 +429,71 @@ class TestDedup:
                 cross.add((new_id, corpus_id))
         assert {(r["new_id"], r["corpus_id"]) for r in inc.collect()} == cross
 
+    def test_bloom_gate_exact_verdicts_and_no_false_negatives(
+        self, spark, documents
+    ):
+        # the space-bounded ingest front door: corpus keys summarized
+        # into a Bloom filter, batch gated by prefilter + exact confirm.
+        # No false negative is possible (build and probe share the same
+        # JVM hash arithmetic); the confirm join makes verdicts exact.
+        corpus = documents.filter(F.col("doc_id") % 5 != 0)
+        batch = documents.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        bloom = dedup.build_bloom_ingest_filter(corpus, on=["text"], fpp=0.01)
+        probed = dedup.bloom_might_contain(batch, bloom, ["text"])
+        # every true dup must be flagged — zero false negatives
+        assert probed.filter("NOT maybe_dup AND doc_id % 5 != 0").count() == 0
+        # fpp is honored with slack: 50 novel docs at 1% ⇒ P[>5 FPs] ~ 0
+        assert probed.filter("maybe_dup AND doc_id % 5 = 0").count() <= 5
+        # the probe is a shuffle-free projection
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # the exact gate: verdict == key-exists-in-corpus, everywhere
+        out = dedup.bloom_ingest_gate(batch, bloom, corpus_df=corpus, on=["text"])
+        assert out.filter("is_dup != (doc_id % 5 != 0)").count() == 0
+        # approximate mode (no corpus): the raw Bloom answer, renamed
+        approx = dedup.bloom_ingest_gate(batch, bloom, on=["text"])
+        assert approx.filter("NOT is_dup AND doc_id % 5 != 0").count() == 0
+
+    def test_bloom_probe_routes_agree_and_artifact_roundtrips(
+        self, spark, documents, tmp_path
+    ):
+        # the >8 MB-bitset pandas/broadcast route must be value-identical
+        # to the plan-literal JVM route (same h1/h2, same position
+        # arithmetic); the JSON artifact round-trips exactly
+        corpus = documents.filter(F.col("doc_id") % 5 != 0)
+        batch = documents.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        bloom = dedup.build_bloom_ingest_filter(corpus, on=["text"], fpp=0.05)
+        lit_route = dedup.bloom_might_contain(batch, bloom, ["text"])
+        bc_route = dedup.bloom_might_contain(
+            batch, bloom, ["text"], max_literal_words=1
+        ).withColumnRenamed("maybe_dup", "bc")
+        joined = lit_route.join(bc_route, ["doc_id", "text"])
+        assert joined.filter("maybe_dup != bc").count() == 0
+        path = str(tmp_path / "bloom.json")
+        dedup.save_bloom_ingest_filter(bloom, path)
+        assert dedup.load_bloom_ingest_filter(path) == bloom
+        # a foreign JSON artifact is rejected, not misparsed
+        import json
+
+        wrong = str(tmp_path / "wrong.json")
+        with open(wrong, "w") as f:
+            json.dump({"format": "pq_codebooks"}, f)
+        with pytest.raises(ValueError, match="not a bloom_ingest_filter"):
+            dedup.load_bloom_ingest_filter(wrong)
+
+    def test_bloom_empty_corpus_all_novel(self, spark, documents):
+        # day-zero ingest: an empty corpus is legal — all-zero bitset,
+        # every probe provably negative
+        empty = documents.filter("doc_id < 0")
+        bloom = dedup.build_bloom_ingest_filter(empty, on=["text"])
+        batch = documents.limit(20).select("doc_id", "text")
+        assert (
+            dedup.bloom_might_contain(batch, bloom, ["text"])
+            .filter("maybe_dup").count() == 0
+        )
+        out = dedup.bloom_ingest_gate(batch, bloom, corpus_df=empty, on=["text"])
+        assert out.filter("is_dup").count() == 0
+
     def test_lsh_params_bound_miss_at_threshold(self):
         # auto-derived (planes, tables) must bound P[miss] <= 5% for a
         # pair sitting exactly at the routing threshold — the regime the
