@@ -43,7 +43,9 @@ from aws_data_wrangler_spark.functions import trunc_digits
 DEFAULT_LLOYD_ITERATIONS = 5
 
 
-def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+def _with_norm(
+    df: DataFrame, id_col: str, vec_col: str, prefix: str, keep=()
+) -> DataFrame:
     vec = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
@@ -51,6 +53,7 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFra
         F.sqrt(
             F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
         ).alias(f"{prefix}_norm"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -1131,6 +1134,7 @@ def build_partitioned_ivf(
     metric: str = "l2",
     max_cells: int = 100_000,
     files_per_cell: int = 1,
+    metadata_cols=(),
     spark=None,
 ) -> None:
     """Materialize a cell-partitioned IVF index: assign every corpus
@@ -1162,7 +1166,8 @@ def build_partitioned_ivf(
 
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
     assigned = ivf_index_rows(
-        corpus, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
+        corpus, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col,
+        metric=metric, metadata_cols=metadata_cols,
     )
     clustered = cluster_by_cell(assigned, id_col, files_per_cell)
     s3.to_parquet(
@@ -1192,13 +1197,26 @@ def ivf_index_rows(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "l2",
+    metadata_cols=(),
 ) -> DataFrame:
     """The partitioned-IVF index ROW layout as one shuffle-free
-    projection: (id, vector-as-double, exact norm, cid). Shared by the
-    batch build (``build_partitioned_ivf``) and the streaming ingest
-    sink (``streaming.index_ingest_sink``) so both write
-    byte-compatible rows."""
-    c = _with_norm(corpus, id_col, vec_col, "c")
+    projection: (id, vector-as-double, exact norm, cid), plus any
+    ``metadata_cols`` carried verbatim — filterable attributes (label,
+    lang, date) stored INLINE in the index so a filtered search pushes
+    its predicate into the SAME pruned scan (the vector-DB
+    metadata-filtering shape) instead of paying a corpus join at query
+    time. Shared by the batch build (``build_partitioned_ivf``) and
+    the streaming ingest sink (``streaming.index_ingest_sink``) so
+    both write byte-compatible rows."""
+    reserved = {id_col, vec_col, "vnorm", "cid"}
+    bad = [c for c in metadata_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"metadata_cols {bad} collide with the index layout columns "
+            f"({sorted(reserved)})"
+        )
+    meta = [F.col(c) for c in metadata_cols]
+    c = _with_norm(corpus, id_col, vec_col, "c", keep=list(metadata_cols))
     keys = cell_key_array(F.col("c_vec"), cent_vecs, metric=metric, norm_expr=F.col("c_norm"))
     return (
         c.withColumn("__keys", keys)
@@ -1209,6 +1227,7 @@ def ivf_index_rows(
             F.col("c_id").alias(id_col),
             F.col("c_vec").alias(vec_col),
             F.col("c_norm").alias("vnorm"),
+            *meta,
             F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
         )
     )
@@ -1225,6 +1244,7 @@ def ivf_partitioned_topk(
     vec_col: str = "embedding",
     metric: str = "l2",
     max_cells: int = 100_000,
+    where=None,
 ) -> DataFrame:
     """IVF top-k over a ``build_partitioned_ivf`` index:
     (query_id, neighbor_id, rank, cosine) — value-identical to
@@ -1232,6 +1252,14 @@ def ivf_partitioned_topk(
     partition-PRUNED to the probed cells: the scan's PartitionFilters
     carry ``cid IN (<probed>)``, so a 1000-executor search reads
     ~nprobe/num_centroids of a 100 TB index instead of all of it.
+
+    ``where`` (SQL string or Column over the index's ``metadata_cols``)
+    is the vector-DB metadata filter: it lands directly on the pruned
+    scan, so simple predicates reach parquet as PushedFilters and
+    non-matching row groups never decompress — filtered search costs
+    LESS than unfiltered, not a post-hoc result trim. Candidates are
+    restricted; ranks are dense within the filtered pool (top-k AMONG
+    matching neighbors, the FAISS IDSelector / vector-DB contract).
 
     The probe set is computed exactly as ``ivf_topk`` computes it (the
     same literal key arithmetic, so tie-breaks agree bit-for-bit), then
@@ -1262,6 +1290,8 @@ def ivf_partitioned_topk(
     corpus = s3.read_parquet(index_path, dataset=True, spark=spark).filter(
         F.col("cid").isin(probed_cids)
     )
+    if where is not None:
+        corpus = corpus.filter(where)
     corpus = _apply_tombstones(
         corpus, load_tombstones(spark, index_path, id_col), id_col
     )
@@ -1303,6 +1333,7 @@ def build_partitioned_ivfpq(
     iterations: int = DEFAULT_LLOYD_ITERATIONS,
     max_cells: int = 100_000,
     files_per_cell: int = 1,
+    metadata_cols=(),
     spark=None,
 ) -> List[List[List[float]]]:
     """Materialize the FULL IVF+PQ serving index as one cell-partitioned
@@ -1325,8 +1356,17 @@ def build_partitioned_ivfpq(
     """
     from aws_data_wrangler_spark import s3
 
+    reserved = {id_col, vec_col, "vnorm", "cid", "codes"}
+    bad = [c for c in metadata_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"metadata_cols {bad} collide with the index layout columns "
+            f"({sorted(reserved)})"
+        )
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
-    assigned = _ivfpq_assigned(corpus, cent_ids, cent_vecs, id_col, vec_col)
+    assigned = _ivfpq_assigned(
+        corpus, cent_ids, cent_vecs, id_col, vec_col, metadata_cols
+    )
     cached = False
     if codebooks is None:
         # cache the FULL assigned projection: the Lloyd training loops
@@ -1342,7 +1382,7 @@ def build_partitioned_ivfpq(
             m=m, num_codes=num_codes, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
-    encoded = _ivfpq_encode_layout(assigned, codebooks, id_col, vec_col)
+    encoded = _ivfpq_encode_layout(assigned, codebooks, id_col, vec_col, metadata_cols)
     clustered = cluster_by_cell(encoded, id_col, files_per_cell)
     s3.to_parquet(
         clustered, path, dataset=True, partition_cols=["cid"], mode="overwrite", spark=spark
@@ -1358,13 +1398,15 @@ def build_partitioned_ivfpq(
 
 
 def _ivfpq_assigned(
-    corpus: DataFrame, cent_ids, cent_vecs, id_col: str, vec_col: str
+    corpus: DataFrame, cent_ids, cent_vecs, id_col: str, vec_col: str,
+    metadata_cols=(),
 ) -> DataFrame:
     """Assignment + residual in one shuffle-free projection:
-    (c_id, c_vec, c_norm, cid, residual) — the shared first stage of
-    IVF+PQ index builds and streaming ingest."""
+    (c_id, c_vec, c_norm, cid, residual) plus any ``metadata_cols``
+    carried verbatim — the shared first stage of IVF+PQ index builds
+    and streaming ingest."""
     cents_lit = _nested_lit(cent_vecs, "array<array<double>>")
-    c = _with_norm(corpus, id_col, vec_col, "c")
+    c = _with_norm(corpus, id_col, vec_col, "c", keep=list(metadata_cols))
     keys_c = cell_key_array(F.col("c_vec"), cent_vecs)
     return (
         c.withColumn("__keys", keys_c)
@@ -1375,6 +1417,7 @@ def _ivfpq_assigned(
             "c_id",
             "c_vec",
             "c_norm",
+            *[F.col(mc) for mc in metadata_cols],
             F.element_at(_nested_lit(cent_ids, "array<int>"), F.col("__pos")).alias("cid"),
             F.zip_with(
                 F.col("c_vec"), F.element_at(cents_lit, F.col("__pos")), lambda x, y: x - y
@@ -1390,28 +1433,33 @@ def ivfpq_index_rows(
     codebooks: List[List[List[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metadata_cols=(),
 ) -> DataFrame:
     """The partitioned-IVF+PQ index ROW layout as one shuffle-free
     projection chain: (id, vector-as-double, exact norm, residual PQ
-    codes, cid). Shared by ``build_partitioned_ivfpq`` and the
-    streaming ingest sink so both write byte-compatible rows."""
-    assigned = _ivfpq_assigned(corpus, cent_ids, cent_vecs, id_col, vec_col)
-    return _ivfpq_encode_layout(assigned, codebooks, id_col, vec_col)
+    codes, cid), plus any ``metadata_cols`` carried verbatim (the
+    filtered-search attributes). Shared by ``build_partitioned_ivfpq``
+    and the streaming ingest sink so both write byte-compatible rows."""
+    assigned = _ivfpq_assigned(
+        corpus, cent_ids, cent_vecs, id_col, vec_col, metadata_cols
+    )
+    return _ivfpq_encode_layout(assigned, codebooks, id_col, vec_col, metadata_cols)
 
 
 def _ivfpq_encode_layout(
-    assigned: DataFrame, codebooks, id_col: str, vec_col: str
+    assigned: DataFrame, codebooks, id_col: str, vec_col: str, metadata_cols=()
 ) -> DataFrame:
     """``_ivfpq_assigned`` output → the serving-index row layout
-    (id, vector, norm, residual PQ codes, cid)."""
+    (id, vector, norm, residual PQ codes, cid [, metadata])."""
     return pq_encode(
         assigned, codebooks, id_col="c_id", vec_col="residual",
-        keep_cols=["c_vec", "c_norm", "cid"],
+        keep_cols=["c_vec", "c_norm", "cid", *metadata_cols],
     ).select(
         F.col("c_id").alias(id_col),
         F.col("c_vec").alias(vec_col),
         F.col("c_norm").alias("vnorm"),
         "codes",
+        *[F.col(mc) for mc in metadata_cols],
         "cid",
     )
 
@@ -1552,6 +1600,7 @@ def ivfpq_partitioned_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cells: int = 100_000,
+    where=None,
 ) -> DataFrame:
     """IVF+PQ top-k over a ``build_partitioned_ivfpq`` index:
     (query_id, neighbor_id, rank, cosine) — value-identical to
@@ -1564,6 +1613,12 @@ def ivfpq_partitioned_topk(
     plan-audited in tests). ``codebooks=None`` loads the index's
     ``_codebooks.json`` sidecar — the build writes it, so a fresh
     session searches with only the path + centroids.
+
+    ``where`` (over the index's ``metadata_cols``) is the metadata
+    filter, applied to the ADC CANDIDATE pass only — like tombstones,
+    a candidate excluded there can never reach the rescore (the
+    shortlist join keys on shortlist ids), and the predicate reaches
+    parquet as PushedFilters on the already-pruned code scan.
     """
     from aws_data_wrangler_spark import s3
 
@@ -1603,11 +1658,14 @@ def ivfpq_partitioned_topk(
     # tombstoned ids are filtered from the CANDIDATE pass only — the
     # rescore join keys on shortlist ids, so a deleted id that never
     # reaches the shortlist can't resurface there
+    candidates = s3.read_parquet(index_path, dataset=True, spark=spark).filter(
+        F.col("cid").isin(probed_cids)
+    )
+    if where is not None:
+        candidates = candidates.filter(where)
     codes_scan = (
         _apply_tombstones(
-            s3.read_parquet(index_path, dataset=True, spark=spark).filter(
-                F.col("cid").isin(probed_cids)
-            ),
+            candidates,
             load_tombstones(spark, index_path, id_col),
             id_col,
         )

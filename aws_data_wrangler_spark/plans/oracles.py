@@ -283,7 +283,11 @@ def _events_percentiles_oracle_sql() -> str:
 
 
 def _ivf_ann_oracle_sql(
-    k: int = 5, nprobe: int = 4, num_seeds: int = 16, deleted: tuple = ()
+    k: int = 5,
+    nprobe: int = 4,
+    num_seeds: int = 16,
+    deleted: tuple = (),
+    cand_where: str = "",
 ) -> str:
     """Exact DuckDB replica of the registered ``ann_ivf_topk`` query:
     SEEDED centroids (the ``num_seeds`` lowest-id vectors, the
@@ -299,27 +303,35 @@ def _ivf_ann_oracle_sql(
     tombstones: the ids are excluded from the CANDIDATE pool only
     (centroid seeding and query selection see the pre-delete corpus,
     exactly like the Spark side where centroids are trained artifacts
-    and tombstones anti-join the index scan)."""
+    and tombstones anti-join the index scan).
+
+    ``cand_where`` replicates the metadata filter of a filtered search
+    (``ivf_partitioned_topk(where=...)``): a predicate over candidate
+    attributes (e.g. ``c.label < 4``), applied to the CANDIDATE pool
+    only — seeding, assignment, and query selection see the full
+    corpus, exactly like the Spark side where the predicate lands on
+    the index scan."""
     not_deleted = (
         f"AND c.vec_id NOT IN ({', '.join(str(int(i)) for i in deleted)})"
         if deleted
         else ""
     )
+    cand_filter = f"AND ({cand_where})" if cand_where else ""
     return f"""
         WITH corpus AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
         ), seeds AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
                    v AS cv
             FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {num_seeds})
         ), cell_scores AS (
-            SELECT c.vec_id, s.cid, c.v,
+            SELECT c.vec_id, s.cid, c.v, c.label,
                    list_dot_product(c.v, s.cv) /
                    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.cv, s.cv)))
                        AS s
             FROM corpus c, seeds s
         ), c_cells AS (
-            SELECT vec_id, cid, v
+            SELECT vec_id, cid, v, label
             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                                ORDER BY s DESC, cid ASC) AS rn
                   FROM cell_scores)
@@ -337,7 +349,7 @@ def _ivf_ann_oracle_sql(
                            sqrt(list_dot_product(c.v, c.v)))) * 1000000.0) / 1000000.0
                        AS cosine
             FROM q_cells q JOIN c_cells c ON q.cid = c.cid
-            WHERE c.vec_id <> q.vec_id {not_deleted}
+            WHERE c.vec_id <> q.vec_id {not_deleted} {cand_filter}
         ), ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    CAST(row_number() OVER (PARTITION BY query_id
@@ -1429,6 +1441,14 @@ ORACLES: Dict[str, str] = {
     # them from the candidate pool only, the tombstone contract
     "ann_index_delete_search": _ivf_ann_oracle_sql(
         num_seeds=32, deleted=tuple(range(10, 30))
+    ),
+    # metadata-filtered search: the same partitioned pipeline with the
+    # label predicate restricting the CANDIDATE pool only (seeding and
+    # probing see the full corpus) — the vector-DB filtered-search
+    # contract; ~60% of each probed cell is filtered out, so top-k
+    # differs materially from the unfiltered baseline
+    "ann_filtered_search": _ivf_ann_oracle_sql(
+        num_seeds=32, cand_where="c.label < 4"
     ),
     # the partitioned IVF+PQ search is value-identical to ivfpq_topk
     # with the same seeded artifacts — partition/column pruning changes

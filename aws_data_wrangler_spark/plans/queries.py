@@ -1295,6 +1295,30 @@ def _ann_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN search (the vector-DB / FAISS-IDSelector
+    shape): the index stores the filterable ``label`` attribute INLINE
+    (``metadata_cols``), and the predicate lands on the partition-
+    pruned scan — PushedFilters eliminate non-matching row groups
+    before any vector math, so a filtered search reads LESS than an
+    unfiltered one. Top-k is ranked among matching candidates only;
+    the oracle applies the same predicate to the candidate pool of the
+    seeded-centroid replica."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = _seed_centroids(emb, 32)
+    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_filt_index"
+    similarity.build_partitioned_ivf(
+        emb, seeds, index, metric="cosine", metadata_cols=["label"], spark=spark
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_partitioned_topk(
+        spark, index, queries, seeds, k=5, nprobe=4, metric="cosine",
+        where="label < 4",
+    ).orderBy("query_id", "rank")
+
+
 def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
@@ -2644,6 +2668,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mmr_rerank": _ann_mmr_rerank,
     "ann_index_delete_search": _ann_index_delete_search,
     "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
+    "ann_filtered_search": _ann_filtered_search,
     # crossing round-6-changed code (the merged_close_to_single
     # invariant fix) — needs a fresh driver row
     "profiling_hll_invariants": _profiling_hll_invariants,

@@ -79,6 +79,11 @@ HEADLINE = [
     # cell-clustered write) + partition-pruned, column-pruned ADC +
     # vector-column rescore; build+train dominates at this SF
     "ann_ivfpq_partitioned_search",
+    # round-6 addition (third session): the ingest front door — Bloom
+    # build (one bit_or pass over the corpus) + shuffle-free batch
+    # probe + exact confirm join; tracks the incremental-dedup gate's
+    # end-to-end cost
+    "dedup_bloom_ingest_gate",
 ]
 
 

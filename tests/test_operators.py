@@ -1014,6 +1014,94 @@ class TestSimilarity:
         )
         assert got == sorted(map(tuple, ref.collect()))
 
+    def test_filtered_search_pushes_predicate_and_matches_prefiltered(
+        self, spark, embeddings, tmp_path
+    ):
+        # metadata-filtered ANN: the index carries `label` inline
+        # (metadata_cols), the predicate lands on the pruned scan as a
+        # parquet PushedFilter, and results equal ivf_topk over the
+        # PRE-filtered corpus with the same centroids
+        import re
+
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_filtered")
+        similarity.build_partitioned_ivf(
+            embeddings, seeds, index, metric="cosine", metadata_cols=["label"]
+        )
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivf_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=4, metric="cosine",
+            where="label < 4",
+        )
+        ref = similarity.ivf_topk(
+            embeddings.filter("label < 4"), queries, k=5, nprobe=4,
+            centroids=seeds, metric="cosine",
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # both pruning layers on ONE scan: cid partition pruning AND the
+        # label predicate reaching parquet
+        assert re.search(r"PartitionFilters: \[[^\]]*cid", plan), plan
+        assert re.search(r"PushedFilters: \[[^\]]*label", plan), plan
+        # metadata survives compaction verbatim (rows carried as-is)
+        compacted = str(tmp_path / "ivf_filtered_compact")
+        similarity.compact_partitioned_index(spark, index, compacted)
+        out2 = similarity.ivf_partitioned_topk(
+            spark, compacted, queries, seeds, k=5, nprobe=4, metric="cosine",
+            where="label < 4",
+        )
+        assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+        # layout-column collision is rejected, not silently shadowed
+        with pytest.raises(ValueError, match="collide"):
+            similarity.build_partitioned_ivf(
+                embeddings, seeds, str(tmp_path / "bad"),
+                metric="cosine", metadata_cols=["vnorm"],
+            )
+
+    def test_filtered_search_on_ivfpq_tier(self, spark, embeddings, tmp_path):
+        # the compressed tier filters at the ADC candidate pass (like
+        # tombstones, an excluded candidate can't reach the rescore);
+        # results equal ivfpq_topk over the PRE-filtered corpus with
+        # the same artifacts
+        import re
+
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivfpq_filtered")
+        books = similarity.build_partitioned_ivfpq(
+            embeddings, seeds, index, m=8, num_codes=16, iterations=0,
+            metadata_cols=["label"],
+        )
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivfpq_partitioned_topk(
+            spark, index, queries, seeds, books, k=5, nprobe=4,
+            rescore_factor=4, where="label < 4",
+        )
+        ref = similarity.ivfpq_topk(
+            embeddings.filter("label < 4"), queries, k=5, nprobe=4,
+            num_centroids=16, m=8, num_codes=16, rescore_factor=4,
+            centroids=seeds, codebooks=books,
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PushedFilters: \[[^\]]*label", plan), plan
+        with pytest.raises(ValueError, match="collide"):
+            similarity.build_partitioned_ivfpq(
+                embeddings, seeds, str(tmp_path / "bad_pq"),
+                m=8, num_codes=16, iterations=0, metadata_cols=["codes"],
+            )
+
     def test_no_tombstones_is_a_plan_noop(self, spark, embeddings, tmp_path):
         # the hot path: an index with no deletes must not pay an
         # anti-join — load_tombstones is a driver-side existence probe

@@ -62,8 +62,9 @@ ROUND4_FROZEN = {
     # displaced back below the boundary when sample_dsir /
     # sample_cluster_balanced registered — they ride their round-4 rows;
     # text_html_extract likewise when ann_index_delete_search registered,
-    # events_join_fanout when dedup_bloom_ingest_gate registered.
-    "text_html_extract", "events_join_fanout",
+    # events_join_fanout when dedup_bloom_ingest_gate registered,
+    # io_orc_roundtrip when ann_filtered_search registered.
+    "text_html_extract", "events_join_fanout", "io_orc_roundtrip",
     "text_ngram_freq", "embedding_stats", "events_value_percentiles",
     "events_hourly_rollup", "lineitem_stats_by_flag",
     "topk_customers_window", "q16_parts_suppliers",
@@ -123,6 +124,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     "ann_mmr_rerank",
     "ann_index_delete_search",
     "dedup_bloom_ingest_gate",
+    "ann_filtered_search",
 }
 
 
