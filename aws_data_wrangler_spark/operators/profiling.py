@@ -278,3 +278,79 @@ def length_histogram(
         "total_tokens",
         (F.col("n_docs").cast("double") / F.col("__all")).alias("doc_share"),
     )
+
+
+def distribution_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    edges: Optional[List[float]] = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index profile between two dataset snapshots
+    — the standard drift monitor a production ingest pipeline runs
+    before trusting today's crawl against yesterday's: (bucket, n_base,
+    n_cur, base_share, cur_share, psi_term), psi_term = (p−q)·ln(p/q).
+    Σ psi_term < 0.1 is the conventional "stable" line, 0.1–0.25
+    "shifting", > 0.25 "investigate before training on it".
+
+    Categorical by default (buckets = the column's values, NULL kept as
+    the ``__null__`` bucket); pass ``edges`` for numeric columns —
+    bucket i counts rows with edges[i-1] ≤ x < edges[i] (index = how
+    many edges are ≤ x, an exact integer in any engine — no float
+    binning drift). Two aggregation-only passes (one per snapshot, map-
+    side partials), a full-outer join of two bucket-sized tables, and
+    broadcast totals: profiling 100 TB costs two scans, the join moves
+    only bucket counts. A bucket absent from one side has true share 0;
+    ``eps`` floors both shares before the log (the standard PSI
+    smoothing) so the term stays finite and identical cross-engine.
+    Shares are divisions of exact ints; only psi_term is 6dp
+    floor-truncated (the cross-engine ln convention of the surprisal
+    family).
+    """
+    if edges is not None:
+        from functools import reduce
+
+        ix = reduce(
+            lambda a, b: a + b,
+            [
+                F.when(F.col(col) >= F.lit(float(e)), F.lit(1)).otherwise(F.lit(0))
+                for e in edges
+            ],
+        )
+        bucket = F.when(F.col(col).isNull(), F.lit("__null__")).otherwise(
+            ix.cast("string")
+        )
+    else:
+        bucket = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+
+    def shares(df: DataFrame, n_name: str, share_name: str) -> DataFrame:
+        per = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(n_name)
+        )
+        total = F.broadcast(per.agg(F.sum(n_name).alias("__all")))
+        return per.crossJoin(total).select(
+            "bucket",
+            n_name,
+            (F.col(n_name).cast("double") / F.col("__all")).alias(share_name),
+        )
+
+    b = shares(baseline, "n_base", "base_share")
+    c = shares(current, "n_cur", "cur_share")
+    joined = b.join(c, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.coalesce("base_share", F.lit(0.0)).alias("base_share"),
+        F.coalesce("cur_share", F.lit(0.0)).alias("cur_share"),
+    )
+    p = F.greatest(F.col("base_share"), F.lit(float(eps)))
+    q = F.greatest(F.col("cur_share"), F.lit(float(eps)))
+    return joined.select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        "base_share",
+        "cur_share",
+        trunc_digits((p - q) * F.log(p / q)).alias("psi_term"),
+    )

@@ -1450,6 +1450,49 @@ ORACLES: Dict[str, str] = {
     "ann_filtered_search": _ivf_ann_oracle_sql(
         num_seeds=32, cand_where="c.label < 4"
     ),
+    # PSI drift replica: shares are divisions of exact ints, the eps
+    # floor (greatest) and the ln product replicate the Spark
+    # expressions term-for-term; only psi_term is 6dp floor-truncated
+    "profiling_distribution_drift": """
+        WITH prof AS (
+            SELECT 'event_type' AS dim,
+                   coalesce(CAST(event_type AS VARCHAR), '__null__') AS bucket,
+                   event_id % 2 = 0 AS is_base
+            FROM events
+            UNION ALL
+            SELECT 'value' AS dim,
+                   CASE WHEN value IS NULL THEN '__null__'
+                        ELSE CAST(
+                            (CASE WHEN value >= 0.0 THEN 1 ELSE 0 END) +
+                            (CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) +
+                            (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) +
+                            (CASE WHEN value >= 25.0 THEN 1 ELSE 0 END) +
+                            (CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) +
+                            (CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                            AS VARCHAR) END AS bucket,
+                   event_id % 2 = 0 AS is_base
+            FROM events
+        ), counts AS (
+            SELECT dim, bucket,
+                   CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                   CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+            FROM prof GROUP BY dim, bucket
+        ), tot AS (
+            SELECT *,
+                   sum(n_base) OVER (PARTITION BY dim) AS tb,
+                   sum(n_cur) OVER (PARTITION BY dim) AS tc
+            FROM counts
+        )
+        SELECT dim, bucket, n_base, n_cur,
+               n_base::DOUBLE / tb AS base_share,
+               n_cur::DOUBLE / tc AS cur_share,
+               floor((greatest(n_base::DOUBLE / tb, 1e-6) -
+                      greatest(n_cur::DOUBLE / tc, 1e-6)) *
+                     ln(greatest(n_base::DOUBLE / tb, 1e-6) /
+                        greatest(n_cur::DOUBLE / tc, 1e-6)) * 1000000.0)
+                   / 1000000.0 AS psi_term
+        FROM tot ORDER BY dim, bucket
+    """,
     # the partitioned IVF+PQ search is value-identical to ivfpq_topk
     # with the same seeded artifacts — partition/column pruning changes
     # I/O, never results — so the replica is the existing IVF+PQ oracle

@@ -2169,6 +2169,26 @@ def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.key_distribution(events, ["user_id"], top_n=20).orderBy("rank")
 
 
+def _profiling_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between two deterministic snapshot halves of the
+    events table (event_id parity — same generator, so the expected
+    drift is ~0, which is itself the assertion a monitor needs to get
+    right). One row set covers BOTH bucketing paths: the categorical
+    profile over event_type and the numeric edges profile over value."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    events = load(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 2 == 0)
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    cat = profiling.distribution_drift(base, cur, "event_type").select(
+        F.lit("event_type").alias("dim"), "*"
+    )
+    num = profiling.distribution_drift(
+        base, cur, "value", edges=[0.0, 5.0, 10.0, 25.0, 50.0, 100.0]
+    ).select(F.lit("value").alias("dim"), "*")
+    return cat.unionByName(num).orderBy("dim", "bucket")
+
+
 # ---- round-3 LATE additions (registered after the driver window was
 # frozen; they sit BELOW the window this round and rotate in next —
 # each verified against its oracle at sf0.001 AND sf0.01 via
@@ -2612,7 +2632,6 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- window leaders: sub-second warmup absorbers (fresh r5 rows) ---
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
-    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
     # --- the 23 ROUND3_FROZEN entries rotating IN, FIRST, exactly as
     # VERDICT r5 "next" #5 ordered: their newest driver rows dated
     # from round 3 ---
@@ -2669,9 +2688,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_delete_search": _ann_index_delete_search,
     "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
     "ann_filtered_search": _ann_filtered_search,
+    "profiling_distribution_drift": _profiling_distribution_drift,
     # crossing round-6-changed code (the merged_close_to_single
     # invariant fix) — needs a fresh driver row
     "profiling_hll_invariants": _profiling_hll_invariants,
+    # q6 was displaced below the window by the third session's new
+    # registrations; it rides its fresh round-5 row (ROUND5_FROZEN)
+    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
     # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
     # oldest below-window pedigree after the round-3 block rotated in) ---
     "io_orc_roundtrip": _io_orc_roundtrip,

@@ -2952,6 +2952,68 @@ class TestGopherFlags:
 
 
 class TestProfiling:
+    def test_distribution_drift_psi_hand_computed(self, spark):
+        import math
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        # baseline 80/20 a/b, current 50/50 — textbook PSI case
+        base = spark.createDataFrame(
+            [("a",)] * 8 + [("b",)] * 2, "cat string"
+        )
+        cur = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 5, "cat string"
+        )
+        rows = {
+            r["bucket"]: r
+            for r in profiling.distribution_drift(base, cur, "cat").collect()
+        }
+        assert rows["a"]["n_base"] == 8 and rows["a"]["n_cur"] == 5
+        assert rows["a"]["base_share"] == 0.8 and rows["a"]["cur_share"] == 0.5
+        want_a = math.floor((0.8 - 0.5) * math.log(0.8 / 0.5) * 1e6) / 1e6
+        want_b = math.floor((0.2 - 0.5) * math.log(0.2 / 0.5) * 1e6) / 1e6
+        assert rows["a"]["psi_term"] == want_a
+        assert rows["b"]["psi_term"] == want_b
+        # both terms positive; total PSI = sum
+        assert want_a > 0 and want_b > 0
+
+    def test_distribution_drift_missing_bucket_and_nulls(self, spark):
+        import math
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        # a category absent from one side gets share 0 → the eps floor
+        # keeps the term finite; NULLs bucket as __null__
+        base = spark.createDataFrame([("a",), ("a",), (None,)], "cat string")
+        cur = spark.createDataFrame([("a",), ("c",)], "cat string")
+        rows = {
+            r["bucket"]: r
+            for r in profiling.distribution_drift(base, cur, "cat").collect()
+        }
+        assert set(rows) == {"a", "c", "__null__"}
+        c = rows["c"]
+        assert c["n_base"] == 0 and c["base_share"] == 0.0
+        want = math.floor((1e-6 - 0.5) * math.log(1e-6 / 0.5) * 1e6) / 1e6
+        assert c["psi_term"] == want
+        assert rows["__null__"]["n_base"] == 1 and rows["__null__"]["n_cur"] == 0
+
+    def test_distribution_drift_numeric_edges_exact(self, spark):
+        from aws_data_wrangler_spark.operators import profiling
+
+        # bucket index = count of edges <= x: exact integer binning,
+        # values AT an edge land in the upper bucket
+        base = spark.createDataFrame(
+            [(-1.0,), (0.0,), (4.9,), (5.0,), (100.0,), (None,)],
+            "v double",
+        )
+        out = profiling.distribution_drift(
+            base, base, "v", edges=[0.0, 5.0, 100.0]
+        )
+        got = {r["bucket"]: r["n_base"] for r in out.collect()}
+        assert got == {"0": 1, "1": 2, "2": 1, "3": 1, "__null__": 1}
+        # identical snapshots → every psi_term is exactly 0
+        assert all(r["psi_term"] == 0.0 for r in out.collect())
+
     def test_length_histogram_bucket_edges_exact(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 

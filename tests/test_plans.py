@@ -89,6 +89,9 @@ ROUND5_FROZEN = {
     # since round 5 (round-5 window entries crossing round-6-changed
     # code — the ann quantized tiers, dedup_semdedup/clusters,
     # logs_insights_* — stayed IN the window; q1/q6 stay as leaders)
+    # q6 displaced below the window by the third round-6 session's new
+    # registrations — rides its fresh round-5 row
+    "q6_revenue_forecast",
     "events_error_click_window", "dedup_exact", "dedup_normalized",
     "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
     "events_session_window", "events_hourly_gapfill",
@@ -125,6 +128,7 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
     "ann_index_delete_search",
     "dedup_bloom_ingest_gate",
     "ann_filtered_search",
+    "profiling_distribution_drift",
 }
 
 
