@@ -1958,3 +1958,51 @@ def load_bloom_ingest_filter(path: str, spark=None) -> BloomIngestFilter:
     return BloomIngestFilter(
         tuple(d["words"]), d["num_bits"], d["num_hashes"], d["num_items"], d["fpp"]
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    content_cols=("text",),
+) -> DataFrame:
+    """Corpus-versioning diff between two snapshots: (id, change) with
+    ``change`` ∈ added / removed / changed — the audit primitive behind
+    "what actually moved between yesterday's corpus and today's" before
+    re-running downstream dedup/training. Unchanged rows are excluded
+    (at 100 TB they are ~everything; emitting them would make the diff
+    corpus-sized instead of delta-sized).
+
+    Content identity is md5 over the concatenated ``content_cols``
+    (NULL-tagged so ``("a", NULL)`` ≠ ``("aNULL-marker",)``), computed
+    map-side — the full-outer join then moves (id, hash) pairs only,
+    never content. The join shuffles both sides on the id; with both
+    snapshots bucketed by id (``catalog.create_bucketed_table``) it is
+    co-located and shuffle-free — the shape a daily diff job wants.
+
+    Ref: no reference analog (awswrangler has no versioning surface);
+    the contract mirrors table-format change-data-feed semantics.
+    """
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        parts = []
+        for c in content_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+            parts.append(F.lit("\x1f"))  # unit separator: ("ab","c") != ("a","bc")
+        return df.select(
+            F.col(id_col),
+            F.md5(F.concat(*parts)).alias(f"{tag}_hash"),
+        )
+
+    o = keyed(old_df, "old")
+    n = keyed(new_df, "new")
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(id_col, "change")
+    )

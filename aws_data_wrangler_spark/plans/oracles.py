@@ -1193,6 +1193,26 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # snapshot diff: md5 content identity on the Spark side == direct
+    # text comparison here (IS DISTINCT FROM replicates the NULL-tagged
+    # hash semantics); unchanged rows excluded by contract
+    "dedup_snapshot_diff": """
+        WITH old AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        ), new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN text || '!' ELSE text END AS text
+            FROM documents WHERE doc_id % 5 <> 0
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+           OR (o.text IS DISTINCT FROM n.text)
+        ORDER BY doc_id
+    """,
     # the Bloom gate's verdict is EXACT (prefilter + confirm join), so
     # the replica never models the filter — just key existence
     "dedup_bloom_ingest_gate": """

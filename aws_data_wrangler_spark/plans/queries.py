@@ -912,6 +912,27 @@ def _dedup_bloom_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-versioning diff: yesterday's snapshot (doc_id % 7 != 0)
+    vs today's (doc_id % 5 != 0, with every 11th doc's text mutated) —
+    exercises all three change classes: added (% 7 == 0 survivors),
+    removed (% 5 == 0 departures), changed (% 11 == 0 mutations in the
+    intersection). The md5 content identity on the Spark side equals
+    direct text comparison in the oracle (IS DISTINCT FROM, matching
+    the NULL-tagged hash semantics)."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.snapshot_diff(old, new).orderBy("doc_id")
+
+
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
@@ -2787,6 +2808,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_content_dedup": _streaming_content_dedup,
     "streaming_corpus_dedup": _streaming_corpus_dedup,
+    # --- round-6 LATE additions (registered after the 50-entry window
+    # filled; each verified against its oracle at sf0.001, sf0.01 AND
+    # sf0.1 via tools/check_oracles in the round-6 third session; they
+    # rotate into the round-7 window FIRST, with the displaced round-4
+    # backfill) ---
+    "dedup_snapshot_diff": _dedup_snapshot_diff,
 }
 
 

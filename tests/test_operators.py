@@ -429,6 +429,42 @@ class TestDedup:
                 cross.add((new_id, corpus_id))
         assert {(r["new_id"], r["corpus_id"]) for r in inc.collect()} == cross
 
+    def test_snapshot_diff_change_classes_and_null_tagging(self, spark):
+        # all three change classes; unchanged rows excluded; NULL is a
+        # first-class content value distinct from any string; the unit
+        # separator prevents ("ab","c") == ("a","bc") concat aliasing
+        old = spark.createDataFrame(
+            [
+                (1, "same", "x"),
+                (2, "was", "x"),
+                (3, "gone", "x"),
+                (5, None, "x"),
+                (6, "ab", "c"),
+            ],
+            "doc_id long, text string, extra string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "same", "x"),
+                (2, "now", "x"),
+                (4, "fresh", "x"),
+                (5, "notnull", "x"),
+                (6, "a", "bc"),
+            ],
+            "doc_id long, text string, extra string",
+        )
+        got = {
+            r["doc_id"]: r["change"]
+            for r in dedup.snapshot_diff(
+                old, new, content_cols=("text", "extra")
+            ).collect()
+        }
+        assert got == {2: "changed", 3: "removed", 4: "added",
+                       5: "changed", 6: "changed"}
+        # both-NULL is unchanged, not spuriously flagged
+        o2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+        assert dedup.snapshot_diff(o2, o2, content_cols=("text",)).count() == 0
+
     def test_bloom_gate_exact_verdicts_and_no_false_negatives(
         self, spark, documents
     ):

@@ -132,10 +132,18 @@ ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
 }
 
 
+ROUND6_LATE = {
+    # registered after the round-6 window filled (the round-3-late
+    # precedent): verified at sf0.001 + sf0.01 + sf0.1 in the round-6
+    # third session; rotate into the round-7 window FIRST
+    "dedup_snapshot_diff",
+}
+
+
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND4_FROZEN - ROUND5_FROZEN
+    unaccounted = below - ROUND4_FROZEN - ROUND5_FROZEN - ROUND6_LATE
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
