@@ -2003,3 +2003,126 @@ def recall_at_k(
         )
         .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
     )
+
+
+# --- dimension statistics + PCA pre-transform ---------------------------
+#
+# The embedding-pipeline preprocessing tier: per-dimension statistics
+# (the feature-scaling / dead-dimension diagnostic) and a PCA
+# pre-transform (the FAISS PCAMatrix shape — rotate/reduce before SQ8
+# or PQ so the quantizer spends its budget on directions that carry
+# variance). Training aggregates distributed moments; the projection
+# is a zero-shuffle literal matmul, the assign_cells discipline.
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension statistics of a vector column: (dim, n, mean,
+    var_pop, min_val, max_val), dim 1-based. One ``posexplode`` +
+    hash aggregate with map-side partials — the shuffle moves
+    tasks×dim partial rows, never the corpus. The variance is the
+    moment form sum(x²)/n − mean² (replicated term-for-term by the
+    oracle); mean/var are 6dp floor-truncated on output, min/max are
+    exact doubles (comparisons, not arithmetic)."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    x = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x")
+    )
+    agg = x.groupBy("__pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+        F.min("__x").alias("min_val"),
+        F.max("__x").alias("max_val"),
+    )
+    mean = F.col("__s") / F.col("n")
+    return agg.select(
+        (F.col("__pos") + 1).cast("int").alias("dim"),
+        "n",
+        trunc_digits(mean).alias("mean"),
+        trunc_digits(F.col("__s2") / F.col("n") - mean * mean).alias("var_pop"),
+        "min_val",
+        "max_val",
+    )
+
+
+def train_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+) -> dict:
+    """Train a PCA pre-transform (the FAISS ``PCAMatrix`` contract):
+    returns ``{"mean", "components", "explained_variance"}`` with
+    ``out_dim`` orthonormal components sorted by explained variance
+    descending. Distributed part = ONE pass accumulating the exact
+    moment sums (the per-row flat outer product explodes to dim² keyed
+    rows, hash-aggregated with map-side partials — the shuffle is
+    tasks×dim² partial rows, never corpus-sized; at very large dim
+    train on a sample, the FAISS practice, since cov is dim²).
+    Driver part = a dim×dim numpy ``eigh`` on the assembled covariance
+    — artifact-sized, like every quantizer-training collect in this
+    module. Component SIGNS are normalized (largest-|coefficient|
+    entry positive) so training is deterministic up to float-sum
+    ordering."""
+    import numpy as np
+
+    dim_row = df.select(
+        F.size(F.col(vec_col).cast("array<double>")).alias("d")
+    ).first()
+    if dim_row is None:
+        raise ValueError("train_pca: empty corpus")
+    dim = dim_row["d"]
+    if not (0 < out_dim <= dim):
+        raise ValueError(f"out_dim must be in 1..{dim}, got {out_dim}")
+    v = F.col(vec_col).cast("array<double>")
+    outer = F.flatten(
+        F.transform(v, lambda xi: F.transform(v, lambda xj: xi * xj))
+    )
+    moments = (
+        df.select(F.posexplode(F.concat(v, outer)).alias("__pos", "__x"))
+        .groupBy("__pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__x").alias("s"))
+        .collect()
+    )
+    n = moments[0]["n"]
+    flat = np.zeros(dim + dim * dim)
+    for r in moments:
+        flat[r["__pos"]] = r["s"]
+    mean = flat[:dim] / n
+    cov = flat[dim:].reshape(dim, dim) / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:out_dim]
+    comps = vecs[:, order].T  # out_dim × dim
+    # deterministic sign: the largest-|coefficient| entry is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in row] for row in comps],
+        "explained_variance": [float(vals[i]) for i in order],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    pca: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Apply a ``train_pca`` artifact: adds ``out_col`` =
+    components · (x − mean) as a ZERO-shuffle projection — mean and
+    components ship as two ``from_json``-folded plan literals, the
+    matmul is out_dim JVM dot-product folds per row. The downstream
+    quantizer (``sq8_topk`` / ``pq_topk`` / the partitioned builds)
+    consumes ``out_col`` like any vector column."""
+    mean_lit = _nested_lit(pca["mean"], "array<double>")
+    comps_lit = _nested_lit(pca["components"], "array<array<double>>")
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_lit, lambda x, m: x - m
+    )
+    return df.withColumn(
+        out_col,
+        F.transform(comps_lit, lambda c: _dot_expr(centered, c)),
+    )

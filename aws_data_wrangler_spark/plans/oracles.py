@@ -1193,6 +1193,23 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # per-dimension moments: the variance replicates Spark's moment
+    # form sum(x²)/n − mean² term-for-term; float32→double is exact in
+    # both engines, min/max are comparisons
+    "embedding_dim_stats": """
+        WITH x AS (
+            SELECT generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        )
+        SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+               floor(sum(v) / count(*) * 1000000.0) / 1000000.0 AS mean,
+               floor((sum(v * v) / count(*) -
+                      (sum(v) / count(*)) * (sum(v) / count(*))) * 1000000.0)
+                   / 1000000.0 AS var_pop,
+               min(v) AS min_val, max(v) AS max_val
+        FROM x GROUP BY dim ORDER BY dim
+    """,
     # snapshot diff: md5 content identity on the Spark side == direct
     # text comparison here (IS DISTINCT FROM replicates the NULL-tagged
     # hash semantics); unchanged rows excluded by contract

@@ -1316,6 +1316,16 @@ def _ann_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature diagnostics of the embedding column —
+    the dead-dimension / scaling check run before spending quantizer
+    budget (PCA, SQ8, PQ) on directions that carry no variance."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(emb).orderBy("dim")
+
+
 def _ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered ANN search (the vector-DB / FAISS-IDSelector
     shape): the index stores the filterable ``label`` attribute INLINE
@@ -2814,6 +2824,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate into the round-7 window FIRST, with the displaced round-4
     # backfill) ---
     "dedup_snapshot_diff": _dedup_snapshot_diff,
+    "embedding_dim_stats": _embedding_dim_stats,
 }
 
 

@@ -1158,6 +1158,39 @@ class TestSimilarity:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" not in plan, plan
 
+    def test_pca_train_project_matches_numpy(self, spark, embeddings):
+        # the FAISS PCAMatrix contract: orthonormal components sorted
+        # by explained variance desc, projection = components·(x−mean)
+        # as a zero-shuffle literal matmul — verified against numpy
+        import numpy as np
+
+        X = np.array(
+            [r["embedding"] for r in embeddings.orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+        pca = similarity.train_pca(embeddings, out_dim=8)
+        C = np.array(pca["components"])
+        mu = np.array(pca["mean"])
+        assert np.allclose(C @ C.T, np.eye(8), atol=1e-9)
+        assert np.allclose(mu, X.mean(axis=0), atol=1e-9)
+        ev = pca["explained_variance"]
+        assert ev == sorted(ev, reverse=True) and ev[0] > 0
+        out = similarity.pca_project(embeddings, pca)
+        P = np.array(
+            [r["pca"] for r in out.select("vec_id", "pca").orderBy("vec_id").collect()]
+        )
+        assert np.allclose(P, (X - mu) @ C.T, atol=1e-8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # per-component projected variance == the eigenvalue it claims
+        assert np.allclose(P.var(axis=0), ev, rtol=1e-9)
+
+    def test_pca_input_validation(self, spark, embeddings):
+        with pytest.raises(ValueError, match="empty corpus"):
+            similarity.train_pca(embeddings.filter("vec_id < 0"))
+        with pytest.raises(ValueError, match="out_dim"):
+            similarity.train_pca(embeddings.limit(5), out_dim=1000)
+
     def test_cell_occupancy_imbalance_semantics(self, spark):
         from aws_data_wrangler_spark.operators import similarity
 

@@ -137,6 +137,7 @@ ROUND6_LATE = {
     # precedent): verified at sf0.001 + sf0.01 + sf0.1 in the round-6
     # third session; rotate into the round-7 window FIRST
     "dedup_snapshot_diff",
+    "embedding_dim_stats",
 }
 
 
