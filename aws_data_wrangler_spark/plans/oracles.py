@@ -1193,6 +1193,15 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # schema evolution: a mergeSchema read of old-schema + new-schema
+    # files == the explicit union with NULLs for the missing column
+    "io_schema_evolution": """
+        SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 1
+        ORDER BY doc_id
+    """,
     # per-dimension moments: the variance replicates Spark's moment
     # form sum(x²)/n − mean² term-for-term; float32→double is exact in
     # both engines, min/max are comparisons

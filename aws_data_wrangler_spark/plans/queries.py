@@ -1316,6 +1316,32 @@ def _ann_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across dataset appends — the year-of-ingest
+    reality at 100 TB: batch 1 writes (doc_id, source), batch 2
+    appends with a NEW lang column; a mergeSchema read reconciles the
+    footers so old files surface NULL lang instead of failing the
+    scan. The oracle is the explicit UNION ALL with the NULL the
+    merged schema implies."""
+    from aws_data_wrangler_spark import s3
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    out = f"{tempfile.mkdtemp(prefix='sgq_')}/docs_evolved"
+    s3.to_parquet(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source"),
+        out, dataset=True, mode="overwrite", spark=spark,
+    )
+    s3.to_parquet(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "lang"),
+        out, dataset=True, mode="append", spark=spark,
+    )
+    return (
+        s3.read_parquet(out, dataset=True, mergeSchema="true", spark=spark)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def _embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension feature diagnostics of the embedding column —
     the dead-dimension / scaling check run before spending quantizer
@@ -2825,6 +2851,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # backfill) ---
     "dedup_snapshot_diff": _dedup_snapshot_diff,
     "embedding_dim_stats": _embedding_dim_stats,
+    "io_schema_evolution": _io_schema_evolution,
 }
 
 

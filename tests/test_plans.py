@@ -138,6 +138,7 @@ ROUND6_LATE = {
     # third session; rotate into the round-7 window FIRST
     "dedup_snapshot_diff",
     "embedding_dim_stats",
+    "io_schema_evolution",
 }
 
 
