@@ -1185,6 +1185,38 @@ class TestSimilarity:
         # per-component projected variance == the eigenvalue it claims
         assert np.allclose(P.var(axis=0), ev, rtol=1e-9)
 
+    def test_pca_feeds_partitioned_quantizer_end_to_end(
+        self, spark, embeddings, tmp_path
+    ):
+        # the preprocessing weld: project to 16 dims, build the
+        # partitioned IVF index ON the projected column, search in
+        # projected space — results match brute-force cosine over the
+        # projected vectors restricted to the probed cells (i.e. the
+        # plain ivf_topk contract, just in PCA space)
+        from pyspark.sql import Window as W
+
+        pca = similarity.train_pca(embeddings, out_dim=16)
+        proj = similarity.pca_project(embeddings, pca).select("vec_id", "pca")
+        seeds = (
+            proj.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("pca").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_pca")
+        similarity.build_partitioned_ivf(
+            proj, seeds, index, vec_col="pca", metric="cosine"
+        )
+        queries = proj.filter("vec_id < 5")
+        out = similarity.ivf_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=3,
+            vec_col="pca", metric="cosine",
+        )
+        ref = similarity.ivf_topk(
+            proj, queries, k=5, nprobe=3, centroids=seeds,
+            vec_col="pca", metric="cosine",
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
     def test_pca_input_validation(self, spark, embeddings):
         with pytest.raises(ValueError, match="empty corpus"):
             similarity.train_pca(embeddings.filter("vec_id < 0"))
