@@ -1908,7 +1908,9 @@ def bloom_ingest_gate(
         .distinct()
         .withColumn("__bloom_hit", F.lit(True))
     )
-    if broadcast_positives is not False:
+    # None = AQE decides BOTH joins from runtime sizes (the tri-state
+    # contract); only explicit True forces the broadcasts
+    if broadcast_positives:
         confirmed = F.broadcast(confirmed)
     return (
         probed.join(confirmed, key_cols, "left")

@@ -1550,11 +1550,12 @@ def delete_from_partitioned_index(
     from aws_data_wrangler_spark import s3
 
     if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+        # the caller's id type IS the index's id type — no forced cast
+        # (string-id indexes are legal; a mismatched type would make
+        # the anti-join silently match nothing)
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
-        tomb = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} bigint"
-        )
+        tomb = spark.createDataFrame([(i,) for i in ids]).toDF(id_col)
     s3.to_parquet(
         tomb, _tombstone_path(index_path), dataset=True, mode="append", spark=spark
     )
@@ -2084,6 +2085,13 @@ def train_pca(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("__x").alias("s"))
         .collect()
     )
+    ns = {r["n"] for r in moments}
+    if len(ns) != 1 or len(moments) != dim + dim * dim:
+        raise ValueError(
+            "train_pca: ragged vector lengths (per-position counts "
+            f"{sorted(ns)} over {len(moments)} positions, expected one "
+            f"count over {dim + dim * dim}) — PCA needs a fixed dim"
+        )
     n = moments[0]["n"]
     flat = np.zeros(dim + dim * dim)
     for r in moments:

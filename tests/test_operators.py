@@ -517,6 +517,24 @@ class TestDedup:
         with pytest.raises(ValueError, match="not a bloom_ingest_filter"):
             dedup.load_bloom_ingest_filter(wrong)
 
+    def test_bloom_gate_tristate_join_strategies_agree(self, spark, documents):
+        # True / None / False broadcast_positives are pure physical
+        # strategy — verdicts identical across all three
+        corpus = documents.filter(F.col("doc_id") % 5 != 0)
+        batch = documents.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        bloom = dedup.build_bloom_ingest_filter(corpus, on=["text"], fpp=0.05)
+        outs = [
+            {
+                r["doc_id"]: r["is_dup"]
+                for r in dedup.bloom_ingest_gate(
+                    batch, bloom, corpus_df=corpus, on=["text"],
+                    broadcast_positives=mode,
+                ).collect()
+            }
+            for mode in (True, None, False)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+
     def test_bloom_empty_corpus_all_novel(self, spark, documents):
         # day-zero ingest: an empty corpus is legal — all-zero bitset,
         # every probe provably negative
@@ -1137,6 +1155,41 @@ class TestSimilarity:
                 embeddings, seeds, str(tmp_path / "bad_pq"),
                 m=8, num_codes=16, iterations=0, metadata_cols=["codes"],
             )
+
+    def test_tombstones_respect_string_id_type(self, spark, embeddings, tmp_path):
+        # string-id indexes are legal; a forced long cast would make
+        # the anti-join silently match nothing
+        from pyspark.sql import Window as W
+
+        corpus = embeddings.select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+        )
+        seeds = (
+            embeddings.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_strid")
+        similarity.build_partitioned_ivf(corpus, seeds, index, metric="cosine")
+        queries = corpus.filter("vec_id IN ('doc-0','doc-1')")
+        base = similarity.ivf_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=3, metric="cosine"
+        )
+        victims = sorted({r["neighbor_id"] for r in base.collect()})[:2]
+        assert all(isinstance(v, str) for v in victims)
+        similarity.delete_from_partitioned_index(spark, index, victims)
+        after = similarity.ivf_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=3, metric="cosine"
+        )
+        assert not {r["neighbor_id"] for r in after.collect()} & set(victims)
+
+    def test_pca_ragged_vectors_raise(self, spark):
+        ragged = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="ragged"):
+            similarity.train_pca(ragged, out_dim=1)
 
     def test_no_tombstones_is_a_plan_noop(self, spark, embeddings, tmp_path):
         # the hot path: an index with no deletes must not pay an
