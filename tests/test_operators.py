@@ -517,6 +517,24 @@ class TestDedup:
         with pytest.raises(ValueError, match="not a bloom_ingest_filter"):
             dedup.load_bloom_ingest_filter(wrong)
 
+    def test_bloom_no_false_negatives_randomized_sweep(self, spark):
+        # the structural guarantee, exercised over 2000 pseudo-random
+        # keys (seeded md5-derived strings, multiple lengths/charsets):
+        # EVERY corpus member probes positive, at every fpp tried
+        rows = spark.range(2000).select(
+            F.concat(
+                F.lit("k:"), F.md5(F.col("id").cast("string")),
+                F.lit("/"), F.repeat(F.lit("x"), (F.col("id") % 50).cast("int")),
+            ).alias("key")
+        )
+        for fpp in (0.3, 0.01):
+            bloom = dedup.build_bloom_ingest_filter(rows, on=["key"], fpp=fpp)
+            missed = (
+                dedup.bloom_might_contain(rows, bloom, ["key"])
+                .filter("NOT maybe_dup").count()
+            )
+            assert missed == 0, f"false negatives at fpp={fpp}"
+
     def test_bloom_gate_tristate_join_strategies_agree(self, spark, documents):
         # True / None / False broadcast_positives are pure physical
         # strategy — verdicts identical across all three
@@ -1182,6 +1200,37 @@ class TestSimilarity:
             spark, index, queries, seeds, k=5, nprobe=3, metric="cosine"
         )
         assert not {r["neighbor_id"] for r in after.collect()} & set(victims)
+
+    def test_tombstones_compose_with_metadata_filter(
+        self, spark, embeddings, tmp_path
+    ):
+        # delete + metadata filter on one index: both are candidate
+        # filters, so results equal ivf_topk over the corpus minus
+        # deleted minus non-matching
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(16)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_del_filt")
+        similarity.build_partitioned_ivf(
+            embeddings, seeds, index, metric="cosine", metadata_cols=["label"]
+        )
+        similarity.delete_from_partitioned_index(spark, index, range(20, 40))
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivf_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=4, metric="cosine",
+            where="label < 5",
+        )
+        ref = similarity.ivf_topk(
+            embeddings.filter(
+                (~F.col("vec_id").between(20, 39)) & (F.col("label") < 5)
+            ),
+            queries, k=5, nprobe=4, centroids=seeds, metric="cosine",
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
 
     def test_pca_ragged_vectors_raise(self, spark):
         ragged = spark.createDataFrame(
