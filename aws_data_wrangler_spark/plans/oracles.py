@@ -461,6 +461,7 @@ def _ivfpq_ann_oracle_sql(
     sub: int = 8,
     dim: int = 64,
     factor: int = 4,
+    cand_where: str = "",
 ) -> str:
     """Exact DuckDB replica of the registered ``ann_ivfpq_topk``
     query: SEEDED coarse centroids (lowest-id vectors) assign cells by
@@ -472,25 +473,33 @@ def _ivfpq_ann_oracle_sql(
     the shortlist orders raw doubles, and the rescore is the shared
     6dp-truncated exact cosine. Identical sequential-fold arithmetic
     on both engines — the ``ann_pq_topk`` precedent plus the
-    assignment join."""
+    assignment join.
+
+    ``cand_where`` replicates a metadata-filtered search
+    (``ivfpq_partitioned_topk(where=...)``): the predicate restricts
+    the ADC CANDIDATE pairs only (training, assignment, and probing
+    see the full corpus), exactly like the Spark side where the
+    filter lands on the code scan."""
+    cand_filter = f"AND ({cand_where})" if cand_where else ""
     return f"""
         WITH corpus AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                   label
             FROM embeddings
         ), cents AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
                    v AS cv
             FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {num_centroids})
         ), cdiff AS (
-            SELECT c.vec_id, s.cid, c.v, c.nrm,
+            SELECT c.vec_id, s.cid, c.v, c.nrm, c.label,
                    list_transform(range(1, {dim} + 1), i -> c.v[i] - s.cv[i]) AS d
             FROM corpus c, cents s
         ), cdist AS (
-            SELECT vec_id, cid, v, nrm, d, list_dot_product(d, d) AS dist FROM cdiff
+            SELECT vec_id, cid, v, nrm, label, d, list_dot_product(d, d) AS dist FROM cdiff
         ), assigned AS (
             -- residual r IS the assignment diff of the winning cell
-            SELECT vec_id, cid, nrm, d AS r
+            SELECT vec_id, cid, nrm, label, d AS r
             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                                ORDER BY dist ASC, cid ASC) AS rn
                   FROM cdist)
@@ -541,7 +550,7 @@ def _ivfpq_ann_oracle_sql(
             -- the cell-keyed equi-join: only corpus rows in probed cells
             SELECT qc.q_id, a.vec_id AS c_id, qc.qdc, a.nrm AS c_norm
             FROM qcells qc JOIN assigned a ON a.cid = qc.cid
-            WHERE qc.q_id <> a.vec_id AND a.nrm > 0
+            WHERE qc.q_id <> a.vec_id AND a.nrm > 0 {cand_filter}
         ), adc AS (
             SELECT p.q_id, p.c_id, p.qdc, p.c_norm,
                    list_sum(list(l.val ORDER BY l.sub)) AS dot
@@ -1193,6 +1202,10 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # filtered search on the COMPRESSED tier: the label predicate
+    # restricts ADC candidate pairs only — training/assignment/probing
+    # see the full corpus, the vector-DB filtered-search contract
+    "ann_filtered_pq_search": _ivfpq_ann_oracle_sql(cand_where="a.label < 4"),
     # schema evolution: a mergeSchema read of old-schema + new-schema
     # files == the explicit union with NULLs for the missing column
     "io_schema_evolution": """

@@ -2041,6 +2041,32 @@ def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("query_id", "rank")
 
 
+def _ann_filtered_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search on the COMPRESSED serving tier: the
+    IVF+PQ index stores `label` inline, the predicate lands on the
+    partition-pruned + column-pruned ADC code scan (PushedFilters),
+    and a candidate excluded there can never resurface at rescore —
+    the same seeded artifacts as `ann_ivfpq_partitioned_search`, so
+    the oracle is that replica with the label predicate on the ADC
+    candidate pairs only."""
+    from pyspark.sql import Window as W
+
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = _seed_centroids(emb, 16)
+    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivfpq_filt_index"
+    books = similarity.build_partitioned_ivfpq(
+        emb, seeds, index, m=8, num_codes=16, iterations=0,
+        metadata_cols=["label"], spark=spark,
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_partitioned_topk(
+        spark, index, queries, seeds, books, k=5, nprobe=4,
+        rescore_factor=4, where="label < 4",
+    ).orderBy("query_id", "rank")
+
+
 def _text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length distribution in exact power-of-two buckets (bit
     length of the whitespace token count — base-2 string length, no
@@ -2852,6 +2878,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_snapshot_diff": _dedup_snapshot_diff,
     "embedding_dim_stats": _embedding_dim_stats,
     "io_schema_evolution": _io_schema_evolution,
+    "ann_filtered_pq_search": _ann_filtered_pq_search,
 }
 
 

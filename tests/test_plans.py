@@ -139,6 +139,7 @@ ROUND6_LATE = {
     "dedup_snapshot_diff",
     "embedding_dim_stats",
     "io_schema_evolution",
+    "ann_filtered_pq_search",
 }
 
 
