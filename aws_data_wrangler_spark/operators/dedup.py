@@ -2008,3 +2008,57 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(id_col, "change")
     )
+
+
+def save_minhash_corpus_state(
+    state: MinHashCorpusState, path: str, spark=None
+) -> None:
+    """Persist the incremental-dedup corpus artifact as a dataset: the
+    shingle and band tables as two parquet sub-datasets plus a JSON
+    meta sidecar carrying (n, num_hashes, bands) — the parameters
+    travel WITH the artifact, so a reload can never silently band-join
+    against a mismatched geometry. This is the production shape the
+    ``minhash_corpus_state`` docstring promises: build once, persist,
+    and every nightly batch reloads two parquet scans instead of
+    re-mining corpus text."""
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    root = path.rstrip("/")
+    state.shingles.write.mode("overwrite").parquet(f"{root}/shingles")
+    state.band_rows.write.mode("overwrite").parquet(f"{root}/band_rows")
+    with open_s3_object(f"{root}/_minhash_meta.json", "w", spark=spark) as f:
+        json.dump(
+            {
+                "format": "minhash_corpus_state",
+                "n": state.n,
+                "num_hashes": state.num_hashes,
+                "bands": state.bands,
+            },
+            f,
+        )
+
+
+def load_minhash_corpus_state(spark, path: str) -> MinHashCorpusState:
+    """Reload a ``save_minhash_corpus_state`` artifact. The meta
+    sidecar restores the MinHash geometry, so
+    ``minhash_lsh_incremental(corpus_state=...)`` keeps rejecting
+    mismatched batch parameters exactly as with a freshly built
+    state."""
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    root = path.rstrip("/")
+    with open_s3_object(f"{root}/_minhash_meta.json", "r", spark=spark) as f:
+        meta = json.load(f)
+    if meta.get("format") != "minhash_corpus_state":
+        raise ValueError(f"not a minhash_corpus_state artifact: {path}")
+    return MinHashCorpusState(
+        spark.read.parquet(f"{root}/shingles"),
+        spark.read.parquet(f"{root}/band_rows"),
+        meta["n"],
+        meta["num_hashes"],
+        meta["bands"],
+    )

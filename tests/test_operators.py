@@ -566,6 +566,47 @@ class TestDedup:
         out = dedup.bloom_ingest_gate(batch, bloom, corpus_df=empty, on=["text"])
         assert out.filter("is_dup").count() == 0
 
+    def test_minhash_corpus_state_roundtrips_through_parquet(
+        self, spark, documents, tmp_path
+    ):
+        # build → persist → reload → incremental results identical to
+        # the fresh state; the meta sidecar keeps parameter-mismatch
+        # rejection alive across the round-trip
+        docs = documents.limit(120)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        state = dedup.minhash_corpus_state(corpus)
+        path = str(tmp_path / "mh_state")
+        dedup.save_minhash_corpus_state(state, path)
+        loaded = dedup.load_minhash_corpus_state(spark, path)
+        assert (loaded.n, loaded.num_hashes, loaded.bands) == (
+            state.n, state.num_hashes, state.bands,
+        )
+        fresh = dedup.minhash_lsh_incremental(
+            batch, corpus_state=state, threshold=0.8
+        )
+        replay = dedup.minhash_lsh_incremental(
+            batch, corpus_state=loaded, threshold=0.8
+        )
+        assert sorted(map(tuple, fresh.collect())) == sorted(
+            map(tuple, replay.collect())
+        )
+        # mismatched batch params still rejected after the round-trip
+        with pytest.raises(ValueError):
+            dedup.minhash_lsh_incremental(
+                batch, corpus_state=loaded, num_hashes=32, threshold=0.8
+            )
+        with pytest.raises(ValueError, match="not a minhash"):
+            import json
+
+            bad = str(tmp_path / "bad_state")
+            import os
+
+            os.makedirs(bad, exist_ok=True)
+            with open(f"{bad}/_minhash_meta.json", "w") as f:
+                json.dump({"format": "bloom_ingest_filter"}, f)
+            dedup.load_minhash_corpus_state(spark, bad)
+
     def test_lsh_params_bound_miss_at_threshold(self):
         # auto-derived (planes, tables) must bound P[miss] <= 5% for a
         # pair sitting exactly at the routing threshold — the regime the
