@@ -1202,6 +1202,16 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # the streaming gate's availableNow replay == the batch gate: the
+    # probe is a stateless projection and the confirm a stream-static
+    # join, so the batch key-existence replica applies verbatim
+    "streaming_bloom_gate": """
+        SELECT b.doc_id AS doc_id, (c.text IS NOT NULL) AS is_dup
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) b
+        LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0) c
+          ON b.text = c.text
+        ORDER BY doc_id
+    """,
     # filtered search on the COMPRESSED tier: the label predicate
     # restricts ADC candidate pairs only — training/assignment/probing
     # see the full corpus, the vector-DB filtered-search contract

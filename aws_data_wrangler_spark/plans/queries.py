@@ -2041,6 +2041,40 @@ def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("query_id", "rank")
 
 
+def _streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom ingest gate in its PRODUCTION position — on the
+    stream: the probe is a pure projection (the bitset rides a plan
+    literal — stateless, stream-safe, no state store), so each
+    arriving document is marked maybe/provably-novel in-flight;
+    Bloom-positives are confirmed by a stream-static left join against
+    the corpus key set (only maybe-dups do join work — the Bloom's
+    whole point). availableNow replay == the batch gate, whose
+    key-existence oracle this reuses."""
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bloom = dedup.build_bloom_ingest_filter(corpus, on=["text"], fpp=0.01)
+    stream = streaming.read_event_stream(
+        f"{sf_dir}/documents.parquet", spark=spark
+    ).filter(F.col("doc_id") % 2 == 0)
+    probed = dedup.bloom_might_contain(stream, bloom, ["text"], "__maybe")
+    corpus_keys = (
+        corpus.select("text").distinct().withColumn("__hit", F.lit(True))
+    )
+    gated = probed.join(
+        F.broadcast(corpus_keys), "text", "left"
+    ).select(
+        "doc_id",
+        (F.col("__maybe") & F.coalesce(F.col("__hit"), F.lit(False))).alias(
+            "is_dup"
+        ),
+    )
+    out = streaming.run_available_now(gated, output_mode="append")
+    return out.orderBy("doc_id")
+
+
 def _ann_filtered_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered search on the COMPRESSED serving tier: the
     IVF+PQ index stores `label` inline, the predicate lands on the
@@ -2879,6 +2913,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": _embedding_dim_stats,
     "io_schema_evolution": _io_schema_evolution,
     "ann_filtered_pq_search": _ann_filtered_pq_search,
+    "streaming_bloom_gate": _streaming_bloom_gate,
 }
 
 

@@ -140,6 +140,7 @@ ROUND6_LATE = {
     "embedding_dim_stats",
     "io_schema_evolution",
     "ann_filtered_pq_search",
+    "streaming_bloom_gate",
 }
 
 
