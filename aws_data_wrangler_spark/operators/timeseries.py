@@ -54,3 +54,65 @@ def gapfill_rollup(
         F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(carry).alias("filled_avg"),
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust anomaly detection on bucketed counts: per key, flag
+    buckets whose modified z-score |0.6745·(n − median)| / MAD exceeds
+    ``threshold`` (Iglewicz & Hoaglin's 3.5 convention) — the
+    median/MAD pair survives the very outliers a mean/stddev rule is
+    dragged toward, which is why it's the standard ops-monitoring
+    detector. Output: (key, bucket_ts, n, med, mad, score) for flagged
+    buckets only.
+
+    Plan shape: one bucketed count aggregate, then TWO key-grouped
+    exact-percentile aggregates over the already-tiny per-bucket count
+    table (buckets-per-key rows, never raw events), broadcast back —
+    no global window, no second scan of the corpus. Exact
+    ``percentile`` (R-7 interpolation) matches DuckDB's
+    ``quantile_cont`` bit-for-bit — the events_value_percentiles
+    precedent; the score is 6dp floor-truncated. An all-identical key
+    (MAD = 0) yields no flags (score undefined ⇒ filtered), matching
+    the textbook treatment.
+    """
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = hourly.groupBy("key").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = (
+        hourly.join(F.broadcast(med), "key")
+        .select("key", (F.abs(F.col("n") - F.col("med"))).alias("adev"))
+        .groupBy("key")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    scored = (
+        hourly.join(F.broadcast(med), "key")
+        .join(F.broadcast(dev), "key")
+        .filter(F.col("mad") > 0)
+        .select(
+            F.col("key").alias("event_type"),
+            "bucket_ts",
+            "n",
+            "med",
+            "mad",
+            trunc_digits(
+                F.abs(F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"))
+            ).alias("score"),
+        )
+    )
+    return scored.filter(F.col("score") > threshold)

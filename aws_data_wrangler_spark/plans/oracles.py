@@ -1202,6 +1202,34 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # MAD anomalies: exact quantile_cont == Spark percentile (R-7);
+    # the score is truncated BEFORE the threshold in both engines
+    "events_mad_anomalies": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), med AS (
+            SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM hourly GROUP BY event_type
+        ), mad AS (
+            SELECT h.event_type, quantile_cont(abs(h.n - m.med), 0.5) AS mad
+            FROM hourly h JOIN med m USING (event_type)
+            GROUP BY h.event_type
+        ), scored AS (
+            SELECT h.event_type,
+                   strftime(h.bucket_ts, '%Y-%m-%d %H:00:00') AS hour_ts,
+                   h.n, m.med, d.mad,
+                   floor(abs(0.6745 * (h.n - m.med) / d.mad) * 1000000.0)
+                       / 1000000.0 AS score
+            FROM hourly h
+            JOIN med m USING (event_type)
+            JOIN mad d USING (event_type)
+            WHERE d.mad > 0
+        )
+        SELECT * FROM scored WHERE score > 3.5
+        ORDER BY event_type, hour_ts
+    """,
     # the streaming gate's availableNow replay == the batch gate: the
     # probe is a stateless projection and the confirm a stream-static
     # join, so the batch key-existence replica applies verbatim

@@ -2041,6 +2041,26 @@ def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("query_id", "rank")
 
 
+def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection on hourly event counts at
+    the canonical 3.5 modified-z threshold — the ops-monitoring
+    complement to the trailing-max spike rule. Exact percentile (R-7)
+    matches DuckDB quantile_cont; score truncated before the threshold
+    in BOTH engines."""
+    from aws_data_wrangler_spark.operators import timeseries
+
+    events = load(spark, sf_dir, "events")
+    out = timeseries.mad_anomalies(events, threshold=3.5)
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+        "n",
+        "med",
+        "mad",
+        "score",
+    ).orderBy("event_type", "hour_ts")
+
+
 def _streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom ingest gate in its PRODUCTION position — on the
     stream: the probe is a pure projection (the bitset rides a plan
@@ -2914,6 +2934,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_schema_evolution": _io_schema_evolution,
     "ann_filtered_pq_search": _ann_filtered_pq_search,
     "streaming_bloom_gate": _streaming_bloom_gate,
+    "events_mad_anomalies": _events_mad_anomalies,
 }
 
 

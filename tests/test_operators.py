@@ -3050,6 +3050,35 @@ class TestTextPipelineOps:
 
 
 class TestTimeseries:
+    def test_mad_anomalies_flags_planted_spike(self, spark):
+        import math
+
+        from aws_data_wrangler_spark.operators import timeseries
+
+        # key "a": 11 quiet hours of 10 events + one hour of 100 —
+        # median 10, MAD 0? no: counts [10×11, 100] → med 10, adevs
+        # [0×11, 90] → MAD 0... so vary quiet hours 9..11 for MAD 1
+        rows = []
+        for h in range(12):
+            n = [9, 10, 11][h % 3] if h < 11 else 100
+            rows += [("a", h * 3600)] * n
+        # key "b": perfectly constant → MAD 0 → no flags by contract
+        for h in range(12):
+            rows += [("b", h * 3600)] * 5
+        df = spark.createDataFrame(rows, "event_type string, sec long").select(
+            "event_type", F.timestamp_seconds("sec").alias("ts")
+        )
+        out = timeseries.mad_anomalies(df, threshold=3.5).collect()
+        assert {r["event_type"] for r in out} == {"a"}
+        spike = [r for r in out if r["n"] == 100]
+        assert len(spike) == 1
+        r = spike[0]
+        assert r["med"] == 10.0 and r["mad"] == 1.0
+        assert r["score"] == math.floor(0.6745 * 90 * 1e6) / 1e6
+        # the quiet hours are NOT flagged (robustness: the spike did
+        # not drag the center the way a mean/stddev rule would)
+        assert len(out) == 1
+
     def test_gapfill_fills_missing_buckets(self, spark):
         from aws_data_wrangler_spark.operators import timeseries
 

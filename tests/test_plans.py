@@ -141,6 +141,7 @@ ROUND6_LATE = {
     "io_schema_evolution",
     "ann_filtered_pq_search",
     "streaming_bloom_gate",
+    "events_mad_anomalies",
 }
 
 
