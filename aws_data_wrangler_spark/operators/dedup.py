@@ -1889,12 +1889,17 @@ def bloom_ingest_gate(
     sizes, False forces a shuffle join (the escape for a giant batch
     re-ingesting a giant corpus — e.g. a full re-crawl).
     """
+    if corpus_df is not None and any(not isinstance(c, str) for c in on):
+        raise TypeError(
+            "bloom_ingest_gate with a confirm corpus needs column NAMES "
+            "(strings) in `on` — the confirm join selects them by name"
+        )
     probed = bloom_might_contain(
         batch_df, bloom, on, "__bloom_maybe", max_literal_words
     )
     if corpus_df is None:
         return probed.withColumnRenamed("__bloom_maybe", verdict_col)
-    key_cols = [c if isinstance(c, str) else str(c) for c in on]
+    key_cols = list(on)
     pos_keys = (
         probed.filter(F.col("__bloom_maybe")).select(*key_cols).distinct()
     )

@@ -1190,6 +1190,21 @@ def cluster_by_cell(df: DataFrame, id_col: str, files_per_cell: int) -> DataFram
     )
 
 
+def _check_metadata_cols(metadata_cols, reserved) -> None:
+    """Reject metadata columns that would shadow the index layout —
+    shared by every row-layout builder (batch AND streaming callers)
+    so the error is a clear ValueError instead of a downstream
+    AMBIGUOUS_REFERENCE."""
+    bad = [c for c in metadata_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"metadata_cols {bad} collide with the index layout columns "
+            f"({sorted(reserved)})"
+        )
+    if any(not isinstance(c, str) for c in metadata_cols):
+        raise TypeError("metadata_cols must be column NAMES (strings)")
+
+
 def ivf_index_rows(
     corpus: DataFrame,
     cent_ids,
@@ -1208,13 +1223,7 @@ def ivf_index_rows(
     time. Shared by the batch build (``build_partitioned_ivf``) and
     the streaming ingest sink (``streaming.index_ingest_sink``) so
     both write byte-compatible rows."""
-    reserved = {id_col, vec_col, "vnorm", "cid"}
-    bad = [c for c in metadata_cols if c in reserved]
-    if bad:
-        raise ValueError(
-            f"metadata_cols {bad} collide with the index layout columns "
-            f"({sorted(reserved)})"
-        )
+    _check_metadata_cols(metadata_cols, {id_col, vec_col, "vnorm", "cid"})
     meta = [F.col(c) for c in metadata_cols]
     c = _with_norm(corpus, id_col, vec_col, "c", keep=list(metadata_cols))
     keys = cell_key_array(F.col("c_vec"), cent_vecs, metric=metric, norm_expr=F.col("c_norm"))
@@ -1356,13 +1365,9 @@ def build_partitioned_ivfpq(
     """
     from aws_data_wrangler_spark import s3
 
-    reserved = {id_col, vec_col, "vnorm", "cid", "codes"}
-    bad = [c for c in metadata_cols if c in reserved]
-    if bad:
-        raise ValueError(
-            f"metadata_cols {bad} collide with the index layout columns "
-            f"({sorted(reserved)})"
-        )
+    _check_metadata_cols(
+        metadata_cols, {id_col, vec_col, "vnorm", "cid", "codes"}
+    )
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
     assigned = _ivfpq_assigned(
         corpus, cent_ids, cent_vecs, id_col, vec_col, metadata_cols
@@ -1440,6 +1445,9 @@ def ivfpq_index_rows(
     codes, cid), plus any ``metadata_cols`` carried verbatim (the
     filtered-search attributes). Shared by ``build_partitioned_ivfpq``
     and the streaming ingest sink so both write byte-compatible rows."""
+    _check_metadata_cols(
+        metadata_cols, {id_col, vec_col, "vnorm", "cid", "codes"}
+    )
     assigned = _ivfpq_assigned(
         corpus, cent_ids, cent_vecs, id_col, vec_col, metadata_cols
     )
@@ -1555,7 +1563,10 @@ def delete_from_partitioned_index(
         # the anti-join silently match nothing)
         tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
-        tomb = spark.createDataFrame([(i,) for i in ids]).toDF(id_col)
+        values = [(i,) for i in ids]
+        if not values:
+            return  # zero deletions: a no-op, not a schema-inference crash
+        tomb = spark.createDataFrame(values).toDF(id_col)
     s3.to_parquet(
         tomb, _tombstone_path(index_path), dataset=True, mode="append", spark=spark
     )
@@ -2024,8 +2035,6 @@ def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     moment form sum(x²)/n − mean² (replicated term-for-term by the
     oracle); mean/var are 6dp floor-truncated on output, min/max are
     exact doubles (comparisons, not arithmetic)."""
-    from aws_data_wrangler_spark.functions import trunc_digits
-
     x = df.select(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x")
     )

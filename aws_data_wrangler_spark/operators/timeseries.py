@@ -105,7 +105,7 @@ def mad_anomalies(
         .join(F.broadcast(dev), "key")
         .filter(F.col("mad") > 0)
         .select(
-            F.col("key").alias("event_type"),
+            F.col("key").alias(key_col),
             "bucket_ts",
             "n",
             "med",

@@ -948,6 +948,17 @@ def _hex_to_bigint_sql(expr: str, nchars: int, cast: str = "BIGINT") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# shared by the batch gate and its streaming twin — the availableNow
+# replay IS the batch gate, so one key-existence replica serves both
+_BLOOM_GATE_ORACLE = """
+        SELECT b.doc_id AS doc_id, (c.text IS NOT NULL) AS is_dup
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) b
+        LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0) c
+          ON b.text = c.text
+        ORDER BY doc_id
+"""
+
+
 ORACLES: Dict[str, str] = {
     # ---- analytics: identical SQL, second engine -----------------------
     **ANALYTICS_SQL,
@@ -1233,13 +1244,7 @@ ORACLES: Dict[str, str] = {
     # the streaming gate's availableNow replay == the batch gate: the
     # probe is a stateless projection and the confirm a stream-static
     # join, so the batch key-existence replica applies verbatim
-    "streaming_bloom_gate": """
-        SELECT b.doc_id AS doc_id, (c.text IS NOT NULL) AS is_dup
-        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) b
-        LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0) c
-          ON b.text = c.text
-        ORDER BY doc_id
-    """,
+    "streaming_bloom_gate": _BLOOM_GATE_ORACLE,
     # filtered search on the COMPRESSED tier: the label predicate
     # restricts ADC candidate pairs only — training/assignment/probing
     # see the full corpus, the vector-DB filtered-search contract
@@ -1292,13 +1297,7 @@ ORACLES: Dict[str, str] = {
     """,
     # the Bloom gate's verdict is EXACT (prefilter + confirm join), so
     # the replica never models the filter — just key existence
-    "dedup_bloom_ingest_gate": """
-        SELECT b.doc_id AS doc_id, (c.text IS NOT NULL) AS is_dup
-        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) b
-        LEFT JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0) c
-          ON b.text = c.text
-        ORDER BY doc_id
-    """,
+    "dedup_bloom_ingest_gate": _BLOOM_GATE_ORACLE,
     "dedup_ngram_jaccard": _NGRAM_JACCARD.format(threshold=0.5),
     # MinHash-LSH verifies candidates with exact Jaccard; at 16 bands /
     # 4 rows the capture probability at j≥0.8 is 1-(1-0.41)^16 ≈ 0.9998

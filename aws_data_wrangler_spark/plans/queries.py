@@ -2103,8 +2103,6 @@ def _ann_filtered_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same seeded artifacts as `ann_ivfpq_partitioned_search`, so
     the oracle is that replica with the label predicate on the ADC
     candidate pairs only."""
-    from pyspark.sql import Window as W
-
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")

@@ -671,6 +671,7 @@ def index_ingest_sink(
     files_per_cell: int = 1,
     timeout_s: int = 300,
     pq_codebooks=None,
+    metadata_cols=(),
 ) -> None:
     """Streaming IVF index ingest: each micro-batch of arriving vectors
     is assigned to its nearest cell (the zero-shuffle literal-argmin
@@ -697,6 +698,12 @@ def index_ingest_sink(
     ``build_partitioned_ivf`` on whatever cadence file counts demand,
     exactly the OPTIMIZE pattern of table formats. Runs availableNow:
     returns once the current backlog is ingested.
+
+    ``metadata_cols`` MUST match the index's build-time setting: a
+    filtered index (``build_partitioned_ivf[pq](metadata_cols=...)``)
+    ingested without them would append column-less files whose rows a
+    ``where=`` search could never match — pass the same list here so
+    streamed rows stay byte-compatible with built rows.
     """
     from aws_data_wrangler_spark import s3
     from aws_data_wrangler_spark.operators.similarity import (
@@ -716,11 +723,12 @@ def index_ingest_sink(
         if pq_codebooks is not None:
             rows = ivfpq_index_rows(
                 batch_df, cent_ids, cent_vecs, pq_codebooks,
-                id_col=id_col, vec_col=vec_col,
+                id_col=id_col, vec_col=vec_col, metadata_cols=metadata_cols,
             )
         else:
             rows = ivf_index_rows(
-                batch_df, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col, metric=metric
+                batch_df, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col,
+                metric=metric, metadata_cols=metadata_cols,
             )
         clustered = cluster_by_cell(rows, id_col, files_per_cell)
         s3.to_parquet(

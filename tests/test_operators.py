@@ -1215,6 +1215,24 @@ class TestSimilarity:
                 m=8, num_codes=16, iterations=0, metadata_cols=["codes"],
             )
 
+    def test_empty_delete_is_a_noop(self, spark, embeddings, tmp_path):
+        # zero deletions must not crash on schema inference, and must
+        # not create a tombstone sidecar (the no-delete fast path stays)
+        import os
+
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(4)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_nodelete")
+        similarity.build_partitioned_ivf(embeddings, seeds, index, metric="cosine")
+        similarity.delete_from_partitioned_index(spark, index, [])
+        assert not os.path.exists(f"{index}/_tombstones")
+        assert similarity.load_tombstones(spark, index) is None
+
     def test_tombstones_respect_string_id_type(self, spark, embeddings, tmp_path):
         # string-id indexes are legal; a forced long cast would make
         # the anti-join silently match nothing
@@ -3078,6 +3096,19 @@ class TestTimeseries:
         # the quiet hours are NOT flagged (robustness: the spike did
         # not drag the center the way a mean/stddev rule would)
         assert len(out) == 1
+
+    def test_mad_anomalies_respects_key_col(self, spark):
+        from aws_data_wrangler_spark.operators import timeseries
+
+        rows = []
+        for h in range(12):
+            n = [9, 10, 11][h % 3] if h < 11 else 100
+            rows += [(7, h * 3600)] * n
+        df = spark.createDataFrame(rows, "user_id long, sec long").select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        )
+        out = timeseries.mad_anomalies(df, key_col="user_id").collect()
+        assert len(out) == 1 and out[0]["user_id"] == 7
 
     def test_gapfill_fills_missing_buckets(self, spark):
         from aws_data_wrangler_spark.operators import timeseries

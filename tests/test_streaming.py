@@ -449,6 +449,40 @@ class TestIndexIngestSink:
         )
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
 
+    def test_ingest_carries_metadata_cols_for_filtered_search(
+        self, spark, embeddings, tmp_prefix
+    ):
+        # the byte-compatible-rows contract extends to metadata: a
+        # filtered index built with metadata_cols must be ingested with
+        # the SAME list, and streamed rows then answer where= searches
+        from aws_data_wrangler_spark.operators import similarity
+
+        seeds = self._seeds(embeddings)
+        index = f"{tmp_prefix}/ivf_meta_grow"
+        similarity.build_partitioned_ivf(
+            embeddings.filter("vec_id % 2 = 0"), seeds, index,
+            metric="cosine", metadata_cols=["label"],
+        )
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/embeddings.parquet", spark=spark
+        ).filter("vec_id % 2 = 1")
+        streaming.index_ingest_sink(
+            stream, seeds, index, metric="cosine", metadata_cols=["label"]
+        )
+        queries = embeddings.filter("vec_id < 5")
+        out = similarity.ivf_partitioned_topk(
+            spark, index, queries, seeds, k=5, nprobe=4, metric="cosine",
+            where="label < 4",
+        )
+        ref = similarity.ivf_topk(
+            embeddings.filter("label < 4"), queries, k=5, nprobe=4,
+            centroids=seeds, metric="cosine",
+        )
+        got = sorted(map(tuple, out.collect()))
+        assert got == sorted(map(tuple, ref.collect()))
+        # streamed (odd-id) rows really are reachable through the filter
+        assert any(r[1] % 2 == 1 for r in got)
+
     def test_replay_with_same_checkpoint_is_idempotent(self, spark, embeddings, tmp_prefix):
         seeds = self._seeds(embeddings)
         index = f"{tmp_prefix}/ivf_idem"
