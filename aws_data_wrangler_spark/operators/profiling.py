@@ -354,3 +354,54 @@ def distribution_drift(
         "cur_share",
         trunc_digits((p - q) * F.log(p / q)).alias("psi_term"),
     )
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    on,
+    parent_on=None,
+) -> DataFrame:
+    """Foreign-key health check between two tables — the pre-join
+    data-quality gate of a warehouse load: ONE row with (n_child,
+    n_orphans, n_null_keys, orphan_share) where an orphan is a child
+    row whose (non-null) key has no parent match and null keys are
+    counted separately (SQL joins silently drop them — the classic
+    silent-data-loss trap this profiler exists to surface).
+
+    Plan shape: the parent side reduces to its DISTINCT key set
+    (key-cardinality-sized, broadcast-eligible) before a left join,
+    then one aggregate — the child (the 100 TB side) is scanned once
+    and never shuffled when the key set broadcasts; with both tables
+    bucketed on the key the join co-locates. ``on`` / ``parent_on``
+    name the key columns (``parent_on`` defaults to ``on``).
+
+    Ref: awswrangler has no data-quality surface; the contract mirrors
+    the dbt ``relationships`` test, distributed.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    parent_on = on if parent_on is None else (
+        [parent_on] if isinstance(parent_on, str) else list(parent_on)
+    )
+    if len(on) != len(parent_on):
+        raise ValueError(f"key arity mismatch: {on} vs {parent_on}")
+    keys = parent.select(
+        *[F.col(p).alias(c) for c, p in zip(on, parent_on)]
+    ).distinct().withColumn("__parent_hit", F.lit(True))
+    null_key = None
+    for c in on:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    joined = child.join(F.broadcast(keys), on, "left").select(
+        null_key.alias("__null_key"),
+        (F.col("__parent_hit").isNull() & ~null_key).alias("__orphan"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.col("__orphan").cast("long")).alias("n_orphans"),
+        F.sum(F.col("__null_key").cast("long")).alias("n_null_keys"),
+        trunc_digits(
+            F.sum(F.col("__orphan").cast("long"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("orphan_share"),
+    )

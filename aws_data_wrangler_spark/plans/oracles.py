@@ -1213,6 +1213,30 @@ ORACLES: Dict[str, str] = {
         GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
         ORDER BY content_hash
     """,
+    # FK profiler: null keys counted separately from orphans (a join
+    # drops nulls silently — the trap the profiler surfaces); the
+    # share is a division of exact ints, truncated
+    "profiling_referential_integrity": """
+        WITH damaged AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        WHEN o_orderkey % 89 = 0 THEN o_custkey + 10000000
+                        ELSE o_custkey END AS k
+            FROM orders
+        ), flagged AS (
+            SELECT (k IS NULL) AS is_null,
+                   (k IS NOT NULL AND c.c_custkey IS NULL) AS is_orphan
+            FROM damaged d
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON d.k = c.c_custkey
+        )
+        SELECT count(*) AS n_child,
+               CAST(sum(CASE WHEN is_orphan THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+               floor(sum(CASE WHEN is_orphan THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
+                   AS orphan_share
+        FROM flagged
+    """,
     # MAD anomalies: exact quantile_cont == Spark percentile (R-7);
     # the score is truncated BEFORE the threshold in both engines
     "events_mad_anomalies": """

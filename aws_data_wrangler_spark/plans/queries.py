@@ -2041,6 +2041,27 @@ def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("query_id", "rank")
 
 
+def _profiling_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK health check over a deterministically-damaged orders→customer
+    relationship (every 97th orderkey's custkey nulled, every 89th
+    shifted out of range): the profiler must count the two failure
+    classes separately — null keys are NOT orphans (a join drops them
+    silently, which is exactly the trap being surfaced)."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    orders = load_parallel(spark, sf_dir, "orders")
+    customer = load_parallel(spark, sf_dir, "customer")
+    damaged = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .when(F.col("o_orderkey") % 89 == 0, F.col("o_custkey") + 10000000)
+        .otherwise(F.col("o_custkey")),
+    )
+    return profiling.referential_integrity(
+        damaged, customer, on="o_custkey", parent_on="c_custkey"
+    )
+
+
 def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) anomaly detection on hourly event counts at
     the canonical 3.5 modified-z threshold — the ops-monitoring
@@ -2933,6 +2954,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered_pq_search": _ann_filtered_pq_search,
     "streaming_bloom_gate": _streaming_bloom_gate,
     "events_mad_anomalies": _events_mad_anomalies,
+    "profiling_referential_integrity": _profiling_referential_integrity,
 }
 
 

@@ -3256,6 +3256,31 @@ class TestGopherFlags:
 
 
 class TestProfiling:
+    def test_referential_integrity_classes(self, spark):
+        from aws_data_wrangler_spark.operators import profiling
+
+        parent = spark.createDataFrame([(1,), (2,)], "pk long")
+        child = spark.createDataFrame(
+            [(1,), (1,), (2,), (9,), (None,)], "fk long"
+        )
+        r = profiling.referential_integrity(
+            child, parent, on="fk", parent_on="pk"
+        ).collect()[0]
+        assert (r["n_child"], r["n_orphans"], r["n_null_keys"]) == (5, 1, 1)
+        assert r["orphan_share"] == 0.2
+        # composite keys: arity mismatch rejected; null in ANY key col
+        # counts as a null key, not an orphan
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="arity"):
+            profiling.referential_integrity(child, parent, on=["fk"], parent_on=["a", "b"])
+        p2 = spark.createDataFrame([(1, "x")], "a long, b string")
+        c2 = spark.createDataFrame(
+            [(1, "x"), (1, None), (2, "x")], "a long, b string"
+        )
+        r2 = profiling.referential_integrity(c2, p2, on=["a", "b"]).collect()[0]
+        assert (r2["n_child"], r2["n_orphans"], r2["n_null_keys"]) == (3, 1, 1)
+
     def test_distribution_drift_psi_hand_computed(self, spark):
         import math
 

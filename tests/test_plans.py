@@ -142,6 +142,7 @@ ROUND6_LATE = {
     "ann_filtered_pq_search",
     "streaming_bloom_gate",
     "events_mad_anomalies",
+    "profiling_referential_integrity",
 }
 
 
