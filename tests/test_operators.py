@@ -3281,6 +3281,20 @@ class TestProfiling:
         r2 = profiling.referential_integrity(c2, p2, on=["a", "b"]).collect()[0]
         assert (r2["n_child"], r2["n_orphans"], r2["n_null_keys"]) == (3, 1, 1)
 
+    def test_referential_integrity_broadcasts_parent_keys(self, spark, events):
+        # the 100 TB child side must never shuffle: the parent key set
+        # is the broadcast side of the probe join
+        from aws_data_wrangler_spark.operators import profiling
+        from aws_data_wrangler_spark.plans.queries import load
+
+        customer = load(spark, "/root/testdata/sf0.001", "customer")
+        out = profiling.referential_integrity(
+            events, customer, on="user_id", parent_on="c_custkey"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
     def test_distribution_drift_psi_hand_computed(self, spark):
         import math
 
