@@ -405,3 +405,25 @@ def referential_integrity(
             / F.count(F.lit(1)).cast("double")
         ).alias("orphan_share"),
     )
+
+
+def key_uniqueness(df: DataFrame, on) -> DataFrame:
+    """Primary-key health check (the dbt ``unique`` test, distributed;
+    completes the dbt-test family with ``null_profile`` = not_null and
+    ``referential_integrity`` = relationships): ONE row (n_rows,
+    n_keys, n_dup_keys, n_dup_rows, max_multiplicity) over the key
+    columns. NULL-containing keys group like any value (two
+    all-NULL keys are the SAME key here — the profiler surfaces them;
+    a SQL UNIQUE constraint would wave them through, which is its own
+    trap). One hash aggregate with map-side partials to the key-
+    cardinality table, then one tiny aggregate — a 100 TB child costs
+    one scan + one key-sized shuffle."""
+    on = [on] if isinstance(on, str) else list(on)
+    per_key = df.groupBy(*on).agg(F.count(F.lit(1)).alias("__m"))
+    return per_key.agg(
+        F.sum("__m").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("__m") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        F.sum(F.when(F.col("__m") > 1, F.col("__m")).otherwise(0)).alias("n_dup_rows"),
+        F.max("__m").alias("max_multiplicity"),
+    )

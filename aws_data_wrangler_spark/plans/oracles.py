@@ -1237,6 +1237,25 @@ ORACLES: Dict[str, str] = {
                    AS orphan_share
         FROM flagged
     """,
+    # PK uniqueness: per-key multiplicity table then one aggregate —
+    # all counts exact ints
+    "profiling_key_uniqueness": """
+        WITH damaged AS (
+            SELECT l_orderkey,
+                   CASE WHEN l_orderkey % 101 = 0 THEN 1
+                        ELSE l_linenumber END AS l_linenumber
+            FROM lineitem
+        ), per_key AS (
+            SELECT l_orderkey, l_linenumber, count(*) AS m
+            FROM damaged GROUP BY l_orderkey, l_linenumber
+        )
+        SELECT CAST(sum(m) AS BIGINT) AS n_rows,
+               count(*) AS n_keys,
+               CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+               CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT) AS n_dup_rows,
+               CAST(max(m) AS BIGINT) AS max_multiplicity
+        FROM per_key
+    """,
     # MAD anomalies: exact quantile_cont == Spark percentile (R-7);
     # the score is truncated BEFORE the threshold in both engines
     "events_mad_anomalies": """

@@ -2062,6 +2062,23 @@ def _profiling_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _profiling_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK uniqueness over a deterministically-damaged lineitem key
+    (every 101st row re-tagged to line number 1, colliding with that
+    order's real first line): the profiler reports key cardinality,
+    duplicate keys/rows, and the worst multiplicity."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    li = load_parallel(spark, sf_dir, "lineitem")
+    damaged = li.withColumn(
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 101 == 0, F.lit(1)).otherwise(
+            F.col("l_linenumber")
+        ),
+    )
+    return profiling.key_uniqueness(damaged, ["l_orderkey", "l_linenumber"])
+
+
 def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) anomaly detection on hourly event counts at
     the canonical 3.5 modified-z threshold — the ops-monitoring
@@ -2955,6 +2972,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_bloom_gate": _streaming_bloom_gate,
     "events_mad_anomalies": _events_mad_anomalies,
     "profiling_referential_integrity": _profiling_referential_integrity,
+    "profiling_key_uniqueness": _profiling_key_uniqueness,
 }
 
 

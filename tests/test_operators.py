@@ -3281,6 +3281,21 @@ class TestProfiling:
         r2 = profiling.referential_integrity(c2, p2, on=["a", "b"]).collect()[0]
         assert (r2["n_child"], r2["n_orphans"], r2["n_null_keys"]) == (3, 1, 1)
 
+    def test_key_uniqueness_counts_and_null_keys_group(self, spark):
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (None, "c"), (None, "c")],
+            "k long, v string",
+        )
+        r = profiling.key_uniqueness(df, "k").collect()[0]
+        # keys: 1 (×3), 2 (×1), NULL (×2 — two all-NULL keys are the
+        # SAME key here; the profiler surfaces what UNIQUE waves through)
+        assert (r["n_rows"], r["n_keys"]) == (6, 3)
+        assert (r["n_dup_keys"], r["n_dup_rows"], r["max_multiplicity"]) == (2, 5, 3)
+        clean = profiling.key_uniqueness(df, ["k", "v"]).collect()[0]
+        assert clean["n_keys"] == 3 and clean["n_dup_keys"] == 2
+
     def test_referential_integrity_broadcasts_parent_keys(self, spark, events):
         # the 100 TB child side must never shuffle: the parent key set
         # is the broadcast side of the probe join

@@ -143,6 +143,7 @@ ROUND6_LATE = {
     "streaming_bloom_gate",
     "events_mad_anomalies",
     "profiling_referential_integrity",
+    "profiling_key_uniqueness",
 }
 
 
