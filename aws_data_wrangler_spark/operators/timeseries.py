@@ -62,6 +62,7 @@ def mad_anomalies(
     key_col: str = "event_type",
     bucket: str = "hour",
     threshold: float = 3.5,
+    seasonal: str = None,
 ) -> DataFrame:
     """Robust anomaly detection on bucketed counts: per key, flag
     buckets whose modified z-score |0.6745·(n − median)| / MAD exceeds
@@ -80,9 +81,25 @@ def mad_anomalies(
     precedent; the score is 6dp floor-truncated. An all-identical key
     (MAD = 0) yields no flags (score undefined ⇒ filtered), matching
     the textbook treatment.
+
+    ``seasonal="hour_of_day"`` / ``"day_of_week"`` computes the
+    median/MAD per (key, season) instead of per key — the traffic
+    pattern where 9am is ALWAYS 10× of 3am and a global center would
+    flag every business hour; the bucket is compared against peers of
+    the same phase. Same plan shape, one extra tiny grouping column.
     """
     from aws_data_wrangler_spark.functions import trunc_digits
 
+    if seasonal is None:
+        season = F.lit(0)
+    elif seasonal == "hour_of_day":
+        season = F.hour(F.col("bucket_ts"))
+    elif seasonal == "day_of_week":
+        season = F.dayofweek(F.col("bucket_ts"))
+    else:
+        raise ValueError(
+            f"seasonal must be None, 'hour_of_day', or 'day_of_week'; got {seasonal!r}"
+        )
     hourly = (
         df.select(
             F.col(key_col).alias("key"),
@@ -90,19 +107,21 @@ def mad_anomalies(
         )
         .groupBy("key", "bucket_ts")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__season", season)
     )
-    med = hourly.groupBy("key").agg(
+    grp = ["key", "__season"]
+    med = hourly.groupBy(*grp).agg(
         F.expr("percentile(n, 0.5)").alias("med")
     )
     dev = (
-        hourly.join(F.broadcast(med), "key")
-        .select("key", (F.abs(F.col("n") - F.col("med"))).alias("adev"))
-        .groupBy("key")
+        hourly.join(F.broadcast(med), grp)
+        .select(*grp, (F.abs(F.col("n") - F.col("med"))).alias("adev"))
+        .groupBy(*grp)
         .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
     )
     scored = (
-        hourly.join(F.broadcast(med), "key")
-        .join(F.broadcast(dev), "key")
+        hourly.join(F.broadcast(med), grp)
+        .join(F.broadcast(dev), grp)
         .filter(F.col("mad") > 0)
         .select(
             F.col("key").alias(key_col),

@@ -3097,6 +3097,34 @@ class TestTimeseries:
         # not drag the center the way a mean/stddev rule would)
         assert len(out) == 1
 
+    def test_mad_anomalies_seasonal_unflag_cyclic_peaks(self, spark):
+        from aws_data_wrangler_spark.operators import timeseries
+
+        # 4 days of hourly traffic: hour 9 always carries 50 events,
+        # other hours ~5 (±1 for nonzero MAD); day 3's hour 9 carries
+        # 500 — a REAL anomaly. Global center flags every hour-9 peak;
+        # the seasonal detector flags only the true spike.
+        rows = []
+        for day in range(4):
+            for h in range(24):
+                if h == 9:
+                    n = 500 if day == 3 else 50 + (day % 2)
+                else:
+                    n = 5 + ((day + h) % 3)
+                rows += [("a", (day * 24 + h) * 3600)] * n
+        df = spark.createDataFrame(rows, "event_type string, sec long").select(
+            "event_type", F.timestamp_seconds("sec").alias("ts")
+        )
+        seasonal = timeseries.mad_anomalies(df, seasonal="hour_of_day").collect()
+        assert [r["n"] for r in seasonal] == [500]
+        glob = timeseries.mad_anomalies(df).collect()
+        # the global detector cannot help flagging the ordinary peaks
+        assert len(glob) >= 4
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="seasonal"):
+            timeseries.mad_anomalies(df, seasonal="weekly")
+
     def test_mad_anomalies_respects_key_col(self, spark):
         from aws_data_wrangler_spark.operators import timeseries
 
