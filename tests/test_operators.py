@@ -3383,6 +3383,51 @@ class TestProfiling:
         assert c["psi_term"] == want
         assert rows["__null__"]["n_base"] == 1 and rows["__null__"]["n_cur"] == 0
 
+    def test_distribution_drift_terms_are_nonnegative_property(self, spark, documents):
+        # structural invariant: (p−q)·ln(p/q) ≥ 0 for every bucket
+        # (sign(p−q) == sign(ln(p/q))), so total PSI can never be
+        # negative — checked over several deterministic hash splits
+        from aws_data_wrangler_spark.operators import profiling
+
+        for mod, rem in [(2, 0), (3, 1), (7, 3)]:
+            base = documents.filter(F.col("doc_id") % mod == rem)
+            cur = documents.filter(F.col("doc_id") % mod != rem)
+            rows = profiling.distribution_drift(base, cur, "source").collect()
+            assert rows and all(r["psi_term"] >= 0.0 for r in rows)
+            # shares on each side sum to 1 (within float addition)
+            assert abs(sum(r["base_share"] for r in rows) - 1.0) < 1e-9
+            assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-9
+
+    def test_snapshot_diff_random_mutation_roundtrip(self, spark, documents):
+        # property over a pseudo-random mutation plan: the diff must
+        # recover exactly the planted added/removed/changed id sets
+        docs = documents.select("doc_id", "text")
+        # membership + mutation driven by md5 of the id (seeded, stable)
+        h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+        old = docs.withColumn("__h", h).filter("__h % 4 != 0")      # 75% in old
+        new = docs.withColumn("__h", h).filter("__h % 5 != 0")      # 80% in new
+        new = new.withColumn(
+            "text",
+            F.when(F.col("__h") % 3 == 0, F.concat(F.col("text"), F.lit("~"))).otherwise(
+                F.col("text")
+            ),
+        )
+        got = {
+            r["doc_id"]: r["change"]
+            for r in dedup.snapshot_diff(old.drop("__h"), new.drop("__h")).collect()
+        }
+        want = {}
+        for r in docs.withColumn("__h", h).select("doc_id", "__h").collect():
+            i, hv = r["doc_id"], r["__h"]
+            in_old, in_new = hv % 4 != 0, hv % 5 != 0
+            if in_old and not in_new:
+                want[i] = "removed"
+            elif in_new and not in_old:
+                want[i] = "added"
+            elif in_old and in_new and hv % 3 == 0:
+                want[i] = "changed"
+        assert got == want
+
     def test_distribution_drift_numeric_edges_exact(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 
