@@ -1237,6 +1237,73 @@ ORACLES: Dict[str, str] = {
                    AS orphan_share
         FROM flagged
     """,
+    # ingest pre-flight report: dedup counts (key-existence), then the
+    # shared PSI replica per section — every value a count or a
+    # per-bucket term, no cross-bucket float sums
+    "ingest_preflight_report": ("""
+        WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+             batch AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+             counts AS (
+                 SELECT count(*) AS n_batch,
+                        sum(CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+                 FROM batch b
+                 LEFT JOIN (SELECT DISTINCT text FROM corpus) c ON b.text = c.text
+             ),
+             prof AS (
+                 SELECT 'drift_lang' AS section,
+                        coalesce(CAST(lang AS VARCHAR), '__null__') AS bucket,
+                        TRUE AS is_base FROM corpus
+                 UNION ALL
+                 SELECT 'drift_lang', coalesce(CAST(lang AS VARCHAR), '__null__'),
+                        FALSE FROM batch
+                 UNION ALL
+                 SELECT 'drift_len',
+                        CASE WHEN n_chars IS NULL THEN '__null__'
+                             ELSE CAST((__LEN_BUCKET__) AS VARCHAR) END,
+                        TRUE FROM corpus
+                 UNION ALL
+                 SELECT 'drift_len',
+                        CASE WHEN n_chars IS NULL THEN '__null__'
+                             ELSE CAST((__LEN_BUCKET__) AS VARCHAR) END,
+                        FALSE FROM batch
+             ),
+             cnt AS (
+                 SELECT section, bucket,
+                        sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+                        sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_cur
+                 FROM prof GROUP BY section, bucket
+             ),
+             tot AS (
+                 SELECT *, sum(n_base) OVER (PARTITION BY section) AS tb,
+                           sum(n_cur) OVER (PARTITION BY section) AS tc
+                 FROM cnt
+             ),
+             drift AS (
+                 SELECT section, bucket AS name,
+                        floor((greatest(n_base::DOUBLE / tb, 1e-6) -
+                               greatest(n_cur::DOUBLE / tc, 1e-6)) *
+                              ln(greatest(n_base::DOUBLE / tb, 1e-6) /
+                                 greatest(n_cur::DOUBLE / tc, 1e-6)) * 1000000.0)
+                            / 1000000.0 AS value
+                 FROM tot
+             ),
+             ded AS (
+                 SELECT 'dedup' AS section, 'n_batch' AS name,
+                        CAST(n_batch AS DOUBLE) AS value FROM counts
+                 UNION ALL SELECT 'dedup', 'n_dup', CAST(n_dup AS DOUBLE) FROM counts
+                 UNION ALL SELECT 'dedup', 'n_novel',
+                        CAST(n_batch - n_dup AS DOUBLE) FROM counts
+             )
+        SELECT section, name, value FROM ded
+        UNION ALL SELECT section, name, value FROM drift
+        ORDER BY section, name
+    """).replace(
+        "__LEN_BUCKET__",
+        " + ".join(
+            f"(CASE WHEN n_chars >= {2 ** k}.0 THEN 1 ELSE 0 END)"
+            for k in range(4, 13)
+        ),
+    ),
     # PK uniqueness: per-key multiplicity table then one aggregate —
     # all counts exact ints
     "profiling_key_uniqueness": """

@@ -2062,6 +2062,58 @@ def _profiling_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _ingest_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ingest front-door report as ONE row set — what an
+    operator reads before admitting a crawl batch: exact dedup
+    verdict counts (Bloom prefilter + confirm join), PSI drift of the
+    batch's language mix vs the corpus, and PSI drift of its length
+    distribution (exact power-of-two n_chars edges). Every value is a
+    count or a per-bucket psi_term (no cross-bucket float sums — each
+    row deterministic on its own); sections stack as (section, name,
+    value) rows."""
+    from aws_data_wrangler_spark.operators import dedup, profiling
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    bloom = dedup.build_bloom_ingest_filter(corpus, on=["text"], fpp=0.01)
+    gated = dedup.bloom_ingest_gate(
+        batch.select("doc_id", "text"), bloom, corpus_df=corpus, on=["text"]
+    )
+    dedup_rows = gated.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+        F.sum((~F.col("is_dup")).cast("long")).alias("n_novel"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("dedup").alias("section"), F.lit("n_batch").alias("name"),
+                         F.col("n_batch").cast("double").alias("value")),
+                F.struct(F.lit("dedup").alias("section"), F.lit("n_dup").alias("name"),
+                         F.col("n_dup").cast("double").alias("value")),
+                F.struct(F.lit("dedup").alias("section"), F.lit("n_novel").alias("name"),
+                         F.col("n_novel").cast("double").alias("value")),
+            )
+        ).alias("r")
+    ).select("r.section", "r.name", "r.value")
+    lang_rows = profiling.distribution_drift(corpus, batch, "lang").select(
+        F.lit("drift_lang").alias("section"),
+        F.col("bucket").alias("name"),
+        F.col("psi_term").alias("value"),
+    )
+    edges = [float(2 ** k) for k in range(4, 13)]  # 16 .. 4096 chars
+    len_rows = profiling.distribution_drift(
+        corpus, batch, "n_chars", edges=edges
+    ).select(
+        F.lit("drift_len").alias("section"),
+        F.col("bucket").alias("name"),
+        F.col("psi_term").alias("value"),
+    )
+    return dedup_rows.unionByName(lang_rows).unionByName(len_rows).orderBy(
+        "section", "name"
+    )
+
+
 def _profiling_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK uniqueness over a deterministically-damaged lineitem key
     (every 101st row re-tagged to line number 1, colliding with that
@@ -2973,6 +3025,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_anomalies": _events_mad_anomalies,
     "profiling_referential_integrity": _profiling_referential_integrity,
     "profiling_key_uniqueness": _profiling_key_uniqueness,
+    "ingest_preflight_report": _ingest_preflight_report,
 }
 
 

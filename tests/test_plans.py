@@ -144,6 +144,7 @@ ROUND6_LATE = {
     "events_mad_anomalies",
     "profiling_referential_integrity",
     "profiling_key_uniqueness",
+    "ingest_preflight_report",
 }
 
 
