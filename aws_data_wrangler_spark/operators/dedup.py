@@ -1849,11 +1849,15 @@ def bloom_might_contain(
 
     def probe(h1s, h2s):
         bits = bits_bc.value
-        a = h1s.to_numpy(dtype=np.int64).astype(object) % m
-        b = h2s.to_numpy(dtype=np.int64).astype(object) % m
+        # the _bloom_positions identity, vectorized: reduce mod m FIRST
+        # (numpy % follows floor-mod, matching JVM pmod), so a,b < m ≤
+        # ~1e17 and a + i·b stays inside int64 for any sane k — true
+        # vectorized int64 end-to-end, never per-element Python ints
+        a = h1s.to_numpy(dtype=np.int64) % m
+        b = h2s.to_numpy(dtype=np.int64) % m
         hit = np.ones(len(a), dtype=bool)
         for i in range(k):
-            pos = ((a + i * b) % m).astype(np.int64)
+            pos = (a + i * b) % m
             hit &= (bits[pos // 64] >> (pos % 64).astype(np.uint64)) & 1 == 1
         return pd.Series(hit)
 

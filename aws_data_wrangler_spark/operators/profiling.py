@@ -361,6 +361,7 @@ def referential_integrity(
     parent: DataFrame,
     on,
     parent_on=None,
+    broadcast_keys=True,
 ) -> DataFrame:
     """Foreign-key health check between two tables — the pre-join
     data-quality gate of a warehouse load: ONE row with (n_child,
@@ -376,6 +377,14 @@ def referential_integrity(
     bucketed on the key the join co-locates. ``on`` / ``parent_on``
     name the key columns (``parent_on`` defaults to ``on``).
 
+    ``broadcast_keys`` is the module tri-state (the
+    ``bloom_ingest_gate.broadcast_positives`` convention): True forces
+    the distinct parent-key broadcast (right for the dimension-table
+    norm), None lets AQE pick from runtime sizes, False forces a
+    shuffle join — the escape for a HIGH-cardinality parent (a
+    fact-to-fact FK) whose key set would OOM a broadcast; there the
+    co-located/bucketed join is the 100 TB shape.
+
     Ref: awswrangler has no data-quality surface; the contract mirrors
     the dbt ``relationships`` test, distributed.
     """
@@ -388,11 +397,15 @@ def referential_integrity(
     keys = parent.select(
         *[F.col(p).alias(c) for c, p in zip(on, parent_on)]
     ).distinct().withColumn("__parent_hit", F.lit(True))
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    elif broadcast_keys is False:
+        keys = keys.hint("shuffle_hash")
     null_key = None
     for c in on:
         cond = F.col(c).isNull()
         null_key = cond if null_key is None else (null_key | cond)
-    joined = child.join(F.broadcast(keys), on, "left").select(
+    joined = child.join(keys, on, "left").select(
         null_key.alias("__null_key"),
         (F.col("__parent_hit").isNull() & ~null_key).alias("__orphan"),
     )

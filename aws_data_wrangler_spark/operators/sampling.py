@@ -752,10 +752,14 @@ def _per_cell_hash_prefix(
         and kept.get(r["cid"], 0) < min(per_cell, int(r["__n"]))
     ]
     if bad:
-        # restore the full rows of the short-drawn cells only
+        # restore the full rows of the short-drawn cells only. The
+        # kept-side filter must pass null-cid rows explicitly: NULL
+        # isin(...) evaluates to NULL (dropped), and null-vector rows —
+        # already in survivors by the union above — must survive the
+        # refill rewrite or prefilter=True diverges from prefilter=False
         refill = assigned.filter(F.col("cid").isin([int(c) for c in bad]))
         replaced = survivors.filter(
-            ~F.col("cid").isin([int(c) for c in bad])
+            F.col("cid").isNull() | ~F.col("cid").isin([int(c) for c in bad])
         ).unionByName(refill)
         survivors.unpersist()
         return replaced

@@ -1842,7 +1842,11 @@ def cell_occupancy(
     ``nlist · Σnᵢ² / (Σnᵢ)²`` (1.0 = perfectly balanced; grows with
     skew — the number that tells you whether nlist/training are right
     BEFORE you pay for a partitioned index build). Empty cells carry no
-    row but still count in ``nlist``.
+    row but still count in ``nlist``. Null/degenerate vectors (the
+    two-level assigner routes them to a NULL cid) are EXCLUDED — nlist
+    counts only real centroids, so a cid=null pseudo-cell would skew
+    both the share denominator and the Σnᵢ² term of a diagnostic that
+    only describes the index's real cells.
 
     One zero-shuffle assignment projection + one cell-bounded
     aggregate; every emitted float is a division of exact ints, so the
@@ -1852,7 +1856,11 @@ def cell_occupancy(
     assigned = assign_cells(
         df, centroids, id_col=id_col, vec_col=vec_col, metric=metric, max_cells=max_cells
     )
-    per_cell = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    per_cell = (
+        assigned.filter(F.col("cid").isNotNull())
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
     # squares/products run in DOUBLE on purpose: Σnᵢ² and total²
     # overflow int64 at real corpus sizes (1e11 rows → total² ≈ 1e22),
     # and doubles over exact ints stay bit-identical cross-engine at

@@ -108,6 +108,11 @@ def mad_anomalies(
         .groupBy("key", "bucket_ts")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("__season", season)
+        # the count table feeds THREE derivations (med, dev, scored);
+        # localCheckpoint materializes it once — buckets-per-key-sized
+        # by construction — so the raw-event count aggregate runs one
+        # time, not once per un-reused exchange
+        .localCheckpoint(eager=False)
     )
     grp = ["key", "__season"]
     med = hourly.groupBy(*grp).agg(

@@ -1407,6 +1407,16 @@ class TestSimilarity:
         )
         rows = similarity.cell_occupancy(skewed, cents).collect()
         assert len(rows) == 1 and rows[0]["imbalance"] == 3.0
+        # null/degenerate vectors (cid=null through the assigner) are
+        # EXCLUDED: no null pseudo-cell row, and the share/imbalance
+        # denominators count only really-assigned vectors (ADVICE r6)
+        with_null = balanced.unionByName(
+            spark.createDataFrame([(9, None)], "vec_id long, embedding array<double>")
+        )
+        rows = similarity.cell_occupancy(with_null, cents).collect()
+        assert {r["cid"] for r in rows} == {0, 1}
+        assert all(r["n_vecs"] == 2 and r["share"] == 0.5 for r in rows)
+        assert all(r["imbalance"] == 3 * 8 / 16 for r in rows)
 
     def test_mmr_rerank_matches_python_greedy(self, spark, embeddings):
         import numpy as np
@@ -2782,16 +2792,20 @@ class TestClusterBalancedSample:
         thr = _threshold_hex(3.0 * 1 / n)
         ids = [i for i in range(10_000) if hashlib.md5(str(i).encode()).hexdigest()[:8] >= thr][:n]
         assert len(ids) == n
-        rows = [(i, [10.0, 0.0]) for i in ids] + [(90_000, [0.0, 10.0])]
+        # a null-vector row (null cid through the assigner) must ride
+        # through the refill rewrite untouched: NULL isin(bad) is NULL,
+        # so a bare negated isin filter would silently drop it exactly
+        # when a cell short-draws (ADVICE r6)
+        rows = [(i, [10.0, 0.0]) for i in ids] + [(90_000, [0.0, 10.0]), (90_001, None)]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         cents = spark.createDataFrame(
             [(0, [10.0, 0.0]), (1, [0.0, 10.0])], "cid int, cvec array<double>"
         )
         fast = sampling.cluster_balanced_sample(df, cents, per_cell=1, prefilter=True)
         full = sampling.cluster_balanced_sample(df, cents, per_cell=1)
-        got = sorted(map(tuple, fast.collect()))
-        assert got == sorted(map(tuple, full.collect()))
-        assert {c for _, c, _ in got} == {0, 1}  # the starved cell came back
+        got = sorted(map(tuple, fast.collect()), key=str)
+        assert got == sorted(map(tuple, full.collect()), key=str)
+        assert {c for _, c, _ in got} == {0, 1, None}  # starved cell back, null row kept
 
     def test_assignment_stays_zero_shuffle(self, spark, embeddings):
         from aws_data_wrangler_spark.operators import sampling
@@ -3337,6 +3351,29 @@ class TestProfiling:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_referential_integrity_broadcast_tristate(self, spark):
+        # broadcast_keys is the module tri-state (ADVICE r6): False is
+        # the high-cardinality-parent OOM escape — a shuffle join, no
+        # forced broadcast of the key set — and all three settings are
+        # value-identical
+        from aws_data_wrangler_spark.operators import profiling
+
+        parent = spark.createDataFrame([(i,) for i in range(100)], "pk long")
+        child = spark.createDataFrame(
+            [(i % 150 if i % 7 else None,) for i in range(300)], "fk long"
+        )
+        vals = {
+            mode: profiling.referential_integrity(
+                child, parent, on="fk", parent_on="pk", broadcast_keys=mode
+            ).collect()[0]
+            for mode in (True, None, False)
+        }
+        assert vals[True] == vals[None] == vals[False]
+        plan = profiling.referential_integrity(
+            child, parent, on="fk", parent_on="pk", broadcast_keys=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
 
     def test_distribution_drift_psi_hand_computed(self, spark):
         import math
