@@ -265,23 +265,6 @@ def _deciles_oracle_sql() -> str:
     """
 
 
-def _events_percentiles_oracle_sql() -> str:
-    p50 = _spark_percentile_expr("vs", "n", 0.5)
-    p90 = _spark_percentile_expr("vs", "n", 0.9)
-    return f"""
-        WITH o AS (
-            SELECT event_type, list(value ORDER BY value) AS vs, count(*) AS n,
-                   round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
-            FROM events GROUP BY event_type
-        )
-        SELECT event_type,
-               round({p50}, 6) AS p50,
-               round({p90}, 6) AS p90,
-               min_v, max_v
-        FROM o ORDER BY event_type
-    """
-
-
 def _ivf_ann_oracle_sql(
     k: int = 5,
     nprobe: int = 4,
@@ -993,35 +976,6 @@ ORACLES: Dict[str, str] = {
         GROUP BY user_id, sess_id
         ORDER BY user_id, sess_id
     """,
-    # integer-exact burst detection: counts + trailing-ROWS max — the
-    # twin differs from the Spark SQL only in date formatting
-    "events_hourly_spikes": """
-        WITH hourly AS (
-            SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-            FROM events GROUP BY event_type, date_trunc('hour', ts)
-        ), flagged AS (
-            SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour_ts, n,
-                   max(n) OVER (PARTITION BY event_type ORDER BY h
-                                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_max
-            FROM hourly
-        )
-        SELECT event_type, hour_ts, n, trailing_max
-        FROM flagged WHERE 4 * n > 5 * trailing_max
-        ORDER BY event_type, hour_ts
-    """,
-    # exact interpolated percentiles: Spark percentile() and DuckDB
-    # quantile_cont() both use the R-7 definition
-    "events_value_percentiles": _events_percentiles_oracle_sql(),
-    "embedding_stats": """
-        SELECT label,
-               count(*) AS n_vecs,
-               round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
-               round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
-               round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
-        FROM embeddings
-        GROUP BY label
-        ORDER BY label
-    """,
     "text_ngram_freq": """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1139,18 +1093,6 @@ ORACLES: Dict[str, str] = {
         FROM events
         WHERE regexp_extract(props, '"k": ([0-9.]+)', 1) <> ''
         GROUP BY event_type ORDER BY event_type
-    """,
-    # minhash-LSH == exact-jaccard at these (bands, rows): the deduped
-    # corpus equals dropping the higher id of every exact pair ≥ 0.8
-    "dedup_lsh_corpus": f"""
-        WITH pairs AS (
-            {_NGRAM_JACCARD.format(threshold=0.8).replace("ORDER BY id_a, id_b", "")}
-        )
-        SELECT source, count(*) AS n_kept,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents
-        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
-        GROUP BY source ORDER BY source
     """,
     # flagship curation pipeline: quality + lang filter + normalized
     # dedup (keep min doc_id) + per-source rollup — mirrors the Spark
@@ -1572,25 +1514,6 @@ ORACLES: Dict[str, str] = {
     # md5-derived signatures ⇒ cross-engine simhash; banding is exact
     # pigeonhole, so the all-pairs hamming filter is the value oracle
     "dedup_simhash": _simhash_md5_oracle_sql(),
-    # deterministic fake decode: sha256-digest dims + aspect-preserving
-    # resize, replicated byte-for-byte from operators/multimodal.py
-    "multimodal_decode_stub": """
-        WITH d AS (
-            SELECT doc_id,
-                   'image/fake' AS media_type,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
-                   64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS width,
-                   64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS height
-            FROM documents
-        )
-        SELECT doc_id, media_type, size_bytes,
-               CAST(width AS INTEGER) AS width,
-               CAST(height AS INTEGER) AS height,
-               CAST(round(width * (224.0 / least(width, height))) AS INTEGER) AS resized_width,
-               CAST(round(height * (224.0 / least(width, height))) AS INTEGER) AS resized_height,
-               'fake' AS decoder
-        FROM d ORDER BY doc_id
-    """,
     # decile boundaries via exact interpolated percentiles (R-7 in both
     # engines — same twin as events_value_percentiles), bucket by count
     # of boundaries strictly below the value
@@ -1647,14 +1570,6 @@ ORACLES: Dict[str, str] = {
     # them from the candidate pool only, the tombstone contract
     "ann_index_delete_search": _ivf_ann_oracle_sql(
         num_seeds=32, deleted=tuple(range(10, 30))
-    ),
-    # metadata-filtered search: the same partitioned pipeline with the
-    # label predicate restricting the CANDIDATE pool only (seeding and
-    # probing see the full corpus) — the vector-DB filtered-search
-    # contract; ~60% of each probed cell is filtered out, so top-k
-    # differs materially from the unfiltered baseline
-    "ann_filtered_search": _ivf_ann_oracle_sql(
-        num_seeds=32, cand_where="c.label < 4"
     ),
     # PSI drift replica: shares are divisions of exact ints, the eps
     # floor (greatest) and the ln product replicate the Spark
@@ -2029,35 +1944,6 @@ ORACLES: Dict[str, str] = {
         GROUP BY d.lang
         ORDER BY d.lang
     """,
-    # ---- key-skew profile: top-20 heavy hitters with running share ---
-    "events_key_skew": """
-        WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events),
-        counts AS (
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n
-            FROM events GROUP BY user_id
-        ), top AS (
-            SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT 20
-        ), ranked AS (
-            SELECT user_id, n,
-                   CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank,
-                   CAST(sum(n) OVER (ORDER BY n DESC, user_id
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
-            FROM top
-        )
-        SELECT user_id, n, rank,
-               floor((CAST(n AS DOUBLE) / tot.total) * 1000000.0) / 1000000.0 AS share,
-               floor((CAST(cum_n AS DOUBLE) / tot.total) * 1000000.0) / 1000000.0 AS cum_share
-        FROM ranked, tot
-        ORDER BY rank
-    """,
-    # ---- text ----------------------------------------------------------
-    "text_token_count": """
-        SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
-        FROM documents ORDER BY doc_id
-    """,
     # concat-and-chunk sequence packing: same md5-hash layout order and
     # running-sum window as operators/text.pack_sequences (budget=64)
     "text_pack_sequences": """
@@ -2096,26 +1982,6 @@ ORACLES: Dict[str, str] = {
                array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
                CAST(least(50, len(toks) - start) AS BIGINT) AS n_tokens
         FROM s ORDER BY doc_id, chunk_idx
-    """,
-    # duplicate-word / duplicate-bigram fractions; same double-division
-    # order as the Spark operator, floor-truncated at 6 dp
-    "text_repetition": """
-        WITH t AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-            FROM documents
-        ), b AS (
-            SELECT doc_id, toks, len(toks) AS n,
-                   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
-            FROM t
-        )
-        SELECT doc_id,
-               floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
-                            / CAST(n AS DOUBLE)) * 1000000.0) / 1000000.0 AS dup_word_frac,
-               CASE WHEN n > 1 THEN
-                   floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-                                / CAST(n - 1 AS DOUBLE)) * 1000000.0) / 1000000.0
-               ELSE 0.0 END AS dup_bigram_frac
-        FROM b ORDER BY doc_id
     """,
     "text_quality_score": f"""
         WITH feats AS (
@@ -2242,13 +2108,6 @@ ORACLES: Dict[str, str] = {
         FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
-    "sample_stratified": f"""
-        SELECT source, count(*) AS n_sampled,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents
-        WHERE {_SAMPLE_KEEP}
-        GROUP BY source ORDER BY source
-    """,
     # near-dup drop (higher id of each pair) → md5-threshold 50% sample
     # → per-label norm stats; mirrors the Spark composition stagewise
     "embedding_curation_pipeline": f"""
@@ -2282,36 +2141,6 @@ ORACLES: Dict[str, str] = {
         FROM events e JOIN user_dim u ON e.user_id = u.user_id
         ORDER BY e.event_id
     """,
-    "sample_fixed_per_source": """
-        WITH ranked AS (
-            SELECT source, doc_id,
-                   row_number() OVER (PARTITION BY source
-                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-            FROM documents
-        )
-        SELECT source, doc_id FROM ranked WHERE rn <= 5
-        ORDER BY source, doc_id
-    """,
-    # token-budget mixing: same hash order as the Spark draw; keep rule
-    # is cumulative-tokens-BEFORE-this-row < budget
-    "sample_token_budget": """
-        WITH t AS (
-            SELECT doc_id, source,
-                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens
-            FROM documents
-        ), c AS (
-            SELECT *, COALESCE(SUM(ws_tokens) OVER (
-                PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
-            FROM t
-        )
-        SELECT doc_id, source, ws_tokens FROM c
-        WHERE tokens_before < CASE source WHEN 'src0' THEN 100
-                                          WHEN 'src1' THEN 60
-                                          ELSE 80 END
-        ORDER BY doc_id
-    """,
     # dense hourly spine per type (generate_series == Spark sequence),
     # zero-filled counts, locf averages via IGNORE NULLS window
     "events_hourly_gapfill": """
@@ -2335,13 +2164,6 @@ ORACLES: Dict[str, str] = {
         FROM spine s LEFT JOIN hourly hh
           ON s.event_type = hh.event_type AND s.h = hh.h
         ORDER BY s.event_type, bucket_ts
-    """,
-    # ---- streaming (single-batch availableNow replay == batch SQL) -----
-    # streaming dedup emits each key once ⇒ distinct set == batch DISTINCT
-    "streaming_content_dedup": """
-        SELECT DISTINCT md5(event_type || '|' || props) AS fingerprint
-        FROM events
-        ORDER BY fingerprint
     """,
     # streaming ingest dedup vs static corpus: per-batch left-anti join
     # + within-stream dedup == batch anti-join DISTINCT on replay

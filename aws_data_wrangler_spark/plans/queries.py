@@ -282,17 +282,8 @@ ANALYTICS_SQL: Dict[str, str] = {
             OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
             OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30))
     """,
-    # TPC-H Q16 (parts/supplier relationship; adapted to lineitem links)
-    "q16_parts_suppliers": """
-        SELECT p_brand, p_type, p_size,
-               count(DISTINCT l_suppkey) AS supplier_cnt
-        FROM part, lineitem
-        WHERE p_partkey = l_partkey
-          AND p_brand <> 'Brand#11'
-          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-        GROUP BY p_brand, p_type, p_size
-        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-    """,
+    # q16_parts_suppliers RETIRED r7 — count-DISTINCT grouped agg covered
+    # by events_retention_cohorts (count-DISTINCT matrix) + bpe_word_frequencies
     # TPC-H Q21 (waiting suppliers; EXISTS + NOT EXISTS anti-join pair)
     "q21_waiting_suppliers": """
         SELECT s_name, count(*) AS numwait
@@ -418,22 +409,8 @@ ANALYTICS_SQL: Dict[str, str] = {
         FROM rev
         ORDER BY brand_rank
     """,
-    # year-over-year revenue deltas: lag() over a yearly rollup. The
-    # delta subtracts two already-rounded 2dp sums — deterministic in
-    # both engines.
-    "orders_yoy_growth": """
-        WITH yearly AS (
-            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
-                   round(sum(o_totalprice), 2) AS revenue,
-                   count(*) AS n_orders
-            FROM orders
-            GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
-        )
-        SELECT order_year, revenue, n_orders,
-               round(revenue - lag(revenue) OVER (ORDER BY order_year), 2) AS yoy_delta
-        FROM yearly
-        ORDER BY order_year
-    """,
+    # orders_yoy_growth RETIRED r7 — lag-window-over-tiny-rollup covered by
+    # brand_revenue_pareto (bounded-frame window over an aggregate output)
 }
 
 
@@ -484,22 +461,9 @@ EVENTS_SESSIONIZE_SQL_SPARK = """
     ORDER BY user_id, sess_id
 """
 
-# hourly burst detection — integer-exact (counts + trailing-ROWS max,
-# no float aggregates), so the only twin difference is date formatting
-EVENTS_SPIKES_SQL_SPARK = """
-    WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-        FROM events GROUP BY event_type, date_trunc('hour', ts)
-    ), flagged AS (
-        SELECT event_type, date_format(h, 'yyyy-MM-dd HH:00:00') AS hour_ts, n,
-               max(n) OVER (PARTITION BY event_type ORDER BY h
-                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_max
-        FROM hourly
-    )
-    SELECT event_type, hour_ts, n, trailing_max
-    FROM flagged WHERE 4 * n > 5 * trailing_max
-    ORDER BY event_type, hour_ts
-"""
+# events_hourly_spikes RETIRED r7 — trailing-frame burst window covered by
+# brand_revenue_pareto (bounded ROWS frame) + events_mad_anomalies (the
+# richer robust anomaly detector over the same bucketed counts)
 
 
 # --------------------------------------------------------------------------
@@ -777,23 +741,6 @@ def _logs_insights_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| sort event_type asc",
         "events",
         spark=spark,
-    )
-
-
-def _dedup_lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus dedup: MinHash-LSH near-dup pairs (j ≥ 0.8),
-    drop the higher id of each pair, report the surviving corpus per
-    source — the operator a pretraining pipeline actually runs."""
-    from aws_data_wrangler_spark.operators import dedup
-
-    docs = load_parallel(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=48, bands=16, threshold=0.8)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = docs.join(dropped, "doc_id", "left_anti")
-    return (
-        kept.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
-        .orderBy("source")
     )
 
 
@@ -1352,38 +1299,6 @@ def _embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dim_stats(emb).orderBy("dim")
 
 
-def _ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-filtered ANN search (the vector-DB / FAISS-IDSelector
-    shape): the index stores the filterable ``label`` attribute INLINE
-    (``metadata_cols``), and the predicate lands on the partition-
-    pruned scan — PushedFilters eliminate non-matching row groups
-    before any vector math, so a filtered search reads LESS than an
-    unfiltered one. Top-k is ranked among matching candidates only;
-    the oracle applies the same predicate to the candidate pool of the
-    seeded-centroid replica."""
-    from aws_data_wrangler_spark.operators import similarity
-
-    emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = _seed_centroids(emb, 32)
-    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_filt_index"
-    similarity.build_partitioned_ivf(
-        emb, seeds, index, metric="cosine", metadata_cols=["label"], spark=spark
-    )
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_partitioned_topk(
-        spark, index, queries, seeds, k=5, nprobe=4, metric="cosine",
-        where="label < 4",
-    ).orderBy("query_id", "rank")
-
-
-def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_data_wrangler_spark.operators import text
-
-    return text.with_token_counts(load_parallel(spark, sf_dir, "documents")).select(
-        "doc_id", "ws_tokens", "bpe_tokens"
-    ).orderBy("doc_id")
-
-
 def _text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 50-token / stride-40 chunking of every document
     (LM context-window packing)."""
@@ -1402,16 +1317,6 @@ def _text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_sequences(
         load_parallel(spark, sf_dir, "documents"), budget=64
     ).orderBy("source", "seq_id", "doc_id")
-
-
-def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-word / duplicate-bigram fractions per document
-    (Gopher-style repetition quality filter)."""
-    from aws_data_wrangler_spark.operators import text
-
-    return text.with_repetition(load_parallel(spark, sf_dir, "documents")).select(
-        "doc_id", "dup_word_frac", "dup_bigram_frac"
-    ).orderBy("doc_id")
 
 
 def _text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,45 +1357,6 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the "mixture weights" a pretraining data recipe assigns to sources
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.5}
 SAMPLE_DEFAULT = 0.25
-
-
-def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-source Bernoulli sampling (hash-threshold coin
-    flip) → per-source sample stats."""
-    from aws_data_wrangler_spark.operators import sampling
-
-    docs = load(spark, sf_dir, "documents")
-    kept = sampling.stratified_sample(
-        docs, SAMPLE_FRACTIONS, strata_col="source", default_fraction=SAMPLE_DEFAULT
-    )
-    return (
-        kept.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
-        .orderBy("source")
-    )
-
-
-def _sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-5-docs-per-source deterministic draw (hash-ordered
-    without-replacement) — the distributed reservoir-sample analog."""
-    from aws_data_wrangler_spark.operators import sampling
-
-    docs = load(spark, sf_dir, "documents")
-    return sampling.fixed_size_sample(docs, k=5, strata_col="source").select(
-        "source", "doc_id"
-    ).orderBy("source", "doc_id")
-
-
-def _sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget data mixing: per-source docs in hash order until
-    the source's token budget is crossed (the LM data-recipe draw)."""
-    from aws_data_wrangler_spark.operators import sampling, text
-
-    docs = text.with_token_counts(load(spark, sf_dir, "documents"))
-    kept = sampling.token_budget_sample(
-        docs, {"src0": 100, "src1": 60}, default_budget=80
-    )
-    return kept.select("doc_id", "source", "ws_tokens").orderBy("doc_id")
 
 
 # synthetic-PII planting: the test corpus has no real PII, so the query
@@ -1588,23 +1454,6 @@ def _events_user_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_data_wrangler_spark.operators import multimodal
-
-    docs = load_parallel(spark, sf_dir, "documents")
-    media = multimodal.attach_binary_payload(docs)
-    # force the deterministic fake decoder: the fake path (sha256-digest
-    # dimensions) is exactly reproducible in DuckDB SQL, so this query
-    # carries a value-level oracle regardless of whether Pillow happens
-    # to be installed on the workers; the real-decode path stays
-    # env-gated in pytest (tests/test_operators.py multimodal suite)
-    decoded = multimodal.decode_media(media, use_real_decoder=False)
-    return multimodal.resize_stub(decoded).select(
-        "doc_id", "media_type", "size_bytes", "width", "height",
-        "resized_width", "resized_height", "decoder",
-    ).orderBy("doc_id")
-
-
 # decile distribution WITHOUT a global window: `ntile(10) OVER (ORDER BY
 # ...)` with no PARTITION BY moves the whole orders table through one
 # task (single-partition WindowExec — the round-2 verdict's scale
@@ -1633,38 +1482,9 @@ ORDERS_DECILES_SQL_SPARK = """
     ORDER BY decile
 """
 
-EVENTS_PERCENTILES_SQL_SPARK = """
-    SELECT event_type,
-           round(percentile(value, 0.5), 6) AS p50,
-           round(percentile(value, 0.9), 6) AS p90,
-           round(min(value), 6) AS min_v,
-           round(max(value), 6) AS max_v
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-"""
-
-
-def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-column analytics: per-label norm statistics via the
-    functions-module vector primitives (JVM codegen)."""
-    from aws_data_wrangler_spark.functions import vec_norm
-
-    emb = load_parallel(spark, sf_dir, "embeddings")
-    norms = emb.select(
-        "label", vec_norm(F.col("embedding").cast("array<double>")).alias("norm")
-    )
-    return (
-        norms.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("norm"), 6).alias("avg_norm"),
-            F.round(F.min("norm"), 6).alias("min_norm"),
-            F.round(F.max("norm"), 6).alias("max_norm"),
-        )
-        .orderBy("label")
-        .select(F.col("label").cast("int").alias("label"), "n_vecs", "avg_norm", "min_norm", "max_norm")
-    )
+# events_value_percentiles RETIRED r7 — exact R-7 percentile aggregates
+# covered by orders_value_deciles + text_perplexity_buckets +
+# events_mad_anomalies (all share the percentile oracle replica)
 
 
 def _text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,23 +1553,6 @@ def _streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_event_id").alias("error_id"), F.col("r_event_id").alias("click_id")
     ).orderBy("error_id", "click_id")
-
-
-def _streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming content dedup over the documents-as-stream: normalized
-    fingerprint key, bounded state via dropDuplicatesWithinWatermark.
-    Output is the distinct fingerprint set (deterministic regardless of
-    which duplicate arrives first), so the batch DISTINCT is the oracle."""
-    from aws_data_wrangler_spark import streaming
-
-    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
-    # events as a content stream: props-payload fingerprint per event
-    keyed = stream.withColumn(
-        "fingerprint", F.md5(F.concat_ws("|", F.col("event_type"), F.col("props")))
-    )
-    deduped = streaming.dedup_stream(keyed, key_cols=["fingerprint"])
-    out = streaming.run_available_now(deduped.select("fingerprint"), output_mode="append")
-    return out.select("fingerprint").distinct().orderBy("fingerprint")
 
 
 def _streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2386,14 +2189,6 @@ def _sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cid", "cell_rank")
 
 
-def _events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-shuffle skew diagnosis on the prospective join key."""
-    from aws_data_wrangler_spark.operators import profiling
-
-    events = load(spark, sf_dir, "events")
-    return profiling.key_distribution(events, ["user_id"], top_n=20).orderBy("rank")
-
-
 def _profiling_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift between two deterministic snapshot halves of the
     events table (event_id parity — same generator, so the expected
@@ -2855,88 +2650,78 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codegen, parquet reader) are sub-second plans. Enforced by
 # tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- window leaders: sub-second warmup absorbers (fresh r5 rows) ---
+    # --- window leader: sub-second warmup absorber (fresh r6 row) ---
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
-    # --- the 23 ROUND3_FROZEN entries rotating IN, FIRST, exactly as
-    # VERDICT r5 "next" #5 ordered: their newest driver rows dated
-    # from round 3 ---
-    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
-    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
-    "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
-    "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
-    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
-    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
-    "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
-    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
-    "q22_idle_customers": _analytics_query(ANALYTICS_SQL["q22_idle_customers"]),
-    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
-    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
-    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
-    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
-    "orders_yoy_growth": _analytics_query(ANALYTICS_SQL["orders_yoy_growth"]),
-    "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
-    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
-    "catalog_table_roundtrip": _catalog_table_roundtrip,
-    "io_bucketed_join": _io_bucketed_join,
-    "io_overwrite_partitions": _io_overwrite_partitions,
-    "io_csv_roundtrip": _io_csv_roundtrip,
-    "io_json_roundtrip": _io_json_roundtrip,
-    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
-    "corpus_curation_pipeline": _corpus_curation_pipeline,
-    # --- crossing round-6-CHANGED code, so they need fresh rows: the
-    # max_cells routing + two-level assign + shared Lloyd constant in
-    # similarity.py (ann_* quantized tiers), the cluster_pairs
-    # init-fusion + semdedup members change in dedup.py, and the
-    # unterminated-literal guard in cloudwatch.py ---
-    "ann_ivf_topk": _ann_ivf_topk,
-    "ann_ivfpq_topk": _ann_ivfpq_topk,
-    "ann_pq_topk": _ann_pq_topk,
-    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
-    "dedup_semdedup": _dedup_semdedup,
-    "dedup_clusters": _dedup_clusters,
-    "logs_insights_stats": _logs_insights_stats,
-    "logs_insights_parse": _logs_insights_parse,
-    # --- NEW in round 6 ---
-    "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
-    "multimodal_video_near_dup": _multimodal_video_near_dup,
-    "streaming_sessionize": _streaming_sessionize,
-    "sample_dsir": _sample_dsir,
-    "sample_cluster_balanced": _sample_cluster_balanced,
-    "ann_recall_lsh": _ann_recall_lsh,
-    "pretraining_shard_export": _pretraining_shard_export,
-    "ann_cell_occupancy": _ann_cell_occupancy,
-    "streaming_dsir_gate": _streaming_dsir_gate,
-    "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
-    "text_length_histogram": _text_length_histogram,
-    "streaming_index_ingest": _streaming_index_ingest,
-    "ann_mmr_rerank": _ann_mmr_rerank,
-    "ann_index_delete_search": _ann_index_delete_search,
+    # --- the nine ROUND6_LATE entries rotating IN, FIRST, exactly as
+    # VERDICT r6 'next' #1 ordered: registered after the round-6 window
+    # filled, 3-SF verified in-session, no driver row yet ---
+    "dedup_snapshot_diff": _dedup_snapshot_diff,
+    "embedding_dim_stats": _embedding_dim_stats,
+    "io_schema_evolution": _io_schema_evolution,
+    "ann_filtered_pq_search": _ann_filtered_pq_search,
+    "streaming_bloom_gate": _streaming_bloom_gate,
+    "events_mad_anomalies": _events_mad_anomalies,
+    "profiling_referential_integrity": _profiling_referential_integrity,
+    "profiling_key_uniqueness": _profiling_key_uniqueness,
+    "ingest_preflight_report": _ingest_preflight_report,
+    # --- crossing round-7-CHANGED code, so they need fresh rows: the
+    # Bloom broadcast-probe int64 rewrite in dedup.py
+    # (dedup_bloom_ingest_gate; the late streaming_bloom_gate /
+    # ingest_preflight_report rows above cover the same change), the
+    # null-cid refill fix in sampling.py, and the null-cid exclusion
+    # in similarity.cell_occupancy ---
     "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
-    "ann_filtered_search": _ann_filtered_search,
-    "profiling_distribution_drift": _profiling_distribution_drift,
-    # crossing round-6-changed code (the merged_close_to_single
-    # invariant fix) — needs a fresh driver row
-    "profiling_hll_invariants": _profiling_hll_invariants,
-    # q6 was displaced below the window by the third session's new
-    # registrations; it rides its fresh round-5 row (ROUND5_FROZEN)
-    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- backfill: ROUND4_FROZEN head (rows dated from round 4 — the
-    # oldest below-window pedigree after the round-3 block rotated in) ---
+    "sample_cluster_balanced": _sample_cluster_balanced,
+    "ann_cell_occupancy": _ann_cell_occupancy,
+    # --- the 31 entries riding round-4 driver rows — the oldest
+    # below-window pedigree (ROUND4_FROZEN survivors after the r7
+    # consolidation); after round 7 they would breach the two-round
+    # staleness invariant, so ALL of them rotate in ---
     "io_orc_roundtrip": _io_orc_roundtrip,
     "events_join_fanout": _events_join_fanout,
     "text_html_extract": _text_html_extract,
-    # --- driver window boundary: the driver verifies the FIRST 50
-    # entries, i.e. everything ABOVE this comment. Below sit only
-    # (a) the ROUND5_FROZEN block riding its fresh round-5 rows (code
-    # byte-identical since, except the similarity/dedup/cloudwatch
-    # entries that stayed ABOVE), and (b) the round-4 remainder riding
-    # its round-4 rows. Enforced by tests/test_plans.py. ---
+    "text_ngram_freq": _text_ngram_freq,
+    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
+    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
+    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
+    "multimodal_image_dhash": _multimodal_image_dhash,
+    "text_bigram_surprisal": _text_bigram_surprisal,
+    "text_ngram_repetition": _text_ngram_repetition,
+    "sample_shuffle_shards": _sample_shuffle_shards,
+    "io_fwf_roundtrip": _io_fwf_roundtrip,
+    "profiling_null_profile": _profiling_null_profile,
+    "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,
+    "multimodal_audio_fp": _multimodal_audio_fp,
+    "text_c4_rules": _text_c4_rules,
+    "text_perplexity_buckets": _text_perplexity_buckets,
+    "pretraining_curation_pipeline": _pretraining_curation_pipeline,
+    "text_gopher_quality": _text_gopher_quality,
+    "text_quality_score": _text_quality_score,
+    "text_lang_id": _text_lang_id,
+    "text_chunk_tokens": _text_chunk_tokens,
+    "text_pack_sequences": _text_pack_sequences,
+    "text_pii_scrub": _text_pii_scrub,
+    "text_tfidf_top_terms": _text_tfidf_top_terms,
+    "text_unigram_surprisal": _text_unigram_surprisal,
+    "benchmark_contamination": _benchmark_contamination,
+    "streaming_hourly_rollup": _streaming_hourly_rollup,
+    "streaming_sliding_counts": _streaming_sliding_counts,
+    "streaming_error_click_join": _streaming_error_click_join,
+    "streaming_corpus_dedup": _streaming_corpus_dedup,
+    # --- riding its round-5 row (displaced below the r6 window late) ---
+    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
+    # --- backfill: the oldest ROUND5_FROZEN rows pulled forward to
+    # fill the window (they'd be due in round 8 anyway) ---
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
-    "events_hourly_spikes": _analytics_query(EVENTS_SPIKES_SQL_SPARK),
+    # --- driver window boundary: the driver verifies the FIRST 50
+    # entries, i.e. everything ABOVE this comment. Below sit only
+    # (a) the ROUND5_FROZEN remainder riding round-5 rows and (b) the
+    # ROUND6_FROZEN block riding fresh round-6 rows — code
+    # byte-identical since. Enforced by tests/test_plans.py. ---
     "events_session_window": _events_session_window,
     "events_hourly_gapfill": _events_hourly_gapfill,
     "events_user_join_salted": _events_user_join_salted,
@@ -2956,76 +2741,63 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": _dedup_incremental,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "dedup_simhash": _dedup_simhash,
-    "dedup_lsh_corpus": _dedup_lsh_corpus,
     "dedup_duplicated_spans": _dedup_duplicated_spans,
     "dedup_embedding_cosine": _dedup_embedding_cosine,
     "dedup_embedding_incremental": _dedup_embedding_incremental,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
     "embedding_curation_pipeline": _embedding_curation_pipeline,
-    "multimodal_decode_stub": _multimodal_decode_stub,
     "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
     "ann_sq8_topk": _ann_sq8_topk,
     "bpe_word_frequencies": _bpe_word_frequencies,
     "bpe_encode": _bpe_encode,
     "streaming_growing_corpus": _streaming_growing_corpus,
     "sample_temperature": _sample_temperature,
-    "events_key_skew": _events_key_skew,
     "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
-    # --- round-4 remainder frozen on its round-4 rows (text_ngram_freq
-    # and embedding_stats displaced from the window's backfill tail by
-    # the new sample_dsir / sample_cluster_balanced entries — they ride
-    # their round-4 rows; code byte-identical since) ---
-    "text_ngram_freq": _text_ngram_freq,
-    "embedding_stats": _embedding_stats,
-    "events_value_percentiles": _analytics_query(EVENTS_PERCENTILES_SQL_SPARK),
-    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
-    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
-    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
-    "q16_parts_suppliers": _analytics_query(ANALYTICS_SQL["q16_parts_suppliers"]),
-    "multimodal_image_dhash": _multimodal_image_dhash,
-    "text_bigram_surprisal": _text_bigram_surprisal,
-    "text_ngram_repetition": _text_ngram_repetition,
-    "sample_shuffle_shards": _sample_shuffle_shards,
-    "io_fwf_roundtrip": _io_fwf_roundtrip,
-    "profiling_null_profile": _profiling_null_profile,
-    "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,
-    "multimodal_audio_fp": _multimodal_audio_fp,
-    "text_c4_rules": _text_c4_rules,
-    "text_perplexity_buckets": _text_perplexity_buckets,
-    "pretraining_curation_pipeline": _pretraining_curation_pipeline,
-    "text_gopher_quality": _text_gopher_quality,
-    "text_token_count": _text_token_count,
-    "text_quality_score": _text_quality_score,
-    "text_lang_id": _text_lang_id,
-    "text_chunk_tokens": _text_chunk_tokens,
-    "text_pack_sequences": _text_pack_sequences,
-    "text_repetition": _text_repetition,
-    "text_pii_scrub": _text_pii_scrub,
-    "text_tfidf_top_terms": _text_tfidf_top_terms,
-    "text_unigram_surprisal": _text_unigram_surprisal,
-    "benchmark_contamination": _benchmark_contamination,
-    "sample_stratified": _sample_stratified,
-    "sample_fixed_per_source": _sample_fixed_per_source,
-    "sample_token_budget": _sample_token_budget,
-    "streaming_hourly_rollup": _streaming_hourly_rollup,
-    "streaming_sliding_counts": _streaming_sliding_counts,
-    "streaming_error_click_join": _streaming_error_click_join,
-    "streaming_content_dedup": _streaming_content_dedup,
-    "streaming_corpus_dedup": _streaming_corpus_dedup,
-    # --- round-6 LATE additions (registered after the 50-entry window
-    # filled; each verified against its oracle at sf0.001, sf0.01 AND
-    # sf0.1 via tools/check_oracles in the round-6 third session; they
-    # rotate into the round-7 window FIRST, with the displaced round-4
-    # backfill) ---
-    "dedup_snapshot_diff": _dedup_snapshot_diff,
-    "embedding_dim_stats": _embedding_dim_stats,
-    "io_schema_evolution": _io_schema_evolution,
-    "ann_filtered_pq_search": _ann_filtered_pq_search,
-    "streaming_bloom_gate": _streaming_bloom_gate,
-    "events_mad_anomalies": _events_mad_anomalies,
-    "profiling_referential_integrity": _profiling_referential_integrity,
-    "profiling_key_uniqueness": _profiling_key_uniqueness,
-    "ingest_preflight_report": _ingest_preflight_report,
+    # --- ROUND6_FROZEN: fresh green rows in CORRECTNESS_r06.json ---
+    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
+    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
+    "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
+    "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
+    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
+    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
+    "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
+    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
+    "q22_idle_customers": _analytics_query(ANALYTICS_SQL["q22_idle_customers"]),
+    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
+    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
+    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
+    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
+    "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
+    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
+    "catalog_table_roundtrip": _catalog_table_roundtrip,
+    "io_bucketed_join": _io_bucketed_join,
+    "io_overwrite_partitions": _io_overwrite_partitions,
+    "io_csv_roundtrip": _io_csv_roundtrip,
+    "io_json_roundtrip": _io_json_roundtrip,
+    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
+    "ann_ivf_topk": _ann_ivf_topk,
+    "ann_ivfpq_topk": _ann_ivfpq_topk,
+    "ann_pq_topk": _ann_pq_topk,
+    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
+    "dedup_semdedup": _dedup_semdedup,
+    "dedup_clusters": _dedup_clusters,
+    "logs_insights_stats": _logs_insights_stats,
+    "logs_insights_parse": _logs_insights_parse,
+    "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
+    "multimodal_video_near_dup": _multimodal_video_near_dup,
+    "streaming_sessionize": _streaming_sessionize,
+    "sample_dsir": _sample_dsir,
+    "ann_recall_lsh": _ann_recall_lsh,
+    "pretraining_shard_export": _pretraining_shard_export,
+    "streaming_dsir_gate": _streaming_dsir_gate,
+    "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
+    "text_length_histogram": _text_length_histogram,
+    "streaming_index_ingest": _streaming_index_ingest,
+    "ann_mmr_rerank": _ann_mmr_rerank,
+    "ann_index_delete_search": _ann_index_delete_search,
+    "profiling_distribution_drift": _profiling_distribution_drift,
+    "profiling_hll_invariants": _profiling_hll_invariants,
 }
 
 

@@ -3352,6 +3352,21 @@ class TestProfiling:
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
         assert "SortMergeJoin" not in plan, plan
 
+    def test_key_distribution_hand_computed(self, spark):
+        # hand-counted heavy-hitter profile: 6×a, 3×b, 1×c → ranks by
+        # count desc then key, shares/cum_shares 6dp floor-truncated
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 3 + [("c",)], "k string"
+        )
+        rows = {r["k"]: r for r in profiling.key_distribution(df, ["k"], top_n=2).collect()}
+        assert set(rows) == {"a", "b"}  # top-2 cut before the window
+        assert (rows["a"]["n"], rows["a"]["rank"]) == (6, 1)
+        assert (rows["b"]["n"], rows["b"]["rank"]) == (3, 2)
+        assert rows["a"]["share"] == 0.6 and rows["a"]["cum_share"] == 0.6
+        assert rows["b"]["share"] == 0.3 and rows["b"]["cum_share"] == 0.9
+
     def test_referential_integrity_broadcast_tristate(self, spark):
         # broadcast_keys is the module tri-state (ADVICE r6): False is
         # the high-cardinality-parent OOM escape — a shuffle join, no

@@ -26,150 +26,148 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-6 rotation policy (VERDICT r5 "next" #5): the driver verifies
-# the FIRST 50 registry entries. The window carries (a) the 23
-# ROUND3_FROZEN entries, FIRST — their newest driver rows dated from
-# round 3, (b) every query crossing round-6-changed code (the
-# max_cells routing / two-level assign / shared Lloyd constant in
-# similarity.py, the cluster_pairs init-fusion + semdedup members
-# change in dedup.py, the unterminated-literal guard in
-# cloudwatch.py), (c) the three NEW round-6 entries
-# (ann_ivf_partitioned_search, multimodal_video_near_dup,
-# streaming_sessionize), and (d) a backfill of the oldest
-# ROUND4_FROZEN rows. Below the boundary sit only the ROUND5_FROZEN
-# block riding its fresh round-5 rows and the round-4 remainder
-# riding its round-4 rows.
+# Round-7 rotation policy (VERDICT r6 "next" #1/#2): the driver
+# verifies the FIRST 50 registry entries. Round 7 consolidated the
+# registry 140 -> 125 (15 plan-subsumed entries retired with covered-by
+# annotations in SURVEY §2 / queries.py; the bench.py frozen subset was
+# never touched). The window carries (a) the nine ROUND6_LATE entries,
+# FIRST — registered after the round-6 window filled, no driver row
+# yet, (b) every query crossing round-7-changed code (the Bloom
+# broadcast-probe int64 rewrite in dedup.py, the null-cid refill fix in
+# sampling.py, the null-cid exclusion in similarity.cell_occupancy),
+# (c) ALL 31 entries still riding round-4 driver rows — the oldest
+# pedigree, due this round or they breach the two-round staleness
+# invariant — plus q6 riding its round-5 row, and (d) a backfill of
+# the oldest ROUND5_FROZEN rows. Below the boundary sit only the
+# ROUND5_FROZEN remainder (round-5 rows) and the ROUND6_FROZEN block
+# (fresh round-6 rows), each over byte-identical code.
 
-ROUND3_ROTATED_IN_R6 = {
-    # the full ROUND3_FROZEN set from round 5's policy — all 23 moved
-    # into the round-6 window as ordered
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q11_important_stock", "q13_customer_distribution",
-    "q14_promo_effect", "q18_large_orders", "q19_discount_revenue",
-    "q21_waiting_suppliers", "q22_idle_customers", "events_cube_daily",
-    "events_retention_cohorts", "events_funnel", "brand_revenue_pareto",
-    "orders_yoy_growth", "events_sessionize", "events_json_extract",
-    "catalog_table_roundtrip", "io_bucketed_join",
-    "io_overwrite_partitions", "io_csv_roundtrip", "io_json_roundtrip",
-    "db_copy_unload_roundtrip", "corpus_curation_pipeline",
+ROUND6_LATE_ROTATED_IN_R7 = {
+    "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
+    "ann_filtered_pq_search", "streaming_bloom_gate", "events_mad_anomalies",
+    "profiling_referential_integrity", "profiling_key_uniqueness",
+    "ingest_preflight_report",
 }
 
-ROUND4_FROZEN = {
-    # fresh green rows in CORRECTNESS_r04.json; code byte-identical
-    # since round 4. The head of round 5's list (io_orc_roundtrip ...
-    # embedding_stats) moved INTO the round-6 window as backfill; this
-    # is the remainder. text_ngram_freq and embedding_stats were
-    # displaced back below the boundary when sample_dsir /
-    # sample_cluster_balanced registered — they ride their round-4 rows;
-    # text_html_extract likewise when ann_index_delete_search registered,
-    # events_join_fanout when dedup_bloom_ingest_gate registered,
-    # io_orc_roundtrip when ann_filtered_search registered.
-    "text_html_extract", "events_join_fanout", "io_orc_roundtrip",
-    "text_ngram_freq", "embedding_stats", "events_value_percentiles",
-    "events_hourly_rollup", "lineitem_stats_by_flag",
-    "topk_customers_window", "q16_parts_suppliers",
-    "multimodal_image_dhash", "text_bigram_surprisal",
-    "text_ngram_repetition", "sample_shuffle_shards",
+ROUND4_ROTATED_IN_R7 = {
+    # every surviving entry whose newest driver row dated from round 4
+    "io_orc_roundtrip", "events_join_fanout", "text_html_extract",
+    "text_ngram_freq", "events_hourly_rollup", "lineitem_stats_by_flag",
+    "topk_customers_window", "multimodal_image_dhash",
+    "text_bigram_surprisal", "text_ngram_repetition", "sample_shuffle_shards",
     "io_fwf_roundtrip", "profiling_null_profile",
-    "profiling_hll_invariants", "events_heavy_hitters_sketch",
-    "multimodal_audio_fp", "text_c4_rules", "text_perplexity_buckets",
-    "pretraining_curation_pipeline", "text_gopher_quality",
-    "text_token_count", "text_quality_score", "text_lang_id",
-    "text_chunk_tokens", "text_pack_sequences", "text_repetition",
-    "text_pii_scrub", "text_tfidf_top_terms", "text_unigram_surprisal",
-    "benchmark_contamination", "sample_stratified",
-    "sample_fixed_per_source", "sample_token_budget",
-    "streaming_hourly_rollup", "streaming_sliding_counts",
-    "streaming_error_click_join", "streaming_content_dedup",
+    "events_heavy_hitters_sketch", "multimodal_audio_fp", "text_c4_rules",
+    "text_perplexity_buckets", "pretraining_curation_pipeline",
+    "text_gopher_quality", "text_quality_score", "text_lang_id",
+    "text_chunk_tokens", "text_pack_sequences", "text_pii_scrub",
+    "text_tfidf_top_terms", "text_unigram_surprisal",
+    "benchmark_contamination", "streaming_hourly_rollup",
+    "streaming_sliding_counts", "streaming_error_click_join",
     "streaming_corpus_dedup",
 }
 
 ROUND5_FROZEN = {
     # fresh green rows in CORRECTNESS_r05.json; code byte-identical
-    # since round 5 (round-5 window entries crossing round-6-changed
-    # code — the ann quantized tiers, dedup_semdedup/clusters,
-    # logs_insights_* — stayed IN the window; q1/q6 stay as leaders)
-    # q6 displaced below the window by the third round-6 session's new
-    # registrations — rides its fresh round-5 row
-    "q6_revenue_forecast",
-    "events_error_click_window", "dedup_exact", "dedup_normalized",
-    "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_hourly_spikes",
+    # since round 5. The oldest five (events_error_click_window,
+    # dedup_exact, dedup_normalized, io_parquet_roundtrip,
+    # db_jdbc_roundtrip) and q6 were pulled INTO the round-7 window;
+    # this is the below-window remainder.
     "events_session_window", "events_hourly_gapfill",
     "events_user_join_salted", "athena_ctas_roundtrip",
     "io_partition_pruned_read", "io_merge_datasets",
     "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
     "streaming_static_enrich", "streaming_latest_per_user",
-    "text_fingerprint", "dedup_duplicated_lines",
-    "sample_epoch_mixture", "orders_value_deciles",
-    "dedup_minhash_lsh", "dedup_incremental", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_lsh_corpus", "dedup_duplicated_spans",
+    "text_fingerprint", "dedup_duplicated_lines", "sample_epoch_mixture",
+    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_duplicated_spans",
     "dedup_embedding_cosine", "dedup_embedding_incremental",
     "dedup_embedding_lsh", "embedding_curation_pipeline",
-    "multimodal_decode_stub", "ann_cosine_topk_arrow", "ann_sq8_topk",
-    "bpe_word_frequencies", "bpe_encode", "streaming_growing_corpus",
-    "sample_temperature", "events_key_skew", "q2_min_cost_supplier",
+    "ann_cosine_topk_arrow", "ann_sq8_topk", "bpe_word_frequencies",
+    "bpe_encode", "streaming_growing_corpus", "sample_temperature",
+    "q2_min_cost_supplier",
 }
 
-ROUND6_MUST_BE_IN_WINDOW = ROUND3_ROTATED_IN_R6 | {
-    # crossing round-6-changed code
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk",
-    "ann_ivf_lloyd_step", "dedup_semdedup", "dedup_clusters",
-    "logs_insights_stats", "logs_insights_parse",
-    # new in round 6
+ROUND6_FROZEN = {
+    # fresh green rows in CORRECTNESS_r06.json; code byte-identical
+    # since round 6 (round-6 window entries crossing round-7-changed
+    # code — dedup_bloom_ingest_gate, sample_cluster_balanced,
+    # ann_cell_occupancy — stayed IN the window; q1 stays as leader)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q11_important_stock", "q13_customer_distribution", "q14_promo_effect",
+    "q18_large_orders", "q19_discount_revenue", "q21_waiting_suppliers",
+    "q22_idle_customers", "events_cube_daily", "events_retention_cohorts",
+    "events_funnel", "brand_revenue_pareto", "events_sessionize",
+    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
+    "io_overwrite_partitions", "io_csv_roundtrip", "io_json_roundtrip",
+    "db_copy_unload_roundtrip", "corpus_curation_pipeline", "ann_ivf_topk",
+    "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_lloyd_step", "dedup_semdedup",
+    "dedup_clusters", "logs_insights_stats", "logs_insights_parse",
     "ann_ivf_partitioned_search", "multimodal_video_near_dup",
-    "streaming_sessionize", "sample_dsir", "sample_cluster_balanced",
-    "ann_recall_lsh", "pretraining_shard_export", "ann_cell_occupancy",
-    "streaming_dsir_gate", "ann_ivfpq_partitioned_search",
-    "text_length_histogram", "streaming_index_ingest",
-    # the merged_close_to_single invariant fix changed its code late in
-    # round 6 — fresh row required
-    "profiling_hll_invariants",
-    "ann_mmr_rerank",
-    "ann_index_delete_search",
-    "dedup_bloom_ingest_gate",
-    "ann_filtered_search",
-    "profiling_distribution_drift",
+    "streaming_sessionize", "sample_dsir", "ann_recall_lsh",
+    "pretraining_shard_export", "streaming_dsir_gate",
+    "ann_ivfpq_partitioned_search", "text_length_histogram",
+    "streaming_index_ingest", "ann_mmr_rerank", "ann_index_delete_search",
+    "profiling_distribution_drift", "profiling_hll_invariants",
+}
+
+ROUND7_MUST_BE_IN_WINDOW = (
+    ROUND6_LATE_ROTATED_IN_R7
+    | ROUND4_ROTATED_IN_R7
+    | {
+        # crossing round-7-changed code
+        "dedup_bloom_ingest_gate", "sample_cluster_balanced",
+        "ann_cell_occupancy",
+        # riding its round-5 row, displaced below the r6 window late
+        "q6_revenue_forecast",
+    }
+)
+
+RETIRED_R7 = {
+    # plan-subsumed entries retired with covered-by annotations
+    # (SURVEY §2 / queries.py); the operators stay implemented and
+    # unit-tested — only the registry rows were consolidated
+    "embedding_stats", "events_value_percentiles", "q16_parts_suppliers",
+    "text_token_count", "text_repetition", "sample_stratified",
+    "sample_fixed_per_source", "sample_token_budget",
+    "streaming_content_dedup", "dedup_lsh_corpus", "multimodal_decode_stub",
+    "events_hourly_spikes", "events_key_skew", "ann_filtered_search",
+    "orders_yoy_growth",
 }
 
 
-ROUND6_LATE = {
-    # registered after the round-6 window filled (the round-3-late
-    # precedent): verified at sf0.001 + sf0.01 + sf0.1 in the round-6
-    # third session; rotate into the round-7 window FIRST
-    "dedup_snapshot_diff",
-    "embedding_dim_stats",
-    "io_schema_evolution",
-    "ann_filtered_pq_search",
-    "streaming_bloom_gate",
-    "events_mad_anomalies",
-    "profiling_referential_integrity",
-    "profiling_key_uniqueness",
-    "ingest_preflight_report",
-}
+def test_retired_entries_are_gone():
+    assert RETIRED_R7 & set(QUERIES) == set()
+    assert RETIRED_R7 & set(ORACLES) == set()
 
 
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND4_FROZEN - ROUND5_FROZEN - ROUND6_LATE
+    unaccounted = below - ROUND5_FROZEN - ROUND6_FROZEN
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
 
 
 def test_no_entry_staler_than_two_rounds():
-    # the rotation invariant VERDICT r5 #5 pins: after round 6, no
-    # below-window entry's last driver row may be older than round 4
+    # the rotation invariant (VERDICT r5 #5, re-pinned per VERDICT r6
+    # #1): after round 7, no below-window entry's last driver row may
+    # be older than round 5 — so nothing with round-4 pedigree (and
+    # nothing from the late round-6 set, which never had a row at all)
+    # may sit below the boundary
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND3_ROTATED_IN_R6 == set(), (
-        "round-3-pedigree entries must sit inside the round-6 window"
+    assert below & ROUND4_ROTATED_IN_R7 == set(), (
+        "round-4-pedigree entries must sit inside the round-7 window"
+    )
+    assert below & ROUND6_LATE_ROTATED_IN_R7 == set(), (
+        "never-verified round-6-late entries must sit inside the window"
     )
 
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND6_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND7_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
@@ -301,9 +299,7 @@ class TestPlanAudits:
         from aws_data_wrangler_spark.plans.queries import (
             ANALYTICS_SQL,
             EVENTS_JSON_SQL_SPARK,
-            EVENTS_PERCENTILES_SQL_SPARK,
             EVENTS_SESSIONIZE_SQL_SPARK,
-            EVENTS_SPIKES_SQL_SPARK,
             ORDERS_DECILES_SQL_SPARK,
             register_tables,
         )
@@ -313,8 +309,6 @@ class TestPlanAudits:
         sqls["orders_value_deciles"] = ORDERS_DECILES_SQL_SPARK
         sqls["events_sessionize"] = EVENTS_SESSIONIZE_SQL_SPARK
         sqls["events_json_extract"] = EVENTS_JSON_SQL_SPARK
-        sqls["events_value_percentiles"] = EVENTS_PERCENTILES_SQL_SPARK
-        sqls["events_hourly_spikes"] = EVENTS_SPIKES_SQL_SPARK
         for name, sql in sqls.items():
             try:
                 assert_no_global_window(spark.sql(sql))
