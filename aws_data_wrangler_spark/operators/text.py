@@ -577,6 +577,56 @@ def benchmark_contamination(
     )
 
 
+def benchmark_near_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paraphrase-level decontamination: near-duplicate (train, eval)
+    document pairs by MinHash-LSH candidates + exact-Jaccard verify —
+    the fuzzy rung ABOVE ``benchmark_contamination``'s exact n-gram
+    probe. An eval item lightly rewritten into the corpus (reordered
+    sentences, a synonym swap) slips past exact 5-gram overlap but not
+    past document-level shingle Jaccard; this is the check run when
+    exact decontamination comes back clean but eval numbers still look
+    suspicious. Returns (train_id, eval_id, jaccard ≥ threshold).
+
+    Scale shape: the bipartite ``minhash_lsh_incremental`` machinery
+    with the EVAL set as the batch side — candidates come from a
+    (band, bucket) equi-join of the MB-sized eval banding against the
+    corpus banding, so the 100 TB train side is never self-joined and
+    train-internal duplicates never enter the pair space; exact-Jaccard
+    verification touches candidate docs only (precision 1.0, recall =
+    the banding curve at the threshold).
+
+    Ref: complements `awswrangler`-era batch ETL with the
+    eval-decontamination step LLM data pipelines require; exact-overlap
+    twin at ``benchmark_contamination``.
+    """
+    from aws_data_wrangler_spark.operators.dedup import minhash_lsh_incremental
+
+    pairs = minhash_lsh_incremental(
+        eval_set,
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    return pairs.select(
+        F.col("corpus_id").alias("train_id"),
+        F.col("new_id").alias("eval_id"),
+        "jaccard",
+    )
+
+
 def _positioned_word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, total_tokens, norm_chars, pos, tok_len, gram): sliding word
     n-grams with their 0-based start position, the length of the token

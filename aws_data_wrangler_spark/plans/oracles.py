@@ -2093,6 +2093,75 @@ ORACLES: Dict[str, str] = {
         SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
         ORDER BY doc_id, rank
     """,
+    # fuzzy decontamination: planted paraphrased eval twins (first token
+    # dropped, re-id'd +1e6) must flag their training source — the
+    # replica computes the EXACT cross-side 3-gram Jaccard over the same
+    # derived eval texts (the dedup_incremental construction, bipartite)
+    "benchmark_near_contamination": """
+        WITH train AS (
+            SELECT doc_id, text FROM documents
+        ), ev AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   regexp_replace(trim(text), '^\\S+\\s+', '') AS text
+            FROM documents WHERE doc_id % 50 = 0
+        ), toks AS (
+            SELECT doc_id, 't' AS side, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM train
+            UNION ALL
+            SELECT doc_id, 'e' AS side, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM ev
+        ), sh AS (
+            SELECT DISTINCT doc_id, side,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM (SELECT doc_id, side, t, unnest(range(1, len(t) - 1)) AS i
+                  FROM toks WHERE len(t) >= 3)
+        ), sizes AS (
+            SELECT doc_id, side, count(*) AS set_size FROM sh GROUP BY doc_id, side
+        ), common AS (
+            SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.side = 'e' AND b.side = 't'
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT train_id, eval_id,
+                   floor((common / (sa.set_size + sb.set_size - common)) * 1000000.0)
+                       / 1000000.0 AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = eval_id AND sa.side = 'e'
+            JOIN sizes sb ON sb.doc_id = train_id AND sb.side = 't'
+        )
+        SELECT train_id, eval_id, jaccard FROM scored WHERE jaccard >= 0.8
+        ORDER BY train_id, eval_id
+    """,
+    # seeded PCA projection: mean = the lowest-id vector, components =
+    # the next four (the _seed_centroids convention) — each output a
+    # sequential centered dot-product fold, floor-truncated at 6dp
+    "embedding_pca_project": """
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 5)
+        ), meanv AS (
+            SELECT v AS m FROM seeds WHERE rn = 0
+        ), comps AS (
+            SELECT CAST(rn - 1 AS INTEGER) AS j, v AS cv FROM seeds WHERE rn >= 1
+        ), centered AS (
+            SELECT c.vec_id,
+                   list_transform(range(1, len(c.v) + 1), i -> c.v[i] - m.m[i]) AS cx
+            FROM corpus c, meanv m
+        ), proj AS (
+            SELECT vec_id, j,
+                   floor(list_dot_product(cx, cv) * 1000000.0) / 1000000.0 AS z
+            FROM centered, comps
+        )
+        SELECT vec_id,
+               max(CASE WHEN j = 0 THEN z END) AS z0,
+               max(CASE WHEN j = 1 THEN z END) AS z1,
+               max(CASE WHEN j = 2 THEN z END) AS z2,
+               max(CASE WHEN j = 3 THEN z END) AS z3
+        FROM proj GROUP BY vec_id ORDER BY vec_id
+    """,
     "benchmark_contamination": f"""
         WITH train_sh AS (
             {_SHINGLE5.format(where="WHERE doc_id % 50 <> 0")}

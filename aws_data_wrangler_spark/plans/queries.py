@@ -1412,6 +1412,52 @@ def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.benchmark_contamination(train, eval_set, n=5).orderBy("doc_id")
 
 
+def _benchmark_near_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (r7, new): every 50th doc spawns a
+    PARAPHRASED eval twin (first token dropped, re-id'd +1e6 — the
+    multimodal_video planted-twin technique, since the corpus has no
+    natural cross-split near-dups below sf0.1), and the detector must
+    flag each twin against its training source at Jaccard ≥ 0.8 via
+    the bipartite MinHash machinery — the rung above the exact 5-gram
+    probe. The oracle replicates the exact cross-side Jaccard (the
+    dedup_incremental precedent: the 48×16 banding captures every true
+    pair at these scales, so candidates ≡ truth)."""
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.trim(F.col("text")), r"^\S+\s+", "").alias("text"),
+    )
+    return text.benchmark_near_contamination(
+        docs, eval_set, threshold=0.8, n=3, num_hashes=48, bands=16
+    ).orderBy("train_id", "eval_id")
+
+
+def _embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection driver row (r7, new; VERDICT r6 #6): the
+    zero-shuffle components·(x−mean) projection with SEEDED artifacts —
+    mean = the lowest-id vector, components = the next four (the
+    _seed_centroids technique), so every output value is a pure
+    sequential dot-product fold the DuckDB oracle replicates
+    term-for-term. The eigh-TRAINED artifact path stays numpy-verified
+    in pytest (orthonormality, eigenvalue variance, quantizer weld)."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = [r["embedding"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    pca = {
+        "mean": [float(x) for x in seeds[0]],
+        "components": [[float(x) for x in v] for v in seeds[1:]],
+    }
+    out = similarity.pca_project(emb, pca, out_col="z")
+    return out.select(
+        "vec_id",
+        *[trunc_digits(F.element_at("z", j + 1)).alias(f"z{j}") for j in range(4)],
+    ).orderBy("vec_id")
+
+
 def _embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-side curation: near-dup removal (drop the higher id of
     every near-cosine pair) → deterministic 50% downsample → per-label
@@ -2673,6 +2719,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
     "sample_cluster_balanced": _sample_cluster_balanced,
     "ann_cell_occupancy": _ann_cell_occupancy,
+    # --- NEW in round 7 ---
+    "embedding_pca_project": _embedding_pca_project,
+    "benchmark_near_contamination": _benchmark_near_contamination,
     # --- the 31 entries riding round-4 driver rows — the oldest
     # below-window pedigree (ROUND4_FROZEN survivors after the r7
     # consolidation); after round 7 they would breach the two-round
@@ -2715,13 +2764,16 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
-    "io_parquet_roundtrip": _io_parquet_roundtrip,
-    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN remainder riding round-5 rows and (b) the
     # ROUND6_FROZEN block riding fresh round-6 rows — code
     # byte-identical since. Enforced by tests/test_plans.py. ---
+    # io_parquet_roundtrip / db_jdbc_roundtrip were displaced from the
+    # window's round-5 backfill by the two NEW round-7 entries — they
+    # ride their fresh round-5 rows (ROUND5_FROZEN)
+    "io_parquet_roundtrip": _io_parquet_roundtrip,
+    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "events_session_window": _events_session_window,
     "events_hourly_gapfill": _events_hourly_gapfill,
     "events_user_join_salted": _events_user_join_salted,

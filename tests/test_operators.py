@@ -3080,6 +3080,32 @@ class TestTextPipelineOps:
         # and docs sharing no 5-gram with the eval docs score 0
         assert any(r["contamination_frac"] == 0.0 for r in rows.values())
 
+    def test_benchmark_near_contamination_flags_paraphrase(self, spark):
+        # a lightly-rewritten eval item (one token dropped) slips past
+        # exact overlap semantics but must be flagged by the fuzzy
+        # detector; an unrelated doc must not pair with anything
+        words = " ".join(f"w{i}" for i in range(40))
+        train = spark.createDataFrame(
+            [(1, words), (2, "completely different vocabulary in this one text")],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame(
+            [(100, " ".join(f"w{i}" for i in range(1, 40)))],  # first token dropped
+            "doc_id long, text string",
+        )
+        rows = text.benchmark_near_contamination(
+            train, eval_set, threshold=0.8
+        ).collect()
+        assert [(r["train_id"], r["eval_id"]) for r in rows] == [(1, 100)]
+        # 3-gram sets: 38 vs 37 shingles, 37 common → j = 37/38,
+        # 6dp floor-truncated (the verify's trunc_digits convention)
+        import math as _math
+
+        assert rows[0]["jaccard"] == _math.floor(37 / 38 * 1e6) / 1e6
+        # the exact probe at its default n=5 ALSO sees this pair (the
+        # grams past the dropped token survive) — the fuzzy rung's
+        # value is the document-level verdict + score, tested above
+
 
 class TestTimeseries:
     def test_mad_anomalies_flags_planted_spike(self, spark):
