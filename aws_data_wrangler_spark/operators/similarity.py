@@ -1521,6 +1521,79 @@ def compact_partitioned_index(
     )
 
 
+def rebalance_partitioned_index(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    target_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    max_cells: int = 100_000,
+    files_per_cell: int = 1,
+) -> None:
+    """Re-cluster a partitioned ANN index around a NEW quantizer — the
+    maintenance step ``cell_occupancy`` exists to motivate: once drift
+    or skewed ingest piles mass into a few hot cells, partition pruning
+    stops paying (a cell holding 30% of the index makes every probe of
+    it read 30% of the index), and the fix is retrained/resized
+    centroids. Reads the INDEX once (vectors are stored in the layout,
+    so the original corpus is never touched), applies tombstones
+    physically (the compaction contract — the sidecar is not carried),
+    re-assigns every vector to the new centroids with the same
+    zero-shuffle literal-argmin projection as the build, and writes a
+    fresh cell-clustered dataset at ``target_path`` — the
+    OPTIMIZE-then-repoint pattern, searchable with the NEW centroids
+    the moment the pointer flips.
+
+    An IVF+PQ index (``_codebooks.json`` sidecar present) is
+    re-ENCODED, not copied: its codes quantize residuals against the
+    OLD cell centroid, so unlike compaction they cannot be carried
+    verbatim — each vector's residual vs its new cell re-encodes
+    against the same codebooks (one extra projection in the same
+    pass), and the sidecar is re-saved at the target. Metadata columns
+    (the filtered-search attributes) carry verbatim in both layouts.
+
+    Ref: the FAISS retrain/re-add maintenance cycle expressed as one
+    Spark job; composes ``ivf[pq]_index_rows`` + ``cluster_by_cell``
+    so rebalanced rows are byte-compatible with fresh builds.
+    """
+    from aws_data_wrangler_spark import s3
+    from aws_data_wrangler_spark.s3._fs import does_object_exist
+
+    rows = _apply_tombstones(
+        s3.read_parquet(index_path, dataset=True, spark=spark),
+        load_tombstones(spark, index_path, id_col),
+        id_col,
+    )
+    layout = {id_col, vec_col, "vnorm", "cid", "codes"}
+    metadata_cols = [c for c in rows.columns if c not in layout]
+    corpus = rows.select(id_col, vec_col, *metadata_cols)
+    cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
+    sidecar = f"{index_path.rstrip('/')}/_codebooks.json"
+    if does_object_exist(sidecar, spark=spark):
+        books = load_pq_codebooks(sidecar, spark=spark)
+        fresh = ivfpq_index_rows(
+            corpus, cent_ids, cent_vecs, books, id_col=id_col,
+            vec_col=vec_col, metadata_cols=metadata_cols,
+        )
+    else:
+        books = None
+        fresh = ivf_index_rows(
+            corpus, cent_ids, cent_vecs, id_col=id_col, vec_col=vec_col,
+            metric=metric, metadata_cols=metadata_cols,
+        )
+    clustered = cluster_by_cell(fresh, id_col, files_per_cell)
+    s3.to_parquet(
+        clustered, target_path, dataset=True, partition_cols=["cid"],
+        mode="overwrite", spark=spark,
+    )
+    if books is not None:
+        save_pq_codebooks(
+            books, f"{target_path.rstrip('/')}/_codebooks.json", spark=spark
+        )
+
+
 def _tombstone_path(index_path: str) -> str:
     return f"{index_path.rstrip('/')}/_tombstones"
 

@@ -1571,6 +1571,14 @@ ORACLES: Dict[str, str] = {
     "ann_index_delete_search": _ivf_ann_oracle_sql(
         num_seeds=32, deleted=tuple(range(10, 30))
     ),
+    # rebalance replica: after the re-cluster the index IS a seeded-16
+    # index over corpus-minus-deleted — searching it is exactly the
+    # 16-seed IVF pipeline with the tombstoned ids out of the candidate
+    # pool (quantizers seed from the pre-delete corpus, the trained-
+    # artifact convention shared with the delete row)
+    "ann_index_rebalance_search": _ivf_ann_oracle_sql(
+        num_seeds=16, deleted=tuple(range(10, 30))
+    ),
     # PSI drift replica: shares are divisions of exact ints, the eps
     # floor (greatest) and the ln product replicate the Spark
     # expressions term-for-term; only psi_term is 6dp floor-truncated

@@ -1263,6 +1263,36 @@ def _ann_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_index_rebalance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REBALANCE rung of the index lifecycle (r7, new): build the
+    seeded-32 partitioned IVF index, soft-delete ids 10..29, then
+    re-cluster the index around a NEW seeded-16 quantizer —
+    ``rebalance_partitioned_index`` reads the index (never the
+    corpus), applies the tombstones physically, re-assigns every
+    vector, and writes a fresh clustered dataset — and search THAT.
+    The DuckDB oracle is the existing seeded-IVF replica at 16 seeds
+    with the deleted ids excluded from the candidate pool (both
+    quantizers seed from the pre-delete corpus — trained artifacts,
+    the delete-search convention)."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_rebal_index"
+    similarity.build_partitioned_ivf(
+        emb, _seed_centroids(emb, 32), index, metric="cosine", spark=spark
+    )
+    similarity.delete_from_partitioned_index(spark, index, range(10, 30))
+    target = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_rebal_target"
+    new_seeds = _seed_centroids(emb, 16)
+    similarity.rebalance_partitioned_index(
+        spark, index, new_seeds, target, metric="cosine"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_partitioned_topk(
+        spark, target, queries, new_seeds, k=5, nprobe=4, metric="cosine"
+    ).orderBy("query_id", "rank")
+
+
 def _io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema drift across dataset appends — the year-of-ingest
     reality at 100 TB: batch 1 writes (doc_id, source), batch 2
@@ -2722,6 +2752,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW in round 7 ---
     "embedding_pca_project": _embedding_pca_project,
     "benchmark_near_contamination": _benchmark_near_contamination,
+    "ann_index_rebalance_search": _ann_index_rebalance_search,
     # --- the 31 entries riding round-4 driver rows — the oldest
     # below-window pedigree (ROUND4_FROZEN survivors after the r7
     # consolidation); after round 7 they would breach the two-round
@@ -2763,15 +2794,15 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fill the window (they'd be due in round 8 anyway) ---
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
-    "dedup_normalized": _dedup_normalized,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN remainder riding round-5 rows and (b) the
     # ROUND6_FROZEN block riding fresh round-6 rows — code
     # byte-identical since. Enforced by tests/test_plans.py. ---
-    # io_parquet_roundtrip / db_jdbc_roundtrip were displaced from the
-    # window's round-5 backfill by the two NEW round-7 entries — they
-    # ride their fresh round-5 rows (ROUND5_FROZEN)
+    # dedup_normalized / io_parquet_roundtrip / db_jdbc_roundtrip were
+    # displaced from the window's round-5 backfill by the three NEW
+    # round-7 entries — they ride their fresh round-5 rows (ROUND5_FROZEN)
+    "dedup_normalized": _dedup_normalized,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "events_session_window": _events_session_window,

@@ -88,6 +88,20 @@ HEADLINE = [
 
 
 def main() -> None:
+    # sample box contention BEFORE any Spark work (the bench itself
+    # saturates local[32], so an end-of-run sample only measures us):
+    # load1 ≈ other tenants' demand at start (VERDICT r6 #1 — the r6
+    # file was recorded on a loaded box and became a weak trend signal;
+    # readers discount the trend when load1/cpus is high and re-run)
+    try:
+        _l1, _l5, _ = os.getloadavg()
+        loadavg_at_start = {
+            "load1": round(_l1, 2), "load5": round(_l5, 2),
+            "cpus": os.cpu_count(),
+        }
+    except OSError:
+        loadavg_at_start = None
+
     from aws_data_wrangler_spark import get_spark
     from aws_data_wrangler_spark.plans import QUERIES
 
@@ -172,6 +186,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_at_start": loadavg_at_start,
             }
         )
     )

@@ -1093,6 +1093,91 @@ class TestSimilarity:
         assert not surviving & set(victims)
         assert search(compacted) == after
 
+    def test_rebalance_reclusters_ivf_index(self, spark, embeddings, tmp_path):
+        # the rebalance rung of the lifecycle: re-cluster a built index
+        # around a NEW quantizer without touching the original corpus —
+        # tombstones applied physically, metadata carried, results
+        # identical to a fresh build over corpus-minus-deleted with the
+        # new centroids
+        import os
+
+        from pyspark.sql import Window as W
+
+        def seed(n):
+            return (
+                embeddings.orderBy("vec_id").limit(n)
+                .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+                .select("cid", F.col("embedding").alias("cvec"))
+            )
+
+        index = str(tmp_path / "ivf_rebal_src")
+        similarity.build_partitioned_ivf(
+            embeddings, seed(32), index, metric="cosine", metadata_cols=["label"]
+        )
+        victims = [40, 41, 42]
+        similarity.delete_from_partitioned_index(spark, index, victims)
+        target = str(tmp_path / "ivf_rebal_dst")
+        similarity.rebalance_partitioned_index(
+            spark, index, seed(16), target, metric="cosine"
+        )
+        # deletes applied physically, no sidecar carried, metadata kept
+        assert not os.path.exists(f"{target}/_tombstones")
+        back = spark.read.parquet(target)
+        assert "label" in back.columns
+        assert not {r["vec_id"] for r in back.select("vec_id").collect()} & set(victims)
+        # value oracle: search == fresh build of corpus-minus-deleted
+        # around the same new quantizer
+        queries = embeddings.filter("vec_id < 5")
+        got = similarity.ivf_partitioned_topk(
+            spark, target, queries, seed(16), k=5, nprobe=4, metric="cosine"
+        )
+        fresh = str(tmp_path / "ivf_rebal_fresh")
+        similarity.build_partitioned_ivf(
+            embeddings.filter(~F.col("vec_id").isin(victims)),
+            seed(16), fresh, metric="cosine",
+        )
+        ref = similarity.ivf_partitioned_topk(
+            spark, fresh, queries, seed(16), k=5, nprobe=4, metric="cosine"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_rebalance_reencodes_pq_residuals(self, spark, embeddings, tmp_path):
+        # an IVF+PQ index's codes are residuals vs the OLD cell
+        # centroid — rebalance must RE-encode them against the new
+        # cells (carrying them verbatim, the compaction shortcut, would
+        # corrupt every ADC score); the rebalanced index must equal a
+        # fresh PQ build with the new quantizer and the same codebooks
+        from pyspark.sql import Window as W
+
+        def seed(n):
+            return (
+                embeddings.orderBy("vec_id").limit(n)
+                .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+                .select("cid", F.col("embedding").alias("cvec"))
+            )
+
+        index = str(tmp_path / "pq_rebal_src")
+        books = similarity.build_partitioned_ivfpq(
+            embeddings, seed(16), index, m=8, num_codes=16, iterations=0
+        )
+        target = str(tmp_path / "pq_rebal_dst")
+        similarity.rebalance_partitioned_index(spark, index, seed(8), target)
+        queries = embeddings.filter("vec_id < 5")
+        # codebooks sidecar re-saved: a fresh session searches with
+        # codebooks=None; results == a fresh build around seed(8) with
+        # the SAME codebooks
+        got = similarity.ivfpq_partitioned_topk(
+            spark, target, queries, seed(8), k=5, nprobe=4, rescore_factor=4
+        )
+        fresh = str(tmp_path / "pq_rebal_fresh")
+        similarity.build_partitioned_ivfpq(
+            embeddings, seed(8), fresh, m=8, num_codes=16, codebooks=books
+        )
+        ref = similarity.ivfpq_partitioned_topk(
+            spark, fresh, queries, seed(8), books, k=5, nprobe=4, rescore_factor=4
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
     def test_tombstones_filter_ivfpq_candidates(self, spark, embeddings, tmp_path):
         # the compressed tier honors deletes too: tombstoned ids are
         # filtered from the ADC candidate pass, so they can't reach the

@@ -68,12 +68,12 @@ ROUND4_ROTATED_IN_R7 = {
 
 ROUND5_FROZEN = {
     # fresh green rows in CORRECTNESS_r05.json; code byte-identical
-    # since round 5. The oldest three (events_error_click_window,
-    # dedup_exact, dedup_normalized) and q6 were pulled INTO the
-    # round-7 window; io_parquet_roundtrip / db_jdbc_roundtrip were
-    # displaced back below by the two NEW round-7 entries and ride
+    # since round 5. The oldest two (events_error_click_window,
+    # dedup_exact) and q6 were pulled INTO the round-7 window;
+    # dedup_normalized / io_parquet_roundtrip / db_jdbc_roundtrip were
+    # displaced back below by the three NEW round-7 entries and ride
     # their fresh round-5 rows. This is the below-window remainder.
-    "io_parquet_roundtrip", "db_jdbc_roundtrip",
+    "dedup_normalized", "io_parquet_roundtrip", "db_jdbc_roundtrip",
     "events_session_window", "events_hourly_gapfill",
     "events_user_join_salted", "athena_ctas_roundtrip",
     "io_partition_pruned_read", "io_merge_datasets",
@@ -121,6 +121,7 @@ ROUND7_MUST_BE_IN_WINDOW = (
         "ann_cell_occupancy",
         # NEW in round 7
         "embedding_pca_project", "benchmark_near_contamination",
+        "ann_index_rebalance_search",
         # riding its round-5 row, displaced below the r6 window late
         "q6_revenue_forecast",
     }
