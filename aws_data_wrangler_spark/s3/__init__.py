@@ -23,6 +23,7 @@ from aws_data_wrangler_spark.s3._read import (  # noqa: F401
     read_json,
     read_orc,
     read_parquet,
+    read_parquet_bloom_filters,
     read_parquet_metadata,
     read_parquet_table,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "list_objects",
     "open_s3_object",
     "read_parquet",
+    "read_parquet_bloom_filters",
     "read_parquet_metadata",
     "read_parquet_table",
     "read_csv",

@@ -348,6 +348,45 @@ def read_parquet_metadata(
     return columns, (partitions if dataset else None)
 
 
+def read_parquet_bloom_filters(
+    path: str,
+    spark: Optional[SparkSession] = None,
+) -> Dict[str, bool]:
+    """Which columns of a parquet FILE carry a bloom filter —
+    {column: True/False} read from the footer via parquet-mr (no data
+    scan). The audit twin of ``to_parquet(bloom_filter_cols=...)``:
+    stats-based pruning is visible in ``EXPLAIN`` (PushedFilters), but
+    whether the point-lookup bloom filters actually landed on disk is
+    only visible in the footer — this is the pre-flight that checks
+    an ingest job's write options before a 100 TB backfill repeats the
+    mistake. Accepts any Hadoop-FS URI; for a dataset, point it at one
+    data file (every file of a well-formed dataset shares options).
+
+    Ref: extends the reference's footer-inspection surface
+    (/root/reference/awswrangler/s3/_read_parquet.py
+    ``read_parquet_metadata``) to the bloom-filter flag.
+    """
+    spark = _active_spark(spark)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(normalize_path(path)), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        out: Dict[str, bool] = {}
+        blocks = reader.getFooter().getBlocks()
+        for b in range(blocks.size()):
+            cols = blocks.get(b).getColumns()
+            for i in range(cols.size()):
+                c = cols.get(i)
+                name = ".".join(c.getPath().toArray())
+                out[name] = bool(out.get(name, False) or c.getBloomFilterOffset() >= 0)
+        return out
+    finally:
+        reader.close()
+
+
 def read_csv(
     path: Union[str, List[str]],
     columns: Optional[List[str]] = None,

@@ -205,6 +205,8 @@ def to_parquet(
     compression: Optional[str] = "snappy",
     sort_cols: Optional[List[str]] = None,
     max_rows_by_file: Optional[int] = None,
+    bloom_filter_cols: Optional[List[str]] = None,
+    bloom_filter_ndv: Optional[int] = None,
     sanitize_columns: bool = False,
     description: Optional[str] = None,
     parameters: Optional[Dict[str, str]] = None,
@@ -231,11 +233,31 @@ def to_parquet(
     file-splitting knob) via Spark's ``maxRecordsPerFile`` — tasks
     roll over to a new file at the cap, bounding file sizes without a
     repartition.
+
+    ``bloom_filter_cols`` writes a parquet BLOOM FILTER per listed
+    column (``parquet.bloom.filter.enabled#col``): min/max row-group
+    stats prune RANGE predicates, but an equality probe on a
+    high-cardinality unsorted column (id lookups, content hashes)
+    skips nothing by stats — the bloom filter lets readers (Spark,
+    Trino, Impala) drop row groups that provably lack the value, the
+    point-lookup complement to ``sort_cols``/Z-order at 100 TB.
+    ``bloom_filter_ndv`` sizes the filters (expected distinct values
+    per row group; the writer default otherwise).
     """
     _pop_noop_kwargs(options)
     options.setdefault("compression", compression or "none")
     if max_rows_by_file:
         options.setdefault("maxRecordsPerFile", str(int(max_rows_by_file)))
+    if bloom_filter_cols:
+        missing = [c for c in bloom_filter_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bloom_filter_cols not in the frame: {missing}")
+        for c in bloom_filter_cols:
+            options[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            if bloom_filter_ndv:
+                options[f"parquet.bloom.filter.expected.ndv#{c}"] = str(
+                    int(bloom_filter_ndv)
+                )
     if sanitize_columns:
         from aws_data_wrangler_spark import catalog
 

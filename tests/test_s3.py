@@ -532,6 +532,42 @@ class TestMaxRowsByFile:
         assert back.count() == 1000
 
 
+class TestBloomFilterWrite:
+    def test_bloom_filters_land_on_requested_columns_only(self, spark, tmp_prefix):
+        # bloom_filter_cols must actually reach the parquet footer —
+        # the point-lookup pruning complement to sort_cols/Z-order; the
+        # audit helper reads the flag back without scanning data
+        from aws_data_wrangler_spark import s3
+
+        df = spark.range(2000).selectExpr(
+            "id AS doc_id", "concat('t', id) AS text", "id % 7 AS grp"
+        ).coalesce(1)
+        out = f"{tmp_prefix}/bloomed"
+        s3.to_parquet(
+            df, out, dataset=True, mode="overwrite",
+            bloom_filter_cols=["doc_id", "text"], bloom_filter_ndv=2000,
+            spark=spark,
+        )
+        data_file = next(
+            p for p in s3.list_objects(f"{out}/", spark=spark) if p.endswith(".parquet")
+        )
+        flags = s3.read_parquet_bloom_filters(data_file, spark=spark)
+        assert flags["doc_id"] is True and flags["text"] is True
+        assert flags["grp"] is False
+        # a plain write carries no bloom filters at all
+        plain = f"{tmp_prefix}/plain"
+        s3.to_parquet(df, plain, dataset=True, mode="overwrite", spark=spark)
+        pf = next(
+            p for p in s3.list_objects(f"{plain}/", spark=spark) if p.endswith(".parquet")
+        )
+        assert not any(s3.read_parquet_bloom_filters(pf, spark=spark).values())
+        # unknown columns rejected loudly, not silently ignored
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bloom_filter_cols"):
+            s3.to_parquet(df, out, bloom_filter_cols=["nope"], spark=spark)
+
+
 class TestBotocoreKwargShim:
     def test_filters_to_named_params(self):
         from aws_data_wrangler_spark import s3
