@@ -36,9 +36,11 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.time <= left.time`` within the same ``on`` key
-    (``direction="backward"``, the default), or the earliest right row
-    with ``right.time >= left.time`` (``direction="forward"``) — the
-    two pandas ``merge_asof`` directions. ``tolerance`` (seconds, or
+    (``direction="backward"``, the default), the earliest right row
+    with ``right.time >= left.time`` (``direction="forward"``), or
+    whichever of the two sits closer in time
+    (``direction="nearest"``; ties → backward, the pandas rule) — the
+    three pandas ``merge_asof`` directions. ``tolerance`` (seconds, or
     plain units for numeric time columns) bounds how far away the
     match may be; out-of-tolerance matches become nulls (then drop
     under ``how="inner"``).
@@ -51,9 +53,14 @@ def asof_join(
     Scale shape is unchanged by the new knobs: one union-sort window
     per key (a single shuffle on ``on``), no per-key loops; tolerance
     is a post-mask on the carried match, never a join condition.
+    ``nearest`` runs BOTH direction windows over the same key
+    partitioning — a second within-partition sort, still the one
+    shuffle — and picks the closer candidate per row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward', or 'nearest', got {direction!r}"
+        )
     if tolerance is not None and tolerance < 0:
         raise ValueError(f"tolerance must be non-negative, got {tolerance}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_time)]
@@ -66,25 +73,52 @@ def asof_join(
         .withColumn("__is_left", F.lit(0))
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
     # backward scans time ascending, forward descending — either way
     # right rows sort before left rows at equal time (<= / >=
     # semantics), and among equal-time right rows the struct sort puts
     # the greatest payload last, so last() picks it deterministically
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    window = (
-        Window.partitionBy(on)
-        .orderBy(t_order, F.col("__is_left").asc(), F.col("__payload").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(window))
-    if tolerance is not None:
-        # the carried match is the CLOSEST candidate, so if it sits
-        # outside the tolerance every other candidate does too
-        delta = F.col("__t").cast("double") - F.col("__match").getField("__rt").cast("double")
-        if direction == "forward":
+    def _carry(dirn: str) -> F.Column:
+        t_order = F.col("__t").asc() if dirn == "backward" else F.col("__t").desc()
+        window = (
+            Window.partitionBy(on)
+            .orderBy(t_order, F.col("__is_left").asc(), F.col("__payload").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__payload", ignorenulls=True).over(window)
+
+    def _masked(match: F.Column, dirn: str) -> F.Column:
+        # the carried match is the CLOSEST candidate on its side, so if
+        # it sits outside the tolerance every other candidate does too
+        if tolerance is None:
+            return match
+        delta = F.col("__t").cast("double") - match.getField("__rt").cast("double")
+        if dirn == "forward":
             delta = -delta
+        return F.when(delta <= F.lit(float(tolerance)), match)
+
+    if direction == "nearest":
+        # both windows share the key partitioning: the second differs
+        # only in sort order, so it adds a within-partition sort, not a
+        # second Exchange; per row the closer candidate wins, ties →
+        # backward (the pandas rule)
+        carried = (
+            unioned.withColumn("__mb", _masked(_carry("backward"), "backward"))
+            .withColumn("__mf", _masked(_carry("forward"), "forward"))
+        )
+        t = F.col("__t").cast("double")
+        db = t - F.col("__mb").getField("__rt").cast("double")
+        df_ = F.col("__mf").getField("__rt").cast("double") - t
         carried = carried.withColumn(
-            "__match", F.when(delta <= F.lit(float(tolerance)), F.col("__match"))
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(db <= df_, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        ).drop("__mb", "__mf")
+    else:
+        carried = unioned.withColumn(
+            "__match", _masked(_carry(direction), direction)
         )
     out = carried.filter(F.col("__is_left") == 1)
     for col in right_cols:

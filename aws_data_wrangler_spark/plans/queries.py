@@ -2753,6 +2753,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_project": _embedding_pca_project,
     "benchmark_near_contamination": _benchmark_near_contamination,
     "ann_index_rebalance_search": _ann_index_rebalance_search,
+    # crossing round-7-changed code: asof_join grew direction="nearest"
+    # (the backward/forward carry refactored into a shared helper) —
+    # the registered asof row needs a fresh driver row over it
+    "events_asof_signup": _events_asof_signup,
     # --- the 31 entries riding round-4 driver rows — the oldest
     # below-window pedigree (ROUND4_FROZEN survivors after the r7
     # consolidation); after round 7 they would breach the two-round
@@ -2793,15 +2797,16 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- backfill: the oldest ROUND5_FROZEN rows pulled forward to
     # fill the window (they'd be due in round 8 anyway) ---
     "events_error_click_window": _events_error_click_window,
-    "dedup_exact": _dedup_exact,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN remainder riding round-5 rows and (b) the
     # ROUND6_FROZEN block riding fresh round-6 rows — code
     # byte-identical since. Enforced by tests/test_plans.py. ---
-    # dedup_normalized / io_parquet_roundtrip / db_jdbc_roundtrip were
-    # displaced from the window's round-5 backfill by the three NEW
-    # round-7 entries — they ride their fresh round-5 rows (ROUND5_FROZEN)
+    # dedup_exact / dedup_normalized / io_parquet_roundtrip /
+    # db_jdbc_roundtrip were displaced from the window's round-5
+    # backfill by the round-7 registrations — they ride their fresh
+    # round-5 rows (ROUND5_FROZEN)
+    "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
@@ -2813,7 +2818,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_merge_datasets": _io_merge_datasets,
     "ann_cosine_topk": _ann_cosine_topk,
     "ann_lsh_topk": _ann_lsh_topk,
-    "events_asof_signup": _events_asof_signup,
     "streaming_static_enrich": _streaming_static_enrich,
     "streaming_latest_per_user": _streaming_latest_per_user,
     "text_fingerprint": _text_fingerprint,

@@ -55,6 +55,52 @@ class TestAsofJoin:
         # event 3 @40 → none; event 4 (user 20) @50 → right @10 is earlier → none
         assert rows == {1: 101, 2: 102}
 
+    def test_nearest_direction_picks_closer_side(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(6)), (2, 10, _ts(26)), (3, 10, _ts(17)), (4, 20, _ts(50))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(10, _ts(2), 100), (10, _ts(8), 101), (10, _ts(30), 102), (20, _ts(56), 200)],
+            "user_id long, ts timestamp, payload long",
+        )
+        out = joins.asof_join(
+            left, right, on="user_id", right_cols=["payload"], direction="nearest"
+        )
+        rows = {r["event_id"]: r["payload"] for r in out.collect()}
+        # event 1 @6: backward @2 (gap 4) vs forward @8 (gap 2) → 101
+        # event 2 @26: backward @8 (18) vs forward @30 (4) → 102
+        # event 3 @17: @8 (9) vs @30 (13) → 101
+        # event 4 (user 20) @50: no backward, forward @56 → 200
+        assert rows == {1: 101, 2: 102, 3: 101, 4: 200}
+        # equidistant → backward (the pandas tie rule): @5 between @2/@8
+        tie = spark.createDataFrame(
+            [(9, 10, _ts(5))], "event_id long, user_id long, ts timestamp"
+        )
+        got = joins.asof_join(
+            tie, right, on="user_id", right_cols=["payload"], direction="nearest"
+        ).collect()
+        assert got[0]["payload"] == 100
+        # tolerance (seconds) masks each side independently at 5 min:
+        # e1 both in range → closer forward; e2 backward (18 min) out,
+        # forward (4 min) in; e3 (9/13 min) both out; e4 (6 min) out
+        tol = joins.asof_join(
+            left, right, on="user_id", right_cols=["payload"],
+            direction="nearest", tolerance=300.0, how="left",
+        )
+        rows = {r["event_id"]: r["payload"] for r in tol.collect()}
+        assert rows == {1: 101, 2: 102, 3: None, 4: None}
+        # still ONE exchange: the second direction's window reuses the
+        # key partitioning (a sort, not a shuffle)
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+
+        s = plan_summary(
+            joins.asof_join(
+                left, right, on="user_id", right_cols=["payload"], direction="nearest"
+            )
+        )
+        assert s["exchanges"] <= 2  # union window (+ AQE read), same as backward
+
     def test_tolerance_masks_stale_matches(self, spark):
         left = spark.createDataFrame(
             [(1, 10, _ts(5)), (2, 10, _ts(59))],

@@ -68,16 +68,16 @@ ROUND4_ROTATED_IN_R7 = {
 
 ROUND5_FROZEN = {
     # fresh green rows in CORRECTNESS_r05.json; code byte-identical
-    # since round 5. The oldest two (events_error_click_window,
-    # dedup_exact) and q6 were pulled INTO the round-7 window;
+    # since round 5. The oldest (events_error_click_window) and q6
+    # were pulled INTO the round-7 window; dedup_exact /
     # dedup_normalized / io_parquet_roundtrip / db_jdbc_roundtrip were
-    # displaced back below by the three NEW round-7 entries and ride
-    # their fresh round-5 rows. This is the below-window remainder.
+    # displaced back below by the round-7 registrations and ride their
+    # fresh round-5 rows. This is the below-window remainder.
     "dedup_normalized", "io_parquet_roundtrip", "db_jdbc_roundtrip",
     "events_session_window", "events_hourly_gapfill",
     "events_user_join_salted", "athena_ctas_roundtrip",
     "io_partition_pruned_read", "io_merge_datasets",
-    "ann_cosine_topk", "ann_lsh_topk", "events_asof_signup",
+    "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
     "streaming_static_enrich", "streaming_latest_per_user",
     "text_fingerprint", "dedup_duplicated_lines", "sample_epoch_mixture",
     "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
@@ -122,6 +122,8 @@ ROUND7_MUST_BE_IN_WINDOW = (
         # NEW in round 7
         "embedding_pca_project", "benchmark_near_contamination",
         "ann_index_rebalance_search",
+        # crossing round-7-changed code (asof_join nearest refactor)
+        "events_asof_signup",
         # riding its round-5 row, displaced below the r6 window late
         "q6_revenue_forecast",
     }
