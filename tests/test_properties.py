@@ -66,6 +66,20 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         want = None if pd.isna(row["rid"]) else int(row["rid"])
         assert got[key] == want, (key, got[key], want)
 
+    # direction="nearest" must match pandas too (closer side wins,
+    # equidistant → backward — the shared tie rule)
+    near = joins.asof_join(
+        ldf, rdf, on="k", right_cols=["rid"], how="left", direction="nearest"
+    )
+    got_n = {
+        (r["k"], r["ts"].timestamp(), r["lid"]): r["rid"] for r in near.collect()
+    }
+    expected_n = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    for _, row in expected_n.iterrows():
+        key = (row["k"], row["ts"].timestamp(), row["lid"])
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got_n[key] == want, (key, got_n[key], want)
+
 
 @settings(**SETTINGS)
 @given(
