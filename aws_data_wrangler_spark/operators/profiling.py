@@ -308,6 +308,21 @@ def distribution_drift(
     floor-truncated (the cross-engine ln convention of the surprisal
     family).
     """
+    bucket = psi_bucket_expr(col, edges)
+    b = baseline.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    c = current.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    return psi_profile_from_counts(b, c, eps=eps)
+
+
+def psi_bucket_expr(col: str, edges: Optional[List[float]] = None) -> "F.Column":
+    """The PSI bucketing expression shared by the batch profiler and
+    the streaming drift monitor: categorical by default (NULL → the
+    ``__null__`` bucket); with ``edges``, bucket index = count of edges
+    ≤ x — an exact integer in any engine. Pure projection, stream-safe."""
     if edges is not None:
         from functools import reduce
 
@@ -318,16 +333,22 @@ def distribution_drift(
                 for e in edges
             ],
         )
-        bucket = F.when(F.col(col).isNull(), F.lit("__null__")).otherwise(
+        return F.when(F.col(col).isNull(), F.lit("__null__")).otherwise(
             ix.cast("string")
         )
-    else:
-        bucket = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    return F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
 
-    def shares(df: DataFrame, n_name: str, share_name: str) -> DataFrame:
-        per = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias(n_name)
-        )
+
+def psi_profile_from_counts(
+    base_counts: DataFrame, cur_counts: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """(bucket, n_base) × (bucket, n_cur) → the PSI profile. Totals are
+    broadcast scalars over the bucket-sized count tables; a bucket
+    absent from one side gets true share 0 with the ``eps`` floor
+    before the log. Shared by ``distribution_drift`` and the streaming
+    monitor so both emit identical terms from identical counts."""
+
+    def shares(per: DataFrame, n_name: str, share_name: str) -> DataFrame:
         total = F.broadcast(per.agg(F.sum(n_name).alias("__all")))
         return per.crossJoin(total).select(
             "bucket",
@@ -335,9 +356,9 @@ def distribution_drift(
             (F.col(n_name).cast("double") / F.col("__all")).alias(share_name),
         )
 
-    b = shares(baseline, "n_base", "base_share")
-    c = shares(current, "n_cur", "cur_share")
-    joined = b.join(c, "bucket", "full_outer").select(
+    joined = shares(base_counts, "n_base", "base_share").join(
+        shares(cur_counts, "n_cur", "cur_share"), "bucket", "full_outer"
+    ).select(
         "bucket",
         F.coalesce("n_base", F.lit(0)).alias("n_base"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),

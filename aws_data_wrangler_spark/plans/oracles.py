@@ -1622,6 +1622,35 @@ ORACLES: Dict[str, str] = {
                    / 1000000.0 AS psi_term
         FROM tot ORDER BY dim, bucket
     """,
+    # the streaming monitor's availableNow replay == the batch profiler
+    # over the same parity split — the categorical half of the shared
+    # PSI replica, identical term arithmetic
+    "streaming_drift_monitor": """
+        WITH prof AS (
+            SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS bucket,
+                   event_id % 2 = 0 AS is_base
+            FROM events
+        ), counts AS (
+            SELECT bucket,
+                   CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                   CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+            FROM prof GROUP BY bucket
+        ), tot AS (
+            SELECT *,
+                   sum(n_base) OVER () AS tb,
+                   sum(n_cur) OVER () AS tc
+            FROM counts
+        )
+        SELECT bucket, n_base, n_cur,
+               n_base::DOUBLE / tb AS base_share,
+               n_cur::DOUBLE / tc AS cur_share,
+               floor((greatest(n_base::DOUBLE / tb, 1e-6) -
+                      greatest(n_cur::DOUBLE / tc, 1e-6)) *
+                     ln(greatest(n_base::DOUBLE / tb, 1e-6) /
+                        greatest(n_cur::DOUBLE / tc, 1e-6)) * 1000000.0)
+                   / 1000000.0 AS psi_term
+        FROM tot ORDER BY bucket
+    """,
     # the partitioned IVF+PQ search is value-identical to ivfpq_topk
     # with the same seeded artifacts — partition/column pruning changes
     # I/O, never results — so the replica is the existing IVF+PQ oracle

@@ -2285,6 +2285,24 @@ def _profiling_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame
     return cat.unionByName(num).orderBy("dim", "bucket")
 
 
+def _streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI monitor in its PRODUCTION position (r7, new): baseline
+    counts come from the static half of events (event_id parity), the
+    other half ARRIVES as a stream and is maintained as ONE
+    bucket-keyed stateful count in complete mode (state = one row per
+    event_type — bounded by construction, no watermark); availableNow
+    replay makes the cumulative counts equal the batch split, so the
+    oracle is the categorical half of the shared PSI replica."""
+    from aws_data_wrangler_spark import streaming
+
+    events = load(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 2 == 0)
+    stream = streaming.read_event_stream(
+        f"{sf_dir}/events.parquet", spark=spark
+    ).filter(F.col("event_id") % 2 == 1)
+    return streaming.drift_monitor(stream, base, "event_type").orderBy("bucket")
+
+
 # ---- round-3 LATE additions (registered after the driver window was
 # frozen; they sit BELOW the window this round and rotate in next —
 # each verified against its oracle at sf0.001 AND sf0.01 via
@@ -2726,8 +2744,6 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codegen, parquet reader) are sub-second plans. Enforced by
 # tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- window leader: sub-second warmup absorber (fresh r6 row) ---
-    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
     # --- the nine ROUND6_LATE entries rotating IN, FIRST, exactly as
     # VERDICT r6 'next' #1 ordered: registered after the round-6 window
     # filled, 3-SF verified in-session, no driver row yet ---
@@ -2753,10 +2769,15 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_project": _embedding_pca_project,
     "benchmark_near_contamination": _benchmark_near_contamination,
     "ann_index_rebalance_search": _ann_index_rebalance_search,
+    "streaming_drift_monitor": _streaming_drift_monitor,
     # crossing round-7-changed code: asof_join grew direction="nearest"
     # (the backward/forward carry refactored into a shared helper) —
-    # the registered asof row needs a fresh driver row over it
+    # the registered asof row needs a fresh driver row over it; the
+    # PSI profiler refactored into shared psi_bucket_expr /
+    # psi_profile_from_counts for the streaming monitor, so the batch
+    # drift row needs one too
     "events_asof_signup": _events_asof_signup,
+    "profiling_distribution_drift": _profiling_distribution_drift,
     # --- the 31 entries riding round-4 driver rows — the oldest
     # below-window pedigree (ROUND4_FROZEN survivors after the r7
     # consolidation); after round 7 they would breach the two-round
@@ -2796,16 +2817,18 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
     # --- backfill: the oldest ROUND5_FROZEN rows pulled forward to
     # fill the window (they'd be due in round 8 anyway) ---
-    "events_error_click_window": _events_error_click_window,
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN remainder riding round-5 rows and (b) the
     # ROUND6_FROZEN block riding fresh round-6 rows — code
     # byte-identical since. Enforced by tests/test_plans.py. ---
-    # dedup_exact / dedup_normalized / io_parquet_roundtrip /
-    # db_jdbc_roundtrip were displaced from the window's round-5
-    # backfill by the round-7 registrations — they ride their fresh
+    # q1 (fresh r6 row) gave up its traditional leader slot to the
+    # round-7 registrations; the former round-5 backfill pulls
+    # (events_error_click_window, dedup_exact, dedup_normalized,
+    # io_parquet_roundtrip, db_jdbc_roundtrip) ride their fresh
     # round-5 rows (ROUND5_FROZEN)
+    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
+    "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
     "io_parquet_roundtrip": _io_parquet_roundtrip,
@@ -2883,7 +2906,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_index_ingest": _streaming_index_ingest,
     "ann_mmr_rerank": _ann_mmr_rerank,
     "ann_index_delete_search": _ann_index_delete_search,
-    "profiling_distribution_drift": _profiling_distribution_drift,
     "profiling_hll_invariants": _profiling_hll_invariants,
 }
 

@@ -757,3 +757,44 @@ def index_ingest_sink(
             f"index ingest did not drain the backlog within {timeout_s}s "
             f"(committed batches are durable; rerun to resume)"
         )
+
+
+def drift_monitor(
+    stream: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    edges=None,
+    eps: float = 1e-6,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """PSI drift of an ARRIVING stream against a static baseline — the
+    streaming twin of ``profiling.distribution_drift``, in the position
+    a production pipeline actually wants it: watching today's crawl
+    drift WHILE it lands instead of after the batch closes. The stream
+    side is ONE bucket-keyed stateful count aggregate — state is one
+    row per bucket, bounded by construction (categorical cardinality,
+    or ``len(edges)+2`` numeric buckets), so no watermark or eviction
+    is needed — maintained in complete mode across micro-batches; the
+    materialized cumulative counts then flow through the SAME shared
+    PSI builder as the batch profiler (``psi_bucket_expr`` /
+    ``psi_profile_from_counts`` are literally shared), so an
+    availableNow replay of a backlog equals the batch
+    ``distribution_drift`` over the same rows term-for-term.
+    """
+    from aws_data_wrangler_spark.operators.profiling import (
+        psi_bucket_expr,
+        psi_profile_from_counts,
+    )
+
+    bucket = psi_bucket_expr(col, edges)
+    cur = run_available_now(
+        stream.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_cur")),
+        timeout_s=timeout_s,
+        output_mode="complete",
+    )
+    base = baseline.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    return psi_profile_from_counts(base, cur, eps=eps)

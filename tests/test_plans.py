@@ -73,6 +73,7 @@ ROUND5_FROZEN = {
     # dedup_normalized / io_parquet_roundtrip / db_jdbc_roundtrip were
     # displaced back below by the round-7 registrations and ride their
     # fresh round-5 rows. This is the below-window remainder.
+    "events_error_click_window",
     "dedup_normalized", "io_parquet_roundtrip", "db_jdbc_roundtrip",
     "events_session_window", "events_hourly_gapfill",
     "events_user_join_salted", "athena_ctas_roundtrip",
@@ -109,7 +110,10 @@ ROUND6_FROZEN = {
     "pretraining_shard_export", "streaming_dsir_gate",
     "ann_ivfpq_partitioned_search", "text_length_histogram",
     "streaming_index_ingest", "ann_mmr_rerank", "ann_index_delete_search",
-    "profiling_distribution_drift", "profiling_hll_invariants",
+    "profiling_hll_invariants",
+    # q1 (the former window leader, fresh r6 row) gave up its slot to
+    # the round-7 registrations
+    "q1_pricing_summary",
 }
 
 ROUND7_MUST_BE_IN_WINDOW = (
@@ -122,8 +126,10 @@ ROUND7_MUST_BE_IN_WINDOW = (
         # NEW in round 7
         "embedding_pca_project", "benchmark_near_contamination",
         "ann_index_rebalance_search",
-        # crossing round-7-changed code (asof_join nearest refactor)
-        "events_asof_signup",
+        # crossing round-7-changed code (asof_join nearest refactor;
+        # PSI profiler refactored for the streaming monitor)
+        "events_asof_signup", "profiling_distribution_drift",
+        "streaming_drift_monitor",
         # riding its round-5 row, displaced below the r6 window late
         "q6_revenue_forecast",
     }

@@ -567,3 +567,34 @@ class TestIndexIngestSink:
             spark, compacted, queries, seeds, k=5, nprobe=4
         )
         assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
+
+
+class TestDriftMonitor:
+    def test_stream_drift_equals_batch_profiler(self, spark):
+        # availableNow replay of the current half as a stream must
+        # reproduce the batch PSI profile term-for-term (the bucketing
+        # and psi expressions are literally shared)
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import profiling
+        from aws_data_wrangler_spark.plans.queries import load
+
+        events = load(spark, SF_DIR, "events")
+        base = events.filter(F.col("event_id") % 2 == 0)
+        cur_batch = events.filter(F.col("event_id") % 2 == 1)
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/events.parquet", spark=spark
+        ).filter(F.col("event_id") % 2 == 1)
+        got = streaming.drift_monitor(stream, base, "event_type")
+        want = profiling.distribution_drift(base, cur_batch, "event_type")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        # the numeric-edges path streams identically (bounded buckets)
+        edges = [0.0, 10.0, 50.0]
+        got_n = streaming.drift_monitor(
+            streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark)
+            .filter(F.col("event_id") % 2 == 1),
+            base, "value", edges=edges,
+        )
+        want_n = profiling.distribution_drift(base, cur_batch, "value", edges=edges)
+        assert sorted(map(tuple, got_n.collect())) == sorted(map(tuple, want_n.collect()))
