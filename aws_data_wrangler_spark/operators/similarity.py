@@ -1566,12 +1566,23 @@ def rebalance_partitioned_index(
         load_tombstones(spark, index_path, id_col),
         id_col,
     )
-    layout = {id_col, vec_col, "vnorm", "cid", "codes"}
+    # layout detection follows the SIDECAR, not the column name: only a
+    # genuine IVF+PQ index reserves "codes" — a plain-IVF index may
+    # legally carry a metadata column called "codes" and must keep it
+    sidecar = f"{index_path.rstrip('/')}/_codebooks.json"
+    is_pq = does_object_exist(sidecar, spark=spark)
+    layout = {id_col, vec_col, "vnorm", "cid"} | ({"codes"} if is_pq else set())
     metadata_cols = [c for c in rows.columns if c not in layout]
     corpus = rows.select(id_col, vec_col, *metadata_cols)
     cent_ids, cent_vecs = collect_centroids(centroids, max_cells=max_cells)
-    sidecar = f"{index_path.rstrip('/')}/_codebooks.json"
-    if does_object_exist(sidecar, spark=spark):
+    if is_pq:
+        if metric != "l2":
+            raise ValueError(
+                "the IVF+PQ layout assigns cells with the l2 key (the "
+                "build_partitioned_ivfpq convention) — rebalancing it "
+                f"with metric={metric!r} would cluster differently than "
+                "every search expects; pass metric='l2'"
+            )
         books = load_pq_codebooks(sidecar, spark=spark)
         fresh = ivfpq_index_rows(
             corpus, cent_ids, cent_vecs, books, id_col=id_col,

@@ -109,10 +109,14 @@ def mad_anomalies(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("__season", season)
         # the count table feeds THREE derivations (med, dev, scored);
-        # localCheckpoint materializes it once — buckets-per-key-sized
-        # by construction — so the raw-event count aggregate runs one
-        # time, not once per un-reused exchange
-        .localCheckpoint(eager=False)
+        # cache() materializes it once — buckets-per-key-sized by
+        # construction — so the raw-event count aggregate runs one
+        # time, not once per un-reused exchange. cache, NOT
+        # localCheckpoint: checkpoint blocks have no lineage, so one
+        # lost executor kills the job on a real cluster, and they
+        # survive catalog.clearCache() — a cached plan recomputes on
+        # loss and is released by the standard cache hygiene
+        .cache()
     )
     grp = ["key", "__season"]
     med = hourly.groupBy(*grp).agg(

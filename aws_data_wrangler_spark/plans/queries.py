@@ -2815,18 +2815,18 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     # --- riding its round-5 row (displaced below the r6 window late) ---
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- backfill: the oldest ROUND5_FROZEN rows pulled forward to
-    # fill the window (they'd be due in round 8 anyway) ---
     # --- driver window boundary: the driver verifies the FIRST 50
     # entries, i.e. everything ABOVE this comment. Below sit only
     # (a) the ROUND5_FROZEN remainder riding round-5 rows and (b) the
     # ROUND6_FROZEN block riding fresh round-6 rows — code
     # byte-identical since. Enforced by tests/test_plans.py. ---
-    # q1 (fresh r6 row) gave up its traditional leader slot to the
-    # round-7 registrations; the former round-5 backfill pulls
+    # q1 (fresh r6 row) gave up its traditional leader slot, and the
+    # round-5 backfill pulls were displaced back below one by one, as
+    # the round-7 registrations claimed window slots: all five
     # (events_error_click_window, dedup_exact, dedup_normalized,
-    # io_parquet_roundtrip, db_jdbc_roundtrip) ride their fresh
-    # round-5 rows (ROUND5_FROZEN)
+    # io_parquet_roundtrip, db_jdbc_roundtrip) sit HERE, below the
+    # boundary, riding their fresh round-5 rows (ROUND5_FROZEN) — due
+    # for rotation in round 8
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,

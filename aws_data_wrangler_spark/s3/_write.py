@@ -248,20 +248,36 @@ def to_parquet(
     options.setdefault("compression", compression or "none")
     if max_rows_by_file:
         options.setdefault("maxRecordsPerFile", str(int(max_rows_by_file)))
+    if sanitize_columns:
+        from aws_data_wrangler_spark import catalog
+
+        df = catalog.sanitize_dataframe_columns_names(df)
     if bloom_filter_cols:
+        # resolve AFTER sanitize (the writer option must name the
+        # on-disk column) and reject partition columns loudly — they
+        # become directories, never data-file columns, so a "bloom
+        # filter" on one would silently never exist
+        if sanitize_columns:
+            from aws_data_wrangler_spark import catalog
+
+            bloom_filter_cols = [
+                catalog.sanitize_column_name(c) for c in bloom_filter_cols
+            ]
         missing = [c for c in bloom_filter_cols if c not in df.columns]
         if missing:
             raise ValueError(f"bloom_filter_cols not in the frame: {missing}")
+        in_parts = [c for c in bloom_filter_cols if c in (partition_cols or [])]
+        if in_parts:
+            raise ValueError(
+                f"bloom_filter_cols {in_parts} are partition columns — they "
+                f"never reach the data files, so no bloom filter can be written"
+            )
         for c in bloom_filter_cols:
             options[f"parquet.bloom.filter.enabled#{c}"] = "true"
             if bloom_filter_ndv:
                 options[f"parquet.bloom.filter.expected.ndv#{c}"] = str(
                     int(bloom_filter_ndv)
                 )
-    if sanitize_columns:
-        from aws_data_wrangler_spark import catalog
-
-        df = catalog.sanitize_dataframe_columns_names(df)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     return _write(

@@ -787,13 +787,31 @@ def drift_monitor(
     )
 
     bucket = psi_bucket_expr(col, edges)
-    cur = run_available_now(
+    counts = (
         stream.select(bucket.alias("bucket"))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_cur")),
-        timeout_s=timeout_s,
-        output_mode="complete",
+        .agg(F.count(F.lit(1)).alias("n_cur"))
     )
+    # own the query lifecycle instead of run_available_now: a monitor
+    # that silently profiles a PARTIALLY-drained backlog reports
+    # understated drift — the worst failure mode it can have — so a
+    # timeout raises (the index_ingest_sink contract)
+    name = f"sg_drift_{uuid.uuid4().hex[:8]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"drift monitor did not drain the backlog within {timeout_s}s — "
+            f"a partial profile would understate drift; rerun with a larger "
+            f"timeout_s"
+        )
+    cur = stream.sparkSession.table(name)
     base = baseline.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_base")
     )

@@ -84,6 +84,12 @@ HEADLINE = [
     # probe + exact confirm join; tracks the incremental-dedup gate's
     # end-to-end cost
     "dedup_bloom_ingest_gate",
+    # round-7 addition: the index-maintenance rung end-to-end — build
+    # the 32-cell index, tombstone-delete, re-cluster around a 16-cell
+    # quantizer (read index → physical delete → re-assign → clustered
+    # rewrite), search the rebalanced index; two full builds inline,
+    # build-dominated by design
+    "ann_index_rebalance_search",
 ]
 
 

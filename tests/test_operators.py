@@ -1141,6 +1141,52 @@ class TestSimilarity:
         )
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
 
+    def test_rebalance_keeps_metadata_named_codes_on_ivf(
+        self, spark, embeddings, tmp_path
+    ):
+        # layout detection follows the SIDECAR: a plain-IVF index may
+        # legally carry a metadata column called "codes", and rebalance
+        # must carry it — only a genuine PQ index reserves the name
+        from pyspark.sql import Window as W
+
+        tagged = embeddings.withColumn("codes", F.col("vec_id") % 3)
+        seeds = (
+            embeddings.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_codesmeta")
+        similarity.build_partitioned_ivf(
+            tagged, seeds, index, metric="cosine", metadata_cols=["codes"]
+        )
+        target = str(tmp_path / "ivf_codesmeta_dst")
+        similarity.rebalance_partitioned_index(
+            spark, index, seeds, target, metric="cosine"
+        )
+        back = spark.read.parquet(target)
+        assert "codes" in back.columns
+        assert back.filter(F.col("codes") != F.col("vec_id") % 3).count() == 0
+
+    def test_rebalance_pq_rejects_non_l2_metric(self, spark, embeddings, tmp_path):
+        # the PQ layout assigns cells with the l2 key; asking for a
+        # different metric must fail loudly, not silently re-cluster l2
+        import pytest as _pytest
+        from pyspark.sql import Window as W
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "pq_metric_src")
+        similarity.build_partitioned_ivfpq(
+            embeddings, seeds, index, m=8, num_codes=16, iterations=0
+        )
+        with _pytest.raises(ValueError, match="l2"):
+            similarity.rebalance_partitioned_index(
+                spark, index, seeds, str(tmp_path / "pq_metric_dst"), metric="cosine"
+            )
+
     def test_rebalance_reencodes_pq_residuals(self, spark, embeddings, tmp_path):
         # an IVF+PQ index's codes are residuals vs the OLD cell
         # centroid — rebalance must RE-encode them against the new

@@ -37,10 +37,10 @@ def test_rows_only_set_is_intentional():
 # sampling.py, the null-cid exclusion in similarity.cell_occupancy),
 # (c) ALL 31 entries still riding round-4 driver rows — the oldest
 # pedigree, due this round or they breach the two-round staleness
-# invariant — plus q6 riding its round-5 row, and (d) a backfill of
-# the oldest ROUND5_FROZEN rows. Below the boundary sit only the
-# ROUND5_FROZEN remainder (round-5 rows) and the ROUND6_FROZEN block
-# (fresh round-6 rows), each over byte-identical code.
+# invariant — plus q6 riding its round-5 row, and (d) the round's NEW
+# registrations. Below the boundary sit only the ROUND5_FROZEN
+# remainder (round-5 rows) and the ROUND6_FROZEN block (fresh round-6
+# rows), each over byte-identical code.
 
 ROUND6_LATE_ROTATED_IN_R7 = {
     "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
@@ -68,11 +68,13 @@ ROUND4_ROTATED_IN_R7 = {
 
 ROUND5_FROZEN = {
     # fresh green rows in CORRECTNESS_r05.json; code byte-identical
-    # since round 5. The oldest (events_error_click_window) and q6
-    # were pulled INTO the round-7 window; dedup_exact /
-    # dedup_normalized / io_parquet_roundtrip / db_jdbc_roundtrip were
-    # displaced back below by the round-7 registrations and ride their
-    # fresh round-5 rows. This is the below-window remainder.
+    # since round 5. q6 rotated INTO the round-7 window; the five
+    # oldest entries (events_error_click_window, dedup_exact,
+    # dedup_normalized, io_parquet_roundtrip, db_jdbc_roundtrip) were
+    # provisionally pulled forward as backfill and then displaced back
+    # below, one per round-7 registration — every one rides its fresh
+    # round-5 row and is due for rotation in round 8. This is the
+    # below-window remainder.
     "events_error_click_window",
     "dedup_normalized", "io_parquet_roundtrip", "db_jdbc_roundtrip",
     "events_session_window", "events_hourly_gapfill",

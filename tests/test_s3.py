@@ -566,6 +566,33 @@ class TestBloomFilterWrite:
 
         with _pytest.raises(ValueError, match="bloom_filter_cols"):
             s3.to_parquet(df, out, bloom_filter_cols=["nope"], spark=spark)
+        # partition columns never reach data files — a "bloom filter"
+        # on one would silently not exist, so it's rejected
+        with _pytest.raises(ValueError, match="partition columns"):
+            s3.to_parquet(
+                df, out, dataset=True, partition_cols=["grp"],
+                bloom_filter_cols=["grp"], spark=spark,
+            )
+
+    def test_bloom_filters_follow_sanitized_names(self, spark, tmp_prefix):
+        # bloom options must name the ON-DISK column: with
+        # sanitize_columns=True the requested name is sanitized the
+        # same way the frame is, so the filter still lands
+        from aws_data_wrangler_spark import s3
+
+        df = spark.range(500).selectExpr(
+            "id AS `Doc Id`", "concat('t', id) AS text"
+        ).coalesce(1)
+        out = f"{tmp_prefix}/bloom_sanitized"
+        s3.to_parquet(
+            df, out, dataset=True, mode="overwrite", sanitize_columns=True,
+            bloom_filter_cols=["Doc Id"], bloom_filter_ndv=500, spark=spark,
+        )
+        data_file = next(
+            p for p in s3.list_objects(f"{out}/", spark=spark) if p.endswith(".parquet")
+        )
+        flags = s3.read_parquet_bloom_filters(data_file, spark=spark)
+        assert flags == {"doc_id": True, "text": False}
 
 
 class TestBotocoreKwargShim:
