@@ -56,6 +56,97 @@ def gapfill_rollup(
     )
 
 
+def _season_expr(seasonal):
+    if seasonal is None:
+        return F.lit(0)
+    if seasonal == "hour_of_day":
+        return F.hour(F.col("bucket_ts"))
+    if seasonal == "day_of_week":
+        return F.dayofweek(F.col("bucket_ts"))
+    raise ValueError(
+        f"seasonal must be None, 'hour_of_day', or 'day_of_week'; got {seasonal!r}"
+    )
+
+
+def bucket_counts(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    seasonal: str = None,
+) -> DataFrame:
+    """(key, bucket_ts, n, __season): the bucketed count table every
+    robust-anomaly step consumes — one map-side-combining aggregate
+    over the raw events, buckets-per-key-sized output."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__season", _season_expr(seasonal))
+    )
+
+
+def robust_centers(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    seasonal: str = None,
+) -> DataFrame:
+    """Train the (median, MAD) robust centers per key (and per seasonal
+    phase) from a HISTORY window — the offline half of the anomaly
+    monitor: centers are the artifact a production deployment trains on
+    yesterday's traffic and scores today's stream against
+    (``streaming.anomaly_monitor``). Output (key, __season, med, mad);
+    two key-grouped exact-percentile aggregates over the bucket-sized
+    count table, never a second corpus scan."""
+    counts = bucket_counts(df, time_col, key_col, bucket, seasonal).cache()
+    grp = ["key", "__season"]
+    med = counts.groupBy(*grp).agg(F.expr("percentile(n, 0.5)").alias("med"))
+    return (
+        counts.join(F.broadcast(med), grp)
+        .select(*grp, "med", (F.abs(F.col("n") - F.col("med"))).alias("adev"))
+        .groupBy(*grp, "med")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+        .select(*grp, "med", "mad")
+    )
+
+
+def score_anomalies(
+    counts: DataFrame,
+    centers: DataFrame,
+    key_col: str = "event_type",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Score a bucketed count table against trained centers: the
+    modified z-score |0.6745·(n − med)| / MAD, flagged rows only
+    (score > threshold; MAD = 0 keys yield no flags — score undefined,
+    the textbook treatment). The centers table is key-cardinality-sized
+    and broadcasts; buckets whose key/phase has no trained center drop
+    (a monitor cannot score what it never saw — train wider instead)."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    grp = ["key", "__season"]
+    scored = (
+        counts.join(F.broadcast(centers), grp)
+        .filter(F.col("mad") > 0)
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_ts",
+            "n",
+            "med",
+            "mad",
+            trunc_digits(
+                F.abs(F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"))
+            ).alias("score"),
+        )
+    )
+    return scored.filter(F.col("score") > threshold)
+
+
 def mad_anomalies(
     df: DataFrame,
     time_col: str = "ts",
@@ -70,15 +161,17 @@ def mad_anomalies(
     median/MAD pair survives the very outliers a mean/stddev rule is
     dragged toward, which is why it's the standard ops-monitoring
     detector. Output: (key, bucket_ts, n, med, mad, score) for flagged
-    buckets only.
+    buckets only. Self-trained: centers come from the same window being
+    scored (``robust_centers`` + ``score_anomalies`` compose the
+    offline-train / online-score split the streaming monitor uses).
 
     Plan shape: one bucketed count aggregate, then TWO key-grouped
     exact-percentile aggregates over the already-tiny per-bucket count
     table (buckets-per-key rows, never raw events), broadcast back —
     no global window, no second scan of the corpus. Exact
     ``percentile`` (R-7 interpolation) matches DuckDB's
-    ``quantile_cont`` bit-for-bit — the events_value_percentiles
-    precedent; the score is 6dp floor-truncated. An all-identical key
+    ``quantile_cont`` bit-for-bit — the shared percentile-replica
+    convention; the score is 6dp floor-truncated. An all-identical key
     (MAD = 0) yields no flags (score undefined ⇒ filtered), matching
     the textbook treatment.
 
@@ -88,59 +181,19 @@ def mad_anomalies(
     flag every business hour; the bucket is compared against peers of
     the same phase. Same plan shape, one extra tiny grouping column.
     """
-    from aws_data_wrangler_spark.functions import trunc_digits
-
-    if seasonal is None:
-        season = F.lit(0)
-    elif seasonal == "hour_of_day":
-        season = F.hour(F.col("bucket_ts"))
-    elif seasonal == "day_of_week":
-        season = F.dayofweek(F.col("bucket_ts"))
-    else:
-        raise ValueError(
-            f"seasonal must be None, 'hour_of_day', or 'day_of_week'; got {seasonal!r}"
-        )
-    hourly = (
-        df.select(
-            F.col(key_col).alias("key"),
-            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
-        )
-        .groupBy("key", "bucket_ts")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("__season", season)
-        # the count table feeds THREE derivations (med, dev, scored);
-        # cache() materializes it once — buckets-per-key-sized by
-        # construction — so the raw-event count aggregate runs one
-        # time, not once per un-reused exchange. cache, NOT
-        # localCheckpoint: checkpoint blocks have no lineage, so one
-        # lost executor kills the job on a real cluster, and they
-        # survive catalog.clearCache() — a cached plan recomputes on
-        # loss and is released by the standard cache hygiene
-        .cache()
-    )
+    # the count table feeds the centers AND the scoring pass; cache()
+    # materializes it once — buckets-per-key-sized by construction.
+    # cache, NOT localCheckpoint: checkpoint blocks have no lineage, so
+    # one lost executor kills the job on a real cluster, and they
+    # survive catalog.clearCache()
+    counts = bucket_counts(df, time_col, key_col, bucket, seasonal).cache()
     grp = ["key", "__season"]
-    med = hourly.groupBy(*grp).agg(
-        F.expr("percentile(n, 0.5)").alias("med")
-    )
-    dev = (
-        hourly.join(F.broadcast(med), grp)
-        .select(*grp, (F.abs(F.col("n") - F.col("med"))).alias("adev"))
-        .groupBy(*grp)
+    med = counts.groupBy(*grp).agg(F.expr("percentile(n, 0.5)").alias("med"))
+    centers = (
+        counts.join(F.broadcast(med), grp)
+        .select(*grp, "med", (F.abs(F.col("n") - F.col("med"))).alias("adev"))
+        .groupBy(*grp, "med")
         .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+        .select(*grp, "med", "mad")
     )
-    scored = (
-        hourly.join(F.broadcast(med), grp)
-        .join(F.broadcast(dev), grp)
-        .filter(F.col("mad") > 0)
-        .select(
-            F.col("key").alias(key_col),
-            "bucket_ts",
-            "n",
-            "med",
-            "mad",
-            trunc_digits(
-                F.abs(F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"))
-            ).alias("score"),
-        )
-    )
-    return scored.filter(F.col("score") > threshold)
+    return score_anomalies(counts, centers, key_col=key_col, threshold=threshold)

@@ -1297,6 +1297,39 @@ ORACLES: Dict[str, str] = {
     # probe is a stateless projection and the confirm a stream-static
     # join, so the batch key-existence replica applies verbatim
     "streaming_bloom_gate": _BLOOM_GATE_ORACLE,
+    # offline-trained centers (even half) scoring the streamed odd
+    # half: the availableNow replay == the batch scorer over the same
+    # counts, so the replica trains/scores the two halves directly
+    "streaming_anomaly_monitor": """
+        WITH hist AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                   count(*) AS n
+            FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+        ), cur AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                   count(*) AS n
+            FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+        ), med AS (
+            SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM hist GROUP BY event_type
+        ), mad AS (
+            SELECT h.event_type, quantile_cont(abs(h.n - m.med), 0.5) AS mad
+            FROM hist h JOIN med m USING (event_type)
+            GROUP BY h.event_type
+        ), scored AS (
+            SELECT c.event_type,
+                   strftime(c.bucket_ts, '%Y-%m-%d %H:00:00') AS hour_ts,
+                   c.n, m.med, d.mad,
+                   floor(abs(0.6745 * (c.n - m.med) / d.mad) * 1000000.0)
+                       / 1000000.0 AS score
+            FROM cur c
+            JOIN med m USING (event_type)
+            JOIN mad d USING (event_type)
+            WHERE d.mad > 0
+        )
+        SELECT * FROM scored WHERE score > 0.5
+        ORDER BY event_type, hour_ts
+    """,
     # filtered search on the COMPRESSED tier: the label predicate
     # restricts ADC candidate pairs only — training/assignment/probing
     # see the full corpus, the vector-DB filtered-search contract

@@ -2030,6 +2030,35 @@ def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_ts")
 
 
+def _streaming_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust anomaly detector in its PRODUCTION position (r7-late,
+    new): (median, MAD) centers trained OFFLINE on the event_id-even
+    history half, the odd half ARRIVING as a stream whose hourly counts
+    are one calendar-bounded stateful aggregate; the materialized
+    counts run the same `score_anomalies` scorer, so the availableNow
+    replay equals scoring the backlog as a batch — which is the oracle
+    (centers from the even half, scored buckets of the odd half, the
+    shared quantile replica). threshold=0.5 so the parity split's
+    natural count noise emits a rich verified row set."""
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import timeseries
+
+    events = load(spark, sf_dir, "events")
+    centers = timeseries.robust_centers(events.filter(F.col("event_id") % 2 == 0))
+    stream = streaming.read_event_stream(
+        f"{sf_dir}/events.parquet", spark=spark
+    ).filter(F.col("event_id") % 2 == 1)
+    out = streaming.anomaly_monitor(stream, centers, threshold=0.5)
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+        "n",
+        "med",
+        "mad",
+        "score",
+    ).orderBy("event_type", "hour_ts")
+
+
 def _streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom ingest gate in its PRODUCTION position — on the
     stream: the probe is a pure projection (the bitset rides a plan
@@ -2907,6 +2936,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mmr_rerank": _ann_mmr_rerank,
     "ann_index_delete_search": _ann_index_delete_search,
     "profiling_hll_invariants": _profiling_hll_invariants,
+    # --- round-7 LATE addition (registered after the 50-entry window
+    # filled; verified against its oracle at sf0.001, sf0.01 AND sf0.1
+    # via tools/check_oracles in the round-7 session; rotates into the
+    # round-8 window FIRST — the round-3/round-6 late precedent) ---
+    "streaming_anomaly_monitor": _streaming_anomaly_monitor,
 }
 
 

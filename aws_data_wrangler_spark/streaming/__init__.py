@@ -816,3 +816,65 @@ def drift_monitor(
         F.count(F.lit(1)).alias("n_base")
     )
     return psi_profile_from_counts(base, cur, eps=eps)
+
+
+def anomaly_monitor(
+    stream: DataFrame,
+    centers: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    threshold: float = 3.5,
+    seasonal: str = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Robust anomaly detection in its PRODUCTION position: score an
+    ARRIVING event stream against (median, MAD) centers trained offline
+    on a history window (``timeseries.robust_centers``) — the
+    offline-train / online-score split every ops monitor deploys, and
+    the same pre-trained-artifact pattern as the DSIR ingest gate. The
+    stream side is ONE (key, bucket)-keyed stateful count in complete
+    mode — state is one row per key × time bucket, CALENDAR-bounded
+    (8,760 hourly buckets per key-year — the gap-fill spine magnitude),
+    not data-bounded — so a day's backlog replay holds trivial state;
+    the materialized counts then run the SAME ``score_anomalies``
+    scorer as the batch detector, so an availableNow replay equals
+    scoring the backlog as a batch. A timeout raises rather than
+    scoring a partially-drained backlog (the ``drift_monitor``
+    contract). Output: flagged (key, bucket_ts, n, med, mad, score)
+    rows only.
+    """
+    from aws_data_wrangler_spark.operators.timeseries import (
+        _season_expr,
+        score_anomalies,
+    )
+
+    counts = (
+        stream.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"sg_anomaly_{uuid.uuid4().hex[:8]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"anomaly monitor did not drain the backlog within {timeout_s}s — "
+            f"scoring partial bucket counts would mis-flag every open bucket; "
+            f"rerun with a larger timeout_s"
+        )
+    materialized = stream.sparkSession.table(name).withColumn(
+        "__season", _season_expr(seasonal)
+    )
+    return score_anomalies(
+        materialized, centers, key_col=key_col, threshold=threshold
+    )

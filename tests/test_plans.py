@@ -137,6 +137,13 @@ ROUND7_MUST_BE_IN_WINDOW = (
     }
 )
 
+ROUND7_LATE = {
+    # registered after the round-7 window filled (the round-3/round-6
+    # late precedent): verified at sf0.001 + sf0.01 + sf0.1 in the
+    # round-7 session; rotates into the round-8 window FIRST
+    "streaming_anomaly_monitor",
+}
+
 RETIRED_R7 = {
     # plan-subsumed entries retired with covered-by annotations
     # (SURVEY §2 / queries.py); the operators stay implemented and
@@ -158,7 +165,7 @@ def test_retired_entries_are_gone():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND5_FROZEN - ROUND6_FROZEN
+    unaccounted = below - ROUND5_FROZEN - ROUND6_FROZEN - ROUND7_LATE
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )

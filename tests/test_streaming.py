@@ -569,6 +569,44 @@ class TestIndexIngestSink:
         assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
 
 
+class TestAnomalyMonitor:
+    def test_stream_scoring_equals_batch_scorer(self, spark):
+        # offline-trained centers + streamed counts must equal the
+        # batch score_anomalies over the same buckets (the scorer and
+        # the count expressions are literally shared)
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import timeseries
+        from aws_data_wrangler_spark.plans.queries import load
+
+        events = load(spark, SF_DIR, "events")
+        centers = timeseries.robust_centers(events.filter(F.col("event_id") % 2 == 0))
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/events.parquet", spark=spark
+        ).filter(F.col("event_id") % 2 == 1)
+        got = streaming.anomaly_monitor(stream, centers, threshold=0.0)
+        batch_counts = timeseries.bucket_counts(
+            events.filter(F.col("event_id") % 2 == 1)
+        )
+        want = timeseries.score_anomalies(batch_counts, centers, threshold=0.0)
+        k = lambda r: (r["event_type"], str(r["bucket_ts"]))
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            map(tuple, want.collect()), key=str
+        )
+        # self-trained composition unchanged: mad_anomalies ==
+        # robust_centers + score_anomalies over its own counts
+        own = timeseries.mad_anomalies(events, threshold=3.5)
+        composed = timeseries.score_anomalies(
+            timeseries.bucket_counts(events),
+            timeseries.robust_centers(events),
+            threshold=3.5,
+        )
+        assert sorted(map(tuple, own.collect()), key=str) == sorted(
+            map(tuple, composed.collect()), key=str
+        )
+
+
 class TestDriftMonitor:
     def test_stream_drift_equals_batch_profiler(self, spark):
         # availableNow replay of the current half as a stream must
