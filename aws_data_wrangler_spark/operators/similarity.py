@@ -1883,6 +1883,50 @@ def load_pq_codebooks(path: str, spark=None) -> List[List[List[float]]]:
     return books
 
 
+def save_pca(pca: dict, path: str, spark=None) -> None:
+    """Persist a ``train_pca`` artifact as JSON (the ``save_pq_codebooks``
+    convention — doubles round-trip exactly via repr), completing the
+    trained-artifact persistence set: the PCA pre-transform is trained
+    offline like the quantizers it feeds, so it needs the same
+    save → ship → ``pca_project`` lifecycle."""
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    payload = {
+        "format": "pca",
+        "dim": len(pca["mean"]),
+        "out_dim": len(pca["components"]),
+        "mean": [float(x) for x in pca["mean"]],
+        "components": [[float(x) for x in c] for c in pca["components"]],
+        "explained_variance": [float(x) for x in pca.get("explained_variance", [])],
+    }
+    with open_s3_object(path, "w", spark=spark) as f:
+        json.dump(payload, f)
+
+
+def load_pca(path: str, spark=None) -> dict:
+    """Load a ``save_pca`` artifact — validated shape, floats exact."""
+    import json
+
+    from aws_data_wrangler_spark.s3._fs import open_s3_object
+
+    with open_s3_object(path, "r", spark=spark) as f:
+        payload = json.load(f)
+    if payload.get("format") != "pca":
+        raise ValueError(f"not a pca artifact: {path}")
+    pca = {
+        "mean": [float(x) for x in payload["mean"]],
+        "components": [[float(x) for x in c] for c in payload["components"]],
+        "explained_variance": [float(x) for x in payload["explained_variance"]],
+    }
+    if len(pca["components"]) != payload["out_dim"] or any(
+        len(c) != payload["dim"] for c in pca["components"]
+    ):
+        raise ValueError(f"corrupt pca artifact: {path}")
+    return pca
+
+
 def save_ivf_centroids(centroids: DataFrame, path: str) -> None:
     """Persist an IVF centroid table (``train_ivf_centroids`` output,
     also the SemDeDup ``centroids=`` shape) as parquet."""

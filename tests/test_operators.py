@@ -1509,6 +1509,26 @@ class TestSimilarity:
         )
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
 
+    def test_pca_artifact_roundtrip(self, spark, embeddings, tmp_path):
+        # the save_pq_codebooks contract for PCA: save → load →
+        # bit-identical projection (doubles round-trip via repr), and a
+        # non-pca JSON is rejected loudly
+        import pytest as _pytest
+
+        pca = similarity.train_pca(embeddings, out_dim=4)
+        path = str(tmp_path / "pca.json")
+        similarity.save_pca(pca, path)
+        back = similarity.load_pca(path)
+        assert back["mean"] == [float(x) for x in pca["mean"]]
+        assert back["components"] == [[float(x) for x in c] for c in pca["components"]]
+        a = similarity.pca_project(embeddings, pca).orderBy("vec_id").collect()
+        b = similarity.pca_project(embeddings, back).orderBy("vec_id").collect()
+        assert [r["pca"] for r in a] == [r["pca"] for r in b]
+        bad = str(tmp_path / "notpca.json")
+        similarity.save_pq_codebooks([[[1.0]]], bad)
+        with _pytest.raises(ValueError, match="not a pca artifact"):
+            similarity.load_pca(bad)
+
     def test_pca_input_validation(self, spark, embeddings):
         with pytest.raises(ValueError, match="empty corpus"):
             similarity.train_pca(embeddings.filter("vec_id < 0"))
