@@ -1187,6 +1187,35 @@ class TestSimilarity:
                 spark, index, seeds, str(tmp_path / "pq_metric_dst"), metric="cosine"
             )
 
+    def test_rebalance_respects_string_ids_and_tombstones(
+        self, spark, embeddings, tmp_path
+    ):
+        # the string-id index (external document keys) must survive the
+        # delete → rebalance path: tombstones anti-join on the string
+        # key and the rebalanced index carries the ids verbatim
+        from pyspark.sql import Window as W
+
+        sdf = embeddings.select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+        )
+        seeds = (
+            embeddings.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_strid")
+        similarity.build_partitioned_ivf(sdf, seeds, index, metric="cosine")
+        similarity.delete_from_partitioned_index(
+            spark, index, ["doc-40", "doc-41"]
+        )
+        target = str(tmp_path / "ivf_strid_dst")
+        similarity.rebalance_partitioned_index(
+            spark, index, seeds, target, metric="cosine"
+        )
+        ids = {r["vec_id"] for r in spark.read.parquet(target).select("vec_id").collect()}
+        assert "doc-40" not in ids and "doc-41" not in ids
+        assert "doc-0" in ids
+
     def test_rebalance_reencodes_pq_residuals(self, spark, embeddings, tmp_path):
         # an IVF+PQ index's codes are residuals vs the OLD cell
         # centroid — rebalance must RE-encode them against the new
@@ -3230,6 +3259,16 @@ class TestTextPipelineOps:
             assert rows[i]["contamination_frac"] == 1.0
         # and docs sharing no 5-gram with the eval docs score 0
         assert any(r["contamination_frac"] == 0.0 for r in rows.values())
+
+    def test_benchmark_near_contamination_empty_eval_is_clean(self, spark):
+        # day-zero decontamination (no eval set yet) must return an
+        # empty pair table, not crash in the bipartite machinery
+        train = spark.createDataFrame(
+            [(1, "some training text with several words here")],
+            "doc_id long, text string",
+        )
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert text.benchmark_near_contamination(train, empty).count() == 0
 
     def test_benchmark_near_contamination_flags_paraphrase(self, spark):
         # a lightly-rewritten eval item (one token dropped) slips past
