@@ -586,6 +586,7 @@ def benchmark_near_contamination(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_state=None,
 ) -> DataFrame:
     """Paraphrase-level decontamination: near-duplicate (train, eval)
     document pairs by MinHash-LSH candidates + exact-Jaccard verify —
@@ -602,7 +603,12 @@ def benchmark_near_contamination(
     corpus banding, so the 100 TB train side is never self-joined and
     train-internal duplicates never enter the pair space; exact-Jaccard
     verification touches candidate docs only (precision 1.0, recall =
-    the banding curve at the threshold).
+    the banding curve at the threshold). Pass ``corpus_state`` (a
+    ``dedup.minhash_corpus_state`` artifact — the same one the ingest
+    dedup pipeline already maintains/persists) and the check touches
+    the train TEXT zero times: each new benchmark decontaminates
+    against two pre-mined parquet tables instead of re-shingling the
+    corpus.
 
     Ref: complements `awswrangler`-era batch ETL with the
     eval-decontamination step LLM data pipelines require; exact-overlap
@@ -612,13 +618,14 @@ def benchmark_near_contamination(
 
     pairs = minhash_lsh_incremental(
         eval_set,
-        train,
+        None if corpus_state is not None else train,
         id_col=id_col,
         text_col=text_col,
         n=n,
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        corpus_state=corpus_state,
     )
     return pairs.select(
         F.col("corpus_id").alias("train_id"),

@@ -3295,6 +3295,15 @@ class TestTextPipelineOps:
         # the exact probe at its default n=5 ALSO sees this pair (the
         # grams past the dropped token survive) — the fuzzy rung's
         # value is the document-level verdict + score, tested above
+        # corpus_state reuse (the dedup pipeline's persisted artifact):
+        # identical pairs with the train text never re-shingled
+        from aws_data_wrangler_spark.operators import dedup
+
+        state = dedup.minhash_corpus_state(train)
+        via_state = text.benchmark_near_contamination(
+            train, eval_set, threshold=0.8, corpus_state=state
+        ).collect()
+        assert sorted(map(tuple, via_state)) == sorted(map(tuple, rows))
 
 
 class TestTimeseries:
