@@ -28,6 +28,7 @@ from aws_data_wrangler_spark.s3._read import (  # noqa: F401
     read_parquet_table,
 )
 from aws_data_wrangler_spark.s3._write import (  # noqa: F401
+    merge_upsert_table,
     store_parquet_metadata,
     to_csv,
     to_json,
@@ -68,6 +69,7 @@ def get_botocore_valid_kwargs(function_name: str, s3_additional_kwargs: dict) ->
 
 
 __all__ = [
+    "merge_upsert_table",
     "copy_objects",
     "merge_datasets",
     "delete_objects",

@@ -499,3 +499,45 @@ def store_parquet_metadata(
     if partitions_types:
         catalog.repair_table_partitions(database=database, table=table, spark=spark)
     return {"columns_types": columns_types, "partitions_types": partitions_types}
+
+
+def merge_upsert_table(
+    df: DataFrame,
+    path: str,
+    keys: List[str],
+    order_col: str = "ts",
+    tiebreak_cols: Optional[List[str]] = None,
+    spark: Optional[SparkSession] = None,
+) -> DataFrame:
+    """Batch MERGE-INTO (upsert) against a versioned parquet table —
+    the lakehouse UPSERT as a first-class batch API (the later
+    reference generations call this ``s3.merge_upsert_table``): union
+    the incoming frame with the current snapshot, keep the per-key
+    argmax of ``order_col`` (ties broken by ``tiebreak_cols``,
+    descending), and commit it as a NEW immutable snapshot directory
+    (``v=N+1``) — readers always resolve ``max(v=N)``, so writers never
+    overwrite files a reader may be scanning (snapshot isolation from
+    plain parquet). Returns the merged snapshot as a DataFrame.
+
+    Shares the exactly-once machinery of the streaming
+    ``upsert_sink`` (``streaming.merge_upsert_batch``): the commit
+    carries a batch marker derived from the next version, so a retry
+    after a crash between snapshot write and caller acknowledgment
+    skips the already-committed merge instead of writing a redundant
+    version. Per-call cost is one shuffle of (snapshot ∪ batch) on the
+    key; retention via ``streaming.vacuum_upsert_table``.
+    """
+    from aws_data_wrangler_spark.streaming import (
+        _latest_snapshot_version,
+        merge_upsert_batch,
+        read_upsert_table,
+    )
+
+    spark = spark or df.sparkSession
+    version = _latest_snapshot_version(path, spark)
+    merge_upsert_batch(df, version + 1, path, list(keys),
+                       [order_col, *(tiebreak_cols or [])])
+    result = read_upsert_table(path, spark)
+    if result is None:
+        raise RuntimeError(f"merge_upsert_table produced no snapshot under {path}")
+    return result

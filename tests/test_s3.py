@@ -595,6 +595,34 @@ class TestBloomFilterWrite:
         assert flags == {"doc_id": True, "text": False}
 
 
+class TestMergeUpsertTable:
+    def test_batch_upsert_merges_and_versions(self, spark, tmp_prefix):
+        # the lakehouse UPSERT as a batch API: per-key argmax merge into
+        # a fresh immutable snapshot; a second merge updates/extends; a
+        # stale row never overwrites a newer one
+        from aws_data_wrangler_spark import s3
+
+        path = f"{tmp_prefix}/upsert_tbl"
+        first = spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b")], "k long, ts long, v string"
+        )
+        snap1 = s3.merge_upsert_table(first, path, keys=["k"], order_col="ts")
+        assert sorted(map(tuple, snap1.collect())) == [(1, 10, "a"), (2, 10, "b")]
+        second = spark.createDataFrame(
+            [(2, 20, "b2"), (2, 5, "stale"), (3, 10, "c")],
+            "k long, ts long, v string",
+        )
+        snap2 = s3.merge_upsert_table(second, path, keys=["k"], order_col="ts")
+        assert sorted(map(tuple, snap2.collect())) == [
+            (1, 10, "a"), (2, 20, "b2"), (3, 10, "c"),
+        ]
+        # snapshot isolation: v=0 still readable (time travel)
+        from aws_data_wrangler_spark import streaming
+
+        v0 = streaming.read_upsert_table(path, spark, version=0)
+        assert sorted(map(tuple, v0.collect())) == [(1, 10, "a"), (2, 10, "b")]
+
+
 class TestBotocoreKwargShim:
     def test_filters_to_named_params(self):
         from aws_data_wrangler_spark import s3
