@@ -507,6 +507,7 @@ def merge_upsert_table(
     keys: List[str],
     order_col: str = "ts",
     tiebreak_cols: Optional[List[str]] = None,
+    commit_id: Optional[int] = None,
     spark: Optional[SparkSession] = None,
 ) -> DataFrame:
     """Batch MERGE-INTO (upsert) against a versioned parquet table —
@@ -519,23 +520,36 @@ def merge_upsert_table(
     overwrite files a reader may be scanning (snapshot isolation from
     plain parquet). Returns the merged snapshot as a DataFrame.
 
-    Shares the exactly-once machinery of the streaming
-    ``upsert_sink`` (``streaming.merge_upsert_batch``): the commit
-    carries a batch marker derived from the next version, so a retry
-    after a crash between snapshot write and caller acknowledgment
-    skips the already-committed merge instead of writing a redundant
-    version. Per-call cost is one shuffle of (snapshot ∪ batch) on the
-    key; retention via ``streaming.vacuum_upsert_table``.
+    Retry semantics (the streaming ``upsert_sink`` machinery,
+    ``streaming.merge_upsert_batch``): by default a blind retry of the
+    same frame is VALUE-idempotent — the argmax of a re-unioned batch
+    is unchanged, so it writes a redundant snapshot with identical
+    content, never a wrong one. Pass a stable ``commit_id`` (your
+    orchestrator's run id) for exactly-once COMMITS too: the id rides
+    the snapshot's batch marker, and a retry whose id matches the
+    latest committed marker is skipped outright. Per-call cost is one
+    shuffle of (snapshot ∪ batch) on the key; retention via
+    ``streaming.vacuum_upsert_table``.
     """
     from aws_data_wrangler_spark.streaming import (
         _latest_snapshot_version,
+        _snapshot_batch_id,
         merge_upsert_batch,
         read_upsert_table,
     )
 
     spark = spark or df.sparkSession
     version = _latest_snapshot_version(path, spark)
-    merge_upsert_batch(df, version + 1, path, list(keys),
+    if commit_id is None:
+        # default = latest marker + 1: guaranteed NOT to match the
+        # latest committed marker, so a default-mode merge can never be
+        # mistaken for a retry and silently skipped — even when callers
+        # mix in their own small-int commit ids
+        latest_marker = (
+            _snapshot_batch_id(path, version, spark) if version >= 0 else None
+        )
+        commit_id = (latest_marker if latest_marker is not None else -1) + 1
+    merge_upsert_batch(df, commit_id, path, list(keys),
                        [order_col, *(tiebreak_cols or [])])
     result = read_upsert_table(path, spark)
     if result is None:

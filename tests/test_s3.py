@@ -621,6 +621,30 @@ class TestMergeUpsertTable:
 
         v0 = streaming.read_upsert_table(path, spark, version=0)
         assert sorted(map(tuple, v0.collect())) == [(1, 10, "a"), (2, 10, "b")]
+        # exactly-once commits with a stable commit_id: the retried
+        # call is SKIPPED (no new snapshot); a blind retry without one
+        # is value-idempotent (redundant snapshot, identical content)
+        from aws_data_wrangler_spark.streaming import _latest_snapshot_version
+
+        third = spark.createDataFrame([(4, 10, "d")], "k long, ts long, v string")
+        s3.merge_upsert_table(third, path, keys=["k"], commit_id=777)
+        v_after = _latest_snapshot_version(path, spark)
+        s3.merge_upsert_table(third, path, keys=["k"], commit_id=777)
+        assert _latest_snapshot_version(path, spark) == v_after  # skipped
+        blind = s3.merge_upsert_table(third, path, keys=["k"])
+        assert _latest_snapshot_version(path, spark) == v_after + 1
+        assert (4, 10, "d") in set(map(tuple, blind.collect()))
+        # a default-mode merge right after a caller-id commit must NOT
+        # be mistaken for its retry (the default id derives from the
+        # latest marker, never colliding with it)
+        fourth = spark.createDataFrame([(5, 10, "e")], "k long, ts long, v string")
+        s3.merge_upsert_table(fourth, path, keys=["k"], commit_id=v_after + 2)
+        merged = s3.merge_upsert_table(
+            spark.createDataFrame([(6, 10, "f")], "k long, ts long, v string"),
+            path, keys=["k"],
+        )
+        got = set(map(tuple, merged.collect()))
+        assert (5, 10, "e") in got and (6, 10, "f") in got
 
 
 class TestBotocoreKwargShim:
