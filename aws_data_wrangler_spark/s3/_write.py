@@ -107,6 +107,26 @@ def _pop_noop_kwargs(options: Dict[str, Any]) -> None:
             options.pop(key)
 
 
+def _sanitize_for_write(
+    df: DataFrame, *col_lists: Optional[List[str]]
+) -> List[Any]:
+    """Apply Athena-compatible renames to the frame AND every
+    caller-supplied column list (partition/sort/bloom cols). The lists
+    must track the rename: ``partitionBy`` and the bloom/partition
+    guard both operate on ON-DISK names, so a list left in
+    pre-sanitize form either fails the write (partitionBy on a
+    renamed column) or slips past a guard comparing sanitized names
+    against unsanitized ones."""
+    from aws_data_wrangler_spark import catalog
+
+    out: List[Any] = [catalog.sanitize_dataframe_columns_names(df)]
+    for cols in col_lists:
+        out.append(
+            [catalog.sanitize_column_name(c) for c in cols] if cols else cols
+        )
+    return out
+
+
 def _write(
     df: DataFrame,
     path: str,
@@ -249,20 +269,17 @@ def to_parquet(
     if max_rows_by_file:
         options.setdefault("maxRecordsPerFile", str(int(max_rows_by_file)))
     if sanitize_columns:
-        from aws_data_wrangler_spark import catalog
-
-        df = catalog.sanitize_dataframe_columns_names(df)
+        # the frame AND every column list move to on-disk names
+        # together — a partition column whose name changes under
+        # sanitization must still be caught by the bloom guard below
+        # and must still resolve at partitionBy
+        df, partition_cols, sort_cols, bloom_filter_cols = _sanitize_for_write(
+            df, partition_cols, sort_cols, bloom_filter_cols
+        )
     if bloom_filter_cols:
-        # resolve AFTER sanitize (the writer option must name the
-        # on-disk column) and reject partition columns loudly — they
-        # become directories, never data-file columns, so a "bloom
-        # filter" on one would silently never exist
-        if sanitize_columns:
-            from aws_data_wrangler_spark import catalog
-
-            bloom_filter_cols = [
-                catalog.sanitize_column_name(c) for c in bloom_filter_cols
-            ]
+        # reject partition columns loudly — they become directories,
+        # never data-file columns, so a "bloom filter" on one would
+        # silently never exist
         missing = [c for c in bloom_filter_cols if c not in df.columns]
         if missing:
             raise ValueError(f"bloom_filter_cols not in the frame: {missing}")
@@ -319,9 +336,7 @@ def to_csv(
     if columns:
         df = df.select(*columns)
     if sanitize_columns:
-        from aws_data_wrangler_spark import catalog
-
-        df = catalog.sanitize_dataframe_columns_names(df)
+        df, partition_cols = _sanitize_for_write(df, partition_cols)
     return _write(
         df, path, "csv", dataset, partition_cols, mode, database, table, dtype, spark,
         description=description, parameters=parameters, columns_comments=columns_comments,
@@ -454,9 +469,7 @@ def to_orc(
     """
     _pop_noop_kwargs(options)
     if sanitize_columns:
-        from aws_data_wrangler_spark import catalog
-
-        df = catalog.sanitize_dataframe_columns_names(df)
+        df, partition_cols = _sanitize_for_write(df, partition_cols)
     if database and table:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -553,5 +566,14 @@ def merge_upsert_table(
                        [order_col, *(tiebreak_cols or [])])
     result = read_upsert_table(path, spark)
     if result is None:
-        raise RuntimeError(f"merge_upsert_table produced no snapshot under {path}")
+        # only reachable when the batch was EMPTY and no snapshot
+        # existed yet: merge_upsert_batch skips empty batches, so a
+        # fresh table never gets its v=0 snapshot — name the actual
+        # cause instead of an opaque "produced no snapshot"
+        raise ValueError(
+            "merge_upsert_table: the input DataFrame is empty and no "
+            f"snapshot exists under {path} yet — an empty batch on a "
+            "fresh table merges nothing (on an existing table it "
+            "returns the current snapshot unchanged)"
+        )
     return result

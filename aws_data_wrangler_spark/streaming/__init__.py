@@ -811,11 +811,23 @@ def drift_monitor(
             f"a partial profile would understate drift; rerun with a larger "
             f"timeout_s"
         )
-    cur = stream.sparkSession.table(name)
+    cur = _detach_memory_sink(stream.sparkSession, name)
     base = baseline.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_base")
     )
     return psi_profile_from_counts(base, cur, eps=eps)
+
+
+def _detach_memory_sink(spark, name: str) -> DataFrame:
+    """Materialize a complete-mode memory-sink table into a plain
+    local-relation DataFrame and DROP the temp view, so repeated
+    monitor calls in a long-lived session don't accumulate pinned
+    count tables in driver memory. The collect is bounded by the
+    monitors' construction (one row per bucket / per key×bucket)."""
+    sunk = spark.table(name)
+    rows = sunk.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, sunk.schema)
 
 
 def anomaly_monitor(
@@ -849,6 +861,8 @@ def anomaly_monitor(
         score_anomalies,
     )
 
+    _season_expr(seasonal)  # reject unknown modes before any stream work
+    _validate_centers_season(centers, seasonal)
     counts = (
         stream.select(
             F.col(key_col).alias("key"),
@@ -872,9 +886,44 @@ def anomaly_monitor(
             f"scoring partial bucket counts would mis-flag every open bucket; "
             f"rerun with a larger timeout_s"
         )
-    materialized = stream.sparkSession.table(name).withColumn(
+    materialized = _detach_memory_sink(stream.sparkSession, name).withColumn(
         "__season", _season_expr(seasonal)
     )
     return score_anomalies(
         materialized, centers, key_col=key_col, threshold=threshold
     )
+
+
+def _validate_centers_season(centers: DataFrame, seasonal) -> None:
+    """Fail fast when the monitor's ``seasonal`` doesn't match the
+    setting the centers were TRAINED with: the (key, __season) inner
+    join in ``score_anomalies`` would silently drop every bucket and
+    the monitor would report "no anomalies" forever. The centers table
+    is artifact-sized (key-cardinality × ≤24 phases), so the domain
+    probe is one cheap collect."""
+    if "__season" not in centers.columns:
+        raise ValueError(
+            "anomaly_monitor: centers must carry a __season column — "
+            "train them with timeseries.robust_centers"
+        )
+    domain = {r[0] for r in centers.select("__season").distinct().collect()}
+    if seasonal is None and domain != {0}:
+        raise ValueError(
+            f"anomaly_monitor: seasonal=None but the centers carry seasonal "
+            f"phases (__season domain {sorted(domain)}) — pass the SAME "
+            f"seasonal= used at robust_centers, or the (key, __season) join "
+            f"drops every bucket"
+        )
+    if seasonal is not None and domain == {0}:
+        raise ValueError(
+            f"anomaly_monitor: seasonal={seasonal!r} but the centers look "
+            f"trained with seasonal=None (__season domain is exactly {{0}}) "
+            f"— retrain with robust_centers(seasonal={seasonal!r})"
+        )
+    expected = {"hour_of_day": set(range(24)), "day_of_week": set(range(1, 8))}
+    if seasonal is not None and (stray := domain - expected[seasonal]):
+        raise ValueError(
+            f"anomaly_monitor: centers' __season domain contains "
+            f"{sorted(stray)}, outside seasonal={seasonal!r}'s range — the "
+            f"centers were trained with a different seasonal mode"
+        )

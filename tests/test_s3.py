@@ -594,6 +594,34 @@ class TestBloomFilterWrite:
         flags = s3.read_parquet_bloom_filters(data_file, spark=spark)
         assert flags == {"doc_id": True, "text": False}
 
+    def test_sanitized_partition_col_still_hits_bloom_guard(self, spark, tmp_prefix):
+        # with sanitize_columns=True a partition column whose name
+        # changes under sanitization must STILL be caught by the
+        # partition-column rejection (the guard compares on-disk names
+        # on both sides), and a sanitize-renamed partition column must
+        # still resolve at partitionBy
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark import s3
+
+        df = spark.range(100).selectExpr(
+            "id AS `Doc Id`", "id % 3 AS `Grp Col`"
+        ).coalesce(1)
+        out = f"{tmp_prefix}/bloom_part_sanitized"
+        with _pytest.raises(ValueError, match="partition columns"):
+            s3.to_parquet(
+                df, out, dataset=True, partition_cols=["Grp Col"],
+                bloom_filter_cols=["Grp Col"], sanitize_columns=True,
+                spark=spark,
+            )
+        s3.to_parquet(
+            df, out, dataset=True, mode="overwrite",
+            partition_cols=["Grp Col"], sanitize_columns=True, spark=spark,
+        )
+        back = s3.read_parquet(f"{out}/", dataset=True, spark=spark)
+        assert set(back.columns) == {"doc_id", "grp_col"}
+        assert back.count() == 100
+
 
 class TestMergeUpsertTable:
     def test_batch_upsert_merges_and_versions(self, spark, tmp_prefix):
@@ -645,6 +673,23 @@ class TestMergeUpsertTable:
         )
         got = set(map(tuple, merged.collect()))
         assert (5, 10, "e") in got and (6, 10, "f") in got
+
+    def test_empty_batch_semantics(self, spark, tmp_prefix):
+        # an empty batch on a FRESH table raises a ValueError naming
+        # the empty input (not an opaque "produced no snapshot"); on
+        # an EXISTING table it returns the current snapshot unchanged
+        import pytest
+
+        from aws_data_wrangler_spark import s3
+
+        path = f"{tmp_prefix}/upsert_empty"
+        empty = spark.createDataFrame([], "k long, ts long, v string")
+        with pytest.raises(ValueError, match="empty"):
+            s3.merge_upsert_table(empty, path, keys=["k"], order_col="ts")
+        seeded = spark.createDataFrame([(1, 10, "a")], "k long, ts long, v string")
+        s3.merge_upsert_table(seeded, path, keys=["k"], order_col="ts")
+        unchanged = s3.merge_upsert_table(empty, path, keys=["k"], order_col="ts")
+        assert sorted(map(tuple, unchanged.collect())) == [(1, 10, "a")]
 
 
 class TestBotocoreKwargShim:

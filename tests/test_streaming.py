@@ -606,6 +606,68 @@ class TestAnomalyMonitor:
             map(tuple, composed.collect()), key=str
         )
 
+    def test_seasonal_mismatch_raises_instead_of_empty_join(self, spark):
+        # centers trained with one seasonal mode scored with another
+        # would silently drop every bucket at the (key, __season) join
+        # — the monitor validates the centers' __season domain up front
+        import pytest
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import timeseries
+        from aws_data_wrangler_spark.plans.queries import load
+
+        events = load(spark, SF_DIR, "events")
+        stream = streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark)
+        flat = timeseries.robust_centers(events)  # seasonal=None
+        hourly = timeseries.robust_centers(events, seasonal="hour_of_day")
+        with pytest.raises(ValueError, match="seasonal=None"):
+            streaming.anomaly_monitor(stream, hourly)
+        with pytest.raises(ValueError, match="trained with seasonal=None"):
+            streaming.anomaly_monitor(stream, flat, seasonal="hour_of_day")
+        # hour-trained centers contain phase 0, impossible for
+        # day_of_week (1..7) — caught by the range check
+        with pytest.raises(ValueError, match="outside"):
+            streaming.anomaly_monitor(stream, hourly, seasonal="day_of_week")
+        with pytest.raises(ValueError, match="__season column"):
+            streaming.anomaly_monitor(stream, flat.drop("__season"), seasonal=None)
+
+    def test_monitors_drop_their_memory_sink_tables(self, spark):
+        # repeated monitor calls in a long-lived session must not
+        # accumulate complete-mode memory-sink tables: the counts are
+        # materialized and the temp view dropped before returning
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import timeseries
+        from aws_data_wrangler_spark.plans.queries import load
+
+        events = load(spark, SF_DIR, "events")
+        centers = timeseries.robust_centers(events.filter(F.col("event_id") % 2 == 0))
+        base = events.filter(F.col("event_id") % 2 == 0)
+
+        def monitor_views():
+            return [
+                t.name for t in spark.catalog.listTables()
+                if t.name.startswith(("sg_drift_", "sg_anomaly_"))
+            ]
+
+        before = monitor_views()
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/events.parquet", spark=spark
+        ).filter(F.col("event_id") % 2 == 1)
+        flagged = streaming.anomaly_monitor(stream, centers, threshold=0.0)
+        drift = streaming.drift_monitor(
+            streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark),
+            base, "event_type",
+        )
+        assert monitor_views() == before
+        # the returned frames survive the drop (materialized, not a
+        # view over the vanished sink) — collect() must not raise
+        # TABLE_OR_VIEW_NOT_FOUND
+        flagged.collect()
+        assert drift.count() > 0
+
 
 class TestDriftMonitor:
     def test_stream_drift_equals_batch_profiler(self, spark):
