@@ -197,3 +197,65 @@ def mad_anomalies(
         .select(*grp, "med", "mad")
     )
     return score_anomalies(counts, centers, key_col=key_col, threshold=threshold)
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.25,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Exponentially-weighted moving average of per-bucket event counts,
+    folded chronologically per key: ``s_1 = n_1``, ``s_t = alpha·n_t +
+    (1−alpha)·s_{t−1}`` — the classic ops smoothing that weights recent
+    buckets geometrically more. Output one row per key: ``(key,
+    n_buckets, last_bucket_ts, ewma)`` — the CURRENT smoothed level, the
+    number a monitor compares the next bucket against.
+
+    Plan shape: one map-side-combining bucketed count aggregate, then
+    one per-key ``collect_list`` + sequential ``F.aggregate`` fold —
+    the per-key array is CALENDAR-bounded (8,760 hourly buckets per
+    key-year, the gap-fill spine magnitude), never data-sized, so the
+    fold state stays trivial at any corpus scale and the whole operator
+    is two shuffles on the same key.
+
+    Determinism: the fold is a left-to-right IEEE double chain over
+    chronologically-sorted buckets; with ``alpha`` exactly
+    representable in binary (0.25, 0.5, 0.125, …) the result is
+    bit-identical across engines — DuckDB's ``list_reduce`` replicates
+    it term-for-term (the dot-product-fold convention).
+    """
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    counts = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # array_sort on (bucket_ts, n) structs orders chronologically;
+    # bucket_ts is unique per key after the groupBy, so the order is
+    # total — partitioning-invariant by construction
+    arr = F.array_sort(F.collect_list(F.struct("bucket_ts", "n")))
+    vals = F.transform(arr, lambda s: s["n"].cast("double"))
+    folded = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return (
+        counts.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.date_format(F.max("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_bucket_ts"
+            ),
+            trunc_digits(folded).alias("ewma"),
+        )
+        .select(
+            F.col("key").alias(key_col), "n_buckets", "last_bucket_ts", "ewma"
+        )
+    )

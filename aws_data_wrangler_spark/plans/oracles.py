@@ -1267,6 +1267,26 @@ ORACLES: Dict[str, str] = {
     """,
     # MAD anomalies: exact quantile_cont == Spark percentile (R-7);
     # the score is truncated BEFORE the threshold in both engines
+    # EWMA fold replica: list_reduce folds left with the FIRST element
+    # as init — exactly Spark's aggregate(slice(vals, 2, n-1),
+    # element_at(vals, 1), ...); alpha = 0.25 and 1-alpha = 0.75 are
+    # exactly representable so the IEEE chain is bit-identical
+    "events_ewma_smoothing": """
+        WITH counts AS (
+            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+                   count(*)::DOUBLE AS n
+            FROM events GROUP BY 1, 2
+        ), packed AS (
+            SELECT key, count(*) AS n_buckets,
+                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
+                   list(n ORDER BY bucket_ts) AS vals
+            FROM counts GROUP BY key
+        )
+        SELECT key AS event_type, n_buckets, last_bucket_ts,
+               floor(list_reduce(vals, (acc, x) -> acc*0.75 + x*0.25) * 1000000)
+                   / 1000000 AS ewma
+        FROM packed ORDER BY event_type
+    """,
     "events_mad_anomalies": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
@@ -1336,6 +1356,30 @@ ORACLES: Dict[str, str] = {
     "ann_filtered_pq_search": _ivfpq_ann_oracle_sql(cand_where="a.label < 4"),
     # schema evolution: a mergeSchema read of old-schema + new-schema
     # files == the explicit union with NULLs for the missing column
+    # batch UPSERT replica: the final snapshot is the per-key argmax of
+    # order_col over the unioned batches (row_number DESC — exactly the
+    # merge_upsert_batch window). price*2 is an exact power-of-two
+    # product and round-at-the-2dp-grid is engine-stable
+    "io_upsert_roundtrip": """
+        WITH base AS (
+            SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS ts,
+                   o_totalprice AS price, o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 8 = 0
+        ), updates AS (
+            SELECT k, CAST(2 AS BIGINT), price * 2, 'U' FROM base WHERE k % 3 = 0
+        ), stale AS (
+            SELECT k, CAST(0 AS BIGINT), -1.0, 'S' FROM base WHERE k % 5 = 0
+        ), unioned AS (
+            SELECT * FROM base
+            UNION ALL SELECT * FROM updates
+            UNION ALL SELECT * FROM stale
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+            FROM unioned
+        )
+        SELECT k, ts, round(price, 2) AS price, status
+        FROM ranked WHERE rn = 1 ORDER BY k
+    """,
     "io_schema_evolution": """
         SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
         FROM documents WHERE doc_id % 2 = 0

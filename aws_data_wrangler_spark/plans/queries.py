@@ -490,6 +490,45 @@ def _io_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _io_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch lakehouse UPSERT driver row (r8, new): two
+    ``s3.merge_upsert_table`` calls — an initial load, then an update
+    batch carrying newer rows for every third key plus STALE rows
+    (older order_col) for every fifth key — and the final snapshot must
+    equal the per-key argmax of the unioned batches: updates land,
+    stale rows never overwrite, untouched keys survive verbatim."""
+    from aws_data_wrangler_spark import s3
+
+    path = f"{tempfile.mkdtemp(prefix='sgq_')}/orders_upsert"
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).cast("long").alias("ts"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    s3.merge_upsert_table(base, path, keys=["k"], order_col="ts", spark=spark)
+    updates = base.filter(F.col("k") % 3 == 0).select(
+        "k",
+        F.lit(2).cast("long").alias("ts"),
+        (F.col("price") * 2).alias("price"),
+        F.lit("U").alias("status"),
+    )
+    stale = base.filter(F.col("k") % 5 == 0).select(
+        "k",
+        F.lit(0).cast("long").alias("ts"),
+        F.lit(-1.0).alias("price"),
+        F.lit("S").alias("status"),
+    )
+    snap = s3.merge_upsert_table(
+        updates.unionByName(stale), path, keys=["k"], order_col="ts", spark=spark
+    )
+    return snap.select("k", "ts", F.round("price", 2).alias("price"), "status").orderBy("k")
+
+
 def _io_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """overwrite_partitions semantics: rewrite only the 'R' partition
     (quantities doubled), others untouched."""
@@ -2030,6 +2069,18 @@ def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_ts")
 
 
+def _events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of hourly event counts per type (r8, new): the current
+    smoothed traffic level a monitor compares the next bucket against.
+    alpha = 0.25 is exactly representable, so the chronological
+    left-to-right fold is bit-identical to DuckDB's ``list_reduce``
+    (the dot-product-fold convention)."""
+    from aws_data_wrangler_spark.operators import timeseries
+
+    events = load(spark, sf_dir, "events")
+    return timeseries.ewma(events, alpha=0.25).orderBy("event_type")
+
+
 def _streaming_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The robust anomaly detector in its PRODUCTION position (r7-late,
     new): (median, MAD) centers trained OFFLINE on the event_id-even
@@ -2941,6 +2992,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # via tools/check_oracles in the round-7 session; rotates into the
     # round-8 window FIRST — the round-3/round-6 late precedent) ---
     "streaming_anomaly_monitor": _streaming_anomaly_monitor,
+    # --- round-8 registrations (temporary tail placement while the
+    # round-8 window reorder is assembled; they move INTO the window) ---
+    "events_ewma_smoothing": _events_ewma_smoothing,
+    "io_upsert_roundtrip": _io_upsert_roundtrip,
 }
 
 

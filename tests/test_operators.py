@@ -3377,6 +3377,37 @@ class TestTimeseries:
         out = timeseries.mad_anomalies(df, key_col="user_id").collect()
         assert len(out) == 1 and out[0]["user_id"] == 7
 
+    def test_ewma_matches_hand_fold(self, spark):
+        # hand-computed chronological fold: s_1 = n_1,
+        # s_t = 0.25·n_t + 0.75·s_{t−1} — including a key whose rows
+        # arrive out of order (the array_sort must impose chronology)
+        import math
+
+        from aws_data_wrangler_spark.operators import timeseries
+
+        rows = []
+        for h, n in [(2, 4), (0, 8), (1, 2), (3, 16)]:  # shuffled hours
+            rows += [("a", h * 3600)] * n
+        rows += [("b", 0)] * 5  # single bucket: ewma == its own count
+        df = spark.createDataFrame(rows, "event_type string, sec long").select(
+            "event_type", F.timestamp_seconds("sec").alias("ts")
+        )
+        out = {r["event_type"]: r for r in timeseries.ewma(df, alpha=0.25).collect()}
+        s = 8.0
+        for n in [2.0, 4.0, 16.0]:
+            s = s * 0.75 + n * 0.25
+        want = math.floor(s * 1e6) / 1e6
+        assert out["a"]["ewma"] == want and out["a"]["n_buckets"] == 4
+        assert out["b"]["ewma"] == 5.0 and out["b"]["n_buckets"] == 1
+        assert out["a"]["last_bucket_ts"].endswith("03:00:00")
+        # a non-dyadic alpha still folds correctly (just not guaranteed
+        # cross-engine bit-identical — the registry pins alpha=0.25)
+        out2 = {r["event_type"]: r for r in timeseries.ewma(df, alpha=0.3).collect()}
+        s = 8.0
+        for n in [2.0, 4.0, 16.0]:
+            s = s * 0.7 + n * 0.3
+        assert abs(out2["a"]["ewma"] - s) < 1e-6
+
     def test_gapfill_fills_missing_buckets(self, spark):
         from aws_data_wrangler_spark.operators import timeseries
 
