@@ -138,6 +138,38 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_char_entropy(
+    df: DataFrame, text_col: str = "text", out_col: str = "char_entropy"
+) -> DataFrame:
+    """Shannon entropy of the character distribution, in bits — the
+    classic gibberish/boilerplate screen: natural prose sits ~4–4.5
+    bits, base64 blobs and key-mash noise push toward log2(charset),
+    repeated-character padding collapses toward 0. A standard
+    pretraining quality gate alongside the Gopher/C4 rules.
+
+    Zero-shuffle HOF projection (the C4-rules discipline): per row,
+    H = (ln N − (Σ_c n_c·ln n_c)/N) / ln 2 with the per-character
+    counts from a sorted-distinct-characters loop — O(distinct·len)
+    comparisons per row, all inside whole-stage codegen, no explode
+    and no (doc, char) shuffle. The Σ folds left over SORTED distinct
+    characters, so the IEEE chain is deterministic and DuckDB
+    replicates it term-for-term (list_reduce over the same order).
+    Empty text scores 0.0."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    n = F.size(chars).cast("double")
+    uniq = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double")
+    )
+    sum_nlogn = F.aggregate(
+        counts, F.lit(0.0), lambda acc, k: acc + k * F.log(k)
+    )
+    entropy = F.when(
+        n > 0, (F.log(n) - sum_nlogn / n) / F.log(F.lit(2.0))
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, trunc_digits(entropy))
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-stopword-profile language guess.
 

@@ -2119,6 +2119,32 @@ ORACLES: Dict[str, str] = {
                       + 0.3 * (1.0 - least(punct_ratio_raw * 10.0, 1.0))) * 1000000.0) / 1000000.0 AS quality_score
         FROM ratios ORDER BY doc_id
     """,
+    # char-entropy replica: same sorted-distinct-characters loop, same
+    # left fold (list_prepend(0.0) + list_reduce ≡ Spark aggregate with
+    # 0.0 init) — ASCII corpus so binary collation sorts identically
+    "text_char_entropy": """
+        WITH chars AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ''), x -> x <> '') AS cs
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, len(cs)::DOUBLE AS n,
+                   list_transform(
+                       list_sort(list_distinct(cs)),
+                       c -> len(list_filter(cs, x -> x = c))::DOUBLE
+                   ) AS ks
+            FROM chars
+        )
+        SELECT doc_id,
+               CASE WHEN n > 0 THEN
+                   floor(((ln(n) - list_reduce(
+                               list_prepend(CAST(0.0 AS DOUBLE),
+                                            list_transform(ks, k -> k * ln(k))),
+                               (a, b) -> a + b) / n) / ln(2.0)) * 1000000)
+                       / 1000000
+               ELSE 0.0 END AS char_entropy
+        FROM counted ORDER BY doc_id
+    """,
     "text_lang_id": f"""
         WITH scores AS (
             SELECT doc_id, lang, {_LANG_SCORES}

@@ -2069,6 +2069,20 @@ def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_ts")
 
 
+def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality screen (r8, new): Shannon entropy of
+    each document's character distribution in bits — the gibberish /
+    padding detector. Zero-shuffle HOF projection; the Σ n·ln n fold
+    runs over SORTED distinct characters so DuckDB replicates the IEEE
+    chain term-for-term."""
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    return text.with_char_entropy(docs).select("doc_id", "char_entropy").orderBy(
+        "doc_id"
+    )
+
+
 def _events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA of hourly event counts per type (r8, new): the current
     smoothed traffic level a monitor compares the next bucket against.
@@ -2996,6 +3010,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 window reorder is assembled; they move INTO the window) ---
     "events_ewma_smoothing": _events_ewma_smoothing,
     "io_upsert_roundtrip": _io_upsert_roundtrip,
+    "text_char_entropy": _text_char_entropy,
 }
 
 

@@ -2030,6 +2030,25 @@ class TestText:
         assert rows[3][0] == 2
         assert rows[4] == (2, 6)  # x,1,",",y,2,"!"
 
+    def test_char_entropy_hand_values(self, spark):
+        import math
+        from collections import Counter
+
+        df = spark.createDataFrame(
+            [(1, "aabb"), (2, ""), (3, "abcd"), (4, "aaaa"), (5, "hello world")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["char_entropy"] for r in text.with_char_entropy(df).collect()}
+        assert got[1] == 1.0      # two symbols, uniform
+        assert got[2] == 0.0      # empty text scores 0 by contract
+        assert got[3] == 2.0      # four symbols, uniform
+        assert got[4] == 0.0      # single repeated symbol
+        # general case matches the Counter-based replica (sorted fold)
+        s = "hello world"
+        n = len(s)
+        sm = sum(c * math.log(c) for _, c in sorted(Counter(s).items()))
+        assert got[5] == math.floor(((math.log(n) - sm / n) / math.log(2.0)) * 1e6) / 1e6
+
     def test_pack_sequences_layout(self, spark, documents):
         import pytest
 
