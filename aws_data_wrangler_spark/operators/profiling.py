@@ -96,6 +96,78 @@ def null_profile(df: DataFrame, cols: Optional[List[str]] = None) -> DataFrame:
     ).withColumn("null_share", trunc_digits(F.col("null_share")))
 
 
+def numeric_summary(df: DataFrame, cols: Optional[List[str]] = None) -> DataFrame:
+    """Per-column numeric profile: (column, n_rows, n_null, min, max,
+    mean, stddev) — the ``df.describe()`` every ingest preflight wants,
+    in ONE aggregation pass over the scan (all columns' moments in the
+    same hash aggregate, unpivoted driver-side into column-cardinality
+    rows).
+
+    Determinism across engines AND partitionings: the raw Σx and Σx²
+    accumulate in ``decimal(18,6)`` / ``decimal(38,12)`` — EXACT sums,
+    so the result doesn't depend on partition merge order the way a
+    double sum (or Welford-merge ``stddev``) does — then mean and
+    sample stddev derive from the exact sums in IEEE double arithmetic
+    both engines replicate bit-for-bit. Columns that are all-null
+    profile with null mean; ``stddev`` needs ≥ 2 values.
+
+    ``cols`` defaults to every numeric column. Decimal headroom: values
+    up to ~1e12 in magnitude, Σx² up to ~1e26 — beyond any measured
+    column at 100 TB."""
+    from pyspark.sql import types as T
+
+    if cols is None:
+        cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+        ]
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("decimal(18,6)")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+            F.sum(d).alias(f"__s1_{c}"),
+            F.sum(d * d).alias(f"__s2_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        n = row[f"__n_{c}"]
+        mean = std = None
+        if n:
+            s1 = float(row[f"__s1_{c}"])
+            mean = _floor6(s1 / n)
+            if n > 1:
+                import math
+
+                s2 = float(row[f"__s2_{c}"])
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                # math.sqrt is the IEEE-754 correctly-rounded sqrt —
+                # identical to SQL sqrt in every engine (x**0.5 is pow,
+                # which carries no such guarantee)
+                std = _floor6(math.sqrt(max(var, 0.0)))
+        out.append(
+            (c, row[f"__rows_{c}"], row[f"__rows_{c}"] - n,
+             row[f"__mn_{c}"], row[f"__mx_{c}"], mean, std)
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_null bigint, min double, "
+        "max double, mean double, stddev double",
+    )
+
+
+def _floor6(x: float) -> float:
+    """Driver-side twin of ``functions.trunc_digits`` (floor at 6dp):
+    python floats ARE IEEE doubles, so this matches the SQL expression
+    ``floor(x * 1e6) / 1e6`` bit-for-bit."""
+    import math
+
+    return math.floor(x * 1e6) / 1e6
+
+
 def join_fanout_estimate(
     left: DataFrame,
     right: DataFrame,

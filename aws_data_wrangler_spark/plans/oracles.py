@@ -2617,6 +2617,46 @@ ORACLES: Dict[str, str] = {
                'fake' AS decoder
         FROM v ORDER BY doc_id
     """,
+    # numeric_summary replica: exact decimal Σx / Σx² (order-free),
+    # (Σx² multiplies int128-backed DECIMAL(19,6) — DuckDB's int64
+    # decimal multiply overflows — result exactness unchanged),
+    # then the SAME IEEE double derivation — mean = s1/n, sample var =
+    # (s2 − s1²/n)/(n−1), correctly-rounded sqrt, floor at 6dp
+    "profiling_numeric_summary": """
+        WITH moments AS (
+            SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                   count(l_quantity) AS n, min(l_quantity::DOUBLE) AS mn,
+                   max(l_quantity::DOUBLE) AS mx,
+                   sum(l_quantity::DECIMAL(18,6))::DOUBLE AS s1,
+                   sum((l_quantity::DECIMAL(19,6)) * (l_quantity::DECIMAL(19,6)))::DOUBLE AS s2
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+                   min(l_extendedprice::DOUBLE), max(l_extendedprice::DOUBLE),
+                   sum(l_extendedprice::DECIMAL(18,6))::DOUBLE,
+                   sum((l_extendedprice::DECIMAL(19,6)) * (l_extendedprice::DECIMAL(19,6)))::DOUBLE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*), count(l_discount),
+                   min(l_discount::DOUBLE), max(l_discount::DOUBLE),
+                   sum(l_discount::DECIMAL(18,6))::DOUBLE,
+                   sum((l_discount::DECIMAL(19,6)) * (l_discount::DECIMAL(19,6)))::DOUBLE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*), count(l_tax),
+                   min(l_tax::DOUBLE), max(l_tax::DOUBLE),
+                   sum(l_tax::DECIMAL(18,6))::DOUBLE,
+                   sum((l_tax::DECIMAL(19,6)) * (l_tax::DECIMAL(19,6)))::DOUBLE
+            FROM lineitem
+        )
+        SELECT "column", n_rows, n_rows - n AS n_null, mn AS min, mx AS max,
+               CASE WHEN n > 0 THEN floor((s1 / n) * 1000000) / 1000000 END AS mean,
+               CASE WHEN n > 1 THEN
+                   floor(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) * 1000000)
+                       / 1000000
+               END AS stddev
+        FROM moments ORDER BY "column"
+    """,
     "profiling_null_profile": """
         WITH src AS (
             SELECT user_id, event_type,

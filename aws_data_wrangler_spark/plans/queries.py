@@ -2069,6 +2069,19 @@ def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_ts")
 
 
+def _profiling_numeric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric describe() profile driver row (r8, new): one-pass
+    min/max/mean/stddev over the four lineitem measures. Exact decimal
+    Σx / Σx² make the moments partition-order-independent; the DuckDB
+    oracle derives the same IEEE doubles from the same exact sums."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    li = load(spark, sf_dir, "lineitem")
+    return profiling.numeric_summary(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("column")
+
+
 def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality screen (r8, new): Shannon entropy of
     each document's character distribution in bits — the gibberish /
@@ -3011,6 +3024,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma_smoothing": _events_ewma_smoothing,
     "io_upsert_roundtrip": _io_upsert_roundtrip,
     "text_char_entropy": _text_char_entropy,
+    "profiling_numeric_summary": _profiling_numeric_summary,
 }
 
 

@@ -3918,6 +3918,37 @@ class TestProfiling:
         assert prof["id"]["n_null"] == 0 and prof["id"]["n_distinct"] == 4
         assert abs(prof["v"]["null_share"] - 0.5) < 1e-9
 
+    def test_numeric_summary_matches_hand_moments(self, spark):
+        import math
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        vals = [1.25, 2.5, None, 4.0, 10.0]
+        df = spark.createDataFrame(
+            [(i, v, 7) for i, v in enumerate(vals)], "id long, x double, c long"
+        )
+        prof = {r["column"]: r.asDict() for r in profiling.numeric_summary(df).collect()}
+        xs = [v for v in vals if v is not None]
+        n = len(xs)
+        s1, s2 = sum(xs), sum(v * v for v in xs)
+        assert prof["x"]["n_rows"] == 5 and prof["x"]["n_null"] == 1
+        assert prof["x"]["min"] == 1.25 and prof["x"]["max"] == 10.0
+        assert prof["x"]["mean"] == math.floor(s1 / n * 1e6) / 1e6
+        want_std = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+        assert prof["x"]["stddev"] == math.floor(want_std * 1e6) / 1e6
+        # constant column: zero variance (never negative-clamped NaN)
+        assert prof["c"]["stddev"] == 0.0 and prof["c"]["mean"] == 7.0
+        # numeric-column default selection skips nothing numeric
+        assert set(prof) == {"id", "x", "c"}
+        # exact decimal sums: the profile is partition-count-invariant
+        re = {r["column"]: r.asDict()
+              for r in profiling.numeric_summary(df.repartition(7)).collect()}
+        assert re == prof
+        # all-null column profiles with null moments
+        nulls = spark.createDataFrame([(None,), (None,)], "y double")
+        p = profiling.numeric_summary(nulls).collect()[0]
+        assert p["n_null"] == 2 and p["mean"] is None and p["stddev"] is None
+
 
 class TestQualityClassifier:
     def test_learns_planted_rule_and_scores_holdout(self, spark):
