@@ -50,6 +50,7 @@ class QualityClassifier(NamedTuple):
     bias: float
     num_features: int
     use_bigrams: bool
+    token_hash: str = "xxhash64"
 
 
 def hashed_features(
@@ -58,28 +59,44 @@ def hashed_features(
     text_col: str = "text",
     num_features: int = 1 << 18,
     use_bigrams: bool = True,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Distinct (id, feature) pairs: tokens (and adjacent-token bigrams)
     hashed into ``[0, num_features)`` — binary presence features, the
     robust default for text quality models. Pure projection + explode;
     within-doc dedup happens BEFORE the explode so no global distinct
-    shuffle is needed."""
+    shuffle is needed.
+
+    ``token_hash="md5"`` swaps the (faster) xxhash64 for the md5-prefix
+    hash that has a literal DuckDB twin — the simhash convention
+    (``('0x' || substr(md5(tok), 1, 15))::BIGINT % num_features``) —
+    so a scorer built on it is oracle-replicable end-to-end. Bigrams
+    hash the two tokens joined by an 0x1f unit separator."""
+    if token_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"token_hash must be 'xxhash64' or 'md5', got {token_hash!r}")
+
+    def _h(*cols):
+        if token_hash == "xxhash64":
+            return F.pmod(F.xxhash64(*cols), F.lit(num_features))
+        joined = cols[0] if len(cols) == 1 else F.concat_ws("\x1f", *cols)
+        return F.pmod(
+            F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long"),
+            F.lit(num_features),
+        )
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), toks.alias("__toks"))
     t = F.col("__toks")
-    unigram_feats = F.transform(t, lambda x: F.pmod(F.xxhash64(x), F.lit(num_features)))
+    unigram_feats = F.transform(t, lambda x: _h(x))
     if use_bigrams:
         n = F.size(t)
         bigram_feats = F.when(
             n > 1,
             F.transform(
                 F.sequence(F.lit(0), n - 2),
-                lambda i: F.pmod(
-                    F.xxhash64(
-                        F.element_at(t, (i + 1).cast("int")),
-                        F.element_at(t, (i + 2).cast("int")),
-                    ),
-                    F.lit(num_features),
+                lambda i: _h(
+                    F.element_at(t, (i + 1).cast("int")),
+                    F.element_at(t, (i + 2).cast("int")),
                 ),
             ),
         ).otherwise(F.array())
@@ -98,6 +115,7 @@ def train_quality_classifier(
     text_col: str = "text",
     num_features: int = 1 << 18,
     use_bigrams: bool = True,
+    token_hash: str = "xxhash64",
     iterations: int = 20,
     learning_rate: float = 2.0,
     l2: float = 1e-6,
@@ -126,7 +144,7 @@ def train_quality_classifier(
     """
     if class_weight not in (None, "balanced"):
         raise ValueError(f"class_weight must be None or 'balanced', got {class_weight!r}")
-    feats = hashed_features(df, id_col, text_col, num_features, use_bigrams).cache()
+    feats = hashed_features(df, id_col, text_col, num_features, use_bigrams, token_hash).cache()
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("double").alias("__y")
     ).filter(F.col("__y").isNotNull())
@@ -208,7 +226,7 @@ def train_quality_classifier(
         weights = new_weights
         bias -= learning_rate * float(n_stats["rsum"] or 0.0) / denom
     feats.unpersist()
-    return QualityClassifier(weights, bias, num_features, use_bigrams)
+    return QualityClassifier(weights, bias, num_features, use_bigrams, token_hash)
 
 
 def score_quality(
@@ -222,7 +240,10 @@ def score_quality(
     join + per-doc weight sum + sigmoid (one shuffle on the feature
     pairs; the weight table joins by feature hash). Scores are 6dp
     floor-truncated like every per-row float output."""
-    feats = hashed_features(df, id_col, text_col, model.num_features, model.use_bigrams)
+    feats = hashed_features(
+        df, id_col, text_col, model.num_features, model.use_bigrams,
+        model.token_hash,
+    )
     margins = (
         feats.join(model.weights, "feature")
         .groupBy(id_col)

@@ -2119,6 +2119,28 @@ ORACLES: Dict[str, str] = {
                       + 0.3 * (1.0 - least(punct_ratio_raw * 10.0, 1.0))) * 1000000.0) / 1000000.0 AS quality_score
         FROM ratios ORDER BY doc_id
     """,
+    # classifier-inference replica: md5-prefix feature hash (the
+    # simhash convention), within-doc DISTINCT features, EXACT dyadic
+    # margin sums (k/1024 − 1/2), then sigmoid + 6dp floor
+    "text_classifier_score": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ), feats AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS feature
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        ), margins AS (
+            SELECT doc_id,
+                   sum(((feature * 2654435761) % 1024) / 1024.0 - 0.5) AS margin
+            FROM feats GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               floor((1.0 / (1.0 + exp(-(coalesce(m.margin, 0.0) + 0.0))))
+                     * 1000000) / 1000000 AS quality_prob
+        FROM documents d LEFT JOIN margins m USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     # char-entropy replica: same sorted-distinct-characters loop, same
     # left fold (list_prepend(0.0) + list_reduce ≡ Spark aggregate with
     # 0.0 init) — ASCII corpus so binary collation sorts identically

@@ -2069,6 +2069,37 @@ def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_ts")
 
 
+def _text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier INFERENCE driver row (r8, new): ``score_quality``
+    over pinned weights — the scale path a deployed quality filter
+    runs (feature join + per-doc margin sum + sigmoid), isolated from
+    the iterative trainer the same way the ANN rows pin SEEDED
+    centroids. ``token_hash="md5"`` gives the feature hash a literal
+    DuckDB twin (the simhash convention); weights are dyadic rationals
+    (k/1024 − 1/2) derived from the feature id, so the margin sums are
+    EXACT and order-free. Training itself stays pytest-pinned
+    (planted-rule holdout accuracy) — it is iterative, like BPE."""
+    from aws_data_wrangler_spark.operators import classifier
+
+    docs = load(spark, sf_dir, "documents")
+    nf = 512
+    weights = spark.range(nf).select(
+        F.col("id").alias("feature"),
+        (
+            F.pmod(F.col("id") * F.lit(2654435761), F.lit(1024)) / F.lit(1024.0)
+            - F.lit(0.5)
+        ).alias("weight"),
+    )
+    model = classifier.QualityClassifier(
+        weights, bias=0.0, num_features=nf, use_bigrams=False, token_hash="md5"
+    )
+    return (
+        classifier.score_quality(docs, model)
+        .select("doc_id", "quality_prob")
+        .orderBy("doc_id")
+    )
+
+
 def _profiling_numeric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric describe() profile driver row (r8, new): one-pass
     min/max/mean/stddev over the four lineitem measures. Exact decimal
@@ -3025,6 +3056,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_upsert_roundtrip": _io_upsert_roundtrip,
     "text_char_entropy": _text_char_entropy,
     "profiling_numeric_summary": _profiling_numeric_summary,
+    "text_classifier_score": _text_classifier_score,
 }
 
 

@@ -3951,6 +3951,55 @@ class TestProfiling:
 
 
 class TestQualityClassifier:
+    def test_md5_token_hash_matches_python_replica(self, spark):
+        # the oracle-replicable feature hash: md5-prefix mod space,
+        # bigrams joined by the 0x1f unit separator; within-doc distinct
+        import hashlib
+        import math
+
+        from aws_data_wrangler_spark.operators import classifier
+
+        nf = 64
+        df = spark.createDataFrame(
+            [(1, "red blue red"), (2, "  solo  ")], "doc_id long, text string"
+        )
+
+        def h(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % nf
+
+        got = {
+            (r["doc_id"], r["feature"])
+            for r in classifier.hashed_features(
+                df, num_features=nf, use_bigrams=True, token_hash="md5"
+            ).collect()
+        }
+        want = set()
+        for doc_id, text in [(1, "red blue red"), (2, "solo")]:
+            t = text.split()
+            feats = [h(x) for x in t] + [
+                h(a + "\x1f" + b) for a, b in zip(t, t[1:])
+            ]
+            want |= {(doc_id, f) for f in feats}
+        assert got == want
+        import pytest
+
+        with pytest.raises(ValueError, match="token_hash"):
+            classifier.hashed_features(df, token_hash="sha9000")
+        # pinned-weight inference: margin = exact dyadic sum → sigmoid
+        weights = spark.createDataFrame(
+            [(h("red"), 0.25), (h("blue"), -0.5), (h("red\x1fblue"), 0.125),
+             (h("blue\x1fred"), 0.0), (h("solo"), 2.0)],
+            "feature long, weight double",
+        )
+        model = classifier.QualityClassifier(weights, 0.0, nf, True, "md5")
+        probs = {
+            r["doc_id"]: r["quality_prob"]
+            for r in classifier.score_quality(df, model).collect()
+        }
+        m1 = 0.25 - 0.5 + 0.125 + 0.0
+        assert probs[1] == math.floor(1.0 / (1.0 + math.exp(-m1)) * 1e6) / 1e6
+        assert probs[2] == math.floor(1.0 / (1.0 + math.exp(-2.0)) * 1e6) / 1e6
+
     def test_learns_planted_rule_and_scores_holdout(self, spark):
         # planted separable rule: positives carry "goodtok", negatives
         # "badtok" among shared filler — hashed-bigram LR must reach
