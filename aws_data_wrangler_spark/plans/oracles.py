@@ -604,7 +604,7 @@ def _arrow_ann_oracle_sql(k: int = 5) -> str:
     """
 
 
-def _sq8_ann_oracle_sql(k: int = 5, factor: int = 3) -> str:
+def _sq8_ann_oracle_sql(k: int = 5, factor: int = 3, pca_dims: int = 0) -> str:
     """Exact DuckDB replica of ``similarity.sq8_topk``: the int8
     quantization (round-half-away ``x*127/max_abs`` — exact-.5 doubles
     are binary-representable, so Spark's HALF_UP BigDecimal rounding
@@ -613,13 +613,53 @@ def _sq8_ann_oracle_sql(k: int = 5, factor: int = 3) -> str:
     ``k*factor`` shortlist cut with id tie-break, and the
     full-precision rescore under the shared 6dp truncation. Every
     double is bit-identical cross-engine, so even the approximate
-    stage's selections match exactly."""
-    return f"""
-        WITH base AS (
+    stage's selections match exactly.
+
+    ``pca_dims > 0`` runs the SAME pipeline over SEEDED-PCA-projected
+    vectors instead of the raw embeddings (mean = lowest-id vector,
+    components = the next ``pca_dims`` — the embedding_pca_project
+    replica, UNtruncated): the composed preprocess → quantize → search
+    serving path. Rescore cosine is computed in the projected space,
+    exactly like the Spark side feeding ``pca_project`` output into
+    ``sq8_topk``."""
+    # PCA queries start PAST the seed ids (the mean projects to the
+    # zero vector — no cosine direction); the raw path keeps ids < 10
+    q_where = (
+        f"vec_id >= {pca_dims + 1} AND vec_id < {pca_dims + 11}"
+        if pca_dims
+        else "vec_id < 10"
+    )
+    if pca_dims:
+        base_ctes = f"""
+        corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS rv FROM embeddings
+        ), seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, rv AS sv
+            FROM (SELECT vec_id, rv FROM corpus ORDER BY vec_id LIMIT {pca_dims + 1})
+        ), meanv AS (
+            SELECT sv AS m FROM seeds WHERE rn = 0
+        ), comps AS (
+            SELECT rn - 1 AS j, sv AS cv FROM seeds WHERE rn >= 1
+        ), projrows AS (
+            SELECT c.vec_id, p.j,
+                   list_dot_product(
+                       list_transform(range(1, len(c.rv) + 1), i -> c.rv[i] - m.m[i]),
+                       p.cv) AS z
+            FROM corpus c, meanv m, comps p
+        ), base AS (
+            SELECT vec_id, list(z ORDER BY j) AS v,
+                   list_aggregate(list_transform(list(z ORDER BY j), x -> abs(x)), 'max') AS max_abs
+            FROM projrows GROUP BY vec_id
+        )"""
+    else:
+        base_ctes = """
+        base AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS max_abs
             FROM embeddings
-        ), quant AS (
+        )"""
+    return f"""
+        WITH {base_ctes}, quant AS (
             SELECT vec_id AS c_id,
                    CASE WHEN max_abs > 0
                         THEN list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INTEGER))
@@ -633,7 +673,7 @@ def _sq8_ann_oracle_sql(k: int = 5, factor: int = 3) -> str:
         ), q AS (
             SELECT vec_id AS q_id, v AS q_vec,
                    sqrt(list_dot_product(v, v)) AS q_norm
-            FROM base WHERE vec_id < 10
+            FROM base WHERE {q_where}
         ), approx AS (
             SELECT q.q_id AS query_id, c.c_id AS neighbor_id,
                    (list_dot_product(q.q_vec, c.codes::DOUBLE[]) * c.scale) /
@@ -649,10 +689,13 @@ def _sq8_ann_oracle_sql(k: int = 5, factor: int = 3) -> str:
             WHERE r <= {k * factor}
         ), rescored AS (
             SELECT s.query_id, s.neighbor_id,
-                   {_COSINE.format(a='qe', b='ce')} AS cosine
+                   floor((list_dot_product(qe.v, ce.v) /
+                          (sqrt(list_dot_product(qe.v, qe.v)) *
+                           sqrt(list_dot_product(ce.v, ce.v)))) * 1000000.0)
+                       / 1000000.0 AS cosine
             FROM shortlist s
-            JOIN embeddings qe ON qe.vec_id = s.query_id
-            JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+            JOIN base qe ON qe.vec_id = s.query_id
+            JOIN base ce ON ce.vec_id = s.neighbor_id
         ), ranked AS (
             SELECT query_id, neighbor_id,
                    CAST(row_number() OVER (PARTITION BY query_id
@@ -1637,6 +1680,9 @@ ORACLES: Dict[str, str] = {
     """,
     "ann_cosine_topk_arrow": _arrow_ann_oracle_sql(),
     "ann_sq8_topk": _sq8_ann_oracle_sql(),
+    # composed serving path: seeded-PCA projection (64->4) feeding the
+    # same SQ8 pipeline; rescore cosine in the projected space
+    "ann_pca_sq8_search": _sq8_ann_oracle_sql(pca_dims=4),
     "ann_ivf_topk": _ivf_ann_oracle_sql(),
     # the partitioned-index search is value-identical to ivf_topk with
     # the same (seeded) centroids — partitioning changes I/O, never

@@ -2069,6 +2069,36 @@ def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour_ts")
 
 
+def _ann_pca_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed preprocess → quantize → search serving path (r8, new):
+    SEEDED-PCA projection (the embedding_pca_project artifacts, 64→4
+    dims) feeding ``sq8_topk`` — dimensionality reduction THEN scalar
+    quantization, the memory ladder a 100 TB serving index actually
+    deploys (16× from PCA × 4× from SQ8). Zero-shuffle projection, then
+    the audited two-stage SQ8 plan over the projected vectors; rescore
+    cosine lives in the projected space. The oracle replays projection
+    and search term-for-term."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    seeds = [r["embedding"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    pca = {
+        "mean": [float(x) for x in seeds[0]],
+        "components": [[float(x) for x in v] for v in seeds[1:]],
+    }
+    proj = similarity.pca_project(emb, pca, out_col="z").select(
+        "vec_id", F.col("z").alias("embedding")
+    )
+    # queries start PAST the five seed ids: the mean vector projects to
+    # exactly zero (x − mean = 0), which has no cosine direction — as a
+    # corpus row the norm>0 guard drops it, as a QUERY it would divide
+    # by zero
+    queries = proj.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 15))
+    return similarity.sq8_topk(proj, queries, k=5, rescore_factor=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier INFERENCE driver row (r8, new): ``score_quality``
     over pinned weights — the scale path a deployed quality filter
@@ -3057,6 +3087,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_char_entropy": _text_char_entropy,
     "profiling_numeric_summary": _profiling_numeric_summary,
     "text_classifier_score": _text_classifier_score,
+    "ann_pca_sq8_search": _ann_pca_sq8_search,
 }
 
 
