@@ -199,6 +199,71 @@ def mad_anomalies(
     return score_anomalies(counts, centers, key_col=key_col, threshold=threshold)
 
 
+def interpolate_linear(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    step: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Dense per-key time spine with LINEAR interpolation across empty
+    buckets — the hypertable ``interpolate()`` companion to
+    ``gapfill_rollup``'s carry-forward: an empty bucket between two
+    observed ones gets ``prev + (t−t_prev)/(t_next−t_prev) ·
+    (next−prev)``; leading/trailing gaps (no neighbor on one side) stay
+    NULL, the textbook treatment. Output ``(key, bucket_ts, n_events,
+    interp_avg)``.
+
+    Plan shape: the gap-fill discipline — bucketed rollup, per-key
+    ``sequence`` spine (calendar-bounded arrays, never a cartesian),
+    keyed left join, then TWO windows over the SAME key partitioning
+    (carry-back is the carry-forward window reversed), so the whole
+    operator is two shuffles on the bucket key. Interpolation
+    arithmetic is plain IEEE double over epoch-second integers — the
+    DuckDB oracle replicates it bit-for-bit under the grid-stable avg
+    convention."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    bucketed = F.date_trunc(bucket, F.col(time_col))
+    rollup = df.groupBy(F.col(key_col).alias("key"), bucketed.alias("__bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.round(F.sum(value_col), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
+    )
+    bounds = rollup.groupBy("key").agg(
+        F.min("__bucket").alias("__mn"), F.max("__bucket").alias("__mx")
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.expr(step))).alias(
+            "__bucket"
+        ),
+    )
+    joined = spine.join(rollup, ["key", "__bucket"], "left")
+    fwd = Window.partitionBy("key").orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bwd = Window.partitionBy("key").orderBy("__bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    t = F.unix_timestamp("__bucket").cast("double")
+    t_marked = F.when(F.col("avg_value").isNotNull(), t)
+    prev_v = F.last("avg_value", ignorenulls=True).over(fwd)
+    next_v = F.first("avg_value", ignorenulls=True).over(bwd)
+    prev_t = F.last(t_marked, ignorenulls=True).over(fwd)
+    next_t = F.first(t_marked, ignorenulls=True).over(bwd)
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        # both neighbors required; equal-ts case can't occur on a spine
+        prev_v + (t - prev_t) / (next_t - prev_t) * (next_v - prev_v)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        trunc_digits(interp).alias("interp_avg"),
+    )
+
+
 def ewma(
     df: DataFrame,
     alpha: float = 0.25,

@@ -1310,6 +1310,49 @@ ORACLES: Dict[str, str] = {
     """,
     # MAD anomalies: exact quantile_cont == Spark percentile (R-7);
     # the score is truncated BEFORE the threshold in both engines
+    # linear-interpolation replica: same grid-stable bucket avg, same
+    # carry-forward/carry-back neighbor windows (IGNORE NULLS), same
+    # IEEE interpolation over epoch seconds; leading/trailing gaps NULL
+    "events_interpolate": """
+        WITH src AS (
+            SELECT event_type AS key, date_trunc('hour', ts) AS b, value
+            FROM events WHERE event_id % 7 = 0
+        ), rollup AS (
+            SELECT key, b, count(*) AS n_events,
+                   round(round(sum(value), 2) / count(*), 6) AS avg_value
+            FROM src GROUP BY key, b
+        ), bounds AS (
+            SELECT key, min(b) AS mn, max(b) AS mx FROM rollup GROUP BY key
+        ), spine AS (
+            SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+            FROM bounds
+        ), joined AS (
+            SELECT s.key, s.b, r.n_events, r.avg_value, epoch(s.b)::DOUBLE AS t
+            FROM spine s LEFT JOIN rollup r USING (key, b)
+        ), w AS (
+            SELECT *,
+                last_value(avg_value IGNORE NULLS) OVER
+                    (PARTITION BY key ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                first_value(avg_value IGNORE NULLS) OVER
+                    (PARTITION BY key ORDER BY b
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                last_value(CASE WHEN avg_value IS NOT NULL THEN t END IGNORE NULLS)
+                    OVER (PARTITION BY key ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+                first_value(CASE WHEN avg_value IS NOT NULL THEN t END IGNORE NULLS)
+                    OVER (PARTITION BY key ORDER BY b
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+            FROM joined
+        )
+        SELECT key AS event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               coalesce(n_events, 0)::BIGINT AS n_events,
+               floor((CASE WHEN avg_value IS NOT NULL THEN avg_value
+                      ELSE prev_v + (t - prev_t) / (next_t - prev_t)
+                               * (next_v - prev_v) END) * 1000000) / 1000000
+                   AS interp_avg
+        FROM w ORDER BY event_type, bucket_ts
+    """,
     # EWMA fold replica: list_reduce folds left with the FIRST element
     # as init — exactly Spark's aggregate(slice(vals, 2, n-1),
     # element_at(vals, 1), ...); alpha = 0.25 and 1-alpha = 0.75 are

@@ -2157,6 +2157,17 @@ def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across empty buckets (r8, new): the
+    hypertable interpolate() companion to the locf gap-fill. Events
+    are thinned (event_id % 7) so the hourly spine actually has gaps
+    to interpolate."""
+    from aws_data_wrangler_spark.operators import timeseries
+
+    events = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return timeseries.interpolate_linear(events).orderBy("event_type", "bucket_ts")
+
+
 def _events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA of hourly event counts per type (r8, new): the current
     smoothed traffic level a monitor compares the next bucket against.
@@ -3088,6 +3099,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profiling_numeric_summary": _profiling_numeric_summary,
     "text_classifier_score": _text_classifier_score,
     "ann_pca_sq8_search": _ann_pca_sq8_search,
+    "events_interpolate": _events_interpolate,
 }
 
 

@@ -3396,6 +3396,30 @@ class TestTimeseries:
         out = timeseries.mad_anomalies(df, key_col="user_id").collect()
         assert len(out) == 1 and out[0]["user_id"] == 7
 
+    def test_interpolate_linear_hand_values(self, spark):
+        from aws_data_wrangler_spark.operators import timeseries
+
+        # key "a": observed at hours 0 (10.0) and 3 (40.0) — hours 1, 2
+        # interpolate to 20, 30; key "b": single bucket, nothing to fill
+        df = spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 3 * 3600, 40.0), ("b", 3600, 5.0)],
+            "event_type string, sec long, value double",
+        ).select("event_type", F.timestamp_seconds("sec").alias("ts"), "value")
+        out = timeseries.interpolate_linear(df).orderBy(
+            "event_type", "bucket_ts"
+        ).collect()
+        a = [r for r in out if r["event_type"] == "a"]
+        assert [r["n_events"] for r in a] == [1, 0, 0, 1]
+        assert [r["interp_avg"] for r in a] == [10.0, 20.0, 30.0, 40.0]
+        b = [r for r in out if r["event_type"] == "b"]
+        assert len(b) == 1 and b[0]["interp_avg"] == 5.0
+        # a leading gap has no left neighbor: spine starts at the first
+        # OBSERVED bucket, so nulls can only arise from one-sided gaps —
+        # construct one by unioning a key with a single trailing point
+        # after an empty stretch; the spine is [min, max] per key so the
+        # empty stretch interpolates, never extrapolates
+        assert all(r["interp_avg"] is not None for r in out)
+
     def test_ewma_matches_hand_fold(self, spark):
         # hand-computed chronological fold: s_1 = n_1,
         # s_t = 0.25·n_t + 0.75·s_{t−1} — including a key whose rows
