@@ -2923,90 +2923,15 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codegen, parquet reader) are sub-second plans. Enforced by
 # tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- the nine ROUND6_LATE entries rotating IN, FIRST, exactly as
-    # VERDICT r6 'next' #1 ordered: registered after the round-6 window
-    # filled, 3-SF verified in-session, no driver row yet ---
-    "dedup_snapshot_diff": _dedup_snapshot_diff,
-    "embedding_dim_stats": _embedding_dim_stats,
-    "io_schema_evolution": _io_schema_evolution,
-    "ann_filtered_pq_search": _ann_filtered_pq_search,
-    "streaming_bloom_gate": _streaming_bloom_gate,
-    "events_mad_anomalies": _events_mad_anomalies,
-    "profiling_referential_integrity": _profiling_referential_integrity,
-    "profiling_key_uniqueness": _profiling_key_uniqueness,
-    "ingest_preflight_report": _ingest_preflight_report,
-    # --- crossing round-7-CHANGED code, so they need fresh rows: the
-    # Bloom broadcast-probe int64 rewrite in dedup.py
-    # (dedup_bloom_ingest_gate; the late streaming_bloom_gate /
-    # ingest_preflight_report rows above cover the same change), the
-    # null-cid refill fix in sampling.py, and the null-cid exclusion
-    # in similarity.cell_occupancy ---
-    "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
-    "sample_cluster_balanced": _sample_cluster_balanced,
-    "ann_cell_occupancy": _ann_cell_occupancy,
-    # --- NEW in round 7 ---
-    "embedding_pca_project": _embedding_pca_project,
-    "benchmark_near_contamination": _benchmark_near_contamination,
-    "ann_index_rebalance_search": _ann_index_rebalance_search,
-    "streaming_drift_monitor": _streaming_drift_monitor,
-    # crossing round-7-changed code: asof_join grew direction="nearest"
-    # (the backward/forward carry refactored into a shared helper) —
-    # the registered asof row needs a fresh driver row over it; the
-    # PSI profiler refactored into shared psi_bucket_expr /
-    # psi_profile_from_counts for the streaming monitor, so the batch
-    # drift row needs one too
-    "events_asof_signup": _events_asof_signup,
-    "profiling_distribution_drift": _profiling_distribution_drift,
-    # --- the 31 entries riding round-4 driver rows — the oldest
-    # below-window pedigree (ROUND4_FROZEN survivors after the r7
-    # consolidation); after round 7 they would breach the two-round
-    # staleness invariant, so ALL of them rotate in ---
-    "io_orc_roundtrip": _io_orc_roundtrip,
-    "events_join_fanout": _events_join_fanout,
-    "text_html_extract": _text_html_extract,
-    "text_ngram_freq": _text_ngram_freq,
-    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
-    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
-    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
-    "multimodal_image_dhash": _multimodal_image_dhash,
-    "text_bigram_surprisal": _text_bigram_surprisal,
-    "text_ngram_repetition": _text_ngram_repetition,
-    "sample_shuffle_shards": _sample_shuffle_shards,
-    "io_fwf_roundtrip": _io_fwf_roundtrip,
-    "profiling_null_profile": _profiling_null_profile,
-    "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,
-    "multimodal_audio_fp": _multimodal_audio_fp,
-    "text_c4_rules": _text_c4_rules,
-    "text_perplexity_buckets": _text_perplexity_buckets,
-    "pretraining_curation_pipeline": _pretraining_curation_pipeline,
-    "text_gopher_quality": _text_gopher_quality,
-    "text_quality_score": _text_quality_score,
-    "text_lang_id": _text_lang_id,
-    "text_chunk_tokens": _text_chunk_tokens,
-    "text_pack_sequences": _text_pack_sequences,
-    "text_pii_scrub": _text_pii_scrub,
-    "text_tfidf_top_terms": _text_tfidf_top_terms,
-    "text_unigram_surprisal": _text_unigram_surprisal,
-    "benchmark_contamination": _benchmark_contamination,
-    "streaming_hourly_rollup": _streaming_hourly_rollup,
-    "streaming_sliding_counts": _streaming_sliding_counts,
-    "streaming_error_click_join": _streaming_error_click_join,
-    "streaming_corpus_dedup": _streaming_corpus_dedup,
-    # --- riding its round-5 row (displaced below the r6 window late) ---
-    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- driver window boundary: the driver verifies the FIRST 50
-    # entries, i.e. everything ABOVE this comment. Below sit only
-    # (a) the ROUND5_FROZEN remainder riding round-5 rows and (b) the
-    # ROUND6_FROZEN block riding fresh round-6 rows — code
-    # byte-identical since. Enforced by tests/test_plans.py. ---
-    # q1 (fresh r6 row) gave up its traditional leader slot, and the
-    # round-5 backfill pulls were displaced back below one by one, as
-    # the round-7 registrations claimed window slots: all five
-    # (events_error_click_window, dedup_exact, dedup_normalized,
-    # io_parquet_roundtrip, db_jdbc_roundtrip) sit HERE, below the
-    # boundary, riding their fresh round-5 rows (ROUND5_FROZEN) — due
-    # for rotation in round 8
-    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
+    # === ROUND-8 DRIVER WINDOW (first 50 — the driver verifies exactly
+    # these; layout per SURVEY §7 item 13) ===
+    # --- (a) the ROUND7_LATE entry rotates in FIRST (registered after
+    # the round-7 window filled; 3-SF pedigree declared) ---
+    "streaming_anomaly_monitor": _streaming_anomaly_monitor,
+    # --- (b) the ROUND5_FROZEN block — after round 8 its round-5 rows
+    # would breach the two-round staleness invariant. Oldest first:
+    # the five backfill pulls displaced in round 7, then the remainder
+    # in their long-standing dict order ---
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
@@ -3042,11 +2967,83 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_growing_corpus": _streaming_growing_corpus,
     "sample_temperature": _sample_temperature,
     "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
-    # --- ROUND6_FROZEN: fresh green rows in CORRECTNESS_r06.json ---
+    # --- (c) crossing round-8-CHANGED code: the drift/anomaly monitor
+    # memory-sink materialization (streaming/__init__.py), the
+    # sanitize-aware partition/sort column handling in to_orc/to_csv
+    # (io_parquet_roundtrip, crossing to_parquet's change, is already
+    # in via the ROUND5 block) ---
+    "streaming_drift_monitor": _streaming_drift_monitor,
+    "io_orc_roundtrip": _io_orc_roundtrip,
+    "io_csv_roundtrip": _io_csv_roundtrip,
+    # --- (d) NEW in round 8, registered straight INTO the window ---
+    "io_upsert_roundtrip": _io_upsert_roundtrip,
+    "text_classifier_score": _text_classifier_score,
+    "text_char_entropy": _text_char_entropy,
+    "profiling_numeric_summary": _profiling_numeric_summary,
+    "events_ewma_smoothing": _events_ewma_smoothing,
+    "events_interpolate": _events_interpolate,
+    "ann_pca_sq8_search": _ann_pca_sq8_search,
+    # --- (e) spare slots backfill the OLDEST below-window pedigree:
+    # the four ROUND6_FROZEN leaders (round-6 rows) ---
     "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
     "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
     "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
     "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
+    # === window boundary: the driver verifies the FIRST 50 entries —
+    # everything ABOVE this comment. Below sit only (a) the round-7
+    # window survivors riding FRESH round-7 rows and (b) the
+    # ROUND6_FROZEN remainder riding round-6 rows — code
+    # byte-identical since. Enforced by tests/test_plans.py. ===
+    "dedup_snapshot_diff": _dedup_snapshot_diff,
+    "embedding_dim_stats": _embedding_dim_stats,
+    "io_schema_evolution": _io_schema_evolution,
+    "ann_filtered_pq_search": _ann_filtered_pq_search,
+    "streaming_bloom_gate": _streaming_bloom_gate,
+    "events_mad_anomalies": _events_mad_anomalies,
+    "profiling_referential_integrity": _profiling_referential_integrity,
+    "profiling_key_uniqueness": _profiling_key_uniqueness,
+    "ingest_preflight_report": _ingest_preflight_report,
+    "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
+    "sample_cluster_balanced": _sample_cluster_balanced,
+    "ann_cell_occupancy": _ann_cell_occupancy,
+    "embedding_pca_project": _embedding_pca_project,
+    "benchmark_near_contamination": _benchmark_near_contamination,
+    "ann_index_rebalance_search": _ann_index_rebalance_search,
+    "events_asof_signup": _events_asof_signup,
+    "profiling_distribution_drift": _profiling_distribution_drift,
+    "events_join_fanout": _events_join_fanout,
+    "text_html_extract": _text_html_extract,
+    "text_ngram_freq": _text_ngram_freq,
+    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
+    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
+    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
+    "multimodal_image_dhash": _multimodal_image_dhash,
+    "text_bigram_surprisal": _text_bigram_surprisal,
+    "text_ngram_repetition": _text_ngram_repetition,
+    "sample_shuffle_shards": _sample_shuffle_shards,
+    "io_fwf_roundtrip": _io_fwf_roundtrip,
+    "profiling_null_profile": _profiling_null_profile,
+    "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,
+    "multimodal_audio_fp": _multimodal_audio_fp,
+    "text_c4_rules": _text_c4_rules,
+    "text_perplexity_buckets": _text_perplexity_buckets,
+    "pretraining_curation_pipeline": _pretraining_curation_pipeline,
+    "text_gopher_quality": _text_gopher_quality,
+    "text_quality_score": _text_quality_score,
+    "text_lang_id": _text_lang_id,
+    "text_chunk_tokens": _text_chunk_tokens,
+    "text_pack_sequences": _text_pack_sequences,
+    "text_pii_scrub": _text_pii_scrub,
+    "text_tfidf_top_terms": _text_tfidf_top_terms,
+    "text_unigram_surprisal": _text_unigram_surprisal,
+    "benchmark_contamination": _benchmark_contamination,
+    "streaming_hourly_rollup": _streaming_hourly_rollup,
+    "streaming_sliding_counts": _streaming_sliding_counts,
+    "streaming_error_click_join": _streaming_error_click_join,
+    "streaming_corpus_dedup": _streaming_corpus_dedup,
+    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
+    # --- ROUND6_FROZEN remainder (fresh r6 rows; q1 leads) ---
+    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
     "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
     "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
     "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
@@ -3061,7 +3058,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_table_roundtrip": _catalog_table_roundtrip,
     "io_bucketed_join": _io_bucketed_join,
     "io_overwrite_partitions": _io_overwrite_partitions,
-    "io_csv_roundtrip": _io_csv_roundtrip,
     "io_json_roundtrip": _io_json_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
     "corpus_curation_pipeline": _corpus_curation_pipeline,
@@ -3086,20 +3082,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mmr_rerank": _ann_mmr_rerank,
     "ann_index_delete_search": _ann_index_delete_search,
     "profiling_hll_invariants": _profiling_hll_invariants,
-    # --- round-7 LATE addition (registered after the 50-entry window
-    # filled; verified against its oracle at sf0.001, sf0.01 AND sf0.1
-    # via tools/check_oracles in the round-7 session; rotates into the
-    # round-8 window FIRST — the round-3/round-6 late precedent) ---
-    "streaming_anomaly_monitor": _streaming_anomaly_monitor,
-    # --- round-8 registrations (temporary tail placement while the
-    # round-8 window reorder is assembled; they move INTO the window) ---
-    "events_ewma_smoothing": _events_ewma_smoothing,
-    "io_upsert_roundtrip": _io_upsert_roundtrip,
-    "text_char_entropy": _text_char_entropy,
-    "profiling_numeric_summary": _profiling_numeric_summary,
-    "text_classifier_score": _text_classifier_score,
-    "ann_pca_sq8_search": _ann_pca_sq8_search,
-    "events_interpolate": _events_interpolate,
 }
 
 

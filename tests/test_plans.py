@@ -26,36 +26,77 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-7 rotation policy (VERDICT r6 "next" #1/#2): the driver
-# verifies the FIRST 50 registry entries. Round 7 consolidated the
-# registry 140 -> 125 (15 plan-subsumed entries retired with covered-by
-# annotations in SURVEY §2 / queries.py; the bench.py frozen subset was
-# never touched). The window carries (a) the nine ROUND6_LATE entries,
-# FIRST — registered after the round-6 window filled, no driver row
-# yet, (b) every query crossing round-7-changed code (the Bloom
-# broadcast-probe int64 rewrite in dedup.py, the null-cid refill fix in
-# sampling.py, the null-cid exclusion in similarity.cell_occupancy),
-# (c) ALL 31 entries still riding round-4 driver rows — the oldest
-# pedigree, due this round or they breach the two-round staleness
-# invariant — plus q6 riding its round-5 row, and (d) the round's NEW
-# registrations. Below the boundary sit only the ROUND5_FROZEN
-# remainder (round-5 rows) and the ROUND6_FROZEN block (fresh round-6
-# rows), each over byte-identical code.
+# Round-8 rotation policy (SURVEY §7 item 13): the driver verifies the
+# FIRST 50 registry entries. The round-8 window carries (a) the single
+# ROUND7_LATE entry FIRST (registered after the round-7 window filled,
+# no driver row yet), (b) the ENTIRE 35-entry ROUND5_FROZEN block —
+# after round 8 its round-5 rows would breach the two-round staleness
+# invariant — oldest first (the five backfill pulls displaced in round
+# 7, then the remainder), (c) every query crossing round-8-changed
+# code (the drift/anomaly monitor memory-sink materialization in
+# streaming/__init__.py; the sanitize-aware partition/sort column
+# handling in to_orc/to_csv — to_parquet's change is crossed by
+# io_parquet_roundtrip inside the ROUND5 block), (d) the round's SEVEN
+# new registrations, placed straight INTO the window, and (e) four
+# spare slots backfilling the OLDEST below-window pedigree (the
+# ROUND6_FROZEN leaders). Below the boundary sit only the round-7
+# window survivors (fresh round-7 rows) and the ROUND6_FROZEN
+# remainder (round-6 rows), each over byte-identical code.
 
-ROUND6_LATE_ROTATED_IN_R7 = {
+ROUND7_LATE_ROTATED_IN_R8 = {
+    "streaming_anomaly_monitor",
+}
+
+ROUND5_ROTATED_IN_R8 = {
+    # the whole ROUND5_FROZEN block: last driver rows in round 5
+    "events_error_click_window", "dedup_exact", "dedup_normalized",
+    "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_session_window",
+    "events_hourly_gapfill", "events_user_join_salted",
+    "athena_ctas_roundtrip", "io_partition_pruned_read", "io_merge_datasets",
+    "ann_cosine_topk", "ann_lsh_topk", "streaming_static_enrich",
+    "streaming_latest_per_user", "text_fingerprint", "dedup_duplicated_lines",
+    "sample_epoch_mixture", "orders_value_deciles", "dedup_minhash_lsh",
+    "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_duplicated_spans", "dedup_embedding_cosine",
+    "dedup_embedding_incremental", "dedup_embedding_lsh",
+    "embedding_curation_pipeline", "ann_cosine_topk_arrow", "ann_sq8_topk",
+    "bpe_word_frequencies", "bpe_encode", "streaming_growing_corpus",
+    "sample_temperature", "q2_min_cost_supplier",
+}
+
+ROUND8_CHANGED_CODE = {
+    "streaming_drift_monitor", "io_orc_roundtrip", "io_csv_roundtrip",
+}
+
+NEW_IN_R8 = {
+    "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
+    "profiling_numeric_summary", "events_ewma_smoothing",
+    "events_interpolate", "ann_pca_sq8_search",
+}
+
+ROUND6_PULLED_IN_R8 = {
+    # spare-slot backfill: the oldest below-window pedigree
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q11_important_stock", "q13_customer_distribution",
+}
+
+ROUND7_FROZEN = {
+    # fresh green rows in CORRECTNESS_r07.json; code byte-identical
+    # since round 7 (round-7 window entries crossing round-8-changed
+    # code — streaming_drift_monitor, io_orc_roundtrip — moved INTO
+    # the round-8 window instead)
     "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
     "ann_filtered_pq_search", "streaming_bloom_gate", "events_mad_anomalies",
     "profiling_referential_integrity", "profiling_key_uniqueness",
-    "ingest_preflight_report",
-}
-
-ROUND4_ROTATED_IN_R7 = {
-    # every surviving entry whose newest driver row dated from round 4
-    "io_orc_roundtrip", "events_join_fanout", "text_html_extract",
-    "text_ngram_freq", "events_hourly_rollup", "lineitem_stats_by_flag",
+    "ingest_preflight_report", "dedup_bloom_ingest_gate",
+    "sample_cluster_balanced", "ann_cell_occupancy", "embedding_pca_project",
+    "benchmark_near_contamination", "ann_index_rebalance_search",
+    "events_asof_signup", "profiling_distribution_drift",
+    "events_join_fanout", "text_html_extract", "text_ngram_freq",
+    "events_hourly_rollup", "lineitem_stats_by_flag",
     "topk_customers_window", "multimodal_image_dhash",
-    "text_bigram_surprisal", "text_ngram_repetition", "sample_shuffle_shards",
-    "io_fwf_roundtrip", "profiling_null_profile",
+    "text_bigram_surprisal", "text_ngram_repetition",
+    "sample_shuffle_shards", "io_fwf_roundtrip", "profiling_null_profile",
     "events_heavy_hitters_sketch", "multimodal_audio_fp", "text_c4_rules",
     "text_perplexity_buckets", "pretraining_curation_pipeline",
     "text_gopher_quality", "text_quality_score", "text_lang_id",
@@ -63,91 +104,44 @@ ROUND4_ROTATED_IN_R7 = {
     "text_tfidf_top_terms", "text_unigram_surprisal",
     "benchmark_contamination", "streaming_hourly_rollup",
     "streaming_sliding_counts", "streaming_error_click_join",
-    "streaming_corpus_dedup",
-}
-
-ROUND5_FROZEN = {
-    # fresh green rows in CORRECTNESS_r05.json; code byte-identical
-    # since round 5. q6 rotated INTO the round-7 window; the five
-    # oldest entries (events_error_click_window, dedup_exact,
-    # dedup_normalized, io_parquet_roundtrip, db_jdbc_roundtrip) were
-    # provisionally pulled forward as backfill and then displaced back
-    # below, one per round-7 registration — every one rides its fresh
-    # round-5 row and is due for rotation in round 8. This is the
-    # below-window remainder.
-    "events_error_click_window",
-    "dedup_normalized", "io_parquet_roundtrip", "db_jdbc_roundtrip",
-    "events_session_window", "events_hourly_gapfill",
-    "events_user_join_salted", "athena_ctas_roundtrip",
-    "io_partition_pruned_read", "io_merge_datasets",
-    "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
-    "streaming_static_enrich", "streaming_latest_per_user",
-    "text_fingerprint", "dedup_duplicated_lines", "sample_epoch_mixture",
-    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_duplicated_spans",
-    "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_embedding_lsh", "embedding_curation_pipeline",
-    "ann_cosine_topk_arrow", "ann_sq8_topk", "bpe_word_frequencies",
-    "bpe_encode", "streaming_growing_corpus", "sample_temperature",
-    "q2_min_cost_supplier",
+    "streaming_corpus_dedup", "q6_revenue_forecast",
 }
 
 ROUND6_FROZEN = {
     # fresh green rows in CORRECTNESS_r06.json; code byte-identical
-    # since round 6 (round-6 window entries crossing round-7-changed
-    # code — dedup_bloom_ingest_gate, sample_cluster_balanced,
-    # ann_cell_occupancy — stayed IN the window; q1 stays as leader)
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q11_important_stock", "q13_customer_distribution", "q14_promo_effect",
-    "q18_large_orders", "q19_discount_revenue", "q21_waiting_suppliers",
-    "q22_idle_customers", "events_cube_daily", "events_retention_cohorts",
-    "events_funnel", "brand_revenue_pareto", "events_sessionize",
-    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
-    "io_overwrite_partitions", "io_csv_roundtrip", "io_json_roundtrip",
-    "db_copy_unload_roundtrip", "corpus_curation_pipeline", "ann_ivf_topk",
-    "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_lloyd_step", "dedup_semdedup",
-    "dedup_clusters", "logs_insights_stats", "logs_insights_parse",
+    # since round 6; the four oldest leaders were pulled into the
+    # round-8 window (ROUND6_PULLED_IN_R8), io_csv_roundtrip moved in
+    # crossing the to_csv change
+    "q1_pricing_summary", "q14_promo_effect", "q18_large_orders",
+    "q19_discount_revenue", "q21_waiting_suppliers", "q22_idle_customers",
+    "events_cube_daily", "events_retention_cohorts", "events_funnel",
+    "brand_revenue_pareto", "events_sessionize", "events_json_extract",
+    "catalog_table_roundtrip", "io_bucketed_join", "io_overwrite_partitions",
+    "io_json_roundtrip", "db_copy_unload_roundtrip",
+    "corpus_curation_pipeline", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_ivf_lloyd_step", "dedup_semdedup", "dedup_clusters",
+    "logs_insights_stats", "logs_insights_parse",
     "ann_ivf_partitioned_search", "multimodal_video_near_dup",
     "streaming_sessionize", "sample_dsir", "ann_recall_lsh",
     "pretraining_shard_export", "streaming_dsir_gate",
     "ann_ivfpq_partitioned_search", "text_length_histogram",
     "streaming_index_ingest", "ann_mmr_rerank", "ann_index_delete_search",
     "profiling_hll_invariants",
-    # q1 (the former window leader, fresh r6 row) gave up its slot to
-    # the round-7 registrations
-    "q1_pricing_summary",
 }
 
-ROUND7_MUST_BE_IN_WINDOW = (
-    ROUND6_LATE_ROTATED_IN_R7
-    | ROUND4_ROTATED_IN_R7
-    | {
-        # crossing round-7-changed code
-        "dedup_bloom_ingest_gate", "sample_cluster_balanced",
-        "ann_cell_occupancy",
-        # NEW in round 7
-        "embedding_pca_project", "benchmark_near_contamination",
-        "ann_index_rebalance_search",
-        # crossing round-7-changed code (asof_join nearest refactor;
-        # PSI profiler refactored for the streaming monitor)
-        "events_asof_signup", "profiling_distribution_drift",
-        "streaming_drift_monitor",
-        # riding its round-5 row, displaced below the r6 window late
-        "q6_revenue_forecast",
-    }
+ROUND8_MUST_BE_IN_WINDOW = (
+    ROUND7_LATE_ROTATED_IN_R8
+    | ROUND5_ROTATED_IN_R8
+    | ROUND8_CHANGED_CODE
+    | NEW_IN_R8
+    | ROUND6_PULLED_IN_R8
 )
 
-ROUND7_LATE = {
-    # registered after the round-7 window filled (the round-3/round-6
-    # late precedent): verified at sf0.001 + sf0.01 + sf0.1 in the
-    # round-7 session; rotates into the round-8 window FIRST
-    "streaming_anomaly_monitor",
-}
-
 RETIRED_R7 = {
-    # plan-subsumed entries retired with covered-by annotations
-    # (SURVEY §2 / queries.py); the operators stay implemented and
-    # unit-tested — only the registry rows were consolidated
+    # plan-subsumed entries retired in round 7 with covered-by
+    # annotations (SURVEY §2 / queries.py); the operators stay
+    # implemented and unit-tested — only the registry rows were
+    # consolidated
     "embedding_stats", "events_value_percentiles", "q16_parts_suppliers",
     "text_token_count", "text_repetition", "sample_stratified",
     "sample_fixed_per_source", "sample_token_budget",
@@ -165,32 +159,42 @@ def test_retired_entries_are_gone():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND5_FROZEN - ROUND6_FROZEN - ROUND7_LATE
+    unaccounted = below - ROUND7_FROZEN - ROUND6_FROZEN
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
 
 
 def test_no_entry_staler_than_two_rounds():
-    # the rotation invariant (VERDICT r5 #5, re-pinned per VERDICT r6
-    # #1): after round 7, no below-window entry's last driver row may
-    # be older than round 5 — so nothing with round-4 pedigree (and
-    # nothing from the late round-6 set, which never had a row at all)
-    # may sit below the boundary
+    # the rotation invariant (VERDICT r5 #5, re-pinned every round):
+    # after round 8, no below-window entry's last driver row may be
+    # older than round 6 — so nothing with round-5 pedigree (and no
+    # never-verified round-7-late entry) may sit below the boundary
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND4_ROTATED_IN_R7 == set(), (
-        "round-4-pedigree entries must sit inside the round-7 window"
+    assert below & ROUND5_ROTATED_IN_R8 == set(), (
+        "round-5-pedigree entries must sit inside the round-8 window"
     )
-    assert below & ROUND6_LATE_ROTATED_IN_R7 == set(), (
-        "never-verified round-6-late entries must sit inside the window"
+    assert below & ROUND7_LATE_ROTATED_IN_R8 == set(), (
+        "never-verified round-7-late entries must sit inside the window"
     )
 
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND7_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND8_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
+
+
+def test_window_is_exactly_the_declared_partition():
+    # the three pedigree groups tile the registry exactly: no entry in
+    # two groups, none unaccounted, and the window holds precisely the
+    # must-be-in set
+    names = list(QUERIES)
+    window, below = set(names[:50]), set(names[50:])
+    assert window == ROUND8_MUST_BE_IN_WINDOW
+    assert below == ROUND7_FROZEN | ROUND6_FROZEN
+    assert ROUND7_FROZEN & ROUND6_FROZEN == set()
 
 
 def test_entry_module_contract():
