@@ -90,6 +90,14 @@ HEADLINE = [
     # rewrite), search the rebalanced index; two full builds inline,
     # build-dominated by design
     "ann_index_rebalance_search",
+    # round-8 addition: the composed preprocess→quantize→search serving
+    # path — seeded-PCA projection (64→4) feeding the two-stage SQ8
+    # scan; tracks what dimensionality reduction buys the scan stage
+    "ann_pca_sq8_search",
+    # round-8 addition: the batch lakehouse UPSERT — two merge
+    # snapshots (union + per-key argmax + versioned write) plus the
+    # read-back; snapshot-write dominated by design
+    "io_upsert_roundtrip",
 ]
 
 
