@@ -632,6 +632,33 @@ def dsir_resample(
     return keyed.orderBy(F.col(key_col).desc(), F.col(id_col)).limit(k)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, P ∝ weight
+    (Efraimidis–Spirakis): keep the k rows with the largest
+    ``ln(weight) + Gumbel(0,1)`` key — exactly ``dsir_resample`` with
+    ``score = ln(weight)``, since Gumbel-top-k draws ∝ exp(score). The
+    Gumbel noise derives from a content hash (md5 of id‖salt), so the
+    draw is reproducible on any engine/partitioning. Rows with
+    non-positive weight are excluded (zero mass; ln undefined) — the
+    standard treatment.
+
+    Scale shape: one map-side key projection + TakeOrderedAndProject
+    (per-partition partial top-k) — the corpus is never sorted."""
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
+        "__lnw", F.log(F.col(weight_col).cast("double"))
+    )
+    return dsir_resample(
+        scored, k, id_col=id_col, score_col="__lnw", salt=salt, key_col=key_col
+    ).drop("__lnw")
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     centroids: DataFrame,

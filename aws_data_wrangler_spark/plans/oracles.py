@@ -2119,6 +2119,19 @@ ORACLES: Dict[str, str] = {
         WHERE score > 0
         ORDER BY doc_id
     """,
+    # weighted_sample replica: the DSIR Gumbel draw with score =
+    # ln(weight); non-positive weights excluded on both sides
+    "sample_weighted": """
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   ln(o_totalprice) + (-ln(-ln(
+                       ((('0x' || substr(md5(o_orderkey::VARCHAR || 'wtd'), 1, 8))::BIGINT
+                         + 1)::DOUBLE) / 4294967298.0))) AS skey
+            FROM orders WHERE o_totalprice > 0
+        )
+        SELECT o_orderkey, floor(skey * 1000000.0) / 1000000.0 AS sample_key
+        FROM keyed ORDER BY skey DESC, o_orderkey LIMIT 200
+    """,
     "sample_temperature": """
         WITH counts AS (
             SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang

@@ -2157,6 +2157,22 @@ def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic weighted sampling driver row (r8, new): top-200 orders
+    drawn ∝ o_totalprice via the hash-derived Gumbel key — the
+    Efraimidis–Spirakis draw the DSIR sampler specializes."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import sampling
+
+    orders = load(spark, sf_dir, "orders")
+    out = sampling.weighted_sample(
+        orders, k=200, weight_col="o_totalprice", id_col="o_orderkey", salt="wtd"
+    )
+    return out.select(
+        "o_orderkey", trunc_digits(F.col("sample_key")).alias("sample_key")
+    ).orderBy(F.col("sample_key").desc(), "o_orderkey")
+
+
 def _events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation across empty buckets (r8, new): the
     hypertable interpolate() companion to the locf gap-fill. Events
@@ -2983,12 +2999,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma_smoothing": _events_ewma_smoothing,
     "events_interpolate": _events_interpolate,
     "ann_pca_sq8_search": _ann_pca_sq8_search,
+    "sample_weighted": _sample_weighted,
     # --- (e) spare slots backfill the OLDEST below-window pedigree:
     # the four ROUND6_FROZEN leaders (round-6 rows) ---
     "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
     "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
     "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
-    "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
     # === window boundary: the driver verifies the FIRST 50 entries —
     # everything ABOVE this comment. Below sit only (a) the round-7
     # window survivors riding FRESH round-7 rows and (b) the
@@ -3042,7 +3058,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- ROUND6_FROZEN remainder (fresh r6 rows; q1 leads) ---
+    # --- ROUND6_FROZEN remainder (fresh r6 rows; q1 leads;
+    # q13 returned its provisional spare slot to the eighth new entry) ---
+    "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
     "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
     "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),

@@ -2470,6 +2470,33 @@ class TestUnigramSurprisal:
 
 
 class TestSampling:
+    def test_weighted_sample_bias_and_determinism(self, spark):
+        from aws_data_wrangler_spark.operators import sampling
+
+        # 100 heavy rows (w=50) among 900 light (w=1): a 100-draw must
+        # be dominated by heavy rows (P ∝ weight); non-positive weights
+        # never drawn; the draw is identical across partitionings
+        rows = [(i, 50.0 if i < 100 else 1.0) for i in range(1000)]
+        rows += [(2000, 0.0), (2001, -3.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = sampling.weighted_sample(df, 100, "w")
+        ids = {r["doc_id"] for r in got.collect()}
+        assert len(ids) == 100
+        heavy = sum(1 for i in ids if i < 100)
+        assert heavy >= 70  # E[heavy] ≈ 85 at 50:1 odds
+        assert not ids & {2000, 2001}
+        re_ids = {
+            r["doc_id"]
+            for r in sampling.weighted_sample(df.repartition(13), 100, "w").collect()
+        }
+        assert re_ids == ids
+        # a different salt decorrelates the draw
+        other = {
+            r["doc_id"]
+            for r in sampling.weighted_sample(df, 100, "w", salt="z").collect()
+        }
+        assert other != ids
+
     def test_hash_sample_deterministic_and_proportional(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
 
