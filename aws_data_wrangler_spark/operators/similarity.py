@@ -101,6 +101,73 @@ def cosine_topk(
     )
 
 
+def metric_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k under the OTHER two FAISS metrics —
+    ``metric="l2"`` (squared Euclidean, ascending; FAISS
+    METRIC_L2's convention of not taking the root) or ``"ip"``
+    (inner product, descending; the MIPS objective of recommender
+    retrieval): (query_id, neighbor_id, rank, score). The cosine
+    family lives in ``cosine_topk``; this completes the metric
+    surface so un-normalized embeddings search correctly — cosine on
+    magnitude-meaningful vectors silently discards the magnitude.
+
+    Same plan as cosine_topk: broadcast query side, one corpus scan,
+    per-query partial top-k window. The L2 fold is the
+    numerically-stable single pass Σ(x−y)² (one zip_with — never
+    ‖x‖²+‖y‖²−2·x·y, whose cancellation loses precision at close
+    pairs); both folds are sequential left-to-right IEEE chains a
+    second engine replicates term-for-term.
+    """
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"metric must be 'l2' or 'ip', got {metric!r}")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    if metric == "l2":
+        score = F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        order = [F.col("score").asc(), F.col("neighbor_id").asc()]
+    else:
+        score = F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            trunc_digits(score).alias("score"),
+        )
+    )
+    window = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2119,6 +2119,38 @@ ORACLES: Dict[str, str] = {
         WHERE score > 0
         ORDER BY doc_id
     """,
+    # metric_topk replica: L2 = left fold over (x−y)² terms (the
+    # single-pass stable form, matching Spark's zip_with+aggregate
+    # chain term-for-term), IP = the dot-product fold; ranks order by
+    # the TRUNCATED score in both engines, neighbor-id tie-break
+    "ann_metric_topk": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 10
+        ), scored AS (
+            SELECT 'l2' AS metric, q.q_id AS query_id, c.vec_id AS neighbor_id,
+                   floor(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, len(c.v) + 1),
+                               i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))),
+                       (a, b) -> a + b) * 1000000.0) / 1000000.0 AS score
+            FROM base c, q WHERE q.q_id <> c.vec_id
+            UNION ALL
+            SELECT 'ip', q.q_id, c.vec_id,
+                   floor(list_dot_product(q.qv, c.v) * 1000000.0) / 1000000.0
+            FROM base c, q WHERE q.q_id <> c.vec_id
+        ), ranked AS (
+            SELECT metric, query_id, neighbor_id, score,
+                   CAST(row_number() OVER (PARTITION BY metric, query_id
+                        ORDER BY CASE WHEN metric = 'l2' THEN score ELSE -score END,
+                                 neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, score, metric
+        FROM ranked WHERE rank <= 5
+        ORDER BY metric, query_id, rank
+    """,
     # weighted_sample replica: the DSIR Gumbel draw with score =
     # ln(weight); non-positive weights excluded on both sides
     "sample_weighted": """

@@ -2157,6 +2157,25 @@ def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_metric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-surface completion driver row (r8, new): exact top-k
+    under L2 (squared, ascending) AND inner product (descending) in
+    one result, metric-tagged — the two FAISS metrics cosine doesn't
+    cover. Both folds are sequential IEEE chains the oracle replicates;
+    ranking happens on the truncated score in BOTH engines."""
+    from aws_data_wrangler_spark.operators import similarity
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    l2 = similarity.metric_topk(emb, queries, k=5, metric="l2").withColumn(
+        "metric", F.lit("l2")
+    )
+    ip = similarity.metric_topk(emb, queries, k=5, metric="ip").withColumn(
+        "metric", F.lit("ip")
+    )
+    return l2.unionByName(ip).orderBy("metric", "query_id", "rank")
+
+
 def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic weighted sampling driver row (r8, new): top-200 orders
     drawn ∝ o_totalprice via the hash-derived Gumbel key — the
@@ -3000,11 +3019,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interpolate": _events_interpolate,
     "ann_pca_sq8_search": _ann_pca_sq8_search,
     "sample_weighted": _sample_weighted,
+    "ann_metric_topk": _ann_metric_topk,
     # --- (e) spare slots backfill the OLDEST below-window pedigree:
     # the four ROUND6_FROZEN leaders (round-6 rows) ---
     "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
     "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
-    "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
     # === window boundary: the driver verifies the FIRST 50 entries —
     # everything ABOVE this comment. Below sit only (a) the round-7
     # window survivors riding FRESH round-7 rows and (b) the
@@ -3059,7 +3078,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
     # --- ROUND6_FROZEN remainder (fresh r6 rows; q1 leads;
-    # q13 returned its provisional spare slot to the eighth new entry) ---
+    # q11/q13 returned their provisional spare slots to the eighth and
+    # ninth new entries) ---
+    "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
     "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
     "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),

@@ -805,6 +805,48 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_metric_topk_matches_numpy_brute_force(self, spark, embeddings):
+        import math
+
+        import numpy as np
+
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.filter("vec_id < 60").collect()
+        }
+        q_ids = [i for i in sorted(vecs) if i < 3]
+        sub = embeddings.filter("vec_id < 60")
+        queries = sub.filter("vec_id < 3")
+        for metric, sgn in [("l2", 1), ("ip", -1)]:
+            got = similarity.metric_topk(sub, queries, k=4, metric=metric).collect()
+            by_q = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], []).append(
+                    (r["rank"], r["neighbor_id"], r["score"])
+                )
+            for qid in q_ids:
+                want = []
+                for cid, cv in vecs.items():
+                    if cid == qid:
+                        continue
+                    qv = vecs[qid]
+                    # python's sum is a sequential left fold — the SAME
+                    # IEEE chain as Spark's aggregate (numpy's pairwise
+                    # summation can differ in the last ulp)
+                    raw = 0.0
+                    for x, y in zip(qv.tolist(), cv.tolist()):
+                        raw += (x - y) * (x - y) if metric == "l2" else x * y
+                    want.append((math.floor(raw * 1e6) / 1e6, cid))
+                want.sort(key=lambda t: (sgn * t[0], t[1]))
+                got_q = sorted(by_q[qid])
+                assert [(n, s) for _, n, s in got_q] == [
+                    (cid, s) for s, cid in want[:4]
+                ], (metric, qid)
+        import pytest
+
+        with pytest.raises(ValueError, match="metric"):
+            similarity.metric_topk(sub, queries, metric="cosine")
+
     def test_assignment_is_a_zero_exchange_projection(self, spark, embeddings):
         # the nearest-centroid assignment (the IVF/IVFPQ/SemDeDup
         # building block) must plan as a pure Project over the scan:

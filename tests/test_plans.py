@@ -72,13 +72,13 @@ NEW_IN_R8 = {
     "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
     "profiling_numeric_summary", "events_ewma_smoothing",
     "events_interpolate", "ann_pca_sq8_search", "sample_weighted",
+    "ann_metric_topk",
 }
 
 ROUND6_PULLED_IN_R8 = {
-    # spare-slot backfill: the oldest below-window pedigree (q13
-    # returned its provisional slot to the eighth new registration)
+    # spare-slot backfill: the oldest below-window pedigree (q11/q13
+    # returned their provisional slots to the 8th/9th registrations)
     "q3_shipping_priority", "q5_local_supplier_volume",
-    "q11_important_stock",
 }
 
 ROUND7_FROZEN = {
@@ -113,7 +113,7 @@ ROUND6_FROZEN = {
     # since round 6; the four oldest leaders were pulled into the
     # round-8 window (ROUND6_PULLED_IN_R8), io_csv_roundtrip moved in
     # crossing the to_csv change
-    "q1_pricing_summary", "q13_customer_distribution",
+    "q1_pricing_summary", "q11_important_stock", "q13_customer_distribution",
     "q14_promo_effect", "q18_large_orders",
     "q19_discount_revenue", "q21_waiting_suppliers", "q22_idle_customers",
     "events_cube_daily", "events_retention_cohorts", "events_funnel",
