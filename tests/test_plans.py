@@ -281,6 +281,33 @@ class TestPlanAudits:
         plan = text.scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_char_entropy_is_shuffle_free(self, spark):
+        # the entropy screen is a pure HOF projection: no Exchange, no
+        # explode-driven (doc, char) shuffle anywhere in the plan
+        from aws_data_wrangler_spark.operators import text
+        from aws_data_wrangler_spark.plans.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        plan = (
+            text.with_char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Generate" not in plan  # no explode
+
+    def test_weighted_sample_is_partial_topk(self, spark):
+        # the draw must plan as TakeOrderedAndProject — per-partition
+        # partial top-k, never a global sort of the corpus
+        from aws_data_wrangler_spark.operators import sampling
+        from aws_data_wrangler_spark.plans.queries import load
+
+        orders = load(spark, "/root/testdata/sf0.001", "orders")
+        plan = (
+            sampling.weighted_sample(orders, 50, "o_totalprice", id_col="o_orderkey")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
     def test_q5_star_join_broadcasts_all_dims(self, spark):
         # the 6-way star join must plan every dim side as a broadcast —
         # zero sort-merge joins (SURVEY §6: the 100× plan)
