@@ -159,6 +159,62 @@ def numeric_summary(df: DataFrame, cols: Optional[List[str]] = None) -> DataFram
     )
 
 
+def column_correlations(
+    df: DataFrame, cols: Optional[List[str]] = None
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    aggregation pass: (col_a, col_b, n, corr) for every unordered pair
+    — the multicollinearity / redundant-feature screen next to
+    ``numeric_summary``. Rows with a NULL in ANY profiled column drop
+    first (listwise deletion, the standard corr-matrix convention), so
+    every pair shares one n.
+
+    The ``numeric_summary`` determinism discipline: Σx, Σx², Σx·y
+    accumulate as EXACT decimals (order-free), then
+    r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ᵗ)(n·Σy² − Σyᵗ²)) derives in
+    IEEE double both engines replicate bit-for-bit (floor 6dp).
+    Constant columns (zero variance) yield NULL corr — r is undefined,
+    the textbook treatment. The aggregate is O(p²) counters wide for p
+    columns — profile a selected list on very wide tables."""
+    import math
+
+    from pyspark.sql import types as T
+
+    if cols is None:
+        cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+        ]
+    complete = df.dropna(subset=cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        d = F.col(c).cast("decimal(18,6)")
+        aggs.append(F.sum(d).alias(f"__s_{c}"))
+        aggs.append(F.sum(d * d).alias(f"__ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            da = F.col(a).cast("decimal(18,6)")
+            db = F.col(b).cast("decimal(18,6)")
+            aggs.append(F.sum(da * db).alias(f"__p_{a}_{b}"))
+    row = complete.agg(*aggs).collect()[0]
+    n = row["__n"]
+    out = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            corr = None
+            if n > 1:
+                sx, sy = float(row[f"__s_{a}"]), float(row[f"__s_{b}"])
+                sxx, syy = float(row[f"__ss_{a}"]), float(row[f"__ss_{b}"])
+                sxy = float(row[f"__p_{a}_{b}"])
+                vx = n * sxx - sx * sx
+                vy = n * syy - sy * sy
+                if vx > 0 and vy > 0:
+                    corr = _floor6((n * sxy - sx * sy) / math.sqrt(vx * vy))
+            out.append((a, b, n, corr))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, n bigint, corr double"
+    )
+
+
 def _floor6(x: float) -> float:
     """Driver-side twin of ``functions.trunc_digits`` (floor at 6dp):
     python floats ARE IEEE doubles, so this matches the SQL expression

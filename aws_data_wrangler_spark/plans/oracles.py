@@ -604,6 +604,48 @@ def _arrow_ann_oracle_sql(k: int = 5) -> str:
     """
 
 
+def _corr_oracle_sql() -> str:
+    """DuckDB replica of ``profiling.column_correlations`` over the
+    four lineitem measures: exact decimal Σx/Σx²/Σxy (int128-backed
+    DECIMAL(19,6) multiplies — the numeric_summary convention), then
+    the same IEEE r = (nΣxy − ΣxΣy)/√((nΣx²−Σx²ᵗ)(nΣy²−Σyᵗ²)) with the
+    zero-variance NULL guard and 6dp floor."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    short = {c: c.replace("l_", "") for c in cols}
+    sums = ["count(*) AS n"]
+    for c in cols:
+        sums.append(f"sum({c}::DECIMAL(18,6))::DOUBLE AS s_{short[c]}")
+        sums.append(
+            f"sum(({c}::DECIMAL(19,6)) * ({c}::DECIMAL(19,6)))::DOUBLE AS ss_{short[c]}"
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(
+                f"sum(({a}::DECIMAL(19,6)) * ({b}::DECIMAL(19,6)))::DOUBLE "
+                f"AS p_{short[a]}_{short[b]}"
+            )
+            pairs.append((a, b))
+    selects = []
+    for a, b in pairs:
+        sa, sb = short[a], short[b]
+        vx = f"(n::DOUBLE * ss_{sa} - s_{sa} * s_{sa})"
+        vy = f"(n::DOUBLE * ss_{sb} - s_{sb} * s_{sb})"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,\n"
+            f"  CASE WHEN n > 1 AND {vx} > 0 AND {vy} > 0 THEN\n"
+            f"    floor(((n::DOUBLE * p_{sa}_{sb} - s_{sa} * s_{sb})\n"
+            f"           / sqrt({vx} * {vy})) * 1000000) / 1000000\n"
+            f"  END AS corr FROM m"
+        )
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + f" FROM lineitem WHERE {where})\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
 def _sq8_ann_oracle_sql(k: int = 5, factor: int = 3, pca_dims: int = 0) -> str:
     """Exact DuckDB replica of ``similarity.sq8_topk``: the int8
     quantization (round-half-away ``x*127/max_abs`` — exact-.5 doubles
@@ -2813,6 +2855,7 @@ ORACLES: Dict[str, str] = {
                END AS stddev
         FROM moments ORDER BY "column"
     """,
+    "profiling_correlations": _corr_oracle_sql(),
     "profiling_null_profile": """
         WITH src AS (
             SELECT user_id, event_type,

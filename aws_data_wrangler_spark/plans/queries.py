@@ -2099,6 +2099,18 @@ def _ann_pca_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profiling_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix driver row (r8, new): all
+    six pairs of the four lineitem measures from exact decimal moments
+    — the multicollinearity screen beside numeric_summary."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    li = load(spark, sf_dir, "lineitem")
+    return profiling.column_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_a", "col_b")
+
+
 def _text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier INFERENCE driver row (r8, new): ``score_quality``
     over pinned weights — the scale path a deployed quality filter
@@ -3020,10 +3032,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pca_sq8_search": _ann_pca_sq8_search,
     "sample_weighted": _sample_weighted,
     "ann_metric_topk": _ann_metric_topk,
+    "profiling_correlations": _profiling_correlations,
     # --- (e) spare slots backfill the OLDEST below-window pedigree:
     # the four ROUND6_FROZEN leaders (round-6 rows) ---
     "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
-    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
     # === window boundary: the driver verifies the FIRST 50 entries —
     # everything ABOVE this comment. Below sit only (a) the round-7
     # window survivors riding FRESH round-7 rows and (b) the
@@ -3078,8 +3090,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
     # --- ROUND6_FROZEN remainder (fresh r6 rows; q1 leads;
-    # q11/q13 returned their provisional spare slots to the eighth and
-    # ninth new entries) ---
+    # q5/q11/q13 returned their provisional spare slots to the 8th-10th
+    # new entries) ---
+    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
     "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
     "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
     "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),

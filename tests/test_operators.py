@@ -4011,6 +4011,46 @@ class TestProfiling:
         assert prof["id"]["n_null"] == 0 and prof["id"]["n_distinct"] == 4
         assert abs(prof["v"]["null_share"] - 0.5) < 1e-9
 
+    def test_column_correlations_hand_values(self, spark):
+        import math
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        # y = 2x exactly → r = 1; z anti-correlates; c constant → NULL;
+        # the row with a NULL drops listwise (every pair shares one n)
+        rows = [
+            (1.0, 2.0, 9.0, 5.0),
+            (2.0, 4.0, 7.0, 5.0),
+            (3.0, 6.0, 4.0, 5.0),
+            (4.0, 8.0, 1.0, 5.0),
+            (None, 1.0, 1.0, 5.0),
+        ]
+        df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+        out = {
+            (r["col_a"], r["col_b"]): r
+            for r in profiling.column_correlations(df).collect()
+        }
+        assert len(out) == 6 and all(r["n"] == 4 for r in out.values())
+        assert out[("x", "y")]["corr"] == 1.0
+        assert out[("x", "z")]["corr"] <= -0.99
+        assert out[("x", "c")]["corr"] is None  # zero variance
+        # hand Pearson for (x, z)
+        xs, zs = [1.0, 2.0, 3.0, 4.0], [9.0, 7.0, 4.0, 1.0]
+        n = 4
+        sx, sz = sum(xs), sum(zs)
+        sxx, szz = sum(v * v for v in xs), sum(v * v for v in zs)
+        sxz = sum(a * b for a, b in zip(xs, zs))
+        want = (n * sxz - sx * sz) / math.sqrt(
+            (n * sxx - sx * sx) * (n * szz - sz * sz)
+        )
+        assert out[("x", "z")]["corr"] == math.floor(want * 1e6) / 1e6
+        # exact decimal moments: partition-count-invariant
+        re = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in profiling.column_correlations(df.repartition(5)).collect()
+        }
+        assert re == {k: v["corr"] for k, v in out.items()}
+
     def test_numeric_summary_matches_hand_moments(self, spark):
         import math
 

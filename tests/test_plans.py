@@ -36,10 +36,10 @@ def test_rows_only_set_is_intentional():
 # code (the drift/anomaly monitor memory-sink materialization in
 # streaming/__init__.py; the sanitize-aware partition/sort column
 # handling in to_orc/to_csv — to_parquet's change is crossed by
-# io_parquet_roundtrip inside the ROUND5 block), (d) the round's SEVEN
-# new registrations, placed straight INTO the window, and (e) four
-# spare slots backfilling the OLDEST below-window pedigree (the
-# ROUND6_FROZEN leaders). Below the boundary sit only the round-7
+# io_parquet_roundtrip inside the ROUND5 block), (d) the round's TEN
+# new registrations, placed straight INTO the window, and (e) one
+# spare slot backfilling the OLDEST below-window pedigree (the
+# ROUND6_FROZEN leader q3). Below the boundary sit only the round-7
 # window survivors (fresh round-7 rows) and the ROUND6_FROZEN
 # remainder (round-6 rows), each over byte-identical code.
 
@@ -72,13 +72,13 @@ NEW_IN_R8 = {
     "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
     "profiling_numeric_summary", "events_ewma_smoothing",
     "events_interpolate", "ann_pca_sq8_search", "sample_weighted",
-    "ann_metric_topk",
+    "ann_metric_topk", "profiling_correlations",
 }
 
 ROUND6_PULLED_IN_R8 = {
-    # spare-slot backfill: the oldest below-window pedigree (q11/q13
-    # returned their provisional slots to the 8th/9th registrations)
-    "q3_shipping_priority", "q5_local_supplier_volume",
+    # spare-slot backfill: the oldest below-window pedigree (q5/q11/q13
+    # returned their provisional slots to the 8th-10th registrations)
+    "q3_shipping_priority",
 }
 
 ROUND7_FROZEN = {
@@ -113,7 +113,8 @@ ROUND6_FROZEN = {
     # since round 6; the four oldest leaders were pulled into the
     # round-8 window (ROUND6_PULLED_IN_R8), io_csv_roundtrip moved in
     # crossing the to_csv change
-    "q1_pricing_summary", "q11_important_stock", "q13_customer_distribution",
+    "q1_pricing_summary", "q5_local_supplier_volume",
+    "q11_important_stock", "q13_customer_distribution",
     "q14_promo_effect", "q18_large_orders",
     "q19_discount_revenue", "q21_waiting_suppliers", "q22_idle_customers",
     "events_cube_daily", "events_retention_cohorts", "events_funnel",
