@@ -111,46 +111,55 @@ def numeric_summary(df: DataFrame, cols: Optional[List[str]] = None) -> DataFram
     both engines replicate bit-for-bit. Columns that are all-null
     profile with null mean; ``stddev`` needs ≥ 2 values.
 
-    ``cols`` defaults to every numeric column. Decimal headroom: values
-    up to ~1e12 in magnitude, Σx² up to ~1e26 — beyond any measured
-    column at 100 TB."""
+    ``cols`` defaults to every numeric column. Decimal GRID: the exact
+    accumulators quantize each value at 1e-6 — headroom up to ~1e12 in
+    magnitude (Σx² ~1e26), but a column whose VALUES live below the
+    1e-6 grid (e.g. 1e-7-scale measurements) profiles with mean/stddev
+    of the quantized zeros while min/max stay exact — pre-scale such
+    columns before profiling. The trade is deliberate: exactness (and
+    therefore partition-order independence) of the sums over
+    sub-micro precision."""
     from pyspark.sql import types as T
 
     if cols is None:
         cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
         ]
+    # counters alias by POSITION, not name — name-derived aliases can
+    # collide across columns (Spark permits duplicate aliases and
+    # Row[name] silently returns the first), the column_correlations
+    # pair-alias trap
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         d = F.col(c).cast("decimal(18,6)")
         aggs += [
-            F.count(F.lit(1)).alias(f"__rows_{c}"),
-            F.count(F.col(c)).alias(f"__n_{c}"),
-            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
-            F.sum(d).alias(f"__s1_{c}"),
-            F.sum(d * d).alias(f"__s2_{c}"),
+            F.count(F.lit(1)).alias(f"__rows_{i}"),
+            F.count(F.col(c)).alias(f"__n_{i}"),
+            F.min(F.col(c).cast("double")).alias(f"__mn_{i}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{i}"),
+            F.sum(d).alias(f"__s1_{i}"),
+            F.sum(d * d).alias(f"__s2_{i}"),
         ]
     row = df.agg(*aggs).collect()[0]
     out = []
-    for c in cols:
-        n = row[f"__n_{c}"]
+    for i, c in enumerate(cols):
+        n = row[f"__n_{i}"]
         mean = std = None
         if n:
-            s1 = float(row[f"__s1_{c}"])
+            s1 = float(row[f"__s1_{i}"])
             mean = _floor6(s1 / n)
             if n > 1:
                 import math
 
-                s2 = float(row[f"__s2_{c}"])
+                s2 = float(row[f"__s2_{i}"])
                 var = (s2 - s1 * s1 / n) / (n - 1)
                 # math.sqrt is the IEEE-754 correctly-rounded sqrt —
                 # identical to SQL sqrt in every engine (x**0.5 is pow,
                 # which carries no such guarantee)
                 std = _floor6(math.sqrt(max(var, 0.0)))
         out.append(
-            (c, row[f"__rows_{c}"], row[f"__rows_{c}"] - n,
-             row[f"__mn_{c}"], row[f"__mx_{c}"], mean, std)
+            (c, row[f"__rows_{i}"], row[f"__rows_{i}"] - n,
+             row[f"__mn_{i}"], row[f"__mx_{i}"], mean, std)
         )
     return df.sparkSession.createDataFrame(
         out,
@@ -175,7 +184,10 @@ def column_correlations(
     IEEE double both engines replicate bit-for-bit (floor 6dp).
     Constant columns (zero variance) yield NULL corr — r is undefined,
     the textbook treatment. The aggregate is O(p²) counters wide for p
-    columns — profile a selected list on very wide tables."""
+    columns — profile a selected list on very wide tables. Same 1e-6
+    decimal grid as ``numeric_summary``: columns whose values live
+    below the grid quantize to constants (NULL corr) — pre-scale
+    them."""
     import math
 
     from pyspark.sql import types as T
@@ -185,26 +197,30 @@ def column_correlations(
             f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
         ]
     complete = df.dropna(subset=cols)
+    # counters alias by INDEX: f"__p_{a}_{b}" on NAMES collides for
+    # e.g. ("x_y", "z") vs ("x", "y_z") — Spark permits the duplicate
+    # alias and Row[name] returns the first, silently computing the
+    # second pair's correlation from the first pair's product sum
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         d = F.col(c).cast("decimal(18,6)")
-        aggs.append(F.sum(d).alias(f"__s_{c}"))
-        aggs.append(F.sum(d * d).alias(f"__ss_{c}"))
+        aggs.append(F.sum(d).alias(f"__s_{i}"))
+        aggs.append(F.sum(d * d).alias(f"__ss_{i}"))
     for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
+        for j, b in enumerate(cols[i + 1 :], start=i + 1):
             da = F.col(a).cast("decimal(18,6)")
             db = F.col(b).cast("decimal(18,6)")
-            aggs.append(F.sum(da * db).alias(f"__p_{a}_{b}"))
+            aggs.append(F.sum(da * db).alias(f"__p_{i}_{j}"))
     row = complete.agg(*aggs).collect()[0]
     n = row["__n"]
     out = []
     for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
+        for j, b in enumerate(cols[i + 1 :], start=i + 1):
             corr = None
             if n > 1:
-                sx, sy = float(row[f"__s_{a}"]), float(row[f"__s_{b}"])
-                sxx, syy = float(row[f"__ss_{a}"]), float(row[f"__ss_{b}"])
-                sxy = float(row[f"__p_{a}_{b}"])
+                sx, sy = float(row[f"__s_{i}"]), float(row[f"__s_{j}"])
+                sxx, syy = float(row[f"__ss_{i}"]), float(row[f"__ss_{j}"])
+                sxy = float(row[f"__p_{i}_{j}"])
                 vx = n * sxx - sx * sx
                 vy = n * syy - sy * sy
                 if vx > 0 and vy > 0:

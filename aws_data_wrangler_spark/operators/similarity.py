@@ -159,6 +159,11 @@ def metric_topk(
             F.col("c_id").alias("neighbor_id"),
             trunc_digits(score).alias("score"),
         )
+        # a dimension-mismatched pair scores NULL (zip_with pads the
+        # shorter array with nulls) — and Spark's ascending sort puts
+        # NULLS FIRST, so without this filter a single truncated corpus
+        # vector would occupy rank 1 of EVERY l2 query's top-k
+        .filter(F.col("score").isNotNull())
     )
     window = Window.partitionBy("query_id").orderBy(*order)
     return (

@@ -30,21 +30,7 @@ def gapfill_rollup(
     locf interpolation). The spine spans each key's own [min, max]
     bucket range.
     """
-    bucketed = F.date_trunc(bucket, F.col(time_col))
-    rollup = df.groupBy(F.col(key_col), bucketed.alias("__bucket")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        # grid-stable avg (round the sum at the value's 2dp grid first;
-        # a bare round(avg) is boundary-unstable across engines)
-        F.round(F.round(F.sum(value_col), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
-    )
-    bounds = rollup.groupBy(key_col).agg(
-        F.min("__bucket").alias("__mn"), F.max("__bucket").alias("__mx")
-    )
-    spine = bounds.select(
-        F.col(key_col),
-        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.expr(step))).alias("__bucket"),
-    )
-    joined = spine.join(rollup, [key_col, "__bucket"], "left")
+    joined = _rollup_spine(df, time_col, key_col, value_col, bucket, step)
     carry = Window.partitionBy(key_col).orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -54,6 +40,35 @@ def gapfill_rollup(
         F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(carry).alias("filled_avg"),
     )
+
+
+def _rollup_spine(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    value_col: str,
+    bucket: str,
+    step: str,
+) -> DataFrame:
+    """Shared scaffolding of ``gapfill_rollup`` / ``interpolate_linear``:
+    the grid-stable bucketed rollup (round the sum at the value's 2dp
+    grid BEFORE dividing — a bare round(avg) is boundary-unstable
+    across engines), the per-key [min, max] ``sequence`` spine, and the
+    keyed left join. ONE place owns the rollup convention; the fillers
+    differ only in their window step."""
+    bucketed = F.date_trunc(bucket, F.col(time_col))
+    rollup = df.groupBy(F.col(key_col), bucketed.alias("__bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.round(F.sum(value_col), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
+    )
+    bounds = rollup.groupBy(key_col).agg(
+        F.min("__bucket").alias("__mn"), F.max("__bucket").alias("__mx")
+    )
+    spine = bounds.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.expr(step))).alias("__bucket"),
+    )
+    return spine.join(rollup, [key_col, "__bucket"], "left")
 
 
 def _season_expr(seasonal):
@@ -111,7 +126,12 @@ def robust_centers(
         .select(*grp, "med", (F.abs(F.col("n") - F.col("med"))).alias("adev"))
         .groupBy(*grp, "med")
         .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
-        .select(*grp, "med", "mad")
+        # stamp the TRAINING mode on the artifact: __season values alone
+        # can't always identify it (a day_of_week domain {1..7} is a
+        # legal hour_of_day domain too), and the monitor must refuse a
+        # cross-seasonal score rather than silently matching wrong
+        # phases. score_anomalies ignores the column.
+        .select(*grp, "med", "mad", F.lit(seasonal or "none").alias("__season_mode"))
     )
 
 
@@ -225,25 +245,11 @@ def interpolate_linear(
     convention."""
     from aws_data_wrangler_spark.functions import trunc_digits
 
-    bucketed = F.date_trunc(bucket, F.col(time_col))
-    rollup = df.groupBy(F.col(key_col).alias("key"), bucketed.alias("__bucket")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.round(F.sum(value_col), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
-    )
-    bounds = rollup.groupBy("key").agg(
-        F.min("__bucket").alias("__mn"), F.max("__bucket").alias("__mx")
-    )
-    spine = bounds.select(
-        "key",
-        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.expr(step))).alias(
-            "__bucket"
-        ),
-    )
-    joined = spine.join(rollup, ["key", "__bucket"], "left")
-    fwd = Window.partitionBy("key").orderBy("__bucket").rowsBetween(
+    joined = _rollup_spine(df, time_col, key_col, value_col, bucket, step)
+    fwd = Window.partitionBy(key_col).orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    bwd = Window.partitionBy("key").orderBy("__bucket").rowsBetween(
+    bwd = Window.partitionBy(key_col).orderBy("__bucket").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
     t = F.unix_timestamp("__bucket").cast("double")
@@ -257,7 +263,7 @@ def interpolate_linear(
         prev_v + (t - prev_t) / (next_t - prev_t) * (next_v - prev_v)
     )
     return joined.select(
-        F.col("key").alias(key_col),
+        F.col(key_col),
         F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         trunc_digits(interp).alias("interp_avg"),
@@ -293,14 +299,7 @@ def ewma(
     """
     from aws_data_wrangler_spark.functions import trunc_digits
 
-    counts = (
-        df.select(
-            F.col(key_col).alias("key"),
-            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
-        )
-        .groupBy("key", "bucket_ts")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    counts = bucket_counts(df, time_col, key_col, bucket).drop("__season")
     # array_sort on (bucket_ts, n) structs orders chronologically;
     # bucket_ts is unique per key after the groupBy, so the order is
     # total — partitioning-invariant by construction

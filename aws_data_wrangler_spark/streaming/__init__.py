@@ -906,6 +906,21 @@ def _validate_centers_season(centers: DataFrame, seasonal) -> None:
             "anomaly_monitor: centers must carry a __season column — "
             "train them with timeseries.robust_centers"
         )
+    if "__season_mode" in centers.columns:
+        # robust_centers stamps its training mode — the authoritative
+        # check: the __season DOMAIN alone can't distinguish e.g.
+        # day_of_week centers ({1..7}) from narrow hour_of_day data
+        modes = {r[0] for r in centers.select("__season_mode").distinct().collect()}
+        want = seasonal or "none"
+        if modes != {want}:
+            raise ValueError(
+                f"anomaly_monitor: seasonal={seasonal!r} but the centers "
+                f"were trained with seasonal mode(s) {sorted(modes)} — "
+                f"retrain with robust_centers(seasonal={seasonal!r}) or "
+                f"pass the matching seasonal="
+            )
+        return
+    # user-built centers without a stamp: fall back to domain heuristics
     domain = {r[0] for r in centers.select("__season").distinct().collect()}
     if seasonal is None and domain != {0}:
         raise ValueError(

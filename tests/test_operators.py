@@ -846,6 +846,17 @@ class TestSimilarity:
 
         with pytest.raises(ValueError, match="metric"):
             similarity.metric_topk(sub, queries, metric="cosine")
+        # a dimension-mismatched corpus vector scores NULL (zip_with
+        # null-padding) — it must never appear, least of all at rank 1
+        # of every l2 result (ascending sort puts nulls first)
+        ragged = sub.select("vec_id", "embedding").union(
+            spark.createDataFrame(
+                [(9999, [0.5])], "vec_id long, embedding array<double>"
+            )
+        )
+        for metric in ("l2", "ip"):
+            got = similarity.metric_topk(ragged, queries, k=4, metric=metric)
+            assert not [r for r in got.collect() if r["neighbor_id"] == 9999]
 
     def test_assignment_is_a_zero_exchange_projection(self, spark, embeddings):
         # the nearest-centroid assignment (the IVF/IVFPQ/SemDeDup

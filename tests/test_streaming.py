@@ -621,16 +621,31 @@ class TestAnomalyMonitor:
         stream = streaming.read_event_stream(f"{SF_DIR}/events.parquet", spark=spark)
         flat = timeseries.robust_centers(events)  # seasonal=None
         hourly = timeseries.robust_centers(events, seasonal="hour_of_day")
+        daily = timeseries.robust_centers(events, seasonal="day_of_week")
+        # robust_centers stamps its mode — every cross-seasonal pairing
+        # is caught, including day_of_week-vs-hour_of_day, whose
+        # __season domain ({1..7}) is indistinguishable by values alone
         with pytest.raises(ValueError, match="seasonal=None"):
             streaming.anomaly_monitor(stream, hourly)
-        with pytest.raises(ValueError, match="trained with seasonal=None"):
+        with pytest.raises(ValueError, match="trained with seasonal mode"):
             streaming.anomaly_monitor(stream, flat, seasonal="hour_of_day")
-        # hour-trained centers contain phase 0, impossible for
-        # day_of_week (1..7) — caught by the range check
-        with pytest.raises(ValueError, match="outside"):
+        with pytest.raises(ValueError, match="trained with seasonal mode"):
+            streaming.anomaly_monitor(stream, daily, seasonal="hour_of_day")
+        with pytest.raises(ValueError, match="trained with seasonal mode"):
             streaming.anomaly_monitor(stream, hourly, seasonal="day_of_week")
         with pytest.raises(ValueError, match="__season column"):
             streaming.anomaly_monitor(stream, flat.drop("__season"), seasonal=None)
+        # UNstamped user-built centers fall back to domain heuristics
+        with pytest.raises(ValueError, match="seasonal=None"):
+            streaming.anomaly_monitor(stream, hourly.drop("__season_mode"))
+        with pytest.raises(ValueError, match="trained with seasonal=None"):
+            streaming.anomaly_monitor(
+                stream, flat.drop("__season_mode"), seasonal="hour_of_day"
+            )
+        with pytest.raises(ValueError, match="outside"):
+            streaming.anomaly_monitor(
+                stream, hourly.drop("__season_mode"), seasonal="day_of_week"
+            )
 
     def test_monitors_drop_their_memory_sink_tables(self, spark):
         # repeated monitor calls in a long-lived session must not
