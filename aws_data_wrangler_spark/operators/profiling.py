@@ -231,6 +231,63 @@ def column_correlations(
     )
 
 
+def numeric_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n) for
+    ALL ``bins`` buckets (empty ones included — a profile with holes
+    reads as coverage when it isn't) — the numeric companion to
+    ``length_histogram``. Two passes: one bounds aggregate, one
+    map-side-combining bucket count; the bin spine is driver-built
+    (``bins``-sized, artifact-small).
+
+    Buckets are ``[mn + i·w, mn + (i+1)·w)`` with ``w = (mx − mn)/bins``
+    and the max value clamped into the last bucket (the standard
+    equi-width convention). Assignment and edges are plain IEEE double
+    arithmetic over the same (mn, mx) — engine-replicable; edges floor
+    at 6dp for display. A constant column (mn == mx) lands entirely in
+    bin 0; an all-null column returns the empty spine with n = 0."""
+    import math
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    b = df.agg(
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+        F.count(F.col(col)).alias("n"),
+    ).collect()[0]
+    mn, mx, n_vals = b["mn"], b["mx"], b["n"]
+    spark = df.sparkSession
+    schema = "bin bigint, lo double, hi double, n bigint"
+    if not n_vals:
+        return spark.createDataFrame(
+            [(i, None, None, 0) for i in range(bins)], schema
+        )
+    w = (mx - mn) / bins
+    if w > 0:
+        bin_expr = F.least(
+            F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(w)).cast("bigint"),
+            F.lit(bins - 1),
+        )
+    else:  # constant column: everything is bin 0
+        bin_expr = F.lit(0).cast("bigint")
+    counts = {
+        r["bin"]: r["n"]
+        for r in df.filter(F.col(col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = [
+        (
+            i,
+            math.floor((mn + i * w) * 1e6) / 1e6,
+            math.floor((mn + (i + 1) * w) * 1e6) / 1e6,
+            counts.get(i, 0),
+        )
+        for i in range(bins)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def _floor6(x: float) -> float:
     """Driver-side twin of ``functions.trunc_digits`` (floor at 6dp):
     python floats ARE IEEE doubles, so this matches the SQL expression

@@ -2856,6 +2856,30 @@ ORACLES: Dict[str, str] = {
         FROM moments ORDER BY "column"
     """,
     "profiling_correlations": _corr_oracle_sql(),
+    # equi-width histogram replica: same (mn, mx, w) doubles, same
+    # floor-assignment with last-bucket clamp, same 6dp edge display;
+    # the full spine keeps empty buckets visible
+    "events_value_histogram": """
+        WITH b AS (
+            SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
+                   (max(value::DOUBLE) - min(value::DOUBLE)) / 8.0 AS w
+            FROM events
+        ), binned AS (
+            SELECT least(CAST(floor((value::DOUBLE - b.mn) / b.w) AS BIGINT),
+                         CAST(7 AS BIGINT)) AS bin
+            FROM events, b WHERE value IS NOT NULL
+        ), cnt AS (
+            SELECT bin, count(*) AS n FROM binned GROUP BY bin
+        ), spine AS (
+            SELECT unnest(range(0, 8)) AS bin
+        )
+        SELECT s.bin,
+               floor((b.mn + s.bin * b.w) * 1000000) / 1000000 AS lo,
+               floor((b.mn + (s.bin + 1) * b.w) * 1000000) / 1000000 AS hi,
+               coalesce(c.n, 0)::BIGINT AS n
+        FROM spine s CROSS JOIN b LEFT JOIN cnt c ON c.bin = s.bin
+        ORDER BY s.bin
+    """,
     "profiling_null_profile": """
         WITH src AS (
             SELECT user_id, event_type,

@@ -2099,6 +2099,16 @@ def _ann_pca_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram driver row (r8, new): 8 buckets
+    over events.value, empty buckets included — the numeric companion
+    to text_length_histogram."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    events = load(spark, sf_dir, "events")
+    return profiling.numeric_histogram(events, "value", bins=8).orderBy("bin")
+
+
 def _profiling_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Pearson correlation matrix driver row (r8, new): all
     six pairs of the four lineitem measures from exact decimal moments
@@ -3033,9 +3043,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted": _sample_weighted,
     "ann_metric_topk": _ann_metric_topk,
     "profiling_correlations": _profiling_correlations,
-    # --- (e) spare slots backfill the OLDEST below-window pedigree:
-    # the four ROUND6_FROZEN leaders (round-6 rows) ---
-    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
+    "events_value_histogram": _events_value_histogram,
     # === window boundary: the driver verifies the FIRST 50 entries —
     # everything ABOVE this comment. Below sit only (a) the round-7
     # window survivors riding FRESH round-7 rows and (b) the
@@ -3090,8 +3098,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
     # --- ROUND6_FROZEN remainder (fresh r6 rows; q1 leads;
-    # q5/q11/q13 returned their provisional spare slots to the 8th-10th
-    # new entries) ---
+    # every provisional spare-slot pull (q3/q5/q11/q13) was returned —
+    # the round's ELEVEN new registrations claimed all spare slots ---
+    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
     "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
     "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
     "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),

@@ -4022,6 +4022,33 @@ class TestProfiling:
         assert prof["id"]["n_null"] == 0 and prof["id"]["n_distinct"] == 4
         assert abs(prof["v"]["null_share"] - 0.5) < 1e-9
 
+    def test_numeric_histogram_hand_values(self, spark):
+        import pytest
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        # values over [0, 9] into 3 buckets of width 3; max value clamps
+        # into the last bucket; an empty middle bucket stays visible
+        df = spark.createDataFrame(
+            [(float(v),) for v in [0, 1, 2, 8, 9, 9]], "x double"
+        )
+        rows = {r["bin"]: r for r in profiling.numeric_histogram(df, "x", bins=3).collect()}
+        assert len(rows) == 3
+        assert rows[0]["n"] == 3   # [0, 3) = {0, 1, 2}
+        assert rows[1]["n"] == 0   # [3, 6) — empty but present
+        assert rows[2]["n"] == 3   # [6, 9] incl. the clamped max
+        assert rows[0]["lo"] == 0.0 and rows[2]["hi"] == 9.0
+        # constant column → everything in bin 0
+        const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+        c = {r["bin"]: r["n"] for r in profiling.numeric_histogram(const, "x", bins=4).collect()}
+        assert c == {0: 2, 1: 0, 2: 0, 3: 0}
+        # all-null column → empty spine, no crash
+        nulls = spark.createDataFrame([(None,), (None,)], "x double")
+        z = profiling.numeric_histogram(nulls, "x", bins=2).collect()
+        assert [r["n"] for r in z] == [0, 0]
+        with pytest.raises(ValueError, match="bins"):
+            profiling.numeric_histogram(df, "x", bins=0)
+
     def test_column_correlations_hand_values(self, spark):
         import math
 

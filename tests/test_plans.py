@@ -36,10 +36,9 @@ def test_rows_only_set_is_intentional():
 # code (the drift/anomaly monitor memory-sink materialization in
 # streaming/__init__.py; the sanitize-aware partition/sort column
 # handling in to_orc/to_csv — to_parquet's change is crossed by
-# io_parquet_roundtrip inside the ROUND5 block), (d) the round's TEN
-# new registrations, placed straight INTO the window, and (e) one
-# spare slot backfilling the OLDEST below-window pedigree (the
-# ROUND6_FROZEN leader q3). Below the boundary sit only the round-7
+# io_parquet_roundtrip inside the ROUND5 block), (d) the round's ELEVEN
+# new registrations, placed straight INTO the window (they claimed
+# every spare slot; no ROUND6 backfill pulls survived). Below the boundary sit only the round-7
 # window survivors (fresh round-7 rows) and the ROUND6_FROZEN
 # remainder (round-6 rows), each over byte-identical code.
 
@@ -72,14 +71,13 @@ NEW_IN_R8 = {
     "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
     "profiling_numeric_summary", "events_ewma_smoothing",
     "events_interpolate", "ann_pca_sq8_search", "sample_weighted",
-    "ann_metric_topk", "profiling_correlations",
+    "ann_metric_topk", "profiling_correlations", "events_value_histogram",
 }
 
-ROUND6_PULLED_IN_R8 = {
-    # spare-slot backfill: the oldest below-window pedigree (q5/q11/q13
-    # returned their provisional slots to the 8th-10th registrations)
-    "q3_shipping_priority",
-}
+# every provisional spare-slot pull was returned: the round's ELEVEN
+# new registrations claimed all spare slots (q3/q5/q11/q13 stay
+# ROUND6_FROZEN and rotate in round 9 with their block)
+ROUND6_PULLED_IN_R8: set = set()
 
 ROUND7_FROZEN = {
     # fresh green rows in CORRECTNESS_r07.json; code byte-identical
@@ -113,7 +111,7 @@ ROUND6_FROZEN = {
     # since round 6; the four oldest leaders were pulled into the
     # round-8 window (ROUND6_PULLED_IN_R8), io_csv_roundtrip moved in
     # crossing the to_csv change
-    "q1_pricing_summary", "q5_local_supplier_volume",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q11_important_stock", "q13_customer_distribution",
     "q14_promo_effect", "q18_large_orders",
     "q19_discount_revenue", "q21_waiting_suppliers", "q22_idle_customers",
