@@ -3097,9 +3097,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- ROUND6_FROZEN remainder (fresh r6 rows; q1 leads;
-    # every provisional spare-slot pull (q3/q5/q11/q13) was returned —
-    # the round's ELEVEN new registrations claimed all spare slots ---
+    # --- ROUND6_FROZEN remainder (fresh r6 rows): every provisional
+    # spare-slot pull (q3/q5/q11/q13) was returned — the round's ELEVEN
+    # new registrations claimed all spare slots ---
     "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
     "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
     "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
