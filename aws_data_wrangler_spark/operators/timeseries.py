@@ -297,9 +297,20 @@ def ewma(
     bit-identical across engines — DuckDB's ``list_reduce`` replicates
     it term-for-term (the dot-product-fold convention).
     """
+    counts = bucket_counts(df, time_col, key_col, bucket).drop("__season")
+    return ewma_from_counts(counts, alpha, key_col)
+
+
+def ewma_from_counts(
+    counts: DataFrame, alpha: float = 0.25, key_col: str = "event_type"
+) -> DataFrame:
+    """The EWMA fold over an already-bucketed ``(key, bucket_ts, n)``
+    count table — shared by the batch ``ewma`` (its counts come from
+    ``bucket_counts``) and the streaming ``ewma_monitor`` (its counts
+    come from a complete-mode stateful aggregate), so stream replay
+    equals batch by construction."""
     from aws_data_wrangler_spark.functions import trunc_digits
 
-    counts = bucket_counts(df, time_col, key_col, bucket).drop("__season")
     # array_sort on (bucket_ts, n) structs orders chronologically;
     # bucket_ts is unique per key after the groupBy, so the order is
     # total — partitioning-invariant by construction

@@ -1395,6 +1395,25 @@ ORACLES: Dict[str, str] = {
                    AS interp_avg
         FROM w ORDER BY event_type, bucket_ts
     """,
+    # the streaming EWMA monitor folds the SAME counts with the SAME
+    # shared ewma_from_counts — availableNow replay equals the batch
+    # smoother, so the oracle is the batch EWMA SQL verbatim
+    "streaming_ewma_monitor": """
+        WITH counts AS (
+            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+                   count(*)::DOUBLE AS n
+            FROM events GROUP BY 1, 2
+        ), packed AS (
+            SELECT key, count(*) AS n_buckets,
+                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
+                   list(n ORDER BY bucket_ts) AS vals
+            FROM counts GROUP BY key
+        )
+        SELECT key AS event_type, n_buckets, last_bucket_ts,
+               floor(list_reduce(vals, (acc, x) -> acc*0.75 + x*0.25) * 1000000)
+                   / 1000000 AS ewma
+        FROM packed ORDER BY event_type
+    """,
     # EWMA fold replica: list_reduce folds left with the FIRST element
     # as init — exactly Spark's aggregate(slice(vals, 2, n-1),
     # element_at(vals, 1), ...); alpha = 0.25 and 1-alpha = 0.75 are

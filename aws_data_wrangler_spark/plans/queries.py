@@ -114,6 +114,26 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 # entry's driver CORRECTNESS row at most one round old, with any
 # deferrals named and justified there.
 ANALYTICS_SQL: Dict[str, str] = {
+    # top event-type trigram paths (r8, new): the product-analytics
+    # "path analysis" staple — per-user chronological event sequences,
+    # sliding trigrams via two leads over ONE user-keyed window, global
+    # count, deterministic top-20 (count desc, path asc). One window
+    # shuffle + one count aggregate + TakeOrderedAndProject.
+    "events_top_paths": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT 20
+    """,
     # TPC-H Q1 (pricing summary), adapted to the test schema
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -2225,6 +2245,17 @@ def _events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.interpolate_linear(events).orderBy("event_type", "bucket_ts")
 
 
+def _streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing in production position (r8-late, new): the event
+    backlog replayed as a stream through the complete-mode count
+    aggregate, folded by the SAME ewma_from_counts as the batch
+    smoother — the oracle is therefore the batch EWMA SQL verbatim."""
+    from aws_data_wrangler_spark import streaming
+
+    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+    return streaming.ewma_monitor(stream, alpha=0.25).orderBy("event_type")
+
+
 def _events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA of hourly event counts per type (r8, new): the current
     smoothed traffic level a monitor compares the next bucket against.
@@ -3143,6 +3174,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mmr_rerank": _ann_mmr_rerank,
     "ann_index_delete_search": _ann_index_delete_search,
     "profiling_hll_invariants": _profiling_hll_invariants,
+    # --- ROUND8_LATE: registered after the round-8 window filled (the
+    # round-3/6/7 late precedent): verified at sf0.001 + sf0.01 + sf0.1
+    # plus a targeted local[5] invariance check in the round-8 session;
+    # rotate into the round-9 window FIRST ---
+    "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
+    "streaming_ewma_monitor": _streaming_ewma_monitor,
 }
 
 

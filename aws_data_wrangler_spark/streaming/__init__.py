@@ -894,6 +894,53 @@ def anomaly_monitor(
     )
 
 
+def ewma_monitor(
+    stream: DataFrame,
+    alpha: float = 0.25,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """EWMA traffic smoothing in PRODUCTION position: the arriving
+    stream's per-(key, bucket) counts — ONE calendar-bounded stateful
+    aggregate in complete mode, the ``anomaly_monitor`` state shape —
+    are materialized (memory-sink detached, the monitor-family
+    contract) and folded chronologically by the SAME
+    ``timeseries.ewma_from_counts`` the batch smoother uses, so an
+    availableNow replay of a backlog equals the batch ``ewma`` over the
+    same rows term-for-term. Output one row per key: the current
+    smoothed level the next bucket is compared against. A timeout
+    raises rather than smoothing a partially-drained backlog."""
+    from aws_data_wrangler_spark.operators.timeseries import ewma_from_counts
+
+    counts = (
+        stream.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"sg_ewma_{uuid.uuid4().hex[:8]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"ewma monitor did not drain the backlog within {timeout_s}s — "
+            f"a partial fold would understate the level; rerun with a larger "
+            f"timeout_s"
+        )
+    materialized = _detach_memory_sink(stream.sparkSession, name)
+    return ewma_from_counts(materialized, alpha, key_col)
+
+
 def _validate_centers_season(centers: DataFrame, seasonal) -> None:
     """Fail fast when the monitor's ``seasonal`` doesn't match the
     setting the centers were TRAINED with: the (key, __season) inner

@@ -108,9 +108,10 @@ ROUND7_FROZEN = {
 
 ROUND6_FROZEN = {
     # fresh green rows in CORRECTNESS_r06.json; code byte-identical
-    # since round 6; the four oldest leaders were pulled into the
-    # round-8 window (ROUND6_PULLED_IN_R8), io_csv_roundtrip moved in
-    # crossing the to_csv change
+    # since round 6 (io_csv_roundtrip moved into the round-8 window
+    # crossing the to_csv change; the q3/q5/q11/q13 leaders stayed —
+    # their provisional spare-slot pulls were all returned to the
+    # round's new registrations)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q11_important_stock", "q13_customer_distribution",
     "q14_promo_effect", "q18_large_orders",
@@ -138,6 +139,14 @@ ROUND8_MUST_BE_IN_WINDOW = (
     | ROUND6_PULLED_IN_R8
 )
 
+ROUND8_LATE = {
+    # registered after the round-8 window filled (the round-3/6/7 late
+    # precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a targeted
+    # local[5] invariance check in the round-8 session; rotates into
+    # the round-9 window FIRST
+    "events_top_paths", "streaming_ewma_monitor",
+}
+
 RETIRED_R7 = {
     # plan-subsumed entries retired in round 7 with covered-by
     # annotations (SURVEY §2 / queries.py); the operators stay
@@ -160,7 +169,7 @@ def test_retired_entries_are_gone():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND7_FROZEN - ROUND6_FROZEN
+    unaccounted = below - ROUND7_FROZEN - ROUND6_FROZEN - ROUND8_LATE
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -194,8 +203,9 @@ def test_window_is_exactly_the_declared_partition():
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
     assert window == ROUND8_MUST_BE_IN_WINDOW
-    assert below == ROUND7_FROZEN | ROUND6_FROZEN
+    assert below == ROUND7_FROZEN | ROUND6_FROZEN | ROUND8_LATE
     assert ROUND7_FROZEN & ROUND6_FROZEN == set()
+    assert ROUND8_LATE & (ROUND7_FROZEN | ROUND6_FROZEN) == set()
 
 
 def test_entry_module_contract():

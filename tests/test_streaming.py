@@ -647,6 +647,28 @@ class TestAnomalyMonitor:
                 stream, hourly.drop("__season_mode"), seasonal="day_of_week"
             )
 
+    def test_ewma_monitor_equals_batch_smoother(self, spark):
+        # availableNow replay through the complete-mode counts must
+        # equal the batch ewma over the same rows — the fold is
+        # literally shared (ewma_from_counts)
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import timeseries
+        from aws_data_wrangler_spark.plans.queries import load
+
+        events = load(spark, SF_DIR, "events")
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/events.parquet", spark=spark
+        ).filter(F.col("event_id") % 2 == 1)
+        got = streaming.ewma_monitor(stream, alpha=0.25)
+        want = timeseries.ewma(events.filter(F.col("event_id") % 2 == 1), alpha=0.25)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        # the monitor-family contract: no pinned memory-sink view left
+        assert not [
+            t.name for t in spark.catalog.listTables() if t.name.startswith("sg_ewma_")
+        ]
+
     def test_monitors_drop_their_memory_sink_tables(self, spark):
         # repeated monitor calls in a long-lived session must not
         # accumulate complete-mode memory-sink tables: the counts are
