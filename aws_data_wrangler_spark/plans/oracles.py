@@ -2314,6 +2314,75 @@ ORACLES: Dict[str, str] = {
                       + 0.3 * (1.0 - least(punct_ratio_raw * 10.0, 1.0))) * 1000000.0) / 1000000.0 AS quality_score
         FROM ratios ORDER BY doc_id
     """,
+    # quality-gate weld replica: the three per-doc screens composed —
+    # the heuristic quality score (shared _QUALITY_EXPRS), the
+    # char-entropy fold, and the pinned-weight classifier sigmoid —
+    # then a per-source rollup whose kept-score sum is EXACT decimal
+    "text_quality_gate": f"""
+        WITH feats AS (
+            SELECT doc_id, source, {_QUALITY_EXPRS}
+            FROM documents
+        ), q AS (
+            SELECT doc_id, source,
+                   floor((0.4 * least(n_chars / 500.0, 1.0)
+                          + 0.3 * least(CASE WHEN tokens > 0 THEN stops / tokens
+                                             ELSE 0.0 END * 5.0, 1.0)
+                          + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN punct / n_chars
+                                                    ELSE 0.0 END * 10.0, 1.0)))
+                         * 1000000.0) / 1000000.0 AS quality_score
+            FROM feats
+        ), chars AS (
+            SELECT doc_id, list_filter(string_split(text, ''), x -> x <> '') AS cs
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, len(cs)::DOUBLE AS n,
+                   list_transform(list_sort(list_distinct(cs)),
+                                  c -> len(list_filter(cs, x -> x = c))::DOUBLE) AS ks
+            FROM chars
+        ), ent AS (
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN
+                       floor(((ln(n) - list_reduce(
+                                   list_prepend(CAST(0.0 AS DOUBLE),
+                                                list_transform(ks, k -> k * ln(k))),
+                                   (a, b) -> a + b) / n) / ln(2.0)) * 1000000)
+                           / 1000000
+                   ELSE 0.0 END AS char_entropy
+            FROM counted
+        ), toksc AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ), cfeats AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS feature
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toksc)
+        ), margins AS (
+            SELECT doc_id,
+                   sum(((feature * 2654435761) % 1024) / 1024.0 - 0.5) AS margin
+            FROM cfeats GROUP BY doc_id
+        ), probs AS (
+            SELECT d.doc_id,
+                   floor((1.0 / (1.0 + exp(-(coalesce(m.margin, 0.0) + 0.0))))
+                         * 1000000) / 1000000 AS quality_prob
+            FROM documents d LEFT JOIN margins m USING (doc_id)
+        ), flagged AS (
+            SELECT q.source, q.quality_score,
+                   (q.quality_score >= 0.55 AND e.char_entropy >= 4.05
+                    AND p.quality_prob >= 0.6) AS keep
+            FROM q JOIN ent e USING (doc_id) JOIN probs p USING (doc_id)
+        ), rolled AS (
+            SELECT source, count(*) AS n_docs,
+                   coalesce(sum(CASE WHEN keep THEN 1 END), 0)::BIGINT AS n_kept,
+                   sum(CASE WHEN keep THEN quality_score::DECIMAL(18,6) END) AS kept_sum
+            FROM flagged GROUP BY source
+        )
+        SELECT source, n_docs, n_kept,
+               floor((n_kept::DOUBLE / n_docs) * 1000000) / 1000000 AS kept_frac,
+               CASE WHEN n_kept > 0 THEN
+                   floor((kept_sum::DOUBLE / n_kept) * 1000000) / 1000000
+               END AS avg_kept_quality
+        FROM rolled ORDER BY source
+    """,
     # classifier-inference replica: md5-prefix feature hash (the
     # simhash convention), within-doc DISTINCT features, EXACT dyadic
     # margin sums (k/1024 − 1/2), then sigmoid + 6dp floor

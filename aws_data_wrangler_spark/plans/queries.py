@@ -2245,6 +2245,64 @@ def _events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.interpolate_linear(events).orderBy("event_type", "bucket_ts")
 
 
+def _text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality-gate weld (r8-late, new): the three per-doc
+    quality screens — heuristic quality_score, char-entropy, and the
+    pinned-weight classifier probability — in ONE plan, rolled up per
+    source: (source, n_docs, n_kept, kept_frac, avg_kept_quality). All
+    three scores are individually oracle-identical, so the composition
+    is too; the kept-score average sums EXACT decimals (the
+    numeric_summary discipline) to stay partition-order-free. The
+    whole gate is projections + one feature join + one rollup — no
+    corpus shuffle beyond the classifier's margin aggregate."""
+    from aws_data_wrangler_spark.operators import classifier, text
+
+    docs = load(spark, sf_dir, "documents")
+    scored = text.with_char_entropy(text.with_quality_score(docs))
+    nf = 512
+    weights = spark.range(nf).select(
+        F.col("id").alias("feature"),
+        (
+            F.pmod(F.col("id") * F.lit(2654435761), F.lit(1024)) / F.lit(1024.0)
+            - F.lit(0.5)
+        ).alias("weight"),
+    )
+    model = classifier.QualityClassifier(
+        weights, bias=0.0, num_features=nf, use_bigrams=False, token_hash="md5"
+    )
+    scored = classifier.score_quality(scored, model)
+    keep = (
+        (F.col("quality_score") >= 0.55)
+        & (F.col("char_entropy") >= 4.05)
+        & (F.col("quality_prob") >= 0.6)
+    )
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    agg = (
+        scored.withColumn("__keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("__keep"), F.col("quality_score")).cast("decimal(18,6)")
+            ).alias("__kept_sum"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        trunc_digits(F.col("n_kept").cast("double") / F.col("n_docs")).alias(
+            "kept_frac"
+        ),
+        F.when(
+            F.col("n_kept") > 0,
+            trunc_digits(F.col("__kept_sum").cast("double") / F.col("n_kept")),
+        ).alias("avg_kept_quality"),
+    ).orderBy("source")
+
+
 def _streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing in production position (r8-late, new): the event
     backlog replayed as a stream through the complete-mode count
@@ -3180,6 +3238,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate into the round-9 window FIRST ---
     "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
     "streaming_ewma_monitor": _streaming_ewma_monitor,
+    "text_quality_gate": _text_quality_gate,
 }
 
 

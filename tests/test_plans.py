@@ -144,7 +144,7 @@ ROUND8_LATE = {
     # precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a targeted
     # local[5] invariance check in the round-8 session; rotates into
     # the round-9 window FIRST
-    "events_top_paths", "streaming_ewma_monitor",
+    "events_top_paths", "streaming_ewma_monitor", "text_quality_gate",
 }
 
 RETIRED_R7 = {
