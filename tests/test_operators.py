@@ -4022,6 +4022,29 @@ class TestProfiling:
         assert prof["id"]["n_null"] == 0 and prof["id"]["n_distinct"] == 4
         assert abs(prof["v"]["null_share"] - 0.5) < 1e-9
 
+    def test_numeric_profilers_accept_int_and_decimal_columns(self, spark):
+        # the profilers must treat EVERY numeric dtype uniformly: longs,
+        # ints, and decimals flow through the same exact accumulators
+        from decimal import Decimal
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.createDataFrame(
+            [(1, 10, Decimal("1.50")), (2, 20, Decimal("2.50")),
+             (3, 30, Decimal("3.50"))],
+            "i long, j int, d decimal(10,2)",
+        )
+        prof = {r["column"]: r.asDict() for r in profiling.numeric_summary(df).collect()}
+        assert set(prof) == {"i", "j", "d"}
+        assert prof["j"]["mean"] == 20.0 and prof["d"]["mean"] == 2.5
+        assert prof["i"]["min"] == 1.0 and prof["i"]["max"] == 3.0
+        corr = {(r["col_a"], r["col_b"]): r["corr"]
+                for r in profiling.column_correlations(df).collect()}
+        # all three columns are exact linear transforms of each other
+        assert corr[("i", "j")] == 1.0 and corr[("i", "d")] == 1.0
+        hist = profiling.numeric_histogram(df, "j", bins=2).collect()
+        assert [r["n"] for r in sorted(hist, key=lambda r: r["bin"])] == [1, 2]
+
     def test_numeric_histogram_hand_values(self, spark):
         import pytest
 
