@@ -244,15 +244,19 @@ def numeric_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     equi-width convention). Assignment and edges are plain IEEE double
     arithmetic over the same (mn, mx) — engine-replicable; edges floor
     at 6dp for display. A constant column (mn == mx) lands entirely in
-    bin 0; an all-null column returns the empty spine with n = 0."""
-    import math
-
+    bin 0; an all-null column returns the empty spine with n = 0.
+    NON-FINITE values (NaN, ±inf) are EXCLUDED before the bounds pass —
+    a NaN max (Spark sorts NaN largest) or an inf edge would poison
+    every bucket edge; a profiler aimed at dirty data must survive
+    exactly those values."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
-    b = df.agg(
-        F.min(F.col(col).cast("double")).alias("mn"),
-        F.max(F.col(col).cast("double")).alias("mx"),
-        F.count(F.col(col)).alias("n"),
+    x = F.col(col).cast("double")
+    finite = df.filter(
+        x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+    )
+    b = finite.agg(
+        F.min(x).alias("mn"), F.max(x).alias("mx"), F.count(x).alias("n")
     ).collect()[0]
     mn, mx, n_vals = b["mn"], b["mx"], b["n"]
     spark = df.sparkSession
@@ -264,25 +268,19 @@ def numeric_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     w = (mx - mn) / bins
     if w > 0:
         bin_expr = F.least(
-            F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(w)).cast("bigint"),
+            F.floor((x - F.lit(mn)) / F.lit(w)).cast("bigint"),
             F.lit(bins - 1),
         )
     else:  # constant column: everything is bin 0
         bin_expr = F.lit(0).cast("bigint")
     counts = {
         r["bin"]: r["n"]
-        for r in df.filter(F.col(col).isNotNull())
-        .groupBy(bin_expr.alias("bin"))
+        for r in finite.groupBy(bin_expr.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
     rows = [
-        (
-            i,
-            math.floor((mn + i * w) * 1e6) / 1e6,
-            math.floor((mn + (i + 1) * w) * 1e6) / 1e6,
-            counts.get(i, 0),
-        )
+        (i, _floor6(mn + i * w), _floor6(mn + (i + 1) * w), counts.get(i, 0))
         for i in range(bins)
     ]
     return spark.createDataFrame(rows, schema)

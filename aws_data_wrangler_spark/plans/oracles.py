@@ -1027,6 +1027,79 @@ _BLOOM_GATE_ORACLE = """
 """
 
 
+
+# char-entropy CTE chain, shared by the standalone entropy oracle and
+# the composed quality gate: sorted-distinct-characters loop, left fold
+# (list_prepend(0.0) + list_reduce ≡ Spark aggregate with 0.0 init) —
+# ASCII corpus so binary collation sorts identically. Ends with `ent`:
+# (doc_id, char_entropy).
+_ENTROPY_CTES = """chars AS (
+            SELECT doc_id, list_filter(string_split(text, ''), x -> x <> '') AS cs
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, len(cs)::DOUBLE AS n,
+                   list_transform(list_sort(list_distinct(cs)),
+                                  c -> len(list_filter(cs, x -> x = c))::DOUBLE) AS ks
+            FROM chars
+        ), ent AS (
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN
+                       floor(((ln(n) - list_reduce(
+                                   list_prepend(CAST(0.0 AS DOUBLE),
+                                                list_transform(ks, k -> k * ln(k))),
+                                   (a, b) -> a + b) / n) / ln(2.0)) * 1000000)
+                           / 1000000
+                   ELSE 0.0 END AS char_entropy
+            FROM counted
+        )"""
+
+# classifier-inference CTE chain, shared by the standalone score oracle
+# and the composed quality gate: md5-prefix feature hash (the simhash
+# convention), within-doc DISTINCT features, EXACT dyadic margin sums
+# (k/1024 − 1/2), sigmoid + 6dp floor. Ends with `probs`:
+# (doc_id, quality_prob).
+_CLASSIFIER_CTES = """toksc AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ), cfeats AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS feature
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toksc)
+        ), margins AS (
+            SELECT doc_id,
+                   sum(((feature * 2654435761) % 1024) / 1024.0 - 0.5) AS margin
+            FROM cfeats GROUP BY doc_id
+        ), probs AS (
+            SELECT d.doc_id,
+                   floor((1.0 / (1.0 + exp(-(coalesce(m.margin, 0.0) + 0.0))))
+                         * 1000000) / 1000000 AS quality_prob
+            FROM documents d LEFT JOIN margins m USING (doc_id)
+        )"""
+
+# EWMA fold replica, shared verbatim by the batch smoother and the
+# streaming monitor (the monitor folds the SAME counts with the SAME
+# shared ewma_from_counts, so replay ≡ batch by construction):
+# list_reduce folds left with the FIRST element as init — exactly
+# Spark's aggregate(slice(vals, 2, n-1), element_at(vals, 1), ...);
+# alpha = 0.25 and 1-alpha = 0.75 are exactly representable so the
+# IEEE chain is bit-identical
+_EWMA_SQL = """
+        WITH counts AS (
+            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+                   count(*)::DOUBLE AS n
+            FROM events GROUP BY 1, 2
+        ), packed AS (
+            SELECT key, count(*) AS n_buckets,
+                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
+                   list(n ORDER BY bucket_ts) AS vals
+            FROM counts GROUP BY key
+        )
+        SELECT key AS event_type, n_buckets, last_bucket_ts,
+               floor(list_reduce(vals, (acc, x) -> acc*0.75 + x*0.25) * 1000000)
+                   / 1000000 AS ewma
+        FROM packed ORDER BY event_type
+    """
+
 ORACLES: Dict[str, str] = {
     # ---- analytics: identical SQL, second engine -----------------------
     **ANALYTICS_SQL,
@@ -1395,45 +1468,8 @@ ORACLES: Dict[str, str] = {
                    AS interp_avg
         FROM w ORDER BY event_type, bucket_ts
     """,
-    # the streaming EWMA monitor folds the SAME counts with the SAME
-    # shared ewma_from_counts — availableNow replay equals the batch
-    # smoother, so the oracle is the batch EWMA SQL verbatim
-    "streaming_ewma_monitor": """
-        WITH counts AS (
-            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
-                   count(*)::DOUBLE AS n
-            FROM events GROUP BY 1, 2
-        ), packed AS (
-            SELECT key, count(*) AS n_buckets,
-                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
-                   list(n ORDER BY bucket_ts) AS vals
-            FROM counts GROUP BY key
-        )
-        SELECT key AS event_type, n_buckets, last_bucket_ts,
-               floor(list_reduce(vals, (acc, x) -> acc*0.75 + x*0.25) * 1000000)
-                   / 1000000 AS ewma
-        FROM packed ORDER BY event_type
-    """,
-    # EWMA fold replica: list_reduce folds left with the FIRST element
-    # as init — exactly Spark's aggregate(slice(vals, 2, n-1),
-    # element_at(vals, 1), ...); alpha = 0.25 and 1-alpha = 0.75 are
-    # exactly representable so the IEEE chain is bit-identical
-    "events_ewma_smoothing": """
-        WITH counts AS (
-            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
-                   count(*)::DOUBLE AS n
-            FROM events GROUP BY 1, 2
-        ), packed AS (
-            SELECT key, count(*) AS n_buckets,
-                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
-                   list(n ORDER BY bucket_ts) AS vals
-            FROM counts GROUP BY key
-        )
-        SELECT key AS event_type, n_buckets, last_bucket_ts,
-               floor(list_reduce(vals, (acc, x) -> acc*0.75 + x*0.25) * 1000000)
-                   / 1000000 AS ewma
-        FROM packed ORDER BY event_type
-    """,
+    "streaming_ewma_monitor": _EWMA_SQL,
+    "events_ewma_smoothing": _EWMA_SQL,
     "events_mad_anomalies": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
@@ -2315,9 +2351,12 @@ ORACLES: Dict[str, str] = {
         FROM ratios ORDER BY doc_id
     """,
     # quality-gate weld replica: the three per-doc screens composed —
-    # the heuristic quality score (shared _QUALITY_EXPRS), the
-    # char-entropy fold, and the pinned-weight classifier sigmoid —
-    # then a per-source rollup whose kept-score sum is EXACT decimal
+    # the heuristic quality score (shared _QUALITY_EXPRS), the shared
+    # char-entropy chain (_ENTROPY_CTES), and the shared classifier
+    # chain (_CLASSIFIER_CTES) — then a per-source rollup whose
+    # kept-score sum is EXACT decimal. Composing the SAME fragments the
+    # standalone oracles use keeps "individually oracle-identical ⇒
+    # composition identical" true by construction, not by copy.
     "text_quality_gate": f"""
         WITH feats AS (
             SELECT doc_id, source, {_QUALITY_EXPRS}
@@ -2331,41 +2370,7 @@ ORACLES: Dict[str, str] = {
                                                     ELSE 0.0 END * 10.0, 1.0)))
                          * 1000000.0) / 1000000.0 AS quality_score
             FROM feats
-        ), chars AS (
-            SELECT doc_id, list_filter(string_split(text, ''), x -> x <> '') AS cs
-            FROM documents
-        ), counted AS (
-            SELECT doc_id, len(cs)::DOUBLE AS n,
-                   list_transform(list_sort(list_distinct(cs)),
-                                  c -> len(list_filter(cs, x -> x = c))::DOUBLE) AS ks
-            FROM chars
-        ), ent AS (
-            SELECT doc_id,
-                   CASE WHEN n > 0 THEN
-                       floor(((ln(n) - list_reduce(
-                                   list_prepend(CAST(0.0 AS DOUBLE),
-                                                list_transform(ks, k -> k * ln(k))),
-                                   (a, b) -> a + b) / n) / ln(2.0)) * 1000000)
-                           / 1000000
-                   ELSE 0.0 END AS char_entropy
-            FROM counted
-        ), toksc AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-            FROM documents
-        ), cfeats AS (
-            SELECT DISTINCT doc_id,
-                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS feature
-            FROM (SELECT doc_id, unnest(t) AS tok FROM toksc)
-        ), margins AS (
-            SELECT doc_id,
-                   sum(((feature * 2654435761) % 1024) / 1024.0 - 0.5) AS margin
-            FROM cfeats GROUP BY doc_id
-        ), probs AS (
-            SELECT d.doc_id,
-                   floor((1.0 / (1.0 + exp(-(coalesce(m.margin, 0.0) + 0.0))))
-                         * 1000000) / 1000000 AS quality_prob
-            FROM documents d LEFT JOIN margins m USING (doc_id)
-        ), flagged AS (
+        ), {_ENTROPY_CTES}, {_CLASSIFIER_CTES}, flagged AS (
             SELECT q.source, q.quality_score,
                    (q.quality_score >= 0.55 AND e.char_entropy >= 4.05
                     AND p.quality_prob >= 0.6) AS keep
@@ -2383,53 +2388,16 @@ ORACLES: Dict[str, str] = {
                END AS avg_kept_quality
         FROM rolled ORDER BY source
     """,
-    # classifier-inference replica: md5-prefix feature hash (the
-    # simhash convention), within-doc DISTINCT features, EXACT dyadic
-    # margin sums (k/1024 − 1/2), then sigmoid + 6dp floor
-    "text_classifier_score": """
-        WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-            FROM documents
-        ), feats AS (
-            SELECT DISTINCT doc_id,
-                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS feature
-            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
-        ), margins AS (
-            SELECT doc_id,
-                   sum(((feature * 2654435761) % 1024) / 1024.0 - 0.5) AS margin
-            FROM feats GROUP BY doc_id
-        )
-        SELECT d.doc_id,
-               floor((1.0 / (1.0 + exp(-(coalesce(m.margin, 0.0) + 0.0))))
-                     * 1000000) / 1000000 AS quality_prob
-        FROM documents d LEFT JOIN margins m USING (doc_id)
-        ORDER BY d.doc_id
+    # classifier-inference replica: the shared CTE chain (see
+    # _CLASSIFIER_CTES)
+    "text_classifier_score": f"""
+        WITH {_CLASSIFIER_CTES}
+        SELECT doc_id, quality_prob FROM probs ORDER BY doc_id
     """,
-    # char-entropy replica: same sorted-distinct-characters loop, same
-    # left fold (list_prepend(0.0) + list_reduce ≡ Spark aggregate with
-    # 0.0 init) — ASCII corpus so binary collation sorts identically
-    "text_char_entropy": """
-        WITH chars AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ''), x -> x <> '') AS cs
-            FROM documents
-        ), counted AS (
-            SELECT doc_id, len(cs)::DOUBLE AS n,
-                   list_transform(
-                       list_sort(list_distinct(cs)),
-                       c -> len(list_filter(cs, x -> x = c))::DOUBLE
-                   ) AS ks
-            FROM chars
-        )
-        SELECT doc_id,
-               CASE WHEN n > 0 THEN
-                   floor(((ln(n) - list_reduce(
-                               list_prepend(CAST(0.0 AS DOUBLE),
-                                            list_transform(ks, k -> k * ln(k))),
-                               (a, b) -> a + b) / n) / ln(2.0)) * 1000000)
-                       / 1000000
-               ELSE 0.0 END AS char_entropy
-        FROM counted ORDER BY doc_id
+    # char-entropy replica: the shared CTE chain (see _ENTROPY_CTES)
+    "text_char_entropy": f"""
+        WITH {_ENTROPY_CTES}
+        SELECT doc_id, char_entropy FROM ent ORDER BY doc_id
     """,
     "text_lang_id": f"""
         WITH scores AS (
@@ -2953,8 +2921,12 @@ ORACLES: Dict[str, str] = {
                    (max(value::DOUBLE) - min(value::DOUBLE)) / 8.0 AS w
             FROM events
         ), binned AS (
-            SELECT least(CAST(floor((value::DOUBLE - b.mn) / b.w) AS BIGINT),
-                         CAST(7 AS BIGINT)) AS bin
+            -- w = 0 (constant column) bins everything to 0, matching
+            -- the operator's branch: DuckDB's x/0.0 is NULL, which
+            -- would silently zero every spine count instead
+            SELECT CASE WHEN b.w = 0 THEN CAST(0 AS BIGINT)
+                        ELSE least(CAST(floor((value::DOUBLE - b.mn) / b.w) AS BIGINT),
+                                   CAST(7 AS BIGINT)) END AS bin
             FROM events, b WHERE value IS NOT NULL
         ), cnt AS (
             SELECT bin, count(*) AS n FROM binned GROUP BY bin

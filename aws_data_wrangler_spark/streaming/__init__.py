@@ -796,7 +796,27 @@ def drift_monitor(
     # that silently profiles a PARTIALLY-drained backlog reports
     # understated drift — the worst failure mode it can have — so a
     # timeout raises (the index_ingest_sink contract)
-    name = f"sg_drift_{uuid.uuid4().hex[:8]}"
+    cur = _drain_complete_counts(
+        counts, "sg_drift", timeout_s,
+        "a partial profile would understate drift",
+    )
+    base = baseline.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    return psi_profile_from_counts(base, cur, eps=eps)
+
+
+def _drain_complete_counts(
+    counts: DataFrame, prefix: str, timeout_s: int, timeout_detail: str
+) -> DataFrame:
+    """The monitor-family stateful-materialization lifecycle, in ONE
+    place: run the bounded complete-mode count aggregate through an
+    availableNow memory sink, then materialize-and-drop the sink
+    (``_detach_memory_sink``). A timeout STOPS the query, DROPS the
+    partially-filled sink (a timed-out monitor must not leave a pinned
+    complete-mode table behind — the leak the family contract exists
+    to prevent), and raises with the caller's failure-mode sentence."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     query = (
         counts.writeStream.format("memory")
         .queryName(name)
@@ -806,16 +826,12 @@ def drift_monitor(
     )
     if not query.awaitTermination(timeout_s):
         query.stop()
+        counts.sparkSession.catalog.dropTempView(name)
         raise TimeoutError(
-            f"drift monitor did not drain the backlog within {timeout_s}s — "
-            f"a partial profile would understate drift; rerun with a larger "
-            f"timeout_s"
+            f"{prefix} monitor did not drain the backlog within "
+            f"{timeout_s}s — {timeout_detail}; rerun with a larger timeout_s"
         )
-    cur = _detach_memory_sink(stream.sparkSession, name)
-    base = baseline.select(bucket.alias("bucket")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_base")
-    )
-    return psi_profile_from_counts(base, cur, eps=eps)
+    return _detach_memory_sink(counts.sparkSession, name)
 
 
 def _detach_memory_sink(spark, name: str) -> DataFrame:
@@ -871,22 +887,10 @@ def anomaly_monitor(
         .groupBy("key", "bucket_ts")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = f"sg_anomaly_{uuid.uuid4().hex[:8]}"
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(
-            f"anomaly monitor did not drain the backlog within {timeout_s}s — "
-            f"scoring partial bucket counts would mis-flag every open bucket; "
-            f"rerun with a larger timeout_s"
-        )
-    materialized = _detach_memory_sink(stream.sparkSession, name).withColumn(
+    materialized = _drain_complete_counts(
+        counts, "sg_anomaly", timeout_s,
+        "scoring partial bucket counts would mis-flag every open bucket",
+    ).withColumn(
         "__season", _season_expr(seasonal)
     )
     return score_anomalies(
@@ -922,22 +926,10 @@ def ewma_monitor(
         .groupBy("key", "bucket_ts")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = f"sg_ewma_{uuid.uuid4().hex[:8]}"
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    materialized = _drain_complete_counts(
+        counts, "sg_ewma", timeout_s,
+        "a partial fold would understate the level",
     )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(
-            f"ewma monitor did not drain the backlog within {timeout_s}s — "
-            f"a partial fold would understate the level; rerun with a larger "
-            f"timeout_s"
-        )
-    materialized = _detach_memory_sink(stream.sparkSession, name)
     return ewma_from_counts(materialized, alpha, key_col)
 
 
