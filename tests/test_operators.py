@@ -4071,6 +4071,16 @@ class TestProfiling:
         assert [r["n"] for r in z] == [0, 0]
         with pytest.raises(ValueError, match="bins"):
             profiling.numeric_histogram(df, "x", bins=0)
+        # NaN/inf are EXCLUDED, not edge-poisoning: Spark's max() sorts
+        # NaN largest, which used to make every bucket edge NaN and
+        # crash the driver-side floor
+        dirty = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),), (float("inf"),), (float("-inf"),)],
+            "x double",
+        )
+        d = {r["bin"]: r for r in profiling.numeric_histogram(dirty, "x", bins=2).collect()}
+        assert d[0]["n"] + d[1]["n"] == 2  # only the finite values
+        assert d[0]["lo"] == 1.0 and d[1]["hi"] == 2.0
 
     def test_column_correlations_hand_values(self, spark):
         import math
