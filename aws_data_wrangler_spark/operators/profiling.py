@@ -96,6 +96,21 @@ def null_profile(df: DataFrame, cols: Optional[List[str]] = None) -> DataFrame:
     ).withColumn("null_share", trunc_digits(F.col("null_share")))
 
 
+def _exact_sum_or_raise(value, column: str) -> float:
+    """A NULL exact-decimal sum under non-ANSI Spark means the
+    ``decimal(38,12)`` accumulator OVERFLOWED (values beyond the
+    documented ~1e12 magnitude headroom) — surface the column and the
+    remedy instead of letting ``float(None)`` raise an opaque
+    TypeError."""
+    if value is None:
+        raise ValueError(
+            f"exact-decimal sum overflowed for column {column!r}: values "
+            "exceed the ~1e12 magnitude headroom of the decimal(18,6) "
+            "accumulators — pre-scale the column before profiling"
+        )
+    return float(value)
+
+
 def numeric_summary(df: DataFrame, cols: Optional[List[str]] = None) -> DataFrame:
     """Per-column numeric profile: (column, n_rows, n_null, min, max,
     mean, stddev) — the ``df.describe()`` every ingest preflight wants,
@@ -146,12 +161,12 @@ def numeric_summary(df: DataFrame, cols: Optional[List[str]] = None) -> DataFram
         n = row[f"__n_{i}"]
         mean = std = None
         if n:
-            s1 = float(row[f"__s1_{i}"])
+            s1 = _exact_sum_or_raise(row[f"__s1_{i}"], c)
             mean = _floor6(s1 / n)
             if n > 1:
                 import math
 
-                s2 = float(row[f"__s2_{i}"])
+                s2 = _exact_sum_or_raise(row[f"__s2_{i}"], c)
                 var = (s2 - s1 * s1 / n) / (n - 1)
                 # math.sqrt is the IEEE-754 correctly-rounded sqrt —
                 # identical to SQL sqrt in every engine (x**0.5 is pow,
@@ -218,9 +233,11 @@ def column_correlations(
         for j, b in enumerate(cols[i + 1 :], start=i + 1):
             corr = None
             if n > 1:
-                sx, sy = float(row[f"__s_{i}"]), float(row[f"__s_{j}"])
-                sxx, syy = float(row[f"__ss_{i}"]), float(row[f"__ss_{j}"])
-                sxy = float(row[f"__p_{i}_{j}"])
+                sx = _exact_sum_or_raise(row[f"__s_{i}"], a)
+                sy = _exact_sum_or_raise(row[f"__s_{j}"], b)
+                sxx = _exact_sum_or_raise(row[f"__ss_{i}"], a)
+                syy = _exact_sum_or_raise(row[f"__ss_{j}"], b)
+                sxy = _exact_sum_or_raise(row[f"__p_{i}_{j}"], f"({a}, {b})")
                 vx = n * sxx - sx * sx
                 vy = n * syy - sy * sy
                 if vx > 0 and vy > 0:

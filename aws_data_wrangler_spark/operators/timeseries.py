@@ -308,9 +308,25 @@ def ewma_from_counts(
     count table — shared by the batch ``ewma`` (its counts come from
     ``bucket_counts``) and the streaming ``ewma_monitor`` (its counts
     come from a complete-mode stateful aggregate), so stream replay
-    equals batch by construction."""
+    equals batch by construction.
+
+    ``key_col`` applies to the INPUT as well as the output: a counts
+    table keyed by e.g. ``event_type`` resolves through the parameter
+    (the internal producers — ``bucket_counts`` and the streaming
+    monitor aggregate — emit the generic ``key`` name, which is
+    accepted as-is)."""
     from aws_data_wrangler_spark.functions import trunc_digits
 
+    if key_col in counts.columns:
+        # explicit parameter wins over a leftover generic "key" column
+        counts = counts.select(
+            F.col(key_col).alias("key"), "bucket_ts", "n"
+        )
+    elif "key" not in counts.columns:
+        raise ValueError(
+            f"counts must carry the key column {key_col!r} (or the "
+            f"generic 'key'); got {counts.columns}"
+        )
     # array_sort on (bucket_ts, n) structs orders chronologically;
     # bucket_ts is unique per key after the groupBy, so the order is
     # total — partitioning-invariant by construction

@@ -2917,9 +2917,13 @@ ORACLES: Dict[str, str] = {
     # the full spine keeps empty buckets visible
     "events_value_histogram": """
         WITH b AS (
+            -- mirror the operator's finiteness screen: NaN/±inf are
+            -- excluded BEFORE the bounds pass (DuckDB sorts NaN
+            -- largest, so an unfiltered max would diverge from the
+            -- operator the moment a non-finite value enters events)
             SELECT min(value::DOUBLE) AS mn, max(value::DOUBLE) AS mx,
                    (max(value::DOUBLE) - min(value::DOUBLE)) / 8.0 AS w
-            FROM events
+            FROM events WHERE value IS NOT NULL AND isfinite(value::DOUBLE)
         ), binned AS (
             -- w = 0 (constant column) bins everything to 0, matching
             -- the operator's branch: DuckDB's x/0.0 is NULL, which
@@ -2927,7 +2931,8 @@ ORACLES: Dict[str, str] = {
             SELECT CASE WHEN b.w = 0 THEN CAST(0 AS BIGINT)
                         ELSE least(CAST(floor((value::DOUBLE - b.mn) / b.w) AS BIGINT),
                                    CAST(7 AS BIGINT)) END AS bin
-            FROM events, b WHERE value IS NOT NULL
+            FROM events, b
+            WHERE value IS NOT NULL AND isfinite(value::DOUBLE)
         ), cnt AS (
             SELECT bin, count(*) AS n FROM binned GROUP BY bin
         ), spine AS (

@@ -127,6 +127,19 @@ def _sanitize_for_write(
     return out
 
 
+def _sanitize_dtype(dtype: Optional[Dict[str, str]]) -> Optional[Dict[str, str]]:
+    """``dtype`` keys must track the sanitize rename too (the reference's
+    ``_sanitize`` sanitizes the dtype dict alongside the frame —
+    ``/root/reference/awswrangler/s3/_write.py``): a dtype keyed by the
+    pre-sanitize name would make ``_cast_dtype`` miss the now-renamed
+    column and silently skip the intended cast."""
+    from aws_data_wrangler_spark import catalog
+
+    if not dtype:
+        return dtype
+    return {catalog.sanitize_column_name(k): v for k, v in dtype.items()}
+
+
 def _write(
     df: DataFrame,
     path: str,
@@ -276,6 +289,7 @@ def to_parquet(
         df, partition_cols, sort_cols, bloom_filter_cols = _sanitize_for_write(
             df, partition_cols, sort_cols, bloom_filter_cols
         )
+        dtype = _sanitize_dtype(dtype)
     if bloom_filter_cols:
         # reject partition columns loudly — they become directories,
         # never data-file columns, so a "bloom filter" on one would
@@ -337,6 +351,7 @@ def to_csv(
         df = df.select(*columns)
     if sanitize_columns:
         df, partition_cols = _sanitize_for_write(df, partition_cols)
+        dtype = _sanitize_dtype(dtype)
     return _write(
         df, path, "csv", dataset, partition_cols, mode, database, table, dtype, spark,
         description=description, parameters=parameters, columns_comments=columns_comments,
@@ -470,6 +485,7 @@ def to_orc(
     _pop_noop_kwargs(options)
     if sanitize_columns:
         df, partition_cols = _sanitize_for_write(df, partition_cols)
+        dtype = _sanitize_dtype(dtype)
     if database and table:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

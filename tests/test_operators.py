@@ -3531,6 +3531,42 @@ class TestTimeseries:
             s = s * 0.7 + n * 0.3
         assert abs(out2["a"]["ewma"] - s) < 1e-6
 
+    def test_ewma_from_counts_key_col_applies_to_input(self, spark):
+        # ADVICE r8: key_col must resolve the INPUT key too — a caller
+        # handing their own counts table keyed by event_type (not the
+        # internal generic "key") gets the fold, not an
+        # unresolved-column error; the generic "key" name still works
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import timeseries
+
+        counts = spark.createDataFrame(
+            [("a", 0, 8), ("a", 3600, 2), ("b", 0, 5)],
+            "event_type string, sec long, n long",
+        ).select(
+            "event_type", F.timestamp_seconds("sec").alias("bucket_ts"), "n"
+        )
+        out = {
+            r["event_type"]: r
+            for r in timeseries.ewma_from_counts(counts, alpha=0.25).collect()
+        }
+        assert out["a"]["ewma"] == 8.0 * 0.75 + 2.0 * 0.25
+        assert out["b"]["ewma"] == 5.0
+        # generic "key" input is accepted unchanged (the internal
+        # producers' contract) and only renamed on output
+        generic = counts.withColumnRenamed("event_type", "key")
+        out2 = {
+            r["event_type"]: r
+            for r in timeseries.ewma_from_counts(generic, alpha=0.25).collect()
+        }
+        assert out2 == out
+        # neither name present → a clear contract error, not a Spark
+        # unresolved-column stack
+        with _pytest.raises(ValueError, match="key column"):
+            timeseries.ewma_from_counts(
+                counts.withColumnRenamed("event_type", "wrong"), alpha=0.25
+            )
+
     def test_gapfill_fills_missing_buckets(self, spark):
         from aws_data_wrangler_spark.operators import timeseries
 
@@ -4121,6 +4157,31 @@ class TestProfiling:
             for r in profiling.column_correlations(df.repartition(5)).collect()
         }
         assert re == {k: v["corr"] for k, v in out.items()}
+
+    def test_overflowed_exact_sum_raises_actionable_error(self, spark):
+        # ADVICE r8: under non-ANSI Spark a decimal(38,12) sum overflow
+        # returns NULL; the driver-side conversion must name the
+        # overflowing column and the headroom instead of float(None)'s
+        # opaque TypeError (under ANSI — this repo's default — Spark
+        # itself raises a clear SparkArithmeticException earlier)
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.createDataFrame(
+            [(float(9e11),)] * 150, "big double"
+        )
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with _pytest.raises(ValueError, match="big.*headroom"):
+                profiling.numeric_summary(df)
+            with _pytest.raises(ValueError, match="headroom"):
+                profiling.column_correlations(
+                    df.selectExpr("big", "big AS big2")
+                )
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
 
     def test_numeric_summary_matches_hand_moments(self, spark):
         import math

@@ -622,6 +622,25 @@ class TestBloomFilterWrite:
         assert set(back.columns) == {"doc_id", "grp_col"}
         assert back.count() == 100
 
+    def test_dtype_keys_follow_sanitized_names(self, spark, tmp_prefix):
+        # ADVICE r8: dtype keys must track the sanitize rename like the
+        # partition/sort/bloom lists do (the reference sanitizes the
+        # dtype dict alongside the frame) — a dtype keyed by the
+        # original name must still cast the renamed column instead of
+        # failing on an unresolved pre-sanitize name
+        from aws_data_wrangler_spark import s3
+
+        df = spark.range(20).selectExpr(
+            "id AS `Doc Id`", "cast(id AS double) AS `Val Col`"
+        ).coalesce(1)
+        out = f"{tmp_prefix}/dtype_sanitized"
+        s3.to_parquet(
+            df, out, dataset=True, mode="overwrite", sanitize_columns=True,
+            dtype={"Val Col": "bigint"}, spark=spark,
+        )
+        back = s3.read_parquet(f"{out}/", dataset=True, spark=spark)
+        assert dict(back.dtypes) == {"doc_id": "bigint", "val_col": "bigint"}
+
 
 class TestMergeUpsertTable:
     def test_batch_upsert_merges_and_versions(self, spark, tmp_prefix):
