@@ -413,6 +413,169 @@ def hll_estimates(sketches: DataFrame) -> DataFrame:
     )
 
 
+def quantile_sketches(
+    df: DataFrame,
+    cols: Optional[List[str]] = None,
+    batch_col: Optional[str] = None,
+    bins: int = 128,
+) -> DataFrame:
+    """Mergeable quantile state — the percentile companion to the HLL
+    trio: one row per (batch, column) of ``(batch, column, n, grid)``
+    where ``grid[j]`` is the batch's EXACT quantile at rank ``j/bins``
+    (``bins + 1`` points, Spark's R-7 ``percentile``; endpoints are the
+    exact batch min/max). Each ingest batch appends its sketch rows
+    (``bins``-sized arrays, not data) and ``quantile_union`` later
+    answers "p99 over the whole ingest history" without ever
+    rescanning — the question the exact two-pass percentile operators
+    can't answer incrementally.
+
+    Determinism contract: the per-batch grid is an EXACT order
+    statistic (partitioning-invariant by definition), and the merge is
+    integer-threshold arithmetic over the pooled grids — so unlike a
+    GK/KLL sketch (whose merge tree follows Spark's partitioning) the
+    whole pipeline is bit-deterministic across partitionings and
+    engines. The trade is per-batch cost: the exact percentile
+    aggregate holds per-(batch, column) value-count state, so a batch
+    whose per-column NDV is itself corpus-scale should be pre-rounded
+    to a value grid first (the counts-map then stays bounded).
+
+    Accuracy contract: a merged estimate's RANK error is ≤ ~2/bins
+    (per-batch grid discretization ≤ 1/(bins+1) + recompression /
+    interpolation ≤ 1/bins) — at the default 128 bins, under 2% of
+    rank. Grid ENDPOINTS stay exact: the merged min/max equal the true
+    pooled min/max.
+
+    The sketch frame round-trips through parquet bit-identically
+    (``array<double>`` + bigints) — persist it like the MinHash corpus
+    state.
+    """
+    from pyspark.sql import types as T
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType) and f.name != batch_col
+        ]
+    ps = ", ".join(repr(j / bins) for j in range(bins + 1))
+    per_col = []
+    for c in cols:
+        per_col.append(F.count(F.col(c)).alias(f"__n_{c}"))
+        per_col.append(
+            F.expr(f"percentile(`{c}`, array({ps}))").alias(f"__g_{c}")
+        )
+    grouped = (
+        df.groupBy(F.col(batch_col).alias("batch")) if batch_col else
+        df.groupBy(F.lit("__all__").alias("batch"))
+    )
+    wide = grouped.agg(*per_col)
+    # unpivot to long form: one (batch, column, n, grid) row per column
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n"),
+                F.col(f"__g_{c}").alias("grid"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select("batch", F.explode(structs).alias("__s"))
+        .select(
+            F.col("batch").cast("string").alias("batch"),
+            F.col("__s.column").alias("column"),
+            F.col("__s.n").alias("n"),
+            F.col("__s.grid").alias("grid"),
+        )
+    )
+
+
+def quantile_union(sketches: DataFrame) -> DataFrame:
+    """Merge many quantile-sketch rows (one per batch/day/partition)
+    into one sketch row per column, same ``(batch='__merged__', column,
+    n, grid)`` shape — union is closed, so merging is associative and
+    state stays one grid per column under repeated folding.
+
+    The merge is driver-side over SKETCH rows (batches × columns rows
+    of ``bins``-sized arrays — artifact-sized by contract, the
+    ``hll_estimates`` convention, never data): pool every batch's grid
+    points weighted by the batch count, then read the merged grid off
+    the pooled empirical CDF at integer-exact rank thresholds.
+    Thresholds compare ``cum·bins ≥ j·(bins+1)·N`` in PYTHON INTEGER
+    arithmetic (each pooled point carries integer weight ``n_batch``;
+    the common ``bins+1`` denominator cancels), so the merge is
+    bit-deterministic — no float cumsum whose result could depend on
+    batch arrival order."""
+    rows = sketches.select("column", "n", "grid").collect()
+    by_col: dict = {}
+    for r in rows:
+        if r["n"] and r["grid"] is not None:
+            by_col.setdefault(r["column"], []).append((int(r["n"]), list(r["grid"])))
+    sizes = {len(g) for parts in by_col.values() for _, g in parts}
+    if len(sizes) > 1:
+        raise ValueError(
+            f"cannot union sketches with different grid sizes: {sorted(sizes)}"
+        )
+    out = []
+    for column in sorted(by_col):
+        parts = by_col[column]
+        bins = len(parts[0][1]) - 1
+        total = sum(n for n, _ in parts)
+        # pooled atoms: (value, integer weight n_batch) — ties in value
+        # are interchangeable, so plain value sort is a total order for
+        # threshold reads
+        atoms = sorted(
+            (v, n) for n, grid in parts for v in grid
+        )
+        merged = []
+        cum = 0
+        idx = 0
+        for j in range(bins + 1):
+            target = j * (bins + 1) * total  # rank j/bins on the
+            # (bins+1)·N-scaled pooled CDF, pre-multiplied by bins
+            while idx < len(atoms) and cum * bins < target:
+                cum += atoms[idx][1]
+                idx += 1
+            # the atom that crossed the threshold is the smallest value
+            # reaching rank j/bins; j = 0 → exact pooled min, j = bins
+            # → full mass → the last atom (exact pooled max)
+            merged.append(atoms[idx - 1][0] if j else atoms[0][0])
+        out.append(("__merged__", column, total, merged))
+    return sketches.sparkSession.createDataFrame(
+        out, "batch string, column string, n bigint, grid array<double>"
+    )
+
+
+def quantile_estimates(
+    sketches: DataFrame, ps: List[float]
+) -> DataFrame:
+    """Read estimates off a (merged) sketch: (column, p, est) for each
+    requested percentile — R-7 interpolation between the two
+    surrounding grid points in RANK space, the same form Spark's exact
+    ``percentile`` uses between order statistics. Pre-unions when
+    handed multiple rows per column."""
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentiles must be in [0, 1], got {p}")
+    merged = quantile_union(sketches)
+    out = []
+    for r in merged.collect():
+        grid = list(r["grid"])
+        bins = len(grid) - 1
+        for p in ps:
+            x = p * bins
+            lo = min(int(x), bins - 1) if bins else 0
+            g = x - lo
+            est = grid[lo] + g * (grid[min(lo + 1, bins)] - grid[lo])
+            out.append((r["column"], float(p), est))
+    return sketches.sparkSession.createDataFrame(
+        out, "column string, p double, est double"
+    )
+
+
 def approx_heavy_hitters(
     df: DataFrame,
     col: str,

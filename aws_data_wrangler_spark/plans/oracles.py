@@ -238,6 +238,55 @@ def _spark_percentile_expr(vs: str, n: str, q: float) -> str:
     )
 
 
+def _spark_percentile_agg_expr(vs: str, n: str, q: float) -> str:
+    """Replica of Spark's ``percentile()`` AGGREGATE (Percentile.scala):
+    ``(higher − pos)·lowerKey + (pos − lower)·higherKey`` over a sorted
+    list, with the lower key returned outright when the position is
+    integral. This is a THIRD interpolation form — algebraically equal
+    to ``_spark_percentile_expr``'s R-7 ``lower + g·(upper − lower)``
+    but differing in the last ULP (observed: 214.6445 vs
+    …49999999997 at p=0.99 over events.value), which flips a 6dp
+    floor on boundary values. Everything is CAST to DOUBLE up front —
+    a bare ``0.99`` literal is DECIMAL in DuckDB and its exact-decimal
+    ``g`` diverges from Spark's double ``g`` in the same last-ULP
+    way."""
+    pos = f"(CAST({q!r} AS DOUBLE) * ({n} - 1))"
+    lo = f"CAST(floor({pos}) AS BIGINT)"
+    hi = f"CAST(ceil({pos}) AS BIGINT)"
+    return (
+        f"(CASE WHEN {hi} = {lo} THEN {vs}[{lo} + 1] "
+        f"ELSE ({hi} - {pos}) * {vs}[{lo} + 1] + "
+        f"({pos} - {lo}) * {vs}[{hi} + 1] END)"
+    )
+
+
+def _quantile_invariants_oracle_sql() -> str:
+    """The HLL-invariant convention for the quantile-sketch row: pin
+    ``n_rows`` and ``exact_q`` (Spark's exact R-7 percentile form,
+    floor 6dp) exactly; the sketch-envelope booleans are asserted TRUE
+    — the merged estimate is deterministic but sketch-shaped, so the
+    INVARIANTS are the cross-engine contract."""
+    rows = []
+    for p in (0.25, 0.5, 0.75, 0.9, 0.99):
+        q = _spark_percentile_agg_expr("vs", "n", p)
+        rows.append(
+            f"SELECT CAST({p!r} AS DOUBLE) AS p, n AS n_rows,\n"
+            f"                   floor(({q}) * 1000000) / 1000000 AS exact_q,\n"
+            "                   true AS merged_within_eps,\n"
+            "                   true AS single_within_eps FROM v"
+        )
+    union = "\n            UNION ALL\n            ".join(rows)
+    return f"""
+        WITH v AS (
+            SELECT list(value ORDER BY value) AS vs,
+                   count(value)::BIGINT AS n
+            FROM events WHERE value IS NOT NULL
+        )
+        {union}
+        ORDER BY p
+    """
+
+
 def _deciles_oracle_sql() -> str:
     bounds = ",\n                    ".join(
         _spark_percentile_expr("vs", "n", i / 10.0) for i in range(1, 10)
@@ -3303,4 +3352,5 @@ ORACLES: Dict[str, str] = {
                'fake' AS decoder
         FROM v ORDER BY doc_id
     """,
+    "profiling_quantile_invariants": _quantile_invariants_oracle_sql(),
 }

@@ -2888,6 +2888,71 @@ def _profiling_hll_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profiling_quantile_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE-sketch invariants, the percentile twin of
+    ``profiling_hll_invariants``: events split into 4 disjoint
+    hash-batches, each sketched independently (exact 128-point rank
+    grids); the UNION of the batch sketches must estimate every probed
+    percentile inside the ±2/bins RANK envelope of the exact pooled
+    quantile, as must the single-pass sketch. ``exact_q`` (Spark's
+    exact R-7 percentile, floor 6dp) and ``n_rows`` (the merged
+    sketch's pooled count) are pinned exactly by the oracle; the
+    envelope booleans are the cross-engine contract — the estimate
+    itself is deterministic (integer-threshold merge) but
+    sketch-shaped, so the INVARIANTS carry the check (the HLL-row
+    convention)."""
+    import math
+
+    from aws_data_wrangler_spark.operators import profiling
+
+    bins = 128
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    eps = 2.0 / bins
+    ev = load(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    batched = ev.withColumn(
+        "b", F.crc32(F.col("event_id").cast("string")) % 4
+    )
+    merged_sk = profiling.quantile_union(
+        profiling.quantile_sketches(batched, ["value"], batch_col="b", bins=bins)
+    )
+    n_rows = int(merged_sk.collect()[0]["n"])
+    merged_est = {
+        r["p"]: r["est"]
+        for r in profiling.quantile_estimates(merged_sk, ps).collect()
+    }
+    single_est = {
+        r["p"]: r["est"]
+        for r in profiling.quantile_estimates(
+            profiling.quantile_sketches(ev, ["value"], bins=bins), ps
+        ).collect()
+    }
+    probe = []
+    for p in ps:
+        probe += [p, max(p - eps, 0.0), min(p + eps, 1.0)]
+    exact = ev.selectExpr(
+        f"percentile(value, array({', '.join(map(repr, probe))})) AS q"
+    ).collect()[0]["q"]
+    out = []
+    for i, p in enumerate(ps):
+        exact_q, lo, hi = exact[3 * i], exact[3 * i + 1], exact[3 * i + 2]
+        out.append(
+            (
+                p,
+                n_rows,
+                math.floor(exact_q * 1e6) / 1e6,
+                bool(lo <= merged_est[p] <= hi),
+                bool(lo <= single_est[p] <= hi),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "p double, n_rows bigint, exact_q double, "
+        "merged_within_eps boolean, single_within_eps boolean",
+    ).orderBy("p")
+
+
 def _text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/page cleaning (Raffel et al. 2020 §2.2) over a
     deterministically line-ified corpus: 6-token lines with a period
@@ -3239,6 +3304,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
     "streaming_ewma_monitor": _streaming_ewma_monitor,
     "text_quality_gate": _text_quality_gate,
+    "profiling_quantile_invariants": _profiling_quantile_invariants,
 }
 
 

@@ -4027,6 +4027,80 @@ class TestProfiling:
             "event_type"
         ).distinct().count()  # tiny cardinalities are exact in HLL
 
+    def test_quantile_sketch_single_batch_is_exact_at_grid_points(self, spark):
+        # one batch, grid-aligned percentiles: the sketch IS the exact
+        # order statistic, so estimates equal Spark's exact percentile
+        from aws_data_wrangler_spark.operators import profiling
+
+        vals = [float(v) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        sk = profiling.quantile_sketches(df, ["x"], bins=4)
+        est = {
+            r["p"]: r["est"]
+            for r in profiling.quantile_estimates(sk, [0.0, 0.25, 0.5, 0.75, 1.0]).collect()
+        }
+        exact = df.selectExpr(
+            "percentile(x, array(0.0, 0.25, 0.5, 0.75, 1.0)) AS q"
+        ).collect()[0]["q"]
+        assert [est[p] for p in (0.0, 0.25, 0.5, 0.75, 1.0)] == list(exact)
+
+    def test_quantile_sketch_merge_is_deterministic_and_bounded(self, spark):
+        # the HLL-invariant pattern for percentiles: 4 disjoint batches
+        # sketched independently, merged estimate within the ±2/bins
+        # RANK envelope of the exact pooled quantile; endpoints exact;
+        # merge bit-identical regardless of sketch-row order/partitioning
+        import math
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        n, bins = 2000, 64
+        df = spark.range(n).selectExpr(
+            "cast(pmod(id * 37, 1000) as double) + id / 10000.0 AS x",
+            "pmod(id, 4) AS b",
+        )
+        sk = profiling.quantile_sketches(df, ["x"], batch_col="b", bins=bins)
+        merged = profiling.quantile_union(sk).collect()[0]
+        assert merged["n"] == n
+        xs = sorted(r["x"] for r in df.select("x").collect())
+        assert merged["grid"][0] == xs[0] and merged["grid"][-1] == xs[-1]
+        eps = 2.0 / bins
+        for p in (0.1, 0.5, 0.9, 0.99):
+            est = profiling.quantile_estimates(sk, [p]).collect()[0]["est"]
+            lo = xs[max(int(math.floor((p - eps) * (n - 1))), 0)]
+            hi = xs[min(int(math.ceil((p + eps) * (n - 1))), n - 1)]
+            assert lo <= est <= hi, (p, lo, est, hi)
+        # determinism: shuffled sketch rows + different partitioning
+        # merge to the SAME grid, bit for bit
+        re = profiling.quantile_union(
+            sk.orderBy(F.rand(7)).repartition(5)
+        ).collect()[0]
+        assert list(re["grid"]) == list(merged["grid"])
+
+    def test_quantile_sketch_parquet_roundtrip_and_guards(self, spark, tmp_path):
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(100).selectExpr(
+            "cast(id AS double) AS x", "pmod(id, 3) AS b"
+        )
+        sk = profiling.quantile_sketches(df, ["x"], batch_col="b", bins=16)
+        out = f"file://{tmp_path}/qsketch"
+        sk.write.parquet(out)
+        back = spark.read.parquet(out)
+        a = sorted(map(tuple, sk.collect()))
+        assert sorted(map(tuple, back.collect())) == a  # bit-identical
+        est = profiling.quantile_estimates(back, [0.5]).collect()[0]["est"]
+        assert est == profiling.quantile_estimates(sk, [0.5]).collect()[0]["est"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="grid sizes"):
+            profiling.quantile_union(
+                sk.unionByName(profiling.quantile_sketches(df, ["x"], bins=8))
+            )
+        with _pytest.raises(ValueError, match="percentiles"):
+            profiling.quantile_estimates(sk, [1.5])
+        with _pytest.raises(ValueError, match="bins"):
+            profiling.quantile_sketches(df, ["x"], bins=0)
+
     def test_approx_heavy_hitters_exact_regime_and_ties(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 
