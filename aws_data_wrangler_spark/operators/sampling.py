@@ -18,7 +18,7 @@ upstream stratum filters intact.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -86,24 +86,36 @@ def hash_split(
     construction is the standard content-addressed split of
     large-corpus pipelines.
     """
+    prefix = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    bounds = split_bounds(weights)
+    expr = F.lit(bounds[-1][0])  # final band absorbs threshold rounding
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_bounds(weights: Dict[str, float]) -> List[tuple]:
+    """The band boundaries ``hash_split`` assigns by: ``(name,
+    upper_hex_bound)`` pairs in dict-insertion order, the last band
+    unbounded (``None``). Factored out so an oracle / auditor derives
+    the EXACT same thresholds — including the float accumulation
+    order — the operator uses (the shared-fragment discipline: never
+    re-derive a boundary two ways)."""
     if not weights:
         raise ValueError("weights must name at least one split")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
     names = list(weights)
-    prefix = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
-    )
-    expr = F.lit(names[-1])  # final band absorbs threshold rounding
     acc = 0.0
-    cases = []
+    out = []
     for name in names[:-1]:
         acc += weights[name] / total
-        cases.append((name, _threshold_hex(acc)))
-    for name, bound in reversed(cases):
-        expr = F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
-    return df.withColumn(split_col, expr)
+        out.append((name, _threshold_hex(acc)))
+    out.append((names[-1], None))
+    return out
 
 
 def stratified_sample(

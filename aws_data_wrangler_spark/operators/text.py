@@ -496,6 +496,55 @@ def strip_html(df: DataFrame, text_col: str = "text", out_col: str = "clean_text
     )
 
 
+def with_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    domain_col: str = "domain",
+    registered_col: str = "registered_domain",
+) -> DataFrame:
+    """URL canonicalization for per-domain curation — the strata column
+    the web-curation recipes this engine mirrors (C4, RefinedWeb,
+    Gopher) dedup and mix BY: strip whitespace, fragment, query string,
+    scheme, a leading ``www.``, default ports (``:80``/``:443``), and
+    trailing slashes; lowercase the HOST only (paths are
+    case-sensitive). Adds three columns:
+
+    - ``canonical_col``: ``host/path`` in canonical form — the URL
+      dedup key (five messy spellings of one page collapse to it);
+    - ``domain_col``: the full lowercased host, any port stripped;
+    - ``registered_col``: the last two host labels (``blog.x.org`` →
+      ``x.org``) — the mixing stratum. A public-suffix list (absent in
+      this container) would refine multi-label suffixes like
+      ``co.uk``; single-label hosts fall back to themselves.
+
+    Pure codegen'd regex projection (the ``strip_html`` discipline):
+    zero shuffle at any corpus size, every pattern in the RE2 subset
+    so DuckDB replicates it verbatim. Credentials (``user@host``) are
+    intentionally NOT parsed — curation corpora shouldn't carry them.
+
+    Ref: no reference analog (awswrangler has no URL surface); the
+    normalization set is the standard web-pipeline one.
+    """
+    u = F.trim(F.col(url_col))
+    u = F.regexp_replace(u, r"#.*", "")  # fragment
+    u = F.regexp_replace(u, r"\?.*", "")  # query string
+    u = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")  # scheme
+    host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(F.regexp_replace(u, r"^[^/]*", ""), r"/+$", "")
+    domain = F.regexp_replace(host, r":[0-9]+$", "")
+    reg = F.regexp_extract(domain, r"([^.]+\.[^.]+)$", 1)
+    return df.withColumns(
+        {
+            canonical_col: F.concat(host, rest),
+            domain_col: domain,
+            registered_col: F.when(reg == "", domain).otherwise(reg),
+        }
+    )
+
+
 def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted_text") -> DataFrame:
     """Redact emails / phone numbers / IP addresses and count each kind.
 

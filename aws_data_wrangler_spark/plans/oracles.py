@@ -260,6 +260,30 @@ def _spark_percentile_agg_expr(vs: str, n: str, q: float) -> str:
     )
 
 
+def _hash_split_oracle_sql() -> str:
+    """Band thresholds come from the OPERATOR's own ``split_bounds``
+    (same float accumulation, same hex rounding) — shared by
+    construction, never re-derived."""
+    from aws_data_wrangler_spark.operators.sampling import split_bounds
+
+    bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = "CASE "
+    for name, bound in bounds[:-1]:
+        case += f"WHEN p < '{bound}' THEN '{name}' "
+    case += f"ELSE '{bounds[-1][0]}' END"
+    return f"""
+        WITH s AS (
+            SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS p
+            FROM documents
+        ), labeled AS (
+            SELECT p, {case} AS split FROM s
+        )
+        SELECT split, count(*)::BIGINT AS n_docs,
+               min(p) AS lo_prefix, max(p) AS hi_prefix
+        FROM labeled GROUP BY split ORDER BY split
+    """
+
+
 def _quantile_invariants_oracle_sql() -> str:
     """The HLL-invariant convention for the quantile-sketch row: pin
     ``n_rows`` and ``exact_q`` (Spark's exact R-7 percentile form,
@@ -3353,4 +3377,61 @@ ORACLES: Dict[str, str] = {
         FROM v ORDER BY doc_id
     """,
     "profiling_quantile_invariants": _quantile_invariants_oracle_sql(),
+    # the with_canonical_url regex chain, replicated step-for-step
+    # (every pattern anchored or single-match, so DuckDB's non-global
+    # regexp_replace matches Spark's global one), over the same five
+    # synthesized messy spellings per document
+    "text_domain_rollup": """
+        WITH h AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN source || '.com'
+                        ELSE 'blog.' || source || '.org' END AS host
+            FROM documents
+        ), u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 IN (1, 3) THEN 'HTTP://' ELSE 'https://' END ||
+                   CASE WHEN doc_id % 5 IN (0, 3) THEN 'www.' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 1 THEN upper(host) ELSE host END ||
+                   CASE WHEN doc_id % 5 = 2 THEN ':443'
+                        WHEN doc_id % 5 = 3 THEN ':80' ELSE '' END ||
+                   '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+                   CASE WHEN doc_id % 5 = 4 THEN '/' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 2
+                        THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 3 THEN '#sec' ELSE '' END AS url
+            FROM h
+        ), s AS (
+            SELECT regexp_replace(regexp_replace(regexp_replace(trim(url),
+                       '#.*', ''), '\\?.*', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rem
+            FROM u
+        ), parts AS (
+            SELECT regexp_replace(regexp_replace(
+                       lower(regexp_extract(rem, '^([^/]*)', 1)),
+                       '^www\\.', ''), ':(80|443)$', '') AS host,
+                   regexp_replace(regexp_replace(rem, '^[^/]*', ''),
+                       '/+$', '') AS rest
+            FROM s
+        ), canon AS (
+            SELECT host || rest AS canonical_url,
+                   regexp_replace(host, ':[0-9]+$', '') AS dom
+            FROM parts
+        ), named AS (
+            SELECT canonical_url,
+                   CASE WHEN regexp_extract(dom, '([^.]+\\.[^.]+)$', 1) = ''
+                        THEN dom
+                        ELSE regexp_extract(dom, '([^.]+\\.[^.]+)$', 1)
+                   END AS registered_domain
+            FROM canon
+        )
+        SELECT registered_domain,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT canonical_url)::BIGINT AS n_pages,
+               floor((count(*)::DOUBLE /
+                      (SELECT count(*) FROM documents)) * 1000000) / 1000000
+                   AS share
+        FROM named GROUP BY registered_domain ORDER BY registered_domain
+    """,
+    "sample_hash_split": _hash_split_oracle_sql(),
 }

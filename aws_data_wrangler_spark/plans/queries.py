@@ -2185,6 +2185,87 @@ def _profiling_numeric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def _sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/val/test split in registry position: 80/10/10
+    hash-band assignment over documents, rolled up per split with the
+    band-DISJOINTNESS invariant visible in the output — each split's
+    observed ``[lo_prefix, hi_prefix]`` md5-prefix range, which must
+    tile the hash space without overlap (train < val < test
+    lexicographically; the guard against train/eval leakage, exactly
+    the silent-error class oracles exist for). Zero-shuffle assignment
+    + one split-cardinality rollup."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    split = sampling.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        split.withColumn("__p", prefix)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__p").alias("lo_prefix"),
+            F.max("__p").alias("hi_prefix"),
+        )
+        .orderBy("split")
+    )
+
+
+def _text_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup over CANONICALIZED URLs — the strata
+    table that feeds temperature/epoch mixing when curation follows the
+    C4/RefinedWeb recipes (mix BY DOMAIN, not by source label). The
+    test tables carry no URL column, so the query synthesizes five
+    deterministically-messy spellings per document (scheme case, www,
+    default ports, query strings, fragments, trailing slashes,
+    uppercase hosts — every normalization the operator owns), then
+    rolls up by registered domain: ``n_docs``, ``n_pages`` (distinct
+    canonical URLs — the url-dedup key), ``share``. One zero-shuffle
+    projection + one domain-cardinality rollup."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    v = F.col("doc_id") % 5
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(".com"))
+    ).otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".org")))
+    url = F.concat(
+        F.when(v.isin(1, 3), F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(v.isin(0, 3), F.lit("www.")).otherwise(F.lit("")),
+        F.when(v == 1, F.upper(host)).otherwise(host),
+        F.when(v == 2, F.lit(":443")).when(v == 3, F.lit(":80")).otherwise(F.lit("")),
+        F.concat(F.lit("/articles/"), (F.col("doc_id") % 50).cast("string")),
+        F.when(v == 4, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            v == 2,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(v == 3, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    canon = text.with_canonical_url(docs.withColumn("url", url))
+    tot = canon.agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        canon.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_url").alias("n_pages"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "registered_domain",
+            "n_docs",
+            "n_pages",
+            trunc_digits(F.col("n_docs").cast("double") / F.col("__tot")).alias(
+                "share"
+            ),
+        )
+        .orderBy("registered_domain")
+    )
+
+
 def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality screen (r8, new): Shannon entropy of
     each document's character distribution in bits — the gibberish /
@@ -3305,6 +3386,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ewma_monitor": _streaming_ewma_monitor,
     "text_quality_gate": _text_quality_gate,
     "profiling_quantile_invariants": _profiling_quantile_invariants,
+    "text_domain_rollup": _text_domain_rollup,
+    "sample_hash_split": _sample_hash_split,
 }
 
 

@@ -2596,6 +2596,24 @@ class TestSampling:
         train2 = {r["doc_id"] for r in bigger.filter(F.col("split") == "train").select("doc_id").collect()}
         assert train <= train2
 
+    def test_split_bounds_shared_band_arithmetic(self, spark):
+        # the oracle derives thresholds from split_bounds — pin the
+        # contract: ordered contiguous bounds, final band unbounded,
+        # and the guards hash_split fronts
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import sampling
+
+        bounds = sampling.split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+        assert [n for n, _ in bounds] == ["train", "val", "test"]
+        assert bounds[-1][1] is None
+        hexes = [b for _, b in bounds[:-1]]
+        assert hexes == sorted(hexes) and all(len(h) == 8 for h in hexes)
+        with _pytest.raises(ValueError, match="at least one"):
+            sampling.split_bounds({})
+        with _pytest.raises(ValueError, match="positive"):
+            sampling.split_bounds({"a": 0.0, "b": 0.0})
+
     def test_stratified_sample_rates(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
 
@@ -3100,6 +3118,54 @@ class TestClusterBalancedSample:
 
 
 class TestTextPipelineOps:
+    def test_canonical_url_collapses_messy_spellings(self, spark):
+        # five spellings of the same page → ONE canonical key; host
+        # lowercased, path case preserved; domain/registered extracted
+        from aws_data_wrangler_spark.operators import text
+
+        urls = [
+            "https://www.Example.com/Articles/7",
+            "HTTP://EXAMPLE.COM/Articles/7/",
+            "https://example.com:443/Articles/7?utm_source=feed&id=9",
+            "http://www.example.com:80/Articles/7#section-2",
+            "  https://www.example.com/Articles/7/?q=1#top  ",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = text.with_canonical_url(df).collect()
+        assert {r["canonical_url"] for r in out} == {"example.com/Articles/7"}
+        assert {r["domain"] for r in out} == {"example.com"}
+        assert {r["registered_domain"] for r in out} == {"example.com"}
+
+    def test_canonical_url_domain_extraction_edges(self, spark):
+        from aws_data_wrangler_spark.operators import text
+
+        rows = {
+            # subdomain → registered = last two labels
+            "https://blog.acme.org/post/1": ("blog.acme.org", "acme.org"),
+            # non-default port survives in canonical, stripped in domain
+            "https://api.acme.org:8443/v1": ("api.acme.org", "acme.org"),
+            # single-label host falls back to itself
+            "http://localhost/health": ("localhost", "localhost"),
+            # bare host, no path: canonical == host, no trailing slash
+            "https://www.acme.org/": ("acme.org", "acme.org"),
+            # scheme-less input passes through the same host rules
+            "www.acme.org/x": ("acme.org", "acme.org"),
+        }
+        df = spark.createDataFrame([(u,) for u in rows], "url string")
+        got = {r["url"]: r for r in text.with_canonical_url(df).collect()}
+        for u, (dom, reg) in rows.items():
+            assert got[u]["domain"] == dom, u
+            assert got[u]["registered_domain"] == reg, u
+        assert got["https://api.acme.org:8443/v1"]["canonical_url"] == "api.acme.org:8443/v1"
+        assert got["https://www.acme.org/"]["canonical_url"] == "acme.org"
+
+    def test_canonical_url_is_zero_shuffle(self, spark):
+        from aws_data_wrangler_spark.operators import text
+
+        df = spark.createDataFrame([("https://a.com/x",)], "url string")
+        plan = text.with_canonical_url(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+
     def test_scrub_pii_planted(self, spark):
         df = spark.createDataFrame(
             [(1, "mail bob@corp.io or call 555-123-4567 from 192.168.0.1 ok")],
