@@ -1185,28 +1185,6 @@ ORACLES: Dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
-    "events_sessionize": """
-        WITH flagged AS (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), numbered AS (
-            SELECT user_id, ts,
-                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
-            FROM flagged
-        )
-        SELECT user_id, sess_id,
-               count(*) AS n_events,
-               epoch_us(min(ts)) AS session_start_us,
-               epoch_us(max(ts)) AS session_end_us
-        FROM numbered
-        GROUP BY user_id, sess_id
-        ORDER BY user_id, sess_id
-    """,
     "text_ngram_freq": """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1312,11 +1290,6 @@ ORACLES: Dict[str, str] = {
                round(sum(l_extendedprice), 2) AS sum_price
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    "logs_insights_stats": """
-        SELECT user_id, count(*) AS n, round(avg(value), 6) AS avg_value
-        FROM events WHERE event_type = 'click'
-        GROUP BY user_id ORDER BY user_id
     """,
     "logs_insights_parse": """
         SELECT event_type, count(*) AS n,
@@ -1542,33 +1515,6 @@ ORACLES: Dict[str, str] = {
         FROM w ORDER BY event_type, bucket_ts
     """,
     "streaming_ewma_monitor": _EWMA_SQL,
-    "events_ewma_smoothing": _EWMA_SQL,
-    "events_mad_anomalies": """
-        WITH hourly AS (
-            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-                   count(*) AS n
-            FROM events GROUP BY 1, 2
-        ), med AS (
-            SELECT event_type, quantile_cont(n, 0.5) AS med
-            FROM hourly GROUP BY event_type
-        ), mad AS (
-            SELECT h.event_type, quantile_cont(abs(h.n - m.med), 0.5) AS mad
-            FROM hourly h JOIN med m USING (event_type)
-            GROUP BY h.event_type
-        ), scored AS (
-            SELECT h.event_type,
-                   strftime(h.bucket_ts, '%Y-%m-%d %H:00:00') AS hour_ts,
-                   h.n, m.med, d.mad,
-                   floor(abs(0.6745 * (h.n - m.med) / d.mad) * 1000000.0)
-                       / 1000000.0 AS score
-            FROM hourly h
-            JOIN med m USING (event_type)
-            JOIN mad d USING (event_type)
-            WHERE d.mad > 0
-        )
-        SELECT * FROM scored WHERE score > 3.5
-        ORDER BY event_type, hour_ts
-    """,
     # the streaming gate's availableNow replay == the batch gate: the
     # probe is a stateless projection and the confirm a stream-static
     # join, so the batch key-existence replica applies verbatim
@@ -1900,13 +1846,9 @@ ORACLES: Dict[str, str] = {
     # the partitioned-index search is value-identical to ivf_topk with
     # the same (seeded) centroids — partitioning changes I/O, never
     # results — so the replica is the same pipeline at 32 seeds
-    "ann_ivf_partitioned_search": _ivf_ann_oracle_sql(num_seeds=32),
     # tombstone soft-delete: the same partitioned-index pipeline with
     # ids 10..29 deleted between build and search — the oracle drops
     # them from the candidate pool only, the tombstone contract
-    "ann_index_delete_search": _ivf_ann_oracle_sql(
-        num_seeds=32, deleted=tuple(range(10, 30))
-    ),
     # rebalance replica: after the re-cluster the index IS a seeded-16
     # index over corpus-minus-deleted — searching it is exactly the
     # 16-seed IVF pipeline with the tombstoned ids out of the candidate
@@ -2169,32 +2111,6 @@ ORACLES: Dict[str, str] = {
     # sequence-length histogram replica: bit-length buckets via
     # base-2 string length (bin() ≡ Spark conv(n,10,2) — no float
     # log2, so bucket edges are exact), shares = int divisions
-    "text_length_histogram": """
-        WITH t AS (
-            SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-                       AS BIGINT) AS ws
-            FROM documents
-        ), b AS (
-            SELECT ws, CAST(length(bin(ws)) AS INTEGER) AS bucket FROM t
-        ), per AS (
-            SELECT bucket,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(ws) AS BIGINT) AS total_tokens
-            FROM b GROUP BY bucket
-        ), tot AS (
-            SELECT sum(n_docs) AS alln FROM per
-        )
-        SELECT bucket,
-               CAST(CASE WHEN bucket <= 1 THEN 0
-                         ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_tokens,
-               CAST((1 << bucket) - 1 AS BIGINT) AS hi_tokens,
-               n_docs, total_tokens,
-               floor((n_docs::DOUBLE / alln::DOUBLE) * 1000000.0) / 1000000.0
-                   AS doc_share
-        FROM per, tot
-        ORDER BY bucket
-    """,
     # training-shard export replica: md5-fold shard assignment (the
     # sample_shuffle_shards idiom), whitespace token counter (the
     # sample_token_budget idiom), and the density identity max_pos ==
@@ -2401,28 +2317,6 @@ ORACLES: Dict[str, str] = {
                CAST(least(50, len(toks) - start) AS BIGINT) AS n_tokens
         FROM s ORDER BY doc_id, chunk_idx
     """,
-    "text_quality_score": f"""
-        WITH feats AS (
-            SELECT doc_id, {_QUALITY_EXPRS}
-            FROM documents
-        ), ratios AS (
-            SELECT doc_id, n_chars, tokens,
-                   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio_raw,
-                   CASE WHEN tokens > 0 THEN stops / tokens ELSE 0.0 END AS stop_ratio_raw,
-                   CASE WHEN tokens > 0 THEN n_chars / tokens ELSE 0.0 END AS mwl_raw
-            FROM feats
-        )
-        SELECT doc_id,
-               CAST(n_chars AS BIGINT) AS n_chars_q,
-               CAST(tokens AS BIGINT) AS ws_tokens,
-               floor(punct_ratio_raw * 1000000.0) / 1000000.0 AS punct_ratio,
-               floor(stop_ratio_raw * 1000000.0) / 1000000.0 AS stopword_ratio,
-               floor(mwl_raw * 1000000.0) / 1000000.0 AS mean_word_len,
-               floor((0.4 * least(n_chars / 500.0, 1.0)
-                      + 0.3 * least(stop_ratio_raw * 5.0, 1.0)
-                      + 0.3 * (1.0 - least(punct_ratio_raw * 10.0, 1.0))) * 1000000.0) / 1000000.0 AS quality_score
-        FROM ratios ORDER BY doc_id
-    """,
     # quality-gate weld replica: the three per-doc screens composed —
     # the heuristic quality score (shared _QUALITY_EXPRS), the shared
     # char-entropy chain (_ENTROPY_CTES), and the shared classifier
@@ -2509,33 +2403,6 @@ ORACLES: Dict[str, str] = {
     # (same IEEE divide + ln); the per-doc sum folds in POSITION order
     # on both sides (sort_array fold / list(... ORDER BY pos) +
     # list_sum), so the mean is bit-identical before the 6dp trunc
-    "text_unigram_surprisal": """
-        WITH base AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
-            FROM documents
-        ), exploded AS (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, len(l)+1),
-                                         i -> {'pos': i, 'tok': l[i]})) AS s
-            FROM base
-        ), toks AS (
-            SELECT doc_id, s.pos AS pos, s.tok AS tok
-            FROM exploded WHERE len(s.tok) > 0
-        ), counts AS (
-            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
-        ), total AS (
-            SELECT count(*)::DOUBLE AS n FROM toks
-        ), scored AS (
-            SELECT t.doc_id, t.pos, -ln(c.cnt::DOUBLE / total.n) AS lp
-            FROM toks t JOIN counts c USING (tok), total
-        ), agged AS (
-            SELECT doc_id, list(lp ORDER BY pos) AS lps
-            FROM scored GROUP BY doc_id
-        )
-        SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_toks,
-               floor((list_sum(lps) / len(lps)) * 1000000.0) / 1000000.0 AS avg_surprisal
-        FROM agged ORDER BY doc_id
-    """,
     "text_tfidf_top_terms": """
         WITH toks AS (
             SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
@@ -2815,18 +2682,6 @@ ORACLES: Dict[str, str] = {
         SELECT doc_id, CAST(15 AS BIGINT) AS n_html_tags,
                length(c) AS clean_len, md5(c) AS clean_fp
         FROM clean ORDER BY doc_id
-    """,
-    "sample_shuffle_shards": f"""
-        WITH h AS (
-            SELECT doc_id, md5(doc_id::VARCHAR || '') AS hx FROM documents
-        ), sharded AS (
-            SELECT doc_id, hx,
-                   CAST({_hex_to_bigint_sql('hx', 8)} % 32 AS INTEGER) AS shard
-            FROM h
-        )
-        SELECT doc_id, shard,
-               CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
-        FROM sharded ORDER BY doc_id
     """,
     "text_ngram_repetition": """
         WITH base AS (
@@ -3435,3 +3290,16 @@ ORACLES: Dict[str, str] = {
     """,
     "sample_hash_split": _hash_split_oracle_sql(),
 }
+
+# RETIRED_R9 analytics rows (registry consolidation, VERDICT r8 #2):
+# their SQL stays in ANALYTICS_SQL — q-functions remain importable and
+# events_hourly_rollup stays bench-tracked via BENCH_RETIRED — but the
+# registry contract is carried by the covering rows (see
+# tests/test_plans.py RETIRED_R9 for the covered-by map), so the
+# oracle keys spliced in via **ANALYTICS_SQL come back out here.
+for _retired in (
+    "q11_important_stock", "q13_customer_distribution",
+    "q19_discount_revenue", "q22_idle_customers", "events_hourly_rollup",
+):
+    ORACLES.pop(_retired, None)
+del _retired

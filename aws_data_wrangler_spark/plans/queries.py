@@ -773,18 +773,7 @@ def _db_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
-def _logs_insights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CloudWatch Logs-Insights DSL compiled onto the events table."""
-    from aws_data_wrangler_spark import cloudwatch
-
-    register_tables(spark, sf_dir)
-    return cloudwatch.run_query(
-        "filter event_type = 'click' "
-        "| stats count(*) AS n, round(avg(value), 6) AS avg_value by user_id "
-        "| sort user_id asc",
-        "events",
-        spark=spark,
-    )
+# logs_insights_stats RETIRED r9 — the DSL compiler's filter|stats|sort stages all exercised by logs_insights_parse (which adds the parse stage); stage compilation stays unit-tested
 
 
 def _logs_insights_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,31 +1284,7 @@ def _ann_ivf_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ann_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The index-maintenance corner of the 100 TB ANN lifecycle: build
-    the partitioned IVF index, soft-delete ids 10..29 via the
-    ``_tombstones`` sidecar (one tiny parquet append — no data file is
-    rewritten), then search. The tombstone set anti-joins the
-    partition-pruned scan, so deleted vectors vanish from results the
-    moment the delete lands; at sf0.001 the deleted range holds 4 of
-    the baseline top-5 neighbors, so the row proves suppression, not
-    just plumbing. The DuckDB oracle replicates the whole pipeline
-    with the deleted ids excluded from the candidate pool only —
-    centroids stay the pre-delete trained artifact, exactly as on the
-    Spark side."""
-    from aws_data_wrangler_spark.operators import similarity
-
-    emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = _seed_centroids(emb, 32)
-    index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_del_index"
-    similarity.build_partitioned_ivf(
-        emb, seeds, index, metric="cosine", spark=spark
-    )
-    similarity.delete_from_partitioned_index(spark, index, range(10, 30))
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_partitioned_topk(
-        spark, index, queries, seeds, k=5, nprobe=4, metric="cosine"
-    ).orderBy("query_id", "rank")
+# ann_index_delete_search RETIRED r9 — the tombstone contract covered by ann_index_rebalance_search (same build + same delete, physically applied) and the search-time anti-join suppression pinned by tests/test_operators.py::test_tombstone_delete_suppresses_and_compaction_applies
 
 
 def _ann_index_rebalance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,13 +1390,7 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-unigram LM surprisal scoring — the perplexity-filter
-    proxy of a pretraining pipeline (CCNet-style), trained on the
-    corpus itself."""
-    from aws_data_wrangler_spark.operators import text
-
-    return text.unigram_surprisal(load_parallel(spark, sf_dir, "documents")).orderBy("doc_id")
+# text_unigram_surprisal RETIRED r9 — the unigram LM path is computed INSIDE text_bigram_surprisal (interpolation + first-token unigram score) and text_perplexity_buckets (buckets over unigram surprisal)
 
 
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2069,24 +2028,7 @@ def _profiling_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.key_uniqueness(damaged, ["l_orderkey", "l_linenumber"])
 
 
-def _events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust (median/MAD) anomaly detection on hourly event counts at
-    the canonical 3.5 modified-z threshold — the ops-monitoring
-    complement to the trailing-max spike rule. Exact percentile (R-7)
-    matches DuckDB quantile_cont; score truncated before the threshold
-    in BOTH engines."""
-    from aws_data_wrangler_spark.operators import timeseries
-
-    events = load(spark, sf_dir, "events")
-    out = timeseries.mad_anomalies(events, threshold=3.5)
-    return out.select(
-        "event_type",
-        F.date_format("bucket_ts", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
-        "n",
-        "med",
-        "mad",
-        "score",
-    ).orderBy("event_type", "hour_ts")
+# events_mad_anomalies RETIRED r9 — batch MAD scoring covered by streaming_anomaly_monitor (same robust-center + modified-z scoring via timeseries.score_anomalies, production position); the operator stays unit-tested
 
 
 def _ann_pca_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2395,16 +2337,7 @@ def _streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.ewma_monitor(stream, alpha=0.25).orderBy("event_type")
 
 
-def _events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA of hourly event counts per type (r8, new): the current
-    smoothed traffic level a monitor compares the next bucket against.
-    alpha = 0.25 is exactly representable, so the chronological
-    left-to-right fold is bit-identical to DuckDB's ``list_reduce``
-    (the dot-product-fold convention)."""
-    from aws_data_wrangler_spark.operators import timeseries
-
-    events = load(spark, sf_dir, "events")
-    return timeseries.ewma(events, alpha=0.25).orderBy("event_type")
+# events_ewma_smoothing RETIRED r9 — identical EWMA fold (shared ewma_from_counts + shared _EWMA_SQL oracle) verified in production position by streaming_ewma_monitor
 
 
 def _streaming_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2494,24 +2427,7 @@ def _ann_filtered_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-length distribution in exact power-of-two buckets (bit
-    length of the whitespace token count — base-2 string length, no
-    float log2) — the pre-packing diagnostic. One aggregation pass;
-    every float a division of exact ints."""
-    from aws_data_wrangler_spark.functions import trunc_digits
-    from aws_data_wrangler_spark.operators import profiling
-
-    docs = load_parallel(spark, sf_dir, "documents")
-    out = profiling.length_histogram(docs)
-    return out.select(
-        "bucket",
-        "lo_tokens",
-        "hi_tokens",
-        "n_docs",
-        "total_tokens",
-        trunc_digits(F.col("doc_share")).alias("doc_share"),
-    ).orderBy("bucket")
+# text_length_histogram RETIRED r9 — histogram-family registry coverage carried by events_value_histogram (generic equi-width numeric_histogram); length_histogram's exact power-of-two bucket edges stay pytest-pinned
 
 
 def _streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2778,15 +2694,7 @@ def _text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic training shuffle: shard + within-shard position
-    per document (md5 arithmetic replicated digit-by-digit in SQL)."""
-    from aws_data_wrangler_spark.operators import sampling
-
-    docs = load(spark, sf_dir, "documents")
-    return sampling.deterministic_shuffle(docs, num_shards=32).select(
-        "doc_id", "shard", "pos"
-    ).orderBy("doc_id")
+# sample_shuffle_shards RETIRED r9 — deterministic_shuffle covered by pretraining_shard_export, whose oracle replicates shard assignment (md5 fold) and the in-shard density identity over the same operator
 
 
 def _text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3215,19 +3123,84 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codegen, parquet reader) are sub-second plans. Enforced by
 # tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # === ROUND-8 DRIVER WINDOW (first 50 — the driver verifies exactly
-    # these; layout per SURVEY §7 item 13) ===
-    # --- (a) the ROUND7_LATE entry rotates in FIRST (registered after
-    # the round-7 window filled; 3-SF pedigree declared) ---
+    # === ROUND-9 DRIVER WINDOW (first 50 — the driver verifies exactly
+    # these; layout per SURVEY §7 item 14 / VERDICT r8 #1-2) ===
+    # --- (a) the three ROUND8_LATE entries rotate in FIRST (registered
+    # after the round-8 window filled; 3-SF + invariance pedigree) ---
+    "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
+    "streaming_ewma_monitor": _streaming_ewma_monitor,
+    "text_quality_gate": _text_quality_gate,
+    # --- (b) the ROUND6_FROZEN block — after round 9 its round-6 rows
+    # would breach the two-round staleness invariant. The whole
+    # remainder (34 entries after the RETIRED_R9 consolidation), in its
+    # long-standing dict order ---
+    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
+    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
+    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
+    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
+    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
+    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
+    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
+    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
+    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
+    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
+    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
+    "catalog_table_roundtrip": _catalog_table_roundtrip,
+    "io_bucketed_join": _io_bucketed_join,
+    "io_overwrite_partitions": _io_overwrite_partitions,
+    "io_json_roundtrip": _io_json_roundtrip,
+    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
+    "ann_ivf_topk": _ann_ivf_topk,
+    "ann_ivfpq_topk": _ann_ivfpq_topk,
+    "ann_pq_topk": _ann_pq_topk,
+    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
+    "dedup_semdedup": _dedup_semdedup,
+    "dedup_clusters": _dedup_clusters,
+    "logs_insights_parse": _logs_insights_parse,
+    "multimodal_video_near_dup": _multimodal_video_near_dup,
+    "streaming_sessionize": _streaming_sessionize,
+    "sample_dsir": _sample_dsir,
+    "ann_recall_lsh": _ann_recall_lsh,
+    "pretraining_shard_export": _pretraining_shard_export,
+    "streaming_dsir_gate": _streaming_dsir_gate,
+    "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
+    "streaming_index_ingest": _streaming_index_ingest,
+    "ann_mmr_rerank": _ann_mmr_rerank,
+    "profiling_hll_invariants": _profiling_hll_invariants,
+    # --- (c) crossing round-9-CHANGED code: the sanitize-aware dtype
+    # keys in to_parquet/to_csv/to_orc (the format-owner rows, the r8
+    # granularity precedent), the events_value_histogram ORACLE's
+    # finiteness filter, and the decimal-overflow guard in
+    # numeric_summary/column_correlations ---
+    "io_parquet_roundtrip": _io_parquet_roundtrip,
+    "io_csv_roundtrip": _io_csv_roundtrip,
+    "io_orc_roundtrip": _io_orc_roundtrip,
+    "events_value_histogram": _events_value_histogram,
+    "profiling_numeric_summary": _profiling_numeric_summary,
+    "profiling_correlations": _profiling_correlations,
+    # --- (d) ROUND7_FROZEN backfill pulls (oldest-first in their r7
+    # order): round 10 must fit the whole r7 block; pulling four now
+    # leaves it 39 entries of slack-fitting rotation ---
+    "dedup_snapshot_diff": _dedup_snapshot_diff,
+    "embedding_dim_stats": _embedding_dim_stats,
+    "io_schema_evolution": _io_schema_evolution,
+    "ann_filtered_pq_search": _ann_filtered_pq_search,
+    # --- (e) NEW in round 9, registered straight INTO the window ---
+    "profiling_quantile_invariants": _profiling_quantile_invariants,
+    "text_domain_rollup": _text_domain_rollup,
+    "sample_hash_split": _sample_hash_split,
+    # === window boundary: the driver verifies the FIRST 50 entries —
+    # everything ABOVE this comment. Below sit (a) the ROUND8_FROZEN
+    # survivors riding FRESH round-8 rows, (b) the ROUND7_FROZEN
+    # remainder riding round-7 rows — code byte-identical since — and
+    # (c) the PERMANENTLY PINNED rows-only entry. Enforced by
+    # tests/test_plans.py. ===
+    # --- ROUND8_FROZEN (fresh r8 rows, r8 window order) ---
     "streaming_anomaly_monitor": _streaming_anomaly_monitor,
-    # --- (b) the ROUND5_FROZEN block — after round 8 its round-5 rows
-    # would breach the two-round staleness invariant. Oldest first:
-    # the five backfill pulls displaced in round 7, then the remainder
-    # in their long-standing dict order ---
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
     "dedup_normalized": _dedup_normalized,
-    "io_parquet_roundtrip": _io_parquet_roundtrip,
     "db_jdbc_roundtrip": _db_jdbc_roundtrip,
     "events_session_window": _events_session_window,
     "events_hourly_gapfill": _events_hourly_gapfill,
@@ -3255,41 +3228,20 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
     "ann_sq8_topk": _ann_sq8_topk,
     "bpe_word_frequencies": _bpe_word_frequencies,
-    "bpe_encode": _bpe_encode,
     "streaming_growing_corpus": _streaming_growing_corpus,
     "sample_temperature": _sample_temperature,
     "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
-    # --- (c) crossing round-8-CHANGED code: the drift/anomaly monitor
-    # memory-sink materialization (streaming/__init__.py), the
-    # sanitize-aware partition/sort column handling in to_orc/to_csv
-    # (io_parquet_roundtrip, crossing to_parquet's change, is already
-    # in via the ROUND5 block) ---
     "streaming_drift_monitor": _streaming_drift_monitor,
-    "io_orc_roundtrip": _io_orc_roundtrip,
-    "io_csv_roundtrip": _io_csv_roundtrip,
-    # --- (d) NEW in round 8, registered straight INTO the window ---
     "io_upsert_roundtrip": _io_upsert_roundtrip,
     "text_classifier_score": _text_classifier_score,
     "text_char_entropy": _text_char_entropy,
-    "profiling_numeric_summary": _profiling_numeric_summary,
-    "events_ewma_smoothing": _events_ewma_smoothing,
     "events_interpolate": _events_interpolate,
     "ann_pca_sq8_search": _ann_pca_sq8_search,
     "sample_weighted": _sample_weighted,
     "ann_metric_topk": _ann_metric_topk,
-    "profiling_correlations": _profiling_correlations,
-    "events_value_histogram": _events_value_histogram,
-    # === window boundary: the driver verifies the FIRST 50 entries —
-    # everything ABOVE this comment. Below sit only (a) the round-7
-    # window survivors riding FRESH round-7 rows and (b) the
-    # ROUND6_FROZEN remainder riding round-6 rows — code
-    # byte-identical since. Enforced by tests/test_plans.py. ===
-    "dedup_snapshot_diff": _dedup_snapshot_diff,
-    "embedding_dim_stats": _embedding_dim_stats,
-    "io_schema_evolution": _io_schema_evolution,
-    "ann_filtered_pq_search": _ann_filtered_pq_search,
+    # --- ROUND7_FROZEN remainder (fresh r7 rows, r7 order; the four
+    # oldest leaders were pulled into the window above) ---
     "streaming_bloom_gate": _streaming_bloom_gate,
-    "events_mad_anomalies": _events_mad_anomalies,
     "profiling_referential_integrity": _profiling_referential_integrity,
     "profiling_key_uniqueness": _profiling_key_uniqueness,
     "ingest_preflight_report": _ingest_preflight_report,
@@ -3304,13 +3256,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_join_fanout": _events_join_fanout,
     "text_html_extract": _text_html_extract,
     "text_ngram_freq": _text_ngram_freq,
-    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
     "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
     "multimodal_image_dhash": _multimodal_image_dhash,
     "text_bigram_surprisal": _text_bigram_surprisal,
     "text_ngram_repetition": _text_ngram_repetition,
-    "sample_shuffle_shards": _sample_shuffle_shards,
     "io_fwf_roundtrip": _io_fwf_roundtrip,
     "profiling_null_profile": _profiling_null_profile,
     "events_heavy_hitters_sketch": _events_heavy_hitters_sketch,
@@ -3319,75 +3269,35 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_perplexity_buckets": _text_perplexity_buckets,
     "pretraining_curation_pipeline": _pretraining_curation_pipeline,
     "text_gopher_quality": _text_gopher_quality,
-    "text_quality_score": _text_quality_score,
     "text_lang_id": _text_lang_id,
     "text_chunk_tokens": _text_chunk_tokens,
     "text_pack_sequences": _text_pack_sequences,
     "text_pii_scrub": _text_pii_scrub,
     "text_tfidf_top_terms": _text_tfidf_top_terms,
-    "text_unigram_surprisal": _text_unigram_surprisal,
     "benchmark_contamination": _benchmark_contamination,
     "streaming_hourly_rollup": _streaming_hourly_rollup,
     "streaming_sliding_counts": _streaming_sliding_counts,
     "streaming_error_click_join": _streaming_error_click_join,
     "streaming_corpus_dedup": _streaming_corpus_dedup,
     "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    # --- ROUND6_FROZEN remainder (fresh r6 rows): every provisional
-    # spare-slot pull (q3/q5/q11/q13) was returned — the round's ELEVEN
-    # new registrations claimed all spare slots ---
-    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
-    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
-    "q11_important_stock": _analytics_query(ANALYTICS_SQL["q11_important_stock"]),
-    "q13_customer_distribution": _analytics_query(ANALYTICS_SQL["q13_customer_distribution"]),
-    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
-    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
-    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
-    "q19_discount_revenue": _analytics_query(ANALYTICS_SQL["q19_discount_revenue"]),
-    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
-    "q22_idle_customers": _analytics_query(ANALYTICS_SQL["q22_idle_customers"]),
-    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
-    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
-    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
-    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
+    # --- PERMANENTLY PINNED below the window (VERDICT r8 "what's
+    # wrong" #1): the declared rows-only entry can never produce a
+    # green driver row, so it must never burn a window slot; its
+    # contract is the pytest pedigree (hand-computed merges + lossless
+    # reconstruction) ---
+    "bpe_encode": _bpe_encode,
+}
+
+# Retired-from-registry entries the FROZEN bench subset still tracks
+# (VERDICT r3 #6 froze the bench list; VERDICT r8 #2 consolidated the
+# registry): the implementations stay here and keep their bench
+# numbers comparable across rounds — only the driver-window contract
+# moved to the covering rows (tests/test_plans.py RETIRED_R9).
+BENCH_RETIRED: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_hourly_rollup": _analytics_query(ANALYTICS_SQL["events_hourly_rollup"]),
     "events_sessionize": _analytics_query(EVENTS_SESSIONIZE_SQL_SPARK),
-    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
-    "catalog_table_roundtrip": _catalog_table_roundtrip,
-    "io_bucketed_join": _io_bucketed_join,
-    "io_overwrite_partitions": _io_overwrite_partitions,
-    "io_json_roundtrip": _io_json_roundtrip,
-    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
-    "corpus_curation_pipeline": _corpus_curation_pipeline,
-    "ann_ivf_topk": _ann_ivf_topk,
-    "ann_ivfpq_topk": _ann_ivfpq_topk,
-    "ann_pq_topk": _ann_pq_topk,
-    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
-    "dedup_semdedup": _dedup_semdedup,
-    "dedup_clusters": _dedup_clusters,
-    "logs_insights_stats": _logs_insights_stats,
-    "logs_insights_parse": _logs_insights_parse,
+    "text_quality_score": _text_quality_score,
     "ann_ivf_partitioned_search": _ann_ivf_partitioned_search,
-    "multimodal_video_near_dup": _multimodal_video_near_dup,
-    "streaming_sessionize": _streaming_sessionize,
-    "sample_dsir": _sample_dsir,
-    "ann_recall_lsh": _ann_recall_lsh,
-    "pretraining_shard_export": _pretraining_shard_export,
-    "streaming_dsir_gate": _streaming_dsir_gate,
-    "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
-    "text_length_histogram": _text_length_histogram,
-    "streaming_index_ingest": _streaming_index_ingest,
-    "ann_mmr_rerank": _ann_mmr_rerank,
-    "ann_index_delete_search": _ann_index_delete_search,
-    "profiling_hll_invariants": _profiling_hll_invariants,
-    # --- ROUND8_LATE: registered after the round-8 window filled (the
-    # round-3/6/7 late precedent): verified at sf0.001 + sf0.01 + sf0.1
-    # plus a targeted local[5] invariance check in the round-8 session;
-    # rotate into the round-9 window FIRST ---
-    "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
-    "streaming_ewma_monitor": _streaming_ewma_monitor,
-    "text_quality_gate": _text_quality_gate,
-    "profiling_quantile_invariants": _profiling_quantile_invariants,
-    "text_domain_rollup": _text_domain_rollup,
-    "sample_hash_split": _sample_hash_split,
 }
 
 

@@ -26,126 +26,124 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-8 rotation policy (SURVEY §7 item 13): the driver verifies the
-# FIRST 50 registry entries. The round-8 window carries (a) the single
-# ROUND7_LATE entry FIRST (registered after the round-7 window filled,
-# no driver row yet), (b) the ENTIRE 35-entry ROUND5_FROZEN block —
-# after round 8 its round-5 rows would breach the two-round staleness
-# invariant — oldest first (the five backfill pulls displaced in round
-# 7, then the remainder), (c) every query crossing round-8-changed
-# code (the drift/anomaly monitor memory-sink materialization in
-# streaming/__init__.py; the sanitize-aware partition/sort column
-# handling in to_orc/to_csv — to_parquet's change is crossed by
-# io_parquet_roundtrip inside the ROUND5 block), (d) the round's ELEVEN
-# new registrations, placed straight INTO the window (they claimed
-# every spare slot; no ROUND6 backfill pulls survived). Below the boundary sit only the round-7
-# window survivors (fresh round-7 rows) and the ROUND6_FROZEN
-# remainder (round-6 rows), each over byte-identical code.
+# Round-9 rotation policy (SURVEY §7 item 14 / VERDICT r8 #1-2): the
+# driver verifies the FIRST 50 registry entries. The round-9 window
+# carries (a) the three ROUND8_LATE entries FIRST (registered after
+# the round-8 window filled, no driver row yet), (b) the ENTIRE
+# ROUND6_FROZEN remainder — after round 9 its round-6 rows would
+# breach the two-round staleness invariant — in its long-standing
+# order (34 entries after the RETIRED_R9 consolidation), (c) every
+# query crossing round-9-changed code (the sanitize-aware dtype keys
+# in the three format writers; the events_value_histogram ORACLE's
+# finiteness filter; the profiling decimal-overflow guard), (d) four
+# ROUND7_FROZEN backfill pulls (oldest-first) so the round-10 rotation
+# of that block lands with slack, and (e) the round's three new
+# registrations straight INTO the window. Below the boundary sit only
+# the round-8 window survivors (fresh r8 rows), the ROUND7_FROZEN
+# remainder (fresh r7 rows), and the PERMANENTLY PINNED rows-only
+# entry.
 
-ROUND7_LATE_ROTATED_IN_R8 = {
-    "streaming_anomaly_monitor",
+ROUND8_LATE_ROTATED_IN_R9 = {
+    "events_top_paths", "streaming_ewma_monitor", "text_quality_gate",
 }
 
-ROUND5_ROTATED_IN_R8 = {
-    # the whole ROUND5_FROZEN block: last driver rows in round 5
-    "events_error_click_window", "dedup_exact", "dedup_normalized",
-    "io_parquet_roundtrip", "db_jdbc_roundtrip", "events_session_window",
-    "events_hourly_gapfill", "events_user_join_salted",
-    "athena_ctas_roundtrip", "io_partition_pruned_read", "io_merge_datasets",
-    "ann_cosine_topk", "ann_lsh_topk", "streaming_static_enrich",
-    "streaming_latest_per_user", "text_fingerprint", "dedup_duplicated_lines",
-    "sample_epoch_mixture", "orders_value_deciles", "dedup_minhash_lsh",
-    "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_duplicated_spans", "dedup_embedding_cosine",
-    "dedup_embedding_incremental", "dedup_embedding_lsh",
-    "embedding_curation_pipeline", "ann_cosine_topk_arrow", "ann_sq8_topk",
-    "bpe_word_frequencies", "bpe_encode", "streaming_growing_corpus",
-    "sample_temperature", "q2_min_cost_supplier",
+ROUND6_ROTATED_IN_R9 = {
+    # the whole ROUND6_FROZEN remainder: last driver rows in round 6
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q1_pricing_summary", "q14_promo_effect", "q18_large_orders",
+    "q21_waiting_suppliers", "events_cube_daily",
+    "events_retention_cohorts", "events_funnel", "brand_revenue_pareto",
+    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
+    "io_overwrite_partitions", "io_json_roundtrip",
+    "db_copy_unload_roundtrip", "corpus_curation_pipeline",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_lloyd_step",
+    "dedup_semdedup", "dedup_clusters", "logs_insights_parse",
+    "multimodal_video_near_dup", "streaming_sessionize", "sample_dsir",
+    "ann_recall_lsh", "pretraining_shard_export", "streaming_dsir_gate",
+    "ann_ivfpq_partitioned_search", "streaming_index_ingest",
+    "ann_mmr_rerank", "profiling_hll_invariants",
 }
 
-ROUND8_CHANGED_CODE = {
-    "streaming_drift_monitor", "io_orc_roundtrip", "io_csv_roundtrip",
+ROUND9_CHANGED_CODE = {
+    # format-owner rows for the to_parquet/to_csv/to_orc dtype-sanitize
+    # fix (the r8 granularity precedent), the histogram ORACLE edit,
+    # and the profiling overflow guard
+    "io_parquet_roundtrip", "io_csv_roundtrip", "io_orc_roundtrip",
+    "events_value_histogram", "profiling_numeric_summary",
+    "profiling_correlations",
 }
 
-NEW_IN_R8 = {
+ROUND7_PULLED_IN_R9 = {
+    # oldest-first backfill pulls from ROUND7_FROZEN
+    "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
+    "ann_filtered_pq_search",
+}
+
+NEW_IN_R9 = {
+    "profiling_quantile_invariants", "text_domain_rollup",
+    "sample_hash_split",
+}
+
+ROUND8_FROZEN = {
+    # fresh green rows in CORRECTNESS_r08.json; code byte-identical
+    # since round 8 (r8-window entries crossing round-9-changed code —
+    # the three format-owner io roundtrips, the histogram row, the two
+    # profiling rows — moved INTO the round-9 window instead)
+    "streaming_anomaly_monitor", "events_error_click_window",
+    "dedup_exact", "dedup_normalized", "db_jdbc_roundtrip",
+    "events_session_window", "events_hourly_gapfill",
+    "events_user_join_salted", "athena_ctas_roundtrip",
+    "io_partition_pruned_read", "io_merge_datasets", "ann_cosine_topk",
+    "ann_lsh_topk", "streaming_static_enrich", "streaming_latest_per_user",
+    "text_fingerprint", "dedup_duplicated_lines", "sample_epoch_mixture",
+    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_duplicated_spans",
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "dedup_embedding_lsh", "embedding_curation_pipeline",
+    "ann_cosine_topk_arrow", "ann_sq8_topk", "bpe_word_frequencies",
+    "streaming_growing_corpus", "sample_temperature",
+    "q2_min_cost_supplier", "streaming_drift_monitor",
     "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
-    "profiling_numeric_summary", "events_ewma_smoothing",
     "events_interpolate", "ann_pca_sq8_search", "sample_weighted",
-    "ann_metric_topk", "profiling_correlations", "events_value_histogram",
+    "ann_metric_topk",
 }
-
-# every provisional spare-slot pull was returned: the round's ELEVEN
-# new registrations claimed all spare slots (q3/q5/q11/q13 stay
-# ROUND6_FROZEN and rotate in round 9 with their block)
-ROUND6_PULLED_IN_R8: set = set()
 
 ROUND7_FROZEN = {
     # fresh green rows in CORRECTNESS_r07.json; code byte-identical
-    # since round 7 (round-7 window entries crossing round-8-changed
-    # code — streaming_drift_monitor, io_orc_roundtrip — moved INTO
-    # the round-8 window instead)
-    "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
-    "ann_filtered_pq_search", "streaming_bloom_gate", "events_mad_anomalies",
-    "profiling_referential_integrity", "profiling_key_uniqueness",
-    "ingest_preflight_report", "dedup_bloom_ingest_gate",
-    "sample_cluster_balanced", "ann_cell_occupancy", "embedding_pca_project",
+    # since round 7 (the four oldest leaders moved INTO the round-9
+    # window as backfill pulls; five entries retired — RETIRED_R9)
+    "streaming_bloom_gate", "profiling_referential_integrity",
+    "profiling_key_uniqueness", "ingest_preflight_report",
+    "dedup_bloom_ingest_gate", "sample_cluster_balanced",
+    "ann_cell_occupancy", "embedding_pca_project",
     "benchmark_near_contamination", "ann_index_rebalance_search",
     "events_asof_signup", "profiling_distribution_drift",
     "events_join_fanout", "text_html_extract", "text_ngram_freq",
-    "events_hourly_rollup", "lineitem_stats_by_flag",
-    "topk_customers_window", "multimodal_image_dhash",
-    "text_bigram_surprisal", "text_ngram_repetition",
-    "sample_shuffle_shards", "io_fwf_roundtrip", "profiling_null_profile",
+    "lineitem_stats_by_flag", "topk_customers_window",
+    "multimodal_image_dhash", "text_bigram_surprisal",
+    "text_ngram_repetition", "io_fwf_roundtrip", "profiling_null_profile",
     "events_heavy_hitters_sketch", "multimodal_audio_fp", "text_c4_rules",
     "text_perplexity_buckets", "pretraining_curation_pipeline",
-    "text_gopher_quality", "text_quality_score", "text_lang_id",
-    "text_chunk_tokens", "text_pack_sequences", "text_pii_scrub",
-    "text_tfidf_top_terms", "text_unigram_surprisal",
+    "text_gopher_quality", "text_lang_id", "text_chunk_tokens",
+    "text_pack_sequences", "text_pii_scrub", "text_tfidf_top_terms",
     "benchmark_contamination", "streaming_hourly_rollup",
     "streaming_sliding_counts", "streaming_error_click_join",
     "streaming_corpus_dedup", "q6_revenue_forecast",
 }
 
-ROUND6_FROZEN = {
-    # fresh green rows in CORRECTNESS_r06.json; code byte-identical
-    # since round 6 (io_csv_roundtrip moved into the round-8 window
-    # crossing the to_csv change; the q3/q5/q11/q13 leaders stayed —
-    # their provisional spare-slot pulls were all returned to the
-    # round's new registrations)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q11_important_stock", "q13_customer_distribution",
-    "q14_promo_effect", "q18_large_orders",
-    "q19_discount_revenue", "q21_waiting_suppliers", "q22_idle_customers",
-    "events_cube_daily", "events_retention_cohorts", "events_funnel",
-    "brand_revenue_pareto", "events_sessionize", "events_json_extract",
-    "catalog_table_roundtrip", "io_bucketed_join", "io_overwrite_partitions",
-    "io_json_roundtrip", "db_copy_unload_roundtrip",
-    "corpus_curation_pipeline", "ann_ivf_topk", "ann_ivfpq_topk",
-    "ann_pq_topk", "ann_ivf_lloyd_step", "dedup_semdedup", "dedup_clusters",
-    "logs_insights_stats", "logs_insights_parse",
-    "ann_ivf_partitioned_search", "multimodal_video_near_dup",
-    "streaming_sessionize", "sample_dsir", "ann_recall_lsh",
-    "pretraining_shard_export", "streaming_dsir_gate",
-    "ann_ivfpq_partitioned_search", "text_length_histogram",
-    "streaming_index_ingest", "ann_mmr_rerank", "ann_index_delete_search",
-    "profiling_hll_invariants",
-}
+# VERDICT r8 "what's wrong" #1: the declared rows-only entry can never
+# produce a green driver row, so it is PERMANENTLY pinned below the
+# window (its pytest pedigree is its contract) and excluded from every
+# future rotation.
+PINNED_ROWS_ONLY = {"bpe_encode"}
 
-ROUND8_MUST_BE_IN_WINDOW = (
-    ROUND7_LATE_ROTATED_IN_R8
-    | ROUND5_ROTATED_IN_R8
-    | ROUND8_CHANGED_CODE
-    | NEW_IN_R8
-    | ROUND6_PULLED_IN_R8
+ROUND9_MUST_BE_IN_WINDOW = (
+    ROUND8_LATE_ROTATED_IN_R9
+    | ROUND6_ROTATED_IN_R9
+    | ROUND9_CHANGED_CODE
+    | ROUND7_PULLED_IN_R9
+    | NEW_IN_R9
 )
-
-ROUND8_LATE = {
-    # registered after the round-8 window filled (the round-3/6/7 late
-    # precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a targeted
-    # local[5] invariance check in the round-8 session; rotates into
-    # the round-9 window FIRST
-    "events_top_paths", "streaming_ewma_monitor", "text_quality_gate",
-}
 
 RETIRED_R7 = {
     # plan-subsumed entries retired in round 7 with covered-by
@@ -160,16 +158,56 @@ RETIRED_R7 = {
     "orders_yoy_growth",
 }
 
+RETIRED_R9 = {
+    # round-9 consolidation (VERDICT r8 #2): plan-subsumed rows retired
+    # with covered-by annotations at each former definition site in
+    # queries.py; operators stay implemented and unit-tested. Four of
+    # these stay BENCH-tracked through queries.BENCH_RETIRED (the
+    # frozen bench subset is untouched by registry consolidation).
+    "q11_important_stock",       # global-share HAVING → brand_revenue_pareto
+    "q13_customer_distribution", # join fan-out profile → events_join_fanout
+    "q19_discount_revenue",      # filter+agg family → q6_revenue_forecast / q1
+    "q22_idle_customers",        # anti-join family → q21_waiting_suppliers
+    "events_sessionize",         # → streaming_sessionize + events_session_window
+    "ann_ivf_partitioned_search",  # → ann_ivfpq_partitioned_search (VERDICT-named)
+    "ann_index_delete_search",   # → ann_index_rebalance_search + pytest tombstone test
+    "text_length_histogram",     # → events_value_histogram; edges pytest-pinned
+    "logs_insights_stats",       # → logs_insights_parse (same DSL stages + parse)
+    "text_unigram_surprisal",    # → text_bigram_surprisal + text_perplexity_buckets
+    "text_quality_score",        # → text_quality_gate (shared CTE fragments)
+    "events_hourly_rollup",      # → streaming_hourly_rollup + events_hourly_gapfill
+    "events_mad_anomalies",      # → streaming_anomaly_monitor (shared scoring)
+    "sample_shuffle_shards",     # → pretraining_shard_export (same operator + oracle)
+    "events_ewma_smoothing",     # → streaming_ewma_monitor (VERDICT-named)
+}
+
 
 def test_retired_entries_are_gone():
     assert RETIRED_R7 & set(QUERIES) == set()
     assert RETIRED_R7 & set(ORACLES) == set()
+    assert RETIRED_R9 & set(QUERIES) == set()
+    assert RETIRED_R9 & set(ORACLES) == set()
+
+
+def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
+    # the four retired entries the FROZEN bench list still tracks run
+    # through queries.BENCH_RETIRED — nothing else hides there
+    from aws_data_wrangler_spark.plans.queries import BENCH_RETIRED
+
+    assert set(BENCH_RETIRED) == {
+        "events_hourly_rollup", "events_sessionize", "text_quality_score",
+        "ann_ivf_partitioned_search",
+    }
+    assert set(BENCH_RETIRED) <= RETIRED_R9
+    assert set(BENCH_RETIRED) & set(QUERIES) == set()
+    for fn in BENCH_RETIRED.values():
+        assert callable(fn)
 
 
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND7_FROZEN - ROUND6_FROZEN - ROUND8_LATE
+    unaccounted = below - ROUND8_FROZEN - ROUND7_FROZEN - PINNED_ROWS_ONLY
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -177,35 +215,45 @@ def test_below_window_entries_all_have_pedigree():
 
 def test_no_entry_staler_than_two_rounds():
     # the rotation invariant (VERDICT r5 #5, re-pinned every round):
-    # after round 8, no below-window entry's last driver row may be
-    # older than round 6 — so nothing with round-5 pedigree (and no
-    # never-verified round-7-late entry) may sit below the boundary
+    # after round 9, no below-window entry's last driver row may be
+    # older than round 7 — so nothing with round-6 pedigree (and no
+    # never-verified round-8-late entry) may sit below the boundary.
+    # The pinned rows-only entry is exempt BY POLICY: it has no oracle,
+    # so a driver row can never verify it (pytest is its contract).
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND5_ROTATED_IN_R8 == set(), (
-        "round-5-pedigree entries must sit inside the round-8 window"
+    assert below & ROUND6_ROTATED_IN_R9 == set(), (
+        "round-6-pedigree entries must sit inside the round-9 window"
     )
-    assert below & ROUND7_LATE_ROTATED_IN_R8 == set(), (
-        "never-verified round-7-late entries must sit inside the window"
+    assert below & ROUND8_LATE_ROTATED_IN_R9 == set(), (
+        "never-verified round-8-late entries must sit inside the window"
     )
+
+
+def test_pinned_rows_only_entry_stays_below_the_window():
+    # permanent policy: bpe_encode never burns a driver-window slot
+    names = list(QUERIES)
+    for name in PINNED_ROWS_ONLY:
+        assert names.index(name) >= 50, f"{name} must stay below the window"
+        assert name not in ORACLES  # rows-only by design
 
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND8_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND9_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
 def test_window_is_exactly_the_declared_partition():
-    # the three pedigree groups tile the registry exactly: no entry in
-    # two groups, none unaccounted, and the window holds precisely the
+    # the pedigree groups tile the registry exactly: no entry in two
+    # groups, none unaccounted, and the window holds precisely the
     # must-be-in set
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
-    assert window == ROUND8_MUST_BE_IN_WINDOW
-    assert below == ROUND7_FROZEN | ROUND6_FROZEN | ROUND8_LATE
-    assert ROUND7_FROZEN & ROUND6_FROZEN == set()
-    assert ROUND8_LATE & (ROUND7_FROZEN | ROUND6_FROZEN) == set()
+    assert window == ROUND9_MUST_BE_IN_WINDOW
+    assert below == ROUND8_FROZEN | ROUND7_FROZEN | PINNED_ROWS_ONLY
+    assert ROUND8_FROZEN & ROUND7_FROZEN == set()
+    assert PINNED_ROWS_ONLY & (ROUND8_FROZEN | ROUND7_FROZEN) == set()
 
 
 def test_entry_module_contract():
