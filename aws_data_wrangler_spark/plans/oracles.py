@@ -284,20 +284,24 @@ def _hash_split_oracle_sql() -> str:
     """
 
 
-def _quantile_invariants_oracle_sql() -> str:
-    """The HLL-invariant convention for the quantile-sketch row: pin
+def _quantile_invariants_oracle_sql(
+    flags=("merged_within_eps", "single_within_eps"),
+) -> str:
+    """The HLL-invariant convention for the quantile-sketch rows: pin
     ``n_rows`` and ``exact_q`` (Spark's exact R-7 percentile form,
-    floor 6dp) exactly; the sketch-envelope booleans are asserted TRUE
-    — the merged estimate is deterministic but sketch-shaped, so the
-    INVARIANTS are the cross-engine contract."""
+    floor 6dp) exactly; the sketch-envelope booleans (``flags`` —
+    batch/merged/single for the batch row, the stream flag for the
+    monitor row) are asserted TRUE — the merged estimate is
+    deterministic but sketch-shaped, so the INVARIANTS are the
+    cross-engine contract."""
     rows = []
     for p in (0.25, 0.5, 0.75, 0.9, 0.99):
         q = _spark_percentile_agg_expr("vs", "n", p)
+        flag_sql = ",\n".join(f"                   true AS {f}" for f in flags)
         rows.append(
             f"SELECT CAST({p!r} AS DOUBLE) AS p, n AS n_rows,\n"
             f"                   floor(({q}) * 1000000) / 1000000 AS exact_q,\n"
-            "                   true AS merged_within_eps,\n"
-            "                   true AS single_within_eps FROM v"
+            f"{flag_sql} FROM v"
         )
     union = "\n            UNION ALL\n            ".join(rows)
     return f"""
@@ -1172,6 +1176,59 @@ _EWMA_SQL = """
                    / 1000000 AS ewma
         FROM packed ORDER BY event_type
     """
+
+# synthesized-messy-URL canonicalization chain, shared by the
+# text_domain_rollup rollup and the sample_domain_temperature mixing
+# weld (the _ENTROPY_CTES discipline — one fragment owns the
+# synthesis + regex chain, so the welds are equal to the standalone
+# row BY CONSTRUCTION). Ends with `named`: (doc_id, canonical_url,
+# registered_domain). Every regexp is anchored or single-match, so
+# DuckDB's non-global regexp_replace matches Spark's global one.
+_CANON_URL_CTES = """h AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN source || '.com'
+                        ELSE 'blog.' || source || '.org' END AS host
+            FROM documents
+        ), u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 IN (1, 3) THEN 'HTTP://' ELSE 'https://' END ||
+                   CASE WHEN doc_id % 5 IN (0, 3) THEN 'www.' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 1 THEN upper(host) ELSE host END ||
+                   CASE WHEN doc_id % 5 = 2 THEN ':443'
+                        WHEN doc_id % 5 = 3 THEN ':80' ELSE '' END ||
+                   '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+                   CASE WHEN doc_id % 5 = 4 THEN '/' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 2
+                        THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 3 THEN '#sec' ELSE '' END AS url
+            FROM h
+        ), st AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(trim(url),
+                       '#.*', ''), '\\?.*', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rem
+            FROM u
+        ), parts AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(rem, '^([^/]*)', 1)),
+                       '^www\\.', ''), ':(80|443)$', '') AS host,
+                   regexp_replace(regexp_replace(rem, '^[^/]*', ''),
+                       '/+$', '') AS rest
+            FROM st
+        ), canon AS (
+            SELECT doc_id, host || rest AS canonical_url,
+                   regexp_replace(host, ':[0-9]+$', '') AS dom
+            FROM parts
+        ), named AS (
+            SELECT doc_id, canonical_url,
+                   CASE WHEN regexp_extract(dom, '([^.]+\\.[^.]+)$', 1) = ''
+                        THEN dom
+                        ELSE regexp_extract(dom, '([^.]+\\.[^.]+)$', 1)
+                   END AS registered_domain
+            FROM canon
+        )"""
 
 ORACLES: Dict[str, str] = {
     # ---- analytics: identical SQL, second engine -----------------------
@@ -3232,54 +3289,13 @@ ORACLES: Dict[str, str] = {
         FROM v ORDER BY doc_id
     """,
     "profiling_quantile_invariants": _quantile_invariants_oracle_sql(),
-    # the with_canonical_url regex chain, replicated step-for-step
-    # (every pattern anchored or single-match, so DuckDB's non-global
-    # regexp_replace matches Spark's global one), over the same five
-    # synthesized messy spellings per document
-    "text_domain_rollup": """
-        WITH h AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN source || '.com'
-                        ELSE 'blog.' || source || '.org' END AS host
-            FROM documents
-        ), u AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 5 IN (1, 3) THEN 'HTTP://' ELSE 'https://' END ||
-                   CASE WHEN doc_id % 5 IN (0, 3) THEN 'www.' ELSE '' END ||
-                   CASE WHEN doc_id % 5 = 1 THEN upper(host) ELSE host END ||
-                   CASE WHEN doc_id % 5 = 2 THEN ':443'
-                        WHEN doc_id % 5 = 3 THEN ':80' ELSE '' END ||
-                   '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
-                   CASE WHEN doc_id % 5 = 4 THEN '/' ELSE '' END ||
-                   CASE WHEN doc_id % 5 = 2
-                        THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-                        ELSE '' END ||
-                   CASE WHEN doc_id % 5 = 3 THEN '#sec' ELSE '' END AS url
-            FROM h
-        ), s AS (
-            SELECT regexp_replace(regexp_replace(regexp_replace(trim(url),
-                       '#.*', ''), '\\?.*', ''),
-                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rem
-            FROM u
-        ), parts AS (
-            SELECT regexp_replace(regexp_replace(
-                       lower(regexp_extract(rem, '^([^/]*)', 1)),
-                       '^www\\.', ''), ':(80|443)$', '') AS host,
-                   regexp_replace(regexp_replace(rem, '^[^/]*', ''),
-                       '/+$', '') AS rest
-            FROM s
-        ), canon AS (
-            SELECT host || rest AS canonical_url,
-                   regexp_replace(host, ':[0-9]+$', '') AS dom
-            FROM parts
-        ), named AS (
-            SELECT canonical_url,
-                   CASE WHEN regexp_extract(dom, '([^.]+\\.[^.]+)$', 1) = ''
-                        THEN dom
-                        ELSE regexp_extract(dom, '([^.]+\\.[^.]+)$', 1)
-                   END AS registered_domain
-            FROM canon
-        )
+    # the with_canonical_url regex chain, replicated step-for-step in
+    # the shared _CANON_URL_CTES fragment (every pattern anchored or
+    # single-match, so DuckDB's non-global regexp_replace matches
+    # Spark's global one), over the same five synthesized messy
+    # spellings per document
+    "text_domain_rollup": f"""
+        WITH {_CANON_URL_CTES}
         SELECT registered_domain,
                count(*)::BIGINT AS n_docs,
                count(DISTINCT canonical_url)::BIGINT AS n_pages,
@@ -3288,7 +3304,43 @@ ORACLES: Dict[str, str] = {
                    AS share
         FROM named GROUP BY registered_domain ORDER BY registered_domain
     """,
+    # temperature mixing over the SAME domain strata: the shared URL
+    # CTEs feed the sample_temperature oracle shape (sqrt weights
+    # summed in sorted-stratum order, the shared md5-prefix coin)
+    "sample_domain_temperature": f"""
+        WITH {_CANON_URL_CTES}, counts AS (
+            SELECT registered_domain, CAST(count(*) AS BIGINT) AS n
+            FROM named GROUP BY registered_domain
+        ), tot AS (
+            SELECT list_sum(list(sqrt(CAST(n AS DOUBLE))
+                                 ORDER BY registered_domain)) AS total_w,
+                   SUM(n) AS total_n
+            FROM counts
+        ), frac AS (
+            SELECT c.registered_domain, c.n,
+                   least(1.0, (CAST(CAST(tot.total_n AS BIGINT) // 2 AS DOUBLE)
+                               * sqrt(CAST(c.n AS DOUBLE)))
+                              / (tot.total_w * CAST(c.n AS DOUBLE))) AS f
+            FROM counts c, tot
+        ), thr AS (
+            SELECT registered_domain, f,
+                   printf('%08x', least(CAST(round(f * 4294967296.0) AS BIGINT),
+                                        4294967295)) AS thr_hex
+            FROM frac
+        )
+        SELECT nm.registered_domain,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(nm.doc_id) AS BIGINT) AS id_sum
+        FROM named nm JOIN thr ON thr.registered_domain = nm.registered_domain
+        WHERE thr.f >= 1.0
+           OR substr(md5(CAST(nm.doc_id AS VARCHAR)), 1, 8) < thr.thr_hex
+        GROUP BY nm.registered_domain
+        ORDER BY nm.registered_domain
+    """,
     "sample_hash_split": _hash_split_oracle_sql(),
+    "streaming_quantile_monitor": _quantile_invariants_oracle_sql(
+        ("stream_within_eps",)
+    ),
 }
 
 # RETIRED_R9 analytics rows (registry consolidation, VERDICT r8 #2):

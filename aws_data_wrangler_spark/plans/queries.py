@@ -2127,6 +2127,65 @@ def _profiling_numeric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def _synthesized_canonical_urls(docs: DataFrame) -> DataFrame:
+    """Shared scaffolding of the URL-strata rows (`text_domain_rollup`,
+    `sample_domain_temperature`): the test tables carry no URL column,
+    so synthesize five deterministically-messy spellings per document
+    (scheme case, www, default ports, query strings, fragments,
+    trailing slashes, uppercase hosts — every normalization
+    `with_canonical_url` owns) and canonicalize them. ONE place owns
+    the synthesis convention; the oracle twin is the shared
+    `oracles._CANON_URL_CTES` fragment."""
+    from aws_data_wrangler_spark.operators import text
+
+    docs = docs.select("doc_id", "source")
+    v = F.col("doc_id") % 5
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(".com"))
+    ).otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".org")))
+    url = F.concat(
+        F.when(v.isin(1, 3), F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(v.isin(0, 3), F.lit("www.")).otherwise(F.lit("")),
+        F.when(v == 1, F.upper(host)).otherwise(host),
+        F.when(v == 2, F.lit(":443")).when(v == 3, F.lit(":80")).otherwise(F.lit("")),
+        F.concat(F.lit("/articles/"), (F.col("doc_id") % 50).cast("string")),
+        F.when(v == 4, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            v == 2,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(v == 3, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return text.with_canonical_url(docs.withColumn("url", url))
+
+
+def _sample_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α=0.5) rebalancing BY REGISTERED DOMAIN —
+    the per-domain mixing the C4/RefinedWeb recipes run, now with REAL
+    strata from `with_canonical_url` instead of the `source` label
+    (VERDICT r8 #6's motivation): canonicalize the synthesized messy
+    URLs, then the mT5-style data-mix pass over the domain strata. The
+    per-stratum fractions derive from sorted-order driver-side float
+    math the oracle replicates exactly; the coin is the shared
+    md5-prefix threshold; the domain strata come from the SAME
+    synthesis + regex chain as `text_domain_rollup` (shared helper /
+    shared oracle CTEs — equal by construction)."""
+    from aws_data_wrangler_spark.operators import sampling
+
+    canon = _synthesized_canonical_urls(load(spark, sf_dir, "documents"))
+    kept = sampling.temperature_sample(
+        canon, strata_col="registered_domain", alpha=0.5
+    )
+    return (
+        kept.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
 def _sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train/val/test split in registry position: 80/10/10
     hash-band assignment over documents, rolled up per split with the
@@ -2167,27 +2226,8 @@ def _text_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical URLs — the url-dedup key), ``share``. One zero-shuffle
     projection + one domain-cardinality rollup."""
     from aws_data_wrangler_spark.functions import trunc_digits
-    from aws_data_wrangler_spark.operators import text
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    v = F.col("doc_id") % 5
-    host = F.when(
-        F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(".com"))
-    ).otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".org")))
-    url = F.concat(
-        F.when(v.isin(1, 3), F.lit("HTTP://")).otherwise(F.lit("https://")),
-        F.when(v.isin(0, 3), F.lit("www.")).otherwise(F.lit("")),
-        F.when(v == 1, F.upper(host)).otherwise(host),
-        F.when(v == 2, F.lit(":443")).when(v == 3, F.lit(":80")).otherwise(F.lit("")),
-        F.concat(F.lit("/articles/"), (F.col("doc_id") % 50).cast("string")),
-        F.when(v == 4, F.lit("/")).otherwise(F.lit("")),
-        F.when(
-            v == 2,
-            F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
-        ).otherwise(F.lit("")),
-        F.when(v == 3, F.lit("#sec")).otherwise(F.lit("")),
-    )
-    canon = text.with_canonical_url(docs.withColumn("url", url))
+    canon = _synthesized_canonical_urls(load(spark, sf_dir, "documents"))
     tot = canon.agg(F.count(F.lit(1)).alias("__tot"))
     return (
         canon.groupBy("registered_domain")
@@ -2917,15 +2957,10 @@ def _profiling_quantile_invariants(spark: SparkSession, sf_dir: str) -> DataFram
             profiling.quantile_sketches(ev, ["value"], bins=bins), ps
         ).collect()
     }
-    probe = []
-    for p in ps:
-        probe += [p, max(p - eps, 0.0), min(p + eps, 1.0)]
-    exact = ev.selectExpr(
-        f"percentile(value, array({', '.join(map(repr, probe))})) AS q"
-    ).collect()[0]["q"]
+    probe = _exact_quantile_probe(ev, "value", ps, eps)
     out = []
-    for i, p in enumerate(ps):
-        exact_q, lo, hi = exact[3 * i], exact[3 * i + 1], exact[3 * i + 2]
+    for p in ps:
+        exact_q, lo, hi = probe[p]
         out.append(
             (
                 p,
@@ -2939,6 +2974,70 @@ def _profiling_quantile_invariants(spark: SparkSession, sf_dir: str) -> DataFram
         out,
         "p double, n_rows bigint, exact_q double, "
         "merged_within_eps boolean, single_within_eps boolean",
+    ).orderBy("p")
+
+
+def _exact_quantile_probe(df: DataFrame, col: str, ps, eps):
+    """Shared probe of the quantile-sketch rows: ONE exact percentile
+    aggregate over (p, p−eps, p+eps) per requested p, returning
+    ``{p: (exact_q, lo_envelope, hi_envelope)}`` — the rank-space
+    envelope both sketch rows assert their estimates into."""
+    targets = []
+    for p in ps:
+        targets += [p, max(p - eps, 0.0), min(p + eps, 1.0)]
+    row = df.selectExpr(
+        f"percentile({col}, array({', '.join(map(repr, targets))})) AS q"
+    ).collect()[0]["q"]
+    return {p: (row[3 * i], row[3 * i + 1], row[3 * i + 2]) for i, p in enumerate(ps)}
+
+
+def _streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-sketch trio in PRODUCTION position (the monitor-
+    family convention): the events backlog replays availableNow through
+    `streaming.quantile_sketch_sink` — each micro-batch appends its
+    exact 128-point rank grid to a parquet sketch table — then the
+    corpus-lifetime percentile question is answered from the STATE
+    table alone (union + estimate, no rescan). ``n_rows`` (per-batch
+    counts sum exactly regardless of micro-batch boundaries) and
+    ``exact_q`` are pinned by the oracle; the estimate must sit inside
+    the ±2/bins rank envelope — the guarantee batching cannot move."""
+    import math
+
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import profiling
+
+    bins = 128
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    eps = 2.0 / bins
+    stream = streaming.read_event_stream(
+        f"{sf_dir}/events.parquet", spark=spark
+    ).select("value").filter(F.col("value").isNotNull())
+    state = f"{tempfile.mkdtemp(prefix='sgq_')}/qsketch_state"
+    sketches = streaming.quantile_sketch_sink(stream, ["value"], state, bins=bins)
+    merged = profiling.quantile_union(sketches)
+    n_rows = int(merged.collect()[0]["n"])
+    est = {
+        r["p"]: r["est"]
+        for r in profiling.quantile_estimates(merged, ps).collect()
+    }
+    ev = load(spark, sf_dir, "events").select("value").filter(
+        F.col("value").isNotNull()
+    )
+    probe = _exact_quantile_probe(ev, "value", ps, eps)
+    out = []
+    for p in ps:
+        exact_q, lo, hi = probe[p]
+        out.append(
+            (
+                p,
+                n_rows,
+                math.floor(exact_q * 1e6) / 1e6,
+                bool(lo <= est[p] <= hi),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "p double, n_rows bigint, exact_q double, stream_within_eps boolean",
     ).orderBy("p")
 
 
@@ -3286,6 +3385,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # contract is the pytest pedigree (hand-computed merges + lossless
     # reconstruction) ---
     "bpe_encode": _bpe_encode,
+    # --- ROUND9_LATE: registered after the round-9 window filled (the
+    # round-3/6/7/8 late precedent): verified at sf0.001 + sf0.01 +
+    # sf0.1 plus a targeted local[5] invariance check in the round-9
+    # session; rotates into the round-10 window FIRST ---
+    "sample_domain_temperature": _sample_domain_temperature,
+    "streaming_quantile_monitor": _streaming_quantile_monitor,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

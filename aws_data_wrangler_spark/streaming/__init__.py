@@ -898,6 +898,65 @@ def anomaly_monitor(
     )
 
 
+def quantile_sketch_sink(
+    stream: DataFrame,
+    cols: list,
+    state_path: str,
+    bins: int = 128,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Mergeable quantile state in PRODUCTION position — the streaming
+    half of the `profiling.quantile_sketches` trio: each micro-batch
+    computes its EXACT ``bins``-point rank grid (batch label =
+    micro-batch id) and APPENDS the sketch rows — grid-sized arrays,
+    not data — to a parquet sketch table. "p99 over the whole ingest
+    history" is then `quantile_union`/`quantile_estimates` over the
+    state table, never a rescan of any landed batch (the HLL-trio
+    contract, for percentiles).
+
+    Exactness across batching: per-batch ``n`` sums to the true total
+    regardless of micro-batch boundaries, and every estimate keeps the
+    ±2/bins RANK guarantee no matter how the backlog was split —
+    batching moves WHICH grids pool, never the bound. foreachBatch is
+    at-least-once: a crash between append and checkpoint commit can
+    duplicate one batch's sketch rows, so the read-back dedups on
+    (batch, column) — duplicate appends are byte-identical because the
+    per-batch sketch is deterministic, making the dedup lossless. A
+    timeout raises rather than answering percentile questions from a
+    partially-drained backlog (committed batches stay durable; rerun
+    to resume).
+    """
+    from aws_data_wrangler_spark.operators.profiling import quantile_sketches
+
+    spark = stream.sparkSession
+    path = normalize_path(state_path)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sk = quantile_sketches(batch_df, cols, bins=bins).select(
+            F.lit(str(batch_id)).alias("batch"), "column", "n", "grid"
+        )
+        # one sketch row per column — a single tiny file per batch
+        sk.coalesce(1).write.mode("append").parquet(f"{path}/sketches")
+
+    query = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}/_checkpoint")
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"quantile sketching did not drain the backlog within "
+            f"{timeout_s}s (committed batches are durable; rerun to resume)"
+        )
+    return spark.read.parquet(f"{path}/sketches").dropDuplicates(
+        ["batch", "column"]
+    )
+
+
 def ewma_monitor(
     stream: DataFrame,
     alpha: float = 0.25,

@@ -137,6 +137,15 @@ ROUND7_FROZEN = {
 # future rotation.
 PINNED_ROWS_ONLY = {"bpe_encode"}
 
+ROUND9_LATE = {
+    # registered after the round-9 window filled (the round-3/6/7/8
+    # late precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a
+    # targeted local[5] invariance check in the round-9 session;
+    # rotates into the round-10 window FIRST
+    "sample_domain_temperature",
+    "streaming_quantile_monitor",
+}
+
 ROUND9_MUST_BE_IN_WINDOW = (
     ROUND8_LATE_ROTATED_IN_R9
     | ROUND6_ROTATED_IN_R9
@@ -207,7 +216,8 @@ def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = below - ROUND8_FROZEN - ROUND7_FROZEN - PINNED_ROWS_ONLY
+    unaccounted = (below - ROUND8_FROZEN - ROUND7_FROZEN
+                   - PINNED_ROWS_ONLY - ROUND9_LATE)
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -251,9 +261,11 @@ def test_window_is_exactly_the_declared_partition():
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
     assert window == ROUND9_MUST_BE_IN_WINDOW
-    assert below == ROUND8_FROZEN | ROUND7_FROZEN | PINNED_ROWS_ONLY
+    assert below == (ROUND8_FROZEN | ROUND7_FROZEN | PINNED_ROWS_ONLY
+                     | ROUND9_LATE)
     assert ROUND8_FROZEN & ROUND7_FROZEN == set()
     assert PINNED_ROWS_ONLY & (ROUND8_FROZEN | ROUND7_FROZEN) == set()
+    assert ROUND9_LATE & (ROUND8_FROZEN | ROUND7_FROZEN | PINNED_ROWS_ONLY) == set()
 
 
 def test_entry_module_contract():

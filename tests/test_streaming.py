@@ -258,6 +258,60 @@ def test_interval_join_stream_equals_batch(spark):
     assert len(got) > 0
 
 
+class TestQuantileSketchSink:
+    def test_streamed_sketch_state_equals_batch_sketches(self, spark, events, tmp_prefix):
+        # two files → maxFilesPerTrigger=1 forces two micro-batches;
+        # the streamed sketch table must merge to the SAME grid, bit
+        # for bit, as batch sketches over the same row partition —
+        # per-batch grids are exact order statistics and the union is
+        # integer-threshold arithmetic, so equality is exact, not ±eps
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import profiling
+
+        median = events.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+        early = events.filter(F.unix_micros("ts") <= median).coalesce(1)
+        late = events.filter(F.unix_micros("ts") > median).coalesce(1)
+        src = f"{tmp_prefix}/qsketch_src"
+        early.write.mode("overwrite").parquet(src)
+        late.write.mode("append").parquet(src)
+
+        stream = streaming.read_event_stream(
+            src, spark=spark, maxFilesPerTrigger="1"
+        ).select("value")
+        state = f"{tmp_prefix}/qsketch_state"
+        sketches = streaming.quantile_sketch_sink(
+            stream, ["value"], state, bins=32
+        )
+        rows = sketches.collect()
+        assert len(rows) == 2 and {r["column"] for r in rows} == {"value"}
+        streamed = profiling.quantile_union(sketches).collect()[0]
+        # batch twin over the same two row groups
+        batch = profiling.quantile_union(
+            profiling.quantile_sketches(
+                events.withColumn(
+                    "b", (F.unix_micros("ts") <= median).cast("int")
+                ),
+                ["value"],
+                batch_col="b",
+                bins=32,
+            )
+        ).collect()[0]
+        assert streamed["n"] == batch["n"] == events.filter("value is not null").count()
+        assert list(streamed["grid"]) == list(batch["grid"])
+        # the estimate answers the corpus-lifetime question within the
+        # rank envelope of the exact quantile
+        est = profiling.quantile_estimates(sketches, [0.9]).collect()[0]["est"]
+        xs = sorted(r["value"] for r in events.select("value").collect()
+                    if r["value"] is not None)
+        import math
+
+        n = len(xs)
+        eps = 2.0 / 32
+        lo = xs[max(int(math.floor((0.9 - eps) * (n - 1))), 0)]
+        hi = xs[min(int(math.ceil((0.9 + eps) * (n - 1))), n - 1)]
+        assert lo <= est <= hi
+
+
 class TestUpsertSink:
     def test_multi_batch_merge_equals_argmax(self, spark, events, tmp_prefix):
         from aws_data_wrangler_spark import s3, streaming
