@@ -556,7 +556,13 @@ def quantile_estimates(
     requested percentile — R-7 interpolation between the two
     surrounding grid points in RANK space, the same form Spark's exact
     ``percentile`` uses between order statistics. Pre-unions when
-    handed multiple rows per column."""
+    handed multiple rows per column.
+
+    Repeated calls: pass a PRE-MERGED frame (``quantile_union``'s
+    output is a materialized local relation, so re-reading it is
+    free). Handing the raw sketch frame re-executes its plan — on an
+    unmaterialized per-batch sketch that is one full exact-percentile
+    pass PER CALL."""
     for p in ps:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentiles must be in [0, 1], got {p}")

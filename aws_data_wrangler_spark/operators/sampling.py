@@ -86,14 +86,22 @@ def hash_split(
     construction is the standard content-addressed split of
     large-corpus pipelines.
     """
-    prefix = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
-    )
+    prefix = split_prefix(id_col, salt)
     bounds = split_bounds(weights)
     expr = F.lit(bounds[-1][0])  # final band absorbs threshold rounding
     for name, bound in reversed(bounds[:-1]):
         expr = F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def split_prefix(id_col: str = "doc_id", salt: str = "") -> Column:
+    """The md5-prefix coin ``hash_split`` bands on, exposed so an
+    audit (the ``sample_hash_split`` registry row's per-split [lo, hi]
+    range check) observes the SAME hash the operator assigned by —
+    never an independent re-derivation that could silently diverge."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
 
 
 def split_bounds(weights: Dict[str, float]) -> List[tuple]:

@@ -260,6 +260,46 @@ def _spark_percentile_agg_expr(vs: str, n: str, q: float) -> str:
     )
 
 
+def _temperature_mix_sql(src: str, stratum: str, with_prefix: str = "WITH ") -> str:
+    """The mT5 temperature-fraction chain — sqrt weights summed in
+    sorted-stratum order (the driver-float replica of
+    ``temperature_fractions``), the round()/printf hex threshold, the
+    shared md5-prefix coin — over ``src`` exposing
+    ``(doc_id, <stratum>)``. ONE builder owns the threshold arithmetic
+    (the shared-fragment rule), shared by ``sample_temperature``
+    (strata = lang, byte-identical to its long-standing r5 literal)
+    and ``sample_domain_temperature`` (strata = registered domain over
+    the ``_CANON_URL_CTES`` output)."""
+    return f"""
+        {with_prefix}counts AS (
+            SELECT {stratum}, CAST(count(*) AS BIGINT) AS n FROM {src} GROUP BY {stratum}
+        ), tot AS (
+            SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY {stratum})) AS total_w,
+                   SUM(n) AS total_n
+            FROM counts
+        ), frac AS (
+            SELECT c.{stratum}, c.n,
+                   least(1.0, (CAST(CAST(tot.total_n AS BIGINT) // 2 AS DOUBLE)
+                               * sqrt(CAST(c.n AS DOUBLE)))
+                              / (tot.total_w * CAST(c.n AS DOUBLE))) AS f
+            FROM counts c, tot
+        ), thr AS (
+            SELECT {stratum}, f,
+                   printf('%08x', least(CAST(round(f * 4294967296.0) AS BIGINT),
+                                        4294967295)) AS thr_hex
+            FROM frac
+        )
+        SELECT d.{stratum},
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        FROM {src} d JOIN thr ON thr.{stratum} = d.{stratum}
+        WHERE thr.f >= 1.0
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr_hex
+        GROUP BY d.{stratum}
+        ORDER BY d.{stratum}
+    """
+
+
 def _hash_split_oracle_sql() -> str:
     """Band thresholds come from the OPERATOR's own ``split_bounds``
     (same float accumulation, same hex rounding) — shared by
@@ -1177,7 +1217,8 @@ _EWMA_SQL = """
         FROM packed ORDER BY event_type
     """
 
-# synthesized-messy-URL canonicalization chain, shared by the
+# synthesized-messy-URL canonicalization chain (doc_id % 5 picks one
+# of five messy variants per document), shared by the
 # text_domain_rollup rollup and the sample_domain_temperature mixing
 # weld (the _ENTROPY_CTES discipline — one fragment owns the
 # synthesis + regex chain, so the welds are equal to the standalone
@@ -2307,34 +2348,7 @@ ORACLES: Dict[str, str] = {
         SELECT o_orderkey, floor(skey * 1000000.0) / 1000000.0 AS sample_key
         FROM keyed ORDER BY skey DESC, o_orderkey LIMIT 200
     """,
-    "sample_temperature": """
-        WITH counts AS (
-            SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
-        ), tot AS (
-            SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS total_w,
-                   SUM(n) AS total_n
-            FROM counts
-        ), frac AS (
-            SELECT c.lang, c.n,
-                   least(1.0, (CAST(CAST(tot.total_n AS BIGINT) // 2 AS DOUBLE)
-                               * sqrt(CAST(c.n AS DOUBLE)))
-                              / (tot.total_w * CAST(c.n AS DOUBLE))) AS f
-            FROM counts c, tot
-        ), thr AS (
-            SELECT lang, f,
-                   printf('%08x', least(CAST(round(f * 4294967296.0) AS BIGINT),
-                                        4294967295)) AS thr_hex
-            FROM frac
-        )
-        SELECT d.lang,
-               CAST(count(*) AS BIGINT) AS n_kept,
-               CAST(sum(d.doc_id) AS BIGINT) AS id_sum
-        FROM documents d JOIN thr ON thr.lang = d.lang
-        WHERE thr.f >= 1.0
-           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr_hex
-        GROUP BY d.lang
-        ORDER BY d.lang
-    """,
+    "sample_temperature": _temperature_mix_sql("documents", "lang"),
     # concat-and-chunk sequence packing: same md5-hash layout order and
     # running-sum window as operators/text.pack_sequences (budget=64)
     "text_pack_sequences": """
@@ -3292,8 +3306,8 @@ ORACLES: Dict[str, str] = {
     # the with_canonical_url regex chain, replicated step-for-step in
     # the shared _CANON_URL_CTES fragment (every pattern anchored or
     # single-match, so DuckDB's non-global regexp_replace matches
-    # Spark's global one), over the same five synthesized messy
-    # spellings per document
+    # Spark's global one), over the same one-variant-per-document
+    # synthesized messy URLs
     "text_domain_rollup": f"""
         WITH {_CANON_URL_CTES}
         SELECT registered_domain,
@@ -3307,36 +3321,10 @@ ORACLES: Dict[str, str] = {
     # temperature mixing over the SAME domain strata: the shared URL
     # CTEs feed the sample_temperature oracle shape (sqrt weights
     # summed in sorted-stratum order, the shared md5-prefix coin)
-    "sample_domain_temperature": f"""
-        WITH {_CANON_URL_CTES}, counts AS (
-            SELECT registered_domain, CAST(count(*) AS BIGINT) AS n
-            FROM named GROUP BY registered_domain
-        ), tot AS (
-            SELECT list_sum(list(sqrt(CAST(n AS DOUBLE))
-                                 ORDER BY registered_domain)) AS total_w,
-                   SUM(n) AS total_n
-            FROM counts
-        ), frac AS (
-            SELECT c.registered_domain, c.n,
-                   least(1.0, (CAST(CAST(tot.total_n AS BIGINT) // 2 AS DOUBLE)
-                               * sqrt(CAST(c.n AS DOUBLE)))
-                              / (tot.total_w * CAST(c.n AS DOUBLE))) AS f
-            FROM counts c, tot
-        ), thr AS (
-            SELECT registered_domain, f,
-                   printf('%08x', least(CAST(round(f * 4294967296.0) AS BIGINT),
-                                        4294967295)) AS thr_hex
-            FROM frac
-        )
-        SELECT nm.registered_domain,
-               CAST(count(*) AS BIGINT) AS n_kept,
-               CAST(sum(nm.doc_id) AS BIGINT) AS id_sum
-        FROM named nm JOIN thr ON thr.registered_domain = nm.registered_domain
-        WHERE thr.f >= 1.0
-           OR substr(md5(CAST(nm.doc_id AS VARCHAR)), 1, 8) < thr.thr_hex
-        GROUP BY nm.registered_domain
-        ORDER BY nm.registered_domain
-    """,
+    "sample_domain_temperature": _temperature_mix_sql(
+        "named", "registered_domain",
+        with_prefix=f"WITH {_CANON_URL_CTES}, ",
+    ),
     "sample_hash_split": _hash_split_oracle_sql(),
     "streaming_quantile_monitor": _quantile_invariants_oracle_sql(
         ("stream_within_eps",)

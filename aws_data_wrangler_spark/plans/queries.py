@@ -2130,10 +2130,13 @@ def _profiling_numeric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synthesized_canonical_urls(docs: DataFrame) -> DataFrame:
     """Shared scaffolding of the URL-strata rows (`text_domain_rollup`,
     `sample_domain_temperature`): the test tables carry no URL column,
-    so synthesize five deterministically-messy spellings per document
-    (scheme case, www, default ports, query strings, fragments,
-    trailing slashes, uppercase hosts — every normalization
-    `with_canonical_url` owns) and canonicalize them. ONE place owns
+    so synthesize ONE deterministically-messy URL per document —
+    `doc_id % 5` picks which of five variants (scheme case, www,
+    default ports, query strings, fragments, trailing slashes,
+    uppercase hosts — every normalization `with_canonical_url` owns);
+    documents sharing a page (same source, parity, doc_id % 50) carry
+    DIFFERENT variants of it, so the cross-variant canonical collapse
+    is exercised across documents (n_pages < n_docs). ONE place owns
     the synthesis convention; the oracle twin is the shared
     `oracles._CANON_URL_CTES` fragment."""
     from aws_data_wrangler_spark.operators import text
@@ -2201,9 +2204,8 @@ def _sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = sampling.hash_split(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
     )
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     return (
-        split.withColumn("__p", prefix)
+        split.withColumn("__p", sampling.split_prefix("doc_id"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2218,10 +2220,12 @@ def _text_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain curation rollup over CANONICALIZED URLs — the strata
     table that feeds temperature/epoch mixing when curation follows the
     C4/RefinedWeb recipes (mix BY DOMAIN, not by source label). The
-    test tables carry no URL column, so the query synthesizes five
-    deterministically-messy spellings per document (scheme case, www,
-    default ports, query strings, fragments, trailing slashes,
-    uppercase hosts — every normalization the operator owns), then
+    test tables carry no URL column, so the query synthesizes one
+    deterministically-messy URL per document (doc_id % 5 picks among
+    five variants: scheme case, www, default ports, query strings,
+    fragments, trailing slashes, uppercase hosts — every normalization
+    the operator owns; documents sharing a page carry different
+    variants, so the canonical collapse shows as n_pages < n_docs), then
     rolls up by registered domain: ``n_docs``, ``n_pages`` (distinct
     canonical URLs — the url-dedup key), ``share``. One zero-shuffle
     projection + one domain-cardinality rollup."""

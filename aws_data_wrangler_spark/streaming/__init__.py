@@ -952,6 +952,15 @@ def quantile_sketch_sink(
             f"quantile sketching did not drain the backlog within "
             f"{timeout_s}s (committed batches are durable; rerun to resume)"
         )
+    from aws_data_wrangler_spark.s3 import does_object_exist
+
+    if not does_object_exist(f"{path}/sketches", spark=spark):
+        # every micro-batch was empty → no sketch file was ever
+        # written; an empty sketch frame is the honest state (the
+        # unconditional read would raise an opaque PATH_NOT_FOUND)
+        return spark.createDataFrame(
+            [], "batch string, column string, n bigint, grid array<double>"
+        )
     return spark.read.parquet(f"{path}/sketches").dropDuplicates(
         ["batch", "column"]
     )

@@ -206,7 +206,13 @@ def main() -> None:
     # load gate (VERDICT r8 #3): a file recorded on a contended box is
     # plan-verification-only, never a trend signal — stamp it so
     # readers (and the SURVEY) discount it mechanically instead of
-    # adjudicating per-entry after the fact
+    # adjudicating per-entry after the fact. The threshold is the
+    # judge-prescribed ABSOLUTE load1 > 1.0 (calibrated to this 32-CPU
+    # host, where the r6/r8 contention events read 4-6); it is
+    # deliberately conservative — a false "contended" costs one
+    # re-run, a false "clean" poisons the trend — and cpus rides in
+    # loadavg_at_start so a reader on different hardware can
+    # renormalize per-CPU
     contended = bool(loadavg_at_start and loadavg_at_start["load1"] > 1.0)
     print(
         json.dumps(
