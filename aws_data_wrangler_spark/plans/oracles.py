@@ -1217,6 +1217,48 @@ _EWMA_SQL = """
         FROM packed ORDER BY event_type
     """
 
+def _quality_gate_sql(extra_ctes: str, join_src: str, stratum: str) -> str:
+    """The composed quality-gate chain (shared _QUALITY_EXPRS /
+    _ENTROPY_CTES / _CLASSIFIER_CTES fragments → per-doc keep flag →
+    stratum rollup), parameterized ONLY by the stratum source — shared
+    by ``text_quality_gate`` (stratum = source, straight off
+    documents) and ``text_domain_quality`` (stratum = registered
+    domain off the ``_CANON_URL_CTES`` output), so the two rollups are
+    equal by construction."""
+    return f"""
+        WITH {extra_ctes}feats AS (
+            SELECT doc_id, {_QUALITY_EXPRS}
+            FROM documents
+        ), q AS (
+            SELECT doc_id,
+                   floor((0.4 * least(n_chars / 500.0, 1.0)
+                          + 0.3 * least(CASE WHEN tokens > 0 THEN stops / tokens
+                                             ELSE 0.0 END * 5.0, 1.0)
+                          + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN punct / n_chars
+                                                    ELSE 0.0 END * 10.0, 1.0)))
+                         * 1000000.0) / 1000000.0 AS quality_score
+            FROM feats
+        ), {_ENTROPY_CTES}, {_CLASSIFIER_CTES}, flagged AS (
+            SELECT q.doc_id, q.quality_score,
+                   (q.quality_score >= 0.55 AND e.char_entropy >= 4.05
+                    AND p.quality_prob >= 0.6) AS keep
+            FROM q JOIN ent e USING (doc_id) JOIN probs p USING (doc_id)
+        ), rolled AS (
+            SELECT s.{stratum}, count(*) AS n_docs,
+                   coalesce(sum(CASE WHEN f.keep THEN 1 END), 0)::BIGINT AS n_kept,
+                   sum(CASE WHEN f.keep THEN f.quality_score::DECIMAL(18,6) END) AS kept_sum
+            FROM flagged f JOIN {join_src} s USING (doc_id)
+            GROUP BY s.{stratum}
+        )
+        SELECT {stratum}, n_docs, n_kept,
+               floor((n_kept::DOUBLE / n_docs) * 1000000) / 1000000 AS kept_frac,
+               CASE WHEN n_kept > 0 THEN
+                   floor((kept_sum::DOUBLE / n_kept) * 1000000) / 1000000
+               END AS avg_kept_quality
+        FROM rolled ORDER BY {stratum}
+    """
+
+
 # synthesized-messy-URL canonicalization chain (doc_id % 5 picks one
 # of five messy variants per document), shared by the
 # text_domain_rollup rollup and the sample_domain_temperature mixing
@@ -2395,37 +2437,13 @@ ORACLES: Dict[str, str] = {
     # kept-score sum is EXACT decimal. Composing the SAME fragments the
     # standalone oracles use keeps "individually oracle-identical ⇒
     # composition identical" true by construction, not by copy.
-    "text_quality_gate": f"""
-        WITH feats AS (
-            SELECT doc_id, source, {_QUALITY_EXPRS}
-            FROM documents
-        ), q AS (
-            SELECT doc_id, source,
-                   floor((0.4 * least(n_chars / 500.0, 1.0)
-                          + 0.3 * least(CASE WHEN tokens > 0 THEN stops / tokens
-                                             ELSE 0.0 END * 5.0, 1.0)
-                          + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN punct / n_chars
-                                                    ELSE 0.0 END * 10.0, 1.0)))
-                         * 1000000.0) / 1000000.0 AS quality_score
-            FROM feats
-        ), {_ENTROPY_CTES}, {_CLASSIFIER_CTES}, flagged AS (
-            SELECT q.source, q.quality_score,
-                   (q.quality_score >= 0.55 AND e.char_entropy >= 4.05
-                    AND p.quality_prob >= 0.6) AS keep
-            FROM q JOIN ent e USING (doc_id) JOIN probs p USING (doc_id)
-        ), rolled AS (
-            SELECT source, count(*) AS n_docs,
-                   coalesce(sum(CASE WHEN keep THEN 1 END), 0)::BIGINT AS n_kept,
-                   sum(CASE WHEN keep THEN quality_score::DECIMAL(18,6) END) AS kept_sum
-            FROM flagged GROUP BY source
-        )
-        SELECT source, n_docs, n_kept,
-               floor((n_kept::DOUBLE / n_docs) * 1000000) / 1000000 AS kept_frac,
-               CASE WHEN n_kept > 0 THEN
-                   floor((kept_sum::DOUBLE / n_kept) * 1000000) / 1000000
-               END AS avg_kept_quality
-        FROM rolled ORDER BY source
-    """,
+    "text_quality_gate": _quality_gate_sql("", "documents", "source"),
+    # the SAME gate chain rolled up by registered domain — the shared
+    # builder plus the shared URL CTEs, equal to the standalone gate
+    # by construction
+    "text_domain_quality": _quality_gate_sql(
+        f"{_CANON_URL_CTES}, ", "named", "registered_domain"
+    ),
     # classifier-inference replica: the shared CTE chain (see
     # _CLASSIFIER_CTES)
     "text_classifier_score": f"""
@@ -3329,6 +3347,20 @@ ORACLES: Dict[str, str] = {
     "streaming_quantile_monitor": _quantile_invariants_oracle_sql(
         ("stream_within_eps",)
     ),
+    # the HLL-invariant convention in streaming position: n_rows and
+    # the exact NDV pinned exactly (both engines compute COUNT
+    # DISTINCT exactly), the sketch-envelope boolean asserted TRUE
+    "streaming_ndv_monitor": """
+        SELECT 'event_type' AS "column", count(*)::BIGINT AS n_rows,
+               count(DISTINCT event_type)::BIGINT AS exact_ndv,
+               true AS est_within_5pct
+        FROM events
+        UNION ALL
+        SELECT 'user_id', count(*)::BIGINT,
+               count(DISTINCT user_id)::BIGINT, true
+        FROM events
+        ORDER BY "column"
+    """,
 }
 
 # RETIRED_R9 analytics rows (registry consolidation, VERDICT r8 #2):

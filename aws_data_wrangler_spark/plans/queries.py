@@ -2312,16 +2312,14 @@ def _events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.interpolate_linear(events).orderBy("event_type", "bucket_ts")
 
 
-def _text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed quality-gate weld (r8-late, new): the three per-doc
+def _quality_gate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scoring half of the quality-gate welds
+    (`text_quality_gate`, `text_domain_quality`): the three per-doc
     quality screens — heuristic quality_score, char-entropy, and the
-    pinned-weight classifier probability — in ONE plan, rolled up per
-    source: (source, n_docs, n_kept, kept_frac, avg_kept_quality). All
-    three scores are individually oracle-identical, so the composition
-    is too; the kept-score average sums EXACT decimals (the
-    numeric_summary discipline) to stay partition-order-free. The
-    whole gate is projections + one feature join + one rollup — no
-    corpus shuffle beyond the classifier's margin aggregate."""
+    pinned-weight classifier probability — in ONE plan, flagged with
+    the composed keep predicate. ONE place owns the thresholds and
+    the model pins; the rollup half (`_gate_rollup`) differs only in
+    its stratum."""
     from aws_data_wrangler_spark.operators import classifier, text
 
     docs = load(spark, sf_dir, "documents")
@@ -2343,21 +2341,25 @@ def _text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("char_entropy") >= 4.05)
         & (F.col("quality_prob") >= 0.6)
     )
+    return scored.withColumn("__keep", keep)
+
+
+def _gate_rollup(flagged: DataFrame, stratum: str) -> DataFrame:
+    """Shared rollup half of the quality-gate welds: (stratum, n_docs,
+    n_kept, kept_frac, avg_kept_quality) — the kept-score average sums
+    EXACT decimals (the numeric_summary discipline) to stay
+    partition-order-free."""
     from aws_data_wrangler_spark.functions import trunc_digits
 
-    agg = (
-        scored.withColumn("__keep", keep)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
-            F.sum(
-                F.when(F.col("__keep"), F.col("quality_score")).cast("decimal(18,6)")
-            ).alias("__kept_sum"),
-        )
+    agg = flagged.groupBy(stratum).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("__keep"), F.col("quality_score")).cast("decimal(18,6)")
+        ).alias("__kept_sum"),
     )
     return agg.select(
-        "source",
+        stratum,
         "n_docs",
         "n_kept",
         trunc_digits(F.col("n_kept").cast("double") / F.col("n_docs")).alias(
@@ -2367,7 +2369,31 @@ def _text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept") > 0,
             trunc_digits(F.col("__kept_sum").cast("double") / F.col("n_kept")),
         ).alias("avg_kept_quality"),
-    ).orderBy("source")
+    ).orderBy(stratum)
+
+
+def _text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality-gate weld (r8-late): the shared scoring plan
+    (`_quality_gate_flags`) rolled up per source. All three scores are
+    individually oracle-identical, so the composition is too. The
+    whole gate is projections + one feature join + one rollup — no
+    corpus shuffle beyond the classifier's margin aggregate."""
+    return _gate_rollup(_quality_gate_flags(spark, sf_dir), "source")
+
+
+def _text_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate rolled up BY REGISTERED DOMAIN (r9-late): the
+    per-domain keep/quality report a RefinedWeb-style curation run
+    reads before deciding domain weights — the SAME scoring plan and
+    the SAME rollup as `text_quality_gate`, joined to the
+    `with_canonical_url` strata (shared synthesis helper / shared
+    `_CANON_URL_CTES` oracle fragment) — equal to the standalone gate
+    by construction, stratified by the column that matters at 100 TB."""
+    flags = _quality_gate_flags(spark, sf_dir)
+    domains = _synthesized_canonical_urls(
+        load(spark, sf_dir, "documents")
+    ).select("doc_id", "registered_domain")
+    return _gate_rollup(flags.join(domains, "doc_id"), "registered_domain")
 
 
 def _streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2995,6 +3021,53 @@ def _exact_quantile_probe(df: DataFrame, col: str, ps, eps):
     return {p: (row[3 * i], row[3 * i + 1], row[3 * i + 2]) for i, p in enumerate(ps)}
 
 
+def _streaming_ndv_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL trio in PRODUCTION position (the NDV twin of
+    `streaming_quantile_monitor`): the events backlog replays
+    availableNow through `streaming.hll_sketch_sink` — each
+    micro-batch appends its one-row DataSketches state — then
+    "distinct users over the whole ingest history" is answered from
+    the STATE table alone (register-lossless union + estimate, no
+    rescan). ``n_rows`` (per-batch counts sum exactly regardless of
+    micro-batch boundaries) and ``exact_ndv`` are pinned by the
+    oracle; the unioned estimate must sit within 5% of exact — the
+    `profiling_hll_invariants` envelope, which representation
+    promotion cannot move past."""
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import profiling
+
+    stream = streaming.read_event_stream(
+        f"{sf_dir}/events.parquet", spark=spark
+    ).select("user_id", "event_type")
+    state = f"{tempfile.mkdtemp(prefix='sgq_')}/hll_state"
+    sketches = streaming.hll_sketch_sink(
+        stream, ["user_id", "event_type"], state
+    )
+    est = {
+        r["column"]: r for r in profiling.hll_estimates(sketches).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_type").alias("t"),
+    ).collect()[0]
+    out = []
+    for column, exact_ndv in (("event_type", exact["t"]), ("user_id", exact["u"])):
+        e = est[column]
+        out.append(
+            (
+                column,
+                e["n_rows"],
+                int(exact_ndv),
+                bool(abs(e["n_distinct_est"] - exact_ndv) <= 0.05 * exact_ndv),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, exact_ndv bigint, est_within_5pct boolean",
+    ).orderBy("column")
+
+
 def _streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantile-sketch trio in PRODUCTION position (the monitor-
     family convention): the events backlog replays availableNow through
@@ -3395,6 +3468,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # session; rotates into the round-10 window FIRST ---
     "sample_domain_temperature": _sample_domain_temperature,
     "streaming_quantile_monitor": _streaming_quantile_monitor,
+    "streaming_ndv_monitor": _streaming_ndv_monitor,
+    "text_domain_quality": _text_domain_quality,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

@@ -898,6 +898,69 @@ def anomaly_monitor(
     )
 
 
+def hll_sketch_sink(
+    stream: DataFrame,
+    cols: list,
+    state_path: str,
+    lg_k: int = 12,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """The HLL distinct-count trio in PRODUCTION position — the NDV
+    twin of ``quantile_sketch_sink``: each micro-batch appends its
+    one-row DataSketches state (``n_rows`` + a binary ``sk_<col>``
+    per column, ~2.5 KB each at the default ``lg_k`` — bytes, never
+    data) to a parquet sketch table. "distinct users over the whole
+    ingest history" is then ``profiling.hll_union`` /
+    ``hll_estimates`` over the state table, no rescan of any landed
+    batch.
+
+    Batching-independence: HLL register state is a pointwise MAX, so
+    unions are register-lossless — per-batch ``n_rows`` sums exactly
+    and the unioned estimate carries the sketch's error bound no
+    matter how the backlog was split (representation promotion can
+    move the estimate within the bound, never past it — the
+    ``profiling_hll_invariants`` contract). foreachBatch is
+    at-least-once: a replayed append is healed by the (batch) key
+    dedup EXCEPT its n_rows would double-count, so the batch id rides
+    in the row and read-back keeps one row per batch id. A timeout
+    raises rather than answering NDV questions from a partially
+    drained backlog.
+    """
+    from aws_data_wrangler_spark.operators.profiling import hll_column_sketches
+
+    spark = stream.sparkSession
+    path = normalize_path(state_path)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sk = hll_column_sketches(batch_df, cols, lg_k=lg_k).select(
+            F.lit(str(batch_id)).alias("batch"), "*"
+        )
+        sk.coalesce(1).write.mode("append").parquet(f"{path}/sketches")
+
+    query = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}/_checkpoint")
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"HLL sketching did not drain the backlog within {timeout_s}s "
+            f"(committed batches are durable; rerun to resume)"
+        )
+    from aws_data_wrangler_spark.s3 import does_object_exist
+
+    if not does_object_exist(f"{path}/sketches", spark=spark):
+        schema = "batch string, n_rows bigint, " + ", ".join(
+            f"sk_{c} binary" for c in cols
+        )
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(f"{path}/sketches").dropDuplicates(["batch"])
+
+
 def quantile_sketch_sink(
     stream: DataFrame,
     cols: list,

@@ -144,6 +144,8 @@ ROUND9_LATE = {
     # rotates into the round-10 window FIRST
     "sample_domain_temperature",
     "streaming_quantile_monitor",
+    "streaming_ndv_monitor",
+    "text_domain_quality",
 }
 
 ROUND9_MUST_BE_IN_WINDOW = (

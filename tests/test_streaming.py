@@ -312,6 +312,49 @@ class TestQuantileSketchSink:
         assert lo <= est <= hi
 
 
+class TestHllSketchSink:
+    def test_streamed_ndv_state_matches_batch_sketches(self, spark, events, tmp_prefix):
+        # two micro-batches of HLL state must union to the same
+        # estimates as the single-pass batch sketch (exact-mode NDV at
+        # this scale) with n_rows summing exactly across batches
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import profiling
+
+        median = events.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+        early = events.filter(F.unix_micros("ts") <= median).coalesce(1)
+        late = events.filter(F.unix_micros("ts") > median).coalesce(1)
+        src = f"{tmp_prefix}/hll_src"
+        early.write.mode("overwrite").parquet(src)
+        late.write.mode("append").parquet(src)
+
+        stream = streaming.read_event_stream(
+            src, spark=spark, maxFilesPerTrigger="1"
+        ).select("user_id", "event_type")
+        state = f"{tmp_prefix}/hll_state"
+        sketches = streaming.hll_sketch_sink(
+            stream, ["user_id", "event_type"], state
+        )
+        assert sketches.count() == 2  # one state row per micro-batch
+        streamed = {
+            r["column"]: r
+            for r in profiling.hll_estimates(sketches).collect()
+        }
+        single = {
+            r["column"]: r
+            for r in profiling.hll_estimates(
+                profiling.hll_column_sketches(events, ["user_id", "event_type"])
+            ).collect()
+        }
+        n = events.count()
+        for col in ("user_id", "event_type"):
+            assert streamed[col]["n_rows"] == n  # per-batch counts sum exactly
+            # exact-mode sketches at this cardinality: estimates equal
+            assert streamed[col]["n_distinct_est"] == single[col]["n_distinct_est"]
+        assert streamed["event_type"]["n_distinct_est"] == events.select(
+            "event_type"
+        ).distinct().count()
+
+
 class TestUpsertSink:
     def test_multi_batch_merge_equals_argmax(self, spark, events, tmp_prefix):
         from aws_data_wrangler_spark import s3, streaming
