@@ -407,7 +407,13 @@ def hll_estimates(sketches: DataFrame) -> DataFrame:
         "n_rows",
         *[F.expr(f"hll_sketch_estimate(`{c}`)").alias(c) for c in sk_cols],
     ).collect()[0]
-    out = [(c[3:], int(row["n_rows"]), int(row[c])) for c in sk_cols]
+    if row["n_rows"] is None:
+        # an EMPTY sketch frame (e.g. hll_sketch_sink over an all-empty
+        # backlog) aggregates to one all-NULL row — the honest answer
+        # is an empty estimate frame, not int(None)
+        out = []
+    else:
+        out = [(c[3:], int(row["n_rows"]), int(row[c])) for c in sk_cols]
     return sketches.sparkSession.createDataFrame(
         out, "column string, n_rows bigint, n_distinct_est bigint"
     )

@@ -898,6 +898,52 @@ def anomaly_monitor(
     )
 
 
+def _sketch_sink(
+    stream: DataFrame,
+    state_path: str,
+    sketch_fn,
+    empty_schema: str,
+    dedup_keys: list,
+    timeout_s: int,
+    what: str,
+) -> DataFrame:
+    """Shared scaffolding of the mergeable-state sinks
+    (``hll_sketch_sink`` / ``quantile_sketch_sink``): per-micro-batch
+    sketch append (foreachBatch, availableNow), the drain timeout that
+    raises rather than answering from a partial backlog, the
+    empty-backlog fallback (an empty sketch frame instead of an opaque
+    PATH_NOT_FOUND), and the at-least-once read-back dedup. ONE place
+    owns the lifecycle; the sinks differ only in their per-batch
+    sketch function, empty schema, and dedup keys."""
+    spark = stream.sparkSession
+    path = normalize_path(state_path)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sk = sketch_fn(batch_df, batch_id)
+        # sketch rows are artifact-sized — a single tiny file per batch
+        sk.coalesce(1).write.mode("append").parquet(f"{path}/sketches")
+
+    query = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}/_checkpoint")
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"{what} sketching did not drain the backlog within "
+            f"{timeout_s}s (committed batches are durable; rerun to resume)"
+        )
+    from aws_data_wrangler_spark.s3 import does_object_exist
+
+    if not does_object_exist(f"{path}/sketches", spark=spark):
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(f"{path}/sketches").dropDuplicates(dedup_keys)
+
+
 def hll_sketch_sink(
     stream: DataFrame,
     cols: list,
@@ -924,41 +970,22 @@ def hll_sketch_sink(
     dedup EXCEPT its n_rows would double-count, so the batch id rides
     in the row and read-back keeps one row per batch id. A timeout
     raises rather than answering NDV questions from a partially
-    drained backlog.
+    drained backlog; an all-empty backlog yields an empty sketch
+    frame (and ``hll_estimates`` of that is an empty estimate frame).
     """
     from aws_data_wrangler_spark.operators.profiling import hll_column_sketches
 
-    spark = stream.sparkSession
-    path = normalize_path(state_path)
-
-    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sk = hll_column_sketches(batch_df, cols, lg_k=lg_k).select(
+    def sketch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return hll_column_sketches(batch_df, cols, lg_k=lg_k).select(
             F.lit(str(batch_id)).alias("batch"), "*"
         )
-        sk.coalesce(1).write.mode("append").parquet(f"{path}/sketches")
 
-    query = (
-        stream.writeStream.foreachBatch(sketch_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{path}/_checkpoint")
-        .start()
+    empty = "batch string, n_rows bigint, " + ", ".join(
+        f"sk_{c} binary" for c in cols
     )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(
-            f"HLL sketching did not drain the backlog within {timeout_s}s "
-            f"(committed batches are durable; rerun to resume)"
-        )
-    from aws_data_wrangler_spark.s3 import does_object_exist
-
-    if not does_object_exist(f"{path}/sketches", spark=spark):
-        schema = "batch string, n_rows bigint, " + ", ".join(
-            f"sk_{c} binary" for c in cols
-        )
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(f"{path}/sketches").dropDuplicates(["batch"])
+    return _sketch_sink(
+        stream, state_path, sketch, empty, ["batch"], timeout_s, "HLL"
+    )
 
 
 def quantile_sketch_sink(
@@ -987,45 +1014,23 @@ def quantile_sketch_sink(
     per-batch sketch is deterministic, making the dedup lossless. A
     timeout raises rather than answering percentile questions from a
     partially-drained backlog (committed batches stay durable; rerun
-    to resume).
+    to resume); an all-empty backlog yields an empty sketch frame.
     """
     from aws_data_wrangler_spark.operators.profiling import quantile_sketches
 
-    spark = stream.sparkSession
-    path = normalize_path(state_path)
-
-    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sk = quantile_sketches(batch_df, cols, bins=bins).select(
+    def sketch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return quantile_sketches(batch_df, cols, bins=bins).select(
             F.lit(str(batch_id)).alias("batch"), "column", "n", "grid"
         )
-        # one sketch row per column — a single tiny file per batch
-        sk.coalesce(1).write.mode("append").parquet(f"{path}/sketches")
 
-    query = (
-        stream.writeStream.foreachBatch(sketch_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{path}/_checkpoint")
-        .start()
-    )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(
-            f"quantile sketching did not drain the backlog within "
-            f"{timeout_s}s (committed batches are durable; rerun to resume)"
-        )
-    from aws_data_wrangler_spark.s3 import does_object_exist
-
-    if not does_object_exist(f"{path}/sketches", spark=spark):
-        # every micro-batch was empty → no sketch file was ever
-        # written; an empty sketch frame is the honest state (the
-        # unconditional read would raise an opaque PATH_NOT_FOUND)
-        return spark.createDataFrame(
-            [], "batch string, column string, n bigint, grid array<double>"
-        )
-    return spark.read.parquet(f"{path}/sketches").dropDuplicates(
-        ["batch", "column"]
+    return _sketch_sink(
+        stream,
+        state_path,
+        sketch,
+        "batch string, column string, n bigint, grid array<double>",
+        ["batch", "column"],
+        timeout_s,
+        "quantile",
     )
 
 

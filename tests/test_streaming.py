@@ -348,8 +348,13 @@ class TestHllSketchSink:
         n = events.count()
         for col in ("user_id", "event_type"):
             assert streamed[col]["n_rows"] == n  # per-batch counts sum exactly
-            # exact-mode sketches at this cardinality: estimates equal
-            assert streamed[col]["n_distinct_est"] == single[col]["n_distinct_est"]
+            # the merged-vs-single 2% invariant (exact equality holds
+            # in the exact-mode regime but breaks past representation
+            # promotion — the profiling_hll_invariants contract — so
+            # the assertion must survive a larger SF_DIR fixture)
+            s = single[col]["n_distinct_est"]
+            assert abs(streamed[col]["n_distinct_est"] - s) <= max(0.02 * s, 1)
+        # tiny cardinalities stay exact in HLL
         assert streamed["event_type"]["n_distinct_est"] == events.select(
             "event_type"
         ).distinct().count()
