@@ -2138,10 +2138,12 @@ def _synthesized_canonical_urls(docs: DataFrame) -> DataFrame:
     DIFFERENT variants of it, so the cross-variant canonical collapse
     is exercised across documents (n_pages < n_docs). ONE place owns
     the synthesis convention; the oracle twin is the shared
-    `oracles._CANON_URL_CTES` fragment."""
+    `oracles._CANON_URL_CTES` fragment. Input columns are PRESERVED
+    (the frame only needs doc_id + source), so a weld can add the
+    domain strata to an already-scored frame in the SAME scan — no
+    corpus-sized doc_id self-join."""
     from aws_data_wrangler_spark.operators import text
 
-    docs = docs.select("doc_id", "source")
     v = F.col("doc_id") % 5
     host = F.when(
         F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(".com"))
@@ -2385,15 +2387,15 @@ def _text_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality gate rolled up BY REGISTERED DOMAIN (r9-late): the
     per-domain keep/quality report a RefinedWeb-style curation run
     reads before deciding domain weights — the SAME scoring plan and
-    the SAME rollup as `text_quality_gate`, joined to the
+    the SAME rollup as `text_quality_gate`, stratified by the
     `with_canonical_url` strata (shared synthesis helper / shared
     `_CANON_URL_CTES` oracle fragment) — equal to the standalone gate
-    by construction, stratified by the column that matters at 100 TB."""
-    flags = _quality_gate_flags(spark, sf_dir)
-    domains = _synthesized_canonical_urls(
-        load(spark, sf_dir, "documents")
-    ).select("doc_id", "registered_domain")
-    return _gate_rollup(flags.join(domains, "doc_id"), "registered_domain")
+    by construction, by the column that matters at 100 TB. The strata
+    attach IN the scoring scan (the synthesis helper preserves input
+    columns), so the weld pays NO corpus-sized doc_id self-join on
+    top of the gate's plan."""
+    flags = _synthesized_canonical_urls(_quality_gate_flags(spark, sf_dir))
+    return _gate_rollup(flags, "registered_domain")
 
 
 def _streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
