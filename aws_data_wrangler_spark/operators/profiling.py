@@ -588,6 +588,179 @@ def quantile_estimates(
     )
 
 
+def cms_sketches(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    batch_col: Optional[str] = None,
+) -> DataFrame:
+    """Mergeable FREQUENCY state — the Count-Min companion to the HLL
+    (NDV) and quantile (percentile) trios, completing the sketch
+    family: one sparse counter row per non-empty ``(batch, row_i,
+    bucket)`` cell of a ``depth × width`` Count-Min table over ``col``
+    (Cormode–Muthukrishnan 2005). Each ingest batch / day appends its
+    counter rows (≤ ``depth·width`` rows of integers, never data) and
+    ``cms_union`` later answers "how many times did key X occur over
+    the whole ingest history" without rescanning — the question
+    ``approx_top_k``'s one-shot sketch and the exact
+    ``key_distribution`` groupBy can't answer incrementally.
+
+    Determinism contract (stronger than the DataSketches HLL row): the
+    row hashes are md5-derived (``h_i(key) = int(md5(i ':' key)[:15
+    hex]) mod width`` — the engine-portable coin ``sampling.hash_split``
+    bands on), so the ENTIRE counter table, and therefore every
+    estimate, is bit-deterministic across partitionings, batchings,
+    AND engines — a DuckDB oracle replicates estimates exactly, not
+    merely within an envelope.
+
+    Accuracy contract: ``true ≤ estimate ≤ true + εN`` with
+    probability ``1 − δ`` where ``ε = e/width`` and ``δ = e^−depth``
+    (N = total non-null rows). The default 4 × 1024 table holds every
+    estimate within ~0.27% of N at 98% confidence in ~64 KB of state.
+
+    Scale shape: the input explodes ``depth``-fold into (row_i,
+    bucket) pairs, but the hash aggregate's map-side partials are
+    bounded by ``depth·width`` states per task, so the SHUFFLE is
+    counter-table-sized (≤ tasks × depth × width rows), never
+    data-sized — the same reason ``approx_heavy_hitters`` beats a
+    per-key groupBy when the keyspace is corpus-scale. NULL keys are
+    excluded (the ``count(col)`` convention).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
+    key = F.col(col).cast("string")
+    batch = (
+        F.col(batch_col).cast("string") if batch_col else F.lit("__all__")
+    ).alias("batch")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(batch, F.explode(cells).alias("__c"))
+        .groupBy("batch", F.col("__c.row_i").alias("row_i"), F.col("__c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "batch",
+            F.col("row_i").cast("int").alias("row_i"),
+            "bucket",
+            "cnt",
+            F.lit(depth).cast("int").alias("depth"),
+            F.lit(width).cast("int").alias("width"),
+        )
+    )
+
+
+def cms_union(sketches: DataFrame) -> DataFrame:
+    """Merge many Count-Min sketch rows (one set per batch/day) into
+    one counter table (``batch='__merged__'``): counters SUM cell-wise
+    — integer addition commutes, so unlike the HLL estimate (which can
+    drift within its bound across grouping paths) the merged table is
+    BIT-IDENTICAL to the single-pass table over the same rows, however
+    the backlog was split. One bounded hash aggregate over counter
+    rows (≤ batches · depth · width), no data touched. Sketches of
+    different geometry cannot union (the quantile-grid-size rule)."""
+    geoms = [
+        (r["depth"], r["width"])
+        for r in sketches.select("depth", "width").distinct().collect()
+    ]
+    if len(geoms) > 1:
+        raise ValueError(
+            f"cannot union CMS sketches with different depth x width: {sorted(geoms)}"
+        )
+    return (
+        sketches.groupBy("row_i", "bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.first("depth").alias("depth"),
+            F.first("width").alias("width"),
+        )
+        .select(
+            F.lit("__merged__").alias("batch"),
+            "row_i",
+            "bucket",
+            "cnt",
+            "depth",
+            "width",
+        )
+    )
+
+
+def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") -> DataFrame:
+    """Read frequency estimates off a (merged) Count-Min sketch for
+    each probe key: ``(value, cms_est)`` where ``cms_est =
+    min_i counter[i][h_i(value)]`` — the classic point query, with
+    absent cells counting 0 (a key the sketch never saw estimates 0;
+    an EMPTY state table estimates 0 for everything — "nothing
+    ingested yet" is a real answer, not an error).
+
+    Join shape: the counter table is bounded by ``depth · width`` BY
+    CONSTRUCTION, so it BROADCASTS and the probe side — which may be a
+    full corpus being scored against the ingest history — streams
+    through map-side, no shuffle of the probes; the only exchange is
+    the per-probe min, keyed by the probe itself. Pre-unions when
+    handed multiple batch rows (integer sums, lossless)."""
+    merged = cms_union(sketches)
+    geom = merged.select("depth", "width").limit(1).collect()
+    if not geom:
+        # empty state: every probe estimates 0 (sparse cells absent)
+        return (
+            probes.select(F.col(col).cast("string").alias("value"))
+            .filter(F.col("value").isNotNull())
+            .distinct()
+            .withColumn("cms_est", F.lit(0).cast("bigint"))
+        )
+    depth, width = int(geom[0]["depth"]), int(geom[0]["width"])
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col("value"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = (
+        probes.select(F.col(col).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())  # the count(col) convention
+        .distinct()
+        .select("value", F.explode(cells).alias("__c"))
+        .select("value", F.col("__c.row_i").alias("row_i"), F.col("__c.bucket").alias("bucket"))
+    )
+    return (
+        probed.join(
+            F.broadcast(merged.select("row_i", "bucket", "cnt")),
+            ["row_i", "bucket"],
+            "left",
+        )
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
 def approx_heavy_hitters(
     df: DataFrame,
     col: str,

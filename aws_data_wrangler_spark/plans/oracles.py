@@ -355,6 +355,53 @@ def _quantile_invariants_oracle_sql(
     """
 
 
+def _cms_oracle_sql(with_invariant: bool, depth: int = 4, width: int = 1024) -> str:
+    """Count-Min point-query oracle, shared by the batch invariant row
+    (``profiling_cms_frequencies``) and the streaming monitor
+    (``streaming_heavyhitter_monitor``) — the streamed state merges to
+    the IDENTICAL counter table (integer cell sums commute), so the
+    rows differ only in the asserted ``merged_eq_single`` column. The
+    full estimate arithmetic is replicated: rebuild the merged
+    ``depth × width`` counter table with the operator's md5 row hashes
+    and read ``min_i counter[i][h_i(key)]`` per probe — ``cms_est`` is
+    exact-matched cell-for-cell, no sketch envelope needed."""
+    invariant = ",\n               true AS merged_eq_single" if with_invariant else ""
+    return f"""
+        WITH rows_i AS (SELECT unnest(range({depth})) AS row_i),
+        cells AS (
+            SELECT row_i,
+                   ('0x' || substr(md5(row_i::VARCHAR || ':' || event_type), 1, 15))::BIGINT
+                       % {width} AS bucket,
+                   count(*)::BIGINT AS cnt
+            FROM events, rows_i
+            WHERE event_type IS NOT NULL
+            GROUP BY 1, 2
+        ), probes AS (
+            SELECT DISTINCT event_type AS value FROM events
+            WHERE event_type IS NOT NULL
+        ), probe_cells AS (
+            SELECT value, row_i,
+                   ('0x' || substr(md5(row_i::VARCHAR || ':' || value), 1, 15))::BIGINT
+                       % {width} AS bucket
+            FROM probes, rows_i
+        ), est AS (
+            SELECT value, min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+            FROM probe_cells p
+            LEFT JOIN cells c USING (row_i, bucket)
+            GROUP BY value
+        ), true_counts AS (
+            -- plain `value` would hit events.value (a double column);
+            -- the probe key is the event_type
+            SELECT event_type AS value, count(*)::BIGINT AS n_true
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT t.value, t.n_true, e.cms_est{invariant}
+        FROM true_counts t JOIN est e USING (value)
+        ORDER BY t.value
+    """
+
+
 def _deciles_oracle_sql() -> str:
     bounds = ",\n                    ".join(
         _spark_percentile_expr("vs", "n", i / 10.0) for i in range(1, 10)
@@ -3361,6 +3408,17 @@ ORACLES: Dict[str, str] = {
         FROM events
         ORDER BY "column"
     """,
+    # Count-Min point queries are EXACT-matched (not enveloped): the
+    # row hashes are md5-derived, so DuckDB rebuilds the merged
+    # counter table cell-for-cell — min_i counter[i][h_i(key)] — with
+    # the same '0x'||substr(md5(...),1,15) arithmetic the hash_split /
+    # minhash oracles use. merged_eq_single is asserted TRUE (integer
+    # cell sums commute; the Spark side computes both paths). The
+    # batch invariant row and the streaming monitor share ONE builder
+    # — the streamed state merges to the identical counter table, so
+    # the two rows differ only in the asserted-invariant column.
+    "profiling_cms_frequencies": _cms_oracle_sql(with_invariant=True),
+    "streaming_heavyhitter_monitor": _cms_oracle_sql(with_invariant=False),
 }
 
 # RETIRED_R9 analytics rows (registry consolidation, VERDICT r8 #2):

@@ -3120,6 +3120,77 @@ def _streaming_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p")
 
 
+def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min FREQUENCY sketch, the third of the sketch
+    trios (HLL → NDV, quantile grids → percentiles, CMS →
+    frequencies): events split into 4 disjoint crc32 hash-batches,
+    each sketched independently; the UNION of the batch counter tables
+    is BIT-IDENTICAL to the single-pass table (integer sums commute —
+    the strongest determinism class in the family), and point queries
+    read ``min_i counter[i][h_i(key)]``. Because the row hashes are
+    md5-derived (the engine-portable ``hash_split`` coin), the oracle
+    replicates the ENTIRE estimate arithmetic in SQL — ``cms_est`` is
+    exact-matched cell-for-cell, not boxed by an invariant envelope
+    like the DataSketches HLL row."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    batched = ev.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
+    merged = profiling.cms_union(
+        profiling.cms_sketches(batched, "event_type", batch_col="b")
+    )
+    single = profiling.cms_sketches(ev, "event_type")
+    probes = ev.select("event_type").distinct()
+    est_m = profiling.cms_estimates(merged, probes, "event_type")
+    est_s = profiling.cms_estimates(single, probes, "event_type").select(
+        "value", F.col("cms_est").alias("__single_est")
+    )
+    n_true = ev.groupBy(F.col("event_type").alias("value")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return (
+        n_true.join(est_m, "value")
+        .join(est_s, "value")
+        .select(
+            "value",
+            "n_true",
+            "cms_est",
+            (F.col("cms_est") == F.col("__single_est")).alias("merged_eq_single"),
+        )
+        .orderBy("value")
+    )
+
+
+def _streaming_heavyhitter_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min trio in PRODUCTION position (the frequency twin
+    of `streaming_ndv_monitor` / `streaming_quantile_monitor`): the
+    events backlog replays availableNow through
+    `streaming.cms_sketch_sink` — each micro-batch appends its sparse
+    counter rows — then "how often has each key occurred over the
+    whole ingest history" is answered from the STATE table alone
+    (cell-wise union + broadcast point queries, no rescan). Counters
+    sum exactly across any micro-batching and the hashes are
+    md5-deterministic, so the oracle exact-matches ``cms_est``
+    cell-for-cell — no envelope needed."""
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import profiling
+
+    stream = streaming.read_event_stream(
+        f"{sf_dir}/events.parquet", spark=spark
+    ).select("event_type")
+    state = f"{tempfile.mkdtemp(prefix='sgq_')}/cms_state"
+    sketches = streaming.cms_sketch_sink(stream, "event_type", state)
+    ev = load(spark, sf_dir, "events")
+    probes = ev.select("event_type").distinct()
+    est = profiling.cms_estimates(sketches, probes, "event_type")
+    n_true = ev.groupBy(F.col("event_type").alias("value")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return n_true.join(est, "value").select(
+        "value", "n_true", "cms_est"
+    ).orderBy("value")
+
+
 def _text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/page cleaning (Raffel et al. 2020 §2.2) over a
     deterministically line-ified corpus: 6-token lines with a period
@@ -3472,6 +3543,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_quantile_monitor": _streaming_quantile_monitor,
     "streaming_ndv_monitor": _streaming_ndv_monitor,
     "text_domain_quality": _text_domain_quality,
+    "profiling_cms_frequencies": _profiling_cms_frequencies,
+    "streaming_heavyhitter_monitor": _streaming_heavyhitter_monitor,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

@@ -1034,6 +1034,61 @@ def quantile_sketch_sink(
     )
 
 
+def cms_sketch_sink(
+    stream: DataFrame,
+    col: str,
+    state_path: str,
+    depth: int = 4,
+    width: int = 1024,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Mergeable FREQUENCY state in PRODUCTION position — the
+    Count-Min third of the sketch-sink family beside
+    ``hll_sketch_sink`` (NDV) and ``quantile_sketch_sink``
+    (percentiles): each micro-batch appends its sparse ``depth ×
+    width`` counter rows (≤ ``depth·width`` integers, never data) to a
+    parquet sketch table. "How many times has key X occurred over the
+    whole ingest history" is then ``profiling.cms_union`` /
+    ``cms_estimates`` over the state table alone — no rescan of any
+    landed batch, and the counter table stays broadcastable so the
+    probe side can be a full corpus.
+
+    Batching-exactness: counters SUM cell-wise (integer addition
+    commutes), so the unioned table is BIT-IDENTICAL to the single-
+    pass batch sketch over the same rows no matter how the backlog was
+    micro-batched — stronger than the HLL bound, the
+    ``quantile_sketch_sink`` determinism class. foreachBatch is
+    at-least-once: a replayed append is byte-identical (the per-batch
+    sketch is md5-deterministic), so the (batch, row_i, bucket)
+    read-back dedup is lossless. A timeout raises rather than
+    answering frequency questions from a partially-drained backlog; an
+    all-empty backlog yields an empty state frame (and
+    ``cms_estimates`` of that is 0 for every probe — "nothing ingested
+    yet").
+    """
+    from aws_data_wrangler_spark.operators.profiling import cms_sketches
+
+    def sketch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return cms_sketches(batch_df, col, depth=depth, width=width).select(
+            F.lit(str(batch_id)).alias("batch"),
+            "row_i",
+            "bucket",
+            "cnt",
+            "depth",
+            "width",
+        )
+
+    return _sketch_sink(
+        stream,
+        state_path,
+        sketch,
+        "batch string, row_i int, bucket bigint, cnt bigint, depth int, width int",
+        ["batch", "row_i", "bucket"],
+        timeout_s,
+        "Count-Min",
+    )
+
+
 def ewma_monitor(
     stream: DataFrame,
     alpha: float = 0.25,

@@ -4167,6 +4167,82 @@ class TestProfiling:
         with _pytest.raises(ValueError, match="bins"):
             profiling.quantile_sketches(df, ["x"], bins=0)
 
+    def test_cms_merge_bit_identical_and_estimate_bounds(self, spark):
+        # Count-Min: 4 disjoint batches sketched independently must
+        # union to the IDENTICAL counter table (integer sums commute —
+        # stronger than HLL's envelope), and with a deliberately tiny
+        # width (forced collisions) every point query still obeys
+        # true <= est, with per-row bucket mass summing to N
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(2000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'heavy' ELSE 'k' || (id % 200) END AS k",
+            "pmod(id, 4) AS b",
+        )
+        single = profiling.cms_sketches(df, "k", depth=3, width=32)
+        merged = profiling.cms_union(
+            profiling.cms_sketches(df, "k", depth=3, width=32, batch_col="b")
+        )
+        key = lambda r: (r["row_i"], r["bucket"], r["cnt"])
+        assert sorted(map(key, merged.collect())) == sorted(
+            map(key, profiling.cms_union(single).collect())
+        )
+        # per-row mass = N for every hash row
+        n = df.count()
+        mass = {
+            r["row_i"]: r["m"]
+            for r in merged.groupBy("row_i").agg(F.sum("cnt").alias("m")).collect()
+        }
+        assert mass == {0: n, 1: n, 2: n}
+        true = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+        est = {
+            r["value"]: r["cms_est"]
+            for r in profiling.cms_estimates(merged, df.select("k"), "k").collect()
+        }
+        assert set(est) == set(true)
+        assert all(est[k] >= true[k] for k in true)  # CMS never undercounts
+        # the heavy key dominates every bucket it lands in, so its
+        # estimate is within the eN/width envelope even at width 32
+        assert est["heavy"] - true["heavy"] <= 2.72 * n / 32
+
+    def test_cms_guards_roundtrip_and_empty_state(self, spark, tmp_path):
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(100).selectExpr("'k' || (id % 7) AS k", "pmod(id, 2) AS b")
+        sk = profiling.cms_sketches(df, "k", depth=2, width=64, batch_col="b")
+        out = f"file://{tmp_path}/cms"
+        sk.write.parquet(out)
+        back = spark.read.parquet(out)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sk.collect()))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="depth x width"):
+            profiling.cms_union(
+                sk.unionByName(profiling.cms_sketches(df, "k", depth=2, width=32))
+            )
+        with _pytest.raises(ValueError, match="depth and width"):
+            profiling.cms_sketches(df, "k", depth=0)
+        # unseen probes estimate >= 0; NULL keys/probes are excluded
+        # (the count(col) convention); an EMPTY state estimates 0
+        probes = spark.createDataFrame(
+            [("k1",), ("never-seen",), (None,)], "k string"
+        )
+        est = {
+            r["value"]: r["cms_est"]
+            for r in profiling.cms_estimates(sk, probes, "k").collect()
+        }
+        assert set(est) == {"k1", "never-seen"}
+        assert est["k1"] >= 15  # true count of k1 in 0..99 step 7 pattern
+        assert est["never-seen"] >= 0
+        empty = profiling.cms_estimates(sk.limit(0), probes, "k")
+        assert {(r["value"], r["cms_est"]) for r in empty.collect()} == {
+            ("k1", 0), ("never-seen", 0),
+        }
+        nulls = profiling.cms_sketches(
+            spark.createDataFrame([(None,), ("x",)], "k string"), "k"
+        )
+        assert nulls.agg(F.sum("cnt")).collect()[0][0] == 4  # depth rows x 1 key
+
     def test_approx_heavy_hitters_exact_regime_and_ties(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 

@@ -146,6 +146,8 @@ ROUND9_LATE = {
     "streaming_quantile_monitor",
     "streaming_ndv_monitor",
     "text_domain_quality",
+    "profiling_cms_frequencies",
+    "streaming_heavyhitter_monitor",
 }
 
 ROUND9_MUST_BE_IN_WINDOW = (

@@ -360,6 +360,51 @@ class TestHllSketchSink:
         ).distinct().count()
 
 
+class TestCmsSketchSink:
+    def test_streamed_counters_equal_batch_table_bit_for_bit(self, spark, events, tmp_prefix):
+        # two micro-batches of Count-Min state must union to the
+        # IDENTICAL counter table as the single-pass batch sketch —
+        # integer cell sums commute, the strongest determinism class
+        # in the sketch-sink family — and point queries answered from
+        # state alone must equal the exact per-key counts in the
+        # no-collision regime (5 keys, width 1024)
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import profiling
+
+        median = events.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+        early = events.filter(F.unix_micros("ts") <= median).coalesce(1)
+        late = events.filter(F.unix_micros("ts") > median).coalesce(1)
+        src = f"{tmp_prefix}/cms_src"
+        early.write.mode("overwrite").parquet(src)
+        late.write.mode("append").parquet(src)
+
+        stream = streaming.read_event_stream(
+            src, spark=spark, maxFilesPerTrigger="1"
+        ).select("event_type")
+        state = f"{tmp_prefix}/cms_state"
+        sketches = streaming.cms_sketch_sink(stream, "event_type", state)
+        assert sketches.select("batch").distinct().count() == 2
+        key = lambda r: (r["row_i"], r["bucket"], r["cnt"])
+        streamed = sorted(map(key, profiling.cms_union(sketches).collect()))
+        batch = sorted(
+            map(key, profiling.cms_union(
+                profiling.cms_sketches(events, "event_type")
+            ).collect())
+        )
+        assert streamed == batch
+        true = {
+            r["event_type"]: r["c"]
+            for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+        }
+        est = {
+            r["value"]: r["cms_est"]
+            for r in profiling.cms_estimates(
+                sketches, events.select("event_type"), "event_type"
+            ).collect()
+        }
+        assert est == true  # exact in the no-collision regime
+
+
 class TestUpsertSink:
     def test_multi_batch_merge_equals_argmax(self, spark, events, tmp_prefix):
         from aws_data_wrangler_spark import s3, streaming
