@@ -192,16 +192,7 @@ def ngram_jaccard_pairs(
             "to silence this warning.",
             stacklevel=2,
         )
-    shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency).cache()
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    left = shingles.toDF("id_a", "shingle")
-    right = shingles.toDF("id_b", "shingle")
-    common = (
-        left.join(right, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
     out = (
         common.join(sizes.toDF("id_a", "size_a"), "id_a")
         .join(sizes.toDF("id_b", "size_b"), "id_b")
@@ -215,6 +206,83 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def _shingle_overlap(df, id_col, text_col, n, max_doc_frequency):
+    """Shared overlap core of the n-gram set-similarity pair: per-doc
+    shingle-set sizes plus the exact per-pair intersection counts over
+    the unordered (id_a < id_b) pair space — the shingle equi-join
+    (never a cartesian), with per-pair counts from a groupBy with
+    map-side combine. `ngram_jaccard_pairs` reads the symmetric
+    resemblance off it; `containment_pairs` reads both directed
+    containments (intersection counts are symmetric, so the unordered
+    pair space is computed ONCE either way)."""
+    shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency).cache()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    left = shingles.toDF("id_a", "shingle")
+    right = shingles.toDF("id_b", "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return sizes, common
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_frequency=_DF_CAP_DEFAULT,
+) -> DataFrame:
+    """N-gram CONTAINMENT — the asymmetric half of Broder's
+    resemblance/containment pair (Broder 1997, "On the resemblance and
+    containment of documents"): directed ``(id_contained, id_container,
+    containment)`` rows with ``containment = |A∩B| / |A| ≥ threshold``,
+    where A is the contained doc's shingle set. This is the
+    subset-duplicate screen symmetric Jaccard structurally MISSES: a
+    short doc quoted whole inside a long page scores resemblance
+    ≈ |A|/|B| (arbitrarily small) but containment ≈ 1 — the classic
+    boilerplate/quote/mirror-with-chrome case in web-corpus curation,
+    where the contained copy is the one a dedup pass drops.
+
+    Both directions of every overlapping pair are scored (intersection
+    counts are symmetric, so the unordered pair space is computed once
+    and read twice); near-identical docs therefore emit BOTH directed
+    rows, subset-duplicates exactly one. Exact over the retained
+    shingles, same contract and ``max_doc_frequency`` fan-out cap as
+    ``ngram_jaccard_pairs`` (shared ``_shingle_overlap`` core: shingle
+    equi-join, never a cartesian; per-pair counts via map-side
+    combine; the cap bounds per-shingle fan-out at cap²).
+    """
+    if max_doc_frequency is _DF_CAP_DEFAULT:
+        max_doc_frequency = 1000
+        warnings.warn(
+            "containment_pairs applies a default shingle document-frequency "
+            "cap of 1000 (the ngram_jaccard_pairs contract): shingles shared "
+            "by more than 1000 documents are excluded from the shingle sets. "
+            "Pass max_doc_frequency=None for strict exactness, or an explicit "
+            "cap to silence this warning.",
+            stacklevel=2,
+        )
+    sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
+    directed = common.unionByName(
+        common.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "common"
+        )
+    )
+    return (
+        directed.join(sizes.toDF("id_a", "size_a"), "id_a")
+        .select(
+            F.col("id_a").alias("id_contained"),
+            F.col("id_b").alias("id_container"),
+            trunc_digits(F.col("common") / F.col("size_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 def minhash_signatures(

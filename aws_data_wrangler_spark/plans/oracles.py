@@ -3419,6 +3419,48 @@ ORACLES: Dict[str, str] = {
     # the two rows differ only in the asserted-invariant column.
     "profiling_cms_frequencies": _cms_oracle_sql(with_invariant=True),
     "streaming_heavyhitter_monitor": _cms_oracle_sql(with_invariant=False),
+    # directed Broder containment over documents + planted excerpts.
+    # NOT factored out of _NGRAM_JACCARD: that template backs a
+    # prior-round frozen row, and byte-identity of already-verified
+    # oracle text outranks DRY here (the shared-fragment rule applies
+    # to NEW siblings, e.g. _cms_oracle_sql). The shingle CTEs differ
+    # anyway (source = derived corpus, not documents).
+    "dedup_containment": """
+        WITH toks0 AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, text
+            FROM documents
+        ), corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(list_slice(t, 3, 14), ' ') AS text
+            FROM toks0 WHERE doc_id % 11 = 0 AND len(t) >= 20
+        ), toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM corpus
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                  FROM toks WHERE len(t) >= 3)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), directed AS (
+            SELECT id_a, id_b, common FROM common
+            UNION ALL
+            SELECT id_b AS id_a, id_a AS id_b, common FROM common
+        ), scored AS (
+            SELECT d.id_a AS id_contained, d.id_b AS id_container,
+                   floor((d.common / s.set_size) * 1000000.0) / 1000000.0 AS containment
+            FROM directed d JOIN sizes s ON s.doc_id = d.id_a
+        )
+        SELECT id_contained, id_container, containment
+        FROM scored WHERE containment >= 0.9
+        ORDER BY id_contained, id_container
+    """,
 }
 
 # RETIRED_R9 analytics rows (registry consolidation, VERDICT r8 #2):

@@ -939,6 +939,34 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT (Broder's asymmetric companion to the
+    resemblance the jaccard row checks): the corpus is documents PLUS
+    a planted 12-token excerpt of every 11th long doc (the derived-
+    input pattern of text_c4_rules) — an excerpt's shingles are a
+    strict subset of its source's, so it scores containment 1.0 while
+    its resemblance is tiny (≈10/n_shingles) and the symmetric rows
+    structurally cannot see it. Threshold 0.9 keeps both the planted
+    subset-duplicates and the corpus's natural mutual near-dups; the
+    oracle replicates the excerpt construction and the exact directed
+    set arithmetic."""
+    from aws_data_wrangler_spark.operators import dedup
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    excerpts = (
+        docs.filter((F.col("doc_id") % 11 == 0) & (F.size(toks) >= 20))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice(toks, 3, 12), " ").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(excerpts)
+    return dedup.containment_pairs(
+        corpus, n=3, threshold=0.9, max_doc_frequency=1000
+    ).orderBy("id_contained", "id_container")
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import dedup
 
@@ -3545,6 +3573,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_domain_quality": _text_domain_quality,
     "profiling_cms_frequencies": _profiling_cms_frequencies,
     "streaming_heavyhitter_monitor": _streaming_heavyhitter_monitor,
+    "dedup_containment": _dedup_containment,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

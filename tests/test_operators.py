@@ -32,6 +32,39 @@ class TestDedup:
             assert j == 1.0
         assert len(rows) == 3
 
+    def test_containment_hand_computed_and_asymmetric(self, spark):
+        # A = 'a b c d e' -> shingles {abc,bcd,cde} (3); B = 'x a b c
+        # d e y' -> {xab,abc,bcd,cde,dey} (5); common = 3. Containment
+        # of A in B = 3/3 = 1.0 (subset-duplicate: the signal Jaccard
+        # misses — resemblance here is only 3/5), reverse = 3/5 = 0.6;
+        # C shares nothing and must not appear.
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x a b c d e y"), (3, "p q r s t u")],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["id_contained"], r["id_container"]): r["containment"]
+            for r in dedup.containment_pairs(
+                docs, threshold=0.0, max_doc_frequency=None
+            ).collect()
+        }
+        assert rows == {(1, 2): 1.0, (2, 1): 0.6}
+        # the threshold filters DIRECTIONALLY: at 0.9 only the
+        # contained->container row survives
+        kept = dedup.containment_pairs(
+            docs, threshold=0.9, max_doc_frequency=None
+        ).collect()
+        assert [(r["id_contained"], r["id_container"]) for r in kept] == [(1, 2)]
+        # agreement with the jaccard core on mutual near-identity:
+        # identical docs contain each other at 1.0 both ways
+        twins = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+        )
+        both = dedup.containment_pairs(twins, threshold=0.99, max_doc_frequency=None)
+        assert {(r["id_contained"], r["id_container"]) for r in both.collect()} == {
+            (1, 2), (2, 1),
+        }
+
     def test_minhash_lsh_recall_vs_exact(self, spark, documents):
         exact = dedup.ngram_jaccard_pairs(documents, threshold=0.8)
         lsh = dedup.minhash_lsh_pairs(documents, num_hashes=64, bands=32, threshold=0.8)

@@ -148,6 +148,7 @@ ROUND9_LATE = {
     "text_domain_quality",
     "profiling_cms_frequencies",
     "streaming_heavyhitter_monitor",
+    "dedup_containment",
 }
 
 ROUND9_MUST_BE_IN_WINDOW = (
