@@ -419,6 +419,50 @@ def hll_estimates(sketches: DataFrame) -> DataFrame:
     )
 
 
+def grouped_hll_sketches(
+    df: DataFrame,
+    group_cols: List[str],
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-GROUP mergeable distinct-count state — the re-aggregable
+    NDV cube the global `hll_column_sketches` can't express: one row
+    per group of ``(group_cols…, n_rows, sk)``, where ``sk`` is the
+    group's HLL sketch of ``col``. The production shape is "daily
+    uniques": sketch once at the finest grain (e.g. (event_type, day)),
+    persist the sketch table, and answer EVERY coarser rollup —
+    monthly uniques per type, lifetime uniques overall — from the
+    sketches alone via `hll_rollup`, no rescan. Distinct counts don't
+    sum across groups (the whole reason this exists: a user active on
+    30 days is 30 daily rows but ONE monthly unique); HLL register
+    state unions losslessly, so re-aggregation is exact sketch algebra
+    with the usual estimate bound. One hash aggregate with map-side
+    partials; state is one ~2.5 KB sketch per group."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"hll_sketch_agg(`{col}`, {int(lg_k)})").alias("sk"),
+    )
+
+
+def hll_rollup(sketches: DataFrame, to_cols: List[str]) -> DataFrame:
+    """Re-aggregate a `grouped_hll_sketches` table to a coarser grain:
+    ``(to_cols…, n_rows, n_distinct_est)`` — register-lossless
+    `hll_union_agg` per surviving group (pass ``to_cols=[]`` for the
+    grand total). ``n_rows`` sums exactly; the estimate carries the
+    sketch's error bound regardless of how many fine-grain rows pool
+    into each coarse group (representation promotion can move it
+    within the bound, never past it — the `profiling_hll_invariants`
+    contract). A constant-size aggregation over sketch bytes: the
+    rollup's cost is the SKETCH table's size, never the data's."""
+    grouped = sketches.groupBy(*to_cols) if to_cols else sketches.groupBy()
+    return grouped.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
+            "n_distinct_est"
+        ),
+    )
+
+
 def quantile_sketches(
     df: DataFrame,
     cols: Optional[List[str]] = None,

@@ -350,3 +350,96 @@ def ewma_from_counts(
             F.col("key").alias(key_col), "n_buckets", "last_bucket_ts", "ewma"
         )
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Holt double-exponential smoothing of per-bucket event counts —
+    the trend rung above `ewma` (which tracks LEVEL only and lags any
+    ramp by design): per key the chronological fold
+
+        l_t = α·n_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = α·β·(n_t − l_{t−1}) + (β·(1−α) + (1−β))·b_{t−1}
+
+    (the standard Holt update with the trend step algebraically
+    expanded so each state field depends ONLY on the previous state —
+    the form both engines evaluate as one expression tree) with
+    ``l_1 = n_1, b_1 = 0``. Output one row per key: the current
+    ``level``, ``trend`` (buckets/bucket ramp rate), and
+    ``forecast_next = level + trend`` — what a traffic monitor expects
+    the NEXT bucket to be, correct under ramps where the EWMA level is
+    systematically behind.
+
+    Plan/determinism contract = `ewma`'s: two shuffles on the same
+    key, calendar-bounded per-key arrays, a left-to-right IEEE fold
+    over a 2-element array state ([level, trend] — an ARRAY, not a
+    struct: DuckDB 1.0's list_reduce evaluates struct fields against a
+    partially-updated accumulator, while array construction is atomic
+    in both engines). With α, β ∈ {0.25, 0.5, …} every coefficient
+    (α, 1−α, αβ, β(1−α)+(1−β)) is exactly representable, so the chain
+    is bit-identical across engines."""
+    counts = bucket_counts(df, time_col, key_col, bucket).drop("__season")
+    return holt_from_counts(counts, alpha, beta, key_col)
+
+
+def holt_from_counts(
+    counts: DataFrame,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """The Holt fold over an already-bucketed ``(key, bucket_ts, n)``
+    count table — the `ewma_from_counts` contract (shared by the batch
+    smoother and any streaming replay of the same counts), for the
+    level+trend state."""
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    if key_col in counts.columns:
+        counts = counts.select(F.col(key_col).alias("key"), "bucket_ts", "n")
+    elif "key" not in counts.columns:
+        raise ValueError(
+            f"counts must carry the key column {key_col!r} (or the "
+            f"generic 'key'); got {counts.columns}"
+        )
+    # exactly-representable coefficient set (documented contract)
+    c_l_prev = F.lit(1.0 - alpha)
+    c_trend_x = F.lit(alpha * beta)
+    c_trend_prev = F.lit(beta * (1.0 - alpha) + (1.0 - beta))
+    arr = F.array_sort(F.collect_list(F.struct("bucket_ts", "n")))
+    vals = F.transform(arr, lambda s: s["n"].cast("double"))
+    folded = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.array(F.element_at(vals, 1), F.lit(0.0)),
+        lambda acc, x: F.array(
+            x * F.lit(alpha)
+            + (F.element_at(acc, 1) + F.element_at(acc, 2)) * c_l_prev,
+            (x - F.element_at(acc, 1)) * c_trend_x
+            + F.element_at(acc, 2) * c_trend_prev,
+        ),
+    )
+    return (
+        counts.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.date_format(F.max("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_bucket_ts"
+            ),
+            folded.alias("__st"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_buckets",
+            "last_bucket_ts",
+            trunc_digits(F.element_at("__st", 1)).alias("level"),
+            trunc_digits(F.element_at("__st", 2)).alias("trend"),
+            trunc_digits(
+                F.element_at("__st", 1) + F.element_at("__st", 2)
+            ).alias("forecast_next"),
+        )
+    )

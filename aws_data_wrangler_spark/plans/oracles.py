@@ -3461,6 +3461,62 @@ ORACLES: Dict[str, str] = {
         FROM scored WHERE containment >= 0.9
         ORDER BY id_contained, id_container
     """,
+    # the HLL-invariant convention for the re-aggregable NDV cube:
+    # n_days / n_rows / exact_ndv pinned exactly per rollup group (and
+    # for the __all__ grand total), the 5% estimate envelope asserted
+    # TRUE (the estimate value is engine-specific DataSketches state)
+    "events_daily_uniques_rollup": """
+        WITH per_type AS (
+            SELECT event_type,
+                   count(DISTINCT date_trunc('day', ts))::BIGINT AS n_days,
+                   count(*)::BIGINT AS n_rows,
+                   count(DISTINCT user_id)::BIGINT AS exact_ndv
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__all__',
+                   count(DISTINCT date_trunc('day', ts))::BIGINT,
+                   count(*)::BIGINT,
+                   count(DISTINCT user_id)::BIGINT
+            FROM events
+        )
+        SELECT event_type, n_days, n_rows, exact_ndv,
+               true AS est_within_5pct
+        FROM per_type ORDER BY event_type
+    """,
+    # Holt [level, trend] fold replica — the _EWMA_SQL convention with
+    # a 2-element ARRAY accumulator (list_reduce inits from the first
+    # element [n_1, 0.0] and folds left, matching Spark's aggregate
+    # with array init; arrays, not structs — DuckDB 1.0 struct-field
+    # lambdas evaluate against a partially-updated accumulator).
+    # Coefficients 0.25/0.75/0.0625/0.9375 are exactly representable,
+    # so the IEEE chain is bit-identical.
+    "events_holt_trend": """
+        WITH counts AS (
+            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+                   count(*)::DOUBLE AS n
+            FROM events GROUP BY 1, 2
+        ), packed AS (
+            SELECT key, count(*) AS n_buckets,
+                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
+                   list(n ORDER BY bucket_ts) AS vals
+            FROM counts GROUP BY key
+        ), folded AS (
+            SELECT key, n_buckets, last_bucket_ts,
+                   list_reduce(
+                       list_transform(vals, v -> [v, 0.0::DOUBLE]),
+                       (acc, x) -> [
+                           x[1] * 0.25::DOUBLE + (acc[1] + acc[2]) * 0.75::DOUBLE,
+                           (x[1] - acc[1]) * 0.0625::DOUBLE + acc[2] * 0.9375::DOUBLE
+                       ]
+                   ) AS st
+            FROM packed
+        )
+        SELECT key AS event_type, n_buckets, last_bucket_ts,
+               floor(st[1] * 1000000) / 1000000 AS level,
+               floor(st[2] * 1000000) / 1000000 AS trend,
+               floor((st[1] + st[2]) * 1000000) / 1000000 AS forecast_next
+        FROM folded ORDER BY event_type
+    """,
 }
 
 # RETIRED_R9 analytics rows (registry consolidation, VERDICT r8 #2):

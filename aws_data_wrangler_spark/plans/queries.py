@@ -3189,6 +3189,74 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event_type — the trend
+    rung above the EWMA monitor (level-only smoothing lags ramps by
+    construction; Holt's trend state corrects it): chronological
+    [level, trend] fold over hourly counts, output the current state
+    plus forecast_next = level + trend. The oracle replicates the fold
+    term-for-term with DuckDB's list_reduce over 2-element ARRAY state
+    ([l, b] — array construction is atomic in both engines, unlike
+    DuckDB 1.0 struct-field lambdas which see a partially-updated
+    accumulator) and the exactly-representable coefficient set
+    α = β = 0.25."""
+    from aws_data_wrangler_spark.operators import timeseries
+
+    return timeseries.holt_linear(
+        load(spark, sf_dir, "events"), alpha=0.25, beta=0.25, bucket="hour"
+    ).orderBy("event_type")
+
+
+def _events_daily_uniques_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-aggregable NDV cube (`grouped_hll_sketches` +
+    `hll_rollup`): sketch once at the finest grain — (event_type, day)
+    HLL state of user_id — then answer every coarser uniques question
+    from the SKETCH table alone: per-type lifetime uniques and the
+    grand total (`__all__` row). Distinct counts don't sum across days
+    (a user active on 30 days is ONE monthly unique — the reason naive
+    daily-count rollups are wrong); HLL unions are register-lossless,
+    so the re-aggregation is exact sketch algebra. ``n_days``,
+    ``n_rows`` and ``exact_ndv`` are pinned exactly by the oracle; the
+    estimate carries the 5% envelope (the `profiling_hll_invariants`
+    contract)."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    fine = profiling.grouped_hll_sketches(ev, ["event_type", "day"], "user_id")
+    per_type = profiling.hll_rollup(fine, ["event_type"]).join(
+        fine.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days")),
+        "event_type",
+    )
+    total = profiling.hll_rollup(fine, []).crossJoin(
+        fine.agg(F.countDistinct("day").alias("n_days"))
+    ).select(F.lit("__all__").alias("event_type"), "n_rows", "n_distinct_est", "n_days")
+    rolled = per_type.unionByName(total)
+    exact = (
+        ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_ndv"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact_ndv")).select(
+                F.lit("__all__").alias("event_type"), "exact_ndv"
+            )
+        )
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_rows",
+            "exact_ndv",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _streaming_heavyhitter_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min trio in PRODUCTION position (the frequency twin
     of `streaming_ndv_monitor` / `streaming_quantile_monitor`): the
@@ -3574,6 +3642,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profiling_cms_frequencies": _profiling_cms_frequencies,
     "streaming_heavyhitter_monitor": _streaming_heavyhitter_monitor,
     "dedup_containment": _dedup_containment,
+    "events_daily_uniques_rollup": _events_daily_uniques_rollup,
+    "events_holt_trend": _events_holt_trend,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

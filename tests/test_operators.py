@@ -3630,6 +3630,47 @@ class TestTimeseries:
             s = s * 0.7 + n * 0.3
         assert abs(out2["a"]["ewma"] - s) < 1e-6
 
+    def test_holt_matches_hand_fold_and_beats_ewma_on_ramps(self, spark):
+        # hand-computed [level, trend] fold (the algebraically-expanded
+        # update: l' = 0.25n + 0.75(l+b); b' = 0.0625(n−l) + 0.9375b),
+        # shuffled input hours (array_sort imposes chronology), a
+        # single-bucket key (level = count, trend = 0), and the
+        # raison d'être: on a pure linear ramp Holt's forecast_next is
+        # closer to the true next value than the EWMA level, which
+        # lags ramps by construction
+        import math
+
+        from aws_data_wrangler_spark.operators import timeseries
+
+        rows = []
+        for h, n in [(2, 4), (0, 8), (1, 2), (3, 16)]:
+            rows += [("a", h * 3600)] * n
+        rows += [("b", 0)] * 5
+        # key "r": linear ramp 2,4,6,...,16 — true next value 18
+        for h in range(8):
+            rows += [("r", h * 3600)] * (2 * (h + 1))
+        df = spark.createDataFrame(rows, "event_type string, sec long").select(
+            "event_type", F.timestamp_seconds("sec").alias("ts")
+        )
+        out = {
+            r["event_type"]: r
+            for r in timeseries.holt_linear(df, alpha=0.25, beta=0.25).collect()
+        }
+        l, b = 8.0, 0.0
+        for n in [2.0, 4.0, 16.0]:
+            l, b = n * 0.25 + (l + b) * 0.75, (n - l) * 0.0625 + b * 0.9375
+        assert out["a"]["level"] == math.floor(l * 1e6) / 1e6
+        assert out["a"]["trend"] == math.floor(b * 1e6) / 1e6
+        assert out["a"]["forecast_next"] == math.floor((l + b) * 1e6) / 1e6
+        assert out["b"] ["level"] == 5.0 and out["b"]["trend"] == 0.0
+        assert out["b"]["forecast_next"] == 5.0
+        assert out["r"]["trend"] > 0.5  # the ramp is seen as a ramp
+        ew = {
+            r["event_type"]: r["ewma"]
+            for r in timeseries.ewma(df, alpha=0.25).collect()
+        }
+        assert abs(out["r"]["forecast_next"] - 18.0) < abs(ew["r"] - 18.0)
+
     def test_ewma_from_counts_key_col_applies_to_input(self, spark):
         # ADVICE r8: key_col must resolve the INPUT key too — a caller
         # handing their own counts table keyed by event_type (not the
@@ -4125,6 +4166,38 @@ class TestProfiling:
         assert merged_est["event_type"]["n_distinct_est"] == events.select(
             "event_type"
         ).distinct().count()  # tiny cardinalities are exact in HLL
+
+    def test_grouped_hll_rollup_daily_uniques(self, spark, tmp_path):
+        # the NDV-cube semantics: a user active on many days is MANY
+        # (type, day) sketch rows but ONE unique after rollup — the
+        # naive sum-of-daily-counts answer (which would be wrong) is
+        # asserted strictly larger; estimates are exact in the
+        # exact-mode regime; n_rows sums exactly; the rollup runs off
+        # a PERSISTED sketch table (the no-rescan contract)
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(300).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS typ",
+            "date_add(date'2024-01-01', CAST(id % 10 AS INT)) AS day",
+            "CAST(id % 30 AS STRING) AS user_id",  # every user active on many days
+        )
+        fine = profiling.grouped_hll_sketches(df, ["typ", "day"], "user_id")
+        out = f"file://{tmp_path}/ndv_cube"
+        fine.write.parquet(out)
+        persisted = spark.read.parquet(out)
+        per_type = {
+            r["typ"]: r for r in profiling.hll_rollup(persisted, ["typ"]).collect()
+        }
+        # even ids -> users {0,2,..,28} (15); odd -> 15; all user ids mod 30
+        assert per_type["a"]["n_distinct_est"] == 15
+        assert per_type["b"]["n_distinct_est"] == 15
+        assert per_type["a"]["n_rows"] == 150
+        naive_daily_sum = sum(
+            r["n_rows"] for r in persisted.filter("typ = 'a'").collect()
+        )
+        assert naive_daily_sum == 150 > per_type["a"]["n_distinct_est"]
+        total = profiling.hll_rollup(persisted, []).collect()[0]
+        assert total["n_rows"] == 300 and total["n_distinct_est"] == 30
 
     def test_quantile_sketch_single_batch_is_exact_at_grid_points(self, spark):
         # one batch, grid-aligned percentiles: the sketch IS the exact

@@ -149,6 +149,8 @@ ROUND9_LATE = {
     "profiling_cms_frequencies",
     "streaming_heavyhitter_monitor",
     "dedup_containment",
+    "events_daily_uniques_rollup",
+    "events_holt_trend",
 }
 
 ROUND9_MUST_BE_IN_WINDOW = (
