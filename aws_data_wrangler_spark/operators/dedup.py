@@ -181,17 +181,7 @@ def ngram_jaccard_pairs(
     decision; passing any explicit value (including 1000) is the
     opt-in that silences it.
     """
-    if max_doc_frequency is _DF_CAP_DEFAULT:
-        max_doc_frequency = 1000
-        warnings.warn(
-            "ngram_jaccard_pairs applies a default shingle document-frequency "
-            "cap of 1000: shingles shared by more than 1000 documents are "
-            "excluded from the Jaccard sets (scores over boilerplate-heavy "
-            "corpora are then not the strict exact Jaccard). Pass "
-            "max_doc_frequency=None for strict exactness, or an explicit cap "
-            "to silence this warning.",
-            stacklevel=2,
-        )
+    max_doc_frequency = _resolve_df_cap("ngram_jaccard_pairs", max_doc_frequency)
     sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
     out = (
         common.join(sizes.toDF("id_a", "size_a"), "id_a")
@@ -206,6 +196,26 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def _resolve_df_cap(fn_name: str, max_doc_frequency):
+    """ONE place owns the default shingle document-frequency cap and
+    its routing warning (shared by the jaccard and containment pair
+    operators — the cap value and wording must never diverge between
+    them): an unset cap resolves to 1000 with a warning; any explicit
+    value (including 1000 or None) is the opt-in that silences it."""
+    if max_doc_frequency is _DF_CAP_DEFAULT:
+        warnings.warn(
+            f"{fn_name} applies a default shingle document-frequency cap of "
+            "1000: shingles shared by more than 1000 documents are excluded "
+            "from the shingle sets (scores over boilerplate-heavy corpora "
+            "are then not the strict exact values). Pass "
+            "max_doc_frequency=None for strict exactness, or an explicit cap "
+            "to silence this warning.",
+            stacklevel=3,
+        )
+        return 1000
+    return max_doc_frequency
 
 
 def _shingle_overlap(df, id_col, text_col, n, max_doc_frequency):
@@ -258,16 +268,7 @@ def containment_pairs(
     equi-join, never a cartesian; per-pair counts via map-side
     combine; the cap bounds per-shingle fan-out at cap²).
     """
-    if max_doc_frequency is _DF_CAP_DEFAULT:
-        max_doc_frequency = 1000
-        warnings.warn(
-            "containment_pairs applies a default shingle document-frequency "
-            "cap of 1000 (the ngram_jaccard_pairs contract): shingles shared "
-            "by more than 1000 documents are excluded from the shingle sets. "
-            "Pass max_doc_frequency=None for strict exactness, or an explicit "
-            "cap to silence this warning.",
-            stacklevel=2,
-        )
+    max_doc_frequency = _resolve_df_cap("containment_pairs", max_doc_frequency)
     sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
     directed = common.unionByName(
         common.select(

@@ -460,7 +460,11 @@ def hll_rollup(sketches: DataFrame, to_cols: List[str]) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
             "n_distinct_est"
         ),
-    )
+        # a grand-total (to_cols=[]) rollup of an EMPTY sketch table
+        # aggregates to one all-NULL row; the honest answer is an empty
+        # frame (the hll_estimates empty-state contract). Grouped
+        # rollups never produce NULL n_rows, so the filter is free.
+    ).filter(F.col("n_rows").isNotNull())
 
 
 def quantile_sketches(
@@ -677,22 +681,7 @@ def cms_sketches(
     batch = (
         F.col(batch_col).cast("string") if batch_col else F.lit("__all__")
     ).alias("batch")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                (
-                    F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 15),
-                        16,
-                        10,
-                    ).cast("long")
-                    % width
-                ).alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
+    cells = _cms_cells(key, depth, width)
     return (
         df.filter(key.isNotNull())
         .select(batch, F.explode(cells).alias("__c"))
@@ -709,6 +698,45 @@ def cms_sketches(
     )
 
 
+def _cms_cells(key: "F.Column", depth: int, width: int) -> "F.Column":
+    """The Count-Min row-hash cells — ``[(row_i, h_i(key) mod width)]``
+    with ``h_i(key) = int(md5(i ':' key)[:15 hex])``. ONE definition
+    shared by the sketch builder and the point-query prober: the two
+    sides must compute the identical hash or every estimate silently
+    degrades toward 0 (a probe landing in never-written buckets)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def _cms_geometry(sketches: DataFrame):
+    """ONE geometry scan serving both the union guard and the
+    estimate-side hash construction: returns ``(depth, width)`` or
+    ``None`` for an empty state table; raises on mixed geometry."""
+    geoms = sorted(
+        (int(r["depth"]), int(r["width"]))
+        for r in sketches.select("depth", "width").distinct().collect()
+    )
+    if len(geoms) > 1:
+        raise ValueError(
+            f"cannot union CMS sketches with different depth x width: {geoms}"
+        )
+    return geoms[0] if geoms else None
+
+
 def cms_union(sketches: DataFrame) -> DataFrame:
     """Merge many Count-Min sketch rows (one set per batch/day) into
     one counter table (``batch='__merged__'``): counters SUM cell-wise
@@ -718,14 +746,7 @@ def cms_union(sketches: DataFrame) -> DataFrame:
     the backlog was split. One bounded hash aggregate over counter
     rows (≤ batches · depth · width), no data touched. Sketches of
     different geometry cannot union (the quantile-grid-size rule)."""
-    geoms = [
-        (r["depth"], r["width"])
-        for r in sketches.select("depth", "width").distinct().collect()
-    ]
-    if len(geoms) > 1:
-        raise ValueError(
-            f"cannot union CMS sketches with different depth x width: {sorted(geoms)}"
-        )
+    _cms_geometry(sketches)
     return (
         sketches.groupBy("row_i", "bucket")
         .agg(
@@ -757,10 +778,18 @@ def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") ->
     full corpus being scored against the ingest history — streams
     through map-side, no shuffle of the probes; the only exchange is
     the per-probe min, keyed by the probe itself. Pre-unions when
-    handed multiple batch rows (integer sums, lossless)."""
-    merged = cms_union(sketches)
-    geom = merged.select("depth", "width").limit(1).collect()
-    if not geom:
+    handed multiple batch rows (integer sums, lossless).
+
+    Driver actions: ONE geometry scan of the sketch rows (it doubles
+    as the union guard — `cms_union` is not called, its sum-by-cell
+    aggregation is inlined) before the lazy probe plan. In production
+    the sketch table is PERSISTED parquet (the sink contract), so the
+    scan reads counter rows, never data; a caller composing estimates
+    directly over an unmaterialized `cms_sketches` plan pays one extra
+    sketch-aggregate execution for the geometry read — cache the
+    sketch frame if that matters."""
+    geom = _cms_geometry(sketches)
+    if geom is None:
         # empty state: every probe estimates 0 (sparse cells absent)
         return (
             probes.select(F.col(col).cast("string").alias("value"))
@@ -768,25 +797,9 @@ def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") ->
             .distinct()
             .withColumn("cms_est", F.lit(0).cast("bigint"))
         )
-    depth, width = int(geom[0]["depth"]), int(geom[0]["width"])
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{i}:"), F.col("value"))), 1, 15
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % width
-                ).alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
+    depth, width = geom
+    merged = sketches.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    cells = _cms_cells(F.col("value"), depth, width)
     probed = (
         probes.select(F.col(col).cast("string").alias("value"))
         .filter(F.col("value").isNotNull())  # the count(col) convention

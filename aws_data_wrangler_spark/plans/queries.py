@@ -3225,8 +3225,10 @@ def _events_daily_uniques_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     fine = profiling.grouped_hll_sketches(ev, ["event_type", "day"], "user_id")
+    # countDistinct (NULL-excluding) on BOTH grains so a NULL-ts event
+    # can never split the per-type and __all__ day conventions
     per_type = profiling.hll_rollup(fine, ["event_type"]).join(
-        fine.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days")),
+        fine.groupBy("event_type").agg(F.countDistinct("day").alias("n_days")),
         "event_type",
     )
     total = profiling.hll_rollup(fine, []).crossJoin(

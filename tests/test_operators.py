@@ -4176,10 +4176,14 @@ class TestProfiling:
         # a PERSISTED sketch table (the no-rescan contract)
         from aws_data_wrangler_spark.operators import profiling
 
+        # id = user + 30*day_index: EVERY user is active on all 10
+        # days, so cross-day dedup is genuinely exercised (a rollup
+        # that summed per-day NDVs instead of unioning sketches would
+        # be 10x off)
         df = spark.range(300).selectExpr(
             "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS typ",
-            "date_add(date'2024-01-01', CAST(id % 10 AS INT)) AS day",
-            "CAST(id % 30 AS STRING) AS user_id",  # every user active on many days
+            "date_add(date'2024-01-01', CAST(id DIV 30 AS INT)) AS day",
+            "CAST(id % 30 AS STRING) AS user_id",
         )
         fine = profiling.grouped_hll_sketches(df, ["typ", "day"], "user_id")
         out = f"file://{tmp_path}/ndv_cube"
@@ -4188,16 +4192,24 @@ class TestProfiling:
         per_type = {
             r["typ"]: r for r in profiling.hll_rollup(persisted, ["typ"]).collect()
         }
-        # even ids -> users {0,2,..,28} (15); odd -> 15; all user ids mod 30
+        # typ 'a' = even ids -> users {0,2,..,28}: 15 uniques across
+        # all 10 days, 150 rows
         assert per_type["a"]["n_distinct_est"] == 15
         assert per_type["b"]["n_distinct_est"] == 15
         assert per_type["a"]["n_rows"] == 150
-        naive_daily_sum = sum(
-            r["n_rows"] for r in persisted.filter("typ = 'a'").collect()
+        # the WRONG answer a naive rollup would give: per-day NDVs
+        # (read off the same sketch table at the fine grain) sum to
+        # 10 x 15 = 150 because every user repeats daily
+        per_day = profiling.hll_rollup(persisted, ["typ", "day"])
+        naive_ndv_sum = sum(
+            r["n_distinct_est"] for r in per_day.filter("typ = 'a'").collect()
         )
-        assert naive_daily_sum == 150 > per_type["a"]["n_distinct_est"]
+        assert naive_ndv_sum == 150 > per_type["a"]["n_distinct_est"] == 15
         total = profiling.hll_rollup(persisted, []).collect()[0]
         assert total["n_rows"] == 300 and total["n_distinct_est"] == 30
+        # grand-total rollup of an EMPTY sketch table: empty frame,
+        # not an all-NULL row (the hll_estimates empty-state contract)
+        assert profiling.hll_rollup(persisted.limit(0), []).collect() == []
 
     def test_quantile_sketch_single_batch_is_exact_at_grid_points(self, spark):
         # one batch, grid-aligned percentiles: the sketch IS the exact
