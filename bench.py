@@ -102,6 +102,14 @@ HEADLINE = [
     # snapshots (union + per-key argmax + versioned write) plus the
     # read-back; snapshot-write dominated by design
     "io_upsert_roundtrip",
+    # round-9 continuation additions: the Count-Min sketch tier's cost
+    # (depth-fold explode bounded by map-side partials + broadcast
+    # point queries, BOTH the batched and single-pass paths inline) and
+    # the directed-containment pair scan (shared _shingle_overlap core
+    # + excerpt-planted corpus — the jaccard family's cost with the
+    # directed read-off)
+    "profiling_cms_frequencies",
+    "dedup_containment",
 ]
 
 

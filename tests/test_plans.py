@@ -384,6 +384,46 @@ class TestPlanAudits:
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan
 
+    def test_cms_estimates_broadcasts_the_counter_table(self, spark):
+        # the point-query join must broadcast the (<= depth*width)
+        # counter side — the probe side may be a full corpus and must
+        # never shuffle into a sort-merge join; the sketch aggregate's
+        # exchange carries counter cells (bounded), which is fine
+        from aws_data_wrangler_spark.operators import profiling
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+        from aws_data_wrangler_spark.plans.queries import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        sk = profiling.cms_sketches(ev, "event_type")
+        s = plan_summary(profiling.cms_estimates(sk, ev, "event_type"))
+        assert s["sort_merge_joins"] == 0
+        assert s["broadcast_hash_joins"] >= 1
+
+    def test_holt_exchange_parity_with_ewma(self, spark):
+        # the trend fold must not cost more than the level fold: two
+        # shuffles on the same key (bucket count + per-key pack), no
+        # explode anywhere
+        from aws_data_wrangler_spark.operators import timeseries
+        from aws_data_wrangler_spark.plans.queries import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        holt = timeseries.holt_linear(ev)._jdf.queryExecution().executedPlan().toString()
+        ewma = timeseries.ewma(ev)._jdf.queryExecution().executedPlan().toString()
+        assert holt.count("Exchange") == ewma.count("Exchange")
+        assert "Generate" not in holt
+
+    def test_containment_has_no_cartesian(self, spark):
+        # the directed pair space must come from the shingle equi-join
+        # (the _shingle_overlap contract), never a cross product
+        from aws_data_wrangler_spark.operators import dedup
+        from aws_data_wrangler_spark.plans.audit import assert_no_cartesian
+        from aws_data_wrangler_spark.plans.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        assert_no_cartesian(
+            dedup.containment_pairs(docs, threshold=0.9, max_doc_frequency=1000)
+        )
+
     def test_q5_star_join_broadcasts_all_dims(self, spark):
         # the 6-way star join must plan every dim side as a broadcast —
         # zero sort-merge joins (SURVEY §6: the 100× plan)

@@ -421,3 +421,123 @@ def test_recall_at_k_matches_set_arithmetic(spark, exact, approx):
     for q, ns in per_q.items():
         hits = sum(1 for n in ns if (q, n) in a_set)
         assert rows[q] == (len(ns), hits, hits / len(ns))
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=40),
+    splits=st.integers(min_value=2, max_value=4),
+)
+def test_cms_never_undercounts_and_merge_commutes(spark, keys, splits):
+    """Count-Min invariants against a python reference: (1) the merged
+    counter table equals the single-pass table cell-for-cell under any
+    batching (integer sums commute), (2) every point estimate is
+    >= the true count (the one-sided CMS guarantee), and (3) with the
+    width forced tiny the per-row bucket mass always sums to N."""
+    import hashlib
+
+    from aws_data_wrangler_spark.operators import profiling
+
+    depth, width = 3, 8  # tiny width -> forced collisions
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, k string"
+    ).withColumn("b", F.col("i") % splits)
+    single = profiling.cms_union(
+        profiling.cms_sketches(df, "k", depth=depth, width=width)
+    )
+    merged = profiling.cms_union(
+        profiling.cms_sketches(df, "k", depth=depth, width=width, batch_col="b")
+    )
+    cell = lambda rows: sorted((r["row_i"], r["bucket"], r["cnt"]) for r in rows)
+    assert cell(merged.collect()) == cell(single.collect())
+    # python reference counter table from the same md5 hash
+    ref = {}
+    for k in keys:
+        for i in range(depth):
+            h = int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16) % width
+            ref[(i, h)] = ref.get((i, h), 0) + 1
+    assert cell(merged.collect()) == sorted((i, b, c) for (i, b), c in ref.items())
+    true = {k: keys.count(k) for k in set(keys)}
+    est = {
+        r["value"]: r["cms_est"]
+        for r in profiling.cms_estimates(merged, df.select("k"), "k").collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t
+        assert est[k] == min(ref[(i, int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16) % width)] for i in range(depth))
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=3, max_size=10),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_containment_dominates_jaccard_and_matches_sets(spark, docs):
+    """Directed containment against python set arithmetic: for every
+    ordered pair C(A,B) = |A∩B|/|A| (floor 6dp), and containment
+    always dominates the symmetric Jaccard of the same pair (the
+    reason it catches subset-duplicates resemblance misses)."""
+    import math
+
+    from aws_data_wrangler_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, n=3, threshold=0.0, max_doc_frequency=None
+        ).collect()
+    }
+    sets = {
+        i: {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        for i, toks in enumerate(docs)
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a] & sets[b]:
+                c = len(sets[a] & sets[b]) / len(sets[a])
+                want[(a, b)] = math.floor(c * 1e6) / 1e6
+    assert got == want
+    for (a, b), c in want.items():
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert c >= math.floor(j * 1e6) / 1e6
+
+
+@settings(**SETTINGS)
+@given(
+    series=st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=12),
+)
+def test_holt_matches_python_fold_and_is_constant_stable(spark, series):
+    """Holt against a sequential python fold bit-for-bit (the oracle
+    contract), plus the fixed-point property: a constant series yields
+    level == the constant, trend == 0, forecast == the constant."""
+    import math
+
+    from aws_data_wrangler_spark.operators import timeseries
+
+    rows = []
+    for h, n in enumerate(series):
+        rows += [("k", h * 3600)] * n
+    df = spark.createDataFrame(rows, "event_type string, sec long").select(
+        "event_type", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = timeseries.holt_linear(df, alpha=0.25, beta=0.25).collect()[0]
+    l, b = float(series[0]), 0.0
+    for n in series[1:]:
+        l, b = n * 0.25 + (l + b) * 0.75, (n - l) * 0.0625 + b * 0.9375
+    assert out["level"] == math.floor(l * 1e6) / 1e6
+    assert out["trend"] == math.floor(b * 1e6) / 1e6
+    assert out["forecast_next"] == math.floor((l + b) * 1e6) / 1e6
+    const = timeseries.holt_linear(
+        df.select("event_type", F.timestamp_seconds(F.lit(0)).alias("ts"))
+    ).collect()[0]
+    assert const["trend"] == 0.0
+    assert const["level"] == const["forecast_next"] == float(len(rows))
