@@ -267,6 +267,13 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` (shared ``_shingle_overlap`` core: shingle
     equi-join, never a cartesian; per-pair counts via map-side
     combine; the cap bounds per-shingle fan-out at cap²).
+
+    Pipeline ordering: run AFTER ``dedup_exact``. The pair space is
+    quadratic in duplicate-clique size (measured: an 8-copy corpus
+    emits 56 directed rows per clique), and whole-document copies are
+    caught for one hash groupBy by the exact pass — containment's job
+    is the pairs hashing can't see (excerpts, quotes, chrome-wrapped
+    mirrors), not exact clones.
     """
     max_doc_frequency = _resolve_df_cap("containment_pairs", max_doc_frequency)
     sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
