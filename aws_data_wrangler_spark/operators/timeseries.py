@@ -397,7 +397,17 @@ def holt_from_counts(
     """The Holt fold over an already-bucketed ``(key, bucket_ts, n)``
     count table — the `ewma_from_counts` contract (shared by the batch
     smoother and any streaming replay of the same counts), for the
-    level+trend state."""
+    level+trend state.
+
+    The key-resolution and pack/fold scaffolding deliberately MIRRORS
+    `ewma_from_counts` rather than sharing a helper: that function
+    backs a driver-verified registry row this round, and extracting a
+    shared fold would make it changed-code in a rotation window with
+    no slack (the byte-identity-over-DRY rule for already-verified
+    fragments — SURVEY §6). Fold the two into one `_fold_counts`
+    helper the next time EITHER must change for its own reasons; any
+    edit to the key-resolution or chronology contract must land in
+    BOTH until then."""
     from aws_data_wrangler_spark.functions import trunc_digits
 
     if key_col in counts.columns:

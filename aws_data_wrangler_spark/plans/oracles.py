@@ -3438,10 +3438,19 @@ ORACLES: Dict[str, str] = {
         ), toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
             FROM corpus
-        ), sh AS (
+        ), sh0 AS (
             SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
             FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
                   FROM toks WHERE len(t) >= 3)
+        ), sh AS (
+            -- replicate the operator's max_doc_frequency=1000 cap so
+            -- the oracle stays correct even if a boilerplate shingle
+            -- ever crosses it (max df measured 26 at sf0.1, but the
+            -- cap is SEMANTICS, not an assumption to ride)
+            SELECT doc_id, shingle FROM sh0
+            WHERE shingle IN (
+                SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000
+            )
         ), sizes AS (
             SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
         ), common AS (

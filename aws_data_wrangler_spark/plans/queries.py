@@ -3164,10 +3164,16 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type")
     batched = ev.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
+    # cache the counter tables (bounded by depth*width BY CONSTRUCTION
+    # — never data): cms_estimates' eager geometry collect would
+    # otherwise re-execute each sketch aggregate over events once more
+    # than the final plan needs (the cms_estimates docstring's
+    # unmaterialized-plan caveat; in production the state is persisted
+    # parquet and this doesn't arise)
     merged = profiling.cms_union(
         profiling.cms_sketches(batched, "event_type", batch_col="b")
-    )
-    single = profiling.cms_sketches(ev, "event_type")
+    ).cache()
+    single = profiling.cms_sketches(ev, "event_type").cache()
     probes = ev.select("event_type").distinct()
     est_m = profiling.cms_estimates(merged, probes, "event_type")
     est_s = profiling.cms_estimates(single, probes, "event_type").select(
