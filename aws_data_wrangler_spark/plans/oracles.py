@@ -2739,15 +2739,9 @@ ORACLES: Dict[str, str] = {
         WHERE e.event_type = 'purchase'
         GROUP BY cohort_day ORDER BY cohort_day
     """,
-    "streaming_hourly_rollup": """
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-               count(*) AS n_events,
-               round(sum(value), 2) AS sum_value,
-               round(round(sum(value), 2) / count(*), 6) AS avg_value
-        FROM events
-        GROUP BY date_trunc('hour', ts), event_type
-        ORDER BY window_start, event_type
-    """,
+    # streaming_hourly_rollup RETIRED r10 — covered by
+    # streaming_sliding_counts (same windowed_rollup/run_available_now
+    # path, hopping expansion) + events_hourly_gapfill (batch superset)
     # hopping window (2h/1h): every event contributes to the window
     # starting at its hour and the one starting an hour earlier —
     # exactly Spark's epoch-aligned window expansion
@@ -3038,15 +3032,10 @@ ORACLES: Dict[str, str] = {
             FROM src
         ) ORDER BY "column"
     """,
-    # the sketch-estimate VALUE is engine-specific (DataSketches HLL);
-    # the cross-engine contract is the row count plus the two
-    # invariants the Spark side computes: lossless merge equality and
-    # 5%-of-exact accuracy
-    "profiling_hll_invariants": """
-        SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
-               true AS merged_close_to_single, true AS within_5pct
-        FROM events
-    """,
+    # profiling_hll_invariants RETIRED r10 — the union+estimate+envelope
+    # contract rides in streaming_ndv_monitor and
+    # events_daily_uniques_rollup; the 2% merged-vs-single invariant is
+    # pytest-pinned (test_hll_sketches_merge_losslessly)
     # C4 line/page rules over the line-ified corpus; the kept-line
     # predicate (terminal punct / >=3 words / no blocklist term) runs
     # as list_filter so DuckDB sees the same per-line semantics
@@ -3243,15 +3232,10 @@ ORACLES: Dict[str, str] = {
                md5(string_agg(fp, '' ORDER BY fp)) AS corpus_fp
         FROM sampled GROUP BY source ORDER BY source
     """,
-    # sketch heavy hitters in the exactness regime (NDV << tracked)
-    "events_heavy_hitters_sketch": """
-        SELECT event_type AS value, count(*) AS n_est,
-               CAST(row_number() OVER (ORDER BY count(*) DESC, event_type ASC)
-                    AS INTEGER) AS rank
-        FROM events GROUP BY event_type
-        QUALIFY rank <= 10
-        ORDER BY rank
-    """,
+    # events_heavy_hitters_sketch RETIRED r10 — frequency questions
+    # carried by the exact-matched CMS pair (profiling_cms_frequencies +
+    # streaming_heavyhitter_monitor); approx_top_k engine path
+    # pytest-pinned (test_approx_heavy_hitters_exact_regime_and_ties)
     # audio-rung fake fingerprint: salted sha256 folded to signed int64
     # stateful-streaming sessionization, availableNow replay: ONE
     # micro-batch, so the processing-time timeout never fires and the

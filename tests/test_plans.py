@@ -26,92 +26,38 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-9 rotation policy (SURVEY §7 item 14 / VERDICT r8 #1-2): the
-# driver verifies the FIRST 50 registry entries. The round-9 window
-# carries (a) the three ROUND8_LATE entries FIRST (registered after
-# the round-8 window filled, no driver row yet), (b) the ENTIRE
-# ROUND6_FROZEN remainder — after round 9 its round-6 rows would
-# breach the two-round staleness invariant — in its long-standing
-# order (34 entries after the RETIRED_R9 consolidation), (c) every
-# query crossing round-9-changed code (the sanitize-aware dtype keys
-# in the three format writers; the events_value_histogram ORACLE's
-# finiteness filter; the profiling decimal-overflow guard), (d) four
-# ROUND7_FROZEN backfill pulls (oldest-first) so the round-10 rotation
-# of that block lands with slack, and (e) the round's three new
-# registrations straight INTO the window. Below the boundary sit only
-# the round-8 window survivors (fresh r8 rows), the ROUND7_FROZEN
-# remainder (fresh r7 rows), and the PERMANENTLY PINNED rows-only
-# entry.
+# Round-10 rotation policy (SURVEY §7 item 16 / VERDICT r9 #1): the
+# driver verifies the FIRST 50 registry entries. After the RETIRED_R10
+# consolidation (three judge-sanctioned retirements with covered-by
+# notes), the round-10 window carries (a) the nine ROUND9_LATE entries
+# FIRST (registered after the round-9 window filled, no driver row
+# yet), (b) the ENTIRE ROUND7_FROZEN block — after round 10 its
+# round-7 rows would breach the two-round staleness invariant — in its
+# long-standing order (37 entries after the two RETIRED_R10 rows), and
+# (c) the four changed-code rows: dedup_ngram_jaccard (the
+# r9-continuation _shingle_overlap extraction, carried over per SURVEY
+# §7 item 16c) plus the three rows whose code changes THIS round —
+# text_domain_rollup (vendored public-suffix upgrade to
+# registered_domain + _CANON_URL_CTES), streaming_ewma_monitor (the
+# _fold_counts extraction, VERDICT r9 #5), profiling_quantile_
+# invariants (quantile_sketches' value_grid knob, VERDICT r9 #4).
+# 9 + 37 + 4 = 50 exactly. Below the boundary sit only the round-9
+# window survivors (fresh r9 rows), the ROUND8_FROZEN block (fresh r8
+# rows — rotates in round 11), the PERMANENTLY PINNED rows-only entry,
+# and any ROUND10_LATE registrations.
 
-ROUND8_LATE_ROTATED_IN_R9 = {
-    "events_top_paths", "streaming_ewma_monitor", "text_quality_gate",
+ROUND9_LATE_ROTATED_IN_R10 = {
+    "sample_domain_temperature", "streaming_quantile_monitor",
+    "streaming_ndv_monitor", "text_domain_quality",
+    "profiling_cms_frequencies", "streaming_heavyhitter_monitor",
+    "dedup_containment", "events_daily_uniques_rollup",
+    "events_holt_trend",
 }
 
-ROUND6_ROTATED_IN_R9 = {
-    # the whole ROUND6_FROZEN remainder: last driver rows in round 6
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q1_pricing_summary", "q14_promo_effect", "q18_large_orders",
-    "q21_waiting_suppliers", "events_cube_daily",
-    "events_retention_cohorts", "events_funnel", "brand_revenue_pareto",
-    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
-    "io_overwrite_partitions", "io_json_roundtrip",
-    "db_copy_unload_roundtrip", "corpus_curation_pipeline",
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_lloyd_step",
-    "dedup_semdedup", "dedup_clusters", "logs_insights_parse",
-    "multimodal_video_near_dup", "streaming_sessionize", "sample_dsir",
-    "ann_recall_lsh", "pretraining_shard_export", "streaming_dsir_gate",
-    "ann_ivfpq_partitioned_search", "streaming_index_ingest",
-    "ann_mmr_rerank", "profiling_hll_invariants",
-}
-
-ROUND9_CHANGED_CODE = {
-    # format-owner rows for the to_parquet/to_csv/to_orc dtype-sanitize
-    # fix (the r8 granularity precedent), the histogram ORACLE edit,
-    # and the profiling overflow guard
-    "io_parquet_roundtrip", "io_csv_roundtrip", "io_orc_roundtrip",
-    "events_value_histogram", "profiling_numeric_summary",
-    "profiling_correlations",
-}
-
-ROUND7_PULLED_IN_R9 = {
-    # oldest-first backfill pulls from ROUND7_FROZEN
-    "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
-    "ann_filtered_pq_search",
-}
-
-NEW_IN_R9 = {
-    "profiling_quantile_invariants", "text_domain_rollup",
-    "sample_hash_split",
-}
-
-ROUND8_FROZEN = {
-    # fresh green rows in CORRECTNESS_r08.json; code byte-identical
-    # since round 8 (r8-window entries crossing round-9-changed code —
-    # the three format-owner io roundtrips, the histogram row, the two
-    # profiling rows — moved INTO the round-9 window instead)
-    "streaming_anomaly_monitor", "events_error_click_window",
-    "dedup_exact", "dedup_normalized", "db_jdbc_roundtrip",
-    "events_session_window", "events_hourly_gapfill",
-    "events_user_join_salted", "athena_ctas_roundtrip",
-    "io_partition_pruned_read", "io_merge_datasets", "ann_cosine_topk",
-    "ann_lsh_topk", "streaming_static_enrich", "streaming_latest_per_user",
-    "text_fingerprint", "dedup_duplicated_lines", "sample_epoch_mixture",
-    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_duplicated_spans",
-    "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_embedding_lsh", "embedding_curation_pipeline",
-    "ann_cosine_topk_arrow", "ann_sq8_topk", "bpe_word_frequencies",
-    "streaming_growing_corpus", "sample_temperature",
-    "q2_min_cost_supplier", "streaming_drift_monitor",
-    "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
-    "events_interpolate", "ann_pca_sq8_search", "sample_weighted",
-    "ann_metric_topk",
-}
-
-ROUND7_FROZEN = {
-    # fresh green rows in CORRECTNESS_r07.json; code byte-identical
-    # since round 7 (the four oldest leaders moved INTO the round-9
-    # window as backfill pulls; five entries retired — RETIRED_R9)
+ROUND7_ROTATED_IN_R10 = {
+    # the whole ROUND7_FROZEN block: last driver rows in round 7
+    # (events_heavy_hitters_sketch and streaming_hourly_rollup retired
+    # — RETIRED_R10)
     "streaming_bloom_gate", "profiling_referential_integrity",
     "profiling_key_uniqueness", "ingest_preflight_report",
     "dedup_bloom_ingest_gate", "sample_cluster_balanced",
@@ -122,13 +68,70 @@ ROUND7_FROZEN = {
     "lineitem_stats_by_flag", "topk_customers_window",
     "multimodal_image_dhash", "text_bigram_surprisal",
     "text_ngram_repetition", "io_fwf_roundtrip", "profiling_null_profile",
-    "events_heavy_hitters_sketch", "multimodal_audio_fp", "text_c4_rules",
+    "multimodal_audio_fp", "text_c4_rules",
     "text_perplexity_buckets", "pretraining_curation_pipeline",
     "text_gopher_quality", "text_lang_id", "text_chunk_tokens",
     "text_pack_sequences", "text_pii_scrub", "text_tfidf_top_terms",
-    "benchmark_contamination", "streaming_hourly_rollup",
-    "streaming_sliding_counts", "streaming_error_click_join",
-    "streaming_corpus_dedup", "q6_revenue_forecast",
+    "benchmark_contamination", "streaming_sliding_counts",
+    "streaming_error_click_join", "streaming_corpus_dedup",
+    "q6_revenue_forecast",
+}
+
+ROUND10_CHANGED_CODE = {
+    # dedup_ngram_jaccard: crosses the r9-continuation _shingle_overlap
+    # extraction (SURVEY §7 item 16c); the other three cross code
+    # changed in round 10 itself (PSL domains / _fold_counts /
+    # value_grid)
+    "dedup_ngram_jaccard", "text_domain_rollup",
+    "streaming_ewma_monitor", "profiling_quantile_invariants",
+}
+
+ROUND9_FROZEN = {
+    # fresh green rows in CORRECTNESS_r09.json (the first all-green
+    # window); code byte-identical since round 9
+    # (profiling_hll_invariants retired — RETIRED_R10; text_domain_
+    # rollup / streaming_ewma_monitor / profiling_quantile_invariants
+    # moved INTO the round-10 window as changed-code)
+    "events_top_paths", "text_quality_gate", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q1_pricing_summary", "q14_promo_effect",
+    "q18_large_orders", "q21_waiting_suppliers", "events_cube_daily",
+    "events_retention_cohorts", "events_funnel", "brand_revenue_pareto",
+    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
+    "io_overwrite_partitions", "io_json_roundtrip",
+    "db_copy_unload_roundtrip", "corpus_curation_pipeline",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_lloyd_step",
+    "dedup_semdedup", "dedup_clusters", "logs_insights_parse",
+    "multimodal_video_near_dup", "streaming_sessionize", "sample_dsir",
+    "ann_recall_lsh", "pretraining_shard_export", "streaming_dsir_gate",
+    "ann_ivfpq_partitioned_search", "streaming_index_ingest",
+    "ann_mmr_rerank", "io_parquet_roundtrip", "io_csv_roundtrip",
+    "io_orc_roundtrip", "events_value_histogram",
+    "profiling_numeric_summary", "profiling_correlations",
+    "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
+    "ann_filtered_pq_search", "sample_hash_split",
+}
+
+ROUND8_FROZEN = {
+    # fresh green rows in CORRECTNESS_r08.json; code byte-identical
+    # since round 8 (dedup_ngram_jaccard moved INTO the round-10 window
+    # as changed-code). Rotates in round 11.
+    "streaming_anomaly_monitor", "events_error_click_window",
+    "dedup_exact", "dedup_normalized", "db_jdbc_roundtrip",
+    "events_session_window", "events_hourly_gapfill",
+    "events_user_join_salted", "athena_ctas_roundtrip",
+    "io_partition_pruned_read", "io_merge_datasets", "ann_cosine_topk",
+    "ann_lsh_topk", "streaming_static_enrich", "streaming_latest_per_user",
+    "text_fingerprint", "dedup_duplicated_lines", "sample_epoch_mixture",
+    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_simhash", "dedup_duplicated_spans",
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "dedup_embedding_lsh", "embedding_curation_pipeline",
+    "ann_cosine_topk_arrow", "ann_sq8_topk", "bpe_word_frequencies",
+    "streaming_growing_corpus", "sample_temperature",
+    "q2_min_cost_supplier", "streaming_drift_monitor",
+    "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
+    "events_interpolate", "ann_pca_sq8_search", "sample_weighted",
+    "ann_metric_topk",
 }
 
 # VERDICT r8 "what's wrong" #1: the declared rows-only entry can never
@@ -137,28 +140,16 @@ ROUND7_FROZEN = {
 # future rotation.
 PINNED_ROWS_ONLY = {"bpe_encode"}
 
-ROUND9_LATE = {
-    # registered after the round-9 window filled (the round-3/6/7/8
-    # late precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a
-    # targeted local[5] invariance check in the round-9 session;
-    # rotates into the round-10 window FIRST
-    "sample_domain_temperature",
-    "streaming_quantile_monitor",
-    "streaming_ndv_monitor",
-    "text_domain_quality",
-    "profiling_cms_frequencies",
-    "streaming_heavyhitter_monitor",
-    "dedup_containment",
-    "events_daily_uniques_rollup",
-    "events_holt_trend",
-}
+# registered after the round-10 window filled (the round-3/6/7/8/9
+# late precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a
+# targeted local[5] invariance check in the round-10 session; rotates
+# into the round-11 window FIRST
+ROUND10_LATE: set = set()
 
-ROUND9_MUST_BE_IN_WINDOW = (
-    ROUND8_LATE_ROTATED_IN_R9
-    | ROUND6_ROTATED_IN_R9
-    | ROUND9_CHANGED_CODE
-    | ROUND7_PULLED_IN_R9
-    | NEW_IN_R9
+ROUND10_MUST_BE_IN_WINDOW = (
+    ROUND9_LATE_ROTATED_IN_R10
+    | ROUND7_ROTATED_IN_R10
+    | ROUND10_CHANGED_CODE
 )
 
 RETIRED_R7 = {
@@ -197,12 +188,27 @@ RETIRED_R9 = {
     "events_ewma_smoothing",     # → streaming_ewma_monitor (VERDICT-named)
 }
 
+RETIRED_R10 = {
+    # round-10 consolidation (VERDICT r9 #1 sanctioned all three):
+    # covered-by annotations at each former definition site; operators
+    # stay implemented and pytest-pinned. None is in the frozen bench
+    # HEADLINE list, so BENCH_RETIRED needs no extension.
+    "profiling_hll_invariants",    # → streaming_ndv_monitor + events_daily_uniques_rollup;
+                                   #   2% invariant pinned (test_hll_sketches_merge_losslessly)
+    "events_heavy_hitters_sketch", # → profiling_cms_frequencies + streaming_heavyhitter_monitor;
+                                   #   approx_top_k pinned (test_approx_heavy_hitters_exact_regime_and_ties)
+    "streaming_hourly_rollup",     # → streaming_sliding_counts (same windowed_rollup path,
+                                   #   hopping superset) + events_hourly_gapfill (batch superset)
+}
+
 
 def test_retired_entries_are_gone():
     assert RETIRED_R7 & set(QUERIES) == set()
     assert RETIRED_R7 & set(ORACLES) == set()
     assert RETIRED_R9 & set(QUERIES) == set()
     assert RETIRED_R9 & set(ORACLES) == set()
+    assert RETIRED_R10 & set(QUERIES) == set()
+    assert RETIRED_R10 & set(ORACLES) == set()
 
 
 def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
@@ -223,8 +229,8 @@ def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = (below - ROUND8_FROZEN - ROUND7_FROZEN
-                   - PINNED_ROWS_ONLY - ROUND9_LATE)
+    unaccounted = (below - ROUND9_FROZEN - ROUND8_FROZEN
+                   - PINNED_ROWS_ONLY - ROUND10_LATE)
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -232,18 +238,18 @@ def test_below_window_entries_all_have_pedigree():
 
 def test_no_entry_staler_than_two_rounds():
     # the rotation invariant (VERDICT r5 #5, re-pinned every round):
-    # after round 9, no below-window entry's last driver row may be
-    # older than round 7 — so nothing with round-6 pedigree (and no
-    # never-verified round-8-late entry) may sit below the boundary.
+    # after round 10, no below-window entry's last driver row may be
+    # older than round 8 — so nothing with round-7 pedigree (and no
+    # never-verified round-9-late entry) may sit below the boundary.
     # The pinned rows-only entry is exempt BY POLICY: it has no oracle,
     # so a driver row can never verify it (pytest is its contract).
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND6_ROTATED_IN_R9 == set(), (
-        "round-6-pedigree entries must sit inside the round-9 window"
+    assert below & ROUND7_ROTATED_IN_R10 == set(), (
+        "round-7-pedigree entries must sit inside the round-10 window"
     )
-    assert below & ROUND8_LATE_ROTATED_IN_R9 == set(), (
-        "never-verified round-8-late entries must sit inside the window"
+    assert below & ROUND9_LATE_ROTATED_IN_R10 == set(), (
+        "never-verified round-9-late entries must sit inside the window"
     )
 
 
@@ -257,7 +263,7 @@ def test_pinned_rows_only_entry_stays_below_the_window():
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND9_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND10_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
@@ -267,12 +273,15 @@ def test_window_is_exactly_the_declared_partition():
     # must-be-in set
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
-    assert window == ROUND9_MUST_BE_IN_WINDOW
-    assert below == (ROUND8_FROZEN | ROUND7_FROZEN | PINNED_ROWS_ONLY
-                     | ROUND9_LATE)
-    assert ROUND8_FROZEN & ROUND7_FROZEN == set()
-    assert PINNED_ROWS_ONLY & (ROUND8_FROZEN | ROUND7_FROZEN) == set()
-    assert ROUND9_LATE & (ROUND8_FROZEN | ROUND7_FROZEN | PINNED_ROWS_ONLY) == set()
+    assert window == ROUND10_MUST_BE_IN_WINDOW
+    assert below == (ROUND9_FROZEN | ROUND8_FROZEN | PINNED_ROWS_ONLY
+                     | ROUND10_LATE)
+    assert ROUND9_FROZEN & ROUND8_FROZEN == set()
+    assert PINNED_ROWS_ONLY & (ROUND9_FROZEN | ROUND8_FROZEN) == set()
+    assert ROUND10_LATE & (ROUND9_FROZEN | ROUND8_FROZEN | PINNED_ROWS_ONLY) == set()
+    assert (ROUND9_LATE_ROTATED_IN_R10 & ROUND7_ROTATED_IN_R10) == set()
+    assert (ROUND10_CHANGED_CODE
+            & (ROUND9_LATE_ROTATED_IN_R10 | ROUND7_ROTATED_IN_R10)) == set()
 
 
 def test_entry_module_contract():
