@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 from aws_data_wrangler_spark.functions import trunc_digits
 
 
+def _bt(name: str) -> str:
+    """Escape embedded backticks for interpolation inside a
+    backtick-quoted ``F.expr`` identifier (ADVICE r9: a column name
+    containing a backtick would otherwise break the expression)."""
+    return name.replace("`", "``")
+
+
 def key_distribution(
     df: DataFrame,
     key_cols: List[str],
@@ -381,7 +388,8 @@ def hll_column_sketches(
     """
     cols = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.expr(f"hll_sketch_agg(`{c}`, {int(lg_k)})").alias(f"sk_{c}") for c in cols
+        F.expr(f"hll_sketch_agg(`{_bt(c)}`, {int(lg_k)})").alias(f"sk_{c}")
+        for c in cols
     ]
     return df.agg(*aggs)
 
@@ -393,7 +401,7 @@ def hll_union(sketches: DataFrame) -> DataFrame:
     no data touched."""
     sk_cols = [c for c in sketches.columns if c.startswith("sk_")]
     aggs = [F.sum("n_rows").alias("n_rows")] + [
-        F.expr(f"hll_union_agg(`{c}`)").alias(c) for c in sk_cols
+        F.expr(f"hll_union_agg(`{_bt(c)}`)").alias(c) for c in sk_cols
     ]
     return sketches.agg(*aggs)
 
@@ -405,7 +413,7 @@ def hll_estimates(sketches: DataFrame) -> DataFrame:
     merged = hll_union(sketches)
     row = merged.select(
         "n_rows",
-        *[F.expr(f"hll_sketch_estimate(`{c}`)").alias(c) for c in sk_cols],
+        *[F.expr(f"hll_sketch_estimate(`{_bt(c)}`)").alias(c) for c in sk_cols],
     ).collect()[0]
     if row["n_rows"] is None:
         # an EMPTY sketch frame (e.g. hll_sketch_sink over an all-empty
@@ -440,7 +448,7 @@ def grouped_hll_sketches(
     partials; state is one ~2.5 KB sketch per group."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr(f"hll_sketch_agg(`{col}`, {int(lg_k)})").alias("sk"),
+        F.expr(f"hll_sketch_agg(`{_bt(col)}`, {int(lg_k)})").alias("sk"),
     )
 
 

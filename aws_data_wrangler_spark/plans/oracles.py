@@ -3464,13 +3464,13 @@ ORACLES: Dict[str, str] = {
                    count(DISTINCT date_trunc('day', ts))::BIGINT AS n_days,
                    count(*)::BIGINT AS n_rows,
                    count(DISTINCT user_id)::BIGINT AS exact_ndv
-            FROM events GROUP BY event_type
+            FROM events WHERE event_type IS NOT NULL GROUP BY event_type
             UNION ALL
             SELECT '__all__',
                    count(DISTINCT date_trunc('day', ts))::BIGINT,
                    count(*)::BIGINT,
                    count(DISTINCT user_id)::BIGINT
-            FROM events
+            FROM events WHERE event_type IS NOT NULL
         )
         SELECT event_type, n_days, n_rows, exact_ndv,
                true AS est_within_5pct

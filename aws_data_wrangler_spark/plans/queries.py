@@ -3142,7 +3142,7 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = ev.groupBy(F.col("event_type").alias("value")).agg(
         F.count(F.lit(1)).alias("n_true")
     )
-    return (
+    out = (
         n_true.join(est_m, "value")
         .join(est_s, "value")
         .select(
@@ -3153,6 +3153,12 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value")
     )
+    # cache hygiene (ADVICE r9): the cached frames are BOUNDED counter
+    # tables (≤ depth×width cells, ~64 KB each — never data), so a long
+    # session tolerates them; they are still recorded so consumers that
+    # loop (bench, harnesses) can dedup.release_batch_state(out)
+    out._sg_batch_caches = [merged, single]
+    return out
 
 
 def _events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3187,8 +3193,14 @@ def _events_daily_uniques_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     from aws_data_wrangler_spark.operators import profiling
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day"), "user_id"
+    # the NULL convention is EXPLICIT (ADVICE r9): without this filter
+    # the per-type inner joins would silently drop a NULL event_type
+    # group while the oracle's GROUP BY emitted it — both sides now
+    # declare "named event types only" (the CMS rows' convention)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
     )
     fine = profiling.grouped_hll_sketches(ev, ["event_type", "day"], "user_id")
     # countDistinct (NULL-excluding) on BOTH grains so a NULL-ts event

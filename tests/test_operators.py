@@ -422,6 +422,22 @@ class TestDedup:
         # bounded: the later batches hold no more storage than the first
         assert max(counts) <= counts[0], counts
 
+    def test_pair_operators_record_releasable_shingle_cache(self, spark, documents):
+        # ADVICE r9: the _shingle_overlap pair operators cache a
+        # CORPUS-sized shingle table — the result must carry the
+        # release_batch_state handle, and releasing must actually free
+        # the persisted RDD (a looping session otherwise accumulates
+        # one shingle cache per call)
+        jsc = spark.sparkContext._jsc.sc()
+        docs = documents.limit(40)
+        for op in (dedup.ngram_jaccard_pairs, dedup.containment_pairs):
+            before = jsc.getPersistentRDDs().size()
+            result = op(docs, threshold=0.9, max_doc_frequency=1000)
+            result.count()  # consume (populates the cache)
+            assert jsc.getPersistentRDDs().size() > before
+            dedup.release_batch_state(result, blocking=True)
+            assert jsc.getPersistentRDDs().size() == before
+
     def test_incremental_forwards_num_hashes_to_batch_signatures(self, spark, documents):
         # regression: the batch side once built 64-slot default
         # signatures while banding assumed the caller's num_hashes —
@@ -4210,6 +4226,22 @@ class TestProfiling:
         # grand-total rollup of an EMPTY sketch table: empty frame,
         # not an all-NULL row (the hll_estimates empty-state contract)
         assert profiling.hll_rollup(persisted.limit(0), []).collect() == []
+
+    def test_hll_family_escapes_backticked_column_names(self, spark):
+        # ADVICE r9: a column name containing a backtick must not break
+        # the interpolated hll expressions (escaped via _bt)
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(20).selectExpr(
+            "CAST(id % 5 AS STRING) AS `u``id`", "id % 2 AS g"
+        )
+        est = profiling.hll_estimates(
+            profiling.hll_column_sketches(df, ["u`id"])
+        ).collect()
+        assert est[0]["column"] == "u`id" and est[0]["n_distinct_est"] == 5
+        grouped = profiling.grouped_hll_sketches(df, ["g"], "u`id")
+        rolled = {r["g"]: r for r in profiling.hll_rollup(grouped, ["g"]).collect()}
+        assert rolled[0]["n_distinct_est"] == 5 and rolled[1]["n_distinct_est"] == 5
 
     def test_quantile_sketch_single_batch_is_exact_at_grid_points(self, spark):
         # one batch, grid-aligned percentiles: the sketch IS the exact
