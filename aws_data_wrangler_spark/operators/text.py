@@ -513,10 +513,15 @@ def with_canonical_url(
     - ``canonical_col``: ``host/path`` in canonical form — the URL
       dedup key (five messy spellings of one page collapse to it);
     - ``domain_col``: the full lowercased host, any port stripped;
-    - ``registered_col``: the last two host labels (``blog.x.org`` →
-      ``x.org``) — the mixing stratum. A public-suffix list (absent in
-      this container) would refine multi-label suffixes like
-      ``co.uk``; single-label hosts fall back to themselves.
+    - ``registered_col``: the registered domain — the mixing stratum.
+      Hosts whose last two labels form a vendored two-level public
+      suffix (``_psl.PUBLIC_SUFFIX_2LEVEL``, the ``co.uk``/``com.au``
+      class from the PSL's ICANN section) take their last THREE labels
+      (``news.x.co.uk`` → ``x.co.uk``); everything else takes the last
+      two (``blog.x.org`` → ``x.org``); single-label hosts fall back
+      to themselves. Deeper PSL rules (three-label suffixes,
+      wildcards, private-section platform domains) are intentionally
+      out of scope — see ``_psl``'s contract.
 
     Pure codegen'd regex projection (the ``strip_html`` discipline):
     zero shuffle at any corpus size, every pattern in the RE2 subset
@@ -535,12 +540,21 @@ def with_canonical_url(
     host = F.regexp_replace(host, r":(80|443)$", "")
     rest = F.regexp_replace(F.regexp_replace(u, r"^[^/]*", ""), r"/+$", "")
     domain = F.regexp_replace(host, r":[0-9]+$", "")
-    reg = F.regexp_extract(domain, r"([^.]+\.[^.]+)$", 1)
+    # three labels when the last two form a vendored public suffix
+    # (ONE pattern string feeds both engines — _psl.PSL2_REGEX is
+    # embedded verbatim in the oracle fragment), else two, else the
+    # host itself
+    from aws_data_wrangler_spark.operators._psl import PSL2_REGEX
+
+    reg3 = F.regexp_extract(domain, PSL2_REGEX, 1)
+    reg2 = F.regexp_extract(domain, r"([^.]+\.[^.]+)$", 1)
     return df.withColumns(
         {
             canonical_col: F.concat(host, rest),
             domain_col: domain,
-            registered_col: F.when(reg == "", domain).otherwise(reg),
+            registered_col: F.when(reg3 != "", reg3).otherwise(
+                F.when(reg2 == "", domain).otherwise(reg2)
+            ),
         }
     )
 

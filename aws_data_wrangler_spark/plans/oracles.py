@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+from aws_data_wrangler_spark.operators._psl import PSL2_REGEX
 from aws_data_wrangler_spark.operators.sampling import _threshold_hex
 from aws_data_wrangler_spark.plans.queries import (
     ANALYTICS_SQL,
@@ -1314,9 +1315,14 @@ def _quality_gate_sql(extra_ctes: str, join_src: str, stratum: str) -> str:
 # row BY CONSTRUCTION). Ends with `named`: (doc_id, canonical_url,
 # registered_domain). Every regexp is anchored or single-match, so
 # DuckDB's non-global regexp_replace matches Spark's global one.
-_CANON_URL_CTES = """h AS (
+# The registered-domain CASE embeds the vendored public-suffix
+# alternation VERBATIM from _psl.PSL2_REGEX (one source of truth with
+# the Spark operator); the doc_id % 10 = 7 host exercises it
+# (news.<source>.co.uk must stratify to <source>.co.uk, not co.uk).
+_CANON_URL_CTES = f"""h AS (
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN source || '.com'
+                   CASE WHEN doc_id % 10 = 7 THEN 'news.' || source || '.co.uk'
+                        WHEN doc_id % 2 = 0 THEN source || '.com'
                         ELSE 'blog.' || source || '.org' END AS host
             FROM documents
         ), u AS (
@@ -1353,7 +1359,9 @@ _CANON_URL_CTES = """h AS (
             FROM parts
         ), named AS (
             SELECT doc_id, canonical_url,
-                   CASE WHEN regexp_extract(dom, '([^.]+\\.[^.]+)$', 1) = ''
+                   CASE WHEN regexp_extract(dom, '{PSL2_REGEX}', 1) <> ''
+                        THEN regexp_extract(dom, '{PSL2_REGEX}', 1)
+                        WHEN regexp_extract(dom, '([^.]+\\.[^.]+)$', 1) = ''
                         THEN dom
                         ELSE regexp_extract(dom, '([^.]+\\.[^.]+)$', 1)
                    END AS registered_domain

@@ -2175,9 +2175,17 @@ def _synthesized_canonical_urls(docs: DataFrame) -> DataFrame:
     from aws_data_wrangler_spark.operators import text
 
     v = F.col("doc_id") % 5
-    host = F.when(
-        F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(".com"))
-    ).otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".org")))
+    # the % 10 = 7 variant carries a MULTI-LABEL public suffix so the
+    # registered-domain PSL path (news.<source>.co.uk → <source>.co.uk,
+    # NOT co.uk) is exercised by every domain-strata driver row
+    host = (
+        F.when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.lit("news."), F.col("source"), F.lit(".co.uk")),
+        )
+        .when(F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(".com")))
+        .otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".org")))
+    )
     url = F.concat(
         F.when(v.isin(1, 3), F.lit("HTTP://")).otherwise(F.lit("https://")),
         F.when(v.isin(0, 3), F.lit("www.")).otherwise(F.lit("")),
