@@ -301,6 +301,50 @@ def ewma(
     return ewma_from_counts(counts, alpha, key_col)
 
 
+def _fold_counts(counts: DataFrame, key_col: str, fold_of_vals, out_of_state):
+    """Shared pack/fold scaffolding of the per-key chronological count
+    smoothers (``ewma_from_counts`` / ``holt_from_counts`` — folded
+    into one helper per VERDICT r9 #5, now that both rows rotate
+    through the same driver window): key resolution (the explicit
+    ``key_col`` wins over a leftover generic ``key`` column),
+    partitioning-invariant chronological pack (``array_sort`` over
+    ``(bucket_ts, n)`` structs — bucket_ts is unique per key after the
+    producing groupBy, so the order is total), and ONE map-side-
+    combining groupBy emitting ``(key, n_buckets, last_bucket_ts,
+    *state-derived columns)``. The per-key array is CALENDAR-bounded
+    (8,760 hourly buckets per key-year), never data-sized.
+
+    ``fold_of_vals(vals)`` builds the fold expression over the
+    chronological double array; ``out_of_state(st)`` maps the folded
+    state column to the operator's output columns."""
+    if key_col in counts.columns:
+        # explicit parameter wins over a leftover generic "key" column
+        counts = counts.select(F.col(key_col).alias("key"), "bucket_ts", "n")
+    elif "key" not in counts.columns:
+        raise ValueError(
+            f"counts must carry the key column {key_col!r} (or the "
+            f"generic 'key'); got {counts.columns}"
+        )
+    arr = F.array_sort(F.collect_list(F.struct("bucket_ts", "n")))
+    vals = F.transform(arr, lambda s: s["n"].cast("double"))
+    return (
+        counts.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.date_format(F.max("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_bucket_ts"
+            ),
+            fold_of_vals(vals).alias("__st"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_buckets",
+            "last_bucket_ts",
+            *out_of_state(F.col("__st")),
+        )
+    )
+
+
 def ewma_from_counts(
     counts: DataFrame, alpha: float = 0.25, key_col: str = "event_type"
 ) -> DataFrame:
@@ -314,41 +358,21 @@ def ewma_from_counts(
     table keyed by e.g. ``event_type`` resolves through the parameter
     (the internal producers — ``bucket_counts`` and the streaming
     monitor aggregate — emit the generic ``key`` name, which is
-    accepted as-is)."""
+    accepted as-is). Pack/fold scaffolding shared with
+    ``holt_from_counts`` via ``_fold_counts``; the fold itself is a
+    left-to-right IEEE double chain (bit-identical across engines with
+    exactly-representable ``alpha``)."""
     from aws_data_wrangler_spark.functions import trunc_digits
 
-    if key_col in counts.columns:
-        # explicit parameter wins over a leftover generic "key" column
-        counts = counts.select(
-            F.col(key_col).alias("key"), "bucket_ts", "n"
+    def fold(vals):
+        return F.aggregate(
+            F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
         )
-    elif "key" not in counts.columns:
-        raise ValueError(
-            f"counts must carry the key column {key_col!r} (or the "
-            f"generic 'key'); got {counts.columns}"
-        )
-    # array_sort on (bucket_ts, n) structs orders chronologically;
-    # bucket_ts is unique per key after the groupBy, so the order is
-    # total — partitioning-invariant by construction
-    arr = F.array_sort(F.collect_list(F.struct("bucket_ts", "n")))
-    vals = F.transform(arr, lambda s: s["n"].cast("double"))
-    folded = F.aggregate(
-        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
-        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
-    )
-    return (
-        counts.groupBy("key")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.date_format(F.max("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "last_bucket_ts"
-            ),
-            trunc_digits(folded).alias("ewma"),
-        )
-        .select(
-            F.col("key").alias(key_col), "n_buckets", "last_bucket_ts", "ewma"
-        )
+
+    return _fold_counts(
+        counts, key_col, fold, lambda st: [trunc_digits(st).alias("ewma")]
     )
 
 
@@ -397,59 +421,37 @@ def holt_from_counts(
     """The Holt fold over an already-bucketed ``(key, bucket_ts, n)``
     count table — the `ewma_from_counts` contract (shared by the batch
     smoother and any streaming replay of the same counts), for the
-    level+trend state.
-
-    The key-resolution and pack/fold scaffolding deliberately MIRRORS
-    `ewma_from_counts` rather than sharing a helper: that function
-    backs a driver-verified registry row this round, and extracting a
-    shared fold would make it changed-code in a rotation window with
-    no slack (the byte-identity-over-DRY rule for already-verified
-    fragments — SURVEY §6). Fold the two into one `_fold_counts`
-    helper the next time EITHER must change for its own reasons; any
-    edit to the key-resolution or chronology contract must land in
-    BOTH until then."""
+    level+trend state. Pack/fold scaffolding shared with
+    ``ewma_from_counts`` via ``_fold_counts`` (VERDICT r9 #5 — the r9
+    byte-identity deferral resolved in the round both rows rotate
+    through the window); only the fold expression and the state→output
+    mapping differ."""
     from aws_data_wrangler_spark.functions import trunc_digits
 
-    if key_col in counts.columns:
-        counts = counts.select(F.col(key_col).alias("key"), "bucket_ts", "n")
-    elif "key" not in counts.columns:
-        raise ValueError(
-            f"counts must carry the key column {key_col!r} (or the "
-            f"generic 'key'); got {counts.columns}"
-        )
     # exactly-representable coefficient set (documented contract)
     c_l_prev = F.lit(1.0 - alpha)
     c_trend_x = F.lit(alpha * beta)
     c_trend_prev = F.lit(beta * (1.0 - alpha) + (1.0 - beta))
-    arr = F.array_sort(F.collect_list(F.struct("bucket_ts", "n")))
-    vals = F.transform(arr, lambda s: s["n"].cast("double"))
-    folded = F.aggregate(
-        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.array(F.element_at(vals, 1), F.lit(0.0)),
-        lambda acc, x: F.array(
-            x * F.lit(alpha)
-            + (F.element_at(acc, 1) + F.element_at(acc, 2)) * c_l_prev,
-            (x - F.element_at(acc, 1)) * c_trend_x
-            + F.element_at(acc, 2) * c_trend_prev,
-        ),
-    )
-    return (
-        counts.groupBy("key")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.date_format(F.max("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "last_bucket_ts"
+
+    def fold(vals):
+        return F.aggregate(
+            F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.array(F.element_at(vals, 1), F.lit(0.0)),
+            lambda acc, x: F.array(
+                x * F.lit(alpha)
+                + (F.element_at(acc, 1) + F.element_at(acc, 2)) * c_l_prev,
+                (x - F.element_at(acc, 1)) * c_trend_x
+                + F.element_at(acc, 2) * c_trend_prev,
             ),
-            folded.alias("__st"),
         )
-        .select(
-            F.col("key").alias(key_col),
-            "n_buckets",
-            "last_bucket_ts",
-            trunc_digits(F.element_at("__st", 1)).alias("level"),
-            trunc_digits(F.element_at("__st", 2)).alias("trend"),
+
+    def out(st):
+        return [
+            trunc_digits(F.element_at(st, 1)).alias("level"),
+            trunc_digits(F.element_at(st, 2)).alias("trend"),
             trunc_digits(
-                F.element_at("__st", 1) + F.element_at("__st", 2)
+                F.element_at(st, 1) + F.element_at(st, 2)
             ).alias("forecast_next"),
-        )
-    )
+        ]
+
+    return _fold_counts(counts, key_col, fold, out)
