@@ -729,6 +729,92 @@ def benchmark_near_contamination(
     )
 
 
+def remove_contaminated_spans(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Span-level decontamination REMOVAL — the excision rung the
+    contamination ladder was missing (VERDICT r9 #2):
+    ``benchmark_contamination`` FLAGS n-gram overlap and
+    ``benchmark_near_contamination`` flags paraphrases, but the
+    open-data pipelines' standard remedy is SURGICAL — cut the quoted
+    benchmark item out of the page and keep the page (the way
+    ``dedup.remove_duplicated_lines`` excises dup lines), not a
+    whole-document drop. Every maximal run of train tokens covered by
+    at least one eval-set word n-gram is removed.
+
+    Adds four columns: ``out_col`` (the excised text),
+    ``total_tokens`` (whitespace token count of the input),
+    ``n_tokens_removed`` and ``n_spans_removed`` (maximal contiguous
+    removed runs). Documents with NO contaminated span keep
+    ``text_col`` BYTE-PRESERVED in ``out_col``; excised documents are
+    rebuilt from their kept tokens joined by single spaces (the
+    positioned-n-gram machinery works in normalized token space — the
+    ``with_dup_ngram_fraction`` convention). A fully-contaminated
+    document excises to the empty string — drop-or-keep policy stays
+    with the caller (the FLAG-not-filter discipline).
+
+    Scale shape: one positioned n-gram fan-out (map stage), the
+    broadcast eval-set hash probe (``benchmark_contamination``'s join
+    — benchmarks are MBs, the corpus is the 100 TB side, which never
+    shuffles for the probe), ONE groupBy packing each contaminated
+    doc's hit-start positions (hit lists are doc-bounded, never
+    corpus-sized), one id-keyed join back, then a pure higher-order
+    projection (filter/exists over the token array) rebuilds the text
+    JVM-side — no Python anywhere in the row path. The exists probe is
+    O(tokens × hits) per doc — quadratic only for a fully-contaminated
+    doc, linear in the sparse regime decontamination actually runs in.
+    """
+    from aws_data_wrangler_spark.operators.dedup import word_shingles
+
+    grams = _positioned_word_ngrams(train, n, text_col, id_col)
+    eval_sh = (
+        word_shingles(eval_set, id_col, text_col, n).select("shingle").distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(eval_sh), grams["gram"] == F.col("shingle"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__hits"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def covered(i):
+        # token i lies inside some hit's [p, p + n - 1] window
+        return F.exists(
+            "__hits", lambda p: (i >= p) & (i <= p + F.lit(n - 1))
+        )
+
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    idxs = F.sequence(F.lit(0), F.size(toks) - 1)
+    span_starts = F.filter(
+        idxs, lambda i: covered(i) & ((i == F.lit(0)) | ~covered(i - 1))
+    )
+    contaminated = F.col("__hits").isNotNull()
+    total = _ws_token_count(F.col(text_col))
+    return (
+        train.join(hits, id_col, "left")
+        .withColumns(
+            {
+                out_col: F.when(
+                    contaminated, F.array_join(kept, " ")
+                ).otherwise(F.col(text_col)),
+                "total_tokens": total.cast("bigint"),
+                "n_tokens_removed": F.when(
+                    contaminated, total - F.size(kept)
+                ).otherwise(F.lit(0)).cast("bigint"),
+                "n_spans_removed": F.when(contaminated, F.size(span_starts))
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            }
+        )
+        .drop("__hits")
+    )
+
+
 def _positioned_word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, total_tokens, norm_chars, pos, tok_len, gram): sliding word
     n-grams with their 0-based start position, the length of the token

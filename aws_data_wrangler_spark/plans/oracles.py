@@ -2655,6 +2655,82 @@ ORACLES: Dict[str, str] = {
         FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
+    # span-level decontamination REMOVAL (VERDICT r9 #2): the eval
+    # 5-gram set (every 50th doc + two planted 8-token excerpts of
+    # every 11th long train doc — Spark slice(toks, 3, 8) ≡ DuckDB
+    # list_slice(tk, 3, 10), slice(toks, 25, 8) ≡ list_slice(tk, 25,
+    # 32)) marks covered token positions; the kept-token string_agg
+    # must md5-match Spark's excised text EXACTLY, and untouched docs
+    # pin the RAW text bytes (the byte-preservation contract)
+    "text_decontaminated_spans": """
+        WITH ttk AS (
+            SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents
+        ), train AS (
+            SELECT doc_id, text, tk FROM ttk WHERE doc_id % 50 <> 0
+        ), eval_docs AS (
+            SELECT text FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT array_to_string(list_slice(tk, 3, 10), ' ')
+            FROM train WHERE doc_id % 11 = 0 AND len(tk) >= 40
+            UNION ALL
+            SELECT array_to_string(list_slice(tk, 25, 32), ' ')
+            FROM train WHERE doc_id % 11 = 0 AND len(tk) >= 40
+        ), eval_sh AS (
+            SELECT DISTINCT
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                   tk[i+3] || ' ' || tk[i+4] AS shingle
+            FROM (SELECT tk, unnest(range(1, len(tk) - 3)) AS i
+                  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk
+                        FROM eval_docs)
+                  WHERE len(tk) >= 5)
+        ), grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                   tk[i+3] || ' ' || tk[i+4] AS gram
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+                  FROM train WHERE len(tk) >= 5)
+        ), hits AS (
+            SELECT g.doc_id, g.pos FROM grams g JOIN eval_sh e ON g.gram = e.shingle
+        ), covpos AS (
+            SELECT DISTINCT h.doc_id, h.pos + u.d AS idx
+            FROM hits h, (SELECT unnest(range(0, 5)) AS d) u
+        ), toksl AS (
+            SELECT doc_id, i - 1 AS idx, tk[i] AS tok
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                  FROM train WHERE length(trim(text)) > 0)
+        ), cov AS (
+            SELECT t.doc_id, t.idx, t.tok, (c.idx IS NOT NULL) AS covered
+            FROM toksl t LEFT JOIN covpos c
+              ON c.doc_id = t.doc_id AND c.idx = t.idx
+        ), rebuilt AS (
+            SELECT doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY idx)
+                            FILTER (WHERE NOT covered), '') AS clean,
+                   sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT AS nrem
+            FROM cov GROUP BY doc_id
+        ), spans AS (
+            SELECT doc_id, sum(new_span)::BIGINT AS n_spans
+            FROM (SELECT doc_id,
+                         CASE WHEN lag(idx) OVER w IS NULL
+                                   OR lag(idx) OVER w < idx - 1
+                              THEN 1 ELSE 0 END AS new_span
+                  FROM covpos WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               md5(CASE WHEN coalesce(s.n_spans, 0) > 0 THEN r.clean
+                        ELSE t.text END) AS clean_fp,
+               (CASE WHEN length(trim(t.text)) = 0 THEN 0
+                     ELSE len(t.tk) END)::BIGINT AS total_tokens,
+               coalesce(r.nrem, 0)::BIGINT AS n_tokens_removed,
+               coalesce(s.n_spans, 0)::BIGINT AS n_spans_removed,
+               (coalesce(r.nrem, 0) > 0) AS contaminated
+        FROM train t
+        LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        LEFT JOIN spans s ON s.doc_id = t.doc_id
+        ORDER BY t.doc_id
+    """,
     # near-dup drop (higher id of each pair) → md5-threshold 50% sample
     # → per-label norm stats; mirrors the Spark composition stagewise
     "embedding_curation_pipeline": f"""

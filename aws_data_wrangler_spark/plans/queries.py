@@ -1488,6 +1488,46 @@ def _benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.benchmark_contamination(train, eval_set, n=5).orderBy("doc_id")
 
 
+def _text_decontaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination REMOVAL in registry position
+    (VERDICT r9 #2 — the excision rung above the contamination FLAG):
+    every 50th doc plays the benchmark, the rest is train, and the
+    eval side additionally carries TWO disjoint 8-token excerpts of
+    every 11th long train doc (the dedup_containment derived-input
+    pattern) so multi-span surgical removal is exercised, not just the
+    corpus's thin natural overlap. Each train doc reports the md5 of
+    its excised text (byte-equal to the input for untouched docs — the
+    oracle pins that byte-preservation), the whitespace token count,
+    and the removed token/span counts; the oracle rebuilds the
+    kept-token join per doc in SQL and must match the md5 EXACTLY."""
+    from aws_data_wrangler_spark.operators import text
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    planted = train.filter((F.col("doc_id") % 11 == 0) & (F.size(toks) >= 40))
+    ex1 = planted.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 3, 8), " ").alias("text"),
+    )
+    ex2 = planted.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 25, 8), " ").alias("text"),
+    )
+    eval_set = (
+        docs.filter(F.col("doc_id") % 50 == 0).unionByName(ex1).unionByName(ex2)
+    )
+    out = text.remove_contaminated_spans(train, eval_set, n=5)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_fp"),
+        "total_tokens",
+        "n_tokens_removed",
+        "n_spans_removed",
+        (F.col("n_tokens_removed") > 0).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
 def _benchmark_near_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination (r7, new): every 50th doc spawns a
     PARAPHRASED eval twin (first token dropped, re-id'd +1e6 — the
@@ -3626,6 +3666,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # contract is the pytest pedigree (hand-computed merges + lossless
     # reconstruction) ---
     "bpe_encode": _bpe_encode,
+    # --- ROUND10_LATE: registered after the round-10 window filled
+    # (the round-3/6/7/8/9 late precedent): verified at sf0.001 +
+    # sf0.01 + sf0.1 plus a targeted local[5] invariance check in the
+    # round-10 session; rotates into the round-11 window FIRST ---
+    "text_decontaminated_spans": _text_decontaminated_spans,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

@@ -110,6 +110,10 @@ HEADLINE = [
     # directed read-off)
     "profiling_cms_frequencies",
     "dedup_containment",
+    # round-10 addition: span-level decontamination REMOVAL — the
+    # positioned n-gram fan-out + broadcast eval probe + higher-order
+    # token-filter rebuild; tracks the excision rung's end-to-end cost
+    "text_decontaminated_spans",
 ]
 
 

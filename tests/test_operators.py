@@ -3511,6 +3511,73 @@ class TestTextPipelineOps:
         # and docs sharing no 5-gram with the eval docs score 0
         assert any(r["contamination_frac"] == 0.0 for r in rows.values())
 
+    def test_remove_contaminated_spans_excises_planted_quote(self, spark):
+        # VERDICT r9 #2: the excision rung — a planted eval quote is
+        # surgically removed, surrounding prose survives, and an
+        # untouched doc's text is BYTE-preserved (including its weird
+        # whitespace)
+        quote = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+        train = spark.createDataFrame(
+            [
+                (1, f"intro words here {quote} and the page goes on afterwards"),
+                (2, "totally unrelated page with  double  spaces preserved"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame([(100, quote)], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               text.remove_contaminated_spans(train, eval_set, n=5).collect()}
+        # doc 1: the 9 quote tokens form 5 hit 5-grams merging into ONE
+        # maximal span; intro + tail prose survive re-joined by spaces
+        assert out[1]["clean_text"] == "intro words here and the page goes on afterwards"
+        assert out[1]["n_spans_removed"] == 1
+        assert out[1]["n_tokens_removed"] == 9
+        assert out[1]["total_tokens"] == 3 + 9 + 6
+        # doc 2: no hit → byte-preserved, double spaces and all
+        assert out[2]["clean_text"] == "totally unrelated page with  double  spaces preserved"
+        assert (out[2]["n_spans_removed"], out[2]["n_tokens_removed"]) == (0, 0)
+
+    def test_remove_contaminated_spans_edges(self, spark):
+        # two disjoint quotes → two maximal spans; a fully-contaminated
+        # doc excises to the empty string; short (< n tokens) and empty
+        # docs pass through untouched
+        q1 = "alpha beta gamma delta epsilon"          # 5 tokens
+        q2 = "one two three four five"                 # 5 tokens
+        train = spark.createDataFrame(
+            [
+                (1, f"{q1} middle filler words here {q2} tail"),
+                (2, q1),                      # the whole doc IS the quote
+                (3, "tiny doc"),              # < n tokens: no grams
+                (4, "   "),                   # empty after trim
+            ],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame(
+            [(100, q1), (101, q2)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               text.remove_contaminated_spans(train, eval_set, n=5).collect()}
+        assert out[1]["clean_text"] == "middle filler words here tail"
+        assert out[1]["n_spans_removed"] == 2
+        assert out[1]["n_tokens_removed"] == 10
+        assert out[2]["clean_text"] == "" and out[2]["n_spans_removed"] == 1
+        assert out[2]["n_tokens_removed"] == 5 and out[2]["total_tokens"] == 5
+        assert out[3]["clean_text"] == "tiny doc" and out[3]["n_tokens_removed"] == 0
+        assert out[4]["clean_text"] == "   " and out[4]["total_tokens"] == 0
+
+    def test_remove_contaminated_spans_broadcasts_eval_set(self, spark, documents):
+        # the corpus (100 TB side) must never shuffle for the probe —
+        # the eval n-gram set is the broadcast side (the
+        # benchmark_contamination plan contract)
+        out = text.remove_contaminated_spans(
+            documents.filter(F.col("doc_id") % 50 != 0),
+            documents.filter(F.col("doc_id") % 50 == 0),
+            n=5,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
     def test_benchmark_near_contamination_empty_eval_is_clean(self, spark):
         # day-zero decontamination (no eval set yet) must return an
         # empty pair table, not crash in the bipartite machinery

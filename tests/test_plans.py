@@ -140,11 +140,13 @@ ROUND8_FROZEN = {
 # future rotation.
 PINNED_ROWS_ONLY = {"bpe_encode"}
 
-# registered after the round-10 window filled (the round-3/6/7/8/9
-# late precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a
-# targeted local[5] invariance check in the round-10 session; rotates
-# into the round-11 window FIRST
-ROUND10_LATE: set = set()
+ROUND10_LATE = {
+    # registered after the round-10 window filled (the round-3/6/7/8/9
+    # late precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a
+    # targeted local[5] invariance check in the round-10 session;
+    # rotates into the round-11 window FIRST
+    "text_decontaminated_spans",
+}
 
 ROUND10_MUST_BE_IN_WINDOW = (
     ROUND9_LATE_ROTATED_IN_R10
