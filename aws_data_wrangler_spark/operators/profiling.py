@@ -841,6 +841,255 @@ def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") ->
     )
 
 
+# 2^60: the KMV hash space — md5's first 15 hex chars, the
+# engine-portable coin (exactly representable as a double, so the
+# estimator's multiply/divide chain is the same IEEE computation in
+# Spark, DuckDB, and python)
+_KMV_SPACE = 16 ** 15
+
+
+def _kmv_hash(key: "F.Column") -> "F.Column":
+    """The KMV value hash — ``int(md5('kmv:' || key)[:15 hex])`` in
+    ``[0, 2^60)``. ONE definition (the ``_cms_cells`` rule): the
+    sketch builder, the python/DuckDB oracles, and any future prober
+    must compute the identical hash or set arithmetic silently breaks.
+    The ``kmv:`` salt decouples it from the hash_split / CMS coins."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), key)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketches(
+    df: DataFrame,
+    cols: List[str],
+    k: int = 1024,
+    batch_col: Optional[str] = None,
+) -> DataFrame:
+    """Mergeable SET state — the K-Minimum-Values sketch (Bar-Yossef
+    et al. 2002; Beyer et al. 2007), the fourth member of the sketch
+    family and the one that answers what HLL structurally cannot:
+    INTERSECTIONS. One row per (batch, column) of ``(batch, column,
+    n_rows, k, mins)`` where ``mins`` is the ``k`` smallest DISTINCT
+    md5-derived hash values of the column — a uniform random sample of
+    the value SET (not the rows), so sketches support union AND
+    intersection estimates (``kmv_set_estimates``: "how many users
+    were active in BOTH halves" — the returning-users / cross-corpus
+    overlap question an HLL union can't answer).
+
+    Determinism contract (the CMS class, strongest in the family): the
+    hash is the engine-portable md5 coin and the sketch is a pure SET
+    minimum — ``kmv_union`` of any batching is BIT-IDENTICAL to the
+    single-pass sketch, and a DuckDB oracle replicates every estimate
+    EXACTLY, no envelope.
+
+    Accuracy: the basic estimator ``(k−1)·2^60 / mins[k−1]`` has
+    relative standard error ~``1/√k`` (~3% at the default 1024); a
+    sketch with fewer than ``k`` values IS the exact distinct set
+    (exact mode). State: ``k`` bigints (~8 KB at default) per (batch,
+    column).
+
+    Scale shape (the two-pass threshold prune): a naive per-batch
+    "k smallest distinct" either collects the full distinct hash set
+    (corpus-NDV state) or sorts it through one task per batch. Instead
+    a bounded ``approx_count_distinct`` pass sizes a hash threshold of
+    ``8k/NDV_est`` of the space, the scan keeps only hashes below it
+    (expected ~8k survivors per batch — map-side filter, nothing
+    data-sized is ever shuffled or sorted), and the exact k-min runs on
+    that tiny candidate set. The OUTPUT is invariant to the prune: it
+    changes only if the true k-th smallest hash exceeds the threshold,
+    which needs the k smallest of NDV uniform draws to land 8× above
+    their expectation (P ≲ e^−k·ln2, astronomically small at k ≥ 64)
+    on top of an 8×-high HLL estimate (outside its ±2% error model).
+    NULLs are excluded (the ``count(col)`` convention).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    batch = (
+        F.col(batch_col).cast("string") if batch_col else F.lit("__all__")
+    ).alias("batch")
+    margin = 8
+    parts = []
+    for c in cols:
+        key = F.col(c).cast("string")
+        hashed = df.select(batch, _kmv_hash(key).alias("__h")).filter(
+            F.col("__h").isNotNull()
+        )
+        stats = hashed.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.approx_count_distinct("__h").alias("__nd"),
+        )
+        # guard the cast: only divide when nd > margin·k (the quotient
+        # is then < 2^60 — no long overflow); smaller batches keep the
+        # whole space (no pruning needed or wanted)
+        thr = F.when(
+            F.col("__nd") <= F.lit(margin * k), F.lit(_KMV_SPACE).cast("long")
+        ).otherwise(
+            (
+                F.lit(margin * k * float(_KMV_SPACE))
+                / F.col("__nd").cast("double")
+            ).cast("long")
+            + F.lit(1)
+        )
+        cand = (
+            hashed.join(F.broadcast(stats.select("batch", thr.alias("__thr"))), "batch")
+            .filter(F.col("__h") < F.col("__thr"))
+            .select("batch", "__h")
+            .distinct()
+        )
+        sk = cand.groupBy("batch").agg(
+            F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins")
+        )
+        parts.append(
+            sk.join(stats.select("batch", "__n"), "batch").select(
+                "batch",
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.lit(k).cast("int").alias("k"),
+                "mins",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _kmv_k(sketches: DataFrame):
+    """ONE geometry scan (the ``_cms_geometry`` rule): returns ``k``
+    or ``None`` for an empty state table; raises on mixed k."""
+    ks = sorted(int(r["k"]) for r in sketches.select("k").distinct().collect())
+    if len(ks) > 1:
+        raise ValueError(f"cannot union KMV sketches with different k: {ks}")
+    return ks[0] if ks else None
+
+
+def kmv_union(sketches: DataFrame) -> DataFrame:
+    """Merge many KMV sketch rows (one per batch/day) into one per
+    column (``batch='__merged__'``): the k smallest DISTINCT values of
+    the pooled ``mins`` arrays — a pure set minimum, so the merged
+    sketch is BIT-IDENTICAL to the single-pass sketch over the same
+    rows under ANY batching (the CMS determinism class), and the merge
+    is closed/associative. One bounded aggregation over sketch rows
+    (state ≤ batches · k bigints), no data touched."""
+    k = _kmv_k(sketches)
+    if k is None:
+        return sketches
+    # n_rows sums over SKETCH rows; the mins pool explodes them — two
+    # aggregates on artifact-sized input (never sum over the explode:
+    # that would multiply n_rows by the array size)
+    pooled = (
+        sketches.select("column", F.explode("mins").alias("__h"))
+        .groupBy("column")
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins"))
+    )
+    counts = sketches.groupBy("column").agg(F.sum("n_rows").alias("n_rows"))
+    return pooled.join(counts, "column").select(
+        F.lit("__merged__").alias("batch"),
+        "column",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.lit(k).cast("int").alias("k"),
+        "mins",
+    )
+
+
+def _kmv_ndv_est(mins: "F.Column", k: int) -> "F.Column":
+    """The KMV distinct-count estimator over a mins array: exact
+    ``size(mins)`` below ``k`` (the sketch IS the distinct hash set),
+    else ``floor((k−1)·2^60 / mins[k−1])`` — one exact double multiply
+    (a power of two times a small int), one divide, one floor: the
+    identical IEEE chain in every engine."""
+    return F.when(F.size(mins) < k, F.size(mins).cast("bigint")).otherwise(
+        F.floor(
+            F.lit(float((k - 1) * _KMV_SPACE))
+            / F.element_at(mins, k).cast("double")
+        ).cast("bigint")
+    )
+
+
+def kmv_estimates(sketches: DataFrame) -> DataFrame:
+    """Distinct-count estimates off (pre-unioning) a KMV sketch table:
+    ``(column, n_rows, n_distinct_est)`` — the ``hll_estimates`` view,
+    but md5-deterministic, so a second engine matches it exactly."""
+    k = _kmv_k(sketches)
+    if k is None:
+        return sketches.sparkSession.createDataFrame(
+            [], "column string, n_rows bigint, n_distinct_est bigint"
+        )
+    return kmv_union(sketches).select(
+        "column", "n_rows", _kmv_ndv_est(F.col("mins"), k).alias("n_distinct_est")
+    )
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SET-OPERATION estimates between two KMV sketch tables sharing
+    ``k`` — the operation the rest of the sketch family cannot express
+    (HLL unions lose the intersection; CMS counts occurrences, not
+    sets): per common column, ``(column, ndv_a_est, ndv_b_est,
+    union_est, intersection_est, jaccard_est)``.
+
+    The Beyer et al. 2007 combine: pool both mins arrays, keep the k
+    smallest distinct (the union sketch U — exactly what
+    ``kmv_union`` would build); ``ρ = |U ∩ A ∩ B| / |U|`` estimates
+    the Jaccard similarity, and ``ρ · D̂(U)`` the intersection size.
+    In the exact regime (both sketches under-full) U carries EVERY
+    hash of A∪B, so ρ and the intersection estimate are EXACT set
+    arithmetic. All md5-deterministic — the oracle exact-matches.
+
+    Cost: per-column array ops over 2k bigints (the membership filter
+    is O(k²) per column on artifact-sized arrays — never data)."""
+    ka, kb = _kmv_k(a), _kmv_k(b)
+    if ka != kb:
+        raise ValueError(f"KMV set estimates need equal k, got {ka} vs {kb}")
+    k = ka
+    if k is None:
+        return a.sparkSession.createDataFrame(
+            [],
+            "column string, ndv_a_est bigint, ndv_b_est bigint, "
+            "union_est bigint, intersection_est bigint, jaccard_est double",
+        )
+    ua = kmv_union(a).select(
+        "column", F.col("mins").alias("__ma"),
+        _kmv_ndv_est(F.col("mins"), k).alias("ndv_a_est"),
+    )
+    ub = kmv_union(b).select(
+        "column", F.col("mins").alias("__mb"),
+        _kmv_ndv_est(F.col("mins"), k).alias("ndv_b_est"),
+    )
+    mins_u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__ma", "__mb"))), 1, k
+    )
+    both = F.size(
+        F.filter(
+            "__mu",
+            lambda x: F.array_contains("__ma", x) & F.array_contains("__mb", x),
+        )
+    )
+    d_u = _kmv_ndv_est(F.col("__mu"), k)
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    return (
+        ua.join(ub, "column")
+        .withColumn("__mu", mins_u)
+        .withColumn("__both", both)
+        .select(
+            "column",
+            "ndv_a_est",
+            "ndv_b_est",
+            d_u.alias("union_est"),
+            F.floor(
+                F.col("__both").cast("double")
+                * d_u.cast("double")
+                / F.size("__mu").cast("double")
+            ).cast("bigint").alias("intersection_est"),
+            trunc_digits(
+                F.col("__both").cast("double") / F.size("__mu").cast("double")
+            ).alias("jaccard_est"),
+        )
+    )
+
+
 def approx_heavy_hitters(
     df: DataFrame,
     col: str,

@@ -2655,6 +2655,70 @@ ORACLES: Dict[str, str] = {
         FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
+    # KMV set-operation sketches: the ENTIRE estimator chain is
+    # md5-deterministic set arithmetic (the 'kmv:'-salted 15-hex coin,
+    # k smallest distinct, (k-1)*2^60/h_k with 511*2^60 exactly
+    # representable, intersection = floor(both*d_u/|U|)) — replicated
+    # term-for-term, exact match, no envelope. 2^60 =
+    # 1152921504606846976.
+    "profiling_kmv_set_overlap": """
+        WITH ev AS (
+            SELECT CAST(CASE WHEN user_id % 3 = 0 AND p = 1
+                             THEN user_id + 1000000 ELSE user_id END
+                        AS VARCHAR) AS u, p
+            FROM (SELECT user_id,
+                         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS p
+                  FROM events WHERE user_id IS NOT NULL)
+        ), ha AS (SELECT DISTINCT u FROM ev WHERE p = 0),
+        hb AS (SELECT DISTINCT u FROM ev WHERE p = 1),
+        mins_a AS (
+            SELECT h FROM (SELECT ('0x' || substr(md5('kmv:' || u), 1, 15))::BIGINT AS h
+                           FROM ha) ORDER BY h LIMIT 512
+        ), mins_b AS (
+            SELECT h FROM (SELECT ('0x' || substr(md5('kmv:' || u), 1, 15))::BIGINT AS h
+                           FROM hb) ORDER BY h LIMIT 512
+        ), mins_u AS (
+            SELECT h FROM (SELECT h FROM mins_a UNION SELECT h FROM mins_b)
+            ORDER BY h LIMIT 512
+        ), geo AS (
+            SELECT (SELECT count(*) FROM mins_a) AS ma,
+                   (SELECT count(*) FROM mins_b) AS mb,
+                   (SELECT count(*) FROM mins_u) AS mu,
+                   (SELECT max(h) FROM mins_a) AS ha_k,
+                   (SELECT max(h) FROM mins_b) AS hb_k,
+                   (SELECT max(h) FROM mins_u) AS hu_k,
+                   (SELECT count(*) FROM mins_u
+                    WHERE h IN (SELECT h FROM mins_a)
+                      AND h IN (SELECT h FROM mins_b)) AS n_both
+        ), est AS (
+            SELECT
+                CASE WHEN ma < 512 THEN ma
+                     ELSE CAST(floor((511.0 * 1152921504606846976.0) / ha_k::DOUBLE) AS BIGINT)
+                END AS ndv_a_est,
+                CASE WHEN mb < 512 THEN mb
+                     ELSE CAST(floor((511.0 * 1152921504606846976.0) / hb_k::DOUBLE) AS BIGINT)
+                END AS ndv_b_est,
+                CASE WHEN mu < 512 THEN mu
+                     ELSE CAST(floor((511.0 * 1152921504606846976.0) / hu_k::DOUBLE) AS BIGINT)
+                END AS union_est,
+                n_both, mu
+            FROM geo
+        ), ex AS (
+            SELECT count(*) FILTER (WHERE in_a = 1)::BIGINT AS exact_a,
+                   count(*) FILTER (WHERE in_b = 1)::BIGINT AS exact_b,
+                   count(*)::BIGINT AS exact_union,
+                   count(*) FILTER (WHERE in_a = 1 AND in_b = 1)::BIGINT AS exact_inter
+            FROM (SELECT u, max(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS in_a,
+                         max(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS in_b
+                  FROM ev GROUP BY u)
+        )
+        SELECT ndv_a_est, ndv_b_est, union_est,
+               CAST(floor((n_both::DOUBLE * union_est::DOUBLE) / mu::DOUBLE) AS BIGINT)
+                   AS intersection_est,
+               floor((n_both::DOUBLE / mu::DOUBLE) * 1000000.0) / 1000000.0 AS jaccard_est,
+               exact_a, exact_b, exact_union, exact_inter
+        FROM est, ex
+    """,
     # span-level decontamination REMOVAL (VERDICT r9 #2): the eval
     # 5-gram set (every 50th doc + two planted 8-token excerpts of
     # every 11th long train doc — Spark slice(toks, 3, 8) ≡ DuckDB

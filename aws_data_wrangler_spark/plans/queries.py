@@ -3209,6 +3209,58 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _profiling_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketches (r10, new — the fourth sketch trio):
+    events split into two halves by epoch-day PARITY, user_id sketched
+    per half (k=512), then the returning-users question — "how many
+    users were active in BOTH halves" — answered from the sketches
+    alone via `kmv_set_estimates`, the intersection no HLL union can
+    express. Every estimate is md5-deterministic set arithmetic, so
+    the oracle replicates the ENTIRE estimator chain exactly (the CMS
+    convention — no envelope); the exact truths ride alongside so the
+    report is self-auditing."""
+    from aws_data_wrangler_spark.operators import profiling
+
+    k = 512
+    parity = F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 2
+    # planted churn (the derived-input pattern — the synthetic users
+    # are active every day, so a raw day split overlaps totally):
+    # in the ODD half, every user_id % 3 == 0 is remapped to a fresh
+    # id, simulating a third of the population churning and being
+    # replaced — the intersection/jaccard estimates then measure a
+    # real partial overlap
+    churned = F.when(
+        (F.col("user_id") % 3 == 0) & (F.col("__p") == 1),
+        F.col("user_id") + 1_000_000,
+    ).otherwise(F.col("user_id"))
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", parity.alias("__p"))
+        .select(churned.alias("user_id"), "__p")
+    )
+    sk_a = profiling.kmv_sketches(ev.filter(F.col("__p") == 0), ["user_id"], k=k)
+    sk_b = profiling.kmv_sketches(ev.filter(F.col("__p") == 1), ["user_id"], k=k)
+    est = profiling.kmv_set_estimates(sk_a, sk_b).drop("column")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("__p") == 0).cast("int")).alias("__a"),
+            F.max((F.col("__p") == 1).cast("int")).alias("__b"),
+        )
+        .agg(
+            F.sum("__a").cast("bigint").alias("exact_a"),
+            F.sum("__b").cast("bigint").alias("exact_b"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("__a") * F.col("__b")).cast("bigint").alias("exact_inter"),
+        )
+    )
+    return est.crossJoin(exact).select(
+        "ndv_a_est", "ndv_b_est", "union_est", "intersection_est",
+        "jaccard_est", "exact_a", "exact_b", "exact_union", "exact_inter",
+    )
+
+
 def _events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing per event_type — the trend
     rung above the EWMA monitor (level-only smoothing lags ramps by
@@ -3671,6 +3723,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sf0.01 + sf0.1 plus a targeted local[5] invariance check in the
     # round-10 session; rotates into the round-11 window FIRST ---
     "text_decontaminated_spans": _text_decontaminated_spans,
+    "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

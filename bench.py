@@ -110,10 +110,13 @@ HEADLINE = [
     # directed read-off)
     "profiling_cms_frequencies",
     "dedup_containment",
-    # round-10 addition: span-level decontamination REMOVAL — the
+    # round-10 additions: span-level decontamination REMOVAL (the
     # positioned n-gram fan-out + broadcast eval probe + higher-order
-    # token-filter rebuild; tracks the excision rung's end-to-end cost
+    # token-filter rebuild) and the KMV set-operation sketch pair
+    # (two threshold-pruned k-min builds + artifact-sized set
+    # arithmetic); track the excision and set-overlap rungs' cost
     "text_decontaminated_spans",
+    "profiling_kmv_set_overlap",
 ]
 
 

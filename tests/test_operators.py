@@ -4477,6 +4477,92 @@ class TestProfiling:
         with _pytest.raises(ValueError, match="bins"):
             profiling.quantile_sketches(df, ["x"], bins=0)
 
+    def test_kmv_sketch_matches_python_reference_and_exact_mode(self, spark):
+        # the KMV mins array must equal the k smallest distinct
+        # hashlib-md5 hashes (the engine-portable coin), and a sketch
+        # with NDV < k IS the exact distinct set → estimate exact
+        import hashlib
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(200).selectExpr(
+            "CAST(pmod(id, 60) AS STRING) AS v", "pmod(id, 3) AS b",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id AS STRING) END AS w",
+        )
+        sk = profiling.kmv_sketches(df, ["v"], k=16)
+        ref = sorted(
+            int(hashlib.md5(f"kmv:{x}".encode()).hexdigest()[:15], 16)
+            for x in {str(i % 60) for i in range(200)}
+        )
+        row = sk.collect()[0]
+        assert list(row["mins"]) == ref[:16] and row["n_rows"] == 200
+        # exact mode: k above the NDV → the estimate IS the exact NDV
+        exact = profiling.kmv_estimates(
+            profiling.kmv_sketches(df, ["v", "w"], k=512)
+        )
+        got = {r["column"]: r for r in exact.collect()}
+        assert got["v"]["n_distinct_est"] == 60
+        # NULLs excluded on both counts (the count(col) convention)
+        assert got["w"]["n_distinct_est"] == 200 - len(range(0, 200, 7))
+        assert got["w"]["n_rows"] == 200 - len(range(0, 200, 7))
+
+    def test_kmv_union_bit_identical_and_estimator_regime(self, spark):
+        # batched sketches must union BIT-IDENTICALLY to the single
+        # pass (pure set minimum — the CMS determinism class), and the
+        # (k-1)*2^60/h_k estimator must land near a 5000-NDV truth
+        # (deterministic for this data — no flakiness)
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(10_000).selectExpr(
+            "CAST(pmod(id, 5000) AS STRING) AS v", "pmod(id, 4) AS b"
+        )
+        k = 256
+        batched = profiling.kmv_sketches(df, ["v"], k=k, batch_col="b")
+        merged = profiling.kmv_union(batched).collect()[0]
+        single = profiling.kmv_sketches(df, ["v"], k=k).collect()[0]
+        assert list(merged["mins"]) == list(single["mins"])
+        assert merged["n_rows"] == single["n_rows"] == 10_000
+        est = profiling.kmv_estimates(batched).collect()[0]["n_distinct_est"]
+        assert abs(est - 5000) / 5000 < 0.2  # ~1/sqrt(256) ≈ 6% RSE
+        # geometry guard (the quantile grid-size / CMS depth rule)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="different k"):
+            profiling.kmv_union(
+                batched.unionByName(profiling.kmv_sketches(df, ["v"], k=64))
+            )
+
+    def test_kmv_set_estimates_exact_regime_and_overlap(self, spark):
+        # the family's raison d'être: intersections. In the exact
+        # regime (both sketches under-full) the union sketch carries
+        # every hash, so jaccard and the intersection estimate are
+        # EXACT set arithmetic — pinned against the planted overlap
+        from aws_data_wrangler_spark.operators import profiling
+
+        a = spark.range(0, 300).selectExpr("CAST(id AS STRING) AS u")
+        b = spark.range(200, 600).selectExpr("CAST(id AS STRING) AS u")
+        sk_a = profiling.kmv_sketches(a, ["u"], k=1024)
+        sk_b = profiling.kmv_sketches(b, ["u"], k=1024)
+        row = profiling.kmv_set_estimates(sk_a, sk_b).collect()[0]
+        assert row["ndv_a_est"] == 300 and row["ndv_b_est"] == 400
+        assert row["union_est"] == 600
+        assert row["intersection_est"] == 100  # ids 200..299
+        assert abs(row["jaccard_est"] - 100 / 600) < 1e-6
+        # estimate regime: bigger sets, k = 256 — deterministic value,
+        # envelope asserted (RSE ~6%)
+        a2 = spark.range(0, 6000).selectExpr("CAST(id AS STRING) AS u")
+        b2 = spark.range(3000, 9000).selectExpr("CAST(id AS STRING) AS u")
+        row2 = profiling.kmv_set_estimates(
+            profiling.kmv_sketches(a2, ["u"], k=256),
+            profiling.kmv_sketches(b2, ["u"], k=256),
+        ).collect()[0]
+        assert abs(row2["intersection_est"] - 3000) / 3000 < 0.25
+        assert abs(row2["union_est"] - 9000) / 9000 < 0.2
+        with __import__("pytest").raises(ValueError, match="equal k"):
+            profiling.kmv_set_estimates(
+                sk_a, profiling.kmv_sketches(b, ["u"], k=64)
+            )
+
     def test_cms_merge_bit_identical_and_estimate_bounds(self, spark):
         # Count-Min: 4 disjoint batches sketched independently must
         # union to the IDENTICAL counter table (integer sums commute —

@@ -146,6 +146,7 @@ ROUND10_LATE = {
     # targeted local[5] invariance check in the round-10 session;
     # rotates into the round-11 window FIRST
     "text_decontaminated_spans",
+    "profiling_kmv_set_overlap",
 }
 
 ROUND10_MUST_BE_IN_WINDOW = (
