@@ -2655,6 +2655,28 @@ ORACLES: Dict[str, str] = {
         FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
+    # the KMV sink in production position: union of per-batch k-mins
+    # equals the GLOBAL k-min (every overall-smallest hash survives its
+    # own batch's cut), so the streamed estimate is replicated EXACTLY
+    # — no envelope, unlike the DataSketches NDV monitor
+    "streaming_kmv_monitor": """
+        WITH mins AS (
+            SELECT h FROM (
+                SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ) ORDER BY h LIMIT 512
+        ), geo AS (
+            SELECT (SELECT count(*) FROM mins) AS m,
+                   (SELECT max(h) FROM mins) AS h_k
+        )
+        SELECT 'user_id' AS "column",
+               (SELECT count(user_id) FROM events)::BIGINT AS n_rows,
+               CASE WHEN m < 512 THEN m
+                    ELSE CAST(floor((511.0 * 1152921504606846976.0) / h_k::DOUBLE) AS BIGINT)
+               END AS n_distinct_est,
+               (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS exact_ndv
+        FROM geo
+    """,
     # KMV set-operation sketches: the ENTIRE estimator chain is
     # md5-deterministic set arithmetic (the 'kmv:'-salted 15-hex coin,
     # k smallest distinct, (k-1)*2^60/h_k with 511*2^60 exactly

@@ -3209,6 +3209,37 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _streaming_kmv_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV trio in PRODUCTION position (r10, new — completes the
+    sketch-sink family beside the NDV/quantile/heavy-hitter monitors):
+    the events backlog replays availableNow through
+    `streaming.kmv_sketch_sink` — each micro-batch appends its k
+    smallest distinct user-id hashes — then the corpus-lifetime
+    distinct-count question is answered from the STATE table alone.
+    Unlike the DataSketches NDV monitor (whose estimate needs an
+    envelope), the KMV estimate is md5-deterministic set arithmetic:
+    the oracle replicates ``n_distinct_est`` EXACTLY via the global
+    k-min (union of per-batch k-mins ≡ the global k-min — every
+    overall-smallest hash survives its own batch's cut). ``exact_ndv``
+    rides alongside so the report is self-auditing."""
+    from aws_data_wrangler_spark import streaming
+    from aws_data_wrangler_spark.operators import profiling
+
+    stream = streaming.read_event_stream(
+        f"{sf_dir}/events.parquet", spark=spark
+    ).select("user_id")
+    state = f"{tempfile.mkdtemp(prefix='sgk_')}/kmv_state"
+    sketches = streaming.kmv_sketch_sink(stream, ["user_id"], state, k=512)
+    est = profiling.kmv_estimates(sketches)
+    ev = load(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_ndv")
+    )
+    return est.crossJoin(exact).select(
+        "column", "n_rows", "n_distinct_est", "exact_ndv"
+    )
+
+
 def _profiling_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation sketches (r10, new — the fourth sketch trio):
     events split into two halves by epoch-day PARITY, user_id sketched
@@ -3724,6 +3755,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 session; rotates into the round-11 window FIRST ---
     "text_decontaminated_spans": _text_decontaminated_spans,
     "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
+    "streaming_kmv_monitor": _streaming_kmv_monitor,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

@@ -1089,6 +1089,52 @@ def cms_sketch_sink(
     )
 
 
+def kmv_sketch_sink(
+    stream: DataFrame,
+    cols: list,
+    state_path: str,
+    k: int = 1024,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Mergeable SET state in PRODUCTION position — the KMV fourth of
+    the sketch-sink family beside the NDV (HLL), percentile (quantile)
+    and frequency (Count-Min) sinks: each micro-batch appends its
+    k-minimum-values rows (``k`` bigints per column, never data) to a
+    parquet sketch table. Distinct counts AND set-operation questions
+    — "how many of this quarter's users were already active last
+    quarter" — are then ``profiling.kmv_union`` / ``kmv_estimates`` /
+    ``kmv_set_estimates`` over state tables alone, no rescan.
+
+    Batching-exactness (the Count-Min determinism class): the k
+    smallest overall hashes each survive their own batch's k-min, so
+    the unioned state is BIT-IDENTICAL to the single-pass batch sketch
+    however the backlog was micro-batched, and every estimate is
+    md5-deterministic arithmetic a second engine replicates exactly.
+    foreachBatch is at-least-once: a replayed append is byte-identical
+    (the per-batch sketch is a deterministic set minimum — the prune
+    threshold never changes the output), so the (batch, column)
+    read-back dedup is lossless. A timeout raises rather than
+    answering set questions from a partially-drained backlog; an
+    all-empty backlog yields an empty state frame (``kmv_estimates``
+    of that is an empty estimate frame)."""
+    from aws_data_wrangler_spark.operators.profiling import kmv_sketches
+
+    def sketch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return kmv_sketches(batch_df, cols, k=k).select(
+            F.lit(str(batch_id)).alias("batch"), "column", "n_rows", "k", "mins"
+        )
+
+    return _sketch_sink(
+        stream,
+        state_path,
+        sketch,
+        "batch string, column string, n_rows bigint, k int, mins array<bigint>",
+        ["batch", "column"],
+        timeout_s,
+        "KMV",
+    )
+
+
 def ewma_monitor(
     stream: DataFrame,
     alpha: float = 0.25,

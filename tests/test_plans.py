@@ -147,6 +147,7 @@ ROUND10_LATE = {
     # rotates into the round-11 window FIRST
     "text_decontaminated_spans",
     "profiling_kmv_set_overlap",
+    "streaming_kmv_monitor",
 }
 
 ROUND10_MUST_BE_IN_WINDOW = (

@@ -405,6 +405,40 @@ class TestCmsSketchSink:
         assert est == true  # exact in the no-collision regime
 
 
+class TestKmvSketchSink:
+    def test_streamed_kmv_state_merges_bit_identical_to_batch(self, spark, events, tmp_prefix):
+        # two micro-batches of KMV state must union to the IDENTICAL
+        # mins array as the single-pass batch sketch (the k smallest
+        # overall hashes each survive their own batch's k-min — a pure
+        # set minimum, the Count-Min determinism class), with n_rows
+        # summing exactly; estimates answered from state alone are
+        # exact in the under-full regime
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import profiling
+
+        median = events.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+        early = events.filter(F.unix_micros("ts") <= median).coalesce(1)
+        late = events.filter(F.unix_micros("ts") > median).coalesce(1)
+        src = f"{tmp_prefix}/kmv_src"
+        early.write.mode("overwrite").parquet(src)
+        late.write.mode("append").parquet(src)
+
+        stream = streaming.read_event_stream(
+            src, spark=spark, maxFilesPerTrigger="1"
+        ).select("user_id")
+        state = f"{tmp_prefix}/kmv_state"
+        sketches = streaming.kmv_sketch_sink(stream, ["user_id"], state, k=64)
+        assert sketches.select("batch").distinct().count() == 2
+        streamed = profiling.kmv_union(sketches).collect()[0]
+        batch = profiling.kmv_sketches(events, ["user_id"], k=64).collect()[0]
+        assert list(streamed["mins"]) == list(batch["mins"])
+        assert streamed["n_rows"] == batch["n_rows"] == events.count()
+        est = profiling.kmv_estimates(sketches).collect()[0]
+        exact = events.select("user_id").distinct().count()
+        if exact < 64:  # under-full: the sketch IS the distinct set
+            assert est["n_distinct_est"] == exact
+
+
 class TestUpsertSink:
     def test_multi_batch_merge_equals_argmax(self, spark, events, tmp_prefix):
         from aws_data_wrangler_spark import s3, streaming
