@@ -182,9 +182,7 @@ def ngram_jaccard_pairs(
     opt-in that silences it.
     """
     max_doc_frequency = _resolve_df_cap("ngram_jaccard_pairs", max_doc_frequency)
-    sizes, common, shingles = _shingle_overlap(
-        df, id_col, text_col, n, max_doc_frequency
-    )
+    sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
     out = (
         common.join(sizes.toDF("id_a", "size_a"), "id_a")
         .join(sizes.toDF("id_b", "size_b"), "id_b")
@@ -197,9 +195,6 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # the corpus-sized shingle cache is released via
-    # release_batch_state(out) once the result is consumed
-    out._sg_batch_caches = [shingles]
     return out
 
 
@@ -231,14 +226,7 @@ def _shingle_overlap(df, id_col, text_col, n, max_doc_frequency):
     map-side combine. `ngram_jaccard_pairs` reads the symmetric
     resemblance off it; `containment_pairs` reads both directed
     containments (intersection counts are symmetric, so the unordered
-    pair space is computed ONCE either way).
-
-    The shingle table backs three references (sizes + both join
-    sides), so it is cached; the cache is CORPUS-sized, so it is also
-    returned for the caller to record on its result
-    (``release_batch_state`` hygiene — ADVICE r9: a long session
-    re-running pair operators would otherwise accumulate one shingle
-    cache per call until LRU eviction)."""
+    pair space is computed ONCE either way)."""
     shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency).cache()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     left = shingles.toDF("id_a", "shingle")
@@ -249,7 +237,7 @@ def _shingle_overlap(df, id_col, text_col, n, max_doc_frequency):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return sizes, common, shingles
+    return sizes, common
 
 
 def containment_pairs(
@@ -288,15 +276,13 @@ def containment_pairs(
     mirrors), not exact clones.
     """
     max_doc_frequency = _resolve_df_cap("containment_pairs", max_doc_frequency)
-    sizes, common, shingles = _shingle_overlap(
-        df, id_col, text_col, n, max_doc_frequency
-    )
+    sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
     directed = common.unionByName(
         common.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "common"
         )
     )
-    out = (
+    return (
         directed.join(sizes.toDF("id_a", "size_a"), "id_a")
         .select(
             F.col("id_a").alias("id_contained"),
@@ -305,10 +291,6 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
-    # the corpus-sized shingle cache is released via
-    # release_batch_state(out) once the result is consumed
-    out._sg_batch_caches = [shingles]
-    return out
 
 
 def minhash_signatures(
@@ -550,9 +532,7 @@ def minhash_lsh_incremental(
 def release_batch_state(result: DataFrame, blocking: bool = False) -> None:
     """Release the per-batch caches behind a ``minhash_lsh_incremental``
     result (batch-side shingles, candidate pairs, and — when the corpus
-    state was derived inline — the corpus shingle cache), or the
-    corpus-sized shingle cache behind a ``ngram_jaccard_pairs`` /
-    ``containment_pairs`` result (ADVICE r9 hygiene).
+    state was derived inline — the corpus shingle cache).
 
     The production ingest loop is: build ``minhash_corpus_state`` once
     → per batch run ``minhash_lsh_incremental(corpus_state=...)``,

@@ -29,6 +29,13 @@ def _bt(name: str) -> str:
     return name.replace("`", "``")
 
 
+def _bcol(name: str) -> "F.Column":
+    """A column reference that survives backticks in the name: bare
+    ``F.col(name)`` (and ``df[name]``) PARSE the name, so an embedded
+    backtick raises INVALID_ATTRIBUTE_NAME_SYNTAX — quote it."""
+    return F.col(f"`{_bt(name)}`")
+
+
 def key_distribution(
     df: DataFrame,
     key_cols: List[str],
@@ -446,7 +453,7 @@ def grouped_hll_sketches(
     state unions losslessly, so re-aggregation is exact sketch algebra
     with the usual estimate bound. One hash aggregate with map-side
     partials; state is one ~2.5 KB sketch per group."""
-    return df.groupBy(*group_cols).agg(
+    return df.groupBy(*[_bcol(g).alias(g) for g in group_cols]).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(f"hll_sketch_agg(`{_bt(col)}`, {int(lg_k)})").alias("sk"),
     )
@@ -462,7 +469,11 @@ def hll_rollup(sketches: DataFrame, to_cols: List[str]) -> DataFrame:
     within the bound, never past it — the `profiling_hll_invariants`
     contract). A constant-size aggregation over sketch bytes: the
     rollup's cost is the SKETCH table's size, never the data's."""
-    grouped = sketches.groupBy(*to_cols) if to_cols else sketches.groupBy()
+    grouped = (
+        sketches.groupBy(*[_bcol(c).alias(c) for c in to_cols])
+        if to_cols
+        else sketches.groupBy()
+    )
     return grouped.agg(
         F.sum("n_rows").alias("n_rows"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
@@ -537,9 +548,13 @@ def quantile_sketches(
     for c in cols:
         src = f"`{_bt(c)}`"
         if value_grid is not None:
-            g = repr(float(value_grid))
+            # the grid literal rides as CAST('<repr>' AS DOUBLE): a bare
+            # decimal literal would parse as DECIMAL and silently turn
+            # the snap chain into decimal arithmetic, breaking the
+            # documented IEEE-double determinism contract (review r10)
+            g = f"CAST('{float(value_grid)!r}' AS DOUBLE)"
             src = f"(floor({src} / {g} + 0.5d) * {g})"
-        per_col.append(F.count(F.col(c)).alias(f"__n_{c}"))
+        per_col.append(F.count(_bcol(c)).alias(f"__n_{c}"))
         per_col.append(
             F.expr(f"percentile({src}, array({ps}))").alias(f"__g_{c}")
         )
@@ -553,8 +568,8 @@ def quantile_sketches(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"__n_{c}").alias("n"),
-                F.col(f"__g_{c}").alias("grid"),
+                _bcol(f"__n_{c}").alias("n"),
+                _bcol(f"__g_{c}").alias("grid"),
             )
             for c in cols
         ]
@@ -912,13 +927,9 @@ def kmv_sketches(
     margin = 8
     parts = []
     for c in cols:
-        key = F.col(c).cast("string")
+        key = _bcol(c).cast("string")
         hashed = df.select(batch, _kmv_hash(key).alias("__h")).filter(
             F.col("__h").isNotNull()
-        )
-        stats = hashed.groupBy("batch").agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.approx_count_distinct("__h").alias("__nd"),
         )
         # guard the cast: only divide when nd > margin·k (the quotient
         # is then < 2^60 — no long overflow); smaller batches keep the
@@ -932,17 +943,27 @@ def kmv_sketches(
             ).cast("long")
             + F.lit(1)
         )
+        stats = hashed.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.approx_count_distinct("__h").alias("__nd"),
+        )
+        # __n rides through the broadcast join so the per-column cost
+        # is exactly TWO full passes (the stats aggregate + the pruned
+        # candidate scan) — never a third join back to stats
         cand = (
-            hashed.join(F.broadcast(stats.select("batch", thr.alias("__thr"))), "batch")
+            hashed.join(
+                F.broadcast(stats.select("batch", thr.alias("__thr"), "__n")),
+                "batch",
+            )
             .filter(F.col("__h") < F.col("__thr"))
-            .select("batch", "__h")
-            .distinct()
+            .select("batch", "__h", "__n")
         )
         sk = cand.groupBy("batch").agg(
-            F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins")
+            F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins"),
+            F.max("__n").alias("__n"),
         )
         parts.append(
-            sk.join(stats.select("batch", "__n"), "batch").select(
+            sk.select(
                 "batch",
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
@@ -1040,10 +1061,13 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame) -> DataFrame:
     Cost: per-column array ops over 2k bigints (the membership filter
     is O(k²) per column on artifact-sized arrays — never data)."""
     ka, kb = _kmv_k(a), _kmv_k(b)
-    if ka != kb:
+    if ka is not None and kb is not None and ka != kb:
         raise ValueError(f"KMV set estimates need equal k, got {ka} vs {kb}")
-    k = ka
-    if k is None:
+    k = ka if ka is not None else kb
+    if k is None or ka is None or kb is None:
+        # day-zero contract (the benchmark_near_contamination precedent):
+        # one or both sides empty → an empty estimate frame, never a
+        # crash — there is no overlap to report yet
         return a.sparkSession.createDataFrame(
             [],
             "column string, ndv_a_est bigint, ndv_b_est bigint, "
@@ -1067,8 +1091,6 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame) -> DataFrame:
         )
     )
     d_u = _kmv_ndv_est(F.col("__mu"), k)
-    from aws_data_wrangler_spark.functions import trunc_digits
-
     return (
         ua.join(ub, "column")
         .withColumn("__mu", mins_u)

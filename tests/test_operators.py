@@ -422,22 +422,6 @@ class TestDedup:
         # bounded: the later batches hold no more storage than the first
         assert max(counts) <= counts[0], counts
 
-    def test_pair_operators_record_releasable_shingle_cache(self, spark, documents):
-        # ADVICE r9: the _shingle_overlap pair operators cache a
-        # CORPUS-sized shingle table — the result must carry the
-        # release_batch_state handle, and releasing must actually free
-        # the persisted RDD (a looping session otherwise accumulates
-        # one shingle cache per call)
-        jsc = spark.sparkContext._jsc.sc()
-        docs = documents.limit(40)
-        for op in (dedup.ngram_jaccard_pairs, dedup.containment_pairs):
-            before = jsc.getPersistentRDDs().size()
-            result = op(docs, threshold=0.9, max_doc_frequency=1000)
-            result.count()  # consume (populates the cache)
-            assert jsc.getPersistentRDDs().size() > before
-            dedup.release_batch_state(result, blocking=True)
-            assert jsc.getPersistentRDDs().size() == before
-
     def test_incremental_forwards_num_hashes_to_batch_signatures(self, spark, documents):
         # regression: the batch side once built 64-slot default
         # signatures while banding assumed the caller's num_hashes —
@@ -4337,15 +4321,43 @@ class TestProfiling:
         from aws_data_wrangler_spark.operators import profiling
 
         df = spark.range(20).selectExpr(
-            "CAST(id % 5 AS STRING) AS `u``id`", "id % 2 AS g"
+            "CAST(id % 5 AS STRING) AS `u``id`", "id % 2 AS `g``x`",
+            "CAST(id AS DOUBLE) AS `v``al`",
         )
         est = profiling.hll_estimates(
             profiling.hll_column_sketches(df, ["u`id"])
         ).collect()
         assert est[0]["column"] == "u`id" and est[0]["n_distinct_est"] == 5
-        grouped = profiling.grouped_hll_sketches(df, ["g"], "u`id")
-        rolled = {r["g"]: r for r in profiling.hll_rollup(grouped, ["g"]).collect()}
+        grouped = profiling.grouped_hll_sketches(df, ["g`x"], "u`id")
+        rolled = {r["g`x"]: r for r in profiling.hll_rollup(grouped, ["g`x"]).collect()}
         assert rolled[0]["n_distinct_est"] == 5 and rolled[1]["n_distinct_est"] == 5
+        # the sibling sketch families must survive the same name
+        # (review r10: the first fix covered only the HLL family)
+        qs = profiling.quantile_sketches(df, ["v`al"], bins=4).collect()[0]
+        assert qs["column"] == "v`al" and qs["n"] == 20
+        qg = profiling.quantile_sketches(
+            df, ["v`al"], bins=4, value_grid=0.5
+        ).collect()[0]
+        assert qg["n"] == 20
+        km = profiling.kmv_estimates(
+            profiling.kmv_sketches(df, ["u`id"], k=16)
+        ).collect()[0]
+        assert km["column"] == "u`id" and km["n_distinct_est"] == 5
+
+    def test_kmv_set_estimates_empty_side_is_empty_frame(self, spark):
+        # day-zero contract (review r10): one parity half with no rows
+        # must yield an empty estimate frame, not a mixed-k ValueError
+        from aws_data_wrangler_spark.operators import profiling
+
+        full = profiling.kmv_sketches(
+            spark.range(50).selectExpr("CAST(id AS STRING) AS u"), ["u"], k=64
+        )
+        empty = profiling.kmv_sketches(
+            spark.range(0).selectExpr("CAST(id AS STRING) AS u"), ["u"], k=64
+        )
+        assert profiling.kmv_set_estimates(empty, full).collect() == []
+        assert profiling.kmv_set_estimates(full, empty).collect() == []
+        assert profiling.kmv_set_estimates(empty, empty).collect() == []
 
     def test_quantile_sketch_single_batch_is_exact_at_grid_points(self, spark):
         # one batch, grid-aligned percentiles: the sketch IS the exact
