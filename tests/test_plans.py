@@ -412,6 +412,37 @@ class TestPlanAudits:
         assert s["sort_merge_joins"] == 0
         assert s["broadcast_hash_joins"] >= 1
 
+    def test_kmv_sketch_threshold_join_broadcasts(self, spark):
+        # the two-pass prune's threshold join must broadcast the tiny
+        # per-batch stats side — the corpus (100 TB side) streams
+        # map-side through the filter, never into a sort-merge join;
+        # the only exchanges carry the bounded stats/candidate state
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark.operators import profiling
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+        from aws_data_wrangler_spark.plans.queries import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        # no batch_col: the constant batch key folds away and the
+        # threshold join plans as ONE BNLJ whose build side is the
+        # single-row stats aggregate — the orders_value_deciles shape
+        # (a constant-size broadcast, never an all-pairs join)
+        s = plan_summary(profiling.kmv_sketches(ev, ["user_id"], k=64))
+        assert s["sort_merge_joins"] == 0
+        assert s["cartesian_products"] == 0
+        assert s["broadcast_nested_loop_joins"] <= 1
+        assert s["broadcast_hash_joins"] + s["broadcast_nested_loop_joins"] >= 1
+        assert not s["python_eval"]
+        # with a real batch key the join is a plain broadcast hash join
+        batched = ev.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
+        s2 = plan_summary(
+            profiling.kmv_sketches(batched, ["user_id"], k=64, batch_col="b")
+        )
+        assert s2["sort_merge_joins"] == 0
+        assert s2["broadcast_nested_loop_joins"] == 0
+        assert s2["broadcast_hash_joins"] >= 1
+
     def test_holt_exchange_parity_with_ewma(self, spark):
         # the trend fold must not cost more than the level fold: two
         # shuffles on the same key (bucket count + per-key pack), no
