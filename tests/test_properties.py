@@ -541,3 +541,97 @@ def test_holt_matches_python_fold_and_is_constant_stable(spark, series):
     ).collect()[0]
     assert const["trend"] == 0.0
     assert const["level"] == const["forecast_next"] == float(len(rows))
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    evals=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=2, max_size=8),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_remove_contaminated_spans_matches_bruteforce(spark, docs, evals):
+    """Span excision against an obviously-correct python reference on
+    a 6-word vocabulary (dense overlap, overlapping hits, full- and
+    zero-contamination cases): clean text, token/span counts, and the
+    byte-preservation rule for untouched docs."""
+    from aws_data_wrangler_spark.operators import text
+
+    n = 2
+    train = spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100 + j, " ".join(f"w{t}" for t in toks)) for j, toks in enumerate(evals)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text.remove_contaminated_spans(train, eval_df, n=n).collect()
+    }
+    eval_grams = {
+        tuple(toks[i : i + n]) for toks in evals for i in range(len(toks) - n + 1)
+    }
+    for i, toks in enumerate(docs):
+        raw = " ".join(f"w{t}" for t in toks)
+        hits = [
+            p for p in range(len(toks) - n + 1)
+            if tuple(toks[p : p + n]) in eval_grams
+        ]
+        covered = sorted({j for p in hits for j in range(p, p + n)})
+        spans = sum(
+            1 for x, j in enumerate(covered) if x == 0 or covered[x - 1] < j - 1
+        )
+        kept = " ".join(
+            f"w{t}" for j, t in enumerate(toks) if j not in set(covered)
+        )
+        r = got[i]
+        assert r["total_tokens"] == len(toks)
+        assert r["n_tokens_removed"] == len(covered)
+        assert r["n_spans_removed"] == spans
+        # byte-preservation for untouched docs; kept-token join otherwise
+        assert r["clean_text"] == (raw if not covered else kept)
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40),
+    batches=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=40),
+)
+def test_kmv_matches_python_md5_reference_under_random_batching(spark, keys, batches):
+    """KMV against hashlib set arithmetic on random multisets with a
+    random batch assignment: the batched-then-unioned mins array must
+    equal the python k smallest distinct hashes BIT-FOR-BIT (the
+    prune-invariance claim), n_rows must sum exactly, and the
+    estimator — exact below k, (k-1)*2^60/h_k above — must equal the
+    python computation of the same IEEE chain."""
+    import hashlib
+    import math
+
+    from aws_data_wrangler_spark.operators import profiling
+
+    k = 8  # small enough that random inputs land on BOTH sides of k
+    rows = [(str(v), batches[i % len(batches)]) for i, v in enumerate(keys)]
+    df = spark.createDataFrame(rows, "v string, b long")
+    sk = profiling.kmv_sketches(df, ["v"], k=k, batch_col="b")
+    est = profiling.kmv_estimates(sk).collect()[0]
+    ref = sorted(
+        int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:15], 16)
+        for v in {str(v) for v in keys}
+    )
+    merged = profiling.kmv_union(sk).collect()[0]
+    assert list(merged["mins"]) == ref[:k]
+    assert merged["n_rows"] == est["n_rows"] == len(keys)
+    if len(ref) < k:
+        assert est["n_distinct_est"] == len(ref)
+    else:
+        assert est["n_distinct_est"] == int(
+            math.floor(float((k - 1) * 16**15) / float(ref[k - 1]))
+        )
