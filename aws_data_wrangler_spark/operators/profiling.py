@@ -559,7 +559,7 @@ def quantile_sketches(
             F.expr(f"percentile({src}, array({ps}))").alias(f"__g_{c}")
         )
     grouped = (
-        df.groupBy(F.col(batch_col).alias("batch")) if batch_col else
+        df.groupBy(_bcol(batch_col).alias("batch")) if batch_col else
         df.groupBy(F.lit("__all__").alias("batch"))
     )
     wide = grouped.agg(*per_col)
@@ -715,9 +715,9 @@ def cms_sketches(
     """
     if depth < 1 or width < 1:
         raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
-    key = F.col(col).cast("string")
+    key = _bcol(col).cast("string")
     batch = (
-        F.col(batch_col).cast("string") if batch_col else F.lit("__all__")
+        _bcol(batch_col).cast("string") if batch_col else F.lit("__all__")
     ).alias("batch")
     cells = _cms_cells(key, depth, width)
     return (
@@ -830,7 +830,7 @@ def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") ->
     if geom is None:
         # empty state: every probe estimates 0 (sparse cells absent)
         return (
-            probes.select(F.col(col).cast("string").alias("value"))
+            probes.select(_bcol(col).cast("string").alias("value"))
             .filter(F.col("value").isNotNull())
             .distinct()
             .withColumn("cms_est", F.lit(0).cast("bigint"))
@@ -839,7 +839,7 @@ def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") ->
     merged = sketches.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
     cells = _cms_cells(F.col("value"), depth, width)
     probed = (
-        probes.select(F.col(col).cast("string").alias("value"))
+        probes.select(_bcol(col).cast("string").alias("value"))
         .filter(F.col("value").isNotNull())  # the count(col) convention
         .distinct()
         .select("value", F.explode(cells).alias("__c"))
@@ -922,7 +922,7 @@ def kmv_sketches(
     if not cols:
         raise ValueError("cols must be non-empty")
     batch = (
-        F.col(batch_col).cast("string") if batch_col else F.lit("__all__")
+        _bcol(batch_col).cast("string") if batch_col else F.lit("__all__")
     ).alias("batch")
     margin = 8
     parts = []

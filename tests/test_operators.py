@@ -4343,6 +4343,16 @@ class TestProfiling:
             profiling.kmv_sketches(df, ["u`id"], k=16)
         ).collect()[0]
         assert km["column"] == "u`id" and km["n_distinct_est"] == 5
+        # batch_col and the CMS key/probe paths take the same names
+        # (review r10 second pass: every user-supplied column name in
+        # the sketch family must survive a backtick)
+        qb = profiling.quantile_sketches(df, ["v`al"], batch_col="g`x", bins=4)
+        assert qb.count() == 2
+        kb = profiling.kmv_sketches(df, ["u`id"], k=16, batch_col="g`x")
+        assert kb.count() == 2
+        cs = profiling.cms_sketches(df, "u`id", batch_col="g`x", width=64)
+        est = profiling.cms_estimates(cs, df, "u`id")
+        assert est.count() == 5
 
     def test_kmv_set_estimates_empty_side_is_empty_frame(self, spark):
         # day-zero contract (review r10): one parity half with no rows
