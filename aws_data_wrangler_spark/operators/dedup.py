@@ -182,7 +182,7 @@ def ngram_jaccard_pairs(
     opt-in that silences it.
     """
     max_doc_frequency = _resolve_df_cap("ngram_jaccard_pairs", max_doc_frequency)
-    sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
+    sizes, common, caches = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
     out = (
         common.join(sizes.toDF("id_a", "size_a"), "id_a")
         .join(sizes.toDF("id_b", "size_b"), "id_b")
@@ -195,6 +195,10 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # the shingle cache backing the returned plan, recorded so a
+    # long-running mining loop can release it after consuming the
+    # result (release_batch_state — the ingest-loop hygiene contract)
+    out._sg_batch_caches = caches
     return out
 
 
@@ -226,7 +230,16 @@ def _shingle_overlap(df, id_col, text_col, n, max_doc_frequency):
     map-side combine. `ngram_jaccard_pairs` reads the symmetric
     resemblance off it; `containment_pairs` reads both directed
     containments (intersection counts are symmetric, so the unordered
-    pair space is computed ONCE either way)."""
+    pair space is computed ONCE either way).
+
+    Returns ``(sizes, common, caches)``: the shingle table backs three
+    plan references (sizes + both self-join branches) so it is cached
+    here, and the live handle is surfaced through ``caches`` so the
+    pair miners can record it on their results for
+    ``release_batch_state`` — without the handle a long-running loop
+    that mines pair tables repeatedly leaks one corpus-sized shingle
+    cache per call into executor storage and leans on LRU eviction.
+    """
     shingles = word_shingles(df, id_col, text_col, n, max_doc_frequency).cache()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     left = shingles.toDF("id_a", "shingle")
@@ -237,7 +250,7 @@ def _shingle_overlap(df, id_col, text_col, n, max_doc_frequency):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return sizes, common
+    return sizes, common, [shingles]
 
 
 def containment_pairs(
@@ -276,13 +289,13 @@ def containment_pairs(
     mirrors), not exact clones.
     """
     max_doc_frequency = _resolve_df_cap("containment_pairs", max_doc_frequency)
-    sizes, common = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
+    sizes, common, caches = _shingle_overlap(df, id_col, text_col, n, max_doc_frequency)
     directed = common.unionByName(
         common.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "common"
         )
     )
-    return (
+    out = (
         directed.join(sizes.toDF("id_a", "size_a"), "id_a")
         .select(
             F.col("id_a").alias("id_contained"),
@@ -291,6 +304,9 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    # same hygiene contract as ngram_jaccard_pairs (shared core)
+    out._sg_batch_caches = caches
+    return out
 
 
 def minhash_signatures(
@@ -532,16 +548,22 @@ def minhash_lsh_incremental(
 def release_batch_state(result: DataFrame, blocking: bool = False) -> None:
     """Release the per-batch caches behind a ``minhash_lsh_incremental``
     result (batch-side shingles, candidate pairs, and — when the corpus
-    state was derived inline — the corpus shingle cache).
+    state was derived inline — the corpus shingle cache), or behind a
+    ``ngram_jaccard_pairs`` / ``containment_pairs`` result (the shared
+    ``_shingle_overlap`` shingle cache).
 
     The production ingest loop is: build ``minhash_corpus_state`` once
     → per batch run ``minhash_lsh_incremental(corpus_state=...)``,
     consume the result, then call this — executor storage stays at the
-    corpus state regardless of how many batches have run. A caller-
-    provided corpus_state is never touched (it is the caller's to
-    manage via ``MinHashCorpusState.unpersist``). No-op for frames this
-    operator did not produce; the result must not be re-used after
-    release (its backing caches are gone — re-run the operator).
+    corpus state regardless of how many batches have run. The same
+    contract holds for a loop that mines exact pair tables per batch
+    (``ngram_jaccard_pairs`` / ``containment_pairs``): consume, then
+    release — otherwise each call leaks one corpus-sized shingle cache
+    and long runs lean on LRU eviction. A caller-provided corpus_state
+    is never touched (it is the caller's to manage via
+    ``MinHashCorpusState.unpersist``). No-op for frames this package
+    did not produce; the result must not be re-used after release (its
+    backing caches are gone — re-run the operator).
     """
     for cached in getattr(result, "_sg_batch_caches", []):
         cached.unpersist(blocking)

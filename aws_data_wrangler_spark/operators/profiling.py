@@ -856,6 +856,86 @@ def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") ->
     )
 
 
+def cms_join_size(sketches_a: DataFrame, sketches_b: DataFrame) -> DataFrame:
+    """Estimate the INNER EQUI-JOIN output cardinality ``|A ⋈ B| =
+    Σ_key f_A(key)·f_B(key)`` from two Count-Min sketch tables WITHOUT
+    touching either input — the classic CM inner-product estimate
+    (Cormode–Muthukrishnan 2005 §4.2): per hash row ``i``,
+    ``Σ_w A_i[w]·B_i[w]`` overcounts the true join size only by
+    non-negative collision cross-terms, so ``min_i`` of the row
+    products is an UPPER BOUND within ``ε·N_A·N_B`` (ε = e/width) with
+    probability ``1 − e^−depth``. Returns one row:
+    ``(join_size_est, n_a, n_b)``.
+
+    This is the pre-shuffle planning question at 100 TB: "do I dare
+    run this join / should the output land partitioned" answered from
+    profile-time state — two already-persisted counter tables, each
+    bounded by ``depth·width`` rows BY CONSTRUCTION — while the exact
+    answer would run the very join being sized. Both sides pre-merge
+    cell-wise (integer sums, lossless, any batching), the cell join is
+    broadcast-sized on both sides, and nothing data-sized moves.
+
+    Determinism: counters are md5-coin integers and the product-sums
+    are integer arithmetic — bit-deterministic across partitionings,
+    batchings, and engines (a DuckDB oracle exact-matches, no
+    envelope). Both sketch tables must share geometry (the hash
+    functions must be the same family) — mixed geometry raises, the
+    ``cms_union`` rule. An empty side estimates 0 ("nothing ingested"
+    is a real answer). Row totals are validated driver-side against
+    64-bit product overflow (≈ 2^62 on the ``N_A·N_B`` bound) — a
+    profile pass over corpora that large should sketch a sampled
+    stream instead.
+    """
+    geom_a = _cms_geometry(sketches_a)
+    geom_b = _cms_geometry(sketches_b)
+    if geom_a is not None and geom_b is not None and geom_a != geom_b:
+        raise ValueError(
+            f"cannot inner-product CMS sketches with different depth x width: "
+            f"{geom_a} vs {geom_b} (the row hashes differ — estimates would be "
+            "meaningless, not merely loose)"
+        )
+    schema = "join_size_est bigint, n_a bigint, n_b bigint"
+    spark = sketches_a.sparkSession
+    if geom_a is None or geom_b is None:
+        return spark.createDataFrame([(0, 0, 0)], schema)
+    depth = geom_a[0]
+    merged_a = sketches_a.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt_a"))
+    merged_b = sketches_b.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt_b"))
+    # totals per side (each hash row counts every non-null key once, so
+    # any single row's sum is N) — counter-table-sized driver actions
+    n_a = merged_a.filter(F.col("row_i") == 0).agg(F.sum("cnt_a")).collect()[0][0] or 0
+    n_b = merged_b.filter(F.col("row_i") == 0).agg(F.sum("cnt_b")).collect()[0][0] or 0
+    if n_a > 0 and n_b > (2**62) // n_a:
+        raise ValueError(
+            f"CMS inner product may overflow 64-bit counters: N_A*N_B = "
+            f"{n_a}*{n_b} exceeds 2^62 — sketch a sampled stream for "
+            "corpora this large"
+        )
+    est = (
+        merged_a.join(merged_b, ["row_i", "bucket"])  # absent cells contribute 0
+        .groupBy("row_i")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("row_prod"))
+        # a hash row with NO colliding cells vanishes from the inner
+        # join, but its product-sum is 0 and 0 must win the min — so a
+        # short row count (or an empty product join) estimates 0
+        .agg(
+            F.min("row_prod").alias("__min_prod"),
+            F.count(F.lit(1)).alias("__rows_present"),
+        )
+        .select(
+            F.when(F.col("__rows_present") < depth, F.lit(0))
+            .otherwise(F.col("__min_prod"))
+            .cast("bigint")
+            .alias("join_size_est")
+        )
+    )
+    return est.select(
+        "join_size_est",
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+    )
+
+
 # 2^60: the KMV hash space — md5's first 15 hex chars, the
 # engine-portable coin (exactly representable as a double, so the
 # estimator's multiply/divide chain is the same IEEE computation in

@@ -40,6 +40,21 @@ def _keep(id_col: Column, fraction: float, salt: str) -> Column:
     return prefix < F.lit(_threshold_hex(fraction))
 
 
+def _threshold_str(fraction: float) -> str:
+    """The keep rule as ONE comparison string: a row is kept iff
+    ``md5-prefix < threshold``. ``"g"`` sorts above every lowercase hex
+    char → keep-all (the ``_keep`` fraction≥1 fast path, exactly);
+    ``""`` sorts below every string → drop-all (fraction≤0); otherwise
+    the standard 8-hex-char boundary. Encoding all three ``_keep``
+    cases in the string lets a per-stratum threshold ride a
+    broadcast-join column instead of a stratum-cardinality CASE."""
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return ""
+    return _threshold_hex(fraction)
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,
@@ -137,15 +152,44 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling — the mixture-weights operator.
 
     ``fractions`` maps stratum value → keep probability; strata absent
-    from the map use ``default_fraction``. One codegen'd CASE over the
-    hash prefix; no shuffle.
+    from the map (and NULL strata) use ``default_fraction``. The
+    per-stratum thresholds ride in on a BROADCAST join against a
+    stratum-sized table and the keep filter compares the shared
+    md5-prefix coin against the joined threshold — O(1) generated-code
+    size at ANY stratum cardinality, and still zero shuffle of the
+    corpus (the broadcast hash join fuses into the scan's codegen
+    stage).
+
+    The former ``when``-chain grew the generated code linearly with
+    stratum count: ~30 domain strata pushed the fused
+    ``hashAgg_doAggregateWithKeys`` method past janino's 64 KB limit
+    and the whole stage silently fell back to interpreted evaluation
+    (VERDICT r10 #1) — and the production case, per-registered-domain
+    mixing over a web corpus, has millions of strata where a CASE is
+    impossible outright. The join keeps the exact ``_keep`` semantics:
+    the threshold string encodes keep-all/drop-all/boundary per
+    stratum (``_threshold_str``), so outputs are bit-identical to the
+    CASE formulation.
     """
-    keep: Column = _keep(F.col(id_col), default_fraction, salt)
-    for value, fraction in sorted(fractions.items()):
-        keep = F.when(
-            F.col(strata_col) == value, _keep(F.col(id_col), fraction, salt)
-        ).otherwise(keep)
-    return df.filter(keep)
+    from pyspark.sql import types as T
+
+    tbl_schema = T.StructType(
+        [
+            T.StructField("__sg_stratum", df.schema[strata_col].dataType),
+            T.StructField("__sg_thr", T.StringType()),
+        ]
+    )
+    tbl = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(value, _threshold_str(fraction)) for value, fraction in fractions.items()],
+            tbl_schema,
+        )
+    )
+    joined = df.join(tbl, df[strata_col] == tbl["__sg_stratum"], "left")
+    keep = split_prefix(id_col, salt) < F.coalesce(
+        F.col("__sg_thr"), F.lit(_threshold_str(default_fraction))
+    )
+    return joined.filter(keep).drop("__sg_stratum", "__sg_thr")
 
 
 def fixed_size_sample(
@@ -249,9 +293,11 @@ def temperature_sample(
     The per-stratum count aggregate is the only corpus-scale step (a
     hash aggregate with map-side partials, collected at
     stratum-cardinality size — strata are domains/languages/sources,
-    not rows); the keep filter is a codegen'd CASE fused into the
-    scan. At 100 TB this is exactly the shape of a production data-mix
-    pass: one count job, then an embarrassingly-parallel filter.
+    not rows); the keep filter is a broadcast-joined threshold compare
+    fused into the scan (O(1) generated code at any stratum count —
+    see ``stratified_sample``). At 100 TB this is exactly the shape of
+    a production data-mix pass: one count job, then an
+    embarrassingly-parallel filter.
     """
     counts = {
         r[0]: r[1]

@@ -422,6 +422,24 @@ class TestDedup:
         # bounded: the later batches hold no more storage than the first
         assert max(counts) <= counts[0], counts
 
+    def test_release_batch_state_covers_the_pair_miners(self, spark, documents):
+        # the deferred r10 handle (VERDICT r10 #2): the shared
+        # _shingle_overlap core caches the shingle table; a loop mining
+        # pair tables must be able to release it per batch — persisted
+        # storage returns to the baseline after each release instead of
+        # growing one shingle cache per call
+        docs = documents.limit(40)
+        jsc = spark.sparkContext._jsc.sc()
+        baseline = jsc.getPersistentRDDs().size()
+        for miner in (dedup.ngram_jaccard_pairs, dedup.containment_pairs):
+            result = miner(docs, threshold=0.8, max_doc_frequency=1000)
+            result.count()  # consume (populates the shingle cache)
+            assert jsc.getPersistentRDDs().size() > baseline
+            dedup.release_batch_state(result, blocking=True)
+            assert jsc.getPersistentRDDs().size() == baseline, (
+                "shingle cache leaked past release_batch_state"
+            )
+
     def test_incremental_forwards_num_hashes_to_batch_signatures(self, spark, documents):
         # regression: the batch side once built 64-slot default
         # signatures while banding assumed the caller's num_hashes —
