@@ -3573,6 +3573,50 @@ ORACLES: Dict[str, str] = {
     # the two rows differ only in the asserted-invariant column.
     "profiling_cms_frequencies": _cms_oracle_sql(with_invariant=True),
     "streaming_heavyhitter_monitor": _cms_oracle_sql(with_invariant=False),
+    # CM inner-product join-size estimate (r11): rebuild BOTH counter
+    # tables with the operator's md5 row hashes (batching is invisible
+    # — cell sums commute, so the single-pass table IS the merged
+    # two-batch table), take min over per-row product sums with the
+    # short-row-counts-as-zero rule, and ride the exact join count
+    # alongside. Every value is integer arithmetic — exact match.
+    "profiling_cms_join_size": """
+        WITH rows_i AS (SELECT unnest(range(4)) AS row_i),
+        ca AS (
+            SELECT row_i,
+                   ('0x' || substr(md5(row_i::VARCHAR || ':' || o_custkey::VARCHAR), 1, 15))::BIGINT
+                       % 1024 AS bucket,
+                   count(*)::BIGINT AS cnt_a
+            FROM orders, rows_i
+            WHERE o_custkey IS NOT NULL
+            GROUP BY 1, 2
+        ), cb AS (
+            SELECT row_i,
+                   ('0x' || substr(md5(row_i::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT
+                       % 1024 AS bucket,
+                   count(*)::BIGINT AS cnt_b
+            FROM customer, rows_i
+            WHERE c_custkey IS NOT NULL
+            GROUP BY 1, 2
+        ), prods AS (
+            SELECT row_i, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS row_prod
+            FROM ca JOIN cb USING (row_i, bucket)
+            GROUP BY 1
+        ), est AS (
+            SELECT CAST(CASE WHEN count(*) < 4 THEN 0 ELSE min(row_prod) END AS BIGINT)
+                       AS join_size_est
+            FROM prods
+        ), na AS (
+            SELECT count(o_custkey)::BIGINT AS n_a FROM orders
+        ), nb AS (
+            SELECT count(c_custkey)::BIGINT AS n_b FROM customer
+        ), tru AS (
+            SELECT count(*)::BIGINT AS join_size_true
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT est.join_size_est, na.n_a, nb.n_b, tru.join_size_true,
+               (est.join_size_est >= tru.join_size_true) AS is_upper_bound
+        FROM est, na, nb, tru
+    """,
     # directed Broder containment over documents + planted excerpts.
     # NOT factored out of _NGRAM_JACCARD: that template backs a
     # prior-round frozen row, and byte-identity of already-verified

@@ -4679,6 +4679,54 @@ class TestProfiling:
         )
         assert nulls.agg(F.sum("cnt")).collect()[0][0] == 4  # depth rows x 1 key
 
+    def test_cms_join_size_matches_python_reference_and_bounds(self, spark):
+        # CM inner-product join-size estimate (r11): batched build ==
+        # single-pass build (cell sums commute through the product),
+        # the estimate equals a python md5 reference of the product-min
+        # exactly, and it upper-bounds the true equi-join cardinality
+        import hashlib
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        depth, width = 3, 16  # tiny width -> forced collisions
+        a_keys = ["u1"] * 5 + ["u2"] * 3 + ["u3"] * 2 + ["ghost"]
+        b_keys = ["u1"] * 2 + ["u2"] * 4 + ["u4"] * 7
+        dfa = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(a_keys)] + [(99, None)],
+            "i long, k string",
+        ).withColumn("b", F.col("i") % 3)
+        dfb = spark.createDataFrame([(k,) for k in b_keys], "k string")
+        sk = lambda df, **kw: profiling.cms_sketches(df, "k", depth=depth, width=width, **kw)
+        est = profiling.cms_join_size(sk(dfa, batch_col="b"), sk(dfb)).collect()[0]
+        single = profiling.cms_join_size(sk(dfa), sk(dfb)).collect()[0]
+        assert tuple(est) == tuple(single)
+        assert (est["n_a"], est["n_b"]) == (11, 13)  # NULL key excluded
+        ta, tb = {}, {}
+        for tbl, keys in ((ta, a_keys), (tb, b_keys)):
+            for k in keys:
+                for i in range(depth):
+                    h = int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16) % width
+                    tbl[(i, h)] = tbl.get((i, h), 0) + 1
+        ref = min(
+            sum(ca * tb.get((i, bk), 0) for (ri, bk), ca in ta.items() if ri == i)
+            for i in range(depth)
+        )
+        true_join = 5 * 2 + 3 * 4  # u1: 5x2, u2: 3x4
+        assert est["join_size_est"] == ref
+        assert est["join_size_est"] >= true_join  # never undercounts
+        # disjoint key sets with a wide table: every row product is
+        # collision-only; with width >> keys it reads 0
+        dfc = spark.createDataFrame([("zz1",), ("zz2",)], "k string")
+        wide = lambda df: profiling.cms_sketches(df, "k", depth=4, width=4096)
+        disjoint = profiling.cms_join_size(wide(dfb), wide(dfc)).collect()[0]
+        assert disjoint["join_size_est"] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="depth x width"):
+            profiling.cms_join_size(sk(dfa), wide(dfb))
+        empty = profiling.cms_join_size(sk(dfa).limit(0), sk(dfb)).collect()[0]
+        assert tuple(empty) == (0, 0, 0)
+
     def test_approx_heavy_hitters_exact_regime_and_ties(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 

@@ -26,112 +26,131 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-10 rotation policy (SURVEY §7 item 16 / VERDICT r9 #1): the
-# driver verifies the FIRST 50 registry entries. After the RETIRED_R10
-# consolidation (three judge-sanctioned retirements with covered-by
-# notes), the round-10 window carries (a) the nine ROUND9_LATE entries
-# FIRST (registered after the round-9 window filled, no driver row
-# yet), (b) the ENTIRE ROUND7_FROZEN block — after round 10 its
-# round-7 rows would breach the two-round staleness invariant — in its
-# long-standing order (37 entries after the two RETIRED_R10 rows), and
-# (c) the four changed-code rows: dedup_ngram_jaccard (the
-# r9-continuation _shingle_overlap extraction, carried over per SURVEY
-# §7 item 16c) plus the three rows whose code changes THIS round —
-# text_domain_rollup (vendored public-suffix upgrade to
-# registered_domain + _CANON_URL_CTES), streaming_ewma_monitor (the
-# _fold_counts extraction, VERDICT r9 #5), profiling_quantile_
-# invariants (quantile_sketches' value_grid knob, VERDICT r9 #4).
-# 9 + 37 + 4 = 50 exactly. Below the boundary sit only the round-9
-# window survivors (fresh r9 rows), the ROUND8_FROZEN block (fresh r8
-# rows — rotates in round 11), the PERMANENTLY PINNED rows-only entry,
-# and any ROUND10_LATE registrations.
+# Round-11 rotation policy (SURVEY §7 item 18 / VERDICT r10 #1): the
+# driver verifies the FIRST 50 registry entries. The round-11 window
+# carries (a) the three ROUND10_LATE entries FIRST (registered after
+# the round-10 window filled, no driver row yet), (b) the ENTIRE
+# ROUND8_FROZEN block — after round 11 its round-8 rows would breach
+# the two-round staleness invariant — in its long-standing order (41
+# entries), (c) the four changed-code rows: the dedup trio crossing
+# the shingle-cache release handle on the shared _shingle_overlap core
+# (the CALL-GRAPH crossing set — dedup_clusters crosses via
+# ngram_jaccard_pairs, the r10 lesson) and sample_domain_temperature
+# crossing the stratified_sample broadcast-join rewrite (VERDICT r10
+# #1; sample_temperature crosses it too and already sits in the R8
+# block), (d) ONE new round-11 registration placed IN-window
+# (profiling_cms_join_size — the r8 precedent VERDICT r10 #4 orders),
+# and (e) ONE ROUND9_FROZEN backfill pull (events_top_paths — the r9
+# precedent; eases the round-12 rotation to 45 + late + changed ≤ 50).
+# 3 + 41 + 4 + 1 + 1 = 50 exactly. Below the boundary sit only the
+# ROUND10_FROZEN block (fresh r10 rows — rotates in round 13), the
+# ROUND9_FROZEN remainder (fresh r9 rows — rotates in round 12), the
+# PERMANENTLY PINNED rows-only entry, and any ROUND11_LATE
+# registrations.
 
-ROUND9_LATE_ROTATED_IN_R10 = {
-    "sample_domain_temperature", "streaming_quantile_monitor",
-    "streaming_ndv_monitor", "text_domain_quality",
-    "profiling_cms_frequencies", "streaming_heavyhitter_monitor",
-    "dedup_containment", "events_daily_uniques_rollup",
-    "events_holt_trend",
+ROUND10_LATE_ROTATED_IN_R11 = {
+    "profiling_kmv_set_overlap", "streaming_kmv_monitor",
+    "text_decontaminated_spans",
 }
 
-ROUND7_ROTATED_IN_R10 = {
-    # the whole ROUND7_FROZEN block: last driver rows in round 7
-    # (events_heavy_hitters_sketch and streaming_hourly_rollup retired
-    # — RETIRED_R10)
-    "streaming_bloom_gate", "profiling_referential_integrity",
-    "profiling_key_uniqueness", "ingest_preflight_report",
-    "dedup_bloom_ingest_gate", "sample_cluster_balanced",
-    "ann_cell_occupancy", "embedding_pca_project",
-    "benchmark_near_contamination", "ann_index_rebalance_search",
-    "events_asof_signup", "profiling_distribution_drift",
-    "events_join_fanout", "text_html_extract", "text_ngram_freq",
-    "lineitem_stats_by_flag", "topk_customers_window",
-    "multimodal_image_dhash", "text_bigram_surprisal",
-    "text_ngram_repetition", "io_fwf_roundtrip", "profiling_null_profile",
-    "multimodal_audio_fp", "text_c4_rules",
-    "text_perplexity_buckets", "pretraining_curation_pipeline",
-    "text_gopher_quality", "text_lang_id", "text_chunk_tokens",
-    "text_pack_sequences", "text_pii_scrub", "text_tfidf_top_terms",
-    "benchmark_contamination", "streaming_sliding_counts",
-    "streaming_error_click_join", "streaming_corpus_dedup",
-    "q6_revenue_forecast",
+ROUND8_ROTATED_IN_R11 = {
+    # the whole ROUND8_FROZEN block: last driver rows in round 8
+    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
+    "ann_metric_topk", "ann_pca_sq8_search", "ann_sq8_topk",
+    "athena_ctas_roundtrip", "bpe_word_frequencies",
+    "db_jdbc_roundtrip", "dedup_duplicated_lines",
+    "dedup_duplicated_spans", "dedup_embedding_cosine",
+    "dedup_embedding_incremental", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_normalized", "dedup_simhash",
+    "embedding_curation_pipeline", "events_error_click_window",
+    "events_hourly_gapfill", "events_interpolate",
+    "events_session_window", "events_user_join_salted",
+    "io_merge_datasets", "io_partition_pruned_read",
+    "io_upsert_roundtrip", "orders_value_deciles",
+    "q2_min_cost_supplier", "sample_epoch_mixture",
+    "sample_temperature", "sample_weighted",
+    "streaming_anomaly_monitor", "streaming_drift_monitor",
+    "streaming_growing_corpus", "streaming_latest_per_user",
+    "streaming_static_enrich", "text_char_entropy",
+    "text_classifier_score", "text_fingerprint",
 }
 
-ROUND10_CHANGED_CODE = {
-    # dedup_ngram_jaccard: crosses the r9-continuation _shingle_overlap
-    # extraction (SURVEY §7 item 16c); the other three cross code
-    # changed in round 10 itself (PSL domains / _fold_counts /
-    # value_grid)
-    "dedup_ngram_jaccard", "text_domain_rollup",
-    "streaming_ewma_monitor", "profiling_quantile_invariants",
+ROUND11_CHANGED_CODE = {
+    # the dedup trio crosses the _shingle_overlap cache-release handle
+    # (dedup_clusters via ngram_jaccard_pairs — call-graph crossing);
+    # sample_domain_temperature crosses the stratified_sample
+    # broadcast-join rewrite
+    "dedup_clusters", "dedup_containment", "dedup_ngram_jaccard",
+    "sample_domain_temperature",
+}
+
+ROUND11_NEW_IN_WINDOW = {
+    # registered IN-window in round 11 (the r8 precedent): the CM
+    # inner-product join-size estimator
+    "profiling_cms_join_size",
+}
+
+ROUND11_BACKFILL_PULLS = {
+    # ROUND9_FROZEN rows pulled a round early to fill the window —
+    # re-verified in round 11, easing the round-12 rotation arithmetic
+    "events_top_paths",
+}
+
+ROUND10_FROZEN = {
+    # fresh green rows in CORRECTNESS_r10.json (the second all-green
+    # window); code byte-identical since round 10 (dedup_ngram_jaccard
+    # / dedup_containment / sample_domain_temperature moved INTO the
+    # round-11 window as changed-code). Rotates in round 13.
+    "ann_cell_occupancy", "ann_index_rebalance_search",
+    "benchmark_contamination", "benchmark_near_contamination",
+    "dedup_bloom_ingest_gate", "embedding_pca_project",
+    "events_asof_signup", "events_daily_uniques_rollup",
+    "events_holt_trend", "events_join_fanout",
+    "ingest_preflight_report", "io_fwf_roundtrip",
+    "lineitem_stats_by_flag", "multimodal_audio_fp",
+    "multimodal_image_dhash", "pretraining_curation_pipeline",
+    "profiling_cms_frequencies", "profiling_distribution_drift",
+    "profiling_key_uniqueness", "profiling_null_profile",
+    "profiling_quantile_invariants",
+    "profiling_referential_integrity", "q6_revenue_forecast",
+    "sample_cluster_balanced", "streaming_bloom_gate",
+    "streaming_corpus_dedup", "streaming_error_click_join",
+    "streaming_ewma_monitor", "streaming_heavyhitter_monitor",
+    "streaming_ndv_monitor", "streaming_quantile_monitor",
+    "streaming_sliding_counts", "text_bigram_surprisal",
+    "text_c4_rules", "text_chunk_tokens", "text_domain_quality",
+    "text_domain_rollup", "text_gopher_quality",
+    "text_html_extract", "text_lang_id", "text_ngram_freq",
+    "text_ngram_repetition", "text_pack_sequences",
+    "text_perplexity_buckets", "text_pii_scrub",
+    "text_tfidf_top_terms", "topk_customers_window",
 }
 
 ROUND9_FROZEN = {
-    # fresh green rows in CORRECTNESS_r09.json (the first all-green
-    # window); code byte-identical since round 9
-    # (profiling_hll_invariants retired — RETIRED_R10; text_domain_
-    # rollup / streaming_ewma_monitor / profiling_quantile_invariants
-    # moved INTO the round-10 window as changed-code)
-    "events_top_paths", "text_quality_gate", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q1_pricing_summary", "q14_promo_effect",
-    "q18_large_orders", "q21_waiting_suppliers", "events_cube_daily",
-    "events_retention_cohorts", "events_funnel", "brand_revenue_pareto",
-    "events_json_extract", "catalog_table_roundtrip", "io_bucketed_join",
-    "io_overwrite_partitions", "io_json_roundtrip",
-    "db_copy_unload_roundtrip", "corpus_curation_pipeline",
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_ivf_lloyd_step",
-    "dedup_semdedup", "dedup_clusters", "logs_insights_parse",
-    "multimodal_video_near_dup", "streaming_sessionize", "sample_dsir",
-    "ann_recall_lsh", "pretraining_shard_export", "streaming_dsir_gate",
-    "ann_ivfpq_partitioned_search", "streaming_index_ingest",
-    "ann_mmr_rerank", "io_parquet_roundtrip", "io_csv_roundtrip",
-    "io_orc_roundtrip", "events_value_histogram",
-    "profiling_numeric_summary", "profiling_correlations",
-    "dedup_snapshot_diff", "embedding_dim_stats", "io_schema_evolution",
-    "ann_filtered_pq_search", "sample_hash_split",
-}
-
-ROUND8_FROZEN = {
-    # fresh green rows in CORRECTNESS_r08.json; code byte-identical
-    # since round 8 (dedup_ngram_jaccard moved INTO the round-10 window
-    # as changed-code). Rotates in round 11.
-    "streaming_anomaly_monitor", "events_error_click_window",
-    "dedup_exact", "dedup_normalized", "db_jdbc_roundtrip",
-    "events_session_window", "events_hourly_gapfill",
-    "events_user_join_salted", "athena_ctas_roundtrip",
-    "io_partition_pruned_read", "io_merge_datasets", "ann_cosine_topk",
-    "ann_lsh_topk", "streaming_static_enrich", "streaming_latest_per_user",
-    "text_fingerprint", "dedup_duplicated_lines", "sample_epoch_mixture",
-    "orders_value_deciles", "dedup_minhash_lsh", "dedup_incremental",
-    "dedup_simhash", "dedup_duplicated_spans",
-    "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_embedding_lsh", "embedding_curation_pipeline",
-    "ann_cosine_topk_arrow", "ann_sq8_topk", "bpe_word_frequencies",
-    "streaming_growing_corpus", "sample_temperature",
-    "q2_min_cost_supplier", "streaming_drift_monitor",
-    "io_upsert_roundtrip", "text_classifier_score", "text_char_entropy",
-    "events_interpolate", "ann_pca_sq8_search", "sample_weighted",
-    "ann_metric_topk",
+    # fresh green rows in CORRECTNESS_r09.json; code byte-identical
+    # since round 9 (events_top_paths pulled into the round-11 window
+    # as a backfill, dedup_clusters moved as changed-code). Rotates in
+    # round 12.
+    "ann_filtered_pq_search", "ann_ivf_lloyd_step", "ann_ivf_topk",
+    "ann_ivfpq_partitioned_search", "ann_ivfpq_topk",
+    "ann_mmr_rerank", "ann_pq_topk", "ann_recall_lsh",
+    "brand_revenue_pareto", "catalog_table_roundtrip",
+    "corpus_curation_pipeline", "db_copy_unload_roundtrip",
+    "dedup_semdedup", "dedup_snapshot_diff", "embedding_dim_stats",
+    "events_cube_daily", "events_funnel", "events_json_extract",
+    "events_retention_cohorts", "events_value_histogram",
+    "io_bucketed_join", "io_csv_roundtrip", "io_json_roundtrip",
+    "io_orc_roundtrip", "io_overwrite_partitions",
+    "io_parquet_roundtrip", "io_schema_evolution",
+    "logs_insights_parse", "multimodal_video_near_dup",
+    "pretraining_shard_export", "profiling_correlations",
+    "profiling_numeric_summary", "q14_promo_effect",
+    "q18_large_orders", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q3_shipping_priority",
+    "q5_local_supplier_volume", "sample_dsir", "sample_hash_split",
+    "streaming_dsir_gate", "streaming_index_ingest",
+    "streaming_sessionize", "text_quality_gate",
 }
 
 # VERDICT r8 "what's wrong" #1: the declared rows-only entry can never
@@ -140,20 +159,18 @@ ROUND8_FROZEN = {
 # future rotation.
 PINNED_ROWS_ONLY = {"bpe_encode"}
 
-ROUND10_LATE = {
-    # registered after the round-10 window filled (the round-3/6/7/8/9
-    # late precedent): verified at sf0.001 + sf0.01 + sf0.1 plus a
-    # targeted local[5] invariance check in the round-10 session;
-    # rotates into the round-11 window FIRST
-    "text_decontaminated_spans",
-    "profiling_kmv_set_overlap",
-    "streaming_kmv_monitor",
+ROUND11_LATE = {
+    # registered after the round-11 window filled (the late-set
+    # precedent); empty so far — VERDICT r10 #4 caps this round at 2
 }
+ROUND11_LATE = set(ROUND11_LATE)
 
-ROUND10_MUST_BE_IN_WINDOW = (
-    ROUND9_LATE_ROTATED_IN_R10
-    | ROUND7_ROTATED_IN_R10
-    | ROUND10_CHANGED_CODE
+ROUND11_MUST_BE_IN_WINDOW = (
+    ROUND10_LATE_ROTATED_IN_R11
+    | ROUND8_ROTATED_IN_R11
+    | ROUND11_CHANGED_CODE
+    | ROUND11_NEW_IN_WINDOW
+    | ROUND11_BACKFILL_PULLS
 )
 
 RETIRED_R7 = {
@@ -233,8 +250,8 @@ def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = (below - ROUND9_FROZEN - ROUND8_FROZEN
-                   - PINNED_ROWS_ONLY - ROUND10_LATE)
+    unaccounted = (below - ROUND10_FROZEN - ROUND9_FROZEN
+                   - PINNED_ROWS_ONLY - ROUND11_LATE)
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -242,18 +259,18 @@ def test_below_window_entries_all_have_pedigree():
 
 def test_no_entry_staler_than_two_rounds():
     # the rotation invariant (VERDICT r5 #5, re-pinned every round):
-    # after round 10, no below-window entry's last driver row may be
-    # older than round 8 — so nothing with round-7 pedigree (and no
-    # never-verified round-9-late entry) may sit below the boundary.
+    # after round 11, no below-window entry's last driver row may be
+    # older than round 9 — so nothing with round-8 pedigree (and no
+    # never-verified round-10-late entry) may sit below the boundary.
     # The pinned rows-only entry is exempt BY POLICY: it has no oracle,
     # so a driver row can never verify it (pytest is its contract).
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND7_ROTATED_IN_R10 == set(), (
-        "round-7-pedigree entries must sit inside the round-10 window"
+    assert below & ROUND8_ROTATED_IN_R11 == set(), (
+        "round-8-pedigree entries must sit inside the round-11 window"
     )
-    assert below & ROUND9_LATE_ROTATED_IN_R10 == set(), (
-        "never-verified round-9-late entries must sit inside the window"
+    assert below & ROUND10_LATE_ROTATED_IN_R11 == set(), (
+        "never-verified round-10-late entries must sit inside the window"
     )
 
 
@@ -267,7 +284,7 @@ def test_pinned_rows_only_entry_stays_below_the_window():
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND10_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND11_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
@@ -277,15 +294,19 @@ def test_window_is_exactly_the_declared_partition():
     # must-be-in set
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
-    assert window == ROUND10_MUST_BE_IN_WINDOW
-    assert below == (ROUND9_FROZEN | ROUND8_FROZEN | PINNED_ROWS_ONLY
-                     | ROUND10_LATE)
-    assert ROUND9_FROZEN & ROUND8_FROZEN == set()
-    assert PINNED_ROWS_ONLY & (ROUND9_FROZEN | ROUND8_FROZEN) == set()
-    assert ROUND10_LATE & (ROUND9_FROZEN | ROUND8_FROZEN | PINNED_ROWS_ONLY) == set()
-    assert (ROUND9_LATE_ROTATED_IN_R10 & ROUND7_ROTATED_IN_R10) == set()
-    assert (ROUND10_CHANGED_CODE
-            & (ROUND9_LATE_ROTATED_IN_R10 | ROUND7_ROTATED_IN_R10)) == set()
+    assert window == ROUND11_MUST_BE_IN_WINDOW
+    assert below == (ROUND10_FROZEN | ROUND9_FROZEN | PINNED_ROWS_ONLY
+                     | ROUND11_LATE)
+    assert ROUND10_FROZEN & ROUND9_FROZEN == set()
+    assert PINNED_ROWS_ONLY & (ROUND10_FROZEN | ROUND9_FROZEN) == set()
+    assert ROUND11_LATE & (ROUND10_FROZEN | ROUND9_FROZEN | PINNED_ROWS_ONLY) == set()
+    groups = [
+        ROUND10_LATE_ROTATED_IN_R11, ROUND8_ROTATED_IN_R11,
+        ROUND11_CHANGED_CODE, ROUND11_NEW_IN_WINDOW, ROUND11_BACKFILL_PULLS,
+    ]
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            assert a & b == set()
 
 
 def test_entry_module_contract():
