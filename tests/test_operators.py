@@ -3906,6 +3906,87 @@ class TestBPE:
         with pytest.raises(ValueError, match="min_frequency"):
             bpe.train_bpe(documents.limit(50), num_merges=2, max_vocab_rows=5)
 
+    def test_bpe_token_count_is_a_passthrough_column(self, spark, documents):
+        # the sampling-weld variant (VERDICT r10 #5): every input
+        # column and row preserved, the count column equal to
+        # apply_bpe's n_bpe_tokens doc-for-doc, and the plan shuffle-free
+        from aws_data_wrangler_spark.operators import bpe
+
+        docs = documents.limit(30)
+        merges = bpe.train_bpe(docs, num_merges=40)
+        counted = bpe.bpe_token_count(docs, merges)
+        assert counted.columns == docs.columns + ["n_bpe_tokens"]
+        assert counted.count() == docs.count()
+        # shuffle-free as a column operator (the limit(30) above adds
+        # its own exchange, so audit the plan over the raw frame)
+        plan = (
+            bpe.bpe_token_count(documents, merges)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        via_apply = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe.apply_bpe(docs, merges).collect()
+        }
+        for r in counted.select("doc_id", "n_bpe_tokens").collect():
+            assert r["n_bpe_tokens"] == via_apply[r["doc_id"]]
+        with pytest.raises(ValueError, match="already exists"):
+            bpe.bpe_token_count(counted, merges)
+
+    def test_bpe_denominated_budgets_differ_from_whitespace(self, spark):
+        # planted text where the learned merges compress src0's words to
+        # single tokens while src1's stay letter-split: a token budget
+        # denominated in BPE tokens must draw a DIFFERENT document set
+        # than the same budget over whitespace counts, and epoch_mixture
+        # token mode must reach the BPE budget exactly-or-just-over
+        from aws_data_wrangler_spark.operators import bpe, sampling, text
+
+        rows = [
+            (i, "src0", " ".join(["low"] * 10)) for i in range(8)
+        ] + [
+            (i + 100, "src1", " ".join(["zq"] * 10)) for i in range(8)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        # merges learned on the src0 side only: 'low</w>' fuses to one
+        # token, 'zq</w>' stays 3 ('z','q',EOW)
+        merges = bpe.train_bpe(docs.filter(F.col("source") == "src0"), num_merges=3)
+        counted = bpe.bpe_token_count(docs, merges)
+        per_src = {
+            r["source"]: r["t"]
+            for r in counted.groupBy("source").agg(F.sum("n_bpe_tokens").alias("t")).collect()
+        }
+        assert per_src["src0"] == 8 * 10      # one token per word
+        assert per_src["src1"] == 8 * 10 * 3  # letter-split + EOW
+        ws = text.with_token_counts(docs)
+        assert {
+            r["source"]: r["t"]
+            for r in ws.groupBy("source").agg(F.sum("ws_tokens").alias("t")).collect()
+        } == {"src0": 80, "src1": 80}  # whitespace counting is blind to this
+        # token_budget_sample: an 80-token budget buys ALL of src0 in
+        # BPE terms but only ~3 docs of src1 (30 tokens/doc)
+        kept = sampling.token_budget_sample(
+            counted, {"src0": 80, "src1": 80}, token_col="n_bpe_tokens"
+        )
+        got = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert got["src0"] == 8
+        assert got["src1"] == 3  # 2 full docs (60) + the crossing doc
+        # epoch_mixture token mode reaches the BPE target exactly-or-
+        # just-over per stratum
+        mixed = sampling.epoch_mixture(
+            counted, {"src0": 170, "src1": 250}, token_col="n_bpe_tokens"
+        )
+        tok = {
+            r["source"]: r["t"]
+            for r in mixed.groupBy("source").agg(F.sum("n_bpe_tokens").alias("t")).collect()
+        }
+        # src0: 2 full epochs (160) + one 10-token doc crosses 170
+        assert 170 <= tok["src0"] < 170 + 10
+        # src1: 1 full epoch (240) + one 30-token doc crosses 250
+        assert 250 <= tok["src1"] < 250 + 30
+
 
 class TestTemperatureSampling:
     def test_fractions_hand_computed(self):
