@@ -455,3 +455,152 @@ def holt_from_counts(
         ]
 
     return _fold_counts(counts, key_col, fold, out)
+
+
+def holt_winters(
+    df: DataFrame,
+    period: int = 24,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    step: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing of per-bucket event
+    counts — the seasonality rung above `holt_linear` (which tracks
+    level+trend and reads every daily rush hour as a fresh ramp):
+    level, trend, and a ``period``-slot seasonal profile folded
+    chronologically per key; ``forecast_next`` is seasonally adjusted
+    (``level + trend + s_next``), which is what an hourly traffic
+    monitor must compare against or it pages on every peak.
+
+    The seasonal slot is the FOLD POSITION mod ``period``, so the count
+    series must be GAPLESS per key — this wrapper densifies the
+    bucketed counts over each key's own [min, max] spine with
+    zero-filled empty buckets (exactly `gapfill_rollup`'s spine; an
+    empty bucket is a real zero observation for a count series) before
+    handing them to ``holt_winters_from_counts``. Plan/determinism
+    contract = `holt_linear`'s, plus the spine join of
+    `gapfill_rollup`: calendar-bounded per-key arrays, one fold over a
+    ``(3 + period)``-element ARRAY state, all update coefficients
+    dyadic at the default α=β=γ=0.25 so the chain is bit-identical
+    across engines.
+    """
+    counts = bucket_counts(df, time_col, key_col, bucket).drop("__season")
+    bounds = counts.groupBy("key").agg(
+        F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx")
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.expr(step))).alias(
+            "bucket_ts"
+        ),
+    )
+    dense = spine.join(counts, ["key", "bucket_ts"], "left").select(
+        "key", "bucket_ts", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return holt_winters_from_counts(dense, period, alpha, beta, gamma, key_col)
+
+
+def holt_winters_from_counts(
+    counts: DataFrame,
+    period: int = 24,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """The Holt-Winters additive fold over an already-bucketed,
+    GAPLESS ``(key, bucket_ts, n)`` count table (the
+    ``holt_from_counts`` contract; compose with ``gapfill_rollup`` /
+    the `holt_winters` spine when buckets can be empty — the seasonal
+    slot is the fold position mod ``period``, so a missing bucket
+    desyncs every later slot from the calendar).
+
+    Per key, with observation ``y_t`` at fold position ``t`` (1-based)
+    and seasonal slot ``j = (t−1) mod period``, the standard additive
+    update algebraically expanded so every state field depends ONLY on
+    the previous state (the `holt_linear` one-expression-tree form):
+
+        l_t = α·(y_t − s_j) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = αβ·(y_t − s_j − l_{t−1}) + (β(1−α) + (1−β))·b_{t−1}
+        s_j' = γ(1−α)·(y_t − l_{t−1} − b_{t−1}) + (1 − γ(1−α))·s_j
+
+    Cold start: ``l_1 = y_1``, ``b_1 = 0``, all seasonal slots 0 — the
+    first cycle learns the profile (the EWMA-family seeding
+    convention; the classical first-season-average init needs a second
+    pass the fold form doesn't buy anything from). State is one
+    ``(3 + period)``-element DOUBLE ARRAY ``[level, trend, t,
+    s_0..s_{period−1}]`` — an ARRAY, not a struct (the DuckDB
+    partially-updated-accumulator rule), rebuilt atomically each step
+    with the touched slot replaced via an indexed ``transform``. With
+    α, β, γ ∈ {0.25, 0.5, …} every expanded coefficient (α, 1−α, αβ,
+    β(1−α)+(1−β), γ(1−α), 1−γ(1−α)) is exactly representable, so the
+    fold is bit-identical across engines and a DuckDB oracle
+    exact-matches, no envelope.
+
+    Output per key: ``(key, n_buckets, last_bucket_ts, level, trend,
+    forecast_next, season_range)`` — ``forecast_next = level + trend +
+    s_{t mod period}`` (the NEXT observation's slot), ``season_range =
+    max(s) − min(s)`` (the learned peak-to-trough amplitude, the
+    "is there seasonality at this period" readout).
+    """
+    from aws_data_wrangler_spark.functions import trunc_digits
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    # exactly-representable expanded coefficient set (documented)
+    c_a = F.lit(alpha)
+    c_lp = F.lit(1.0 - alpha)
+    c_tx = F.lit(alpha * beta)
+    c_tp = F.lit(beta * (1.0 - alpha) + (1.0 - beta))
+    c_sx = F.lit(gamma * (1.0 - alpha))
+    c_sp = F.lit(1.0 - gamma * (1.0 - alpha))
+
+    def step(acc, x):
+        slot = F.element_at(acc, 3).cast("int") % period  # 0-based
+        s_prev = F.element_at(acc, slot + F.lit(4))
+        l_prev, b_prev = F.element_at(acc, 1), F.element_at(acc, 2)
+        return F.concat(
+            F.array(
+                (x - s_prev) * c_a + (l_prev + b_prev) * c_lp,
+                (x - s_prev - l_prev) * c_tx + b_prev * c_tp,
+                F.element_at(acc, 3) + F.lit(1.0),
+            ),
+            F.transform(
+                F.slice(acc, 4, period),
+                lambda s, i: F.when(
+                    i == slot, (x - l_prev - b_prev) * c_sx + s * c_sp
+                ).otherwise(s),
+            ),
+        )
+
+    def fold(vals):
+        init = F.concat(
+            F.array(F.element_at(vals, 1), F.lit(0.0), F.lit(1.0)),
+            F.array_repeat(F.lit(0.0), period),
+        )
+        return F.aggregate(
+            F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+            init,
+            step,
+        )
+
+    def out(st):
+        next_slot = F.element_at(st, 3).cast("int") % period
+        s_next = F.element_at(st, next_slot + F.lit(4))
+        seasonals = F.slice(st, 4, period)
+        return [
+            trunc_digits(F.element_at(st, 1)).alias("level"),
+            trunc_digits(F.element_at(st, 2)).alias("trend"),
+            trunc_digits(
+                F.element_at(st, 1) + F.element_at(st, 2) + s_next
+            ).alias("forecast_next"),
+            trunc_digits(
+                F.array_max(seasonals) - F.array_min(seasonals)
+            ).alias("season_range"),
+        ]
+
+    return _fold_counts(counts, key_col, fold, out)

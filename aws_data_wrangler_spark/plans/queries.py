@@ -3355,6 +3355,27 @@ def _events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _events_holtwinters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per event_type (r11,
+    new — the seasonality rung completing the ewma → holt ladder):
+    level + trend + a 24-slot hourly seasonal profile folded over the
+    spine-densified hourly counts (empty buckets are real zeros for a
+    count series — the seasonal slot is fold position mod 24, so the
+    series must be gapless), output the current state, the seasonally
+    adjusted forecast_next, and the learned peak-to-trough
+    season_range. The oracle replicates the spine AND the fold
+    term-for-term with DuckDB's list_reduce over a 27-element ARRAY
+    state ([l, b, t, s_0..s_23]; the touched slot is replaced via an
+    indexed list_transform — array construction is atomic in both
+    engines) with the exactly-representable expanded coefficient set
+    at α = β = γ = 0.25."""
+    from aws_data_wrangler_spark.operators import timeseries
+
+    return timeseries.holt_winters(
+        load(spark, sf_dir, "events"), period=24, bucket="hour"
+    ).orderBy("event_type")
+
+
 def _events_daily_uniques_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The re-aggregable NDV cube (`grouped_hll_sketches` +
     `hll_rollup`): sketch once at the finest grain — (event_type, day)
@@ -3804,6 +3825,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # contract is the pytest pedigree (hand-computed merges + lossless
     # reconstruction) ---
     "bpe_encode": _bpe_encode,
+    # --- ROUND11_LATE: registered after the round-11 window filled
+    # (the round-3/6/7/8/9/10 late precedent; VERDICT r10 #4 caps this
+    # round's late set at 2): verified at sf0.001 + sf0.01 + sf0.1
+    # plus a targeted local[5] invariance check in the round-11
+    # session; rotates into the round-12 window FIRST ---
+    "events_holtwinters_seasonal": _events_holtwinters_seasonal,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

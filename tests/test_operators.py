@@ -3793,6 +3793,79 @@ class TestTimeseries:
         }
         assert abs(out["r"]["forecast_next"] - 18.0) < abs(ew["r"] - 18.0)
 
+    def test_holt_winters_learns_seasonality_holt_cannot(self, spark):
+        # the HW raison d'être: on a strictly periodic series (period
+        # 4, repeating 10,2,10,2...) the seasonal forecast_next nails
+        # the true next value while season-blind Holt forecasts near
+        # the mean; season_range reads the learned amplitude; a
+        # constant series yields season_range ~ 0 and forecast = the
+        # constant; period < 2 raises
+        import math
+
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import timeseries
+
+        rows = []
+        cycle = [10, 2, 10, 2]
+        for h in range(40):  # 10 full cycles
+            rows += [("p", h * 3600)] * cycle[h % 4]
+        for h in range(12):  # constant key: 5 events every hour
+            rows += [("c", h * 3600)] * 5
+        df = spark.createDataFrame(rows, "event_type string, sec long").select(
+            "event_type", F.timestamp_seconds("sec").alias("ts")
+        )
+        out = {
+            r["event_type"]: r
+            for r in timeseries.holt_winters(df, period=4).collect()
+        }
+        # true next value (h=40, slot 0) is 10
+        assert abs(out["p"]["forecast_next"] - 10.0) < 1.5
+        hl = {
+            r["event_type"]: r
+            for r in timeseries.holt_linear(df).collect()
+        }
+        assert abs(hl["p"]["forecast_next"] - 10.0) > abs(
+            out["p"]["forecast_next"] - 10.0
+        )  # season-blind Holt is strictly worse on the periodic key
+        assert out["p"]["season_range"] > 4.0  # planted amplitude 8
+        assert out["c"]["season_range"] < 1e-6
+        assert abs(out["c"]["forecast_next"] - 5.0) < 1e-6
+        with _pytest.raises(ValueError, match="period"):
+            timeseries.holt_winters_from_counts(
+                spark.createDataFrame(
+                    [("k", "2024-01-01 00:00:00", 1)],
+                    "key string, bucket_ts string, n long",
+                ),
+                period=1,
+                key_col="key",
+            )
+
+    def test_holt_winters_spine_zero_fills_gaps(self, spark):
+        # a gappy input (hours with zero events emit no rows) must fold
+        # identically to the explicit zero-dense series — the wrapper's
+        # spine is the gapfill_rollup convention
+        from aws_data_wrangler_spark.operators import timeseries
+
+        dense_series = [4, 0, 0, 6, 0, 2, 0, 0, 0, 8]
+        rows = []
+        for h, n in enumerate(dense_series):
+            rows += [("k", h * 3600)] * n  # zero hours vanish
+        df = spark.createDataFrame(rows, "event_type string, sec long").select(
+            "event_type", F.timestamp_seconds("sec").alias("ts")
+        )
+        out = timeseries.holt_winters(df, period=3).collect()[0]
+        assert out["n_buckets"] == len(dense_series)  # spine re-densified
+        explicit = spark.createDataFrame(
+            [("k", f"2024-01-01 {h:02d}:00:00", n) for h, n in enumerate(dense_series)],
+            "key string, bucket_ts string, n long",
+        )
+        via_counts = timeseries.holt_winters_from_counts(
+            explicit, period=3, key_col="key"
+        ).collect()[0]
+        for col in ("level", "trend", "forecast_next", "season_range"):
+            assert out[col] == via_counts[col]
+
     def test_ewma_from_counts_key_col_applies_to_input(self, spark):
         # ADVICE r8: key_col must resolve the INPUT key too — a caller
         # handing their own counts table keyed by event_type (not the

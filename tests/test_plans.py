@@ -161,9 +161,12 @@ PINNED_ROWS_ONLY = {"bpe_encode"}
 
 ROUND11_LATE = {
     # registered after the round-11 window filled (the late-set
-    # precedent); empty so far — VERDICT r10 #4 caps this round at 2
+    # precedent; VERDICT r10 #4 caps this round at 2): verified at
+    # sf0.001 + sf0.01 + sf0.1 plus a targeted local[5] invariance
+    # check in the round-11 session; rotates into the round-12 window
+    # FIRST
+    "events_holtwinters_seasonal",
 }
-ROUND11_LATE = set(ROUND11_LATE)
 
 ROUND11_MUST_BE_IN_WINDOW = (
     ROUND10_LATE_ROTATED_IN_R11

@@ -545,6 +545,51 @@ def test_holt_matches_python_fold_and_is_constant_stable(spark, series):
 
 @settings(**SETTINGS)
 @given(
+    series=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=40),
+    period=st.integers(min_value=2, max_value=6),
+)
+def test_holt_winters_matches_python_fold_through_the_spine(spark, series, period):
+    """Holt-Winters against a sequential python fold bit-for-bit (the
+    oracle contract), THROUGH the zero-fill spine: hours with zero
+    events emit no input rows, the wrapper re-densifies them, and the
+    reference folds the explicit zero-trimmed dense series."""
+    import math
+
+    from hypothesis import assume
+
+    from aws_data_wrangler_spark.operators import timeseries
+
+    assume(any(series))
+    rows = []
+    for h, n in enumerate(series):
+        rows += [("k", h * 3600)] * n
+    df = spark.createDataFrame(rows, "event_type string, sec long").select(
+        "event_type", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = timeseries.holt_winters(df, period=period).collect()[0]
+    # reference: the spine spans [first, last] NON-EMPTY buckets
+    first = next(i for i, n in enumerate(series) if n)
+    last = max(i for i, n in enumerate(series) if n)
+    dense = [float(n) for n in series[first:last + 1]]
+    l, b, t = dense[0], 0.0, 1.0
+    s = [0.0] * period
+    for x in dense[1:]:
+        slot = int(t) % period
+        sp = s[slot]
+        l_new = (x - sp) * 0.25 + (l + b) * 0.75
+        b_new = (x - sp - l) * 0.0625 + b * 0.9375
+        s[slot] = (x - l - b) * 0.1875 + sp * 0.8125
+        l, b, t = l_new, b_new, t + 1.0
+    tr = lambda v: math.floor(v * 1e6) / 1e6
+    assert out["n_buckets"] == len(dense)
+    assert out["level"] == tr(l)
+    assert out["trend"] == tr(b)
+    assert out["forecast_next"] == tr(l + b + s[int(t) % period])
+    assert out["season_range"] == tr(max(s) - min(s))
+
+
+@settings(**SETTINGS)
+@given(
     docs=st.lists(
         st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=14),
         min_size=1,
