@@ -489,6 +489,22 @@ def holt_winters(
     across engines.
     """
     counts = bucket_counts(df, time_col, key_col, bucket).drop("__season")
+    return holt_winters_from_counts(
+        dense_counts(counts, step), period, alpha, beta, gamma, key_col
+    )
+
+
+def dense_counts(counts: DataFrame, step: str = "INTERVAL 1 HOUR") -> DataFrame:
+    """Zero-fill a bucketed ``(key, bucket_ts, n)`` count table over
+    each key's own [min, max] spine (the ``gapfill_rollup`` spine; an
+    empty bucket is a real zero observation for a COUNT series) — the
+    densification every position-indexed fold needs
+    (``holt_winters_from_counts``: the seasonal slot is fold position
+    mod period, so a missing bucket desyncs every later slot). Shared
+    by the batch `holt_winters` wrapper and the streaming
+    ``holt_winters_monitor`` so replay equals batch by construction.
+    One bounded aggregate + one keyed equi-join; output is
+    buckets-per-key-sized, never data-sized."""
     bounds = counts.groupBy("key").agg(
         F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx")
     )
@@ -498,10 +514,9 @@ def holt_winters(
             "bucket_ts"
         ),
     )
-    dense = spine.join(counts, ["key", "bucket_ts"], "left").select(
+    return spine.join(counts, ["key", "bucket_ts"], "left").select(
         "key", "bucket_ts", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
-    return holt_winters_from_counts(dense, period, alpha, beta, gamma, key_col)
 
 
 def holt_winters_from_counts(

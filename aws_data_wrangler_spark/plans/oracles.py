@@ -1265,6 +1265,72 @@ _EWMA_SQL = """
         FROM packed ORDER BY event_type
     """
 
+
+# Holt-Winters additive seasonal fold replica (r11): the holt fold
+# extended to a (3 + 24)-element ARRAY state [l, b, t, s_0..s_23] over
+# the SPINE-DENSIFIED hourly counts (empty buckets are zeros; the
+# seasonal slot is fold position mod 24, computed from the t counter
+# carried in the state). list_transform's indexed lambda replaces the
+# touched slot; every expanded coefficient at α=β=γ=0.25 is dyadic, so
+# the chain exact-matches Spark's F.aggregate term-for-term. NOT
+# factored out of events_holt_trend: that literal backs a prior-round
+# frozen row (byte-identity outranks DRY; the shared-fragment rule
+# applies to NEW siblings — and this literal is exactly that, shared
+# by the batch row and the streaming monitor).
+_HOLT_WINTERS_SQL = """
+        WITH counts AS (
+            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT key, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+            FROM counts GROUP BY key
+        ), spine AS (
+            SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+            FROM bounds
+        ), dense AS (
+            SELECT s.key, s.bucket_ts, coalesce(c.n, 0)::DOUBLE AS n
+            FROM spine s LEFT JOIN counts c
+            ON s.key = c.key AND s.bucket_ts = c.bucket_ts
+        ), packed AS (
+            SELECT key, count(*) AS n_buckets,
+                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
+                   list(n ORDER BY bucket_ts) AS vals
+            FROM dense GROUP BY key
+        ), folded AS (
+            SELECT key, n_buckets, last_bucket_ts,
+                   list_reduce(
+                       list_transform(vals, v -> list_concat(
+                           [v, 0.0::DOUBLE, 1.0::DOUBLE],
+                           list_transform(range(24), z -> 0.0::DOUBLE)
+                       )),
+                       (acc, x) -> list_concat(
+                           [
+                               (x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 24)]) * 0.25::DOUBLE
+                                   + (acc[1] + acc[2]) * 0.75::DOUBLE,
+                               (x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 24)] - acc[1]) * 0.0625::DOUBLE
+                                   + acc[2] * 0.9375::DOUBLE,
+                               acc[3] + 1.0::DOUBLE
+                           ],
+                           list_transform(acc[4:], (s, i) ->
+                               CASE WHEN i - 1 = (CAST(acc[3] AS INTEGER) % 24)
+                                    THEN (x[1] - acc[1] - acc[2]) * 0.1875::DOUBLE
+                                         + s * 0.8125::DOUBLE
+                                    ELSE s END)
+                       )
+                   ) AS st
+            FROM packed
+        )
+        SELECT key AS event_type, n_buckets, last_bucket_ts,
+               floor(st[1] * 1000000) / 1000000 AS level,
+               floor(st[2] * 1000000) / 1000000 AS trend,
+               floor((st[1] + st[2] + st[4 + (CAST(st[3] AS INTEGER) % 24)]) * 1000000)
+                   / 1000000 AS forecast_next,
+               floor((list_max(st[4:]) - list_min(st[4:])) * 1000000)
+                   / 1000000 AS season_range
+        FROM folded ORDER BY event_type
+"""
+
 def _quality_gate_sql(extra_ctes: str, join_src: str, stratum: str) -> str:
     """The composed quality-gate chain (shared _QUALITY_EXPRS /
     _ENTROPY_CTES / _CLASSIFIER_CTES fragments → per-doc keep flag →
@@ -3697,69 +3763,13 @@ ORACLES: Dict[str, str] = {
     # lambdas evaluate against a partially-updated accumulator).
     # Coefficients 0.25/0.75/0.0625/0.9375 are exactly representable,
     # so the IEEE chain is bit-identical.
-    # Holt-Winters additive seasonal (r11): the holt fold extended to a
-    # (3 + 24)-element ARRAY state [l, b, t, s_0..s_23] over the
-    # SPINE-DENSIFIED hourly counts (empty buckets are zeros; the
-    # seasonal slot is fold position mod 24, computed from the t
-    # counter carried in the state). list_transform's indexed lambda
-    # replaces the touched slot; every expanded coefficient at
-    # α=β=γ=0.25 is dyadic, so the chain exact-matches Spark's
-    # F.aggregate term-for-term. NOT factored out of events_holt_trend:
-    # that literal backs a prior-round frozen row (byte-identity
-    # outranks DRY; the shared-fragment rule applies to NEW siblings).
-    "events_holtwinters_seasonal": """
-        WITH counts AS (
-            SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
-                   count(*)::BIGINT AS n
-            FROM events GROUP BY 1, 2
-        ), bounds AS (
-            SELECT key, min(bucket_ts) AS mn, max(bucket_ts) AS mx
-            FROM counts GROUP BY key
-        ), spine AS (
-            SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
-            FROM bounds
-        ), dense AS (
-            SELECT s.key, s.bucket_ts, coalesce(c.n, 0)::DOUBLE AS n
-            FROM spine s LEFT JOIN counts c
-            ON s.key = c.key AND s.bucket_ts = c.bucket_ts
-        ), packed AS (
-            SELECT key, count(*) AS n_buckets,
-                   strftime(max(bucket_ts), '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
-                   list(n ORDER BY bucket_ts) AS vals
-            FROM dense GROUP BY key
-        ), folded AS (
-            SELECT key, n_buckets, last_bucket_ts,
-                   list_reduce(
-                       list_transform(vals, v -> list_concat(
-                           [v, 0.0::DOUBLE, 1.0::DOUBLE],
-                           list_transform(range(24), z -> 0.0::DOUBLE)
-                       )),
-                       (acc, x) -> list_concat(
-                           [
-                               (x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 24)]) * 0.25::DOUBLE
-                                   + (acc[1] + acc[2]) * 0.75::DOUBLE,
-                               (x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 24)] - acc[1]) * 0.0625::DOUBLE
-                                   + acc[2] * 0.9375::DOUBLE,
-                               acc[3] + 1.0::DOUBLE
-                           ],
-                           list_transform(acc[4:], (s, i) ->
-                               CASE WHEN i - 1 = (CAST(acc[3] AS INTEGER) % 24)
-                                    THEN (x[1] - acc[1] - acc[2]) * 0.1875::DOUBLE
-                                         + s * 0.8125::DOUBLE
-                                    ELSE s END)
-                       )
-                   ) AS st
-            FROM packed
-        )
-        SELECT key AS event_type, n_buckets, last_bucket_ts,
-               floor(st[1] * 1000000) / 1000000 AS level,
-               floor(st[2] * 1000000) / 1000000 AS trend,
-               floor((st[1] + st[2] + st[4 + (CAST(st[3] AS INTEGER) % 24)]) * 1000000)
-                   / 1000000 AS forecast_next,
-               floor((list_max(st[4:]) - list_min(st[4:])) * 1000000)
-                   / 1000000 AS season_range
-        FROM folded ORDER BY event_type
-    """,
+    "events_holtwinters_seasonal": _HOLT_WINTERS_SQL,
+    # the streaming monitor replays the backlog through the SAME
+    # complete-mode count aggregate + dense_counts spine +
+    # holt_winters_from_counts fold, so the batch fold SQL is its
+    # oracle verbatim (the _EWMA_SQL convention; ONE literal owns the
+    # text both rows verify against)
+    "streaming_holtwinters_monitor": _HOLT_WINTERS_SQL,
     "events_holt_trend": """
         WITH counts AS (
             SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,

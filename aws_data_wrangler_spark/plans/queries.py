@@ -3376,6 +3376,20 @@ def _events_holtwinters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _streaming_holtwinters_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters seasonal smoothing in production position (r11,
+    new — the seasonality rung of the monitor family): the event
+    backlog replayed as a stream through the complete-mode count
+    aggregate, zero-filled over each key's spine by the SAME
+    dense_counts and folded by the SAME holt_winters_from_counts as
+    the batch row — the oracle is therefore the batch Holt-Winters SQL
+    verbatim (the streaming_ewma_monitor convention)."""
+    from aws_data_wrangler_spark import streaming
+
+    stream = streaming.read_event_stream(f"{sf_dir}/events.parquet", spark=spark)
+    return streaming.holt_winters_monitor(stream, period=24).orderBy("event_type")
+
+
 def _events_daily_uniques_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The re-aggregable NDV cube (`grouped_hll_sketches` +
     `hll_rollup`): sketch once at the finest grain — (event_type, day)
@@ -3831,6 +3845,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # plus a targeted local[5] invariance check in the round-11
     # session; rotates into the round-12 window FIRST ---
     "events_holtwinters_seasonal": _events_holtwinters_seasonal,
+    "streaming_holtwinters_monitor": _streaming_holtwinters_monitor,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

@@ -1170,6 +1170,56 @@ def ewma_monitor(
     return ewma_from_counts(materialized, alpha, key_col)
 
 
+def holt_winters_monitor(
+    stream: DataFrame,
+    period: int = 24,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    step: str = "INTERVAL 1 HOUR",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Holt-Winters seasonal smoothing in PRODUCTION position — the
+    seasonality rung of the monitor family (``ewma_monitor`` tracks
+    level, this one level + trend + a ``period``-slot profile, so the
+    daily rush hour stops reading as a fresh ramp): the arriving
+    stream's per-(key, bucket) counts — the same ONE calendar-bounded
+    complete-mode stateful aggregate as ``ewma_monitor`` — are
+    materialized, ZERO-FILLED over each key's spine by the SAME
+    ``timeseries.dense_counts`` the batch wrapper uses (the seasonal
+    slot is fold position mod ``period``; a gap would desync every
+    later slot), and folded by the SAME
+    ``timeseries.holt_winters_from_counts`` — so an availableNow
+    replay of a backlog equals the batch ``holt_winters`` over the
+    same rows term-for-term. Output one row per key: current level,
+    trend, the seasonally adjusted ``forecast_next`` the next bucket
+    is compared against, and the learned ``season_range``. A timeout
+    raises rather than folding a partially-drained backlog."""
+    from aws_data_wrangler_spark.operators.timeseries import (
+        dense_counts,
+        holt_winters_from_counts,
+    )
+
+    counts = (
+        stream.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    materialized = _drain_complete_counts(
+        counts, "sg_hw", timeout_s,
+        "a partial fold would desync every seasonal slot",
+    )
+    return holt_winters_from_counts(
+        dense_counts(materialized, step), period, alpha, beta, gamma, key_col
+    )
+
+
 def _validate_centers_season(centers: DataFrame, seasonal) -> None:
     """Fail fast when the monitor's ``seasonal`` doesn't match the
     setting the centers were TRAINED with: the (key, __season) inner

@@ -166,6 +166,7 @@ ROUND11_LATE = {
     # check in the round-11 session; rotates into the round-12 window
     # FIRST
     "events_holtwinters_seasonal",
+    "streaming_holtwinters_monitor",
 }
 
 ROUND11_MUST_BE_IN_WINDOW = (

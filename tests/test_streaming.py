@@ -850,6 +850,30 @@ class TestAnomalyMonitor:
             t.name for t in spark.catalog.listTables() if t.name.startswith("sg_ewma_")
         ]
 
+    def test_holt_winters_monitor_equals_batch_smoother(self, spark):
+        # availableNow replay through the complete-mode counts must
+        # equal the batch holt_winters over the same rows — the spine
+        # (dense_counts) AND the fold (holt_winters_from_counts) are
+        # literally shared, so even the zero-filled gap buckets line up
+        from pyspark.sql import functions as F
+
+        from aws_data_wrangler_spark import streaming
+        from aws_data_wrangler_spark.operators import timeseries
+        from aws_data_wrangler_spark.plans.queries import load
+
+        events = load(spark, SF_DIR, "events")
+        stream = streaming.read_event_stream(
+            f"{SF_DIR}/events.parquet", spark=spark
+        ).filter(F.col("event_id") % 2 == 1)
+        got = streaming.holt_winters_monitor(stream, period=6)
+        want = timeseries.holt_winters(
+            events.filter(F.col("event_id") % 2 == 1), period=6
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert not [
+            t.name for t in spark.catalog.listTables() if t.name.startswith("sg_hw_")
+        ]
+
     def test_monitors_drop_their_memory_sink_tables(self, spark):
         # repeated monitor calls in a long-lived session must not
         # accumulate complete-mode memory-sink tables: the counts are
