@@ -564,6 +564,14 @@ def release_batch_state(result: DataFrame, blocking: bool = False) -> None:
     ``MinHashCorpusState.unpersist``). No-op for frames this package
     did not produce; the result must not be re-used after release (its
     backing caches are gone — re-run the operator).
+
+    CAVEAT (review finding r11): the handle is a python attribute on
+    the RETURNED DataFrame object — any further transformation
+    (``.orderBy`` / ``.filter`` / ``.limit`` …) returns a NEW frame
+    without it, and releasing that derived frame is a silent no-op.
+    Hold the operator's direct result for the release call (or copy
+    ``_sg_batch_caches`` onto the final frame, as the registry rows
+    do); release only after every consumer of the batch has run.
     """
     for cached in getattr(result, "_sg_batch_caches", []):
         cached.unpersist(blocking)

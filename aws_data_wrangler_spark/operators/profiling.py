@@ -856,6 +856,30 @@ def cms_estimates(sketches: DataFrame, probes: DataFrame, col: str = "value") ->
     )
 
 
+def _cms_geometry_and_total(sketches: DataFrame):
+    """ONE counter-table-sized collect per side for ``cms_join_size``:
+    the geometry (or ``None`` for an empty state table; raises on
+    mixed geometry like ``_cms_geometry``) AND the side's row total N
+    (each hash row counts every non-null key once, so row 0's sum is
+    N) in the same aggregate — halving the driver round-trips and
+    sketch re-aggregations of the former two-pass probe (review
+    finding r11). ``_cms_geometry`` itself is left untouched: it backs
+    the frozen union/estimate rows."""
+    rows = (
+        sketches.groupBy("depth", "width")
+        .agg(F.sum(F.when(F.col("row_i") == 0, F.col("cnt"))).alias("__n"))
+        .collect()
+    )
+    geoms = sorted((int(r["depth"]), int(r["width"])) for r in rows)
+    if len(geoms) > 1:
+        raise ValueError(
+            f"cannot union CMS sketches with different depth x width: {geoms}"
+        )
+    if not geoms:
+        return None, 0
+    return geoms[0], int(rows[0]["__n"] or 0)
+
+
 def cms_join_size(sketches_a: DataFrame, sketches_b: DataFrame) -> DataFrame:
     """Estimate the INNER EQUI-JOIN output cardinality ``|A ⋈ B| =
     Σ_key f_A(key)·f_B(key)`` from two Count-Min sketch tables WITHOUT
@@ -881,13 +905,15 @@ def cms_join_size(sketches_a: DataFrame, sketches_b: DataFrame) -> DataFrame:
     envelope). Both sketch tables must share geometry (the hash
     functions must be the same family) — mixed geometry raises, the
     ``cms_union`` rule. An empty side estimates 0 ("nothing ingested"
-    is a real answer). Row totals are validated driver-side against
+    is a real answer) while ``n_a``/``n_b`` stay truthful for the
+    non-empty side. Driver cost: ONE bounded collect per side (the
+    fused geometry+total probe). Row totals are validated against
     64-bit product overflow (≈ 2^62 on the ``N_A·N_B`` bound) — a
     profile pass over corpora that large should sketch a sampled
     stream instead.
     """
-    geom_a = _cms_geometry(sketches_a)
-    geom_b = _cms_geometry(sketches_b)
+    geom_a, n_a = _cms_geometry_and_total(sketches_a)
+    geom_b, n_b = _cms_geometry_and_total(sketches_b)
     if geom_a is not None and geom_b is not None and geom_a != geom_b:
         raise ValueError(
             f"cannot inner-product CMS sketches with different depth x width: "
@@ -897,14 +923,13 @@ def cms_join_size(sketches_a: DataFrame, sketches_b: DataFrame) -> DataFrame:
     schema = "join_size_est bigint, n_a bigint, n_b bigint"
     spark = sketches_a.sparkSession
     if geom_a is None or geom_b is None:
-        return spark.createDataFrame([(0, 0, 0)], schema)
+        # estimate 0 ("nothing to collide with"), but the totals stay
+        # TRUTHFUL — an empty side must not misreport the other side's
+        # ingest history as zero (review finding r11)
+        return spark.createDataFrame([(0, n_a, n_b)], schema)
     depth = geom_a[0]
     merged_a = sketches_a.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt_a"))
     merged_b = sketches_b.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt_b"))
-    # totals per side (each hash row counts every non-null key once, so
-    # any single row's sum is N) — counter-table-sized driver actions
-    n_a = merged_a.filter(F.col("row_i") == 0).agg(F.sum("cnt_a")).collect()[0][0] or 0
-    n_b = merged_b.filter(F.col("row_i") == 0).agg(F.sum("cnt_b")).collect()[0][0] or 0
     if n_a > 0 and n_b > (2**62) // n_a:
         raise ValueError(
             f"CMS inner product may overflow 64-bit counters: N_A*N_B = "

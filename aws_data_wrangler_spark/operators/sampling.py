@@ -186,8 +186,15 @@ def stratified_sample(
         )
     )
     joined = df.join(tbl, df[strata_col] == tbl["__sg_stratum"], "left")
-    keep = split_prefix(id_col, salt) < F.coalesce(
-        F.col("__sg_thr"), F.lit(_threshold_str(default_fraction))
+    thr = F.coalesce(F.col("__sg_thr"), F.lit(_threshold_str(default_fraction)))
+    # NULL-id parity with the _keep fast paths (review finding r11):
+    # fraction >= 1.0 was lit(True) — it kept rows whose id is NULL,
+    # where a bare md5(NULL) comparison is NULL and would drop them.
+    # The keep-all sentinel therefore short-circuits BEFORE the coin;
+    # fractional strata keep the old behavior (NULL id -> NULL
+    # comparison -> dropped), and "" (drop-all) is false either way.
+    keep = F.when(thr == "g", F.lit(True)).otherwise(
+        split_prefix(id_col, salt) < thr
     )
     return joined.filter(keep).drop("__sg_stratum", "__sg_thr")
 

@@ -10,6 +10,8 @@ Two shuffles total (join + window, same key), both on the bucket key.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -457,6 +459,34 @@ def holt_from_counts(
     return _fold_counts(counts, key_col, fold, out)
 
 
+_BUCKET_STEPS = {
+    # date_trunc bucket -> matching spine step; a mismatched pair
+    # fabricates phantom zero buckets between every real one and
+    # silently desyncs any position-indexed fold (review finding r11)
+    "minute": "INTERVAL 1 MINUTE",
+    "hour": "INTERVAL 1 HOUR",
+    "day": "INTERVAL 1 DAY",
+    "week": "INTERVAL 1 WEEK",
+}
+
+
+def _step_for_bucket(bucket: str, step) -> str:
+    """Resolve the spine step from the truncation bucket. ``step=None``
+    (the default) derives it; an explicit step is honored as-is for
+    exotic grids, but the silent-corruption case — a non-hour bucket
+    riding a stale hourly default — cannot happen because there IS no
+    literal default anymore."""
+    if step is not None:
+        return step
+    got = _BUCKET_STEPS.get(bucket)
+    if got is None:
+        raise ValueError(
+            f"no spine step known for bucket={bucket!r} — pass step= "
+            f"explicitly (known buckets: {sorted(_BUCKET_STEPS)})"
+        )
+    return got
+
+
 def holt_winters(
     df: DataFrame,
     period: int = 24,
@@ -466,7 +496,7 @@ def holt_winters(
     time_col: str = "ts",
     key_col: str = "event_type",
     bucket: str = "hour",
-    step: str = "INTERVAL 1 HOUR",
+    step: Optional[str] = None,
 ) -> DataFrame:
     """Holt-Winters ADDITIVE seasonal smoothing of per-bucket event
     counts — the seasonality rung above `holt_linear` (which tracks
@@ -490,7 +520,8 @@ def holt_winters(
     """
     counts = bucket_counts(df, time_col, key_col, bucket).drop("__season")
     return holt_winters_from_counts(
-        dense_counts(counts, step), period, alpha, beta, gamma, key_col
+        dense_counts(counts, _step_for_bucket(bucket, step)),
+        period, alpha, beta, gamma, key_col,
     )
 
 

@@ -1179,7 +1179,7 @@ def holt_winters_monitor(
     time_col: str = "ts",
     key_col: str = "event_type",
     bucket: str = "hour",
-    step: str = "INTERVAL 1 HOUR",
+    step=None,
     timeout_s: int = 300,
 ) -> DataFrame:
     """Holt-Winters seasonal smoothing in PRODUCTION position — the
@@ -1199,6 +1199,7 @@ def holt_winters_monitor(
     is compared against, and the learned ``season_range``. A timeout
     raises rather than folding a partially-drained backlog."""
     from aws_data_wrangler_spark.operators.timeseries import (
+        _step_for_bucket,
         dense_counts,
         holt_winters_from_counts,
     )
@@ -1216,7 +1217,8 @@ def holt_winters_monitor(
         "a partial fold would desync every seasonal slot",
     )
     return holt_winters_from_counts(
-        dense_counts(materialized, step), period, alpha, beta, gamma, key_col
+        dense_counts(materialized, _step_for_bucket(bucket, step)),
+        period, alpha, beta, gamma, key_col,
     )
 
 

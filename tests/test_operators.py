@@ -2679,6 +2679,31 @@ class TestSampling:
             if s not in ("src0", "src1"):
                 assert c < full[s]
 
+    def test_stratified_sample_null_id_parity_with_keep_fast_paths(self, spark):
+        # review finding r11: the broadcast-join rewrite must preserve
+        # _keep's fast-path semantics for NULL ids — fraction >= 1.0
+        # was lit(True) (keeps NULL-id rows), fractional strata compare
+        # md5(NULL) -> NULL -> dropped, fraction <= 0 drops all
+        from aws_data_wrangler_spark.operators import sampling
+
+        rows = [
+            (1, "all"), (None, "all"),
+            (2, "half"), (None, "half"),
+            (3, "none"), (None, "none"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        kept = sampling.stratified_sample(
+            df, {"all": 1.0, "half": 0.5, "none": 0.0}, default_fraction=1.0
+        )
+        got = [(r["doc_id"], r["source"]) for r in kept.collect()]
+        assert (None, "all") in got        # keep-all keeps NULL ids
+        assert (1, "all") in got
+        assert (None, "half") not in got   # fractional: NULL coin drops
+        assert (3, "none") not in got and (None, "none") not in got
+        # and the default fraction's fast path behaves the same way
+        default_all = sampling.stratified_sample(df, {}, default_fraction=1.0)
+        assert default_all.count() == 6
+
     def test_token_budget_sample_crosses_budget_exactly(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling, text
 
@@ -4878,8 +4903,10 @@ class TestProfiling:
 
         with _pytest.raises(ValueError, match="depth x width"):
             profiling.cms_join_size(sk(dfa), wide(dfb))
+        # an empty side estimates 0 but must NOT misreport the other
+        # side's ingest total (review finding r11)
         empty = profiling.cms_join_size(sk(dfa).limit(0), sk(dfb)).collect()[0]
-        assert tuple(empty) == (0, 0, 0)
+        assert tuple(empty) == (0, 0, 13)
 
     def test_approx_heavy_hitters_exact_regime_and_ties(self, spark):
         from aws_data_wrangler_spark.operators import profiling

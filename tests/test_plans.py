@@ -20,9 +20,15 @@ def test_rows_only_set_is_intentional():
     # stays recall-matrix-tested). The one remaining entry is the BPE
     # encoder (iterative merge application is not SQL-expressible;
     # pytest pins hand-computed merges + lossless reconstruction).
+    # bpe_token_budget (r11) joins it: the VERDICT r10 #5 weld's
+    # registry surface — BPE-denominated token budgets — counts through
+    # the same non-SQL-expressible encoder; pytest pins planted-text
+    # budget arithmetic where BPE and whitespace denominations draw
+    # different document sets.
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == [
         "bpe_encode",
+        "bpe_token_budget",
     ]
 
 
@@ -157,7 +163,7 @@ ROUND9_FROZEN = {
 # produce a green driver row, so it is PERMANENTLY pinned below the
 # window (its pytest pedigree is its contract) and excluded from every
 # future rotation.
-PINNED_ROWS_ONLY = {"bpe_encode"}
+PINNED_ROWS_ONLY = {"bpe_encode", "bpe_token_budget"}
 
 ROUND11_LATE = {
     # registered after the round-11 window filled (the late-set
