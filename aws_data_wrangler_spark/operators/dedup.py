@@ -577,6 +577,19 @@ def release_batch_state(result: DataFrame, blocking: bool = False) -> None:
         cached.unpersist(blocking)
 
 
+def carry_batch_caches(dst: DataFrame, src: DataFrame) -> DataFrame:
+    """Copy the ``_sg_batch_caches`` release handle from an operator's
+    direct result onto a derived frame (post-``orderBy``/-composition)
+    so ``release_batch_state(dst)`` still frees the backing caches —
+    the ONE named idiom for the caveat above (second-review finding
+    r11; the registry rows use it). Returns ``dst``. No-op for
+    handle-less sources."""
+    caches = getattr(src, "_sg_batch_caches", None)
+    if caches is not None:
+        dst._sg_batch_caches = caches
+    return dst
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -830,6 +830,14 @@ def _per_cell_hash_prefix(
     survivors = (
         assigned.filter(F.col("cid").isNotNull())
         .join(thresholds, F.col("cid") == F.col("__cid"))
+        # KNOWN EDGE (second-review finding r11, fix deferred to round
+        # 12 — sample_cluster_balanced is a frozen ROUND10 row and the
+        # round-11 window is full, the r10 revert precedent): a row
+        # with NULL id in a keep-all ("g") cell is dropped here (NULL
+        # md5 comparison) but kept with prefilter=False, breaking the
+        # identical-either-way contract for NULL-id rows only. The fix
+        # is stratified_sample's F.when(thr == "g", lit(True))
+        # short-circuit; it rotates in with the row.
         .filter(prefix < F.col("__thr"))
         .drop("__cid", "__thr")
         .unionByName(assigned.filter(F.col("cid").isNull()))

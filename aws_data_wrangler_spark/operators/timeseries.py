@@ -478,7 +478,9 @@ def _step_for_bucket(bucket: str, step) -> str:
     literal default anymore."""
     if step is not None:
         return step
-    got = _BUCKET_STEPS.get(bucket)
+    # date_trunc accepts case-insensitive bucket names — so must we
+    # (second-review finding r11: "HOUR" worked before the derivation)
+    got = _BUCKET_STEPS.get(bucket.lower())
     if got is None:
         raise ValueError(
             f"no spine step known for bucket={bucket!r} — pass step= "

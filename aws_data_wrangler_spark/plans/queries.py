@@ -937,11 +937,9 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         load_parallel(spark, sf_dir, "documents"), n=3, threshold=0.5, max_doc_frequency=1000
     )
-    out = pairs.orderBy("id_a", "id_b")
     # carry the shingle-cache handle across the transform (the
     # release_batch_state caveat) so looping harnesses can release
-    out._sg_batch_caches = pairs._sg_batch_caches
-    return out
+    return dedup.carry_batch_caches(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,9 +968,9 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.containment_pairs(
         corpus, n=3, threshold=0.9, max_doc_frequency=1000
     )
-    out = pairs.orderBy("id_contained", "id_container")
-    out._sg_batch_caches = pairs._sg_batch_caches  # survive the orderBy
-    return out
+    return dedup.carry_batch_caches(  # handle survives the orderBy
+        pairs.orderBy("id_contained", "id_container"), pairs
+    )
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,9 +1192,9 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
         pairs.select(F.col("id_b").alias("doc_id"))
     ).distinct()
-    out = dedup.cluster_pairs(pairs, members).orderBy("doc_id")
-    out._sg_batch_caches = pairs._sg_batch_caches  # survive the composition
-    return out
+    return dedup.carry_batch_caches(  # handle survives the composition
+        dedup.cluster_pairs(pairs, members).orderBy("doc_id"), pairs
+    )
 
 
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3881,6 +3881,15 @@ class TestTimeseries:
         )
         out = timeseries.holt_winters(df, period=3).collect()[0]
         assert out["n_buckets"] == len(dense_series)  # spine re-densified
+        # bucket casing follows date_trunc (case-insensitive), and an
+        # unknown bucket with no explicit step raises instead of
+        # silently desyncing the seasonal fold
+        upper = timeseries.holt_winters(df, period=3, bucket="HOUR").collect()[0]
+        assert upper["level"] == out["level"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="spine step"):
+            timeseries.holt_winters(df, period=3, bucket="quarter")
         explicit = spark.createDataFrame(
             [("k", f"2024-01-01 {h:02d}:00:00", n) for h, n in enumerate(dense_series)],
             "key string, bucket_ts string, n long",
