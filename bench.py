@@ -117,6 +117,13 @@ HEADLINE = [
     # arithmetic); track the excision and set-overlap rungs' cost
     "text_decontaminated_spans",
     "profiling_kmv_set_overlap",
+    # round-11 additions: the CM inner-product join-size probe (two
+    # counter-table builds + the fused geometry/total collects + the
+    # exact join riding alongside) and Holt-Winters seasonal smoothing
+    # (zero-fill spine + the 27-element array-state fold per key);
+    # track the join-planning and seasonality rungs' cost
+    "profiling_cms_join_size",
+    "events_holtwinters_seasonal",
 ]
 
 
