@@ -450,6 +450,41 @@ class TestPlanAudits:
         assert s["sort_merge_joins"] == 0
         assert s["broadcast_hash_joins"] >= 1
 
+    def test_cms_join_size_stays_counter_table_sized(self, spark):
+        # the inner-product estimate must never sort-merge or cartesian
+        # anything: both sides of the cell join are counter tables
+        # bounded by depth*width BY CONSTRUCTION, and the final
+        # single-row totals ride as literals (no corpus-sized plan arm)
+        from aws_data_wrangler_spark.operators import profiling
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+        from aws_data_wrangler_spark.plans.queries import load
+
+        orders = load(spark, "/root/testdata/sf0.001", "orders")
+        customer = load(spark, "/root/testdata/sf0.001", "customer")
+        est = profiling.cms_join_size(
+            profiling.cms_sketches(orders, "o_custkey"),
+            profiling.cms_sketches(customer, "c_custkey"),
+        )
+        s = plan_summary(est)
+        assert s["sort_merge_joins"] == 0, s["plan"]
+        assert s["cartesian_products"] == 0, s["plan"]
+        assert not s["python_eval"], s["plan"]
+
+    def test_holt_winters_spine_join_shape(self, spark):
+        # the zero-fill spine is a keyed equi-join (bounds aggregate +
+        # sequence explode), never a cartesian / nested-loop; the fold
+        # itself is the holt shape (key-grouped collect_list aggregate)
+        # and no Python appears anywhere in the plan
+        from aws_data_wrangler_spark.operators import timeseries
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+        from aws_data_wrangler_spark.plans.queries import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        s = plan_summary(timeseries.holt_winters(ev, period=24))
+        assert s["cartesian_products"] == 0, s["plan"]
+        assert s["broadcast_nested_loop_joins"] == 0, s["plan"]
+        assert not s["python_eval"], s["plan"]
+
     def test_kmv_sketch_threshold_join_broadcasts(self, spark):
         # the two-pass prune's threshold join must broadcast the tiny
         # per-batch stats side — the corpus (100 TB side) streams
