@@ -545,6 +545,95 @@ def test_holt_matches_python_fold_and_is_constant_stable(spark, series):
 
 @settings(**SETTINGS)
 @given(
+    a_keys=st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=30),
+    b_keys=st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=30),
+    width=st.sampled_from([4, 16, 64]),
+)
+def test_cms_join_size_matches_python_inner_product(spark, a_keys, b_keys, width):
+    """The CM inner-product estimate against a python md5 reference on
+    random key multisets and forced-collision widths: the product-min
+    matches bit-for-bit (integer arithmetic), it never undercounts the
+    true equi-join cardinality, and empty sides report truthful
+    totals."""
+    import hashlib
+
+    from aws_data_wrangler_spark.operators import profiling
+
+    depth = 3
+    spark_df = lambda keys: spark.createDataFrame(
+        [(k,) for k in keys], "k string"
+    )
+    sk = lambda keys: profiling.cms_sketches(spark_df(keys), "k", depth=depth, width=width)
+    got = profiling.cms_join_size(sk(a_keys), sk(b_keys)).collect()[0]
+    tables = []
+    for keys in (a_keys, b_keys):
+        t = {}
+        for k in keys:
+            for i in range(depth):
+                h = int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16) % width
+                t[(i, h)] = t.get((i, h), 0) + 1
+        tables.append(t)
+    ta, tb = tables
+    if not a_keys or not b_keys:
+        assert tuple(got) == (0, len(a_keys), len(b_keys))
+        return
+    ref = min(
+        sum(ca * tb.get((i, bk), 0) for (ri, bk), ca in ta.items() if ri == i)
+        for i in range(depth)
+    )
+    true_join = sum(a_keys.count(k) * b_keys.count(k) for k in set(a_keys))
+    assert got["join_size_est"] == ref
+    assert got["join_size_est"] >= true_join
+    assert (got["n_a"], got["n_b"]) == (len(a_keys), len(b_keys))
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=30,
+    ),
+    fracs=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+        max_size=3,
+    ),
+    default=st.sampled_from([0.0, 0.5, 1.0]),
+)
+def test_stratified_sample_matches_python_keep_rule(spark, ids, fracs, default):
+    """The broadcast-join rewrite against a pure-python replica of the
+    ORIGINAL when-chain/_keep semantics, NULL ids included: keep-all
+    strata keep NULL-id rows (the lit(True) fast path), fractional
+    strata drop them (NULL md5 coin), drop-all drops everything."""
+    import hashlib
+
+    from aws_data_wrangler_spark.operators import sampling
+
+    rows = [(i, doc_id, f"s{(i % 4)}") for i, doc_id in enumerate(ids)]
+    df = spark.createDataFrame(rows, "rid long, doc_id long, source string")
+    kept = {
+        r["rid"]
+        for r in sampling.stratified_sample(
+            df, fracs, default_fraction=default
+        ).collect()
+    }
+    expect = set()
+    for rid, doc_id, src in rows:
+        frac = fracs.get(src, default)
+        if frac >= 1.0:
+            expect.add(rid)
+        elif frac <= 0.0 or doc_id is None:
+            pass  # drop-all, or NULL coin on a fractional stratum
+        else:
+            prefix = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+            if prefix < format(int(round(frac * 16**8)), "08x"):
+                expect.add(rid)
+    assert kept == expect
+
+
+@settings(**SETTINGS)
+@given(
     series=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=40),
     period=st.integers(min_value=2, max_value=6),
 )
