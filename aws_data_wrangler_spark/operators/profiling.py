@@ -55,8 +55,13 @@ def key_distribution(
     Ratios floor-truncate at 6dp so a second engine reproduces them.
     """
     total = df.count()
-    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    order = [F.col("n").desc()] + [F.col(c).asc() for c in key_cols]
+    # _bcol throughout: a backticked key name must not break the
+    # profile (the r9 sketch-family audit, extended here r12); the
+    # grouped output keeps the original names via alias
+    counts = df.groupBy(*[_bcol(c).alias(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    order = [F.col("n").desc()] + [_bcol(c).asc() for c in key_cols]
     top = counts.orderBy(*order).limit(top_n)
     w = Window.orderBy(*order)
     return (
@@ -71,7 +76,8 @@ def key_distribution(
                 / F.lit(float(total))
             ),
         )
-        .select(*key_cols, "n", "rank", "share", "cum_share")
+        .select(*[_bcol(c).alias(c) for c in key_cols],
+                "n", "rank", "share", "cum_share")
     )
 
 
@@ -88,9 +94,11 @@ def null_profile(df: DataFrame, cols: Optional[List[str]] = None) -> DataFrame:
     cols = cols or df.columns
     aggs = []
     for c in cols:
+        # _bcol, not F.col: a backticked column name must not break the
+        # profile (the r9 sketch-family audit, extended here r12)
         aggs.append(F.count(F.lit(1)).alias(f"__rows_{c}"))
-        aggs.append(F.count(F.col(c)).alias(f"__nonnull_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__distinct_{c}"))
+        aggs.append(F.count(_bcol(c)).alias(f"__nonnull_{c}"))
+        aggs.append(F.countDistinct(_bcol(c)).alias(f"__distinct_{c}"))
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
     out = [
@@ -160,12 +168,12 @@ def numeric_summary(df: DataFrame, cols: Optional[List[str]] = None) -> DataFram
     # pair-alias trap
     aggs = []
     for i, c in enumerate(cols):
-        d = F.col(c).cast("decimal(18,6)")
+        d = _bcol(c).cast("decimal(18,6)")  # _bcol: backtick-safe (r12)
         aggs += [
             F.count(F.lit(1)).alias(f"__rows_{i}"),
-            F.count(F.col(c)).alias(f"__n_{i}"),
-            F.min(F.col(c).cast("double")).alias(f"__mn_{i}"),
-            F.max(F.col(c).cast("double")).alias(f"__mx_{i}"),
+            F.count(_bcol(c)).alias(f"__n_{i}"),
+            F.min(_bcol(c).cast("double")).alias(f"__mn_{i}"),
+            F.max(_bcol(c).cast("double")).alias(f"__mx_{i}"),
             F.sum(d).alias(f"__s1_{i}"),
             F.sum(d * d).alias(f"__s2_{i}"),
         ]
@@ -225,20 +233,24 @@ def column_correlations(
         cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
         ]
-    complete = df.dropna(subset=cols)
+    # listwise deletion via explicit _bcol null filters — dropna's
+    # subset parses names, so a backticked column would break it (r12)
+    complete = df
+    for c in cols:
+        complete = complete.filter(_bcol(c).isNotNull())
     # counters alias by INDEX: f"__p_{a}_{b}" on NAMES collides for
     # e.g. ("x_y", "z") vs ("x", "y_z") — Spark permits the duplicate
     # alias and Row[name] returns the first, silently computing the
     # second pair's correlation from the first pair's product sum
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
-        d = F.col(c).cast("decimal(18,6)")
+        d = _bcol(c).cast("decimal(18,6)")  # _bcol: backtick-safe (r12)
         aggs.append(F.sum(d).alias(f"__s_{i}"))
         aggs.append(F.sum(d * d).alias(f"__ss_{i}"))
     for i, a in enumerate(cols):
         for j, b in enumerate(cols[i + 1 :], start=i + 1):
-            da = F.col(a).cast("decimal(18,6)")
-            db = F.col(b).cast("decimal(18,6)")
+            da = _bcol(a).cast("decimal(18,6)")
+            db = _bcol(b).cast("decimal(18,6)")
             aggs.append(F.sum(da * db).alias(f"__p_{i}_{j}"))
     row = complete.agg(*aggs).collect()[0]
     n = row["__n"]
@@ -282,7 +294,7 @@ def numeric_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     exactly those values."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
-    x = F.col(col).cast("double")
+    x = _bcol(col).cast("double")  # _bcol: backtick-safe (r12)
     finite = df.filter(
         x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
     )

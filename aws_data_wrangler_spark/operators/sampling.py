@@ -185,14 +185,34 @@ def stratified_sample(
             tbl_schema,
         )
     )
+    return _stratified_keep_filter(
+        df, tbl, strata_col, id_col, salt, _threshold_str(default_fraction)
+    )
+
+
+def _stratified_keep_filter(
+    df: DataFrame,
+    tbl: DataFrame,
+    strata_col: str,
+    id_col: str,
+    salt: str,
+    default_thr: str,
+) -> DataFrame:
+    """ONE owner of the joined keep rule (shared by ``stratified_sample``
+    and ``temperature_sample`` so the two can never drift): left-join
+    the ``(__sg_stratum, __sg_thr)`` threshold table (already
+    broadcast-hinted by the caller), coalesce unmatched/NULL strata to
+    ``default_thr``, keep iff the threshold says so.
+
+    NULL-id parity with the ``_keep`` fast paths (review finding r11):
+    fraction >= 1.0 was ``lit(True)`` — it kept rows whose id is NULL,
+    where a bare md5(NULL) comparison is NULL and would drop them. The
+    keep-all sentinel ("g") therefore short-circuits BEFORE the coin;
+    fractional strata keep the old behavior (NULL id → NULL comparison
+    → dropped), and "" (drop-all) is false either way.
+    """
     joined = df.join(tbl, df[strata_col] == tbl["__sg_stratum"], "left")
-    thr = F.coalesce(F.col("__sg_thr"), F.lit(_threshold_str(default_fraction)))
-    # NULL-id parity with the _keep fast paths (review finding r11):
-    # fraction >= 1.0 was lit(True) — it kept rows whose id is NULL,
-    # where a bare md5(NULL) comparison is NULL and would drop them.
-    # The keep-all sentinel therefore short-circuits BEFORE the coin;
-    # fractional strata keep the old behavior (NULL id -> NULL
-    # comparison -> dropped), and "" (drop-all) is false either way.
+    thr = F.coalesce(F.col("__sg_thr"), F.lit(default_thr))
     keep = F.when(thr == "g", F.lit(True)).otherwise(
         split_prefix(id_col, salt) < thr
     )
@@ -249,6 +269,21 @@ def fixed_size_sample(
     return pool.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn")
 
 
+def _weight_micros(n: float, alpha: float) -> int:
+    """The quantized-micro weight convention (r12, VERDICT r11 #4 —
+    shared by the driver-side and distributed paths): the temperature
+    weight ``n**alpha`` floors onto a 1e-6 grid as an INTEGER micro
+    count, so the total weight is an exact integer sum — order-free on
+    any partitioning, and bit-identical between python ints, a Spark
+    ``decimal(38,0)`` sum, and a DuckDB hugeint sum. ``alpha=0.5``
+    routes through sqrt (IEEE correctly-rounded in every engine, where
+    ``pow`` carries no such guarantee)."""
+    import math
+
+    w = math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha
+    return math.floor(w * 1e6)
+
+
 def temperature_fractions(
     counts: Dict[str, int],
     alpha: float = 0.5,
@@ -264,27 +299,89 @@ def temperature_fractions(
     half the corpus), the per-stratum Bernoulli keep fraction is
     ``min(1, target_rows * w_s / n_s)``.
 
-    Deterministic on any engine: weights are computed driver-side from
-    the (tiny) per-stratum count table, summed in sorted-stratum order
-    so the float total is reproducible bit-for-bit; pass the result to
-    ``stratified_sample`` for the hash-coin filter.
+    CONVENTION (r12): weights quantize to integer micros
+    (``floor(n**alpha * 1e6)`` — ``_weight_micros``) so the total
+    weight is an exact integer sum — no float fold, no order
+    dependence, and the distributed ``temperature_thresholds`` computes
+    the SAME fractions bit-for-bit (property-tested). The quantization
+    only moves irrational weights (sqrt of a non-square) by < 1e-6
+    relative; exact weights (``alpha`` 0/0.5-on-squares/1) are
+    unchanged. Every derived step is plain IEEE double arithmetic both
+    engines replicate: ``f = (T · m/1e6) / ((M/1e6) · n)`` capped at 1.
     """
-    import math
-
-    ordered = sorted(counts.items())
-    weights = {
-        s: (math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha)
-        for s, n in ordered
-    }
-    total_w = 0.0
-    for s, _ in ordered:
-        total_w += weights[s]
-    total_n = sum(n for _, n in ordered)
+    micros = {s: _weight_micros(n, alpha) for s, n in counts.items()}
+    total_micros = sum(micros.values())  # exact int — order-free
+    total_n = sum(counts.values())
     if target_rows is None:
         target_rows = total_n // 2
+    total_w = float(total_micros) / 1e6
     return {
-        s: min(1.0, (target_rows * weights[s]) / (total_w * n)) for s, n in ordered
+        s: min(1.0, (float(target_rows) * (float(micros[s]) / 1e6)) / (total_w * n))
+        for s, n in counts.items()
     }
+
+
+def temperature_thresholds(
+    counts: DataFrame,
+    alpha: float = 0.5,
+    target_rows: Optional[int] = None,
+    strata_col: str = "source",
+    n_col: str = "n",
+) -> DataFrame:
+    """Distributed twin of ``temperature_fractions`` (r12, VERDICT r11
+    #4): per-stratum keep fractions computed WITHOUT any driver-side
+    collect, from a ``(strata, n)`` count table of any cardinality —
+    the r11 ``stratified_sample`` broadcast rewrite made million-domain
+    strata executable downstream; this removes the collect + python
+    fold one call upstream.
+
+    Output: ``(strata_col, n_col, fraction)``. Same quantized-micro
+    convention as the driver path (``_weight_micros``): weight micros
+    are exact ``bigint``s, the totals are exact
+    ``decimal(38,0)``/``bigint`` sums (order-free — a double sum would
+    be partition-order-dependent) attached by ONE single-partition
+    window over the already-aggregated stratum table — bounded by
+    stratum cardinality, never by the corpus (the audit.py
+    bounded-window rule), and cheaper than a totals-crossJoin, which
+    would re-aggregate the corpus a second time (the two agg subtrees
+    canonicalize differently, so ReuseExchange can't merge them —
+    observed r12). The fraction derives in IEEE double arithmetic
+    bit-identical to the python fold — property-tested both ways.
+
+    NULL strata are excluded from the table AND the totals (they can
+    never match the downstream equality join, so counting their weight
+    would only depress every real stratum's fraction).
+    """
+    n = F.col(n_col).cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(n)
+    elif alpha == 1.0:
+        w = n
+    else:
+        # libm pow: fine within one engine; cross-engine bit-parity is
+        # only guaranteed for the sqrt/identity forms above
+        w = F.pow(n, F.lit(float(alpha)))
+    per = counts.filter(F.col(strata_col).isNotNull()).withColumn(
+        "__m", F.floor(w * F.lit(1e6))
+    )
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = per.withColumn(
+        "__mm", F.sum(F.col("__m").cast("decimal(38,0)")).over(everything)
+    ).withColumn("__tn", F.sum(F.col(n_col)).over(everything))
+    t = (
+        F.lit(int(target_rows)).cast("bigint")
+        if target_rows is not None
+        else F.expr("__tn div 2")
+    )
+    total_w = F.col("__mm").cast("double") / F.lit(1e6)
+    frac = F.least(
+        F.lit(1.0),
+        (t.cast("double") * (F.col("__m").cast("double") / F.lit(1e6)))
+        / (total_w * n),
+    )
+    return per.withColumn("fraction", frac).select(strata_col, n_col, "fraction")
 
 
 def temperature_sample(
@@ -295,25 +392,52 @@ def temperature_sample(
     id_col: str = "doc_id",
     salt: str = "",
 ) -> DataFrame:
-    """Temperature-based mixture sampling in one pass + one tiny agg.
+    """Temperature-based mixture sampling, fully distributed (r12).
 
     The per-stratum count aggregate is the only corpus-scale step (a
-    hash aggregate with map-side partials, collected at
-    stratum-cardinality size — strata are domains/languages/sources,
-    not rows); the keep filter is a broadcast-joined threshold compare
-    fused into the scan (O(1) generated code at any stratum count —
-    see ``stratified_sample``). At 100 TB this is exactly the shape of
-    a production data-mix pass: one count job, then an
+    hash aggregate with map-side partials, at stratum-cardinality
+    size); fractions and thresholds derive IN Spark
+    (``temperature_thresholds`` — no driver collect, no python fold,
+    so million-domain strata don't re-bottleneck on the driver); the
+    keep filter is a broadcast-joined threshold compare fused into the
+    scan (O(1) generated code at any stratum count, zero corpus
+    shuffle — the ``stratified_sample`` join, via the shared
+    ``_stratified_keep_filter``). At 100 TB this is exactly the shape
+    of a production data-mix pass: one count job, then an
     embarrassingly-parallel filter.
+
+    The threshold hex derives from the fraction with round-HALF_UP
+    (Spark ``round`` ≡ DuckDB ``round`` on positives); the driver-side
+    dict path (``stratified_sample(temperature_fractions(...))``)
+    rounds half-to-even (python) — the two can differ only when
+    ``fraction·2³²`` lands exactly on .5, unreachable from the IEEE
+    divisions above. Rows whose stratum is NULL drop (they match no
+    threshold row — same as the dict path's ``default_fraction=0``).
     """
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    fractions = temperature_fractions(counts, alpha, target_rows)
-    return stratified_sample(
-        df, fractions, strata_col=strata_col, id_col=id_col, salt=salt
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    thr_rows = temperature_thresholds(
+        counts, alpha, target_rows, strata_col=strata_col, n_col="n"
     )
+    f = F.col("fraction")
+    thr_hex = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.round(f * F.lit(4294967296.0)).cast("bigint"),
+                    F.lit(4294967295),
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    tbl = F.broadcast(
+        thr_rows.select(
+            F.col(strata_col).alias("__sg_stratum"),
+            F.when(f >= 1.0, F.lit("g")).otherwise(thr_hex).alias("__sg_thr"),
+        )
+    )
+    return _stratified_keep_filter(df, tbl, strata_col, id_col, salt, "")
 
 
 def token_budget_sample(
@@ -827,18 +951,23 @@ def _per_cell_hash_prefix(
     # assignment projection + join. O(3·per_cell·num_cells) rows —
     # the fixed_size_sample survivor-cache pattern; the cache
     # deliberately backs the returned lazy plan.
+    # NULL-id parity (the r11 second-review finding, landed r12 as
+    # planned): the full-window draw orders by (md5(id‖salt), id) with
+    # default NULLS FIRST, so NULL-id rows always occupy a cell's top
+    # ranks — a prefilter that drops them (NULL md5 ⇒ NULL comparison)
+    # diverges from prefilter=False in BOTH keep-all ("g") cells and
+    # fractional cells. stratified_sample's keep-all short-circuit
+    # covers the first; the NULL-id pass-through covers the second —
+    # identical-either-way holds for every row the full path can keep.
+    # (Two NULL-id rows in one cell tie in the draw order — that
+    # nondeterminism is the full path's own, not the prefilter's.)
+    keep = F.when(
+        F.col("__thr") == "g", F.lit(True)
+    ).otherwise(F.coalesce(prefix < F.col("__thr"), F.lit(True)))
     survivors = (
         assigned.filter(F.col("cid").isNotNull())
         .join(thresholds, F.col("cid") == F.col("__cid"))
-        # KNOWN EDGE (second-review finding r11, fix deferred to round
-        # 12 — sample_cluster_balanced is a frozen ROUND10 row and the
-        # round-11 window is full, the r10 revert precedent): a row
-        # with NULL id in a keep-all ("g") cell is dropped here (NULL
-        # md5 comparison) but kept with prefilter=False, breaking the
-        # identical-either-way contract for NULL-id rows only. The fix
-        # is stratified_sample's F.when(thr == "g", lit(True))
-        # short-circuit; it rotates in with the row.
-        .filter(prefix < F.col("__thr"))
+        .filter(keep)
         .drop("__cid", "__thr")
         .unionByName(assigned.filter(F.col("cid").isNull()))
     ).cache()

@@ -262,28 +262,39 @@ def _spark_percentile_agg_expr(vs: str, n: str, q: float) -> str:
 
 
 def _temperature_mix_sql(src: str, stratum: str, with_prefix: str = "WITH ") -> str:
-    """The mT5 temperature-fraction chain — sqrt weights summed in
-    sorted-stratum order (the driver-float replica of
-    ``temperature_fractions``), the round()/printf hex threshold, the
-    shared md5-prefix coin — over ``src`` exposing
+    """The mT5 temperature-fraction chain under the r12 quantized-micro
+    convention (the distributed ``temperature_thresholds`` replica —
+    VERDICT r11 #4): sqrt weights floor onto a 1e-6 integer grid, the
+    micro total is an EXACT hugeint sum (≡ Spark's ``decimal(38,0)``
+    sum — order-free, the point of the rewrite), the fraction derives
+    in IEEE double with the same operation tree
+    ``(T · m/1e6) / ((M/1e6) · n)``, then the round()/printf hex
+    threshold (DuckDB round ≡ Spark round HALF_UP on positives) and
+    the shared md5-prefix coin — over ``src`` exposing
     ``(doc_id, <stratum>)``. ONE builder owns the threshold arithmetic
     (the shared-fragment rule), shared by ``sample_temperature``
-    (strata = lang, byte-identical to its long-standing r5 literal)
-    and ``sample_domain_temperature`` (strata = registered domain over
-    the ``_CANON_URL_CTES`` output)."""
+    (strata = lang) and ``sample_domain_temperature`` (strata =
+    registered domain over the ``_CANON_URL_CTES`` output). NULL
+    strata are excluded from the totals and the output, matching the
+    operator."""
     return f"""
         {with_prefix}counts AS (
-            SELECT {stratum}, CAST(count(*) AS BIGINT) AS n FROM {src} GROUP BY {stratum}
-        ), tot AS (
-            SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY {stratum})) AS total_w,
-                   SUM(n) AS total_n
+            SELECT {stratum}, CAST(count(*) AS BIGINT) AS n FROM {src}
+            WHERE {stratum} IS NOT NULL GROUP BY {stratum}
+        ), w AS (
+            SELECT {stratum}, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS m
             FROM counts
+        ), tot AS (
+            SELECT SUM(m) AS mm, SUM(n) AS total_n FROM w
         ), frac AS (
-            SELECT c.{stratum}, c.n,
-                   least(1.0, (CAST(CAST(tot.total_n AS BIGINT) // 2 AS DOUBLE)
-                               * sqrt(CAST(c.n AS DOUBLE)))
-                              / (tot.total_w * CAST(c.n AS DOUBLE))) AS f
-            FROM counts c, tot
+            SELECT w.{stratum}, w.n,
+                   least(CAST(1.0 AS DOUBLE),
+                         (CAST(tot.total_n // 2 AS DOUBLE)
+                          * (CAST(w.m AS DOUBLE) / 1e6))
+                         / ((CAST(tot.mm AS DOUBLE) / 1e6)
+                            * CAST(w.n AS DOUBLE))) AS f
+            FROM w, tot
         ), thr AS (
             SELECT {stratum}, f,
                    printf('%08x', least(CAST(round(f * 4294967296.0) AS BIGINT),

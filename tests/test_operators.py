@@ -3134,13 +3134,23 @@ class TestClusterBalancedSample:
         rng = random.Random(7)
         rows = [(i, [10.0 + rng.random(), 0.0]) for i in range(900)]
         rows += [(1000 + i, [0.0, 10.0 + rng.random()]) for i in range(8)]
+        # ONE NULL-id row in each cell type (r11 second-review finding,
+        # fixed r12): the full-window draw orders NULLS FIRST, so a
+        # NULL-id row always wins a rank — the prefilter must keep it
+        # in the keep-all (tiny) cell AND the fractional (giant) cell
+        # or prefilter=True diverges from prefilter=False
+        rows += [(None, [10.5, 0.0]), (None, [0.0, 10.5])]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         cents = spark.createDataFrame(
             [(0, [10.5, 0.0]), (1, [0.0, 10.5])], "cid int, cvec array<double>"
         )
         full = sampling.cluster_balanced_sample(df, cents, per_cell=4)
         fast = sampling.cluster_balanced_sample(df, cents, per_cell=4, prefilter=True)
-        assert sorted(map(tuple, full.collect())) == sorted(map(tuple, fast.collect()))
+        got_full = sorted(map(tuple, full.collect()), key=str)
+        got_fast = sorted(map(tuple, fast.collect()), key=str)
+        assert got_full == got_fast
+        # the NULL-id rows really are in the draw (rank 1 of each cell)
+        assert [(c, r) for v, c, r in got_full if v is None] == [(0, 1), (1, 1)]
         # the prefix really shrinks the giant cell's window input
         assigned = assign_cells(df, cents, metric="l2").drop("key")
         survivors = _per_cell_hash_prefix(assigned, 4, id_col="vec_id", salt="")
@@ -3148,8 +3158,8 @@ class TestClusterBalancedSample:
             r["cid"]: r["n"]
             for r in survivors.groupBy("cid").agg(F.count("*").alias("n")).collect()
         }
-        assert per_cell_n[1] == 8  # tiny cell: threshold saturates, keep-all
-        assert 4 <= per_cell_n[0] < 100  # giant cell: ~12 of 900 survive
+        assert per_cell_n[1] == 9  # tiny cell: threshold saturates, keep-all
+        assert 4 <= per_cell_n[0] < 100  # giant: ~12 of 900 + the NULL-id row
 
     def test_prefilter_refills_zero_survivor_cells(self, spark):
         # construct a cell where EVERY row fails the hash threshold
@@ -4559,6 +4569,28 @@ class TestProfiling:
         cs = profiling.cms_sketches(df, "u`id", batch_col="g`x", width=64)
         est = profiling.cms_estimates(cs, df, "u`id")
         assert est.count() == 5
+
+    def test_pre_r9_profilers_escape_backticked_column_names(self, spark):
+        # the r12 extension of the _bcol audit (VERDICT r11 #3): the
+        # pre-r9 profilers took user column names through bare F.col,
+        # so an embedded backtick raised INVALID_ATTRIBUTE_NAME_SYNTAX
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(20).selectExpr(
+            "CAST(id % 5 AS STRING) AS `u``id`",
+            "CAST(id % 4 AS DOUBLE) AS `v``al`",
+            "CAST(id % 2 AS DOUBLE) AS `w``t`",
+        )
+        np_ = {r["column"]: r for r in profiling.null_profile(df, ["u`id"]).collect()}
+        assert np_["u`id"]["n_distinct"] == 5 and np_["u`id"]["n_null"] == 0
+        ns = {r["column"]: r for r in profiling.numeric_summary(df, ["v`al"]).collect()}
+        assert ns["v`al"]["n_rows"] == 20 and ns["v`al"]["max"] == 3.0
+        cc = profiling.column_correlations(df, ["v`al", "w`t"]).collect()
+        assert len(cc) == 1 and cc[0]["n"] == 20
+        hist = profiling.numeric_histogram(df, "v`al", bins=4).collect()
+        assert [r["n"] for r in hist] == [5, 5, 5, 5]
+        kd = profiling.key_distribution(df, ["u`id"], top_n=3).collect()
+        assert kd[0]["n"] == 4 and kd[0]["u`id"] in {"0", "1", "2", "3", "4"}
 
     def test_kmv_set_estimates_empty_side_is_empty_frame(self, spark):
         # day-zero contract (review r10): one parity half with no rows

@@ -380,6 +380,31 @@ class TestPlanAudits:
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_temperature_sample_is_fully_distributed(self, spark):
+        # the r12 rewrite (VERDICT r11 #4): fractions/thresholds derive
+        # IN Spark — no driver collect — and the plan must show (a) the
+        # corpus never shuffles (its only join is the broadcast
+        # threshold join), (b) exactly one stratum-cardinality counts
+        # exchange + the bounded single-partition totals window, (c) no
+        # BNLJ/cartesian (the totals attach via window, not crossJoin —
+        # a crossJoin re-aggregates the corpus, observed r12), (d) the
+        # counts scan is column-pruned to the stratum column
+        from aws_data_wrangler_spark.operators import sampling
+        from aws_data_wrangler_spark.plans.audit import plan_summary
+        from aws_data_wrangler_spark.plans.queries import load
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        kept = sampling.temperature_sample(docs, strata_col="lang", alpha=0.5)
+        s = plan_summary(kept)
+        plan = s["plan"]
+        assert s["broadcast_hash_joins"] == 1, plan
+        assert s["broadcast_nested_loop_joins"] == 0, plan
+        assert s["cartesian_products"] == 0, plan
+        assert not s["python_eval"], plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Exchange SinglePartition") == 1, plan
+        assert "ReadSchema: struct<lang:string>" in plan, plan
+
     def test_pinned_filter_stays_above_exchange(self, spark):
         from pyspark.sql import functions as F
 

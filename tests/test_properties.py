@@ -769,3 +769,91 @@ def test_kmv_matches_python_md5_reference_under_random_batching(spark, keys, bat
         assert est["n_distinct_est"] == int(
             math.floor(float((k - 1) * 16**15) / float(ref[k - 1]))
         )
+
+
+@settings(**SETTINGS)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(8)]),
+        st.integers(min_value=1, max_value=5_000),
+        min_size=1,
+        max_size=8,
+    ),
+    target=st.one_of(st.none(), st.integers(min_value=0, max_value=10_000)),
+)
+def test_temperature_thresholds_match_python_fractions_bitwise(
+    spark, counts, target
+):
+    """The r12 distributed rewrite (VERDICT r11 #4) against the
+    driver-side fold under the shared quantized-micro convention:
+    ``temperature_thresholds`` over a counts DataFrame must produce
+    fraction doubles BIT-IDENTICAL to ``temperature_fractions`` over
+    the same dict — the micro total is an exact integer sum on both
+    paths, every derived step the same IEEE operation tree. A NULL
+    stratum row rides along to prove it is excluded from the totals
+    on the distributed path exactly as documented."""
+    import struct
+
+    from aws_data_wrangler_spark.operators import sampling
+
+    rows = [(s, n) for s, n in counts.items()] + [(None, 7)]
+    cdf = spark.createDataFrame(rows, "source string, n long")
+    got = {
+        r["source"]: r["fraction"]
+        for r in sampling.temperature_thresholds(
+            cdf, alpha=0.5, target_rows=target
+        ).collect()
+    }
+    want = sampling.temperature_fractions(counts, alpha=0.5, target_rows=target)
+    assert set(got) == set(want)  # NULL stratum excluded
+    for s in want:
+        assert struct.pack("<d", got[s]) == struct.pack("<d", want[s]), (
+            s, got[s].hex(), want[s].hex(),
+        )
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=100_000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    target=st.one_of(st.none(), st.integers(min_value=0, max_value=60)),
+)
+def test_temperature_sample_matches_python_replica(spark, ids, target):
+    """End-to-end distributed temperature_sample vs a pure-python
+    replica: quantized-micro fractions (shared convention), hex
+    thresholds from the fraction, md5-prefix coin per row. The python
+    threshold uses round-half-even where Spark rounds HALF_UP — they
+    differ only when fraction*2^32 lands exactly on .5, unreachable
+    from these divisions (and asserted so)."""
+    import hashlib
+
+    from aws_data_wrangler_spark.operators import sampling
+
+    rows = [(doc_id, f"s{doc_id % 3}") for doc_id in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = {
+        r["doc_id"]
+        for r in sampling.temperature_sample(
+            df, strata_col="source", alpha=0.5, target_rows=target
+        ).collect()
+    }
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    fracs = sampling.temperature_fractions(counts, alpha=0.5, target_rows=target)
+    expect = set()
+    for doc_id, s in rows:
+        f = fracs[s]
+        if f >= 1.0:
+            expect.add(doc_id)
+            continue
+        scaled = f * 4294967296.0
+        assert scaled != int(scaled) + 0.5  # the round-mode boundary
+        thr = format(min(int(round(scaled)), 4294967295), "08x")
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[:8] < thr:
+            expect.add(doc_id)
+    assert kept == expect
