@@ -545,7 +545,7 @@ def minhash_lsh_incremental(
     return out
 
 
-def release_batch_state(result: DataFrame, blocking: bool = False) -> None:
+def release_batch_state(result: DataFrame, blocking: bool = False) -> int:
     """Release the per-batch caches behind a ``minhash_lsh_incremental``
     result (batch-side shingles, candidate pairs, and — when the corpus
     state was derived inline — the corpus shingle cache), or behind a
@@ -568,13 +568,34 @@ def release_batch_state(result: DataFrame, blocking: bool = False) -> None:
     CAVEAT (review finding r11): the handle is a python attribute on
     the RETURNED DataFrame object — any further transformation
     (``.orderBy`` / ``.filter`` / ``.limit`` …) returns a NEW frame
-    without it, and releasing that derived frame is a silent no-op.
-    Hold the operator's direct result for the release call (or copy
-    ``_sg_batch_caches`` onto the final frame, as the registry rows
-    do); release only after every consumer of the batch has run.
+    without it, and releasing that derived frame frees nothing. Hold
+    the operator's direct result for the release call (or copy
+    ``_sg_batch_caches`` onto the final frame via
+    ``carry_batch_caches``, as the registry rows do); release only
+    after every consumer of the batch has run.
+
+    Returns the number of caches released so an ingest loop can ASSERT
+    the hygiene contract actually fired (ADVICE r11: the lost-handle
+    case was a silent no-op leak); a handle-less frame additionally
+    emits a ``RuntimeWarning`` naming the carry idiom, since the only
+    reason to call this is a frame expected to hold the handle.
     """
-    for cached in getattr(result, "_sg_batch_caches", []):
+    import warnings
+
+    caches = getattr(result, "_sg_batch_caches", [])
+    if not caches:
+        warnings.warn(
+            "release_batch_state: no _sg_batch_caches handle on this frame "
+            "— it is a derived frame (transformations drop the handle; "
+            "thread it with carry_batch_caches) or not a caching "
+            "operator's result. Nothing was released.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return 0
+    for cached in caches:
         cached.unpersist(blocking)
+    return len(caches)
 
 
 def carry_batch_caches(dst: DataFrame, src: DataFrame) -> DataFrame:

@@ -527,7 +527,9 @@ def holt_winters(
     )
 
 
-def dense_counts(counts: DataFrame, step: str = "INTERVAL 1 HOUR") -> DataFrame:
+def dense_counts(
+    counts: DataFrame, step: str = "INTERVAL 1 HOUR", key_col: str = "key"
+) -> DataFrame:
     """Zero-fill a bucketed ``(key, bucket_ts, n)`` count table over
     each key's own [min, max] spine (the ``gapfill_rollup`` spine; an
     empty bucket is a real zero observation for a COUNT series) — the
@@ -537,7 +539,22 @@ def dense_counts(counts: DataFrame, step: str = "INTERVAL 1 HOUR") -> DataFrame:
     by the batch `holt_winters` wrapper and the streaming
     ``holt_winters_monitor`` so replay equals batch by construction.
     One bounded aggregate + one keyed equi-join; output is
-    buckets-per-key-sized, never data-sized."""
+    buckets-per-key-sized, never data-sized.
+
+    ``key_col`` names the key column for composition with the
+    ``*_from_counts`` operators' keyed tables (ADVICE r11: an
+    ``event_type``-keyed table used to raise instead of resolving) —
+    the output keeps the caller's name, so
+    ``holt_winters_from_counts(dense_counts(c, key_col=k), key_col=k)``
+    composes directly.
+    """
+    if key_col != "key":
+        if key_col not in counts.columns:
+            raise ValueError(
+                f"counts must carry the key column {key_col!r}; "
+                f"got {counts.columns}"
+            )
+        counts = counts.select(F.col(key_col).alias("key"), "bucket_ts", "n")
     bounds = counts.groupBy("key").agg(
         F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx")
     )
@@ -547,9 +564,12 @@ def dense_counts(counts: DataFrame, step: str = "INTERVAL 1 HOUR") -> DataFrame:
             "bucket_ts"
         ),
     )
-    return spine.join(counts, ["key", "bucket_ts"], "left").select(
+    dense = spine.join(counts, ["key", "bucket_ts"], "left").select(
         "key", "bucket_ts", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
+    if key_col != "key":
+        dense = dense.select(F.col("key").alias(key_col), "bucket_ts", "n")
+    return dense
 
 
 def holt_winters_from_counts(

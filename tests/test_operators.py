@@ -440,6 +440,30 @@ class TestDedup:
                 "shingle cache leaked past release_batch_state"
             )
 
+    def test_release_batch_state_reports_lost_handles(self, spark, documents):
+        # ADVICE r11: a release call on a derived frame (handle dropped
+        # by the transformation) was a SILENT no-op leak — it must now
+        # return 0 and warn, the direct result must report its cache
+        # count, and carry_batch_caches must restore the contract
+        import warnings
+
+        docs = documents.limit(40)
+        result = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+        derived = result.orderBy("id_a")  # drops the python attribute
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert dedup.release_batch_state(derived) == 0
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "carry_batch_caches" in str(w.message)
+            for w in caught
+        )
+        carried = dedup.carry_batch_caches(result.orderBy("id_a"), result)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert dedup.release_batch_state(carried, blocking=True) >= 1
+        assert caught == []
+
     def test_incremental_forwards_num_hashes_to_batch_signatures(self, spark, documents):
         # regression: the batch side once built 64-slot default
         # signatures while banding assumed the caller's num_hashes —
@@ -3909,6 +3933,42 @@ class TestTimeseries:
         ).collect()[0]
         for col in ("level", "trend", "forecast_next", "season_range"):
             assert out[col] == via_counts[col]
+
+    def test_dense_counts_accepts_a_named_key_column(self, spark):
+        # ADVICE r11: composing holt_winters_from_counts(dense_counts(
+        # counts, key_col=k), key_col=k) over an event_type-keyed table
+        # raised instead of resolving — dense_counts now takes key_col
+        # (the *_from_counts rule) and keeps the caller's name
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import timeseries
+
+        gappy = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 4), ("a", "2024-01-01 03:00:00", 6)],
+            "event_type string, bucket_ts string, n long",
+        ).select("event_type", F.col("bucket_ts").cast("timestamp"), "n")
+        dense = timeseries.dense_counts(gappy, key_col="event_type")
+        assert dense.columns == ["event_type", "bucket_ts", "n"]
+        got = {
+            (r["event_type"], r["bucket_ts"].hour): r["n"] for r in dense.collect()
+        }
+        assert got == {("a", 0): 4, ("a", 1): 0, ("a", 2): 0, ("a", 3): 6}
+        # the named composition the advice cites folds end-to-end, and
+        # equals the generic-'key' path term-for-term
+        named = timeseries.holt_winters_from_counts(
+            dense, period=2, key_col="event_type"
+        ).collect()[0]
+        generic = timeseries.holt_winters_from_counts(
+            timeseries.dense_counts(
+                gappy.withColumnRenamed("event_type", "key")
+            ),
+            period=2,
+            key_col="missing",  # falls back to the generic 'key'
+        ).collect()[0]
+        for col in ("level", "trend", "forecast_next", "season_range"):
+            assert named[col] == generic[col]
+        with _pytest.raises(ValueError, match="key column"):
+            timeseries.dense_counts(gappy, key_col="nope")
 
     def test_ewma_from_counts_key_col_applies_to_input(self, spark):
         # ADVICE r8: key_col must resolve the INPUT key too — a caller
