@@ -3679,153 +3679,36 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry order matters: the correctness driver verifies the FIRST 50
-# entries against their DuckDB oracles each round. Round-11 window
-# policy (SURVEY §7 item 18 / VERDICT r10 #1): the window carries (a)
-# the three ROUND10_LATE entries FIRST (registered after the round-10
-# window filled; 3-SF + invariance pedigree, no driver row yet), (b)
-# the ENTIRE ROUND8_FROZEN block — after round 11 its round-8 rows
+# entries against their DuckDB oracles each round. Round-12 window
+# policy (SURVEY §7 item 20 / VERDICT r11 #1): the window carries (a)
+# the two ROUND11_LATE entries FIRST (events_holtwinters_seasonal +
+# streaming_holtwinters_monitor — registered after the round-11 window
+# filled; 3-SF + invariance pedigree, no driver row yet), (b) the
+# ENTIRE ROUND9_FROZEN remainder — after round 12 its round-9 rows
 # would breach the two-round staleness invariant — in its
-# long-standing order (41 entries), (c) every query crossing
-# round-11-changed code: the dedup trio riding the shingle-cache
-# release handle (dedup_ngram_jaccard / dedup_containment /
-# dedup_clusters — the _shingle_overlap call-graph crossing set) and
-# sample_domain_temperature (the stratified_sample broadcast-join
-# rewrite; sample_temperature crosses it too, inside the R8 block),
-# (d) the ONE new round-11 registration placed in-window
-# (profiling_cms_join_size), and (e) one ROUND9_FROZEN backfill pull
-# (events_top_paths). 3 + 41 + 4 + 1 + 1 = 50 exactly. Below the
-# boundary sit the ROUND10_FROZEN block (fresh r10 rows — rotates in
-# round 13), the ROUND9_FROZEN remainder (fresh r9 rows — rotates in
-# round 12), and the PERMANENTLY PINNED rows-only entry. Enforced by
-# tests/test_plans.py.
+# long-standing order (44 entries), and (c) every query crossing
+# round-12-changed code: sample_cluster_balanced (the
+# _per_cell_hash_prefix NULL-id parity fix, VERDICT r11 #2),
+# profiling_null_profile (the _bcol backtick audit on the pre-r9
+# profilers, VERDICT r11 #3 — the other three crossing rows sit inside
+# the R9 block), and sample_temperature + sample_domain_temperature
+# (the distributed temperature_thresholds rewrite, VERDICT r11 #4).
+# 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO (VERDICT
+# r11 #5 — round 13 must absorb the 47-entry ROUND10_FROZEN block).
+# Below the boundary sit the ROUND10_FROZEN remainder (45 fresh r10
+# rows — rotates in round 13), the ROUND11_FROZEN block (48 fresh r11
+# rows — rotates in round 14), and the PERMANENTLY PINNED rows-only
+# entries. Enforced by tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # === ROUND-11 DRIVER WINDOW (first 50 — the driver verifies exactly
-    # these; layout per SURVEY §7 item 18 / VERDICT r10 #1) ===
-    # --- (a) the three ROUND10_LATE entries rotate in FIRST (registered
-    # after the round-10 window filled; 3-SF + invariance pedigree) ---
-    "text_decontaminated_spans": _text_decontaminated_spans,
-    "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
-    "streaming_kmv_monitor": _streaming_kmv_monitor,
-    # --- (b) the ENTIRE ROUND8_FROZEN block — after round 11 its
-    # round-8 rows would breach the two-round staleness invariant — in
-    # its long-standing order (41 entries) ---
-    "streaming_anomaly_monitor": _streaming_anomaly_monitor,
-    "events_error_click_window": _events_error_click_window,
-    "dedup_exact": _dedup_exact,
-    "dedup_normalized": _dedup_normalized,
-    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
-    "events_session_window": _events_session_window,
-    "events_hourly_gapfill": _events_hourly_gapfill,
-    "events_user_join_salted": _events_user_join_salted,
-    "athena_ctas_roundtrip": _athena_ctas_roundtrip,
-    "io_partition_pruned_read": _io_partition_pruned_read,
-    "io_merge_datasets": _io_merge_datasets,
-    "ann_cosine_topk": _ann_cosine_topk,
-    "ann_lsh_topk": _ann_lsh_topk,
-    "streaming_static_enrich": _streaming_static_enrich,
-    "streaming_latest_per_user": _streaming_latest_per_user,
-    "text_fingerprint": _text_fingerprint,
-    "dedup_duplicated_lines": _dedup_duplicated_lines,
-    "sample_epoch_mixture": _sample_epoch_mixture,
-    "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
-    "dedup_minhash_lsh": _dedup_minhash_lsh,
-    "dedup_incremental": _dedup_incremental,
-    "dedup_simhash": _dedup_simhash,
-    "dedup_duplicated_spans": _dedup_duplicated_spans,
-    "dedup_embedding_cosine": _dedup_embedding_cosine,
-    "dedup_embedding_incremental": _dedup_embedding_incremental,
-    "dedup_embedding_lsh": _dedup_embedding_lsh,
-    "embedding_curation_pipeline": _embedding_curation_pipeline,
-    "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
-    "ann_sq8_topk": _ann_sq8_topk,
-    "bpe_word_frequencies": _bpe_word_frequencies,
-    "streaming_growing_corpus": _streaming_growing_corpus,
-    "sample_temperature": _sample_temperature,
-    "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
-    "streaming_drift_monitor": _streaming_drift_monitor,
-    "io_upsert_roundtrip": _io_upsert_roundtrip,
-    "text_classifier_score": _text_classifier_score,
-    "text_char_entropy": _text_char_entropy,
-    "events_interpolate": _events_interpolate,
-    "ann_pca_sq8_search": _ann_pca_sq8_search,
-    "sample_weighted": _sample_weighted,
-    "ann_metric_topk": _ann_metric_topk,
-    # --- (c) crossing round-11-changed code: dedup_ngram_jaccard /
-    # dedup_containment / dedup_clusters (the shingle-cache release
-    # handle on the shared _shingle_overlap core — the call-graph
-    # crossing set, SURVEY §6) and sample_domain_temperature (the
-    # stratified_sample broadcast-join rewrite fixing the 64 KB codegen
-    # overflow, VERDICT r10 #1; sample_temperature crosses it too and
-    # already sits in the ROUND8 block above) ---
-    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-    "dedup_containment": _dedup_containment,
-    "dedup_clusters": _dedup_clusters,
-    "sample_domain_temperature": _sample_domain_temperature,
-    # --- (d) round-11 NEW registration, placed IN-window (the r8
-    # precedent VERDICT r10 #4 orders): the CM inner-product join-size
-    # estimator ---
-    "profiling_cms_join_size": _profiling_cms_join_size,
-    # --- (e) one backfill pull from ROUND9_FROZEN (the r9 precedent):
-    # the oldest r9-pedigree row re-verifies a round early, easing the
-    # round-12 rotation (45 remaining + late + changed must fit 50) ---
-    "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
-    # === window boundary: the driver verifies the FIRST 50 entries —
-    # everything ABOVE this comment. Below sit (a) the ROUND10_FROZEN
-    # block riding FRESH round-10 rows (rotates in round 13), (b) the
-    # ROUND9_FROZEN remainder riding round-9 rows (rotates in round
-    # 12), and (c) the PERMANENTLY PINNED rows-only entry. Enforced by
-    # tests/test_plans.py. ===
-    # --- ROUND10_FROZEN (fresh r10 rows, r10 window order; the three
-    # changed-code rows moved INTO the window above) ---
-    "streaming_quantile_monitor": _streaming_quantile_monitor,
-    "streaming_ndv_monitor": _streaming_ndv_monitor,
-    "text_domain_quality": _text_domain_quality,
-    "profiling_cms_frequencies": _profiling_cms_frequencies,
-    "streaming_heavyhitter_monitor": _streaming_heavyhitter_monitor,
-    "events_daily_uniques_rollup": _events_daily_uniques_rollup,
-    "events_holt_trend": _events_holt_trend,
-    "streaming_bloom_gate": _streaming_bloom_gate,
-    "profiling_referential_integrity": _profiling_referential_integrity,
-    "profiling_key_uniqueness": _profiling_key_uniqueness,
-    "ingest_preflight_report": _ingest_preflight_report,
-    "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
-    "sample_cluster_balanced": _sample_cluster_balanced,
-    "ann_cell_occupancy": _ann_cell_occupancy,
-    "embedding_pca_project": _embedding_pca_project,
-    "benchmark_near_contamination": _benchmark_near_contamination,
-    "ann_index_rebalance_search": _ann_index_rebalance_search,
-    "events_asof_signup": _events_asof_signup,
-    "profiling_distribution_drift": _profiling_distribution_drift,
-    "events_join_fanout": _events_join_fanout,
-    "text_html_extract": _text_html_extract,
-    "text_ngram_freq": _text_ngram_freq,
-    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
-    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
-    "multimodal_image_dhash": _multimodal_image_dhash,
-    "text_bigram_surprisal": _text_bigram_surprisal,
-    "text_ngram_repetition": _text_ngram_repetition,
-    "io_fwf_roundtrip": _io_fwf_roundtrip,
-    "profiling_null_profile": _profiling_null_profile,
-    "multimodal_audio_fp": _multimodal_audio_fp,
-    "text_c4_rules": _text_c4_rules,
-    "text_perplexity_buckets": _text_perplexity_buckets,
-    "pretraining_curation_pipeline": _pretraining_curation_pipeline,
-    "text_gopher_quality": _text_gopher_quality,
-    "text_lang_id": _text_lang_id,
-    "text_chunk_tokens": _text_chunk_tokens,
-    "text_pack_sequences": _text_pack_sequences,
-    "text_pii_scrub": _text_pii_scrub,
-    "text_tfidf_top_terms": _text_tfidf_top_terms,
-    "benchmark_contamination": _benchmark_contamination,
-    "streaming_sliding_counts": _streaming_sliding_counts,
-    "streaming_error_click_join": _streaming_error_click_join,
-    "streaming_corpus_dedup": _streaming_corpus_dedup,
-    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
-    "text_domain_rollup": _text_domain_rollup,
-    "streaming_ewma_monitor": _streaming_ewma_monitor,
-    "profiling_quantile_invariants": _profiling_quantile_invariants,
-    # --- ROUND9_FROZEN (fresh r9 rows, r9 order; events_top_paths
-    # pulled into the window, dedup_clusters moved as changed-code) ---
+    # === ROUND-12 DRIVER WINDOW (first 50 — the driver verifies exactly
+    # these; layout per SURVEY §7 item 20 / VERDICT r11 #1) ===
+    # --- (a) the two ROUND11_LATE entries rotate in FIRST (registered
+    # after the round-11 window filled; 3-SF + invariance pedigree) ---
+    "events_holtwinters_seasonal": _events_holtwinters_seasonal,
+    "streaming_holtwinters_monitor": _streaming_holtwinters_monitor,
+    # --- (b) the ENTIRE ROUND9_FROZEN remainder — after round 12 its
+    # round-9 rows would breach the two-round staleness invariant — in
+    # its long-standing order (44 entries) ---
     "text_quality_gate": _text_quality_gate,
     "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
     "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
@@ -3870,6 +3753,126 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_schema_evolution": _io_schema_evolution,
     "ann_filtered_pq_search": _ann_filtered_pq_search,
     "sample_hash_split": _sample_hash_split,
+    # --- (c) crossing round-12-changed code (VERDICT r11 #2/#3/#4):
+    # sample_cluster_balanced (the _per_cell_hash_prefix NULL-id
+    # keep-all/fractional parity fix) and profiling_null_profile (the
+    # _bcol backtick audit on the pre-r9 profilers) pulled from
+    # ROUND10_FROZEN; sample_temperature + sample_domain_temperature
+    # (the distributed temperature_thresholds rewrite — no driver
+    # collect) pulled from the round-11 window. The other three _bcol
+    # crossing rows (profiling_numeric_summary / profiling_correlations
+    # / events_value_histogram) already sit in the R9 block above.
+    # 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO
+    # (VERDICT r11 #5 — round 13 must absorb the 47-entry
+    # ROUND10_FROZEN block) ---
+    "sample_cluster_balanced": _sample_cluster_balanced,
+    "profiling_null_profile": _profiling_null_profile,
+    "sample_temperature": _sample_temperature,
+    "sample_domain_temperature": _sample_domain_temperature,
+    # === window boundary: the driver verifies the FIRST 50 entries —
+    # everything ABOVE this comment. Below sit (a) the ROUND10_FROZEN
+    # remainder riding FRESH round-10 rows (rotates in round 13), (b)
+    # the ROUND11_FROZEN block riding fresh round-11 rows (rotates in
+    # round 14), and (c) the PERMANENTLY PINNED rows-only entries.
+    # Enforced by tests/test_plans.py. ===
+    # --- ROUND10_FROZEN remainder (45; r10 window order; the two
+    # changed-code rows moved INTO the window above) ---
+    "streaming_quantile_monitor": _streaming_quantile_monitor,
+    "streaming_ndv_monitor": _streaming_ndv_monitor,
+    "text_domain_quality": _text_domain_quality,
+    "profiling_cms_frequencies": _profiling_cms_frequencies,
+    "streaming_heavyhitter_monitor": _streaming_heavyhitter_monitor,
+    "events_daily_uniques_rollup": _events_daily_uniques_rollup,
+    "events_holt_trend": _events_holt_trend,
+    "streaming_bloom_gate": _streaming_bloom_gate,
+    "profiling_referential_integrity": _profiling_referential_integrity,
+    "profiling_key_uniqueness": _profiling_key_uniqueness,
+    "ingest_preflight_report": _ingest_preflight_report,
+    "dedup_bloom_ingest_gate": _dedup_bloom_ingest_gate,
+    "ann_cell_occupancy": _ann_cell_occupancy,
+    "embedding_pca_project": _embedding_pca_project,
+    "benchmark_near_contamination": _benchmark_near_contamination,
+    "ann_index_rebalance_search": _ann_index_rebalance_search,
+    "events_asof_signup": _events_asof_signup,
+    "profiling_distribution_drift": _profiling_distribution_drift,
+    "events_join_fanout": _events_join_fanout,
+    "text_html_extract": _text_html_extract,
+    "text_ngram_freq": _text_ngram_freq,
+    "lineitem_stats_by_flag": _analytics_query(ANALYTICS_SQL["lineitem_stats_by_flag"]),
+    "topk_customers_window": _analytics_query(ANALYTICS_SQL["topk_customers_window"]),
+    "multimodal_image_dhash": _multimodal_image_dhash,
+    "text_bigram_surprisal": _text_bigram_surprisal,
+    "text_ngram_repetition": _text_ngram_repetition,
+    "io_fwf_roundtrip": _io_fwf_roundtrip,
+    "multimodal_audio_fp": _multimodal_audio_fp,
+    "text_c4_rules": _text_c4_rules,
+    "text_perplexity_buckets": _text_perplexity_buckets,
+    "pretraining_curation_pipeline": _pretraining_curation_pipeline,
+    "text_gopher_quality": _text_gopher_quality,
+    "text_lang_id": _text_lang_id,
+    "text_chunk_tokens": _text_chunk_tokens,
+    "text_pack_sequences": _text_pack_sequences,
+    "text_pii_scrub": _text_pii_scrub,
+    "text_tfidf_top_terms": _text_tfidf_top_terms,
+    "benchmark_contamination": _benchmark_contamination,
+    "streaming_sliding_counts": _streaming_sliding_counts,
+    "streaming_error_click_join": _streaming_error_click_join,
+    "streaming_corpus_dedup": _streaming_corpus_dedup,
+    "q6_revenue_forecast": _analytics_query(ANALYTICS_SQL["q6_revenue_forecast"]),
+    "text_domain_rollup": _text_domain_rollup,
+    "streaming_ewma_monitor": _streaming_ewma_monitor,
+    "profiling_quantile_invariants": _profiling_quantile_invariants,
+    # --- ROUND11_FROZEN (48; the round-11 window in its r11 order; the
+    # two temperature rows moved INTO the window above as changed-code)
+    # ---
+    "text_decontaminated_spans": _text_decontaminated_spans,
+    "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
+    "streaming_kmv_monitor": _streaming_kmv_monitor,
+    "streaming_anomaly_monitor": _streaming_anomaly_monitor,
+    "events_error_click_window": _events_error_click_window,
+    "dedup_exact": _dedup_exact,
+    "dedup_normalized": _dedup_normalized,
+    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
+    "events_session_window": _events_session_window,
+    "events_hourly_gapfill": _events_hourly_gapfill,
+    "events_user_join_salted": _events_user_join_salted,
+    "athena_ctas_roundtrip": _athena_ctas_roundtrip,
+    "io_partition_pruned_read": _io_partition_pruned_read,
+    "io_merge_datasets": _io_merge_datasets,
+    "ann_cosine_topk": _ann_cosine_topk,
+    "ann_lsh_topk": _ann_lsh_topk,
+    "streaming_static_enrich": _streaming_static_enrich,
+    "streaming_latest_per_user": _streaming_latest_per_user,
+    "text_fingerprint": _text_fingerprint,
+    "dedup_duplicated_lines": _dedup_duplicated_lines,
+    "sample_epoch_mixture": _sample_epoch_mixture,
+    "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
+    "dedup_minhash_lsh": _dedup_minhash_lsh,
+    "dedup_incremental": _dedup_incremental,
+    "dedup_simhash": _dedup_simhash,
+    "dedup_duplicated_spans": _dedup_duplicated_spans,
+    "dedup_embedding_cosine": _dedup_embedding_cosine,
+    "dedup_embedding_incremental": _dedup_embedding_incremental,
+    "dedup_embedding_lsh": _dedup_embedding_lsh,
+    "embedding_curation_pipeline": _embedding_curation_pipeline,
+    "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
+    "ann_sq8_topk": _ann_sq8_topk,
+    "bpe_word_frequencies": _bpe_word_frequencies,
+    "streaming_growing_corpus": _streaming_growing_corpus,
+    "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
+    "streaming_drift_monitor": _streaming_drift_monitor,
+    "io_upsert_roundtrip": _io_upsert_roundtrip,
+    "text_classifier_score": _text_classifier_score,
+    "text_char_entropy": _text_char_entropy,
+    "events_interpolate": _events_interpolate,
+    "ann_pca_sq8_search": _ann_pca_sq8_search,
+    "sample_weighted": _sample_weighted,
+    "ann_metric_topk": _ann_metric_topk,
+    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+    "dedup_containment": _dedup_containment,
+    "dedup_clusters": _dedup_clusters,
+    "profiling_cms_join_size": _profiling_cms_join_size,
+    "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
     # --- PERMANENTLY PINNED below the window (VERDICT r8 "what's
     # wrong" #1): declared rows-only entries can never produce a green
     # driver row, so they must never burn a window slot; their contract
@@ -3879,13 +3882,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # different document sets) ---
     "bpe_encode": _bpe_encode,
     "bpe_token_budget": _bpe_token_budget,
-    # --- ROUND11_LATE: registered after the round-11 window filled
-    # (the round-3/6/7/8/9/10 late precedent; VERDICT r10 #4 caps this
-    # round's late set at 2): verified at sf0.001 + sf0.01 + sf0.1
-    # plus a targeted local[5] invariance check in the round-11
-    # session; rotates into the round-12 window FIRST ---
-    "events_holtwinters_seasonal": _events_holtwinters_seasonal,
-    "streaming_holtwinters_monitor": _streaming_holtwinters_monitor,
 }
 
 # Retired-from-registry entries the FROZEN bench subset still tracks

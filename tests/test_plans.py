@@ -32,112 +32,34 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-11 rotation policy (SURVEY §7 item 18 / VERDICT r10 #1): the
-# driver verifies the FIRST 50 registry entries. The round-11 window
-# carries (a) the three ROUND10_LATE entries FIRST (registered after
-# the round-10 window filled, no driver row yet), (b) the ENTIRE
-# ROUND8_FROZEN block — after round 11 its round-8 rows would breach
-# the two-round staleness invariant — in its long-standing order (41
-# entries), (c) the four changed-code rows: the dedup trio crossing
-# the shingle-cache release handle on the shared _shingle_overlap core
-# (the CALL-GRAPH crossing set — dedup_clusters crosses via
-# ngram_jaccard_pairs, the r10 lesson) and sample_domain_temperature
-# crossing the stratified_sample broadcast-join rewrite (VERDICT r10
-# #1; sample_temperature crosses it too and already sits in the R8
-# block), (d) ONE new round-11 registration placed IN-window
-# (profiling_cms_join_size — the r8 precedent VERDICT r10 #4 orders),
-# and (e) ONE ROUND9_FROZEN backfill pull (events_top_paths — the r9
-# precedent; eases the round-12 rotation to 45 + late + changed ≤ 50).
-# 3 + 41 + 4 + 1 + 1 = 50 exactly. Below the boundary sit only the
-# ROUND10_FROZEN block (fresh r10 rows — rotates in round 13), the
-# ROUND9_FROZEN remainder (fresh r9 rows — rotates in round 12), the
-# PERMANENTLY PINNED rows-only entry, and any ROUND11_LATE
-# registrations.
+# Round-12 rotation policy (SURVEY §7 item 20 / VERDICT r11 #1): the
+# driver verifies the FIRST 50 registry entries. The round-12 window
+# carries (a) the two ROUND11_LATE entries FIRST (registered after the
+# round-11 window filled, no driver row yet), (b) the ENTIRE
+# ROUND9_FROZEN remainder — after round 12 its round-9 rows would
+# breach the two-round staleness invariant — in its long-standing
+# order (44 entries), and (c) the four changed-code rows:
+# sample_cluster_balanced crossing the _per_cell_hash_prefix NULL-id
+# parity fix (VERDICT r11 #2), profiling_null_profile crossing the
+# _bcol backtick audit on the pre-r9 profilers (VERDICT r11 #3; the
+# audit's other crossing rows — profiling_numeric_summary /
+# profiling_correlations / events_value_histogram — sit inside the R9
+# block), and sample_temperature + sample_domain_temperature crossing
+# the distributed temperature_thresholds rewrite (VERDICT r11 #4).
+# 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO (VERDICT
+# r11 #5 — round 13 must absorb the 47-entry ROUND10_FROZEN block, so
+# every spare slot is kept for round-13 changed-code rows). Below the
+# boundary sit only the ROUND10_FROZEN remainder (45 entries, fresh
+# r10 rows — rotates in round 13), the ROUND11_FROZEN block (48
+# entries, fresh r11 rows — rotates in round 14), and the PERMANENTLY
+# PINNED rows-only entries.
 
-ROUND10_LATE_ROTATED_IN_R11 = {
-    "profiling_kmv_set_overlap", "streaming_kmv_monitor",
-    "text_decontaminated_spans",
+ROUND11_LATE_ROTATED_IN_R12 = {
+    "events_holtwinters_seasonal", "streaming_holtwinters_monitor",
 }
 
-ROUND8_ROTATED_IN_R11 = {
-    # the whole ROUND8_FROZEN block: last driver rows in round 8
-    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
-    "ann_metric_topk", "ann_pca_sq8_search", "ann_sq8_topk",
-    "athena_ctas_roundtrip", "bpe_word_frequencies",
-    "db_jdbc_roundtrip", "dedup_duplicated_lines",
-    "dedup_duplicated_spans", "dedup_embedding_cosine",
-    "dedup_embedding_incremental", "dedup_embedding_lsh",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_normalized", "dedup_simhash",
-    "embedding_curation_pipeline", "events_error_click_window",
-    "events_hourly_gapfill", "events_interpolate",
-    "events_session_window", "events_user_join_salted",
-    "io_merge_datasets", "io_partition_pruned_read",
-    "io_upsert_roundtrip", "orders_value_deciles",
-    "q2_min_cost_supplier", "sample_epoch_mixture",
-    "sample_temperature", "sample_weighted",
-    "streaming_anomaly_monitor", "streaming_drift_monitor",
-    "streaming_growing_corpus", "streaming_latest_per_user",
-    "streaming_static_enrich", "text_char_entropy",
-    "text_classifier_score", "text_fingerprint",
-}
-
-ROUND11_CHANGED_CODE = {
-    # the dedup trio crosses the _shingle_overlap cache-release handle
-    # (dedup_clusters via ngram_jaccard_pairs — call-graph crossing);
-    # sample_domain_temperature crosses the stratified_sample
-    # broadcast-join rewrite
-    "dedup_clusters", "dedup_containment", "dedup_ngram_jaccard",
-    "sample_domain_temperature",
-}
-
-ROUND11_NEW_IN_WINDOW = {
-    # registered IN-window in round 11 (the r8 precedent): the CM
-    # inner-product join-size estimator
-    "profiling_cms_join_size",
-}
-
-ROUND11_BACKFILL_PULLS = {
-    # ROUND9_FROZEN rows pulled a round early to fill the window —
-    # re-verified in round 11, easing the round-12 rotation arithmetic
-    "events_top_paths",
-}
-
-ROUND10_FROZEN = {
-    # fresh green rows in CORRECTNESS_r10.json (the second all-green
-    # window); code byte-identical since round 10 (dedup_ngram_jaccard
-    # / dedup_containment / sample_domain_temperature moved INTO the
-    # round-11 window as changed-code). Rotates in round 13.
-    "ann_cell_occupancy", "ann_index_rebalance_search",
-    "benchmark_contamination", "benchmark_near_contamination",
-    "dedup_bloom_ingest_gate", "embedding_pca_project",
-    "events_asof_signup", "events_daily_uniques_rollup",
-    "events_holt_trend", "events_join_fanout",
-    "ingest_preflight_report", "io_fwf_roundtrip",
-    "lineitem_stats_by_flag", "multimodal_audio_fp",
-    "multimodal_image_dhash", "pretraining_curation_pipeline",
-    "profiling_cms_frequencies", "profiling_distribution_drift",
-    "profiling_key_uniqueness", "profiling_null_profile",
-    "profiling_quantile_invariants",
-    "profiling_referential_integrity", "q6_revenue_forecast",
-    "sample_cluster_balanced", "streaming_bloom_gate",
-    "streaming_corpus_dedup", "streaming_error_click_join",
-    "streaming_ewma_monitor", "streaming_heavyhitter_monitor",
-    "streaming_ndv_monitor", "streaming_quantile_monitor",
-    "streaming_sliding_counts", "text_bigram_surprisal",
-    "text_c4_rules", "text_chunk_tokens", "text_domain_quality",
-    "text_domain_rollup", "text_gopher_quality",
-    "text_html_extract", "text_lang_id", "text_ngram_freq",
-    "text_ngram_repetition", "text_pack_sequences",
-    "text_perplexity_buckets", "text_pii_scrub",
-    "text_tfidf_top_terms", "topk_customers_window",
-}
-
-ROUND9_FROZEN = {
-    # fresh green rows in CORRECTNESS_r09.json; code byte-identical
-    # since round 9 (events_top_paths pulled into the round-11 window
-    # as a backfill, dedup_clusters moved as changed-code). Rotates in
-    # round 12.
+ROUND9_ROTATED_IN_R12 = {
+    # the whole ROUND9_FROZEN remainder: last driver rows in round 9
     "ann_filtered_pq_search", "ann_ivf_lloyd_step", "ann_ivf_topk",
     "ann_ivfpq_partitioned_search", "ann_ivfpq_topk",
     "ann_mmr_rerank", "ann_pq_topk", "ann_recall_lsh",
@@ -159,28 +81,92 @@ ROUND9_FROZEN = {
     "streaming_sessionize", "text_quality_gate",
 }
 
-# VERDICT r8 "what's wrong" #1: the declared rows-only entry can never
-# produce a green driver row, so it is PERMANENTLY pinned below the
-# window (its pytest pedigree is its contract) and excluded from every
-# future rotation.
-PINNED_ROWS_ONLY = {"bpe_encode", "bpe_token_budget"}
-
-ROUND11_LATE = {
-    # registered after the round-11 window filled (the late-set
-    # precedent; VERDICT r10 #4 caps this round at 2): verified at
-    # sf0.001 + sf0.01 + sf0.1 plus a targeted local[5] invariance
-    # check in the round-11 session; rotates into the round-12 window
-    # FIRST
-    "events_holtwinters_seasonal",
-    "streaming_holtwinters_monitor",
+ROUND12_CHANGED_CODE = {
+    # sample_cluster_balanced: the _per_cell_hash_prefix NULL-id
+    # keep-all/fractional parity fix; profiling_null_profile: the
+    # _bcol audit (its three sibling crossing rows are in the R9 set
+    # above); the temperature pair: the distributed
+    # temperature_thresholds rewrite (temperature_sample no longer
+    # collects — new quantized-micro convention, oracle rewritten)
+    "sample_cluster_balanced", "profiling_null_profile",
+    "sample_temperature", "sample_domain_temperature",
 }
 
-ROUND11_MUST_BE_IN_WINDOW = (
-    ROUND10_LATE_ROTATED_IN_R11
-    | ROUND8_ROTATED_IN_R11
-    | ROUND11_CHANGED_CODE
-    | ROUND11_NEW_IN_WINDOW
-    | ROUND11_BACKFILL_PULLS
+ROUND10_FROZEN = {
+    # fresh green rows in CORRECTNESS_r10.json; code byte-identical
+    # since round 10 (sample_cluster_balanced / profiling_null_profile
+    # moved INTO the round-12 window as changed-code). Rotates in
+    # round 13.
+    "ann_cell_occupancy", "ann_index_rebalance_search",
+    "benchmark_contamination", "benchmark_near_contamination",
+    "dedup_bloom_ingest_gate", "embedding_pca_project",
+    "events_asof_signup", "events_daily_uniques_rollup",
+    "events_holt_trend", "events_join_fanout",
+    "ingest_preflight_report", "io_fwf_roundtrip",
+    "lineitem_stats_by_flag", "multimodal_audio_fp",
+    "multimodal_image_dhash", "pretraining_curation_pipeline",
+    "profiling_cms_frequencies", "profiling_distribution_drift",
+    "profiling_key_uniqueness",
+    "profiling_quantile_invariants",
+    "profiling_referential_integrity", "q6_revenue_forecast",
+    "streaming_bloom_gate",
+    "streaming_corpus_dedup", "streaming_error_click_join",
+    "streaming_ewma_monitor", "streaming_heavyhitter_monitor",
+    "streaming_ndv_monitor", "streaming_quantile_monitor",
+    "streaming_sliding_counts", "text_bigram_surprisal",
+    "text_c4_rules", "text_chunk_tokens", "text_domain_quality",
+    "text_domain_rollup", "text_gopher_quality",
+    "text_html_extract", "text_lang_id", "text_ngram_freq",
+    "text_ngram_repetition", "text_pack_sequences",
+    "text_perplexity_buckets", "text_pii_scrub",
+    "text_tfidf_top_terms", "topk_customers_window",
+}
+
+ROUND11_FROZEN = {
+    # fresh green rows in CORRECTNESS_r11.json (the third all-green
+    # window); code byte-identical since round 11 (sample_temperature
+    # / sample_domain_temperature moved INTO the round-12 window as
+    # changed-code). Rotates in round 14.
+    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
+    "ann_metric_topk", "ann_pca_sq8_search", "ann_sq8_topk",
+    "athena_ctas_roundtrip", "bpe_word_frequencies",
+    "db_jdbc_roundtrip", "dedup_clusters", "dedup_containment",
+    "dedup_duplicated_lines", "dedup_duplicated_spans",
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_normalized",
+    "dedup_simhash", "embedding_curation_pipeline",
+    "events_error_click_window", "events_hourly_gapfill",
+    "events_interpolate", "events_session_window",
+    "events_top_paths", "events_user_join_salted",
+    "io_merge_datasets", "io_partition_pruned_read",
+    "io_upsert_roundtrip", "orders_value_deciles",
+    "profiling_cms_join_size", "profiling_kmv_set_overlap",
+    "q2_min_cost_supplier", "sample_epoch_mixture",
+    "sample_weighted", "streaming_anomaly_monitor",
+    "streaming_drift_monitor", "streaming_growing_corpus",
+    "streaming_kmv_monitor", "streaming_latest_per_user",
+    "streaming_static_enrich", "text_char_entropy",
+    "text_classifier_score", "text_decontaminated_spans",
+    "text_fingerprint",
+}
+
+# VERDICT r8 "what's wrong" #1: the declared rows-only entries can
+# never produce a green driver row, so they are PERMANENTLY pinned
+# below the window (their pytest pedigree is their contract) and
+# excluded from every future rotation.
+PINNED_ROWS_ONLY = {"bpe_encode", "bpe_token_budget"}
+
+# Round-12 late registrations: ZERO by design (VERDICT r11 #5 — the
+# round-13 rotation must absorb the whole 47-entry ROUND10_FROZEN +
+# changed-code set within 50). Kept as an explicit empty set so the
+# partition test still tiles the registry exactly.
+ROUND12_LATE: set = set()
+
+ROUND12_MUST_BE_IN_WINDOW = (
+    ROUND11_LATE_ROTATED_IN_R12
+    | ROUND9_ROTATED_IN_R12
+    | ROUND12_CHANGED_CODE
 )
 
 RETIRED_R7 = {
@@ -260,8 +246,8 @@ def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = (below - ROUND10_FROZEN - ROUND9_FROZEN
-                   - PINNED_ROWS_ONLY - ROUND11_LATE)
+    unaccounted = (below - ROUND10_FROZEN - ROUND11_FROZEN
+                   - PINNED_ROWS_ONLY - ROUND12_LATE)
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -269,18 +255,19 @@ def test_below_window_entries_all_have_pedigree():
 
 def test_no_entry_staler_than_two_rounds():
     # the rotation invariant (VERDICT r5 #5, re-pinned every round):
-    # after round 11, no below-window entry's last driver row may be
-    # older than round 9 — so nothing with round-8 pedigree (and no
-    # never-verified round-10-late entry) may sit below the boundary.
-    # The pinned rows-only entry is exempt BY POLICY: it has no oracle,
-    # so a driver row can never verify it (pytest is its contract).
+    # after round 12, no below-window entry's last driver row may be
+    # older than round 10 — so nothing with round-9 pedigree (and no
+    # never-verified round-11-late entry) may sit below the boundary.
+    # The pinned rows-only entries are exempt BY POLICY: they have no
+    # oracle, so a driver row can never verify them (pytest is their
+    # contract).
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND8_ROTATED_IN_R11 == set(), (
-        "round-8-pedigree entries must sit inside the round-11 window"
+    assert below & ROUND9_ROTATED_IN_R12 == set(), (
+        "round-9-pedigree entries must sit inside the round-12 window"
     )
-    assert below & ROUND10_LATE_ROTATED_IN_R11 == set(), (
-        "never-verified round-10-late entries must sit inside the window"
+    assert below & ROUND11_LATE_ROTATED_IN_R12 == set(), (
+        "never-verified round-11-late entries must sit inside the window"
     )
 
 
@@ -294,7 +281,7 @@ def test_pinned_rows_only_entry_stays_below_the_window():
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND11_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND12_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
@@ -304,15 +291,15 @@ def test_window_is_exactly_the_declared_partition():
     # must-be-in set
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
-    assert window == ROUND11_MUST_BE_IN_WINDOW
-    assert below == (ROUND10_FROZEN | ROUND9_FROZEN | PINNED_ROWS_ONLY
-                     | ROUND11_LATE)
-    assert ROUND10_FROZEN & ROUND9_FROZEN == set()
-    assert PINNED_ROWS_ONLY & (ROUND10_FROZEN | ROUND9_FROZEN) == set()
-    assert ROUND11_LATE & (ROUND10_FROZEN | ROUND9_FROZEN | PINNED_ROWS_ONLY) == set()
+    assert window == ROUND12_MUST_BE_IN_WINDOW
+    assert below == (ROUND10_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY
+                     | ROUND12_LATE)
+    assert ROUND10_FROZEN & ROUND11_FROZEN == set()
+    assert PINNED_ROWS_ONLY & (ROUND10_FROZEN | ROUND11_FROZEN) == set()
+    assert ROUND12_LATE & (ROUND10_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY) == set()
     groups = [
-        ROUND10_LATE_ROTATED_IN_R11, ROUND8_ROTATED_IN_R11,
-        ROUND11_CHANGED_CODE, ROUND11_NEW_IN_WINDOW, ROUND11_BACKFILL_PULLS,
+        ROUND11_LATE_ROTATED_IN_R12, ROUND9_ROTATED_IN_R12,
+        ROUND12_CHANGED_CODE,
     ]
     for i, a in enumerate(groups):
         for b in groups[i + 1:]:
