@@ -233,11 +233,19 @@ def column_correlations(
         cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
         ]
-    # listwise deletion via explicit _bcol null filters — dropna's
-    # subset parses names, so a backticked column would break it (r12)
+    # listwise deletion via explicit _bcol filters — dropna's subset
+    # parses names, so a backticked column would break it (r12).
+    # dropna treats NaN as missing, so the replica must too: a NaN row
+    # kept here would count in __n while its decimal-cast products go
+    # NULL and vanish from the sums — silently corrupting every
+    # correlation (r12 review finding). isnan is only defined on
+    # float/double; other numeric types cannot hold NaN.
     complete = df
     for c in cols:
-        complete = complete.filter(_bcol(c).isNotNull())
+        cond = _bcol(c).isNotNull()
+        if isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType)):
+            cond = cond & ~F.isnan(_bcol(c))
+        complete = complete.filter(cond)
     # counters alias by INDEX: f"__p_{a}_{b}" on NAMES collides for
     # e.g. ("x_y", "z") vs ("x", "y_z") — Spark permits the duplicate
     # alias and Row[name] returns the first, silently computing the

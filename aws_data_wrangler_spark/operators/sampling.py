@@ -309,15 +309,23 @@ def temperature_fractions(
     unchanged. Every derived step is plain IEEE double arithmetic both
     engines replicate: ``f = (T · m/1e6) / ((M/1e6) · n)`` capped at 1.
     """
-    micros = {s: _weight_micros(n, alpha) for s, n in counts.items()}
+    # a None key (NULL stratum — what the groupBy-collect recipe yields
+    # on data with missing strata) is EXCLUDED from the totals, exactly
+    # as the distributed path excludes NULL strata: its rows can never
+    # match the downstream equality join, so counting its weight would
+    # only depress every real stratum's fraction (r12 review finding —
+    # the r11 sorted() fold crashed loudly on None; the order-free fold
+    # must not let it silently diverge from temperature_thresholds)
+    kept = {s: n for s, n in counts.items() if s is not None}
+    micros = {s: _weight_micros(n, alpha) for s, n in kept.items()}
     total_micros = sum(micros.values())  # exact int — order-free
-    total_n = sum(counts.values())
+    total_n = sum(kept.values())
     if target_rows is None:
         target_rows = total_n // 2
     total_w = float(total_micros) / 1e6
     return {
         s: min(1.0, (float(target_rows) * (float(micros[s]) / 1e6)) / (total_w * n))
-        for s, n in counts.items()
+        for s, n in kept.items()
     }
 
 

@@ -543,18 +543,28 @@ def dense_counts(
 
     ``key_col`` names the key column for composition with the
     ``*_from_counts`` operators' keyed tables (ADVICE r11: an
-    ``event_type``-keyed table used to raise instead of resolving) —
-    the output keeps the caller's name, so
+    ``event_type``-keyed table used to raise instead of resolving),
+    under the ``_fold_counts`` resolution rule — the explicit
+    ``key_col`` wins, a generic ``"key"`` table still resolves — so
     ``holt_winters_from_counts(dense_counts(c, key_col=k), key_col=k)``
-    composes directly.
+    composes directly whichever name ``c`` carries. The output keeps
+    the input's actual key name.
     """
+    renamed = False
     if key_col != "key":
-        if key_col not in counts.columns:
+        # the _fold_counts resolution rule verbatim: the explicit
+        # key_col wins over a leftover generic "key" column; a table
+        # carrying only the generic "key" still resolves (r12 review
+        # finding — raising here broke drop-in composition for
+        # generic-key tables the *_from_counts operators accept)
+        if key_col in counts.columns:
+            counts = counts.select(F.col(key_col).alias("key"), "bucket_ts", "n")
+            renamed = True
+        elif "key" not in counts.columns:
             raise ValueError(
-                f"counts must carry the key column {key_col!r}; "
-                f"got {counts.columns}"
+                f"counts must carry the key column {key_col!r} (or the "
+                f"generic 'key'); got {counts.columns}"
             )
-        counts = counts.select(F.col(key_col).alias("key"), "bucket_ts", "n")
     bounds = counts.groupBy("key").agg(
         F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx")
     )
@@ -567,7 +577,7 @@ def dense_counts(
     dense = spine.join(counts, ["key", "bucket_ts"], "left").select(
         "key", "bucket_ts", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
-    if key_col != "key":
+    if renamed:
         dense = dense.select(F.col("key").alias(key_col), "bucket_ts", "n")
     return dense
 

@@ -3967,8 +3967,18 @@ class TestTimeseries:
         ).collect()[0]
         for col in ("level", "trend", "forecast_next", "season_range"):
             assert named[col] == generic[col]
+        # the _fold_counts fallback (r12 review): a generic-'key' table
+        # resolves under any key_col instead of raising, and keeps its
+        # own name; a table with NEITHER name still raises
+        fallback = timeseries.dense_counts(
+            gappy.withColumnRenamed("event_type", "key"), key_col="event_type"
+        )
+        assert fallback.columns == ["key", "bucket_ts", "n"]
+        assert fallback.count() == 4
         with _pytest.raises(ValueError, match="key column"):
-            timeseries.dense_counts(gappy, key_col="nope")
+            timeseries.dense_counts(
+                gappy.withColumnRenamed("event_type", "typ"), key_col="nope"
+            )
 
     def test_ewma_from_counts_key_col_applies_to_input(self, spark):
         # ADVICE r8: key_col must resolve the INPUT key too — a caller
@@ -4180,6 +4190,22 @@ class TestTemperatureSampling:
         fr = sampling.temperature_fractions({"a": 300, "b": 100}, alpha=1.0, target_rows=200)
         # alpha=1 → every stratum keeps the same fraction target/total
         assert abs(fr["a"] - 0.5) < 1e-12 and abs(fr["b"] - 0.5) < 1e-12
+
+    def test_fractions_exclude_a_none_stratum_like_the_distributed_path(self):
+        # r12 review finding: the groupBy-collect recipe yields a None
+        # key for NULL strata; its weight must NOT depress the real
+        # strata (temperature_thresholds excludes NULL strata — the
+        # "can never drift" contract covers the None key too)
+        from aws_data_wrangler_spark.operators import sampling
+
+        with_null = sampling.temperature_fractions(
+            {"a": 100, "b": 4, None: 1_000_000}, alpha=0.5, target_rows=52
+        )
+        without = sampling.temperature_fractions(
+            {"a": 100, "b": 4}, alpha=0.5, target_rows=52
+        )
+        assert None not in with_null
+        assert with_null == without
 
     def test_temperature_sample_flattens_and_is_deterministic(self, spark, documents):
         from aws_data_wrangler_spark.operators import sampling
@@ -4651,6 +4677,29 @@ class TestProfiling:
         assert [r["n"] for r in hist] == [5, 5, 5, 5]
         kd = profiling.key_distribution(df, ["u`id"], top_n=3).collect()
         assert kd[0]["n"] == 4 and kd[0]["u`id"] in {"0", "1", "2", "3", "4"}
+
+    def test_column_correlations_drop_nan_rows_like_dropna(self, spark):
+        # r12 review finding: the dropna→isNotNull replica kept NaN
+        # rows, counting them in n while their decimal-cast products
+        # went NULL — listwise deletion must treat NaN as missing,
+        # exactly as dropna did
+        import math
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        rows = [(1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (float("nan"), 7.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = profiling.column_correlations(df, ["a", "b"]).collect()[0]
+        assert out["n"] == 3  # the NaN row is deleted listwise
+        xs, ys = [1.0, 2.0, 3.0], [2.0, 4.1, 5.9]
+        n = 3
+        sx, sy = sum(xs), sum(ys)
+        sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        want = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert abs(out["corr"] - want) < 1e-6
 
     def test_kmv_set_estimates_empty_side_is_empty_frame(self, spark):
         # day-zero contract (review r10): one parity half with no rows
