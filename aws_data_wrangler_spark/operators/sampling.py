@@ -303,11 +303,15 @@ def temperature_fractions(
     (``floor(n**alpha * 1e6)`` — ``_weight_micros``) so the total
     weight is an exact integer sum — no float fold, no order
     dependence, and the distributed ``temperature_thresholds`` computes
-    the SAME fractions bit-for-bit (property-tested). The quantization
-    only moves irrational weights (sqrt of a non-square) by < 1e-6
-    relative; exact weights (``alpha`` 0/0.5-on-squares/1) are
-    unchanged. Every derived step is plain IEEE double arithmetic both
-    engines replicate: ``f = (T · m/1e6) / ((M/1e6) · n)`` capped at 1.
+    the SAME fractions bit-for-bit (property-tested) for ``alpha`` in
+    {0.5, 1.0}, where the weight routes through correctly-rounded
+    sqrt/identity. Other alphas go through ``pow`` — libm-dependent,
+    so python-vs-Spark parity is last-bit-close but not guaranteed
+    (see ``temperature_thresholds``). The quantization only moves
+    irrational weights (sqrt of a non-square) by < 1e-6 relative;
+    exact weights (``alpha`` 0/0.5-on-squares/1) are unchanged. Every
+    derived step is plain IEEE double arithmetic both engines
+    replicate: ``f = (T · m/1e6) / ((M/1e6) · n)`` capped at 1.
     """
     # a None key (NULL stratum — what the groupBy-collect recipe yields
     # on data with missing strata) is EXCLUDED from the totals, exactly
@@ -354,7 +358,9 @@ def temperature_thresholds(
     would re-aggregate the corpus a second time (the two agg subtrees
     canonicalize differently, so ReuseExchange can't merge them —
     observed r12). The fraction derives in IEEE double arithmetic
-    bit-identical to the python fold — property-tested both ways.
+    bit-identical to the python fold for ``alpha`` in {0.5, 1.0}
+    (correctly-rounded sqrt/identity — property-tested both ways);
+    other alphas route through libm ``pow``, close but not guaranteed.
 
     NULL strata are excluded from the table AND the totals (they can
     never match the downstream equality join, so counting their weight

@@ -1951,10 +1951,11 @@ def _text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened (α=0.5) language rebalancing over the
-    documents corpus — the mT5-style data-mix pass. The per-stratum
-    fractions derive from sorted-order driver-side float math the
-    oracle replicates exactly; the coin is the shared md5-prefix
-    threshold."""
+    documents corpus — the mT5-style data-mix pass. r12: fractions
+    derive IN Spark under the quantized-micro convention (exact
+    integer micro sums, no driver collect — `temperature_thresholds`),
+    replicated exactly by the `_temperature_mix_sql` oracle; the coin
+    is the shared md5-prefix threshold with round-HALF_UP hex."""
     from aws_data_wrangler_spark.operators import sampling
 
     docs = load_parallel(spark, sf_dir, "documents")
@@ -2284,10 +2285,13 @@ def _sample_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-domain mixing the C4/RefinedWeb recipes run, now with REAL
     strata from `with_canonical_url` instead of the `source` label
     (VERDICT r8 #6's motivation): canonicalize the synthesized messy
-    URLs, then the mT5-style data-mix pass over the domain strata. The
-    per-stratum fractions derive from sorted-order driver-side float
-    math the oracle replicates exactly; the coin is the shared
-    md5-prefix threshold; the domain strata come from the SAME
+    URLs, then the mT5-style data-mix pass over the domain strata.
+    r12: fractions derive IN Spark under the quantized-micro
+    convention (exact integer micro sums, no driver collect —
+    `temperature_thresholds`, exactly the million-domain shape this
+    per-domain row exists for), replicated by `_temperature_mix_sql`;
+    the coin is the shared md5-prefix threshold with round-HALF_UP
+    hex; the domain strata come from the SAME
     synthesis + regex chain as `text_domain_rollup` (shared helper /
     shared oracle CTEs — equal by construction)."""
     from aws_data_wrangler_spark.operators import sampling
@@ -3694,7 +3698,8 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the R9 block), and sample_temperature + sample_domain_temperature
 # (the distributed temperature_thresholds rewrite, VERDICT r11 #4).
 # 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO (VERDICT
-# r11 #5 — round 13 must absorb the 47-entry ROUND10_FROZEN block).
+# r11 #5 — round 13 must absorb the ROUND10_FROZEN remainder: 45
+# entries after the two rows pulled into this window).
 # Below the boundary sit the ROUND10_FROZEN remainder (45 fresh r10
 # rows — rotates in round 13), the ROUND11_FROZEN block (48 fresh r11
 # rows — rotates in round 14), and the PERMANENTLY PINNED rows-only
@@ -3763,8 +3768,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # crossing rows (profiling_numeric_summary / profiling_correlations
     # / events_value_histogram) already sit in the R9 block above.
     # 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO
-    # (VERDICT r11 #5 — round 13 must absorb the 47-entry
-    # ROUND10_FROZEN block) ---
+    # (VERDICT r11 #5 — round 13 must absorb the 45-entry
+    # ROUND10_FROZEN remainder below) ---
     "sample_cluster_balanced": _sample_cluster_balanced,
     "profiling_null_profile": _profiling_null_profile,
     "sample_temperature": _sample_temperature,

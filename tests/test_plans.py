@@ -47,7 +47,7 @@ def test_rows_only_set_is_intentional():
 # block), and sample_temperature + sample_domain_temperature crossing
 # the distributed temperature_thresholds rewrite (VERDICT r11 #4).
 # 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO (VERDICT
-# r11 #5 — round 13 must absorb the 47-entry ROUND10_FROZEN block, so
+# r11 #5 — round 13 must absorb the 45-entry ROUND10_FROZEN remainder, so
 # every spare slot is kept for round-13 changed-code rows). Below the
 # boundary sit only the ROUND10_FROZEN remainder (45 entries, fresh
 # r10 rows — rotates in round 13), the ROUND11_FROZEN block (48
@@ -158,7 +158,8 @@ ROUND11_FROZEN = {
 PINNED_ROWS_ONLY = {"bpe_encode", "bpe_token_budget"}
 
 # Round-12 late registrations: ZERO by design (VERDICT r11 #5 — the
-# round-13 rotation must absorb the whole 47-entry ROUND10_FROZEN +
+# round-13 rotation must absorb the whole 45-entry ROUND10_FROZEN
+# remainder +
 # changed-code set within 50). Kept as an explicit empty set so the
 # partition test still tiles the registry exactly.
 ROUND12_LATE: set = set()
