@@ -780,9 +780,10 @@ def test_kmv_matches_python_md5_reference_under_random_batching(spark, keys, bat
         max_size=8,
     ),
     target=st.one_of(st.none(), st.integers(min_value=0, max_value=10_000)),
+    alpha=st.sampled_from([0.5, 1.0]),  # the guaranteed-parity forms
 )
 def test_temperature_thresholds_match_python_fractions_bitwise(
-    spark, counts, target
+    spark, counts, target, alpha
 ):
     """The r12 distributed rewrite (VERDICT r11 #4) against the
     driver-side fold under the shared quantized-micro convention:
@@ -801,10 +802,10 @@ def test_temperature_thresholds_match_python_fractions_bitwise(
     got = {
         r["source"]: r["fraction"]
         for r in sampling.temperature_thresholds(
-            cdf, alpha=0.5, target_rows=target
+            cdf, alpha=alpha, target_rows=target
         ).collect()
     }
-    want = sampling.temperature_fractions(counts, alpha=0.5, target_rows=target)
+    want = sampling.temperature_fractions(counts, alpha=alpha, target_rows=target)
     assert set(got) == set(want)  # NULL stratum excluded
     for s in want:
         assert struct.pack("<d", got[s]) == struct.pack("<d", want[s]), (
