@@ -5447,3 +5447,39 @@ class TestQualityClassifier:
         assert norms[1e-6] > norms[1e-2] > norms[0.4], norms
         assert accs[1e-6] >= 0.95, accs
         assert accs[0.4] <= accs[1e-6], accs
+
+
+class TestTemperatureAtStratumScale:
+    def test_thresholds_match_python_at_2000_strata(self, spark):
+        # the r12 rewrite's reason to exist: per-registered-domain
+        # mixing has millions of strata. 2000 strata through the
+        # DISTRIBUTED path must (a) produce fractions bit-identical to
+        # the python convention for every stratum, (b) keep the plan
+        # collect-free and broadcast-shaped (the codegen-safe join,
+        # never a stratum-cardinality CASE)
+        import struct
+
+        from aws_data_wrangler_spark.operators import sampling
+
+        counts = {f"domain{i:04d}.com": (i % 97) + 1 for i in range(2000)}
+        cdf = spark.createDataFrame(
+            list(counts.items()), "source string, n long"
+        )
+        got = {
+            r["source"]: r["fraction"]
+            for r in sampling.temperature_thresholds(cdf, alpha=0.5).collect()
+        }
+        want = sampling.temperature_fractions(counts, alpha=0.5)
+        assert len(got) == 2000
+        for s, f in want.items():
+            assert struct.pack("<d", got[s]) == struct.pack("<d", f), s
+        # the corpus-side filter stays one broadcast join at this
+        # cardinality — the threshold table rides the build side
+        docs = spark.range(4000).selectExpr(
+            "id AS doc_id", "concat('domain', lpad(id % 2000, 4, '0'), '.com') AS source"
+        )
+        kept = sampling.temperature_sample(docs, strata_col="source", alpha=0.5)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
