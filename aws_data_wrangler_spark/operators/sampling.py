@@ -277,7 +277,18 @@ def _weight_micros(n: float, alpha: float) -> int:
     any partitioning, and bit-identical between python ints, a Spark
     ``decimal(38,0)`` sum, and a DuckDB hugeint sum. ``alpha=0.5``
     routes through sqrt (IEEE correctly-rounded in every engine, where
-    ``pow`` carries no such guarantee)."""
+    ``pow`` carries no such guarantee).
+
+    EXACTNESS ENVELOPE (r12 deep-fuzz finding): the integer-micro
+    claim is exact while ``n**alpha · 1e6 < 2^53`` — for ``alpha=0.5``
+    that covers EVERY bigint ``n`` (sqrt(9.2e18)·1e6 ≈ 3.0e15); for
+    ``alpha=1.0`` it covers strata up to ~9.0e9 rows. Beyond it the
+    scaled weight is itself an approximate double and Spark's
+    double→decimal cast renders the SHORTEST decimal (Double.toString)
+    where python's ``math.floor`` keeps the exact binary integer —
+    deterministic within each engine, but cross-path fractions can
+    differ in the last ulp. No path crashes at any bigint ``n`` (the
+    former ``F.floor``→bigint funnel raised/wrapped past 9.2e12)."""
     import math
 
     w = math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha
@@ -375,19 +386,34 @@ def temperature_thresholds(
         # libm pow: fine within one engine; cross-engine bit-parity is
         # only guaranteed for the sqrt/identity forms above
         w = F.pow(n, F.lit(float(alpha)))
-    per = counts.filter(F.col(strata_col).isNotNull()).withColumn(
-        "__m", F.floor(w * F.lit(1e6))
-    )
+    # exact floor WITHOUT the bigint funnel: F.floor(double) returns
+    # LONG, which overflows (ANSI: raises; legacy: wraps) for
+    # alpha=1.0 strata past ~9.2e12 rows — the trillion-row-stratum
+    # regime a 100 TB corpus reaches (r12 deep-fuzz finding). Positive
+    # doubles floor exactly as x − fmod(x, 1) (the fractional part is
+    # exact, the subtraction's true result is representable), and the
+    # integer-valued double then casts to decimal(38,0) exactly —
+    # headroom to 1e38, matching python's arbitrary-precision
+    # math.floor bit-for-bit on the shared IEEE product w·1e6.
+    scaled = w * F.lit(1e6)
+    m = (scaled - F.pmod(scaled, F.lit(1.0))).cast("decimal(38,0)")
+    per = counts.filter(F.col(strata_col).isNotNull()).withColumn("__m", m)
     everything = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # the row total rides decimal(38,0) for the same reason as the
+    # micro total: a bigint SUM(n) wraps/raises past 9.2e18 total rows
+    # while the python twin's int sum does not (r12 deep-fuzz finding)
     per = per.withColumn(
-        "__mm", F.sum(F.col("__m").cast("decimal(38,0)")).over(everything)
-    ).withColumn("__tn", F.sum(F.col(n_col)).over(everything))
+        "__mm", F.sum(F.col("__m")).over(everything)
+    ).withColumn(
+        "__tn", F.sum(F.col(n_col).cast("decimal(38,0)")).over(everything)
+    )
     t = (
-        F.lit(int(target_rows)).cast("bigint")
+        F.lit(int(target_rows)).cast("double")
         if target_rows is not None
-        else F.expr("__tn div 2")
+        # floor(tn/2) on the exact decimal ≡ python's total_n // 2
+        else F.floor(F.col("__tn") / F.lit(2))
     )
     total_w = F.col("__mm").cast("double") / F.lit(1e6)
     frac = F.least(

@@ -283,7 +283,7 @@ def _temperature_mix_sql(src: str, stratum: str, with_prefix: str = "WITH ") -> 
             WHERE {stratum} IS NOT NULL GROUP BY {stratum}
         ), w AS (
             SELECT {stratum}, n,
-                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS m
+                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS HUGEINT) AS m
             FROM counts
         ), tot AS (
             SELECT SUM(m) AS mm, SUM(n) AS total_n FROM w

@@ -5483,3 +5483,38 @@ class TestTemperatureAtStratumScale:
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_thresholds_survive_trillion_row_strata(self, spark):
+        # r12 deep-fuzz regression: the former F.floor(double)->bigint
+        # funnel overflowed (ANSI: raised) for alpha=1.0 strata past
+        # ~9.2e12 rows and for corpus totals past 9.2e18 — the
+        # trillion-row-stratum regime of a 100 TB corpus. The decimal
+        # path must be crash-free at bigint-extreme counts, and
+        # alpha=0.5 (the guaranteed form: scaled weight < 2^53 for ANY
+        # bigint n) stays BIT-exact against the python twin there
+        import struct
+
+        from aws_data_wrangler_spark.operators import sampling
+
+        counts = {
+            "web": 9_000_000_000_000_000_000,  # near bigint max
+            "code": 450_375_816_465_067_227,
+            "books": 123_456_789_012_345,
+            "tiny": 7,
+        }
+        cdf = spark.createDataFrame(list(counts.items()), "source string, n long")
+        for alpha in (0.5, 1.0):
+            got = {
+                r["source"]: r["fraction"]
+                for r in sampling.temperature_thresholds(
+                    cdf, alpha=alpha
+                ).collect()
+            }
+            assert set(got) == set(counts)  # no overflow, every stratum out
+        want = sampling.temperature_fractions(counts, alpha=0.5)
+        got = {
+            r["source"]: r["fraction"]
+            for r in sampling.temperature_thresholds(cdf, alpha=0.5).collect()
+        }
+        for s in want:
+            assert struct.pack("<d", got[s]) == struct.pack("<d", want[s]), s
