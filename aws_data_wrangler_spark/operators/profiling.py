@@ -1053,8 +1053,15 @@ def kmv_sketches(
     parts = []
     for c in cols:
         key = _bcol(c).cast("string")
-        hashed = df.select(batch, _kmv_hash(key).alias("__h")).filter(
-            F.col("__h").isNotNull()
+        # null-filter on the RAW key, not on the hash (r13): the hash
+        # is NULL exactly iff the key is, but filtering on __h plans a
+        # Filter that re-states the md5 chain UNDER the hashing Project
+        # — two md5 evaluations per candidate-side row (the guide §4.4
+        # duplicated-evaluation shape, JVM edition). Filtering the key
+        # first leaves exactly ONE md5 per row in the plan (pinned in
+        # tests: test_kmv_sizing_pass_pays_no_md5).
+        hashed = df.filter(key.isNotNull()).select(
+            batch, _kmv_hash(key).alias("__h")
         )
         # guard the cast: only divide when nd > margin·k (the quotient
         # is then < 2^60 — no long overflow); smaller batches keep the
@@ -1068,9 +1075,24 @@ def kmv_sketches(
             ).cast("long")
             + F.lit(1)
         )
-        stats = hashed.groupBy("batch").agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.approx_count_distinct("__h").alias("__nd"),
+        # the sizing pass reads the RAW column (r13, guide §1.2/§2.3:
+        # make the cheap pass cheap): count(key) counts exactly the
+        # rows the md5 pass would (the hash is NULL iff the key is),
+        # and the HLL NDV estimate only sizes the prune threshold —
+        # 8k/NDV of the space, an 8× margin, so estimating NDV(key)
+        # instead of NDV(md5-prefix(key)) changes nothing the output
+        # invariance argument doesn't already absorb (both estimate
+        # the same true NDV; the threshold tolerates an 8×-high read).
+        # The md5 coin is now paid ONCE per row, on the candidate scan
+        # — at corpus scale that halves the hashing bill of a sketch.
+        stats = (
+            df.select(batch, key.alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.approx_count_distinct("__k").alias("__nd"),
+            )
         )
         # __n rides through the broadcast join so the per-column cost
         # is exactly TWO full passes (the stats aggregate + the pruned
@@ -1122,6 +1144,17 @@ def kmv_union(sketches: DataFrame) -> DataFrame:
     k = _kmv_k(sketches)
     if k is None:
         return sketches
+    return _kmv_union_pooled(sketches, k)
+
+
+def _kmv_union_pooled(sketches: DataFrame, k: int) -> DataFrame:
+    """``kmv_union`` body once ``k`` is known — shared so the estimate
+    readers (``kmv_estimates`` / ``kmv_set_estimates``), which already
+    paid the ``_kmv_k`` geometry collect for their own guard, don't pay
+    it a second time inside the union (r13: each ``_kmv_k`` is a driver
+    round-trip that EXECUTES the sketch plan when the state table is an
+    unmaterialized ``kmv_sketches`` composition — halving the collects
+    halves those re-executions)."""
     # n_rows sums over SKETCH rows; the mins pool explodes them — two
     # aggregates on artifact-sized input (never sum over the explode:
     # that would multiply n_rows by the array size)
@@ -1163,7 +1196,7 @@ def kmv_estimates(sketches: DataFrame) -> DataFrame:
         return sketches.sparkSession.createDataFrame(
             [], "column string, n_rows bigint, n_distinct_est bigint"
         )
-    return kmv_union(sketches).select(
+    return _kmv_union_pooled(sketches, k).select(
         "column", "n_rows", _kmv_ndv_est(F.col("mins"), k).alias("n_distinct_est")
     )
 
@@ -1198,11 +1231,14 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame) -> DataFrame:
             "column string, ndv_a_est bigint, ndv_b_est bigint, "
             "union_est bigint, intersection_est bigint, jaccard_est double",
         )
-    ua = kmv_union(a).select(
+    # _kmv_union_pooled, not kmv_union: the k guard above already paid
+    # one geometry collect per side — the union must not pay a second
+    # (each collect re-executes an unmaterialized sketch plan, r13)
+    ua = _kmv_union_pooled(a, k).select(
         "column", F.col("mins").alias("__ma"),
         _kmv_ndv_est(F.col("mins"), k).alias("ndv_a_est"),
     )
-    ub = kmv_union(b).select(
+    ub = _kmv_union_pooled(b, k).select(
         "column", F.col("mins").alias("__mb"),
         _kmv_ndv_est(F.col("mins"), k).alias("ndv_b_est"),
     )

@@ -1723,8 +1723,18 @@ def delete_from_partitioned_index(
         if not values:
             return  # zero deletions: a no-op, not a schema-inference crash
         tomb = spark.createDataFrame(values).toDF(id_col)
+    # one file per delete call, not one per input partition (r13):
+    # the tombstone set is deleted-set-sized BY CONTRACT (tiny relative
+    # to the corpus), but createDataFrame/DataFrame inputs arrive on
+    # default parallelism — unconsolidated, a 20-id delete writes ~20
+    # fragment files every search-side load_tombstones must then list
+    # and footer-read. repartition(1), NOT coalesce(1): the tiny
+    # shuffle costs nothing, while coalesce(1) was MEASURED pathological
+    # here (~4.8 s vs 0.66 s per delete at sf0.1 — the narrow coalesce
+    # glues onto the local-relation parent and serializes its planning)
     s3.to_parquet(
-        tomb, _tombstone_path(index_path), dataset=True, mode="append", spark=spark
+        tomb.repartition(1), _tombstone_path(index_path), dataset=True,
+        mode="append", spark=spark,
     )
 
 

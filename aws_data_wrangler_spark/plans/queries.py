@@ -1309,15 +1309,21 @@ def _ann_ivf_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = _seed_centroids(emb, 32)
+    # artifact-sized caches (32 seed rows, 10 query rows — never the
+    # corpus): build + search each collect the centroids, the search
+    # additionally collects the probe cells and re-reads the query set
+    # in the scoring plan (the rebalance-row rationale, r13)
+    seeds = _seed_centroids(emb, 32).cache()
     index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_index"
     similarity.build_partitioned_ivf(
         emb, seeds, index, metric="cosine", spark=spark
     )
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_partitioned_topk(
+    queries = emb.filter(F.col("vec_id") < 10).cache()
+    out = similarity.ivf_partitioned_topk(
         spark, index, queries, seeds, k=5, nprobe=4, metric="cosine"
     ).orderBy("query_id", "rank")
+    out._sg_batch_caches = [seeds, queries]
+    return out
 
 
 # ann_index_delete_search RETIRED r9 — the tombstone contract covered by ann_index_rebalance_search (same build + same delete, physically applied) and the search-time anti-join suppression pinned by tests/test_operators.py::test_tombstone_delete_suppresses_and_compaction_applies
@@ -1338,19 +1344,29 @@ def _ann_index_rebalance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_parallel(spark, sf_dir, "embeddings")
     index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_rebal_index"
+    # cache the ARTIFACT-sized frames (32/16 seed rows, 10 query rows —
+    # never the corpus): the lifecycle evaluates each repeatedly
+    # (collect_centroids at build, rebalance AND search; the probe-cell
+    # collect; the final scoring plan), and uncached every evaluation
+    # re-runs a full corpus scan + the parallelizing repartition
+    # (guide §5: cache what is reused and expensive to recompute)
+    seeds32 = _seed_centroids(emb, 32).cache()
     similarity.build_partitioned_ivf(
-        emb, _seed_centroids(emb, 32), index, metric="cosine", spark=spark
+        emb, seeds32, index, metric="cosine", spark=spark
     )
     similarity.delete_from_partitioned_index(spark, index, range(10, 30))
     target = f"{tempfile.mkdtemp(prefix='sgq_')}/ivf_rebal_target"
-    new_seeds = _seed_centroids(emb, 16)
+    new_seeds = _seed_centroids(emb, 16).cache()
     similarity.rebalance_partitioned_index(
         spark, index, new_seeds, target, metric="cosine"
     )
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_partitioned_topk(
+    queries = emb.filter(F.col("vec_id") < 10).cache()
+    out = similarity.ivf_partitioned_topk(
         spark, target, queries, new_seeds, k=5, nprobe=4, metric="cosine"
     ).orderBy("query_id", "rank")
+    # cache hygiene: the handle the looping consumers release
+    out._sg_batch_caches = [seeds32, new_seeds, queries]
+    return out
 
 
 def _io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2035,15 +2051,22 @@ def _ann_ivfpq_partitioned_search(spark: SparkSession, sf_dir: str) -> DataFrame
     from aws_data_wrangler_spark.operators import similarity
 
     emb = load_parallel(spark, sf_dir, "embeddings")
-    seeds = _seed_centroids(emb, 16)
+    # artifact-sized caches (16 seed rows, 10 query rows — never the
+    # corpus): build + search each collect the centroids, the search
+    # additionally collects the probe cells and re-reads the query set
+    # in the scoring plan — uncached, every evaluation re-runs a full
+    # corpus scan + repartition (the rebalance-row rationale)
+    seeds = _seed_centroids(emb, 16).cache()
     index = f"{tempfile.mkdtemp(prefix='sgq_')}/ivfpq_index"
     books = similarity.build_partitioned_ivfpq(
         emb, seeds, index, m=8, num_codes=16, iterations=0, spark=spark
     )
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivfpq_partitioned_topk(
+    queries = emb.filter(F.col("vec_id") < 10).cache()
+    out = similarity.ivfpq_partitioned_topk(
         spark, index, queries, seeds, books, k=5, nprobe=4, rescore_factor=4
     ).orderBy("query_id", "rank")
+    out._sg_batch_caches = [seeds, queries]
+    return out
 
 
 def _profiling_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3350,14 +3373,28 @@ def _profiling_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 3 == 0) & (F.col("__p") == 1),
         F.col("user_id") + 1_000_000,
     ).otherwise(F.col("user_id"))
+    # load_parallel, not load (r13): the candidate scan md5-hashes
+    # every surviving row, and a single-row-group parquet scan would
+    # run that hashing in ONE task — the same parallelizing repartition
+    # every other hash-heavy operator input gets
     ev = (
-        load(spark, sf_dir, "events")
+        load_parallel(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("user_id", parity.alias("__p"))
         .select(churned.alias("user_id"), "__p")
     )
-    sk_a = profiling.kmv_sketches(ev.filter(F.col("__p") == 0), ["user_id"], k=k)
-    sk_b = profiling.kmv_sketches(ev.filter(F.col("__p") == 1), ["user_id"], k=k)
+    # cache the sketch tables (bounded at k bigints per side BY
+    # CONSTRUCTION — never data): kmv_set_estimates' geometry collects
+    # and the final plan would otherwise re-execute each 2-pass corpus
+    # sketch once per reference (the cms_frequencies/cms_join_size
+    # caching precedent; in production the state is persisted parquet
+    # and this doesn't arise)
+    sk_a = profiling.kmv_sketches(
+        ev.filter(F.col("__p") == 0), ["user_id"], k=k
+    ).cache()
+    sk_b = profiling.kmv_sketches(
+        ev.filter(F.col("__p") == 1), ["user_id"], k=k
+    ).cache()
     est = profiling.kmv_set_estimates(sk_a, sk_b).drop("column")
     exact = (
         ev.groupBy("user_id")
@@ -3372,10 +3409,14 @@ def _profiling_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("__a") * F.col("__b")).cast("bigint").alias("exact_inter"),
         )
     )
-    return est.crossJoin(exact).select(
+    out = est.crossJoin(exact).select(
         "ndv_a_est", "ndv_b_est", "union_est", "intersection_est",
         "jaccard_est", "exact_a", "exact_b", "exact_union", "exact_inter",
     )
+    # cache hygiene (the cms rows' convention): handle recorded so
+    # looping consumers can dedup.release_batch_state(out)
+    out._sg_batch_caches = [sk_a, sk_b]
+    return out
 
 
 def _events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4932,6 +4932,55 @@ class TestProfiling:
                 sk_a, profiling.kmv_sketches(b, ["u"], k=64)
             )
 
+    def test_kmv_sizing_pass_pays_no_md5(self, spark):
+        # r13 optimization regression pin: the threshold-sizing pass
+        # reads the RAW column — its NDV estimate sizes the prune
+        # threshold, so hashing every row with md5 first was a full
+        # corpus md5 pass the output is provably invariant to. The
+        # sizing aggregate must therefore run approx_count_distinct
+        # over the raw key (__k), never over the md5 hash (__h); the
+        # md5 coin is paid on the candidate scan only. (Values are
+        # pinned separately against the hashlib reference above — the
+        # prune threshold provably can't change the output. The plan
+        # may still TEXTUALLY restate the candidate-side md5 chain in
+        # an optimizer-inferred isnotnull; codegen CSEs it, so only
+        # the sizing side is pinned here.)
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(500).selectExpr("CAST(id AS STRING) AS v")
+        sk = profiling.kmv_sketches(df, ["v"], k=64)
+        plan = sk._jdf.queryExecution().optimizedPlan().toString()
+        assert "approx_count_distinct(__k" in plan, plan
+        assert "approx_count_distinct(__h" not in plan, plan
+        # and the sizing aggregate's input subtree is md5-free: every
+        # md5 occurrence sits on the candidate branch (below the join),
+        # none under the stats Aggregate that feeds the threshold
+        agg_branch = plan.split("approx_count_distinct(__k", 1)[1]
+        assert "md5(" not in agg_branch, plan
+
+    def test_delete_writes_one_tombstone_file_per_call(self, spark, embeddings, tmp_path):
+        # r13 optimization regression pin: a delete call appends ONE
+        # tombstone file (repartition(1) before the write), not one
+        # fragment per input partition — load_tombstones at search
+        # time lists and footer-reads every fragment, so an
+        # unconsolidated 20-id delete costs ~20 file opens per search
+        import glob
+
+        from pyspark.sql import Window
+
+        seeds = (
+            embeddings.orderBy("vec_id").limit(8)
+            .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .select("cid", F.col("embedding").alias("cvec"))
+        )
+        index = str(tmp_path / "ivf_tomb_files")
+        similarity.build_partitioned_ivf(embeddings, seeds, index)
+        similarity.delete_from_partitioned_index(spark, index, range(10, 30))
+        assert len(glob.glob(f"{index}/_tombstones/*.parquet")) == 1
+        # idempotent append: a second call adds exactly one more file
+        similarity.delete_from_partitioned_index(spark, index, [99])
+        assert len(glob.glob(f"{index}/_tombstones/*.parquet")) == 2
+
     def test_cms_merge_bit_identical_and_estimate_bounds(self, spark):
         # Count-Min: 4 disjoint batches sketched independently must
         # union to the IDENTICAL counter table (integer sums commute —

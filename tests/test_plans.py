@@ -498,6 +498,20 @@ class TestPlanAudits:
         assert s["broadcast_nested_loop_joins"] == 0, s["plan"]
         assert not s["python_eval"], s["plan"]
 
+    def test_kmv_set_overlap_row_carries_cache_handle(self, spark):
+        # r13: the registered row caches its two sketch tables (the
+        # cms_frequencies/cms_join_size precedent — bounded at k
+        # bigints per side, never data) so the geometry collects and
+        # the final plan stop re-executing the 2-pass corpus sketches;
+        # the release handle must ride the returned frame for the
+        # ingest-loop hygiene contract
+        from aws_data_wrangler_spark.operators import dedup
+        from aws_data_wrangler_spark.plans import QUERIES
+
+        out = QUERIES["profiling_kmv_set_overlap"](spark, "/root/testdata/sf0.001")
+        assert len(getattr(out, "_sg_batch_caches", [])) == 2
+        assert dedup.release_batch_state(out, blocking=True) == 2
+
     def test_kmv_sketch_threshold_join_broadcasts(self, spark):
         # the two-pass prune's threshold join must broadcast the tiny
         # per-batch stats side — the corpus (100 TB side) streams
