@@ -3075,14 +3075,20 @@ def _profiling_quantile_invariants(spark: SparkSession, sf_dir: str) -> DataFram
     batched = ev.withColumn(
         "b", F.crc32(F.col("event_id").cast("string")) % 4
     )
+    # cache the merged sketch (ONE grid row — never data): it is
+    # collected twice below (n_rows + the estimates), and uncached each
+    # collect re-executes the 4-batch sketch aggregate over events;
+    # all consumers are eager in-function, so the cache is released
+    # before returning (r13)
     merged_sk = profiling.quantile_union(
         profiling.quantile_sketches(batched, ["value"], batch_col="b", bins=bins)
-    )
+    ).cache()
     n_rows = int(merged_sk.collect()[0]["n"])
     merged_est = {
         r["p"]: r["est"]
         for r in profiling.quantile_estimates(merged_sk, ps).collect()
     }
+    merged_sk.unpersist()
     single_est = {
         r["p"]: r["est"]
         for r in profiling.quantile_estimates(
@@ -3234,7 +3240,10 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the DataSketches HLL row."""
     from aws_data_wrangler_spark.operators import profiling
 
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    # load_parallel (r13): each sketch pass md5-hashes every row
+    # depth times — on a single-row-group parquet scan that hashing
+    # ran in ONE task (measured 1.35 s vs 0.90 s per pass at sf0.1)
+    ev = load_parallel(spark, sf_dir, "events").select("event_id", "event_type")
     batched = ev.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
     # cache the counter tables (bounded by depth*width BY CONSTRUCTION
     # — never data): cms_estimates' eager geometry collect would
@@ -3288,8 +3297,10 @@ def _profiling_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY — no envelope."""
     from aws_data_wrangler_spark.operators import profiling
 
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    # load_parallel (r13): the orders sketch md5-hashes 600k cells —
+    # single-task on a bare scan (the cms_frequencies rationale)
+    orders = load_parallel(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_parallel(spark, sf_dir, "customer").select("c_custkey")
     batched = orders.withColumn(
         "__b", (F.col("o_orderkey") % 2).cast("string")
     )
