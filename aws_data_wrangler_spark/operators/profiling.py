@@ -1041,6 +1041,12 @@ def kmv_sketches(
     their expectation (P ≲ e^−k·ln2, astronomically small at k ≥ 64)
     on top of an 8×-high HLL estimate (outside its ±2% error model).
     NULLs are excluded (the ``count(col)`` convention).
+
+    Multi-column calls FUSE (r13): one sizing aggregate computes every
+    column's (count, NDV), and one stacked (column, key) scan hashes
+    and prunes all columns against their per-column thresholds — 2
+    corpus passes for ANY column count instead of 2 per column, with
+    per-column results bit-identical to the single-column path.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -1050,8 +1056,22 @@ def kmv_sketches(
         _bcol(batch_col).cast("string") if batch_col else F.lit("__all__")
     ).alias("batch")
     margin = 8
-    parts = []
-    for c in cols:
+
+    # guard the cast: only divide when nd > margin·k (the quotient
+    # is then < 2^60 — no long overflow); smaller batches keep the
+    # whole space (no pruning needed or wanted)
+    def _thr(nd: "F.Column") -> "F.Column":
+        return F.when(
+            nd <= F.lit(margin * k), F.lit(_KMV_SPACE).cast("long")
+        ).otherwise(
+            (F.lit(margin * k * float(_KMV_SPACE)) / nd.cast("double")).cast(
+                "long"
+            )
+            + F.lit(1)
+        )
+
+    if len(cols) == 1:
+        c = cols[0]
         key = _bcol(c).cast("string")
         # null-filter on the RAW key, not on the hash (r13): the hash
         # is NULL exactly iff the key is, but filtering on __h plans a
@@ -1062,18 +1082,6 @@ def kmv_sketches(
         # tests: test_kmv_sizing_pass_pays_no_md5).
         hashed = df.filter(key.isNotNull()).select(
             batch, _kmv_hash(key).alias("__h")
-        )
-        # guard the cast: only divide when nd > margin·k (the quotient
-        # is then < 2^60 — no long overflow); smaller batches keep the
-        # whole space (no pruning needed or wanted)
-        thr = F.when(
-            F.col("__nd") <= F.lit(margin * k), F.lit(_KMV_SPACE).cast("long")
-        ).otherwise(
-            (
-                F.lit(margin * k * float(_KMV_SPACE))
-                / F.col("__nd").cast("double")
-            ).cast("long")
-            + F.lit(1)
         )
         # the sizing pass reads the RAW column (r13, guide §1.2/§2.3:
         # make the cheap pass cheap): count(key) counts exactly the
@@ -1099,7 +1107,9 @@ def kmv_sketches(
         # candidate scan) — never a third join back to stats
         cand = (
             hashed.join(
-                F.broadcast(stats.select("batch", thr.alias("__thr"), "__n")),
+                F.broadcast(
+                    stats.select("batch", _thr(F.col("__nd")).alias("__thr"), "__n")
+                ),
                 "batch",
             )
             .filter(F.col("__h") < F.col("__thr"))
@@ -1109,19 +1119,83 @@ def kmv_sketches(
             F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins"),
             F.max("__n").alias("__n"),
         )
-        parts.append(
-            sk.select(
-                "batch",
-                F.lit(c).alias("column"),
-                F.col("__n").alias("n_rows"),
-                F.lit(k).cast("int").alias("k"),
-                "mins",
-            )
+        return sk.select(
+            "batch",
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.lit(k).cast("int").alias("k"),
+            "mins",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    # MULTI-COLUMN FUSION (r13 — VERDICT r12 #5, the r10 nit): a
+    # k-column sketch call used to run the per-column 2-pass plan k
+    # times — 2·k corpus scans. Fused: pass 1 is ONE scan computing
+    # every column's (count, NDV) in a single aggregate; pass 2 is ONE
+    # scan stacking (column, key) via explode, hashing once per cell,
+    # and pruning against the per-(batch, column) threshold delivered
+    # by ONE broadcast join. 2 scans total for ANY column count.
+    # Per-column results are BIT-IDENTICAL to the single-column path
+    # (same md5 coin per (column, key), same HLL NDV estimator per
+    # column, same threshold arithmetic, same exact k-min) — pinned in
+    # tests against the per-column loop and the hashlib reference.
+    stats_wide = df.groupBy(batch).agg(
+        *[
+            agg
+            for i, c in enumerate(cols)
+            for agg in (
+                F.count(_bcol(c).cast("string")).alias(f"__n{i}"),
+                F.approx_count_distinct(_bcol(c).cast("string")).alias(f"__nd{i}"),
+            )
+        ]
+    )
+    stats = stats_wide.select(
+        "batch",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__col"),
+                        F.col(f"__n{i}").alias("__n"),
+                        _thr(F.col(f"__nd{i}")).alias("__thr"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("__s"),
+    ).select("batch", "__s.__col", "__s.__n", "__s.__thr")
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("__col"), _bcol(c).cast("string").alias("__key")
+            )
+            for c in cols
+        ]
+    )
+    hashed = (
+        df.select(batch, F.explode(stacked).alias("__e"))
+        .select("batch", F.col("__e.__col").alias("__col"), F.col("__e.__key").alias("__key"))
+        .filter(F.col("__key").isNotNull())
+        .select("batch", "__col", _kmv_hash(F.col("__key")).alias("__h"))
+    )
+    cand = (
+        hashed.join(F.broadcast(stats), ["batch", "__col"])
+        .filter(F.col("__h") < F.col("__thr"))
+        .select("batch", "__col", "__h", "__n")
+    )
+    return (
+        cand.groupBy("batch", "__col")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("mins"),
+            F.max("__n").alias("__n"),
+        )
+        .select(
+            "batch",
+            F.col("__col").alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.lit(k).cast("int").alias("k"),
+            "mins",
+        )
+    )
 
 
 def _kmv_k(sketches: DataFrame):

