@@ -3735,105 +3735,46 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry order matters: the correctness driver verifies the FIRST 50
-# entries against their DuckDB oracles each round. Round-12 window
-# policy (SURVEY §7 item 20 / VERDICT r11 #1): the window carries (a)
-# the two ROUND11_LATE entries FIRST (events_holtwinters_seasonal +
-# streaming_holtwinters_monitor — registered after the round-11 window
-# filled; 3-SF + invariance pedigree, no driver row yet), (b) the
-# ENTIRE ROUND9_FROZEN remainder — after round 12 its round-9 rows
-# would breach the two-round staleness invariant — in its
-# long-standing order (44 entries), and (c) every query crossing
-# round-12-changed code: sample_cluster_balanced (the
-# _per_cell_hash_prefix NULL-id parity fix, VERDICT r11 #2),
-# profiling_null_profile (the _bcol backtick audit on the pre-r9
-# profilers, VERDICT r11 #3 — the other three crossing rows sit inside
-# the R9 block), and sample_temperature + sample_domain_temperature
-# (the distributed temperature_thresholds rewrite, VERDICT r11 #4).
-# 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO (VERDICT
-# r11 #5 — round 13 must absorb the ROUND10_FROZEN remainder: 45
-# entries after the two rows pulled into this window).
-# Below the boundary sit the ROUND10_FROZEN remainder (45 fresh r10
-# rows — rotates in round 13), the ROUND11_FROZEN block (48 fresh r11
-# rows — rotates in round 14), and the PERMANENTLY PINNED rows-only
-# entries. Enforced by tests/test_plans.py.
+# entries against their DuckDB oracles each round. Round-13 window
+# policy (SURVEY §7 item 22 / VERDICT r12 #1 — the optimization round:
+# no new registrations, the window carries the rotation the staleness
+# invariant forces plus every row crossing round-13-changed code, all
+# derived mechanically by tools/crossing_set.py on the round diff):
+# (a) the four round-13 changed-code rows — profiling_kmv_set_overlap
+# + streaming_kmv_monitor (the kmv_sketches sizing-pass de-md5, the
+# multi-column fusion, and the _kmv_union_pooled collect-halving) and
+# profiling_cms_join_size (parallelized sketch scans) pulled from
+# ROUND11_FROZEN, ann_ivfpq_partitioned_search (artifact caching)
+# pulled from the round-12 window; (b) dedup_containment pulled
+# forward VOLUNTARILY from ROUND11_FROZEN (unchanged code — the spare
+# slot refreshes its pedigree a round early so the round-14 window
+# absorbs 44 r11 rows instead of 45); (c) the ENTIRE 45-entry
+# ROUND10_FROZEN remainder — two rounds stale after round 12, the
+# invariant forces it — in its long-standing order (it contains the
+# six remaining changed-code crossings: ann_index_rebalance_search,
+# profiling_cms_frequencies, profiling_quantile_invariants, and the
+# heavyhitter/ndv/quantile monitors the crossing tool over-
+# approximates onto kmv_sketches through the shared streaming-sink
+# scaffolding). 4 + 1 + 45 = 50 exactly; round-13 late registrations:
+# ZERO. Below the boundary sit the ROUND12_FROZEN block (49 fresh r12
+# rows — rotates in round 15), the ROUND11_FROZEN remainder (44 fresh
+# r11 rows — rotates in round 14), and the PERMANENTLY PINNED
+# rows-only entries. Enforced by tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # === ROUND-12 DRIVER WINDOW (first 50 — the driver verifies exactly
-    # these; layout per SURVEY §7 item 20 / VERDICT r11 #1) ===
-    # --- (a) the two ROUND11_LATE entries rotate in FIRST (registered
-    # after the round-11 window filled; 3-SF + invariance pedigree) ---
-    "events_holtwinters_seasonal": _events_holtwinters_seasonal,
-    "streaming_holtwinters_monitor": _streaming_holtwinters_monitor,
-    # --- (b) the ENTIRE ROUND9_FROZEN remainder — after round 12 its
-    # round-9 rows would breach the two-round staleness invariant — in
-    # its long-standing order (44 entries) ---
-    "text_quality_gate": _text_quality_gate,
-    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
-    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
-    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
-    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
-    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
-    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
-    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
-    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
-    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
-    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
-    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
-    "catalog_table_roundtrip": _catalog_table_roundtrip,
-    "io_bucketed_join": _io_bucketed_join,
-    "io_overwrite_partitions": _io_overwrite_partitions,
-    "io_json_roundtrip": _io_json_roundtrip,
-    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
-    "corpus_curation_pipeline": _corpus_curation_pipeline,
-    "ann_ivf_topk": _ann_ivf_topk,
-    "ann_ivfpq_topk": _ann_ivfpq_topk,
-    "ann_pq_topk": _ann_pq_topk,
-    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
-    "dedup_semdedup": _dedup_semdedup,
-    "logs_insights_parse": _logs_insights_parse,
-    "multimodal_video_near_dup": _multimodal_video_near_dup,
-    "streaming_sessionize": _streaming_sessionize,
-    "sample_dsir": _sample_dsir,
-    "ann_recall_lsh": _ann_recall_lsh,
-    "pretraining_shard_export": _pretraining_shard_export,
-    "streaming_dsir_gate": _streaming_dsir_gate,
+    # === ROUND-13 DRIVER WINDOW (first 50 — the driver verifies
+    # exactly these) ===
+    # --- (a) round-13 changed-code rows (crossing sets derived by
+    # tools/crossing_set.py on d888d3b..HEAD) ---
+    "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
+    "streaming_kmv_monitor": _streaming_kmv_monitor,
+    "profiling_cms_join_size": _profiling_cms_join_size,
     "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
-    "streaming_index_ingest": _streaming_index_ingest,
-    "ann_mmr_rerank": _ann_mmr_rerank,
-    "io_parquet_roundtrip": _io_parquet_roundtrip,
-    "io_csv_roundtrip": _io_csv_roundtrip,
-    "io_orc_roundtrip": _io_orc_roundtrip,
-    "events_value_histogram": _events_value_histogram,
-    "profiling_numeric_summary": _profiling_numeric_summary,
-    "profiling_correlations": _profiling_correlations,
-    "dedup_snapshot_diff": _dedup_snapshot_diff,
-    "embedding_dim_stats": _embedding_dim_stats,
-    "io_schema_evolution": _io_schema_evolution,
-    "ann_filtered_pq_search": _ann_filtered_pq_search,
-    "sample_hash_split": _sample_hash_split,
-    # --- (c) crossing round-12-changed code (VERDICT r11 #2/#3/#4):
-    # sample_cluster_balanced (the _per_cell_hash_prefix NULL-id
-    # keep-all/fractional parity fix) and profiling_null_profile (the
-    # _bcol backtick audit on the pre-r9 profilers) pulled from
-    # ROUND10_FROZEN; sample_temperature + sample_domain_temperature
-    # (the distributed temperature_thresholds rewrite — no driver
-    # collect) pulled from the round-11 window. The other three _bcol
-    # crossing rows (profiling_numeric_summary / profiling_correlations
-    # / events_value_histogram) already sit in the R9 block above.
-    # 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO
-    # (VERDICT r11 #5 — round 13 must absorb the 45-entry
-    # ROUND10_FROZEN remainder below) ---
-    "sample_cluster_balanced": _sample_cluster_balanced,
-    "profiling_null_profile": _profiling_null_profile,
-    "sample_temperature": _sample_temperature,
-    "sample_domain_temperature": _sample_domain_temperature,
-    # === window boundary: the driver verifies the FIRST 50 entries —
-    # everything ABOVE this comment. Below sit (a) the ROUND10_FROZEN
-    # remainder riding FRESH round-10 rows (rotates in round 13), (b)
-    # the ROUND11_FROZEN block riding fresh round-11 rows (rotates in
-    # round 14), and (c) the PERMANENTLY PINNED rows-only entries.
-    # Enforced by tests/test_plans.py. ===
-    # --- ROUND10_FROZEN remainder (45; r10 window order; the two
-    # changed-code rows moved INTO the window above) ---
+    # --- (b) voluntary early rotation (unchanged code, spare slot —
+    # shrinks the round-14 ROUND11_FROZEN absorption to 44) ---
+    "dedup_containment": _dedup_containment,
+    # --- (c) the ENTIRE ROUND10_FROZEN remainder (45; r10 window
+    # order) — two rounds stale after round 12, the staleness
+    # invariant forces all of it in ---
     "streaming_quantile_monitor": _streaming_quantile_monitor,
     "streaming_ndv_monitor": _streaming_ndv_monitor,
     "text_domain_quality": _text_domain_quality,
@@ -3879,12 +3820,70 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_domain_rollup": _text_domain_rollup,
     "streaming_ewma_monitor": _streaming_ewma_monitor,
     "profiling_quantile_invariants": _profiling_quantile_invariants,
-    # --- ROUND11_FROZEN (48; the round-11 window in its r11 order; the
-    # two temperature rows moved INTO the window above as changed-code)
+    # === window boundary: the driver verifies the FIRST 50 entries —
+    # everything ABOVE this comment. Below sit (a) the ROUND12_FROZEN
+    # block riding FRESH round-12 rows (rotates in round 15), (b) the
+    # ROUND11_FROZEN remainder riding fresh round-11 rows (rotates in
+    # round 14), and (c) the PERMANENTLY PINNED rows-only entries.
+    # Enforced by tests/test_plans.py. ===
+    # --- ROUND12_FROZEN (49; the round-12 window in its r12 order;
+    # ann_ivfpq_partitioned_search moved INTO the window above as
+    # changed-code) ---
+    "events_holtwinters_seasonal": _events_holtwinters_seasonal,
+    "streaming_holtwinters_monitor": _streaming_holtwinters_monitor,
+    "text_quality_gate": _text_quality_gate,
+    "q3_shipping_priority": _analytics_query(ANALYTICS_SQL["q3_shipping_priority"]),
+    "q5_local_supplier_volume": _analytics_query(ANALYTICS_SQL["q5_local_supplier_volume"]),
+    "q1_pricing_summary": _analytics_query(ANALYTICS_SQL["q1_pricing_summary"]),
+    "q14_promo_effect": _analytics_query(ANALYTICS_SQL["q14_promo_effect"]),
+    "q18_large_orders": _analytics_query(ANALYTICS_SQL["q18_large_orders"]),
+    "q21_waiting_suppliers": _analytics_query(ANALYTICS_SQL["q21_waiting_suppliers"]),
+    "events_cube_daily": _analytics_query(ANALYTICS_SQL["events_cube_daily"]),
+    "events_retention_cohorts": _analytics_query(ANALYTICS_SQL["events_retention_cohorts"]),
+    "events_funnel": _analytics_query(ANALYTICS_SQL["events_funnel"]),
+    "brand_revenue_pareto": _analytics_query(ANALYTICS_SQL["brand_revenue_pareto"]),
+    "events_json_extract": _analytics_query(EVENTS_JSON_SQL_SPARK),
+    "catalog_table_roundtrip": _catalog_table_roundtrip,
+    "io_bucketed_join": _io_bucketed_join,
+    "io_overwrite_partitions": _io_overwrite_partitions,
+    "io_json_roundtrip": _io_json_roundtrip,
+    "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
+    "ann_ivf_topk": _ann_ivf_topk,
+    "ann_ivfpq_topk": _ann_ivfpq_topk,
+    "ann_pq_topk": _ann_pq_topk,
+    "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
+    "dedup_semdedup": _dedup_semdedup,
+    "logs_insights_parse": _logs_insights_parse,
+    "multimodal_video_near_dup": _multimodal_video_near_dup,
+    "streaming_sessionize": _streaming_sessionize,
+    "sample_dsir": _sample_dsir,
+    "ann_recall_lsh": _ann_recall_lsh,
+    "pretraining_shard_export": _pretraining_shard_export,
+    "streaming_dsir_gate": _streaming_dsir_gate,
+    "streaming_index_ingest": _streaming_index_ingest,
+    "ann_mmr_rerank": _ann_mmr_rerank,
+    "io_parquet_roundtrip": _io_parquet_roundtrip,
+    "io_csv_roundtrip": _io_csv_roundtrip,
+    "io_orc_roundtrip": _io_orc_roundtrip,
+    "events_value_histogram": _events_value_histogram,
+    "profiling_numeric_summary": _profiling_numeric_summary,
+    "profiling_correlations": _profiling_correlations,
+    "dedup_snapshot_diff": _dedup_snapshot_diff,
+    "embedding_dim_stats": _embedding_dim_stats,
+    "io_schema_evolution": _io_schema_evolution,
+    "ann_filtered_pq_search": _ann_filtered_pq_search,
+    "sample_hash_split": _sample_hash_split,
+    "sample_cluster_balanced": _sample_cluster_balanced,
+    "profiling_null_profile": _profiling_null_profile,
+    "sample_temperature": _sample_temperature,
+    "sample_domain_temperature": _sample_domain_temperature,
+    # --- ROUND11_FROZEN remainder (44; the round-11 window in its r11
+    # order; profiling_kmv_set_overlap / streaming_kmv_monitor /
+    # profiling_cms_join_size moved INTO the window above as
+    # changed-code, dedup_containment as the voluntary early rotation)
     # ---
     "text_decontaminated_spans": _text_decontaminated_spans,
-    "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
-    "streaming_kmv_monitor": _streaming_kmv_monitor,
     "streaming_anomaly_monitor": _streaming_anomaly_monitor,
     "events_error_click_window": _events_error_click_window,
     "dedup_exact": _dedup_exact,
@@ -3926,9 +3925,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted": _sample_weighted,
     "ann_metric_topk": _ann_metric_topk,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-    "dedup_containment": _dedup_containment,
     "dedup_clusters": _dedup_clusters,
-    "profiling_cms_join_size": _profiling_cms_join_size,
     "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
     # --- PERMANENTLY PINNED below the window (VERDICT r8 "what's
     # wrong" #1): declared rows-only entries can never produce a green

@@ -32,71 +32,42 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-12 rotation policy (SURVEY §7 item 20 / VERDICT r11 #1): the
-# driver verifies the FIRST 50 registry entries. The round-12 window
-# carries (a) the two ROUND11_LATE entries FIRST (registered after the
-# round-11 window filled, no driver row yet), (b) the ENTIRE
-# ROUND9_FROZEN remainder — after round 12 its round-9 rows would
-# breach the two-round staleness invariant — in its long-standing
-# order (44 entries), and (c) the four changed-code rows:
-# sample_cluster_balanced crossing the _per_cell_hash_prefix NULL-id
-# parity fix (VERDICT r11 #2), profiling_null_profile crossing the
-# _bcol backtick audit on the pre-r9 profilers (VERDICT r11 #3; the
-# audit's other crossing rows — profiling_numeric_summary /
-# profiling_correlations / events_value_histogram — sit inside the R9
-# block), and sample_temperature + sample_domain_temperature crossing
-# the distributed temperature_thresholds rewrite (VERDICT r11 #4).
-# 2 + 44 + 4 = 50 exactly; round-12 late registrations: ZERO (VERDICT
-# r11 #5 — round 13 must absorb the 45-entry ROUND10_FROZEN remainder, so
-# every spare slot is kept for round-13 changed-code rows). Below the
-# boundary sit only the ROUND10_FROZEN remainder (45 entries, fresh
-# r10 rows — rotates in round 13), the ROUND11_FROZEN block (48
-# entries, fresh r11 rows — rotates in round 14), and the PERMANENTLY
-# PINNED rows-only entries.
+# Round-13 rotation policy (SURVEY §7 item 22 / VERDICT r12 #1 — the
+# FIRST OPTIMIZATION round: zero new registrations, zero feature work).
+# The driver verifies the FIRST 50 registry entries. The round-13
+# window carries (a) the four rows crossing round-13-changed code,
+# derived mechanically by tools/crossing_set.py on the round diff
+# (d888d3b..HEAD): profiling_kmv_set_overlap + streaming_kmv_monitor
+# (kmv_sketches sizing-pass de-md5 + multi-column fusion +
+# _kmv_union_pooled collect-halving) and profiling_cms_join_size
+# (parallelized sketch scans) pulled from ROUND11_FROZEN, and
+# ann_ivfpq_partitioned_search (artifact-frame caching) pulled from
+# the round-12 window; (b) dedup_containment, pulled forward
+# VOLUNTARILY from ROUND11_FROZEN on the spare slot (code unchanged —
+# its early re-verification shrinks the round-14 absorption to 44);
+# (c) the ENTIRE 45-entry ROUND10_FROZEN remainder — two rounds stale
+# after round 12, the staleness invariant forces all of it in — which
+# already contains the OTHER six changed-code crossings
+# (ann_index_rebalance_search, profiling_cms_frequencies,
+# profiling_quantile_invariants, and the heavyhitter/ndv/quantile
+# monitors that the over-approximating crossing tool links to
+# kmv_sketches through the shared streaming-sink scaffolding).
+# 4 + 1 + 45 = 50 exactly; round-13 late registrations: ZERO.
 
-ROUND11_LATE_ROTATED_IN_R12 = {
-    "events_holtwinters_seasonal", "streaming_holtwinters_monitor",
+ROUND13_CHANGED_CODE = {
+    "ann_ivfpq_partitioned_search", "profiling_cms_join_size",
+    "profiling_kmv_set_overlap", "streaming_kmv_monitor",
 }
 
-ROUND9_ROTATED_IN_R12 = {
-    # the whole ROUND9_FROZEN remainder: last driver rows in round 9
-    "ann_filtered_pq_search", "ann_ivf_lloyd_step", "ann_ivf_topk",
-    "ann_ivfpq_partitioned_search", "ann_ivfpq_topk",
-    "ann_mmr_rerank", "ann_pq_topk", "ann_recall_lsh",
-    "brand_revenue_pareto", "catalog_table_roundtrip",
-    "corpus_curation_pipeline", "db_copy_unload_roundtrip",
-    "dedup_semdedup", "dedup_snapshot_diff", "embedding_dim_stats",
-    "events_cube_daily", "events_funnel", "events_json_extract",
-    "events_retention_cohorts", "events_value_histogram",
-    "io_bucketed_join", "io_csv_roundtrip", "io_json_roundtrip",
-    "io_orc_roundtrip", "io_overwrite_partitions",
-    "io_parquet_roundtrip", "io_schema_evolution",
-    "logs_insights_parse", "multimodal_video_near_dup",
-    "pretraining_shard_export", "profiling_correlations",
-    "profiling_numeric_summary", "q14_promo_effect",
-    "q18_large_orders", "q1_pricing_summary",
-    "q21_waiting_suppliers", "q3_shipping_priority",
-    "q5_local_supplier_volume", "sample_dsir", "sample_hash_split",
-    "streaming_dsir_gate", "streaming_index_ingest",
-    "streaming_sessionize", "text_quality_gate",
+ROUND11_PULLED_FORWARD_R13 = {
+    # voluntary early rotation (unchanged code): burns the spare slot
+    # to refresh an r11 pedigree a round early, so round 14 absorbs 44
+    # ROUND11_FROZEN rows instead of 45 (44 + r14 changed-code ≤ 50)
+    "dedup_containment",
 }
 
-ROUND12_CHANGED_CODE = {
-    # sample_cluster_balanced: the _per_cell_hash_prefix NULL-id
-    # keep-all/fractional parity fix; profiling_null_profile: the
-    # _bcol audit (its three sibling crossing rows are in the R9 set
-    # above); the temperature pair: the distributed
-    # temperature_thresholds rewrite (temperature_sample no longer
-    # collects — new quantized-micro convention, oracle rewritten)
-    "sample_cluster_balanced", "profiling_null_profile",
-    "sample_temperature", "sample_domain_temperature",
-}
-
-ROUND10_FROZEN = {
-    # fresh green rows in CORRECTNESS_r10.json; code byte-identical
-    # since round 10 (sample_cluster_balanced / profiling_null_profile
-    # moved INTO the round-12 window as changed-code). Rotates in
-    # round 13.
+ROUND10_ROTATED_IN_R13 = {
+    # the whole ROUND10_FROZEN remainder: last driver rows in round 10
     "ann_cell_occupancy", "ann_index_rebalance_search",
     "benchmark_contamination", "benchmark_near_contamination",
     "dedup_bloom_ingest_gate", "embedding_pca_project",
@@ -106,46 +77,71 @@ ROUND10_FROZEN = {
     "lineitem_stats_by_flag", "multimodal_audio_fp",
     "multimodal_image_dhash", "pretraining_curation_pipeline",
     "profiling_cms_frequencies", "profiling_distribution_drift",
-    "profiling_key_uniqueness",
-    "profiling_quantile_invariants",
+    "profiling_key_uniqueness", "profiling_quantile_invariants",
     "profiling_referential_integrity", "q6_revenue_forecast",
-    "streaming_bloom_gate",
-    "streaming_corpus_dedup", "streaming_error_click_join",
-    "streaming_ewma_monitor", "streaming_heavyhitter_monitor",
-    "streaming_ndv_monitor", "streaming_quantile_monitor",
-    "streaming_sliding_counts", "text_bigram_surprisal",
-    "text_c4_rules", "text_chunk_tokens", "text_domain_quality",
-    "text_domain_rollup", "text_gopher_quality",
+    "streaming_bloom_gate", "streaming_corpus_dedup",
+    "streaming_error_click_join", "streaming_ewma_monitor",
+    "streaming_heavyhitter_monitor", "streaming_ndv_monitor",
+    "streaming_quantile_monitor", "streaming_sliding_counts",
+    "text_bigram_surprisal", "text_c4_rules", "text_chunk_tokens",
+    "text_domain_quality", "text_domain_rollup", "text_gopher_quality",
     "text_html_extract", "text_lang_id", "text_ngram_freq",
     "text_ngram_repetition", "text_pack_sequences",
     "text_perplexity_buckets", "text_pii_scrub",
     "text_tfidf_top_terms", "topk_customers_window",
 }
 
+ROUND12_FROZEN = {
+    # fresh green rows in CORRECTNESS_r12.json (the fourth all-green
+    # window); code byte-identical since round 12 except
+    # ann_ivfpq_partitioned_search, which moved INTO the round-13
+    # window as changed-code. Rotates in round 15.
+    "ann_filtered_pq_search", "ann_ivf_lloyd_step", "ann_ivf_topk",
+    "ann_ivfpq_topk", "ann_mmr_rerank", "ann_pq_topk",
+    "ann_recall_lsh", "brand_revenue_pareto",
+    "catalog_table_roundtrip", "corpus_curation_pipeline",
+    "db_copy_unload_roundtrip", "dedup_semdedup",
+    "dedup_snapshot_diff", "embedding_dim_stats", "events_cube_daily",
+    "events_funnel", "events_holtwinters_seasonal",
+    "events_json_extract", "events_retention_cohorts",
+    "events_value_histogram", "io_bucketed_join", "io_csv_roundtrip",
+    "io_json_roundtrip", "io_orc_roundtrip", "io_overwrite_partitions",
+    "io_parquet_roundtrip", "io_schema_evolution",
+    "logs_insights_parse", "multimodal_video_near_dup",
+    "pretraining_shard_export", "profiling_correlations",
+    "profiling_null_profile", "profiling_numeric_summary",
+    "q14_promo_effect", "q18_large_orders", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q3_shipping_priority",
+    "q5_local_supplier_volume", "sample_cluster_balanced",
+    "sample_domain_temperature", "sample_dsir", "sample_hash_split",
+    "sample_temperature", "streaming_dsir_gate",
+    "streaming_holtwinters_monitor", "streaming_index_ingest",
+    "streaming_sessionize", "text_quality_gate",
+}
+
 ROUND11_FROZEN = {
-    # fresh green rows in CORRECTNESS_r11.json (the third all-green
-    # window); code byte-identical since round 11 (sample_temperature
-    # / sample_domain_temperature moved INTO the round-12 window as
-    # changed-code). Rotates in round 14.
+    # fresh green rows in CORRECTNESS_r11.json; code byte-identical
+    # since round 11 (profiling_kmv_set_overlap / streaming_kmv_monitor
+    # / profiling_cms_join_size moved INTO the round-13 window as
+    # changed-code, dedup_containment as the voluntary early rotation).
+    # Rotates in round 14.
     "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
     "ann_metric_topk", "ann_pca_sq8_search", "ann_sq8_topk",
     "athena_ctas_roundtrip", "bpe_word_frequencies",
-    "db_jdbc_roundtrip", "dedup_clusters", "dedup_containment",
-    "dedup_duplicated_lines", "dedup_duplicated_spans",
-    "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_normalized",
-    "dedup_simhash", "embedding_curation_pipeline",
-    "events_error_click_window", "events_hourly_gapfill",
-    "events_interpolate", "events_session_window",
-    "events_top_paths", "events_user_join_salted",
-    "io_merge_datasets", "io_partition_pruned_read",
-    "io_upsert_roundtrip", "orders_value_deciles",
-    "profiling_cms_join_size", "profiling_kmv_set_overlap",
-    "q2_min_cost_supplier", "sample_epoch_mixture",
-    "sample_weighted", "streaming_anomaly_monitor",
-    "streaming_drift_monitor", "streaming_growing_corpus",
-    "streaming_kmv_monitor", "streaming_latest_per_user",
+    "db_jdbc_roundtrip", "dedup_clusters", "dedup_duplicated_lines",
+    "dedup_duplicated_spans", "dedup_embedding_cosine",
+    "dedup_embedding_incremental", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_normalized", "dedup_simhash",
+    "embedding_curation_pipeline", "events_error_click_window",
+    "events_hourly_gapfill", "events_interpolate",
+    "events_session_window", "events_top_paths",
+    "events_user_join_salted", "io_merge_datasets",
+    "io_partition_pruned_read", "io_upsert_roundtrip",
+    "orders_value_deciles", "q2_min_cost_supplier",
+    "sample_epoch_mixture", "sample_weighted",
+    "streaming_anomaly_monitor", "streaming_drift_monitor",
+    "streaming_growing_corpus", "streaming_latest_per_user",
     "streaming_static_enrich", "text_char_entropy",
     "text_classifier_score", "text_decontaminated_spans",
     "text_fingerprint",
@@ -157,17 +153,16 @@ ROUND11_FROZEN = {
 # excluded from every future rotation.
 PINNED_ROWS_ONLY = {"bpe_encode", "bpe_token_budget"}
 
-# Round-12 late registrations: ZERO by design (VERDICT r11 #5 — the
-# round-13 rotation must absorb the whole 45-entry ROUND10_FROZEN
-# remainder +
-# changed-code set within 50). Kept as an explicit empty set so the
-# partition test still tiles the registry exactly.
-ROUND12_LATE: set = set()
+# Round-13 late registrations: ZERO by design (an optimization round
+# adds no operators; round 14 must absorb the 44-entry ROUND11_FROZEN
+# remainder + round-14 changed-code within 50). Kept as an explicit
+# empty set so the partition test still tiles the registry exactly.
+ROUND13_LATE: set = set()
 
-ROUND12_MUST_BE_IN_WINDOW = (
-    ROUND11_LATE_ROTATED_IN_R12
-    | ROUND9_ROTATED_IN_R12
-    | ROUND12_CHANGED_CODE
+ROUND13_MUST_BE_IN_WINDOW = (
+    ROUND13_CHANGED_CODE
+    | ROUND11_PULLED_FORWARD_R13
+    | ROUND10_ROTATED_IN_R13
 )
 
 RETIRED_R7 = {
@@ -247,8 +242,8 @@ def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = (below - ROUND10_FROZEN - ROUND11_FROZEN
-                   - PINNED_ROWS_ONLY - ROUND12_LATE)
+    unaccounted = (below - ROUND12_FROZEN - ROUND11_FROZEN
+                   - PINNED_ROWS_ONLY - ROUND13_LATE)
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -256,19 +251,15 @@ def test_below_window_entries_all_have_pedigree():
 
 def test_no_entry_staler_than_two_rounds():
     # the rotation invariant (VERDICT r5 #5, re-pinned every round):
-    # after round 12, no below-window entry's last driver row may be
-    # older than round 10 — so nothing with round-9 pedigree (and no
-    # never-verified round-11-late entry) may sit below the boundary.
-    # The pinned rows-only entries are exempt BY POLICY: they have no
-    # oracle, so a driver row can never verify them (pytest is their
-    # contract).
+    # after round 13, no below-window entry's last driver row may be
+    # older than round 11 — so nothing with round-10 pedigree may sit
+    # below the boundary. The pinned rows-only entries are exempt BY
+    # POLICY: they have no oracle, so a driver row can never verify
+    # them (pytest is their contract).
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND9_ROTATED_IN_R12 == set(), (
-        "round-9-pedigree entries must sit inside the round-12 window"
-    )
-    assert below & ROUND11_LATE_ROTATED_IN_R12 == set(), (
-        "never-verified round-11-late entries must sit inside the window"
+    assert below & ROUND10_ROTATED_IN_R13 == set(), (
+        "round-10-pedigree entries must sit inside the round-13 window"
     )
 
 
@@ -282,7 +273,7 @@ def test_pinned_rows_only_entry_stays_below_the_window():
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND12_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND13_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
@@ -292,15 +283,15 @@ def test_window_is_exactly_the_declared_partition():
     # must-be-in set
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
-    assert window == ROUND12_MUST_BE_IN_WINDOW
-    assert below == (ROUND10_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY
-                     | ROUND12_LATE)
-    assert ROUND10_FROZEN & ROUND11_FROZEN == set()
-    assert PINNED_ROWS_ONLY & (ROUND10_FROZEN | ROUND11_FROZEN) == set()
-    assert ROUND12_LATE & (ROUND10_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY) == set()
+    assert window == ROUND13_MUST_BE_IN_WINDOW
+    assert below == (ROUND12_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY
+                     | ROUND13_LATE)
+    assert ROUND12_FROZEN & ROUND11_FROZEN == set()
+    assert PINNED_ROWS_ONLY & (ROUND12_FROZEN | ROUND11_FROZEN) == set()
+    assert ROUND13_LATE & (ROUND12_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY) == set()
     groups = [
-        ROUND11_LATE_ROTATED_IN_R12, ROUND9_ROTATED_IN_R12,
-        ROUND12_CHANGED_CODE,
+        ROUND13_CHANGED_CODE, ROUND11_PULLED_FORWARD_R13,
+        ROUND10_ROTATED_IN_R13,
     ]
     for i, a in enumerate(groups):
         for b in groups[i + 1:]:
