@@ -3240,11 +3240,15 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the DataSketches HLL row."""
     from aws_data_wrangler_spark.operators import profiling
 
-    # load_parallel (r13): each sketch pass md5-hashes every row
-    # depth times — on a single-row-group parquet scan that hashing
-    # ran in ONE task (measured 1.35 s vs 0.90 s per pass at sf0.1)
-    ev = load_parallel(spark, sf_dir, "events").select("event_id", "event_type")
-    batched = ev.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
+    # the SKETCH inputs go through load_parallel (r13): each sketch
+    # pass md5-hashes every row depth times — on a single-row-group
+    # parquet scan that hashing ran in ONE task (measured 1.35 s vs
+    # 0.90 s per pass at sf0.1). The probe/exact-truth sides keep the
+    # bare scan: they feed groupBys that shuffle anyway, so a
+    # repartition there is a pure extra exchange.
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    ev_par = load_parallel(spark, sf_dir, "events").select("event_id", "event_type")
+    batched = ev_par.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
     # cache the counter tables (bounded by depth*width BY CONSTRUCTION
     # — never data): cms_estimates' eager geometry collect would
     # otherwise re-execute each sketch aggregate over events once more
@@ -3254,7 +3258,7 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = profiling.cms_union(
         profiling.cms_sketches(batched, "event_type", batch_col="b")
     ).cache()
-    single = profiling.cms_sketches(ev, "event_type").cache()
+    single = profiling.cms_sketches(ev_par, "event_type").cache()
     probes = ev.select("event_type").distinct()
     est_m = profiling.cms_estimates(merged, probes, "event_type")
     est_s = profiling.cms_estimates(single, probes, "event_type").select(
@@ -3297,13 +3301,16 @@ def _profiling_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY — no envelope."""
     from aws_data_wrangler_spark.operators import profiling
 
-    # load_parallel (r13): the orders sketch md5-hashes 600k cells —
-    # single-task on a bare scan (the cms_frequencies rationale)
-    orders = load_parallel(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    customer = load_parallel(spark, sf_dir, "customer").select("c_custkey")
-    batched = orders.withColumn(
-        "__b", (F.col("o_orderkey") % 2).cast("string")
-    )
+    # the orders SKETCH input goes through load_parallel (r13): its
+    # pass md5-hashes 600k cells — single-task on a bare scan (the
+    # cms_frequencies rationale). The customer sketch (60k cells) and
+    # the exact-truth join keep bare scans: the join shuffles anyway,
+    # so a repartition there is a pure extra exchange.
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    batched = load_parallel(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).withColumn("__b", (F.col("o_orderkey") % 2).cast("string"))
     # cache the counter tables (bounded by depth*width BY CONSTRUCTION):
     # cms_join_size's geometry + total collects would otherwise
     # re-execute each sketch aggregate (the cms_estimates caveat; in
