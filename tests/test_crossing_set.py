@@ -81,6 +81,20 @@ def test_bcol_family_is_a_superset_of_the_sketch_rows():
     } <= got
 
 
+def test_global_declared_assignment_keeps_its_edge():
+    # ADVICE r12: a Store under a `global` declaration is a
+    # MODULE-level assignment — the pre-r13 analyzer subtracted it as
+    # a local binding, so an edit to the module constant read as
+    # window-free (the under-approximation the tool must never make;
+    # verified empty on the pre-fix tool). The _CTAS_SCRATCH pattern:
+    # an edit to the constant must cross exactly what an edit to its
+    # declaring function crosses, and that closure must include the
+    # athena CTAS row.
+    got = _rows("_CTAS_SCRATCH")
+    assert got == _rows("_ctas_scratch_base")
+    assert "athena_ctas_roundtrip" in got
+
+
 def test_every_registry_row_has_reachable_roots():
     # a row whose roots resolve to nothing would silently never cross —
     # the unsafe direction; every row must reach at least one known def

@@ -101,13 +101,26 @@ def _refs_of(node: ast.AST) -> Set[str]:
             # excluded or every from-import edge disappears
             for alias in sub.names:
                 out.add(alias.name)
+        elif isinstance(sub, (ast.Global, ast.Nonlocal)):
+            # a `global X` declaration makes every X in this function a
+            # MODULE-level reference — including a store-only X, whose
+            # ast.Name nodes all carry Store ctx and would otherwise
+            # land only in `bound` (ADVICE r12: the edge to the module
+            # constant must exist, or an edit to it reads as
+            # window-free — an under-approximation)
+            out.update(sub.names)
     return out - (bound - out_protect(node))
 
 
 def out_protect(node: ast.AST) -> Set[str]:
     """Names that must survive the local-binding exclusion: imported
-    names and nested def names (collected again here because ``bound``
-    may also contain them via unrelated Store contexts)."""
+    names, nested def names (collected again here because ``bound``
+    may also contain them via unrelated Store contexts), and
+    ``global``/``nonlocal``-declared names (ADVICE r12: an assignment
+    under a ``global`` declaration is a Store on a MODULE-level name —
+    subtracting it would drop the function's edge to that module
+    constant, an under-approximation violating the tool's
+    over-approximate-never-miss bias)."""
     keep: Set[str] = set()
     for sub in ast.walk(node):
         if isinstance(sub, ast.ImportFrom):
@@ -116,6 +129,8 @@ def out_protect(node: ast.AST) -> Set[str]:
         elif isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
             if sub is not node:
                 keep.add(sub.name)
+        elif isinstance(sub, (ast.Global, ast.Nonlocal)):
+            keep.update(sub.names)
     return keep
 
 
