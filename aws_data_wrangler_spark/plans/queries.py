@@ -3240,15 +3240,15 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the DataSketches HLL row."""
     from aws_data_wrangler_spark.operators import profiling
 
-    # the SKETCH inputs go through load_parallel (r13): each sketch
-    # pass md5-hashes every row depth times — on a single-row-group
-    # parquet scan that hashing ran in ONE task (measured 1.35 s vs
-    # 0.90 s per pass at sf0.1). The probe/exact-truth sides keep the
-    # bare scan: they feed groupBys that shuffle anyway, so a
-    # repartition there is a pure extra exchange.
+    # NOTE (r13, measured and deliberately NOT changed): routing the
+    # sketch inputs through load_parallel reads 0.45 s faster per
+    # isolated orders-size sketch pass (serial md5 → 32-way), but at
+    # the full-query level the added round-robin exchange gives the
+    # gain back (same-window A/B flat; back-to-back probe slightly
+    # negative) — the bare scan stays. At real scale the input arrives
+    # multi-split and the question doesn't arise.
     ev = load(spark, sf_dir, "events").select("event_id", "event_type")
-    ev_par = load_parallel(spark, sf_dir, "events").select("event_id", "event_type")
-    batched = ev_par.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
+    batched = ev.withColumn("b", F.crc32(F.col("event_id").cast("string")) % 4)
     # cache the counter tables (bounded by depth*width BY CONSTRUCTION
     # — never data): cms_estimates' eager geometry collect would
     # otherwise re-execute each sketch aggregate over events once more
@@ -3258,7 +3258,7 @@ def _profiling_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = profiling.cms_union(
         profiling.cms_sketches(batched, "event_type", batch_col="b")
     ).cache()
-    single = profiling.cms_sketches(ev_par, "event_type").cache()
+    single = profiling.cms_sketches(ev, "event_type").cache()
     probes = ev.select("event_type").distinct()
     est_m = profiling.cms_estimates(merged, probes, "event_type")
     est_s = profiling.cms_estimates(single, probes, "event_type").select(
@@ -3301,16 +3301,11 @@ def _profiling_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY — no envelope."""
     from aws_data_wrangler_spark.operators import profiling
 
-    # the orders SKETCH input goes through load_parallel (r13): its
-    # pass md5-hashes 600k cells — single-task on a bare scan (the
-    # cms_frequencies rationale). The customer sketch (60k cells) and
-    # the exact-truth join keep bare scans: the join shuffles anyway,
-    # so a repartition there is a pure extra exchange.
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load(spark, sf_dir, "customer").select("c_custkey")
-    batched = load_parallel(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    ).withColumn("__b", (F.col("o_orderkey") % 2).cast("string"))
+    batched = orders.withColumn(
+        "__b", (F.col("o_orderkey") % 2).cast("string")
+    )
     # cache the counter tables (bounded by depth*width BY CONSTRUCTION):
     # cms_join_size's geometry + total collects would otherwise
     # re-execute each sketch aggregate (the cms_estimates caveat; in
@@ -3747,22 +3742,24 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no new registrations, the window carries the rotation the staleness
 # invariant forces plus every row crossing round-13-changed code, all
 # derived mechanically by tools/crossing_set.py on the round diff):
-# (a) the four round-13 changed-code rows — profiling_kmv_set_overlap
+# (a) the three round-13 changed-code rows — profiling_kmv_set_overlap
 # + streaming_kmv_monitor (the kmv_sketches sizing-pass de-md5, the
-# multi-column fusion, and the _kmv_union_pooled collect-halving) and
-# profiling_cms_join_size (parallelized sketch scans) pulled from
-# ROUND11_FROZEN, ann_ivfpq_partitioned_search (artifact caching)
-# pulled from the round-12 window; (b) dedup_containment pulled
-# forward VOLUNTARILY from ROUND11_FROZEN (unchanged code — the spare
-# slot refreshes its pedigree a round early so the round-14 window
-# absorbs 44 r11 rows instead of 45); (c) the ENTIRE 45-entry
-# ROUND10_FROZEN remainder — two rounds stale after round 12, the
-# invariant forces it — in its long-standing order (it contains the
-# six remaining changed-code crossings: ann_index_rebalance_search,
-# profiling_cms_frequencies, profiling_quantile_invariants, and the
+# multi-column fusion, and the _kmv_union_pooled collect-halving)
+# pulled from ROUND11_FROZEN, ann_ivfpq_partitioned_search (artifact
+# caching) pulled from the round-12 window; (b) dedup_containment +
+# profiling_cms_join_size pulled forward VOLUNTARILY from
+# ROUND11_FROZEN on the spare slots (code byte-identical to r12 —
+# cms_join_size's load_parallel experiment was reverted after the A/B
+# read it flat, OPTIMIZATION_r13.md §8; the early re-verification
+# shrinks the round-14 absorption to 43 r11 rows); (c) the ENTIRE
+# 45-entry ROUND10_FROZEN remainder — two rounds stale after round 12,
+# the invariant forces it — in its long-standing order (it contains
+# the remaining changed-code crossings: ann_index_rebalance_search,
+# profiling_cms_frequencies (measured-and-reverted experiment, NOTE
+# comment only), profiling_quantile_invariants, and the
 # heavyhitter/ndv/quantile monitors the crossing tool over-
 # approximates onto kmv_sketches through the shared streaming-sink
-# scaffolding). 4 + 1 + 45 = 50 exactly; round-13 late registrations:
+# scaffolding). 3 + 2 + 45 = 50 exactly; round-13 late registrations:
 # ZERO. Below the boundary sit the ROUND12_FROZEN block (49 fresh r12
 # rows — rotates in round 15), the ROUND11_FROZEN remainder (44 fresh
 # r11 rows — rotates in round 14), and the PERMANENTLY PINNED
@@ -3774,10 +3771,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tools/crossing_set.py on d888d3b..HEAD) ---
     "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
     "streaming_kmv_monitor": _streaming_kmv_monitor,
-    "profiling_cms_join_size": _profiling_cms_join_size,
     "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
-    # --- (b) voluntary early rotation (unchanged code, spare slot —
-    # shrinks the round-14 ROUND11_FROZEN absorption to 44) ---
+    # --- (b) voluntary early rotations (code byte-identical to r12;
+    # the spare slots shrink the round-14 ROUND11_FROZEN absorption
+    # to 43) ---
+    "profiling_cms_join_size": _profiling_cms_join_size,
     "dedup_containment": _dedup_containment,
     # --- (c) the ENTIRE ROUND10_FROZEN remainder (45; r10 window
     # order) — two rounds stale after round 12, the staleness

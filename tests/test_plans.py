@@ -35,35 +35,42 @@ def test_rows_only_set_is_intentional():
 # Round-13 rotation policy (SURVEY §7 item 22 / VERDICT r12 #1 — the
 # FIRST OPTIMIZATION round: zero new registrations, zero feature work).
 # The driver verifies the FIRST 50 registry entries. The round-13
-# window carries (a) the four rows crossing round-13-changed code,
+# window carries (a) the three rows crossing round-13-changed code,
 # derived mechanically by tools/crossing_set.py on the round diff
 # (d888d3b..HEAD): profiling_kmv_set_overlap + streaming_kmv_monitor
 # (kmv_sketches sizing-pass de-md5 + multi-column fusion +
-# _kmv_union_pooled collect-halving) and profiling_cms_join_size
-# (parallelized sketch scans) pulled from ROUND11_FROZEN, and
+# _kmv_union_pooled collect-halving) pulled from ROUND11_FROZEN, and
 # ann_ivfpq_partitioned_search (artifact-frame caching) pulled from
-# the round-12 window; (b) dedup_containment, pulled forward
-# VOLUNTARILY from ROUND11_FROZEN on the spare slot (code unchanged —
-# its early re-verification shrinks the round-14 absorption to 44);
+# the round-12 window; (b) dedup_containment + profiling_cms_join_size
+# pulled forward VOLUNTARILY from ROUND11_FROZEN on the spare slots
+# (code byte-identical to r12 — cms_join_size's r13 load_parallel
+# experiment was reverted after the A/B read it flat; the early
+# re-verification shrinks the round-14 absorption to 43);
 # (c) the ENTIRE 45-entry ROUND10_FROZEN remainder — two rounds stale
 # after round 12, the staleness invariant forces all of it in — which
 # already contains the OTHER six changed-code crossings
-# (ann_index_rebalance_search, profiling_cms_frequencies,
+# (ann_index_rebalance_search, profiling_cms_frequencies (a
+# measured-and-reverted experiment leaves only a NOTE comment) +
 # profiling_quantile_invariants, and the heavyhitter/ndv/quantile
 # monitors that the over-approximating crossing tool links to
 # kmv_sketches through the shared streaming-sink scaffolding).
-# 4 + 1 + 45 = 50 exactly; round-13 late registrations: ZERO.
+# 3 + 2 + 45 = 50 exactly; round-13 late registrations: ZERO.
 
 ROUND13_CHANGED_CODE = {
-    "ann_ivfpq_partitioned_search", "profiling_cms_join_size",
+    "ann_ivfpq_partitioned_search",
     "profiling_kmv_set_overlap", "streaming_kmv_monitor",
 }
 
 ROUND11_PULLED_FORWARD_R13 = {
-    # voluntary early rotation (unchanged code): burns the spare slot
-    # to refresh an r11 pedigree a round early, so round 14 absorbs 44
-    # ROUND11_FROZEN rows instead of 45 (44 + r14 changed-code ≤ 50)
-    "dedup_containment",
+    # voluntary early rotation (unchanged code): spare slots refresh
+    # r11 pedigrees a round early, so round 14 absorbs 43
+    # ROUND11_FROZEN rows instead of 45 (43 + r14 changed-code ≤ 50).
+    # profiling_cms_join_size sits here, not in changed-code: its r13
+    # load_parallel experiment was REVERTED byte-identically after the
+    # same-window A/B read it flat-to-negative (OPTIMIZATION_r13.md §8)
+    # — the row keeps the early driver re-verification its window slot
+    # already bought.
+    "dedup_containment", "profiling_cms_join_size",
 }
 
 ROUND10_ROTATED_IN_R13 = {
@@ -122,8 +129,8 @@ ROUND12_FROZEN = {
 ROUND11_FROZEN = {
     # fresh green rows in CORRECTNESS_r11.json; code byte-identical
     # since round 11 (profiling_kmv_set_overlap / streaming_kmv_monitor
-    # / profiling_cms_join_size moved INTO the round-13 window as
-    # changed-code, dedup_containment as the voluntary early rotation).
+    # moved INTO the round-13 window as changed-code, dedup_containment
+    # + profiling_cms_join_size as voluntary early rotations).
     # Rotates in round 14.
     "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
     "ann_metric_topk", "ann_pca_sq8_search", "ann_sq8_topk",
