@@ -885,19 +885,49 @@ def _cms_geometry_and_total(sketches: DataFrame):
     sketch re-aggregations of the former two-pass probe (review
     finding r11). ``_cms_geometry`` itself is left untouched: it backs
     the frozen union/estimate rows."""
+    (geom_n,) = _cms_geometries_and_totals(sketches)
+    return geom_n
+
+
+def _cms_geometries_and_totals(*sketch_frames: DataFrame):
+    """The POOLED form (r14 — the ``_kmv_union_pooled`` analogue,
+    guide §5 driver-boundary): every side's (geometry, N) probe rides
+    ONE union-tagged aggregate and ONE driver collect instead of one
+    Spark job per side — ``cms_join_size`` paid 2 collects, now 1.
+    Each collect against an UNMATERIALIZED ``cms_sketches`` plan
+    re-executes that side's full sketch aggregate, so at corpus scale
+    pooling halves those re-executions for non-caching callers too
+    (registered callers cache their counter tables — then the win is
+    one fewer driver round-trip/job). Per-side semantics are identical
+    to the sequential probes: ``(None, 0)`` for an empty side, raise
+    on mixed geometry WITHIN a side (same message)."""
+    tagged = [
+        df.select(
+            F.lit(side).alias("__side"), "depth", "width", "row_i", "cnt"
+        )
+        for side, df in enumerate(sketch_frames)
+    ]
+    pooled = tagged[0]
+    for t in tagged[1:]:
+        pooled = pooled.unionByName(t)
     rows = (
-        sketches.groupBy("depth", "width")
+        pooled.groupBy("__side", "depth", "width")
         .agg(F.sum(F.when(F.col("row_i") == 0, F.col("cnt"))).alias("__n"))
         .collect()
     )
-    geoms = sorted((int(r["depth"]), int(r["width"])) for r in rows)
-    if len(geoms) > 1:
-        raise ValueError(
-            f"cannot union CMS sketches with different depth x width: {geoms}"
-        )
-    if not geoms:
-        return None, 0
-    return geoms[0], int(rows[0]["__n"] or 0)
+    out = []
+    for side in range(len(sketch_frames)):
+        side_rows = [r for r in rows if int(r["__side"]) == side]
+        geoms = sorted((int(r["depth"]), int(r["width"])) for r in side_rows)
+        if len(geoms) > 1:
+            raise ValueError(
+                f"cannot union CMS sketches with different depth x width: {geoms}"
+            )
+        if not geoms:
+            out.append((None, 0))
+        else:
+            out.append((geoms[0], int(side_rows[0]["__n"] or 0)))
+    return out
 
 
 def cms_join_size(sketches_a: DataFrame, sketches_b: DataFrame) -> DataFrame:
@@ -926,14 +956,17 @@ def cms_join_size(sketches_a: DataFrame, sketches_b: DataFrame) -> DataFrame:
     functions must be the same family) — mixed geometry raises, the
     ``cms_union`` rule. An empty side estimates 0 ("nothing ingested"
     is a real answer) while ``n_a``/``n_b`` stay truthful for the
-    non-empty side. Driver cost: ONE bounded collect per side (the
-    fused geometry+total probe). Row totals are validated against
+    non-empty side. Driver cost: ONE bounded collect TOTAL — both
+    sides' fused geometry+total probes ride a single union-tagged
+    aggregate (r14; was one collect per side). Row totals are
+    validated against
     64-bit product overflow (≈ 2^62 on the ``N_A·N_B`` bound) — a
     profile pass over corpora that large should sketch a sampled
     stream instead.
     """
-    geom_a, n_a = _cms_geometry_and_total(sketches_a)
-    geom_b, n_b = _cms_geometry_and_total(sketches_b)
+    (geom_a, n_a), (geom_b, n_b) = _cms_geometries_and_totals(
+        sketches_a, sketches_b
+    )
     if geom_a is not None and geom_b is not None and geom_a != geom_b:
         raise ValueError(
             f"cannot inner-product CMS sketches with different depth x width: "

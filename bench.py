@@ -128,6 +128,25 @@ HEADLINE = [
 
 
 def main() -> None:
+    # quiet-wait (VERDICT r13 #2, additions-only): seven of eight
+    # driver bench files landed contention-stamped, making the
+    # round-over-round geomean unusable. Before any Spark work, wait
+    # (bounded) for the box to go quiet so the single driver
+    # invocation lands in a quiet window; the stamp below then records
+    # load AFTER the wait plus how long we waited. The gate threshold
+    # matches the load-gate's judge-prescribed absolute load1 > 1.0;
+    # the cap keeps a permanently-busy box from stalling the bench —
+    # it then runs anyway and stamps itself contended as before.
+    # SPARK_GRAFT_QUIET_WAIT_SEC overrides the cap (0 disables).
+    waited_sec = 0.0
+    try:
+        _cap = float(os.getenv("SPARK_GRAFT_QUIET_WAIT_SEC", "300"))
+        while waited_sec < _cap and os.getloadavg()[0] > 1.0:
+            time.sleep(10.0)
+            waited_sec += 10.0
+    except (OSError, ValueError):
+        pass
+
     # sample box contention BEFORE any Spark work (the bench itself
     # saturates local[32], so an end-of-run sample only measures us):
     # load1 ≈ other tenants' demand at start (VERDICT r6 #1 — the r6
@@ -247,6 +266,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_at_start": loadavg_at_start,
                 "contended": contended,
+                "waited_sec": round(waited_sec, 1),
             }
         )
     )

@@ -5139,6 +5139,51 @@ class TestProfiling:
         empty = profiling.cms_join_size(sk(dfa).limit(0), sk(dfb)).collect()[0]
         assert tuple(empty) == (0, 0, 13)
 
+    def test_cms_pooled_geometry_probe_is_one_job_and_value_identical(self, spark):
+        # r14 optimization pin (the _kmv_union_pooled analogue): both
+        # sides' (geometry, N) probes ride ONE union-tagged aggregate —
+        # one Spark job, one driver collect — and return exactly what
+        # the sequential per-side probes return, including the empty
+        # side and the per-side mixed-geometry raise.
+        import pytest as _pytest
+
+        from aws_data_wrangler_spark.operators import profiling
+
+        dfa = spark.createDataFrame(
+            [(k,) for k in ["u1"] * 5 + ["u2"] * 3] + [(None,)], "k string"
+        )
+        dfb = spark.createDataFrame([(k,) for k in ["u1"] * 2 + ["u4"]], "k string")
+        ska = profiling.cms_sketches(dfa, "k", depth=3, width=16)
+        skb = profiling.cms_sketches(dfb, "k", depth=3, width=16)
+        sc = spark.sparkContext
+        sc.setJobGroup("cms-pooled-probe", "cms-pooled-probe")
+        pooled = profiling._cms_geometries_and_totals(ska, skb)
+        n_pooled = len(sc.statusTracker().getJobIdsForGroup("cms-pooled-probe"))
+        sc.setJobGroup("cms-seq-probe", "cms-seq-probe")
+        seq = [
+            profiling._cms_geometry_and_total(ska),
+            profiling._cms_geometry_and_total(skb),
+        ]
+        n_seq = len(sc.statusTracker().getJobIdsForGroup("cms-seq-probe"))
+        sc.setJobGroup(None, None)
+        # AQE materializes each shuffle stage as its own job, so "one
+        # collect" is not literally one job on unmaterialized sketch
+        # plans — but the pooled probe must beat two sequential probes
+        assert n_pooled < n_seq, f"pooled {n_pooled} jobs !< sequential {n_seq}"
+        assert pooled == seq
+        assert pooled == [((3, 16), 8), ((3, 16), 3)]  # NULL key excluded
+        # empty side: (None, 0), the other side stays truthful
+        assert profiling._cms_geometries_and_totals(ska.limit(0), skb) == [
+            (None, 0),
+            ((3, 16), 3),
+        ]
+        # mixed geometry WITHIN a side still raises (same message)
+        mixed = ska.unionByName(
+            profiling.cms_sketches(dfb, "k", depth=4, width=32)
+        )
+        with _pytest.raises(ValueError, match="depth x width"):
+            profiling._cms_geometries_and_totals(mixed, skb)
+
     def test_approx_heavy_hitters_exact_regime_and_ties(self, spark):
         from aws_data_wrangler_spark.operators import profiling
 
