@@ -450,8 +450,12 @@ def temperature_sample(
     (Spark ``round`` ≡ DuckDB ``round`` on positives); the driver-side
     dict path (``stratified_sample(temperature_fractions(...))``)
     rounds half-to-even (python) — the two can differ only when
-    ``fraction·2³²`` lands exactly on .5, unreachable from the IEEE
-    divisions above. Rows whose stratum is NULL drop (they match no
+    ``fraction·2³²`` lands exactly on .5, which is possible in
+    principle for a dyadic division result but has never been observed
+    and is asserted per-example by the property test; if ever hit the
+    two paths would differ by one threshold ulp (ADVICE r12 — the
+    oracle tracks the distributed path, so the correctness gate is
+    unaffected). Rows whose stratum is NULL drop (they match no
     threshold row — same as the dict path's ``default_fraction=0``).
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
