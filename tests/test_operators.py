@@ -4933,6 +4933,11 @@ class TestProfiling:
             )
 
     def test_kmv_sizing_pass_pays_no_md5(self, spark):
+        # NOTE (ADVICE r13 #2): this pin and the fused-plan pin below
+        # assert on optimizedPlan().toString() TEXT, pinned against
+        # Spark 4.1.x — a Spark version bump can rename/restructure
+        # logical-plan text and fail them without any behavior change;
+        # re-derive the expected strings on upgrade before debugging.
         # r13 optimization regression pin: the threshold-sizing pass
         # reads the RAW column — its NDV estimate sizes the prune
         # threshold, so hashing every row with md5 first was a full
