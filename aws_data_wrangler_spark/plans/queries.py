@@ -3737,49 +3737,99 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry order matters: the correctness driver verifies the FIRST 50
-# entries against their DuckDB oracles each round. Round-13 window
-# policy (SURVEY §7 item 22 / VERDICT r12 #1 — the optimization round:
-# no new registrations, the window carries the rotation the staleness
-# invariant forces plus every row crossing round-13-changed code, all
-# derived mechanically by tools/crossing_set.py on the round diff):
-# (a) the three round-13 changed-code rows — profiling_kmv_set_overlap
-# + streaming_kmv_monitor (the kmv_sketches sizing-pass de-md5, the
-# multi-column fusion, and the _kmv_union_pooled collect-halving)
-# pulled from ROUND11_FROZEN, ann_ivfpq_partitioned_search (artifact
-# caching) pulled from the round-12 window; (b) dedup_containment +
-# profiling_cms_join_size pulled forward VOLUNTARILY from
-# ROUND11_FROZEN on the spare slots (code byte-identical to r12 —
-# cms_join_size's load_parallel experiment was reverted after the A/B
-# read it flat, OPTIMIZATION_r13.md §8; the early re-verification
-# shrinks the round-14 absorption to 43 r11 rows); (c) the ENTIRE
-# 45-entry ROUND10_FROZEN remainder — two rounds stale after round 12,
-# the invariant forces it — in its long-standing order (it contains
-# the remaining changed-code crossings: ann_index_rebalance_search,
-# profiling_cms_frequencies (measured-and-reverted experiment, NOTE
-# comment only), profiling_quantile_invariants, and the
-# heavyhitter/ndv/quantile monitors the crossing tool over-
-# approximates onto kmv_sketches through the shared streaming-sink
-# scaffolding). 3 + 2 + 45 = 50 exactly; round-13 late registrations:
-# ZERO. Below the boundary sit the ROUND12_FROZEN block (49 fresh r12
-# rows — rotates in round 15), the ROUND11_FROZEN remainder (44 fresh
-# r11 rows — rotates in round 14), and the PERMANENTLY PINNED
-# rows-only entries. Enforced by tests/test_plans.py.
+# entries against their DuckDB oracles each round. Round-14 window
+# policy (the SECOND optimization round — zero new registrations; the
+# window carries the rotation the staleness invariant forces plus
+# every row crossing round-14-changed code, derived mechanically by
+# tools/crossing_set.py on the round diff c163b51..HEAD):
+# (a) the three round-14 changed-code rows — profiling_cms_join_size
+# (the pooled geometry+total probe, VERDICT r13 #4) pulled from the
+# round-13 window, sample_temperature + sample_domain_temperature
+# (docstring-only ADVICE r12 #2 closure, VERDICT r13 #7) pulled from
+# ROUND12_FROZEN; (b) dedup_semdedup + ann_pq_topk +
+# corpus_curation_pipeline pulled forward VOLUNTARILY from
+# ROUND12_FROZEN on the three spare slots (code byte-identical to r12
+# — the bench-heaviest r12 rows get their pedigree refreshed early,
+# shrinking any future absorption to 44 r12 rows); (c) the ENTIRE
+# 44-entry ROUND11_FROZEN remainder — two rounds stale after round 13,
+# the invariant forces all of it in — in its long-standing r11 order.
+# 3 + 3 + 44 = 50 exactly; round-14 late registrations: ZERO. Below
+# the boundary sit the ROUND13_FROZEN block (49 fresh r13 rows), the
+# ROUND12_FROZEN remainder (44 fresh r12 rows), and the PERMANENTLY
+# PINNED rows-only entries. Enforced by tests/test_plans.py.
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # === ROUND-13 DRIVER WINDOW (first 50 — the driver verifies
+    # === ROUND-14 DRIVER WINDOW (first 50 — the driver verifies
     # exactly these) ===
-    # --- (a) round-13 changed-code rows (crossing sets derived by
-    # tools/crossing_set.py on d888d3b..HEAD) ---
+    # --- (a) round-14 changed-code rows (crossing sets derived by
+    # tools/crossing_set.py on c163b51..HEAD) ---
+    "profiling_cms_join_size": _profiling_cms_join_size,
+    "sample_temperature": _sample_temperature,
+    "sample_domain_temperature": _sample_domain_temperature,
+    # --- (b) voluntary early rotations (code byte-identical to
+    # r12; the spare slots refresh the bench-heaviest r12
+    # pedigrees a round early) ---
+    "dedup_semdedup": _dedup_semdedup,
+    "ann_pq_topk": _ann_pq_topk,
+    "corpus_curation_pipeline": _corpus_curation_pipeline,
+    # --- (c) the ENTIRE ROUND11_FROZEN remainder (44; r11 window
+    # order) — two rounds stale after round 13, the staleness
+    # invariant forces all of it in ---
+    "text_decontaminated_spans": _text_decontaminated_spans,
+    "streaming_anomaly_monitor": _streaming_anomaly_monitor,
+    "events_error_click_window": _events_error_click_window,
+    "dedup_exact": _dedup_exact,
+    "dedup_normalized": _dedup_normalized,
+    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
+    "events_session_window": _events_session_window,
+    "events_hourly_gapfill": _events_hourly_gapfill,
+    "events_user_join_salted": _events_user_join_salted,
+    "athena_ctas_roundtrip": _athena_ctas_roundtrip,
+    "io_partition_pruned_read": _io_partition_pruned_read,
+    "io_merge_datasets": _io_merge_datasets,
+    "ann_cosine_topk": _ann_cosine_topk,
+    "ann_lsh_topk": _ann_lsh_topk,
+    "streaming_static_enrich": _streaming_static_enrich,
+    "streaming_latest_per_user": _streaming_latest_per_user,
+    "text_fingerprint": _text_fingerprint,
+    "dedup_duplicated_lines": _dedup_duplicated_lines,
+    "sample_epoch_mixture": _sample_epoch_mixture,
+    "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
+    "dedup_minhash_lsh": _dedup_minhash_lsh,
+    "dedup_incremental": _dedup_incremental,
+    "dedup_simhash": _dedup_simhash,
+    "dedup_duplicated_spans": _dedup_duplicated_spans,
+    "dedup_embedding_cosine": _dedup_embedding_cosine,
+    "dedup_embedding_incremental": _dedup_embedding_incremental,
+    "dedup_embedding_lsh": _dedup_embedding_lsh,
+    "embedding_curation_pipeline": _embedding_curation_pipeline,
+    "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
+    "ann_sq8_topk": _ann_sq8_topk,
+    "bpe_word_frequencies": _bpe_word_frequencies,
+    "streaming_growing_corpus": _streaming_growing_corpus,
+    "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
+    "streaming_drift_monitor": _streaming_drift_monitor,
+    "io_upsert_roundtrip": _io_upsert_roundtrip,
+    "text_classifier_score": _text_classifier_score,
+    "text_char_entropy": _text_char_entropy,
+    "events_interpolate": _events_interpolate,
+    "ann_pca_sq8_search": _ann_pca_sq8_search,
+    "sample_weighted": _sample_weighted,
+    "ann_metric_topk": _ann_metric_topk,
+    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+    "dedup_clusters": _dedup_clusters,
+    "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
+    # === window boundary: the driver verifies the FIRST 50 entries —
+    # everything ABOVE this comment. Below sit (a) the ROUND13_FROZEN
+    # block riding FRESH round-13 rows, (b) the ROUND12_FROZEN
+    # remainder riding fresh round-12 rows, and (c) the PERMANENTLY
+    # PINNED rows-only entries. Enforced by tests/test_plans.py. ===
+    # --- ROUND13_FROZEN (49; the round-13 window in its r13 order;
+    # profiling_cms_join_size moved INTO the window above as
+    # changed-code) ---
     "profiling_kmv_set_overlap": _profiling_kmv_set_overlap,
     "streaming_kmv_monitor": _streaming_kmv_monitor,
     "ann_ivfpq_partitioned_search": _ann_ivfpq_partitioned_search,
-    # --- (b) voluntary early rotations (code byte-identical to r12;
-    # the spare slots shrink the round-14 ROUND11_FROZEN absorption
-    # to 43) ---
-    "profiling_cms_join_size": _profiling_cms_join_size,
     "dedup_containment": _dedup_containment,
-    # --- (c) the ENTIRE ROUND10_FROZEN remainder (45; r10 window
-    # order) — two rounds stale after round 12, the staleness
-    # invariant forces all of it in ---
     "streaming_quantile_monitor": _streaming_quantile_monitor,
     "streaming_ndv_monitor": _streaming_ndv_monitor,
     "text_domain_quality": _text_domain_quality,
@@ -3825,15 +3875,11 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_domain_rollup": _text_domain_rollup,
     "streaming_ewma_monitor": _streaming_ewma_monitor,
     "profiling_quantile_invariants": _profiling_quantile_invariants,
-    # === window boundary: the driver verifies the FIRST 50 entries —
-    # everything ABOVE this comment. Below sit (a) the ROUND12_FROZEN
-    # block riding FRESH round-12 rows (rotates in round 15), (b) the
-    # ROUND11_FROZEN remainder riding fresh round-11 rows (rotates in
-    # round 14), and (c) the PERMANENTLY PINNED rows-only entries.
-    # Enforced by tests/test_plans.py. ===
-    # --- ROUND12_FROZEN (49; the round-12 window in its r12 order;
-    # ann_ivfpq_partitioned_search moved INTO the window above as
-    # changed-code) ---
+    # --- ROUND12_FROZEN remainder (44; the round-12 window in its
+    # r12 order; sample_temperature + sample_domain_temperature
+    # moved INTO the window above as changed-code, dedup_semdedup +
+    # ann_pq_topk + corpus_curation_pipeline as voluntary early
+    # rotations) ---
     "events_holtwinters_seasonal": _events_holtwinters_seasonal,
     "streaming_holtwinters_monitor": _streaming_holtwinters_monitor,
     "text_quality_gate": _text_quality_gate,
@@ -3853,12 +3899,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "io_overwrite_partitions": _io_overwrite_partitions,
     "io_json_roundtrip": _io_json_roundtrip,
     "db_copy_unload_roundtrip": _db_copy_unload_roundtrip,
-    "corpus_curation_pipeline": _corpus_curation_pipeline,
     "ann_ivf_topk": _ann_ivf_topk,
     "ann_ivfpq_topk": _ann_ivfpq_topk,
-    "ann_pq_topk": _ann_pq_topk,
     "ann_ivf_lloyd_step": _ann_ivf_lloyd_step,
-    "dedup_semdedup": _dedup_semdedup,
     "logs_insights_parse": _logs_insights_parse,
     "multimodal_video_near_dup": _multimodal_video_near_dup,
     "streaming_sessionize": _streaming_sessionize,
@@ -3881,57 +3924,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash_split": _sample_hash_split,
     "sample_cluster_balanced": _sample_cluster_balanced,
     "profiling_null_profile": _profiling_null_profile,
-    "sample_temperature": _sample_temperature,
-    "sample_domain_temperature": _sample_domain_temperature,
-    # --- ROUND11_FROZEN remainder (44; the round-11 window in its r11
-    # order; profiling_kmv_set_overlap / streaming_kmv_monitor /
-    # profiling_cms_join_size moved INTO the window above as
-    # changed-code, dedup_containment as the voluntary early rotation)
-    # ---
-    "text_decontaminated_spans": _text_decontaminated_spans,
-    "streaming_anomaly_monitor": _streaming_anomaly_monitor,
-    "events_error_click_window": _events_error_click_window,
-    "dedup_exact": _dedup_exact,
-    "dedup_normalized": _dedup_normalized,
-    "db_jdbc_roundtrip": _db_jdbc_roundtrip,
-    "events_session_window": _events_session_window,
-    "events_hourly_gapfill": _events_hourly_gapfill,
-    "events_user_join_salted": _events_user_join_salted,
-    "athena_ctas_roundtrip": _athena_ctas_roundtrip,
-    "io_partition_pruned_read": _io_partition_pruned_read,
-    "io_merge_datasets": _io_merge_datasets,
-    "ann_cosine_topk": _ann_cosine_topk,
-    "ann_lsh_topk": _ann_lsh_topk,
-    "streaming_static_enrich": _streaming_static_enrich,
-    "streaming_latest_per_user": _streaming_latest_per_user,
-    "text_fingerprint": _text_fingerprint,
-    "dedup_duplicated_lines": _dedup_duplicated_lines,
-    "sample_epoch_mixture": _sample_epoch_mixture,
-    "orders_value_deciles": _analytics_query(ORDERS_DECILES_SQL_SPARK),
-    "dedup_minhash_lsh": _dedup_minhash_lsh,
-    "dedup_incremental": _dedup_incremental,
-    "dedup_simhash": _dedup_simhash,
-    "dedup_duplicated_spans": _dedup_duplicated_spans,
-    "dedup_embedding_cosine": _dedup_embedding_cosine,
-    "dedup_embedding_incremental": _dedup_embedding_incremental,
-    "dedup_embedding_lsh": _dedup_embedding_lsh,
-    "embedding_curation_pipeline": _embedding_curation_pipeline,
-    "ann_cosine_topk_arrow": _ann_cosine_topk_arrow,
-    "ann_sq8_topk": _ann_sq8_topk,
-    "bpe_word_frequencies": _bpe_word_frequencies,
-    "streaming_growing_corpus": _streaming_growing_corpus,
-    "q2_min_cost_supplier": _analytics_query(ANALYTICS_SQL["q2_min_cost_supplier"]),
-    "streaming_drift_monitor": _streaming_drift_monitor,
-    "io_upsert_roundtrip": _io_upsert_roundtrip,
-    "text_classifier_score": _text_classifier_score,
-    "text_char_entropy": _text_char_entropy,
-    "events_interpolate": _events_interpolate,
-    "ann_pca_sq8_search": _ann_pca_sq8_search,
-    "sample_weighted": _sample_weighted,
-    "ann_metric_topk": _ann_metric_topk,
-    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-    "dedup_clusters": _dedup_clusters,
-    "events_top_paths": _analytics_query(ANALYTICS_SQL["events_top_paths"]),
     # --- PERMANENTLY PINNED below the window (VERDICT r8 "what's
     # wrong" #1): declared rows-only entries can never produce a green
     # driver row, so they must never burn a window slot; their contract

@@ -32,106 +32,37 @@ def test_rows_only_set_is_intentional():
     ]
 
 
-# Round-13 rotation policy (SURVEY §7 item 22 / VERDICT r12 #1 — the
-# FIRST OPTIMIZATION round: zero new registrations, zero feature work).
-# The driver verifies the FIRST 50 registry entries. The round-13
-# window carries (a) the three rows crossing round-13-changed code,
-# derived mechanically by tools/crossing_set.py on the round diff
-# (d888d3b..HEAD): profiling_kmv_set_overlap + streaming_kmv_monitor
-# (kmv_sketches sizing-pass de-md5 + multi-column fusion +
-# _kmv_union_pooled collect-halving) pulled from ROUND11_FROZEN, and
-# ann_ivfpq_partitioned_search (artifact-frame caching) pulled from
-# the round-12 window; (b) dedup_containment + profiling_cms_join_size
-# pulled forward VOLUNTARILY from ROUND11_FROZEN on the spare slots
-# (code byte-identical to r12 — cms_join_size's r13 load_parallel
-# experiment was reverted after the A/B read it flat; the early
-# re-verification shrinks the round-14 absorption to 43);
-# (c) the ENTIRE 45-entry ROUND10_FROZEN remainder — two rounds stale
-# after round 12, the staleness invariant forces all of it in — which
-# already contains the OTHER six changed-code crossings
-# (ann_index_rebalance_search, profiling_cms_frequencies (a
-# measured-and-reverted experiment leaves only a NOTE comment) +
-# profiling_quantile_invariants, and the heavyhitter/ndv/quantile
-# monitors that the over-approximating crossing tool links to
-# kmv_sketches through the shared streaming-sink scaffolding).
-# 3 + 2 + 45 = 50 exactly; round-13 late registrations: ZERO.
+# Round-14 rotation policy (VERDICT r13 #6 — the SECOND optimization
+# round: zero new registrations, zero feature work). The driver
+# verifies the FIRST 50 registry entries. The round-14 window carries
+# (a) the three rows crossing round-14-changed code, derived
+# mechanically by tools/crossing_set.py on the round diff
+# (c163b51..HEAD): profiling_cms_join_size (the pooled geometry+total
+# probe, VERDICT r13 #4) pulled from the round-13 window, and
+# sample_temperature + sample_domain_temperature (the docstring-only
+# ADVICE r12 #2 closure, VERDICT r13 #7) pulled from ROUND12_FROZEN;
+# (b) dedup_semdedup + ann_pq_topk + corpus_curation_pipeline pulled
+# forward VOLUNTARILY from ROUND12_FROZEN on the three spare slots
+# (code byte-identical to r12 — the bench-heaviest r12 rows get their
+# pedigree refreshed early); (c) the ENTIRE 44-entry ROUND11_FROZEN
+# remainder — two rounds stale after round 13, the staleness invariant
+# forces all of it in. 3 + 3 + 44 = 50 exactly; round-14 late
+# registrations: ZERO.
 
-ROUND13_CHANGED_CODE = {
-    "ann_ivfpq_partitioned_search",
-    "profiling_kmv_set_overlap", "streaming_kmv_monitor",
+ROUND14_CHANGED_CODE = {
+    "profiling_cms_join_size",
+    "sample_temperature", "sample_domain_temperature",
 }
 
-ROUND11_PULLED_FORWARD_R13 = {
+ROUND12_PULLED_FORWARD_R14 = {
     # voluntary early rotation (unchanged code): spare slots refresh
-    # r11 pedigrees a round early, so round 14 absorbs 43
-    # ROUND11_FROZEN rows instead of 45 (43 + r14 changed-code ≤ 50).
-    # profiling_cms_join_size sits here, not in changed-code: its r13
-    # load_parallel experiment was REVERTED byte-identically after the
-    # same-window A/B read it flat-to-negative (OPTIMIZATION_r13.md §8)
-    # — the row keeps the early driver re-verification its window slot
-    # already bought.
-    "dedup_containment", "profiling_cms_join_size",
+    # the bench-heaviest r12 pedigrees a round early, shrinking any
+    # future ROUND12_FROZEN absorption to 44 rows.
+    "dedup_semdedup", "ann_pq_topk", "corpus_curation_pipeline",
 }
 
-ROUND10_ROTATED_IN_R13 = {
-    # the whole ROUND10_FROZEN remainder: last driver rows in round 10
-    "ann_cell_occupancy", "ann_index_rebalance_search",
-    "benchmark_contamination", "benchmark_near_contamination",
-    "dedup_bloom_ingest_gate", "embedding_pca_project",
-    "events_asof_signup", "events_daily_uniques_rollup",
-    "events_holt_trend", "events_join_fanout",
-    "ingest_preflight_report", "io_fwf_roundtrip",
-    "lineitem_stats_by_flag", "multimodal_audio_fp",
-    "multimodal_image_dhash", "pretraining_curation_pipeline",
-    "profiling_cms_frequencies", "profiling_distribution_drift",
-    "profiling_key_uniqueness", "profiling_quantile_invariants",
-    "profiling_referential_integrity", "q6_revenue_forecast",
-    "streaming_bloom_gate", "streaming_corpus_dedup",
-    "streaming_error_click_join", "streaming_ewma_monitor",
-    "streaming_heavyhitter_monitor", "streaming_ndv_monitor",
-    "streaming_quantile_monitor", "streaming_sliding_counts",
-    "text_bigram_surprisal", "text_c4_rules", "text_chunk_tokens",
-    "text_domain_quality", "text_domain_rollup", "text_gopher_quality",
-    "text_html_extract", "text_lang_id", "text_ngram_freq",
-    "text_ngram_repetition", "text_pack_sequences",
-    "text_perplexity_buckets", "text_pii_scrub",
-    "text_tfidf_top_terms", "topk_customers_window",
-}
-
-ROUND12_FROZEN = {
-    # fresh green rows in CORRECTNESS_r12.json (the fourth all-green
-    # window); code byte-identical since round 12 except
-    # ann_ivfpq_partitioned_search, which moved INTO the round-13
-    # window as changed-code. Rotates in round 15.
-    "ann_filtered_pq_search", "ann_ivf_lloyd_step", "ann_ivf_topk",
-    "ann_ivfpq_topk", "ann_mmr_rerank", "ann_pq_topk",
-    "ann_recall_lsh", "brand_revenue_pareto",
-    "catalog_table_roundtrip", "corpus_curation_pipeline",
-    "db_copy_unload_roundtrip", "dedup_semdedup",
-    "dedup_snapshot_diff", "embedding_dim_stats", "events_cube_daily",
-    "events_funnel", "events_holtwinters_seasonal",
-    "events_json_extract", "events_retention_cohorts",
-    "events_value_histogram", "io_bucketed_join", "io_csv_roundtrip",
-    "io_json_roundtrip", "io_orc_roundtrip", "io_overwrite_partitions",
-    "io_parquet_roundtrip", "io_schema_evolution",
-    "logs_insights_parse", "multimodal_video_near_dup",
-    "pretraining_shard_export", "profiling_correlations",
-    "profiling_null_profile", "profiling_numeric_summary",
-    "q14_promo_effect", "q18_large_orders", "q1_pricing_summary",
-    "q21_waiting_suppliers", "q3_shipping_priority",
-    "q5_local_supplier_volume", "sample_cluster_balanced",
-    "sample_domain_temperature", "sample_dsir", "sample_hash_split",
-    "sample_temperature", "streaming_dsir_gate",
-    "streaming_holtwinters_monitor", "streaming_index_ingest",
-    "streaming_sessionize", "text_quality_gate",
-}
-
-ROUND11_FROZEN = {
-    # fresh green rows in CORRECTNESS_r11.json; code byte-identical
-    # since round 11 (profiling_kmv_set_overlap / streaming_kmv_monitor
-    # moved INTO the round-13 window as changed-code, dedup_containment
-    # + profiling_cms_join_size as voluntary early rotations).
-    # Rotates in round 14.
+ROUND11_ROTATED_IN_R14 = {
+    # the whole ROUND11_FROZEN remainder: last driver rows in round 11
     "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
     "ann_metric_topk", "ann_pca_sq8_search", "ann_sq8_topk",
     "athena_ctas_roundtrip", "bpe_word_frequencies",
@@ -154,22 +85,80 @@ ROUND11_FROZEN = {
     "text_fingerprint",
 }
 
+ROUND13_FROZEN = {
+    # fresh green rows in CORRECTNESS_r13.json (the fifth all-green
+    # window); code byte-identical since round 13 except
+    # profiling_cms_join_size, which moved INTO the round-14 window as
+    # changed-code. Rotates in round 16 at the latest.
+    "ann_cell_occupancy", "ann_index_rebalance_search",
+    "ann_ivfpq_partitioned_search", "benchmark_contamination",
+    "benchmark_near_contamination", "dedup_bloom_ingest_gate",
+    "dedup_containment", "embedding_pca_project",
+    "events_asof_signup", "events_daily_uniques_rollup",
+    "events_holt_trend", "events_join_fanout",
+    "ingest_preflight_report", "io_fwf_roundtrip",
+    "lineitem_stats_by_flag", "multimodal_audio_fp",
+    "multimodal_image_dhash", "pretraining_curation_pipeline",
+    "profiling_cms_frequencies", "profiling_distribution_drift",
+    "profiling_key_uniqueness", "profiling_kmv_set_overlap",
+    "profiling_quantile_invariants", "profiling_referential_integrity",
+    "q6_revenue_forecast", "streaming_bloom_gate",
+    "streaming_corpus_dedup", "streaming_error_click_join",
+    "streaming_ewma_monitor", "streaming_heavyhitter_monitor",
+    "streaming_kmv_monitor", "streaming_ndv_monitor",
+    "streaming_quantile_monitor", "streaming_sliding_counts",
+    "text_bigram_surprisal", "text_c4_rules", "text_chunk_tokens",
+    "text_domain_quality", "text_domain_rollup", "text_gopher_quality",
+    "text_html_extract", "text_lang_id", "text_ngram_freq",
+    "text_ngram_repetition", "text_pack_sequences",
+    "text_perplexity_buckets", "text_pii_scrub",
+    "text_tfidf_top_terms", "topk_customers_window",
+}
+
+ROUND12_FROZEN = {
+    # fresh green rows in CORRECTNESS_r12.json; code byte-identical
+    # since round 12 (sample_temperature / sample_domain_temperature
+    # moved INTO the round-14 window as changed-code, dedup_semdedup +
+    # ann_pq_topk + corpus_curation_pipeline as voluntary early
+    # rotations). Rotates in round 15.
+    "ann_filtered_pq_search", "ann_ivf_lloyd_step", "ann_ivf_topk",
+    "ann_ivfpq_topk", "ann_mmr_rerank",
+    "ann_recall_lsh", "brand_revenue_pareto",
+    "catalog_table_roundtrip",
+    "db_copy_unload_roundtrip",
+    "dedup_snapshot_diff", "embedding_dim_stats", "events_cube_daily",
+    "events_funnel", "events_holtwinters_seasonal",
+    "events_json_extract", "events_retention_cohorts",
+    "events_value_histogram", "io_bucketed_join", "io_csv_roundtrip",
+    "io_json_roundtrip", "io_orc_roundtrip", "io_overwrite_partitions",
+    "io_parquet_roundtrip", "io_schema_evolution",
+    "logs_insights_parse", "multimodal_video_near_dup",
+    "pretraining_shard_export", "profiling_correlations",
+    "profiling_null_profile", "profiling_numeric_summary",
+    "q14_promo_effect", "q18_large_orders", "q1_pricing_summary",
+    "q21_waiting_suppliers", "q3_shipping_priority",
+    "q5_local_supplier_volume", "sample_cluster_balanced",
+    "sample_dsir", "sample_hash_split",
+    "streaming_dsir_gate",
+    "streaming_holtwinters_monitor", "streaming_index_ingest",
+    "streaming_sessionize", "text_quality_gate",
+}
+
 # VERDICT r8 "what's wrong" #1: the declared rows-only entries can
 # never produce a green driver row, so they are PERMANENTLY pinned
 # below the window (their pytest pedigree is their contract) and
 # excluded from every future rotation.
 PINNED_ROWS_ONLY = {"bpe_encode", "bpe_token_budget"}
 
-# Round-13 late registrations: ZERO by design (an optimization round
-# adds no operators; round 14 must absorb the 44-entry ROUND11_FROZEN
-# remainder + round-14 changed-code within 50). Kept as an explicit
-# empty set so the partition test still tiles the registry exactly.
-ROUND13_LATE: set = set()
+# Round-14 late registrations: ZERO by design (an optimization round
+# adds no operators). Kept as an explicit empty set so the partition
+# test still tiles the registry exactly.
+ROUND14_LATE: set = set()
 
-ROUND13_MUST_BE_IN_WINDOW = (
-    ROUND13_CHANGED_CODE
-    | ROUND11_PULLED_FORWARD_R13
-    | ROUND10_ROTATED_IN_R13
+ROUND14_MUST_BE_IN_WINDOW = (
+    ROUND14_CHANGED_CODE
+    | ROUND12_PULLED_FORWARD_R14
+    | ROUND11_ROTATED_IN_R14
 )
 
 RETIRED_R7 = {
@@ -249,8 +238,8 @@ def test_bench_retired_shim_is_exactly_the_frozen_bench_overlap():
 def test_below_window_entries_all_have_pedigree():
     names = list(QUERIES)
     below = set(names[50:])
-    unaccounted = (below - ROUND12_FROZEN - ROUND11_FROZEN
-                   - PINNED_ROWS_ONLY - ROUND13_LATE)
+    unaccounted = (below - ROUND13_FROZEN - ROUND12_FROZEN
+                   - PINNED_ROWS_ONLY - ROUND14_LATE)
     assert unaccounted == set(), (
         f"below-window entries with no declared pedigree: {unaccounted}"
     )
@@ -258,15 +247,15 @@ def test_below_window_entries_all_have_pedigree():
 
 def test_no_entry_staler_than_two_rounds():
     # the rotation invariant (VERDICT r5 #5, re-pinned every round):
-    # after round 13, no below-window entry's last driver row may be
-    # older than round 11 — so nothing with round-10 pedigree may sit
+    # after round 14, no below-window entry's last driver row may be
+    # older than round 12 — so nothing with round-11 pedigree may sit
     # below the boundary. The pinned rows-only entries are exempt BY
     # POLICY: they have no oracle, so a driver row can never verify
     # them (pytest is their contract).
     names = list(QUERIES)
     below = set(names[50:])
-    assert below & ROUND10_ROTATED_IN_R13 == set(), (
-        "round-10-pedigree entries must sit inside the round-13 window"
+    assert below & ROUND11_ROTATED_IN_R14 == set(), (
+        "round-11-pedigree entries must sit inside the round-14 window"
     )
 
 
@@ -280,7 +269,7 @@ def test_pinned_rows_only_entry_stays_below_the_window():
 
 def test_new_or_changed_inside_driver_window():
     names = list(QUERIES)
-    late = [n for n in ROUND13_MUST_BE_IN_WINDOW if names.index(n) >= 50]
+    late = [n for n in ROUND14_MUST_BE_IN_WINDOW if names.index(n) >= 50]
     assert late == [], f"driver-unverified new/changed queries outside the window: {late}"
 
 
@@ -290,15 +279,15 @@ def test_window_is_exactly_the_declared_partition():
     # must-be-in set
     names = list(QUERIES)
     window, below = set(names[:50]), set(names[50:])
-    assert window == ROUND13_MUST_BE_IN_WINDOW
-    assert below == (ROUND12_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY
-                     | ROUND13_LATE)
-    assert ROUND12_FROZEN & ROUND11_FROZEN == set()
-    assert PINNED_ROWS_ONLY & (ROUND12_FROZEN | ROUND11_FROZEN) == set()
-    assert ROUND13_LATE & (ROUND12_FROZEN | ROUND11_FROZEN | PINNED_ROWS_ONLY) == set()
+    assert window == ROUND14_MUST_BE_IN_WINDOW
+    assert below == (ROUND13_FROZEN | ROUND12_FROZEN | PINNED_ROWS_ONLY
+                     | ROUND14_LATE)
+    assert ROUND13_FROZEN & ROUND12_FROZEN == set()
+    assert PINNED_ROWS_ONLY & (ROUND13_FROZEN | ROUND12_FROZEN) == set()
+    assert ROUND14_LATE & (ROUND13_FROZEN | ROUND12_FROZEN | PINNED_ROWS_ONLY) == set()
     groups = [
-        ROUND13_CHANGED_CODE, ROUND11_PULLED_FORWARD_R13,
-        ROUND10_ROTATED_IN_R13,
+        ROUND14_CHANGED_CODE, ROUND12_PULLED_FORWARD_R14,
+        ROUND11_ROTATED_IN_R14,
     ]
     for i, a in enumerate(groups):
         for b in groups[i + 1:]:
